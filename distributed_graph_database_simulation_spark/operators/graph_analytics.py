@@ -1,0 +1,188 @@
+"""GraphX-style analytics over edge-list DataFrames (north star:
+"GraphX handles analytical queries but not OLTP traversals" — BASELINE.json).
+
+All plain DataFrame ops + the same superstep machinery as BFS
+(SURVEY.md §7 step 4). Vertex universe is ``0..n-1`` from the ``graphs``
+dimension (isolated vertices exist; ``n`` is header-declared,
+``secondary_server.c:91``), generated JVM-side with ``sequence`` + ``explode``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def vertices(graphs: DataFrame) -> DataFrame:
+    """(graph_id, vertex) for vertex in 0..n-1 — includes isolated vertices."""
+    return graphs.select(
+        "graph_id", F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("vertex")
+    )
+
+
+def degrees(graphs: DataFrame, edges: DataFrame) -> DataFrame:
+    """Per-vertex out/in degree, zero-filled over the full vertex universe.
+
+    Degree is THE canonical one-shuffle graph aggregate: partial (map-side)
+    counts combine before the exchange; the small degree tables then
+    broadcast-join back onto the vertex universe.
+    """
+    out_deg = edges.groupBy("graph_id", F.col("src").alias("vertex")).agg(
+        F.count("*").alias("out_degree")
+    )
+    in_deg = edges.groupBy("graph_id", F.col("dst").alias("vertex")).agg(
+        F.count("*").alias("in_degree")
+    )
+    return (
+        vertices(graphs)
+        .join(out_deg, ["graph_id", "vertex"], "left")
+        .join(in_deg, ["graph_id", "vertex"], "left")
+        .select(
+            "graph_id",
+            "vertex",
+            F.coalesce("out_degree", F.lit(0)).cast("bigint").alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).cast("bigint").alias("in_degree"),
+        )
+    )
+
+
+def undirected(edges: DataFrame) -> DataFrame:
+    """Symmetrize: edge set closed under reversal (distinct)."""
+    return edges.select("graph_id", "src", "dst").union(
+        edges.select("graph_id", F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+def connected_components(
+    spark: SparkSession,
+    graphs: DataFrame,
+    edges: DataFrame,
+    max_iterations: int = 50,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Min-label propagation over the undirected closure (Pregel pattern,
+    per Pregelix — PAPERS.md). Converges in O(diameter) supersteps; each
+    superstep is one shuffle on (graph_id, vertex). Returns
+    (graph_id, vertex, component) with component = min vertex id reachable.
+    """
+    ue = undirected(edges).localCheckpoint(eager=True)
+    labels = vertices(graphs).withColumn("component", F.col("vertex")).localCheckpoint(eager=True)
+    for it in range(1, max_iterations + 1):
+        lbl, e = labels.alias("lbl"), ue.alias("e")
+        msgs = (
+            lbl.join(e, on=(F.col("lbl.graph_id") == F.col("e.graph_id"))
+                         & (F.col("lbl.vertex") == F.col("e.src")))
+            .select(F.col("e.graph_id").alias("graph_id"),
+                    F.col("e.dst").alias("vertex"),
+                    F.col("lbl.component").alias("component"))
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("graph_id", "vertex")
+            .agg(F.min("component").alias("component"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        a, b = new_labels.alias("a"), labels.alias("b")
+        converged = (
+            a.join(b, on=(F.col("a.graph_id") == F.col("b.graph_id"))
+                       & (F.col("a.vertex") == F.col("b.vertex")))
+            .filter(F.col("a.component") != F.col("b.component"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if converged:  # no label decreased -> done
+            break
+    return labels
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Triangles per graph on the undirected simple graph (no self-loops).
+
+    Classic two-join enumeration with the ``src < dst`` canonical orientation
+    so each triangle is counted exactly once; at scale this is the standard
+    shuffle-heavy pattern Catalyst handles with sort-merge joins on
+    (graph_id, vertex) keys.
+    """
+    canon = (
+        undirected(edges)
+        .filter(F.col("src") < F.col("dst"))
+        .select("graph_id", "src", "dst")
+    )
+    ab = canon.alias("ab")
+    bc = canon.alias("bc")
+    ac = canon.alias("ac")
+    tri = (
+        ab.join(bc, on=[F.col("ab.graph_id") == F.col("bc.graph_id"),
+                        F.col("ab.dst") == F.col("bc.src")])
+        .join(ac, on=[F.col("ab.graph_id") == F.col("ac.graph_id"),
+                      F.col("ab.src") == F.col("ac.src"),
+                      F.col("bc.dst") == F.col("ac.dst")])
+        .groupBy(F.col("ab.graph_id").alias("graph_id"))
+        .agg(F.count("*").alias("triangles"))
+    )
+    return tri
+
+
+def pagerank(
+    spark: SparkSession,
+    graphs: DataFrame,
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Fixed-iteration PageRank (power iteration, dangling mass to uniform).
+
+    Returns (graph_id, vertex, rank). Deterministic given the iteration
+    count; each superstep is one shuffle — the GraphX analytics workload
+    re-expressed as DataFrame joins.
+    """
+    verts = vertices(graphs).localCheckpoint(eager=True)
+    n_by_graph = graphs.select("graph_id", F.col("n").cast("double").alias("n_vertices"))
+    out_deg = edges.groupBy("graph_id", F.col("src").alias("vertex")).agg(
+        F.count("*").alias("out_degree")
+    )
+    ranks = (
+        verts.join(n_by_graph, "graph_id")
+        .select("graph_id", "vertex", (F.lit(1.0) / F.col("n_vertices")).alias("rank"))
+        .localCheckpoint(eager=True)
+    )
+    for it in range(1, iterations + 1):
+        r, e = ranks.join(out_deg, ["graph_id", "vertex"]).alias("r"), edges.alias("e")
+        contrib = (
+            r.join(e, on=(F.col("r.graph_id") == F.col("e.graph_id"))
+                       & (F.col("r.vertex") == F.col("e.src")))
+            .select(
+                F.col("e.graph_id").alias("graph_id"),
+                F.col("e.dst").alias("vertex"),
+                (F.col("r.rank") / F.col("r.out_degree")).alias("contrib"),
+            )
+            .groupBy("graph_id", "vertex")
+            .agg(F.sum("contrib").alias("received"))
+        )
+        # Dangling vertices (out_degree 0) leak rank; redistribute uniformly.
+        dangling = (
+            ranks.join(out_deg, ["graph_id", "vertex"], "left_anti")
+            .groupBy("graph_id")
+            .agg(F.sum("rank").alias("dangling_mass"))
+        )
+        ranks = (
+            verts.join(n_by_graph, "graph_id")
+            .join(contrib, ["graph_id", "vertex"], "left")
+            .join(dangling, "graph_id", "left")
+            .select(
+                "graph_id",
+                "vertex",
+                (
+                    (1.0 - damping) / F.col("n_vertices")
+                    + damping
+                    * (
+                        F.coalesce(F.col("received"), F.lit(0.0))
+                        + F.coalesce(F.col("dangling_mass"), F.lit(0.0)) / F.col("n_vertices")
+                    )
+                ).alias("rank"),
+            )
+        )
+        if it % checkpoint_every == 0 or it == iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

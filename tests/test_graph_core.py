@@ -1,0 +1,53 @@
+"""Graph I/O: text-format codec, matrix<->edges, GraphStore write/read."""
+
+import os
+
+from distributed_graph_database_simulation_spark import fixtures
+from distributed_graph_database_simulation_spark.sources import (
+    GraphStore,
+    matrix_to_edges,
+    read_graph_text,
+    write_graph_text,
+    edges_to_matrix,
+)
+
+REF = "/root/reference"
+
+
+def _ref_edges(graph_id):
+    return {(s, d) for g, s, d in fixtures.EDGES if g == graph_id}
+
+
+def test_read_reference_fixtures(spark):
+    graphs, edges = read_graph_text(spark, [f"{REF}/G{k}.txt" for k in (1, 2, 3, 5, 6, 7)])
+    got_n = {r["graph_id"]: r["n"] for r in graphs.collect()}
+    assert got_n == dict(fixtures.GRAPHS)
+    got_edges = {(r["graph_id"], r["src"], r["dst"]) for r in edges.collect()}
+    assert got_edges == set(fixtures.EDGES)
+
+
+def test_matrix_roundtrip(spark, tmp_path):
+    matrix = [[0, 1, 0], [0, 0, 1], [1, 0, 0]]
+    graphs, edges = matrix_to_edges(spark, 9, matrix)
+    assert edges_to_matrix(edges, 3) == matrix
+    out = tmp_path / "G9.txt"
+    write_graph_text(edges, 3, str(out))
+    graphs2, edges2 = read_graph_text(spark, str(out))
+    assert graphs2.collect()[0]["n"] == 3
+    assert {(r["src"], r["dst"]) for r in edges2.collect()} == {(0, 1), (1, 2), (2, 0)}
+
+
+def test_graph_store_add_modify(spark, tmp_path):
+    store = GraphStore(spark, str(tmp_path / "store"))
+    _, e5 = matrix_to_edges(spark, 5, [[0, 1], [0, 0]])
+    assert store.add_graph(5, 2, e5.select("src", "dst")) == "File added successfully"
+    _, e6 = matrix_to_edges(spark, 6, [[0, 0], [1, 0]])
+    store.add_graph(6, 2, e6.select("src", "dst"))
+    assert {(r["src"], r["dst"]) for r in store.edges(5).collect()} == {(0, 1)}
+
+    # modify == full overwrite of that graph only (primary_server.c:71-76)
+    _, e5b = matrix_to_edges(spark, 5, [[1, 0], [0, 1]])
+    assert store.modify_graph(5, 2, e5b.select("src", "dst")) == "File modified successfully"
+    assert {(r["src"], r["dst"]) for r in store.edges(5).collect()} == {(0, 0), (1, 1)}
+    # graph 6 untouched (dynamic partition overwrite)
+    assert {(r["src"], r["dst"]) for r in store.edges(6).collect()} == {(1, 0)}

@@ -1,0 +1,114 @@
+"""BFS/DFS against FIXTURES.md §3 hand-computed pins, plus property tests."""
+
+import random
+
+import pytest
+
+from distributed_graph_database_simulation_spark import fixtures
+from distributed_graph_database_simulation_spark.operators.graph_traversal import (
+    bfs_levels,
+    bfs_levels_small,
+    dfs_leaves,
+)
+from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+    connected_components,
+    degrees,
+    pagerank,
+    triangle_count,
+)
+
+PIN_STARTS = [(g, s) for (g, s) in fixtures.BFS_LEVEL_PINS]
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    return fixtures.fixture_edges_df(spark)
+
+
+@pytest.fixture(scope="module")
+def graphs(spark):
+    return fixtures.fixture_graphs_df(spark)
+
+
+@pytest.mark.parametrize("impl", ["superstep", "kernel"])
+def test_bfs_pins(spark, edges, impl):
+    fn = bfs_levels if impl == "superstep" else bfs_levels_small
+    out = fn(spark, edges, PIN_STARTS)
+    got = {}
+    for r in out.collect():
+        got.setdefault((r["graph_id"],), set()).add((r["vertex"], r["level"]))
+    for (g, s), expected in fixtures.BFS_LEVEL_PINS.items():
+        assert got[(g,)] == expected, f"graph {g}"
+
+
+def test_dfs_leaf_pins(spark, edges):
+    out = dfs_leaves(spark, edges, list(fixtures.DFS_LEAF_PINS))
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["graph_id"], set()).add(r["vertex"])
+    for (g, s), expected in fixtures.DFS_LEAF_PINS.items():
+        assert got[g] == expected, f"graph {g}"
+
+
+def test_bfs_isolated_start(spark, edges):
+    # start vertex with no outgoing/incoming edges in that graph: level-0 row only
+    out = bfs_levels_small(spark, edges, [(5, 2)])
+    # vertex 2 has edges in G5; use a start that's isolated via a fresh graph id
+    iso = spark.createDataFrame([(99, 0, 1)], "graph_id INT, src INT, dst INT")
+    out = bfs_levels_small(spark, iso, [(99, 3)])
+    assert {(r["vertex"], r["level"]) for r in out.collect()} == {(3, 0)}
+    out2 = bfs_levels(spark, iso, [(99, 3)])
+    assert {(r["vertex"], r["level"]) for r in out2.collect()} == {(3, 0)}
+
+
+def _random_graph(rng, n, density):
+    return [(11, s, d) for s in range(n) for d in range(n) if s != d and rng.random() < density]
+
+
+def test_bfs_superstep_equals_kernel_random(spark):
+    rng = random.Random(42)
+    rows = _random_graph(rng, 40, 0.08)
+    df = spark.createDataFrame(rows, "graph_id INT, src INT, dst INT")
+    a = bfs_levels(spark, df, [(11, 0)])
+    b = bfs_levels_small(spark, df, [(11, 0)])
+    sa = {(r["vertex"], r["level"]) for r in a.collect()}
+    sb = {(r["vertex"], r["level"]) for r in b.collect()}
+    assert sa == sb and len(sa) > 1
+
+
+def test_connected_components_pins(spark, graphs, edges):
+    out = connected_components(spark, graphs, edges)
+    comp = {(r["graph_id"], r["vertex"]): r["component"] for r in out.collect()}
+    # G1: two self-loop singletons -> components {0},{1}
+    assert comp[(1, 0)] == 0 and comp[(1, 1)] == 1
+    # G5 fully connected undirected -> all component 0
+    assert all(comp[(5, v)] == 0 for v in range(5))
+    # G7 connected -> all 0
+    assert all(comp[(7, v)] == 0 for v in range(7))
+
+
+def test_degrees_pins(spark, graphs, edges):
+    out = degrees(graphs, edges)
+    d = {(r["graph_id"], r["vertex"]): (r["out_degree"], r["in_degree"]) for r in out.collect()}
+    assert d[(5, 0)] == (2, 2)  # 0->1, 0->4 ; 1->0, 4->0
+    assert d[(5, 1)] == (3, 3)
+    assert d[(1, 0)] == (1, 1)  # self-loop counts both ways
+    assert d[(7, 4)] == (3, 3)
+
+
+def test_triangle_count(spark):
+    # one triangle 0-1-2 plus a dangling edge
+    rows = [(1, 0, 1), (1, 1, 2), (1, 2, 0), (1, 2, 3)]
+    df = spark.createDataFrame(rows, "graph_id INT, src INT, dst INT")
+    out = triangle_count(df).collect()
+    assert {(r["graph_id"], r["triangles"]) for r in out} == {(1, 1)}
+
+
+def test_pagerank_sums_to_one(spark, graphs, edges):
+    out = pagerank(spark, graphs, edges, iterations=5)
+    import pandas as pd
+
+    pdf = out.toPandas()
+    sums = pdf.groupby("graph_id")["rank"].sum()
+    for g, s in sums.items():
+        assert abs(s - 1.0) < 1e-6, (g, s)
