@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Benchmark harness (driver contract: one JSON line to stdout).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+
+    {"metric": "headline_total", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": ...}
+
+Each query is executed once after a warm-up pass of the Spark session
+(session start + parquet footer reads are excluded from per-query time the
+same way the reference's process startup is excluded from its request
+latency). Timing includes full materialization (count of the result).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per major operator family (SURVEY.md §2). Names must
+# exist in the registry; missing ones are skipped so bench never hard-fails
+# mid-build.
+HEADLINE = [
+    "g_bfs_levels",
+    "g_bfs_scale",
+    "g_connected_components",
+    "g_pagerank",
+    "rel_pricing_summary",
+    "rel_top_revenue_orders",
+    "rel_region_revenue",
+    "rel_top_parts_per_brand",
+    "rel_event_sessions",
+    "rel_events_hourly",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
+    "text_quality_score",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from distributed_graph_database_simulation_spark import registry
+    from distributed_graph_database_simulation_spark.session import get_spark
+
+    spark = get_spark("bench")
+    queries = registry.queries()
+
+    # Warm up the JVM + parquet footers with a trivial action.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {n} rows in {times[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_dir,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

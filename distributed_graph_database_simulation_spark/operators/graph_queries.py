@@ -1,0 +1,190 @@
+"""Graph operators packaged as driver-contract queries with DuckDB oracles.
+
+The fixture queries run over the reference graphs G1-G7 (fixtures.py, exact
+conversion of /root/reference/G*.txt); the same edge list is inlined into the
+oracle SQL as a VALUES CTE so both engines see identical data. BFS/reach/CC
+oracles are ``WITH RECURSIVE`` min-distance CTEs (FIXTURES.md §4); DFS-leaves
+is traversal-order-dependent and deliberately has NO SQL oracle (rows-only
+driver check + unit-test pins).
+
+``g_bfs_scale`` exercises the distributed superstep on a graph derived from
+``orders`` by integer arithmetic, so its size tracks the scale factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import fixtures
+from .graph_analytics import connected_components, degrees, pagerank, triangle_count
+from .graph_traversal import bfs_levels, bfs_levels_small, dfs_leaves
+
+PIN_STARTS = [(1, 0), (2, 0), (5, 0), (7, 0)]
+
+_EDGE_ROWS = ", ".join(f"({g},{s},{d})" for g, s, d in fixtures.EDGES)
+
+_FIXTURE_CTE = f"""
+fixture_edges(graph_id, src, dst) AS (
+  SELECT * FROM (VALUES {_EDGE_ROWS}) t(graph_id, src, dst)
+),
+fixture_graphs(graph_id, n) AS (
+  SELECT * FROM (VALUES {', '.join(f'({g},{n})' for g, n in fixtures.GRAPHS)}) t(graph_id, n)
+),
+starts(graph_id, vertex) AS (
+  SELECT * FROM (VALUES {', '.join(f'({g},{s})' for g, s in PIN_STARTS)}) t(graph_id, vertex)
+)
+"""
+
+
+def bfs_levels_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bfs_levels(spark, fixtures.fixture_edges_df(spark), PIN_STARTS)
+
+
+def bfs_levels_kernel_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bfs_levels_small(spark, fixtures.fixture_edges_df(spark), PIN_STARTS)
+
+
+BFS_LEVELS_SQL = f"""
+WITH RECURSIVE {_FIXTURE_CTE},
+walk(graph_id, vertex, level) AS (
+  SELECT graph_id, vertex, 0 FROM starts
+  UNION
+  SELECT e.graph_id, e.dst, w.level + 1
+  FROM walk w JOIN fixture_edges e ON e.graph_id = w.graph_id AND e.src = w.vertex
+  WHERE w.level < 100
+)
+SELECT graph_id, vertex, CAST(MIN(level) AS INT) AS level
+FROM walk GROUP BY graph_id, vertex
+"""
+
+
+def dfs_leaves_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dfs_leaves(spark, fixtures.fixture_edges_df(spark), list(fixtures.DFS_LEAF_PINS))
+
+
+def reachable_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bfs_levels(spark, fixtures.fixture_edges_df(spark), PIN_STARTS).select(
+        "graph_id", "vertex"
+    )
+
+
+REACHABLE_SQL = f"""
+WITH RECURSIVE {_FIXTURE_CTE},
+walk(graph_id, vertex, level) AS (
+  SELECT graph_id, vertex, 0 FROM starts
+  UNION
+  SELECT e.graph_id, e.dst, w.level + 1
+  FROM walk w JOIN fixture_edges e ON e.graph_id = w.graph_id AND e.src = w.vertex
+  WHERE w.level < 100
+)
+SELECT DISTINCT graph_id, vertex FROM walk
+"""
+
+
+def connected_components_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return connected_components(
+        spark, fixtures.fixture_graphs_df(spark), fixtures.fixture_edges_df(spark)
+    )
+
+
+CONNECTED_COMPONENTS_SQL = f"""
+WITH RECURSIVE {_FIXTURE_CTE},
+ue(graph_id, src, dst) AS (
+  SELECT graph_id, src, dst FROM fixture_edges
+  UNION
+  SELECT graph_id, dst, src FROM fixture_edges
+),
+verts(graph_id, vertex) AS (
+  SELECT graph_id, UNNEST(range(n)) FROM fixture_graphs
+),
+reach(graph_id, vertex, r) AS (
+  SELECT graph_id, vertex, vertex FROM verts
+  UNION
+  SELECT re.graph_id, re.vertex, e.dst
+  FROM reach re JOIN ue e ON e.graph_id = re.graph_id AND e.src = re.r
+)
+SELECT graph_id, vertex, CAST(MIN(r) AS INT) AS component
+FROM reach GROUP BY graph_id, vertex
+"""
+
+
+def degrees_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return degrees(fixtures.fixture_graphs_df(spark), fixtures.fixture_edges_df(spark))
+
+
+DEGREES_SQL = f"""
+WITH {_FIXTURE_CTE},
+verts(graph_id, vertex) AS (
+  SELECT graph_id, UNNEST(range(n)) FROM fixture_graphs
+)
+SELECT v.graph_id, v.vertex,
+       CAST(COALESCE(o.c, 0) AS BIGINT) AS out_degree,
+       CAST(COALESCE(i.c, 0) AS BIGINT) AS in_degree
+FROM verts v
+LEFT JOIN (SELECT graph_id, src AS vertex, COUNT(*) AS c FROM fixture_edges GROUP BY 1, 2) o
+       ON o.graph_id = v.graph_id AND o.vertex = v.vertex
+LEFT JOIN (SELECT graph_id, dst AS vertex, COUNT(*) AS c FROM fixture_edges GROUP BY 1, 2) i
+       ON i.graph_id = v.graph_id AND i.vertex = v.vertex
+"""
+
+
+def triangles_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triangle_count(fixtures.fixture_edges_df(spark))
+
+
+TRIANGLES_SQL = f"""
+WITH {_FIXTURE_CTE},
+ue(graph_id, src, dst) AS (
+  SELECT graph_id, src, dst FROM fixture_edges
+  UNION
+  SELECT graph_id, dst, src FROM fixture_edges
+),
+canon AS (SELECT graph_id, src, dst FROM ue WHERE src < dst)
+SELECT ab.graph_id, COUNT(*) AS triangles
+FROM canon ab
+JOIN canon bc ON bc.graph_id = ab.graph_id AND bc.src = ab.dst
+JOIN canon ac ON ac.graph_id = ab.graph_id AND ac.src = ab.src AND ac.dst = bc.dst
+GROUP BY ab.graph_id
+"""
+
+
+def pagerank_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Iterative float algorithm: rows-only driver check (no SQL oracle);
+    # invariants (sum-to-one) are pinned in unit tests.
+    return pagerank(
+        spark, fixtures.fixture_graphs_df(spark), fixtures.fixture_edges_df(spark), iterations=5
+    )
+
+
+def bfs_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed superstep BFS on the orders-derived synthetic graph."""
+    edges = fixtures.scale_edges_df(spark, sf_dir).selectExpr(
+        "CAST(1 AS INT) AS graph_id", "src", "dst"
+    )
+    return bfs_levels(spark, edges, [(1, 0)]).select("vertex", "level")
+
+
+BFS_SCALE_SQL = f"""
+WITH RECURSIVE scale_edges AS ({fixtures.SCALE_GRAPH_SQL}),
+walk(vertex, level) AS (
+  SELECT CAST(0 AS INT), 0
+  UNION
+  SELECT e.dst, w.level + 1
+  FROM walk w JOIN scale_edges e ON e.src = w.vertex
+  WHERE w.level < 50
+)
+SELECT vertex, CAST(MIN(level) AS INT) AS level FROM walk GROUP BY vertex
+"""
+
+
+GRAPH_QUERIES: dict[str, tuple] = {
+    "g_bfs_levels": (bfs_levels_fixture, BFS_LEVELS_SQL),
+    "g_bfs_levels_kernel": (bfs_levels_kernel_fixture, BFS_LEVELS_SQL),
+    "g_dfs_leaves": (dfs_leaves_fixture, None),
+    "g_reachable": (reachable_fixture, REACHABLE_SQL),
+    "g_connected_components": (connected_components_fixture, CONNECTED_COMPONENTS_SQL),
+    "g_degrees": (degrees_fixture, DEGREES_SQL),
+    "g_triangles": (triangles_fixture, TRIANGLES_SQL),
+    "g_pagerank": (pagerank_fixture, None),
+    "g_bfs_scale": (bfs_scale, BFS_SCALE_SQL),
+}

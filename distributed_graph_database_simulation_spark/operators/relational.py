@@ -1,0 +1,509 @@
+"""Relational operator surface (SURVEY.md §2b) over the driver testdata.
+
+The reference has **no relational algebra at all** — its only predicate is the
+edge test ``graph[node][neighbor]==1`` (``secondary_server.c:158``) and its
+only "aggregate" is the reader counter (``secondary_server.c:76``). This
+module is the §2b checklist made concrete: one representative query per
+category (scan/filter, join variants, aggregation, window, sort/top-k, set
+ops, scalar functions, grouping sets, pivot, sessionization), each written
+with the DataFrame API (Catalyst plans it) and paired with a DuckDB oracle
+string for the driver's differential gate.
+
+Determinism rules for oracle hash parity:
+- money aggregates go through DECIMAL (functions/portable.py);
+- every ORDER BY used with LIMIT carries a unique-key tiebreak;
+- averages are computed as exact-decimal-sum / count in DOUBLE;
+- time arithmetic uses integer microseconds (``unix_micros`` / ``epoch_us``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.portable import dec, dsum, dsum_expr
+from ..sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- aggregation: TPC-H Q1-style pricing summary -------------------------
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = dec("l_extendedprice") * (F.lit(1).cast("decimal(12,4)") - dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast("decimal(12,4)") + dec("l_tax"))
+    out = (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum_expr(disc_price, "sum_disc_price"),
+            dsum_expr(charge, "sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+        .withColumn("avg_price", F.col("sum_base_price") / F.col("count_order"))
+    )
+    return out
+
+
+PRICING_SUMMARY_SQL = """
+WITH a AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+              * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS sum_disc_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+              * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))
+              * (CAST(1 AS DECIMAL(12,4)) + CAST(l_tax AS DECIMAL(12,4)))) AS DOUBLE) AS sum_charge,
+         COUNT(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price, sum_charge,
+       count_order, sum_qty / count_order AS avg_qty, sum_base_price / count_order AS avg_price
+FROM a
+"""
+
+
+# --- join + agg + top-k: TPC-H Q3-style ----------------------------------
+
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1999-01-01"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1996-01-01"))
+    revenue = dec("l_extendedprice") * (F.lit(1).cast("decimal(12,4)") - dec("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum_expr(revenue, "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+TOP_REVENUE_ORDERS_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+            * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1999-01-01'
+  AND l_shipdate  > TIMESTAMP '1996-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# --- multi-join with dimension broadcast: TPC-H Q5-style -----------------
+
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    revenue = dec("l_extendedprice") * (F.lit(1).cast("decimal(12,4)") - dec("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name")
+        .agg(dsum_expr(revenue, "revenue"), F.count("*").alias("n_items"))
+    )
+
+
+REGION_REVENUE_SQL = """
+SELECT r_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+            * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY r_name
+"""
+
+
+# --- anti join -----------------------------------------------------------
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_mktsegment, c_acctbal
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+# --- semi join + distinct aggregation ------------------------------------
+
+def segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    active = cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_semi")
+    return active.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        dsum("c_acctbal", "sum_acctbal"),
+    )
+
+
+SEGMENT_STATS_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       COUNT(DISTINCT c_nationkey) AS n_nations,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) AS sum_acctbal
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+GROUP BY c_mktsegment
+"""
+
+
+# --- grouping sets: rollup + cube ---------------------------------------
+
+def rollup_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            F.count("*").alias("n_rows"),
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+        )
+    )
+
+
+ROLLUP_SHIPPING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def cube_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "sum_price"))
+    )
+
+
+CUBE_ORDER_PRIORITY_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# --- window: top-k per group --------------------------------------------
+
+def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rk")
+    )
+
+
+TOP_PARTS_PER_BRAND_SQL = """
+SELECT p_brand, p_partkey, p_retailprice, rk
+FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rk
+  FROM part
+) WHERE rk <= 3
+"""
+
+
+# --- window: running aggregate ------------------------------------------
+
+def running_supplier_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 20)
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(dec("l_quantity")).over(w).cast("double").alias("run_qty"),
+    )
+
+
+RUNNING_SUPPLIER_QTY_SQL = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) OVER (
+         PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_qty
+FROM lineitem WHERE l_suppkey < 20
+"""
+
+
+# --- set operations ------------------------------------------------------
+
+def setops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    auto = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    in_debt = cust.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    with_orders = orders.select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        building.union(auto).distinct()
+        .intersect(with_orders.distinct())
+        .exceptAll(in_debt)  # distinct inputs -> same as EXCEPT
+    )
+
+
+SETOPS_CUSTOMERS_SQL = """
+(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+ UNION
+ SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+INTERSECT
+SELECT DISTINCT o_custkey FROM orders
+EXCEPT
+SELECT c_custkey FROM customer WHERE c_acctbal < 0
+"""
+
+
+# --- scalar functions: strings / dates / math ---------------------------
+
+def scalar_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        F.month("o_orderdate").cast("int").alias("o_month"),
+        F.dayofmonth("o_orderdate").cast("int").alias("o_day"),
+        F.upper("o_orderpriority").alias("prio_u"),
+        F.substring("o_orderstatus", 1, 1).alias("status_c"),
+        F.length("o_orderpriority").cast("int").alias("prio_len"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.floor("o_totalprice").cast("bigint").alias("price_floor"),
+        (F.col("o_orderkey") % 7).cast("bigint").alias("key_mod"),
+        F.when(F.col("o_totalprice") > 200000, F.lit("high"))
+        .when(F.col("o_totalprice") > 100000, F.lit("mid"))
+        .otherwise(F.lit("low"))
+        .alias("price_band"),
+    )
+
+
+SCALAR_ORDERS_SQL = """
+SELECT o_orderkey,
+       CAST(YEAR(o_orderdate) AS INT) AS o_year,
+       CAST(MONTH(o_orderdate) AS INT) AS o_month,
+       CAST(DAY(o_orderdate) AS INT) AS o_day,
+       UPPER(o_orderpriority) AS prio_u,
+       SUBSTR(o_orderstatus, 1, 1) AS status_c,
+       CAST(LENGTH(o_orderpriority) AS INT) AS prio_len,
+       CONCAT_WS('-', o_orderstatus, o_orderpriority) AS status_prio,
+       CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+       CAST(o_orderkey % 7 AS BIGINT) AS key_mod,
+       CASE WHEN o_totalprice > 200000 THEN 'high'
+            WHEN o_totalprice > 100000 THEN 'mid'
+            ELSE 'low' END AS price_band
+FROM orders WHERE o_orderkey < 2000
+"""
+
+
+# --- scalar functions: json + time arithmetic on events ------------------
+
+def scalar_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        F.date_trunc("hour", "ts").alias("ts_hour"),
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        (F.col("user_id") % 10).cast("bigint").alias("user_bucket"),
+    )
+
+
+SCALAR_EVENTS_SQL = """
+SELECT event_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS INT) AS prop_k,
+       date_trunc('hour', ts) AS ts_hour,
+       epoch_us(ts) AS ts_us,
+       CAST(user_id % 10 AS BIGINT) AS user_bucket
+FROM events WHERE event_id < 2000
+"""
+
+
+# --- pivot ---------------------------------------------------------------
+
+def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(dec("l_quantity")).cast("double"))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_filled")
+    )
+    return out
+
+
+PIVOT_RETURNFLAG_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,4)) END) AS DOUBLE) AS qty_open,
+       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,4)) END) AS DOUBLE) AS qty_filled
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- sessionization (gap > 30 min) --------------------------------------
+
+def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        (
+            F.when(
+                F.lag(F.unix_micros(F.col("ts"))).over(w).isNull()
+                | (F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w) > 1_800_000_000),
+                1,
+            ).otherwise(0)
+        ).alias("new_session"),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").cast("bigint").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+EVENT_SESSIONS_SQL = """
+SELECT user_id,
+       CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM (
+  SELECT user_id,
+         CASE WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+GROUP BY user_id
+"""
+
+
+# --- tumbling time-window aggregate (batch form) -------------------------
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", "sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+# --- sort / limit (global top-k) ----------------------------------------
+
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+TOPK_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+"""
+
+
+# --- distinct aggregates -------------------------------------------------
+
+def distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_partkey", "l_suppkey").alias("n_part_supp"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+DISTINCT_PARTS_PER_FLAG_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+RELATIONAL_QUERIES: dict[str, tuple] = {
+    "rel_pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
+    "rel_top_revenue_orders": (top_revenue_orders, TOP_REVENUE_ORDERS_SQL),
+    "rel_region_revenue": (region_revenue, REGION_REVENUE_SQL),
+    "rel_customers_without_orders": (customers_without_orders, CUSTOMERS_WITHOUT_ORDERS_SQL),
+    "rel_segment_stats": (segment_stats, SEGMENT_STATS_SQL),
+    "rel_rollup_shipping": (rollup_shipping, ROLLUP_SHIPPING_SQL),
+    "rel_cube_order_priority": (cube_order_priority, CUBE_ORDER_PRIORITY_SQL),
+    "rel_top_parts_per_brand": (top_parts_per_brand, TOP_PARTS_PER_BRAND_SQL),
+    "rel_running_supplier_qty": (running_supplier_qty, RUNNING_SUPPLIER_QTY_SQL),
+    "rel_setops_customers": (setops_customers, SETOPS_CUSTOMERS_SQL),
+    "rel_scalar_orders": (scalar_orders, SCALAR_ORDERS_SQL),
+    "rel_scalar_events": (scalar_events, SCALAR_EVENTS_SQL),
+    "rel_pivot_returnflag": (pivot_returnflag, PIVOT_RETURNFLAG_SQL),
+    "rel_event_sessions": (event_sessions, EVENT_SESSIONS_SQL),
+    "rel_events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
+    "rel_topk_orders": (topk_orders, TOPK_ORDERS_SQL),
+    "rel_distinct_parts_per_flag": (distinct_parts_per_flag, DISTINCT_PARTS_PER_FLAG_SQL),
+}

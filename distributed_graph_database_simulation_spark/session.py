@@ -37,6 +37,9 @@ def get_spark(app_name: str = "distributed_graph_database_simulation_spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # events.parquet carries TIMESTAMP(NANOS); read as long, converted to
+        # microsecond timestamps in sources.tables.load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         # Broadcast joins for dimension tables (region/nation/graphs) up to 64 MiB.
