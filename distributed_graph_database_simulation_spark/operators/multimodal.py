@@ -1,0 +1,195 @@
+"""Multimodal-column operators: opaque binary payloads + typed metadata.
+
+North-star §2c: treat image/audio/video as ``BinaryType`` columns processed
+by Arrow-batched pandas UDFs (``mapInPandas``). The container has no
+image/audio libraries, so the *codec* step is stubbed exactly as the brief
+directs: ``decode_image_real`` raises ``NotImplementedError`` unless PIL is
+importable, and the tested path runs a deterministic fake decode over the
+real bytes. Everything Spark-side — schema, partitioning, Arrow batch shape,
+UDF signatures — is real and oracle-verified.
+
+The synthetic corpus has no binary column, so payloads are derived
+deterministically from ``documents.text`` (UTF-8 bytes) with metadata columns
+(width/height/n_frames) from doc_id arithmetic — giving the pandas UDFs real
+variable-length binary input whose byte-level features DuckDB can reproduce
+arithmetically (the text is ASCII, so byte values == code points).
+
+Scale posture: ``mapInPandas`` streams Arrow record batches; nothing is
+collected, state is per-batch only, and both operators are narrow (no
+shuffle). On a cluster the payload column would come from Parquet binary
+pages with lazy materialization.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..sources.tables import load_table
+
+
+def decode_image_real(payload: bytes) -> object:
+    """Real image decode — requires PIL, absent in this container (stub)."""
+    try:
+        from PIL import Image  # noqa: F401
+        import io
+
+        return Image.open(io.BytesIO(payload))
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decoding requires PIL; container provides none (stubbed). "
+            "The deterministic fake path below exercises the same plumbing."
+        ) from e
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> multimodal table (payload binary + typed metadata)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        (F.lit(16) + F.col("doc_id") % 64).cast("int").alias("width"),
+        (F.lit(16) + (F.col("doc_id") * 7) % 48).cast("int").alias("height"),
+        (F.lit(4) + F.col("doc_id") % 8).cast("int").alias("n_frames"),
+        F.lit("fake/raw").alias("mime"),
+    )
+
+
+_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("byte_sum", LongType()),
+        StructField("first_byte", IntegerType()),
+        StructField("last_byte", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Fake feature extraction over real bytes, one Arrow batch at a time."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "n_bytes": payloads.map(len).astype("int64"),
+                "byte_sum": payloads.map(lambda b: sum(b)).astype("int64"),
+                "first_byte": payloads.map(lambda b: b[0] if b else -1).astype("int32"),
+                "last_byte": payloads.map(lambda b: b[-1] if b else -1).astype("int32"),
+                "width": pdf["width"],
+                "height": pdf["height"],
+            }
+        )
+
+
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-payload byte features via Arrow-batched ``mapInPandas``.
+
+    The pandas UDF sees genuine binary payloads; DuckDB reproduces the same
+    numbers from code-point arithmetic (ASCII corpus), making this the rare
+    pandas-UDF operator with an exact SQL oracle.
+    """
+    return media_table(spark, sf_dir).mapInPandas(
+        _feature_batches, schema=_FEATURES_SCHEMA
+    )
+
+
+MM_IMAGE_FEATURES_SQL = """
+WITH t AS (SELECT doc_id AS media_id, text FROM documents)
+SELECT media_id,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       CAST(list_sum(list_transform(range(1, length(text) + 1),
+                                    i -> ord(text[i]))) AS BIGINT) AS byte_sum,
+       CAST(CASE WHEN length(text) > 0 THEN ord(text[1]) ELSE -1 END AS INT) AS first_byte,
+       CAST(CASE WHEN length(text) > 0 THEN ord(text[-1]) ELSE -1 END AS INT) AS last_byte,
+       CAST(16 + media_id % 64 AS INT) AS width,
+       CAST(16 + (media_id * 7) % 48 AS INT) AS height
+FROM t
+"""
+
+
+_FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_bytes", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+FRAME_STRIDE = 2
+
+
+def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Sample every 2nd frame; frame k = k-th contiguous byte slice."""
+    for pdf in batches:
+        out: dict[str, list] = {"media_id": [], "frame_idx": [], "frame_bytes": [], "frame": []}
+        for media_id, payload, n_frames in zip(
+            pdf["media_id"], pdf["payload"], pdf["n_frames"]
+        ):
+            n = len(payload)
+            per = n // int(n_frames) if n_frames else 0
+            for k in range(0, int(n_frames), FRAME_STRIDE):
+                sl = payload[k * per : (k + 1) * per]
+                out["media_id"].append(media_id)
+                out["frame_idx"].append(k)
+                out["frame_bytes"].append(len(sl))
+                out["frame"].append(bytes(sl))
+        yield pd.DataFrame(
+            {
+                "media_id": pd.Series(out["media_id"], dtype="int64"),
+                "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                "frame_bytes": pd.Series(out["frame_bytes"], dtype="int64"),
+                "frame": pd.Series(out["frame"], dtype=object),
+            }
+        )
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: explode each payload into every-2nd-frame byte slices.
+
+    1 -> N row expansion inside ``mapInPandas`` (the video-frame-sampling
+    shape); the frame column itself stays binary. The oracle checks the
+    sampled frame indices and slice sizes via integer arithmetic.
+    """
+    return (
+        media_table(spark, sf_dir)
+        .mapInPandas(_frame_batches, schema=_FRAMES_SCHEMA)
+        .select("media_id", "frame_idx", "frame_bytes")
+    )
+
+
+MM_FRAME_SAMPLE_SQL = f"""
+WITH t AS (
+  SELECT doc_id AS media_id, length(text) AS n,
+         4 + doc_id % 8 AS n_frames
+  FROM documents
+),
+frames AS (
+  SELECT media_id, n, n_frames, UNNEST(range(0, n_frames, {FRAME_STRIDE})) AS frame_idx
+  FROM t
+)
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(n // n_frames AS BIGINT) AS frame_bytes
+FROM frames
+"""
+
+
+MULTIMODAL_QUERIES: dict[str, tuple] = {
+    "mm_image_features": (mm_image_features, MM_IMAGE_FEATURES_SQL),
+    "mm_frame_sample": (mm_frame_sample, MM_FRAME_SAMPLE_SQL),
+}

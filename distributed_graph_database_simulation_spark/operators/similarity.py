@@ -1,0 +1,196 @@
+"""Similarity search over the ``embeddings`` table (north-star §2c).
+
+Two paths, per the 100 TB design brief:
+
+- **brute-force top-k** — the exact baseline: broadcast the (small) query
+  set against the full vector table, JVM-side double dot products
+  (``F.zip_with`` + ``F.aggregate``, no Python), per-query top-k via a
+  window. Scales as |queries| x |corpus|: the corpus side stays partitioned,
+  the query side broadcasts, so there is no shuffle of the big table at all.
+- **LSH-bucketed ANN** — random-hyperplane signatures (4 tables x 8 bits,
+  planes derived deterministically from xxhash64 so both the signature and
+  the result are reproducible), bucket-join candidates, exact re-rank of
+  candidates only. Recall < 1 by construction -> rows-only driver check;
+  recall against the brute-force baseline is pinned in unit tests.
+
+Cosines are computed in double with sequential index-order accumulation on
+both engines, making the top-k ranking hash-stable against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..sources.tables import load_table
+
+TOP_K = 10
+N_QUERIES = 8         # query set = vec_id < 8
+# 8 tables x 4 bits: tuned for high-dimensional *random* vectors (LSH's
+# adversarial case — real embedding corpora cluster and need fewer probes).
+# Per-bit collision prob for a cos~0.4 neighbor is ~0.63, so a 4-bit bucket
+# matches with p~0.16 and 8 independent tables give ~75% top-k recall while
+# each table's bucket fan-out (2^4) still bounds the candidate scan.
+LSH_TABLES = 8
+LSH_BITS = 4          # bits (hyperplanes) per table
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _with_norm(df: DataFrame) -> DataFrame:
+    return df.withColumn("norm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+
+
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors for each query vector (vec_id < 8).
+
+    Plan shape: broadcast-nested-loop join (query side ~KB), evaluated
+    entirely in whole-stage codegen; the only shuffle is the final per-query
+    window over k * |queries| rows. Self-matches excluded; ties broken by
+    neighbor id for determinism.
+    """
+    corpus = _with_norm(_emb(spark, sf_dir))
+    queries = _with_norm(_emb(spark, sf_dir).filter(F.col("vec_id") < N_QUERIES))
+    q = queries.alias("q")
+    c = corpus.alias("c")
+    cos = _dot(F.col("q.e"), F.col("c.e")) / (F.col("q.norm") * F.col("c.norm"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+SIM_TOPK_BRUTEFORCE_SQL = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+n AS (
+  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS norm FROM v
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i]))
+           / (q.norm * c.norm) AS cosine
+  FROM n q JOIN n c ON q.vec_id < 8 AND q.vec_id <> c.vec_id
+)
+SELECT query_id, rank, neighbor_id, cosine
+FROM (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+WHERE rank <= 10
+"""
+
+
+def _signatures(df: DataFrame) -> DataFrame:
+    """vec_id -> (table_id, bucket) LSH signatures, one row per table.
+
+    Hyperplane t-bit signatures: plane (t, b) component i is a deterministic
+    pseudo-random double in [-1, 1) derived from xxhash64(t, b, i); bucket =
+    packed sign bits of the plane dot products. Everything is JVM expression
+    code — signatures cost one projection over the vector table.
+    """
+    dim = F.size(F.col("e"))
+
+    def _plane_fn(t: int, b: int):
+        def component(i: F.Column) -> F.Column:
+            h = F.pmod(F.xxhash64(F.lit(t), F.lit(b), i), F.lit(100003)).cast("double")
+            return h / F.lit(50001.5) - F.lit(1.0)
+
+        return component
+
+    rows = []
+    for t in range(LSH_TABLES):
+        bucket = F.lit(0).cast("long")
+        for b in range(LSH_BITS):
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col("e"),
+                    F.transform(F.sequence(F.lit(0), dim - 1), _plane_fn(t, b)),
+                    lambda x, p: x * p,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bucket = bucket.bitwiseOR(
+                F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), b))
+                .otherwise(F.lit(0).cast("long"))
+            )
+        rows.append(F.struct(F.lit(t).alias("table_id"), bucket.alias("bucket")))
+    return df.select(
+        "vec_id", "e", "norm", F.explode(F.array(*rows)).alias("sig")
+    ).select("vec_id", "e", "norm", "sig.table_id", "sig.bucket")
+
+
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via random-hyperplane LSH: bucket-join then exact re-rank.
+
+    The corpus is signed once (LSH_TABLES x LSH_BITS projections/vector,
+    one pass) and joined to query
+    signatures on (table_id, bucket) — at 100 TB this is the scale path: the
+    shuffle moves only (vec_id, bucket) pairs and candidate vectors, never
+    the full pairwise space. Probabilistic recall -> rows-only check;
+    unit tests pin recall >= 0.5 against the brute-force baseline at sf0.01.
+    """
+    corpus = _with_norm(_emb(spark, sf_dir))
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES)
+    csig = _signatures(corpus)
+    qsig = _signatures(queries)
+    q = qsig.alias("q")
+    c = csig.alias("c")
+    candidates = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("q.table_id") == F.col("c.table_id"))
+            & (F.col("q.bucket") == F.col("c.bucket"))
+            & (F.col("q.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("q.e").alias("qe"),
+            F.col("q.norm").alias("qnorm"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            F.col("c.e").alias("ce"),
+            F.col("c.norm").alias("cnorm"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cos = _dot(F.col("qe"), F.col("ce")) / (F.col("qnorm") * F.col("cnorm"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        candidates.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+SIMILARITY_QUERIES: dict[str, tuple] = {
+    "sim_topk_bruteforce": (sim_topk_bruteforce, SIM_TOPK_BRUTEFORCE_SQL),
+    "sim_topk_lsh": (sim_topk_lsh, None),
+}

@@ -1,0 +1,250 @@
+"""Text-analysis operators over ``documents`` (north-star §2c).
+
+The reference's only scalar function is a filename parse
+(``primary_server.c:43-51``); these are the LLM-pipeline text primitives the
+north star mandates. All four are pure JVM expression code (split /
+higher-order array functions / regexp) — no Python UDFs in the hot path —
+and each carries an exact DuckDB oracle:
+
+- **language-ID** — deterministic marker-word scoring (a public stopword
+  n-gram heuristic). The synthetic corpus shares one vocabulary across its
+  ``lang`` labels, so the *predictions* are mostly 'en'; the operator
+  contract is the deterministic heuristic itself, verified cross-engine.
+- **quality score** — length / stopword-ratio / alpha-ratio / word-length
+  components combined in a fixed arithmetic order (hash-stable doubles).
+- **token count** — whitespace tokens + a BPE-ish regex token count.
+- **fingerprint** — winnowing-style document fingerprint: min md5 over
+  sliding 5-word windows (md5 is bit-identical across engines).
+
+Scale posture: each operator is a single projection over the corpus —
+embarrassingly parallel, no shuffle at all (narrow transformations only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+# Public-knowledge stopword markers per language (ISO codes sorted for the
+# deterministic tie-break order).
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "und", "das", "ist"],
+    "en": ["the", "a", "of", "is", "and"],
+    "es": ["el", "los", "que", "y", "una"],
+    "fr": ["le", "les", "des", "et", "une"],
+    "zh": ["de", "shi", "le", "bu", "zai"],
+}
+
+EN_STOPWORDS = ["the", "a", "of", "is", "and", "to", "in"]
+
+WINDOW_W = 5  # fingerprint window width (words)
+
+_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _norm_text() -> Column:
+    return F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+
+
+def _words() -> Column:
+    return F.split(_norm_text(), " ")
+
+
+def _marker_count(words: Column, markers: list[str]) -> Column:
+    return F.size(F.filter(words, lambda w: w.isin(markers)))
+
+
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID: argmax of per-language marker counts.
+
+    Ties (and the all-zero case) resolve to the alphabetically first
+    language among the winners, 'und' (undetermined) when every score is 0 —
+    the same CASE cascade in both engines.
+    """
+    docs = _docs(spark, sf_dir)
+    words = _words()
+    scored = docs.select(
+        "doc_id",
+        *[
+            _marker_count(words, m).alias(f"s_{lang}")
+            for lang, m in sorted(LANG_MARKERS.items())
+        ],
+    )
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"s_{la}") for la in langs])
+    pred = F.when(best == 0, F.lit("und"))
+    for la in langs:  # alphabetical => first max wins
+        pred = pred.when(F.col(f"s_{la}") == best, F.lit(la))
+    return scored.select(
+        "doc_id", *[F.col(f"s_{la}") for la in langs], pred.alias("pred_lang")
+    )
+
+
+_LANG_SCORES_SQL = ",\n".join(
+    "         len(list_filter(w, x -> x IN ({}))) AS s_{}".format(
+        ", ".join(f"'{m}'" for m in markers), lang
+    )
+    for lang, markers in sorted(LANG_MARKERS.items())
+)
+
+TEXT_LANGUAGE_ID_SQL = f"""
+WITH docs AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+{_LANG_SCORES_SQL}
+  FROM docs
+)
+SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
+       CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+            WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+            WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+            WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+            WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+            ELSE 'zh' END AS pred_lang
+FROM scored
+"""
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length, stopword ratio, alpha ratio.
+
+    score = 0.25*min(n_words/100, 1) + 0.25*(1 - |stop_ratio - 0.4|)
+          + 0.25*alpha_ratio + 0.25*min(avg_word_len/8, 1)
+    evaluated left-to-right in both engines (bit-identical doubles).
+    """
+    docs = _docs(spark, sf_dir)
+    words = _words()
+    n_words = F.size(words).cast("double")
+    n_stop = _marker_count(words, EN_STOPWORDS).cast("double")
+    n_chars = F.length(_norm_text()).cast("double")
+    n_alpha = (
+        n_chars - F.length(F.regexp_replace(_norm_text(), "[a-z]", ""))
+    ).cast("double")
+    avg_wlen = (n_chars - (n_words - 1)) / n_words
+    stop_ratio = n_stop / n_words
+    alpha_ratio = n_alpha / n_chars
+    score = (
+        F.lit(0.25) * F.least(n_words / 100.0, F.lit(1.0))
+        + F.lit(0.25) * (F.lit(1.0) - F.abs(stop_ratio - 0.4))
+        + F.lit(0.25) * alpha_ratio
+        + F.lit(0.25) * F.least(avg_wlen / 8.0, F.lit(1.0))
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("int").alias("n_words"),
+        stop_ratio.alias("stop_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        avg_wlen.alias("avg_word_len"),
+        score.alias("quality"),
+    )
+
+
+TEXT_QUALITY_SCORE_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         regexp_replace(trim(text), '\\s+', ' ', 'g') AS t,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(w) AS DOUBLE) AS n_words,
+         CAST(len(list_filter(w, x -> x IN ('the','a','of','is','and','to','in'))) AS DOUBLE) AS n_stop,
+         CAST(length(t) AS DOUBLE) AS n_chars,
+         CAST(length(t) - length(regexp_replace(t, '[a-z]', '', 'g')) AS DOUBLE) AS n_alpha
+  FROM d
+)
+SELECT doc_id,
+       CAST(n_words AS INT) AS n_words,
+       n_stop / n_words AS stop_ratio,
+       n_alpha / n_chars AS alpha_ratio,
+       (n_chars - (n_words - 1)) / n_words AS avg_word_len,
+       0.25 * least(n_words / 100.0, 1.0)
+     + 0.25 * (1.0 - abs(n_stop / n_words - 0.4))
+     + 0.25 * (n_alpha / n_chars)
+     + 0.25 * least(((n_chars - (n_words - 1)) / n_words) / 8.0, 1.0) AS quality
+FROM m
+"""
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count per document."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(_words()).cast("bigint").alias("ws_tokens"),
+        F.regexp_count(_norm_text(), F.lit(_TOKEN_RE)).cast("bigint").alias("re_tokens"),
+        F.length(_norm_text()).cast("bigint").alias("n_chars_norm"),
+    )
+
+
+TEXT_TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+       CAST(len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(regexp_replace(trim(text), '\\s+', ' ', 'g'), '{_TOKEN_RE}')) AS BIGINT) AS re_tokens,
+       CAST(length(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS BIGINT) AS n_chars_norm
+FROM documents
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint: min md5 over sliding 5-word windows.
+
+    md5 hex digests compare identically in both engines, so the minimum
+    window hash is an exact cross-engine fingerprint. Documents shorter than
+    one window hash the whole normalized text.
+    """
+    docs = _docs(spark, sf_dir)
+    words = _words()
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - WINDOW_W),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ", *[words[i + j] for j in range(WINDOW_W)]
+            )
+        ),
+    )
+    fp = F.when(F.size(words) >= WINDOW_W, F.array_min(grams)).otherwise(
+        F.md5(_norm_text())
+    )
+    n_windows = F.when(
+        F.size(words) >= WINDOW_W, F.size(words) - (WINDOW_W - 1)
+    ).otherwise(F.lit(0))
+    return docs.select(
+        "doc_id", fp.alias("fingerprint"), n_windows.cast("int").alias("n_windows")
+    )
+
+
+TEXT_FINGERPRINT_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_replace(trim(text), '\\s+', ' ', 'g') AS t,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(w) >= {WINDOW_W}
+            THEN list_min(list_transform(range(1, len(w) - {WINDOW_W - 1} + 1),
+                   i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])))
+            ELSE md5(t) END AS fingerprint,
+       CAST(CASE WHEN len(w) >= {WINDOW_W} THEN len(w) - {WINDOW_W - 1} ELSE 0 END AS INT) AS n_windows
+FROM d
+"""
+
+
+TEXT_QUERIES: dict[str, tuple] = {
+    "text_language_id": (text_language_id, TEXT_LANGUAGE_ID_SQL),
+    "text_quality_score": (text_quality_score, TEXT_QUALITY_SCORE_SQL),
+    "text_token_count": (text_token_count, TEXT_TOKEN_COUNT_SQL),
+    "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
+}

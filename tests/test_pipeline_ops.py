@@ -1,0 +1,136 @@
+"""Unit pins for the LLM-pipeline suites (dedup / similarity / text / mm).
+
+Oracle-backed operators are covered by tools/check_oracles.py (the t2 gate
+mimic); these tests pin the rows-only operators' invariants instead:
+simhash determinism + self-dup detection, LSH recall vs the brute-force
+baseline, multimodal stub behavior and batch shapes.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from distributed_graph_database_simulation_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    text_analysis,
+)
+
+
+def test_minhash_lsh_equals_exact_jaccard(spark, sf_dir):
+    """LSH + exact verification must reproduce the exhaustive pair set."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    assert lsh == exact
+    assert exact, "corpus is expected to contain planted near-dups"
+
+
+def test_simhash_detects_identical_and_is_deterministic(spark, sf_dir):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta epsilon zeta"),
+            Row(doc_id=2, text="alpha beta gamma delta epsilon zeta"),
+            Row(doc_id=3, text="one two three four five six seven eight"),
+        ]
+    )
+    sh = dedup._shingled(docs)
+    sims = {r.doc_id: r.simhash for r in dedup._simhash(sh).collect()}
+    assert sims[1] == sims[2]
+    assert sims[1] != sims[3]
+    again = {r.doc_id: r.simhash for r in dedup._simhash(sh).collect()}
+    assert sims == again
+
+
+def test_simhash_pairs_on_corpus(spark, sf_dir):
+    pairs = dedup.dedup_simhash(spark, sf_dir).collect()
+    assert all(0 <= r.hamming <= 3 for r in pairs)
+    assert all(r.doc_a < r.doc_b for r in pairs)
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
+    """ANN recall against the exact baseline (loose bound; random vectors
+    are LSH's worst case, and the contract is 'useful candidates', not
+    exactness — exact answers come from sim_topk_bruteforce)."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.sim_topk_bruteforce(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.sim_topk_lsh(spark, sf_dir).collect()
+    }
+    assert approx, "LSH produced no candidates at all"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"LSH recall collapsed: {recall:.2f}"
+    # every LSH result is a true vector pair (ids exist, no self-pairs)
+    assert all(q != n for q, n in approx)
+
+
+def test_lsh_buckets_are_deterministic(spark, sf_dir):
+    df = similarity._with_norm(similarity._emb(spark, sf_dir)).limit(20)
+    a = {(r.vec_id, r.table_id): r.bucket for r in similarity._signatures(df).collect()}
+    b = {(r.vec_id, r.table_id): r.bucket for r in similarity._signatures(df).collect()}
+    assert a == b
+    assert len(a) == 20 * similarity.LSH_TABLES
+
+
+def test_decode_image_real_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_real(b"\x89PNG\r\n")
+
+
+def test_media_table_schema(spark, sf_dir):
+    mt = multimodal.media_table(spark, sf_dir)
+    assert dict(mt.dtypes) == {
+        "media_id": "bigint",
+        "payload": "binary",
+        "width": "int",
+        "height": "int",
+        "n_frames": "int",
+        "mime": "string",
+    }
+    row = mt.filter(F.col("media_id") == 0).collect()[0]
+    assert isinstance(row.payload, (bytes, bytearray)) and len(row.payload) > 0
+
+
+def test_frame_sample_covers_every_media(spark, sf_dir):
+    frames = multimodal.mm_frame_sample(spark, sf_dir)
+    n_media = multimodal.media_table(spark, sf_dir).count()
+    got = frames.select("media_id").distinct().count()
+    assert got == n_media
+    bad = frames.filter((F.col("frame_idx") % multimodal.FRAME_STRIDE) != 0).count()
+    assert bad == 0
+
+
+def test_language_id_scores_consistent(spark, sf_dir):
+    out = text_analysis.text_language_id(spark, sf_dir)
+    langs = sorted(text_analysis.LANG_MARKERS)
+    rows = out.collect()
+    for r in rows:
+        scores = {la: r[f"s_{la}"] for la in langs}
+        best = max(scores.values())
+        if best == 0:
+            assert r.pred_lang == "und"
+        else:
+            # alphabetically first argmax wins
+            assert r.pred_lang == min(la for la in langs if scores[la] == best)
+
+
+def test_fingerprint_shape_and_window_count(spark, sf_dir):
+    fp = text_analysis.text_fingerprint(spark, sf_dir)
+    tok = text_analysis.text_token_count(spark, sf_dir)
+    joined = fp.join(tok, "doc_id").collect()
+    assert joined
+    for r in joined:
+        assert len(r.fingerprint) == 32 and all(c in "0123456789abcdef" for c in r.fingerprint)
+        expected = max(r.ws_tokens - (text_analysis.WINDOW_W - 1), 0)
+        assert r.n_windows == expected
