@@ -449,6 +449,113 @@ FROM events GROUP BY date_trunc('hour', ts), event_type
 """
 
 
+# --- range join ----------------------------------------------------------
+
+def range_join_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range join: lineitems shipped within 60 days of their order.
+
+    The range predicate rides the equi hash join as a post-join filter —
+    no nested-loop blowup; at scale the equi key carries the shuffle and the
+    range condition stays a cheap row filter.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    joined = li.join(
+        orders,
+        (li["l_orderkey"] == orders["o_orderkey"])
+        & (li["l_shipdate"] >= orders["o_orderdate"])
+        & (li["l_shipdate"] < F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_fast_ships"),
+        dsum("l_quantity", "sum_qty"),
+    )
+
+
+RANGE_JOIN_SHIP_LAG_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_fast_ships,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN orders
+  ON l_orderkey = o_orderkey
+ AND l_shipdate >= o_orderdate
+ AND l_shipdate < o_orderdate + INTERVAL 60 DAY
+GROUP BY o_orderpriority
+"""
+
+
+# --- as-of join (backward) ----------------------------------------------
+
+def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each event matched to the user's latest order at
+    or before the event time.
+
+    Scale-first plan — the classic distributed as-of: union the two sides
+    into one keyed timeline, sort within key, carry the latest order forward
+    with ``last_value(..., ignorenulls)``. One shuffle + sort, zero pair
+    explosion (the naive equi-join-then-rank plan materializes every
+    (event, earlier-order) pair). Orders are deduped per (custkey, date)
+    keeping max orderkey so the match is deterministic; at equal timestamps
+    the order sorts first => inclusive (ts >= o_orderdate) semantics,
+    matching DuckDB's ASOF JOIN.
+    """
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    orders = _t(spark, sf_dir, "orders")
+    latest_per_date = (
+        orders.groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    o_side = latest_per_date.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("side"),  # orders sort before events at equal t
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey").alias("carry_orderkey"),
+        F.col("o_orderdate").alias("carry_orderdate"),
+    )
+    e_side = ev.select(
+        F.col("user_id").alias("key"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("side"),
+        "event_id",
+        F.lit(None).cast("long").alias("carry_orderkey"),
+        F.lit(None).cast("timestamp").alias("carry_orderdate"),
+    )
+    timeline = o_side.unionByName(e_side)
+    w = (
+        W.partitionBy("key")
+        .orderBy("t", "side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        timeline.withColumn(
+            "o_orderkey", F.last("carry_orderkey", ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "o_orderdate", F.last("carry_orderdate", ignorenulls=True).over(w)
+        )
+        .filter(F.col("side") == 1)
+        .select(
+            "event_id",
+            F.col("key").alias("user_id"),
+            "o_orderkey",
+            "o_orderdate",
+        )
+    )
+
+
+ASOF_LATEST_ORDER_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+),
+e AS (SELECT event_id, user_id, ts FROM events WHERE event_id < 5000)
+SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate
+FROM e ASOF LEFT JOIN o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
 # --- sort / limit (global top-k) ----------------------------------------
 
 def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -505,5 +612,7 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "rel_event_sessions": (event_sessions, EVENT_SESSIONS_SQL),
     "rel_events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
     "rel_topk_orders": (topk_orders, TOPK_ORDERS_SQL),
+    "rel_range_join": (range_join_ship_lag, RANGE_JOIN_SHIP_LAG_SQL),
+    "rel_asof_join": (asof_latest_order, ASOF_LATEST_ORDER_SQL),
     "rel_distinct_parts_per_flag": (distinct_parts_per_flag, DISTINCT_PARTS_PER_FLAG_SQL),
 }

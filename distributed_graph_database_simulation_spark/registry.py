@@ -29,6 +29,7 @@ def _late_imports() -> None:
         (".operators.similarity", "SIMILARITY_QUERIES"),
         (".operators.text_analysis", "TEXT_QUERIES"),
         (".operators.multimodal", "MULTIMODAL_QUERIES"),
+        (".streaming.windowed", "STREAMING_QUERIES"),
     ]:
         try:
             import importlib

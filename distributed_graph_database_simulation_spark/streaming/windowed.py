@@ -1,0 +1,188 @@
+"""Structured Streaming operators over the ``events`` table.
+
+The reference is strictly request/response — no streams exist anywhere in it
+(SURVEY.md §2b "streaming": absent). This module is the north-star streaming
+surface, built the idiomatic way: ``readStream`` (file source) ->
+event-time windowed aggregation -> sink, executed here with the
+``availableNow`` trigger so a bounded run processes the whole table and the
+result can be differentially checked against the same DuckDB oracle as the
+batch operator.
+
+Registry entries use **complete** output mode into a memory sink: with a
+bounded source that reproduces the batch answer exactly (oracle parity).
+The at-scale posture is append mode + watermark into a real sink — that path
+(late-data dropping, watermark-gated emission) is exercised by unit tests,
+because append mode by design never emits the final un-closed windows of a
+bounded run, which would break oracle row parity.
+
+Scale posture: file-source streaming partitions by input file; the windowed
+aggregate is an incremental stateful hash agg keyed on (window, event_type)
+— state size is bounded by window cardinality, and a watermark bounds it in
+wall-clock. ``spark.sql.shuffle.partitions`` sizes the state store exactly
+like a batch shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.portable import dec
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the same ts normalization as
+    the batch loader (TIMESTAMP(NANOS) -> microsecond timestamps)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # The file source requires a directory: stream the sf dir filtered down
+    # to the events file (at scale this is the standard drop-files-in-a-dir
+    # ingestion layout).
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def _run_bounded(df: DataFrame, spark: SparkSession, name: str, mode: str) -> DataFrame:
+    """Run a streaming aggregation to completion (availableNow) into a memory
+    sink and return the materialized result."""
+    sink = re.sub(r"\W", "_", name)
+    q = (
+        df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows, streaming execution.
+
+    Same answer as the batch ``rel_events_hourly`` (shared oracle): the
+    stream's incremental state agg must converge to the batch hash agg.
+    """
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "min_value",
+            "max_value",
+        )
+    )
+    return _run_bounded(agg, spark, "stream_events_hourly", "complete")
+
+
+STREAM_EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+def stream_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 hour, 30-minute slide): each event lands in two
+    overlapping windows — the streaming overlap-assignment path."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+    return _run_bounded(agg, spark, "stream_events_sliding", "complete")
+
+
+STREAM_EVENTS_SLIDING_SQL = """
+WITH assigned AS (
+  SELECT event_type, value,
+         UNNEST([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS window_start
+  FROM events
+)
+SELECT window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
+FROM assigned
+GROUP BY window_start, event_type
+"""
+
+
+def stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30-minute gap) per user, streaming.
+
+    ``session_window`` is the engine-native form of the batch lag/cumsum
+    sessionization (rel_event_sessions); the oracle rebuilds sessions with
+    the standard gap-and-islands SQL so both engines must agree on every
+    session's span and size.
+    """
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return _run_bounded(agg, spark, "stream_user_sessions", "complete")
+
+
+# Gap-and-islands reconstruction; session end = last event + gap (Spark's
+# session_window end semantics).
+STREAM_USER_SESSIONS_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '30 minutes' AS session_end,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+STREAMING_QUERIES: dict[str, tuple] = {
+    "stream_events_hourly": (stream_events_hourly, STREAM_EVENTS_HOURLY_SQL),
+    "stream_events_sliding": (stream_events_sliding, STREAM_EVENTS_SLIDING_SQL),
+    "stream_user_sessions": (stream_user_sessions, STREAM_USER_SESSIONS_SQL),
+}
