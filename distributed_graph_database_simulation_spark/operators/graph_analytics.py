@@ -137,11 +137,16 @@ def pagerank(
     count; each superstep is one shuffle — the GraphX analytics workload
     re-expressed as DataFrame joins.
     """
+    from pyspark.storagelevel import StorageLevel
+
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     verts = vertices(graphs).localCheckpoint(eager=True)
     n_by_graph = graphs.select("graph_id", F.col("n").cast("double").alias("n_vertices"))
+    # Degree table is loop-invariant: materialize once instead of
+    # recomputing it inside every iteration's join lineage.
     out_deg = edges.groupBy("graph_id", F.col("src").alias("vertex")).agg(
         F.count("*").alias("out_degree")
-    )
+    ).localCheckpoint(eager=True)
     ranks = (
         verts.join(n_by_graph, "graph_id")
         .select("graph_id", "vertex", (F.lit(1.0) / F.col("n_vertices")).alias("rank"))

@@ -204,21 +204,22 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     window hash is an exact cross-engine fingerprint. Documents shorter than
     one window hash the whole normalized text.
     """
-    docs = _docs(spark, sf_dir)
-    words = _words()
+    # Bind the split to a column first: inlining it into each indexed access
+    # would re-split the string WINDOW_W times per window (see dedup._shingled).
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", _norm_text().alias("t"), F.split(_norm_text(), " ").alias("w")
+    )
     grams = F.transform(
-        F.sequence(F.lit(0), F.size(words) - WINDOW_W),
+        F.sequence(F.lit(1), F.size("w") - (WINDOW_W - 1)),
         lambda i: F.md5(
             F.concat_ws(
-                " ", *[words[i + j] for j in range(WINDOW_W)]
+                " ", *[F.element_at("w", i + j) for j in range(WINDOW_W)]
             )
         ),
     )
-    fp = F.when(F.size(words) >= WINDOW_W, F.array_min(grams)).otherwise(
-        F.md5(_norm_text())
-    )
+    fp = F.when(F.size("w") >= WINDOW_W, F.array_min(grams)).otherwise(F.md5("t"))
     n_windows = F.when(
-        F.size(words) >= WINDOW_W, F.size(words) - (WINDOW_W - 1)
+        F.size("w") >= WINDOW_W, F.size("w") - (WINDOW_W - 1)
     ).otherwise(F.lit(0))
     return docs.select(
         "doc_id", fp.alias("fingerprint"), n_windows.cast("int").alias("n_windows")
