@@ -36,10 +36,15 @@ HEADLINE = [
     "rel_top_parts_per_brand",
     "rel_event_sessions",
     "rel_events_hourly",
+    "rel_asof_join",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "sim_topk_bruteforce",
     "text_quality_score",
+    "text_fingerprint",
+    "mm_image_features",
+    "stream_events_hourly",
 ]
 
 

@@ -13,7 +13,10 @@ driver check + unit-test pins).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .. import fixtures
 from .graph_analytics import connected_components, degrees, pagerank, triangle_count
@@ -156,6 +159,51 @@ def pagerank_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2a rows 1/2/5 in the driver contract: AddGraph + ModifyGraph +
+    GraphScan through the parquet GraphStore.
+
+    Adds every fixture graph (op=1), re-writes G1 via modify (op=2 — full
+    replace, same bytes), then scans the store back; the oracle is the
+    fixture edge list, so the round-trip must be lossless and the dynamic
+    partition overwrite must not clobber sibling graphs.
+    """
+    import tempfile
+
+    from ..sources.graph_store import GraphStore
+
+    base = os.path.join(tempfile.gettempdir(), "dgds_store_roundtrip")
+    store = GraphStore(spark, base)
+    edges = fixtures.fixture_edges_df(spark)
+    for gid, n in fixtures.GRAPHS:
+        g_edges = edges.filter(F.col("graph_id") == gid).select("src", "dst")
+        store.add_graph(gid, n, g_edges)
+    g1 = edges.filter(F.col("graph_id") == 1).select("src", "dst")
+    store.modify_graph(1, dict(fixtures.GRAPHS)[1], g1)
+    return store.edges().select("graph_id", "src", "dst")
+
+
+STORE_ROUNDTRIP_SQL = f"""
+WITH {_FIXTURE_CTE}
+SELECT graph_id, src, dst FROM fixture_edges
+"""
+
+
+def text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2a row 5 (GraphScan) over the reference's own on-disk format: parse
+    /root/reference/G*.txt (n + dense matrix) into the edge list, JVM-side.
+    The oracle is the independently hand-converted fixture set (FIXTURES.md),
+    so this differentially validates the text codec against real files."""
+    from ..sources.graph_text import read_graph_text
+
+    paths = [f"/root/reference/G{k}.txt" for k, _ in fixtures.GRAPHS]
+    _, edges = read_graph_text(spark, paths)
+    return edges.select("graph_id", "src", "dst")
+
+
+TEXT_SCAN_SQL = STORE_ROUNDTRIP_SQL
+
+
 def bfs_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed superstep BFS on the orders-derived synthetic graph."""
     edges = fixtures.scale_edges_df(spark, sf_dir).selectExpr(
@@ -187,4 +235,6 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "g_triangles": (triangles_fixture, TRIANGLES_SQL),
     "g_pagerank": (pagerank_fixture, None),
     "g_bfs_scale": (bfs_scale, BFS_SCALE_SQL),
+    "g_store_roundtrip": (store_roundtrip, STORE_ROUNDTRIP_SQL),
+    "g_text_scan": (text_scan, TEXT_SCAN_SQL),
 }

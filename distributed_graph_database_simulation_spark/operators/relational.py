@@ -365,6 +365,64 @@ FROM events WHERE event_id < 2000
 """
 
 
+# --- scalar functions: arrays + maps ------------------------------------
+
+def array_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construction/inspection + map access, reduced to scalar outputs.
+
+    Array-valued result columns are avoided on purpose: engines format
+    nested values differently, which would break the driver's value-hash
+    even when contents agree. Every array/map op here collapses to a
+    scalar both engines print identically.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 3000)
+    arr = F.sort_array(F.collect_list("l_linenumber"))
+    per_order = li.groupBy("l_orderkey").agg(arr.alias("lines"))
+    m = F.create_map(F.lit("first"), F.element_at("lines", 1),
+                     F.lit("last"), F.element_at("lines", -1))
+    return per_order.select(
+        "l_orderkey",
+        F.size("lines").alias("n_lines"),
+        F.element_at("lines", 1).alias("first_line"),
+        F.element_at("lines", -1).alias("last_line"),
+        F.array_contains("lines", 3).alias("has_line3"),
+        F.aggregate("lines", F.lit(0), lambda a, x: a + x).alias("line_sum"),
+        F.element_at(m, "last").alias("map_last"),
+    )
+
+
+ARRAY_MAP_FUNCS_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS lines
+  FROM lineitem WHERE l_orderkey < 3000 GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       CAST(len(lines) AS INT) AS n_lines,
+       lines[1] AS first_line,
+       lines[-1] AS last_line,
+       list_contains(lines, 3) AS has_line3,
+       CAST(list_sum(lines) AS INT) AS line_sum,
+       (MAP {'first': lines[1], 'last': lines[-1]}['last'])[1] AS map_last
+FROM per_order
+"""
+
+
+# --- approximate distinct (HLL sketch) ----------------------------------
+
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate per return flag.
+
+    Sketch internals are engine-specific, so there is no cross-engine
+    oracle (rows-only driver check); the <=2% rsd accuracy contract vs the
+    exact count is pinned in unit tests. At scale this is THE distinct
+    estimator: one pass, fixed memory, mergeable across partitions.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    )
+
+
 # --- pivot ---------------------------------------------------------------
 
 def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -614,5 +672,7 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "rel_topk_orders": (topk_orders, TOPK_ORDERS_SQL),
     "rel_range_join": (range_join_ship_lag, RANGE_JOIN_SHIP_LAG_SQL),
     "rel_asof_join": (asof_latest_order, ASOF_LATEST_ORDER_SQL),
+    "rel_array_map_funcs": (array_map_funcs, ARRAY_MAP_FUNCS_SQL),
+    "rel_approx_distinct": (approx_distinct_parts, None),
     "rel_distinct_parts_per_flag": (distinct_parts_per_flag, DISTINCT_PARTS_PER_FLAG_SQL),
 }

@@ -125,6 +125,21 @@ def test_language_id_scores_consistent(spark, sf_dir):
             assert r.pred_lang == min(la for la in langs if scores[la] == best)
 
 
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    """HLL++ estimate vs exact distinct: rsd=0.02 keeps estimates within a
+    few percent; pin a loose 10% envelope so sketch regressions surface."""
+    from distributed_graph_database_simulation_spark.operators.relational import (
+        approx_distinct_parts,
+        distinct_parts_per_flag,
+    )
+
+    approx = {r.l_returnflag: r.approx_parts for r in approx_distinct_parts(spark, sf_dir).collect()}
+    exact = {r.l_returnflag: r.n_parts for r in distinct_parts_per_flag(spark, sf_dir).collect()}
+    assert set(approx) == set(exact)
+    for flag, est in approx.items():
+        assert abs(est - exact[flag]) <= max(2, 0.10 * exact[flag])
+
+
 def test_fingerprint_shape_and_window_count(spark, sf_dir):
     fp = text_analysis.text_fingerprint(spark, sf_dir)
     tok = text_analysis.text_token_count(spark, sf_dir)

@@ -1,0 +1,73 @@
+"""Physical-plan assertions: the 100 TB posture, pinned.
+
+Correctness is the oracle gate's job; these tests pin the *plan shape* —
+predicate pushdown reaching the parquet scans, column pruning, broadcast
+joins for dimension tables, map-side partial aggregation — so a future
+refactor that silently de-optimizes a query fails CI, not the bench.
+"""
+
+from __future__ import annotations
+
+import re
+
+from distributed_graph_database_simulation_spark.operators import relational
+
+
+def _formatted_plan(df) -> str:
+    jdf = df._jdf
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return jdf.queryExecution().explainString(mode)
+
+
+def test_q3_pushdown_broadcast_and_pruning(spark, sf_dir):
+    plan = _formatted_plan(relational.top_revenue_orders(spark, sf_dir))
+    # dimension joins broadcast, never sort-merge
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    # filters reach the scans
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert re.search(r"PushedFilters:.*GreaterThan\(l_shipdate", plan)
+    # column pruning: the lineitem scan reads only the 4 needed columns
+    m = re.search(r"ReadSchema: struct<(l_[^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) == 4, m and m.group(1)
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    plan = _formatted_plan(relational.pricing_summary(spark, sf_dir))
+    # map-side combine before the exchange (partial/final hash aggregation)
+    assert "partial_sum" in plan
+    assert re.search(r"PushedFilters:.*LessThanOrEqual\(l_shipdate", plan)
+
+
+def test_projection_prunes_columns(spark, sf_dir):
+    plan = _formatted_plan(relational.scalar_orders(spark, sf_dir))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m is not None
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    # orders has 9+ columns; the query needs exactly these
+    assert cols == {
+        "o_orderkey",
+        "o_orderdate",
+        "o_orderpriority",
+        "o_orderstatus",
+        "o_totalprice",
+    }
+    assert "LessThan(o_orderkey,2000)" in plan
+
+
+def test_semi_and_anti_joins_stay_joins(spark, sf_dir):
+    anti = _formatted_plan(relational.customers_without_orders(spark, sf_dir))
+    semi = _formatted_plan(relational.segment_stats(spark, sf_dir))
+    assert "LeftAnti" in anti
+    assert "LeftSemi" in semi
+
+
+def test_asof_join_is_single_shuffle_window(spark, sf_dir):
+    """The as-of join must stay the union+window plan: exactly one window
+    sort, no join of events against orders (which would explode pairs)."""
+    plan = _formatted_plan(relational.asof_latest_order(spark, sf_dir))
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
