@@ -1,0 +1,94 @@
+"""Property tests (SURVEY.md §5): randomized invariants via hypothesis.
+
+- matrix <-> edge-list round-trip is lossless for arbitrary 0/1 matrices
+  (including self-loops and isolated vertices);
+- superstep BFS levels == single-source shortest unweighted path lengths,
+  cross-checked against a pure-Python reference BFS on random digraphs;
+- the distributed BFS and the applyInPandas kernel agree exactly.
+
+One shared Spark session; graphs are kept small (n <= 8) so each example is
+a sub-second job and hypothesis can run dozens of cases.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from distributed_graph_database_simulation_spark.operators.graph_traversal import (
+    bfs_levels,
+    bfs_levels_small,
+)
+from distributed_graph_database_simulation_spark.sources import (
+    edges_to_matrix,
+    matrix_to_edges,
+)
+
+matrices = st.integers(min_value=1, max_value=8).flatmap(
+    lambda n: st.lists(
+        st.lists(st.integers(0, 1), min_size=n, max_size=n),
+        min_size=n,
+        max_size=n,
+    )
+)
+
+_SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _py_bfs_levels(matrix: list[list[int]], start: int) -> dict[int, int]:
+    n = len(matrix)
+    level = {start: 0}
+    q = deque([start])
+    while q:
+        u = q.popleft()
+        for v in range(n):
+            if matrix[u][v] == 1 and v not in level:
+                level[v] = level[u] + 1
+                q.append(v)
+    return level
+
+
+@pytest.fixture(scope="module")
+def sess(spark):
+    return spark
+
+
+@given(matrix=matrices)
+@_SETTINGS
+def test_matrix_edge_roundtrip(sess, matrix):
+    n = len(matrix)
+    _, edges = matrix_to_edges(sess, 1, matrix)
+    assert edges_to_matrix(edges, n) == matrix
+
+
+@given(matrix=matrices)
+@_SETTINGS
+def test_bfs_levels_match_reference_bfs(sess, matrix):
+    _, edges = matrix_to_edges(sess, 1, matrix)
+    got = {
+        r.vertex: r.level
+        for r in bfs_levels(sess, edges, [(1, 0)]).collect()
+    }
+    assert got == _py_bfs_levels(matrix, 0)
+
+
+@given(matrix=matrices)
+@_SETTINGS
+def test_superstep_and_kernel_bfs_agree(sess, matrix):
+    _, edges = matrix_to_edges(sess, 1, matrix)
+    big = {
+        (r.vertex, r.level)
+        for r in bfs_levels(sess, edges, [(1, 0)]).collect()
+    }
+    small = {
+        (r.vertex, r.level)
+        for r in bfs_levels_small(sess, edges, [(1, 0)]).collect()
+    }
+    assert big == small
