@@ -23,10 +23,15 @@ from .graph_analytics import connected_components, degrees, pagerank, triangle_c
 from .graph_traversal import bfs_levels, bfs_levels_small, dfs_leaves
 
 PIN_STARTS = [(1, 0), (2, 0), (5, 0), (7, 0)]
+# Non-zero start vertices (one per graph — bfs_levels merges frontiers of
+# duplicate graph ids by design, so alternates are a separate query).
+ALT_STARTS = [(2, 1), (5, 3), (6, 4), (7, 3)]
 
 _EDGE_ROWS = ", ".join(f"({g},{s},{d})" for g, s, d in fixtures.EDGES)
 
-_FIXTURE_CTE = f"""
+
+def _fixture_cte(starts: list[tuple[int, int]]) -> str:
+    return f"""
 fixture_edges(graph_id, src, dst) AS (
   SELECT * FROM (VALUES {_EDGE_ROWS}) t(graph_id, src, dst)
 ),
@@ -34,9 +39,12 @@ fixture_graphs(graph_id, n) AS (
   SELECT * FROM (VALUES {', '.join(f'({g},{n})' for g, n in fixtures.GRAPHS)}) t(graph_id, n)
 ),
 starts(graph_id, vertex) AS (
-  SELECT * FROM (VALUES {', '.join(f'({g},{s})' for g, s in PIN_STARTS)}) t(graph_id, vertex)
+  SELECT * FROM (VALUES {', '.join(f'({g},{s})' for g, s in starts)}) t(graph_id, vertex)
 )
 """
+
+
+_FIXTURE_CTE = _fixture_cte(PIN_STARTS)
 
 
 def bfs_levels_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -49,6 +57,24 @@ def bfs_levels_kernel_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BFS_LEVELS_SQL = f"""
 WITH RECURSIVE {_FIXTURE_CTE},
+walk(graph_id, vertex, level) AS (
+  SELECT graph_id, vertex, 0 FROM starts
+  UNION
+  SELECT e.graph_id, e.dst, w.level + 1
+  FROM walk w JOIN fixture_edges e ON e.graph_id = w.graph_id AND e.src = w.vertex
+  WHERE w.level < 100
+)
+SELECT graph_id, vertex, CAST(MIN(level) AS INT) AS level
+FROM walk GROUP BY graph_id, vertex
+"""
+
+
+def bfs_levels_alt_starts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bfs_levels(spark, fixtures.fixture_edges_df(spark), ALT_STARTS)
+
+
+BFS_LEVELS_ALT_SQL = f"""
+WITH RECURSIVE {_fixture_cte(ALT_STARTS)},
 walk(graph_id, vertex, level) AS (
   SELECT graph_id, vertex, 0 FROM starts
   UNION
@@ -228,6 +254,7 @@ SELECT vertex, CAST(MIN(level) AS INT) AS level FROM walk GROUP BY vertex
 GRAPH_QUERIES: dict[str, tuple] = {
     "g_bfs_levels": (bfs_levels_fixture, BFS_LEVELS_SQL),
     "g_bfs_levels_kernel": (bfs_levels_kernel_fixture, BFS_LEVELS_SQL),
+    "g_bfs_levels_alt": (bfs_levels_alt_starts, BFS_LEVELS_ALT_SQL),
     "g_dfs_leaves": (dfs_leaves_fixture, None),
     "g_reachable": (reachable_fixture, REACHABLE_SQL),
     "g_connected_components": (connected_components_fixture, CONNECTED_COMPONENTS_SQL),

@@ -631,6 +631,41 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
 """
 
 
+# --- SQL API surface (TPC-H Q6-style via spark.sql) ----------------------
+
+FORECAST_REVENUE_SQL_SPARK = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+           * CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM {lineitem}
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``spark.sql`` entry point: same Catalyst pipeline as the
+    DataFrame API, demonstrated once so the SQL surface is contract-covered.
+    Parameterized table binding (no temp-view mutation)."""
+    return spark.sql(
+        FORECAST_REVENUE_SQL_SPARK, lineitem=_t(spark, sf_dir, "lineitem")
+    )
+
+
+FORECAST_REVENUE_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+           * CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
 # --- distinct aggregates -------------------------------------------------
 
 def distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -674,5 +709,6 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "rel_asof_join": (asof_latest_order, ASOF_LATEST_ORDER_SQL),
     "rel_array_map_funcs": (array_map_funcs, ARRAY_MAP_FUNCS_SQL),
     "rel_approx_distinct": (approx_distinct_parts, None),
+    "rel_sql_forecast_revenue": (forecast_revenue, FORECAST_REVENUE_SQL),
     "rel_distinct_parts_per_flag": (distinct_parts_per_flag, DISTINCT_PARTS_PER_FLAG_SQL),
 }

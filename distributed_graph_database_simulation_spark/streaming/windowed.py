@@ -27,6 +27,8 @@ from __future__ import annotations
 import os
 import re
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -181,8 +183,62 @@ GROUP BY user_id, session_id
 """
 
 
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator: per-user running totals via
+    ``applyInPandasWithState`` (the arbitrary-state API — the engine's escape
+    hatch when windowed aggregates can't express the state machine).
+
+    State per user = (event count, value sum in exact 1e-4 units). Each
+    micro-batch folds its rows into state and emits the running totals;
+    the final emission therefore equals the batch GROUP BY, which is the
+    oracle. Value sums are kept in integer ten-thousandths so state stays
+    exact regardless of batch order (float accumulation would drift).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        count, units = state.get if state.exists else (0, 0)
+        import numpy as np
+
+        for pdf in pdfs:
+            count += len(pdf)
+            # round per ROW before summing: each 4-decimal value scales to
+            # an exact integer; summing floats first would reintroduce drift
+            units += int(np.round(pdf["value"].to_numpy() * 10_000).sum())
+        state.update((count, units))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [count], "sum_value": [units / 10_000.0]}
+        )
+
+    ev = _events_stream(spark, sf_dir)
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType="user_id BIGINT, n_events BIGINT, sum_value DOUBLE",
+        stateStructType="count BIGINT, units BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    result = _run_bounded(out, spark, "stream_stateful_user_totals", "update")
+    # Totals are cumulative: keep each user's final emission so the result
+    # is batch-equivalent even if the source splits into multiple batches.
+    return result.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"), F.max("sum_value").alias("sum_value")
+    )
+
+
+STREAM_STATEFUL_USER_TOTALS_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY user_id
+"""
+
+
 STREAMING_QUERIES: dict[str, tuple] = {
     "stream_events_hourly": (stream_events_hourly, STREAM_EVENTS_HOURLY_SQL),
     "stream_events_sliding": (stream_events_sliding, STREAM_EVENTS_SLIDING_SQL),
     "stream_user_sessions": (stream_user_sessions, STREAM_USER_SESSIONS_SQL),
+    "stream_stateful_user_totals": (
+        stream_stateful_user_totals,
+        STREAM_STATEFUL_USER_TOTALS_SQL,
+    ),
 }
