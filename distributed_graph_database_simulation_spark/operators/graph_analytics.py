@@ -190,4 +190,7 @@ def pagerank(
         )
         if it % checkpoint_every == 0 or it == iterations:
             ranks = ranks.localCheckpoint(eager=True)
+    # Final ranks are checkpointed (it == iterations), so the cached edge
+    # table is no longer referenced: release it rather than leak per call.
+    edges.unpersist()
     return ranks

@@ -95,6 +95,9 @@ def bfs_levels(
         if level % checkpoint_every == 0:
             visited = visited.localCheckpoint(eager=True)
         frontier = next_frontier
+    # Every frontier is eagerly checkpointed, so the result never re-reads
+    # the edge table: release the cache instead of leaking one per call.
+    edges.unpersist()
     return visited
 
 

@@ -631,6 +631,87 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
 """
 
 
+# --- source formats: csv / json round-trip -------------------------------
+
+def multiformat_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV and JSON scan surface: export a nation/region slice to both
+    formats, read each back with explicit schemas, join and aggregate.
+
+    The oracle reads the original parquet, so the answer proves both codecs
+    round-trip values (ints, strings, dates survive csv+json). Files land
+    in a scratch dir; at scale these are the standard landing-zone formats
+    in front of parquet.
+    """
+    import os as _os
+    import tempfile
+
+    base = _os.path.join(tempfile.gettempdir(), "dgds_multiformat")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    nation.write.mode("overwrite").option("header", True).csv(f"{base}/nation_csv")
+    region.write.mode("overwrite").json(f"{base}/region_json")
+    nation_csv = (
+        spark.read.option("header", True)
+        .schema(nation.schema)
+        .csv(f"{base}/nation_csv")
+    )
+    region_json = spark.read.schema(region.schema).json(f"{base}/region_json")
+    return (
+        nation_csv.join(
+            F.broadcast(region_json),
+            nation_csv["n_regionkey"] == region_json["r_regionkey"],
+        )
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.min("n_name").alias("first_nation"),
+        )
+    )
+
+
+MULTIFORMAT_SOURCES_SQL = """
+SELECT r_name, COUNT(*) AS n_nations, MIN(n_name) AS first_nation
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# --- two-phase salted aggregation (skew pattern) -------------------------
+
+N_SALTS = 16
+
+
+def salted_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter counts via explicit two-phase salted aggregation.
+
+    The skew pattern made concrete: a hot grouping key (event_type has ~5
+    values over 600k rows at sf0.1) first aggregates on (key, salt) so every
+    reducer gets work, then the per-salt partials combine in a second, tiny
+    aggregation. Spark's partial aggregation does this implicitly for
+    algebraic aggregates — the operator exists to keep the explicit pattern
+    tested for the cases that need it (e.g. collect-heavy or percentile
+    aggs where map-side combine can't run). Result == plain GROUP BY.
+    """
+    ev = _t(spark, sf_dir, "events")
+    salted = ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(N_SALTS)))
+    # partials stay DECIMAL: casting each salt's subtotal to double would
+    # round 16 times and drift off the single-rounding oracle value
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count("*").alias("c"), F.sum(dec("value")).alias("v")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("c").alias("n_events"),
+        F.sum("v").cast("double").alias("sum_value"),
+    )
+
+
+SALTED_HEAVY_HITTERS_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
 # --- SQL API surface (TPC-H Q6-style via spark.sql) ----------------------
 
 FORECAST_REVENUE_SQL_SPARK = """
@@ -710,5 +791,7 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "rel_array_map_funcs": (array_map_funcs, ARRAY_MAP_FUNCS_SQL),
     "rel_approx_distinct": (approx_distinct_parts, None),
     "rel_sql_forecast_revenue": (forecast_revenue, FORECAST_REVENUE_SQL),
+    "rel_multiformat_sources": (multiformat_sources, MULTIFORMAT_SOURCES_SQL),
+    "rel_salted_heavy_hitters": (salted_heavy_hitters, SALTED_HEAVY_HITTERS_SQL),
     "rel_distinct_parts_per_flag": (distinct_parts_per_flag, DISTINCT_PARTS_PER_FLAG_SQL),
 }
