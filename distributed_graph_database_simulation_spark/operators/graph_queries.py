@@ -177,6 +177,31 @@ GROUP BY ab.graph_id
 """
 
 
+def triangles_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the orders-derived scale graph (the fixture graphs
+    happen to be triangle-free, so this is the row with real work: the
+    two-join enumeration over a graph whose edge count tracks the sf)."""
+    edges = fixtures.scale_edges_df(spark, sf_dir).selectExpr(
+        "CAST(1 AS INT) AS graph_id", "src", "dst"
+    )
+    return triangle_count(edges).select("graph_id", "triangles")
+
+
+TRIANGLES_SCALE_SQL = f"""
+WITH scale_edges AS ({fixtures.SCALE_GRAPH_SQL}),
+ue(src, dst) AS (
+  SELECT src, dst FROM scale_edges
+  UNION
+  SELECT dst, src FROM scale_edges
+),
+canon AS (SELECT src, dst FROM ue WHERE src < dst)
+SELECT CAST(1 AS INT) AS graph_id, COUNT(*) AS triangles
+FROM canon ab
+JOIN canon bc ON bc.src = ab.dst
+JOIN canon ac ON ac.src = ab.src AND ac.dst = bc.dst
+"""
+
+
 def pagerank_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Iterative float algorithm: rows-only driver check (no SQL oracle);
     # invariants (sum-to-one) are pinned in unit tests.
@@ -260,6 +285,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "g_connected_components": (connected_components_fixture, CONNECTED_COMPONENTS_SQL),
     "g_degrees": (degrees_fixture, DEGREES_SQL),
     "g_triangles": (triangles_fixture, TRIANGLES_SQL),
+    "g_triangles_scale": (triangles_scale, TRIANGLES_SCALE_SQL),
     "g_pagerank": (pagerank_fixture, None),
     "g_bfs_scale": (bfs_scale, BFS_SCALE_SQL),
     "g_store_roundtrip": (store_roundtrip, STORE_ROUNDTRIP_SQL),
