@@ -64,12 +64,14 @@ def bfs_levels(
     appears at most once — multi-source BFS within one graph would merge
     frontiers). Returns (graph_id, vertex, level), level = shortest distance.
     """
-    # The edge table is joined every superstep: persist it so a derived /
-    # parquet-backed input is scanned once, not once per level (at 100 TB the
-    # equivalent is caching the partitioned edge table across supersteps).
+    # The edge table is joined every superstep. Hash-partition it on the
+    # join key ONCE and persist: the per-level join can then reuse that
+    # distribution instead of re-shuffling the big side (5M-edge probe:
+    # ~10% locally, where the growing visited anti-join dominates; on a
+    # cluster the avoided exchange is the network-bound one).
     from pyspark.storagelevel import StorageLevel
 
-    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    edges = edges.repartition("graph_id", "src").persist(StorageLevel.MEMORY_AND_DISK)
     frontier = _starts_df(spark, starts).withColumn("level", F.lit(0).cast("int"))
     visited = frontier.localCheckpoint(eager=True)
     frontier = visited

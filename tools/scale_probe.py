@@ -1,0 +1,155 @@
+#!/usr/bin/env python3
+"""Scale probe: run the iterative/pipeline operators on synthetic inputs
+10-100x the sf0.1 testdata to check the cost curves SCALE.md claims.
+
+Inputs are generated distributively with ``spark.range`` + hash arithmetic
+(never collected), so the probe exercises exactly the shuffles the real
+operators use:
+
+    python tools/scale_probe.py                 # default sizes
+    python tools/scale_probe.py --edges 20e6 --docs 100e3
+
+Prints one JSON line per probe with rows processed and wall seconds.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def probe_bfs(spark, n_edges: int, n_vertices: int) -> dict:
+    """Superstep BFS over a random digraph with |E| = n_edges."""
+    from distributed_graph_database_simulation_spark.operators.graph_traversal import (
+        bfs_levels,
+    )
+
+    edges = spark.range(n_edges).select(
+        F.lit(1).alias("graph_id"),
+        F.pmod(F.xxhash64("id"), F.lit(n_vertices)).cast("int").alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(n_vertices)).cast("int").alias("dst"),
+    )
+    t0 = time.perf_counter()
+    out = bfs_levels(spark, edges, [(1, 0)])
+    reached = out.count()
+    return {"probe": "bfs_superstep", "edges": n_edges, "vertices_reached": reached,
+            "sec": round(time.perf_counter() - t0, 2)}
+
+
+def probe_cc(spark, n_edges: int, n_vertices: int) -> dict:
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        connected_components,
+    )
+
+    edges = spark.range(n_edges).select(
+        F.lit(1).alias("graph_id"),
+        F.pmod(F.xxhash64("id", F.lit(7)), F.lit(n_vertices)).cast("int").alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(8)), F.lit(n_vertices)).cast("int").alias("dst"),
+    )
+    graphs = spark.createDataFrame([(1, n_vertices)], "graph_id INT, n INT")
+    t0 = time.perf_counter()
+    out = connected_components(spark, graphs, edges)
+    n = out.count()
+    return {"probe": "connected_components", "edges": n_edges, "labels": n,
+            "sec": round(time.perf_counter() - t0, 2)}
+
+
+def probe_minhash(spark, n_docs: int, words_per_doc: int = 200) -> dict:
+    """MinHash-LSH over a synthetic corpus with planted near-duplicates.
+
+    Every 100th doc is a near-copy of its predecessor (same word stream,
+    one perturbed token), so candidate generation has real work to find.
+    """
+    from distributed_graph_database_simulation_spark.operators import dedup
+
+    base = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        # doc family: near-dup pairs share a family seed
+        F.when(F.col("id") % 100 == 99, F.col("id") - 1).otherwise(F.col("id")).alias("fam"),
+    )
+    words = base.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(words_per_doc - 1)),
+                lambda i: F.concat(
+                    F.lit("w"),
+                    F.pmod(F.xxhash64(F.col("fam"), i), F.lit(5000)).cast("string"),
+                ),
+            ),
+        ).alias("text"),
+    )
+    t0 = time.perf_counter()
+    sh = dedup._shingled(words)
+    sigs = dedup._minhash_sigs(sh)
+    n = sigs.count()
+    sig_sec = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    # full pipeline on a temp view-backed frame: reuse the internals directly
+    from pyspark.storagelevel import StorageLevel
+
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = dedup._minhash_sigs(sh)
+    n_bands = dedup.N_PERM // dedup.LSH_ROWS
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(
+                        F.slice(F.col("sig"), b * dedup.LSH_ROWS + 1, dedup.LSH_ROWS)
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    n_cand = cand.count()
+    sh.unpersist()
+    return {"probe": "minhash_lsh", "docs": n_docs, "signatures": n,
+            "sig_sec": sig_sec, "candidates": n_cand,
+            "cand_sec": round(time.perf_counter() - t0, 2)}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--edges", type=float, default=5e6)
+    ap.add_argument("--vertices", type=float, default=1e6)
+    ap.add_argument("--docs", type=float, default=5e4)
+    args = ap.parse_args()
+
+    from distributed_graph_database_simulation_spark.session import get_spark
+
+    spark = get_spark("scale_probe")
+    for result in (
+        probe_bfs(spark, int(args.edges), int(args.vertices)),
+        probe_cc(spark, int(args.edges) // 5, int(args.vertices) // 5),
+        probe_minhash(spark, int(args.docs)),
+    ):
+        print(json.dumps(result), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
