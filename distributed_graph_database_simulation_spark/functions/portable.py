@@ -35,5 +35,13 @@ def dsum(col: str | Column, alias: str) -> Column:
 
 
 def dsum_expr(expr: Column, alias: str) -> Column:
-    """Like :func:`dsum` for an already-decimal product expression."""
-    return F.sum(expr).cast("double").alias(alias)
+    """Like :func:`dsum` for an already-decimal product expression.
+
+    Product decimals carry scale 8-12, so a sum's unscaled value can exceed
+    2^53 — there the decimal->double conversion is no longer guaranteed to
+    round identically across engines (observed: 1-ulp drift on scale-12
+    sums). Rounding the exact sum to scale 6 first puts the unscaled value
+    back under 2^53, making the conversion exact in both engines. Oracles
+    must apply the same ROUND(SUM(...), 6).
+    """
+    return F.round(F.sum(expr), 6).cast("double").alias(alias)

@@ -57,11 +57,11 @@ WITH a AS (
   SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
-              * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS sum_disc_price,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+              * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))), 6) AS DOUBLE) AS sum_disc_price,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
               * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))
-              * (CAST(1 AS DECIMAL(12,4)) + CAST(l_tax AS DECIMAL(12,4)))) AS DOUBLE) AS sum_charge,
+              * (CAST(1 AS DECIMAL(12,4)) + CAST(l_tax AS DECIMAL(12,4)))), 6) AS DOUBLE) AS sum_charge,
          COUNT(*) AS count_order
   FROM lineitem
   WHERE l_shipdate <= TIMESTAMP '2000-12-01'
@@ -92,8 +92,8 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOP_REVENUE_ORDERS_SQL = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
-            * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS revenue
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+            * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))), 6) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -129,8 +129,8 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 REGION_REVENUE_SQL = """
 SELECT r_name,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
-            * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS revenue,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+            * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))), 6) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -715,8 +715,8 @@ FROM events GROUP BY event_type
 # --- SQL API surface (TPC-H Q6-style via spark.sql) ----------------------
 
 FORECAST_REVENUE_SQL_SPARK = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
-           * CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) AS revenue,
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+           * CAST(l_discount AS DECIMAL(12,4))), 6) AS DOUBLE) AS revenue,
        COUNT(*) AS n_rows
 FROM {lineitem}
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -736,8 +736,8 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 FORECAST_REVENUE_SQL = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
-           * CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) AS revenue,
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+           * CAST(l_discount AS DECIMAL(12,4))), 6) AS DOUBLE) AS revenue,
        COUNT(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
