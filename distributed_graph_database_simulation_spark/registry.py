@@ -4,7 +4,12 @@ Every implemented operator from SURVEY.md §2 appears here as
 ``name -> (spark_fn, oracle_sql | None)``. ``spark_fn(spark, sf_dir)`` returns
 a DataFrame; ``oracle_sql`` is ANSI SQL DuckDB runs on the same parquet views.
 ``None`` marks genuinely non-SQL-expressible ops (traversal-order-dependent
-DFS, iterative float PageRank) — the driver then records a rows-only check.
+DFS, iterative float PageRank, probabilistic SimHash/ANN, HLL sketches) — the
+driver then records a rows-only check; their invariants are pinned in tests.
+
+Imports are deliberately eager: a broken suite must fail the smoke test
+loudly, not silently shrink the registry (a swallowed ImportError here once
+meant losing a whole suite from the correctness gate without any signal).
 """
 
 from __future__ import annotations
@@ -13,34 +18,28 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .operators.dedup import DEDUP_QUERIES
 from .operators.graph_queries import GRAPH_QUERIES
+from .operators.multimodal import MULTIMODAL_QUERIES
 from .operators.relational import RELATIONAL_QUERIES
+from .operators.similarity import SIMILARITY_QUERIES
+from .operators.text_analysis import TEXT_QUERIES
+from .streaming.windowed import STREAMING_QUERIES
 
 ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
-ALL_QUERIES.update(GRAPH_QUERIES)
-ALL_QUERIES.update(RELATIONAL_QUERIES)
-
-
-def _late_imports() -> None:
-    """Pull in optional suites; tolerate partial builds during development."""
-    global ALL_QUERIES
-    for mod, attr in [
-        (".operators.dedup", "DEDUP_QUERIES"),
-        (".operators.similarity", "SIMILARITY_QUERIES"),
-        (".operators.text_analysis", "TEXT_QUERIES"),
-        (".operators.multimodal", "MULTIMODAL_QUERIES"),
-        (".streaming.windowed", "STREAMING_QUERIES"),
-    ]:
-        try:
-            import importlib
-
-            m = importlib.import_module(mod, package=__package__)
-            ALL_QUERIES.update(getattr(m, attr))
-        except (ImportError, AttributeError):
-            pass
-
-
-_late_imports()
+for suite in (
+    GRAPH_QUERIES,
+    RELATIONAL_QUERIES,
+    DEDUP_QUERIES,
+    SIMILARITY_QUERIES,
+    TEXT_QUERIES,
+    MULTIMODAL_QUERIES,
+    STREAMING_QUERIES,
+):
+    overlap = ALL_QUERIES.keys() & suite.keys()
+    if overlap:
+        raise ValueError(f"duplicate registry names: {sorted(overlap)}")
+    ALL_QUERIES.update(suite)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
