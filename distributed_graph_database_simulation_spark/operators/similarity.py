@@ -190,7 +190,75 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_LISTS = 16       # inverted lists (coarse centroids)
+IVF_PROBES = 4       # lists probed per query
+
+
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via IVF (inverted-file) coarse quantization.
+
+    The other classic ANN scale path next to LSH: pick IVF_LISTS coarse
+    centroids (deterministically: the vectors with the IVF_LISTS smallest
+    ids — a real system would k-means them), assign every corpus vector to
+    its nearest centroid (one broadcast pass), then search each query only
+    in its IVF_PROBES closest lists with exact re-ranking.
+
+    At 100 TB: assignment is a narrow map over the corpus (centroids
+    broadcast); the probe join shuffles only (list_id) keys, so query cost
+    scales with corpus/IVF_LISTS * IVF_PROBES instead of the full corpus.
+    Probabilistic recall -> rows-only check; recall floor pinned in tests.
+    """
+    corpus = _with_norm(_emb(spark, sf_dir))
+    cents = corpus.filter(F.col("vec_id") < IVF_LISTS).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("e").alias("ce"),
+        F.col("norm").alias("cnorm"),
+    )
+    c = corpus.alias("v")
+
+    def nearest_lists(df: DataFrame, keep: int, id_col: str) -> DataFrame:
+        """Assign each vector to its `keep` nearest centroid lists."""
+        sim = _dot(F.col("e"), F.col("ce")) / (F.col("norm") * F.col("cnorm"))
+        w = W.partitionBy(id_col).orderBy(F.desc("cent_sim"), F.asc("cent_id"))
+        return (
+            df.join(F.broadcast(cents))
+            .withColumn("cent_sim", sim)
+            .withColumn("cent_rank", F.row_number().over(w))
+            .filter(F.col("cent_rank") <= keep)
+            .drop("ce", "cnorm", "cent_sim", "cent_rank")
+        )
+
+    assigned = nearest_lists(corpus, 1, "vec_id")  # corpus: 1 list each
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES)
+    probed = nearest_lists(queries, IVF_PROBES, "vec_id").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("norm").alias("qnorm"),
+        "cent_id",
+    )
+    cand = (
+        probed.join(assigned, "cent_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id", "qe", "qnorm",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("e").alias("ce2"),
+            F.col("norm").alias("cnorm2"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cos = _dot(F.col("qe"), F.col("ce2")) / (F.col("qnorm") * F.col("cnorm2"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
 SIMILARITY_QUERIES: dict[str, tuple] = {
     "sim_topk_bruteforce": (sim_topk_bruteforce, SIM_TOPK_BRUTEFORCE_SQL),
     "sim_topk_lsh": (sim_topk_lsh, None),
+    "sim_topk_ivf": (sim_topk_ivf, None),
 }

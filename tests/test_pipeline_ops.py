@@ -75,6 +75,22 @@ def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
     assert all(q != n for q, n in approx)
 
 
+def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
+    """IVF probes 4/16 lists: recall well above the 25% corpus fraction
+    because queries rank their own lists first (measured ~0.9 at sf0.01)."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.sim_topk_bruteforce(spark, sf_dir).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.sim_topk_ivf(spark, sf_dir).collect()
+    }
+    assert ivf
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.5, f"IVF recall collapsed: {recall:.2f}"
+
+
 def test_lsh_buckets_are_deterministic(spark, sf_dir):
     df = similarity._with_norm(similarity._emb(spark, sf_dir)).limit(20)
     a = {(r.vec_id, r.table_id): r.bucket for r in similarity._signatures(df).collect()}
