@@ -41,7 +41,14 @@ EDGES: list[tuple[int, int, int]] = [
 
 # Hand-computed pins (FIXTURES.md §3): ascending-neighbor-order DFS
 # (secondary_server.c:157) and BFS levels == shortest unweighted distance.
-DFS_LEAF_PINS = {(1, 0): {0}, (2, 0): {1}, (5, 0): {2, 3, 4}, (7, 0): {3, 5, 6}}
+DFS_LEAF_PINS = {
+    (1, 0): {0},
+    (2, 0): {1},
+    (3, 0): {1},
+    (5, 0): {2, 3, 4},
+    (6, 0): {2, 3, 4},
+    (7, 0): {3, 5, 6},
+}
 BFS_LEVEL_PINS = {
     (1, 0): {(0, 0)},
     (2, 0): {(0, 0), (1, 1)},

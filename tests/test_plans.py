@@ -64,6 +64,18 @@ def test_semi_and_anti_joins_stay_joins(spark, sf_dir):
     assert "LeftSemi" in semi
 
 
+def test_dedup_pair_finders_never_go_quadratic(spark, sf_dir):
+    """Candidate generation must stay a keyed join (inverted index / LSH
+    bands) — a cartesian or nested-loop pair space would be the 100 TB
+    killer this suite is designed around."""
+    from distributed_graph_database_simulation_spark.operators import dedup
+
+    for fn in (dedup.dedup_ngram_jaccard, dedup.dedup_minhash_lsh):
+        plan = _formatted_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+
+
 def test_asof_join_is_single_shuffle_window(spark, sf_dir):
     """The as-of join must stay the union+window plan: exactly one window
     sort, no join of events against orders (which would explode pairs)."""
