@@ -53,7 +53,11 @@ def main() -> int:
     from distributed_graph_database_simulation_spark import registry
     from distributed_graph_database_simulation_spark.session import get_spark
 
-    spark = get_spark("bench")
+    # Shuffle partitions: AQE coalesces big-query reducers anyway; a lower
+    # static default cuts per-stage overhead for the many small-input
+    # queries (superstep frontiers, fixture graphs). Override with
+    # SPARK_GRAFT_SHUFFLE for larger scale factors.
+    spark = get_spark("bench", int(os.environ.get("SPARK_GRAFT_SHUFFLE", "16")))
     queries = registry.queries()
 
     # Warm up the JVM + parquet footers with a trivial action.

@@ -34,6 +34,21 @@ def test_minhash_lsh_equals_exact_jaccard(spark, sf_dir):
     assert exact, "corpus is expected to contain planted near-dups"
 
 
+def test_prefix_filter_equals_count_based_jaccard(spark, sf_dir):
+    """The AllPairs-style prefix-filtered path must be lossless: identical
+    pair set and jaccard values as the full inverted-index plan."""
+    count_based = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    prefix = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup._ngram_jaccard_prefix(spark, sf_dir).collect()
+    }
+    assert prefix == count_based
+    assert count_based
+
+
 def test_simhash_detects_identical_and_is_deterministic(spark, sf_dir):
     docs = spark.createDataFrame(
         [
