@@ -631,6 +631,77 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
 """
 
 
+# --- correlated subqueries (Catalyst decorrelation) ----------------------
+
+PRIORITY_LATE_ORDERS_SQL_SPARK = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM {orders}
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM {lineitem}
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS (correlated on the key AND the
+    outer order date). Catalyst decorrelates it into a left-semi hash join
+    — the plan a hand-written semi join would produce."""
+    return spark.sql(
+        PRIORITY_LATE_ORDERS_SQL_SPARK,
+        orders=_t(spark, sf_dir, "orders"),
+        lineitem=_t(spark, sf_dir, "lineitem"),
+    )
+
+
+PRIORITY_LATE_ORDERS_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+SMALL_QTY_REVENUE_SQL_SPARK = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))), 6) AS DOUBLE) AS total_price,
+       COUNT(*) AS n_rows
+FROM {lineitem} l1
+WHERE l_quantity < (
+    SELECT 0.5 * AVG(l_quantity) FROM {lineitem} l2
+    WHERE l2.l_partkey = l1.l_partkey
+)
+"""
+
+
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average),
+    decorrelated by Catalyst into an aggregate + join."""
+    return spark.sql(
+        SMALL_QTY_REVENUE_SQL_SPARK, lineitem=_t(spark, sf_dir, "lineitem")
+    )
+
+
+SMALL_QTY_REVENUE_SQL = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))), 6) AS DOUBLE) AS total_price,
+       COUNT(*) AS n_rows
+FROM lineitem l1
+WHERE l_quantity < (
+    SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l1.l_partkey
+)
+"""
+
+
 # --- source formats: csv / json round-trip -------------------------------
 
 def multiformat_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -792,6 +863,8 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "rel_approx_distinct": (approx_distinct_parts, None),
     "rel_sql_forecast_revenue": (forecast_revenue, FORECAST_REVENUE_SQL),
     "rel_multiformat_sources": (multiformat_sources, MULTIFORMAT_SOURCES_SQL),
+    "rel_correlated_exists": (priority_late_orders, PRIORITY_LATE_ORDERS_SQL),
+    "rel_correlated_scalar": (small_qty_revenue, SMALL_QTY_REVENUE_SQL),
     "rel_salted_heavy_hitters": (salted_heavy_hitters, SALTED_HEAVY_HITTERS_SQL),
     "rel_distinct_parts_per_flag": (distinct_parts_per_flag, DISTINCT_PARTS_PER_FLAG_SQL),
 }
