@@ -114,6 +114,22 @@ def test_lsh_buckets_are_deterministic(spark, sf_dir):
     assert len(a) == 20 * similarity.LSH_TABLES
 
 
+def test_kernel_guard_refuses_oversized_graph(spark):
+    """The applyInPandas kernels materialize one graph per task; the guard
+    must refuse groups beyond the configured ceiling instead of OOMing."""
+    from pyspark.sql import Row
+
+    from distributed_graph_database_simulation_spark.operators.graph_traversal import (
+        bfs_levels_small,
+    )
+
+    edges = spark.createDataFrame(
+        [Row(graph_id=1, src=i, dst=i + 1) for i in range(5)]
+    )
+    with pytest.raises(Exception, match="too large"):
+        bfs_levels_small(spark, edges, [(1, 0)], max_nodes=1).collect()
+
+
 def test_decode_image_real_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_real(b"\x89PNG\r\n")

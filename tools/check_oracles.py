@@ -50,6 +50,12 @@ def main() -> int:
     ap.add_argument("names", nargs="*")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--keep-going", action="store_true")
+    ap.add_argument(
+        "--bitexact",
+        action="store_true",
+        help="compare float columns for bit equality instead of the "
+        "%%.10g hash (strictest possible driver-hash posture)",
+    )
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
@@ -95,6 +101,22 @@ def main() -> int:
             problems.append(f"rows {len(sdf)} != {len(odf)}")
         if sorted(sdf.columns) != sorted(odf.columns):
             problems.append(f"cols {sorted(sdf.columns)} != {sorted(odf.columns)}")
+        if not problems and args.bitexact:
+            import numpy as np
+
+            cols = sorted(sdf.columns)
+            a = sdf[cols].sort_values(by=cols, ignore_index=True)
+            b = odf[cols].sort_values(by=cols, ignore_index=True)
+            n_bad = 0
+            for c in cols:
+                if str(a[c].dtype).startswith("float"):
+                    av = a[c].to_numpy(dtype="float64")
+                    bv = b[c].to_numpy(dtype="float64")
+                    n_bad += int((~((av == bv) | (np.isnan(av) & np.isnan(bv)))).sum())
+                else:
+                    n_bad += int((a[c].astype(str) != b[c].astype(str)).sum())
+            if n_bad:
+                problems.append(f"{n_bad} bit-exact cell mismatches")
         if not problems:
             hs, ho = value_hash(sdf), value_hash(odf)
             if hs != ho:
