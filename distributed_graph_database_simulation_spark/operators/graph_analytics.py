@@ -123,6 +123,64 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return tri
 
 
+def sssp(
+    spark: SparkSession,
+    edges: DataFrame,
+    start: int,
+    max_iterations: int = 100,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Single-source shortest paths over weighted ``edges(src, dst, weight)``
+    — Bellman-Ford as supersteps (the weighted generalization of BFS; with
+    unit weights it degenerates to exactly the BFS level loop).
+
+    Each superstep relaxes every edge out of the improved frontier:
+    ``dists ⋈ edges -> min per dst -> keep improvements``. Converges in
+    O(longest shortest path) supersteps; monotone decreasing, so
+    termination is when no distance improves. Returns (vertex, distance).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    edges = edges.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+    dists = spark.createDataFrame(
+        [(start, 0)], "vertex INT, distance BIGINT"
+    ).localCheckpoint(eager=True)
+    frontier = dists
+    for it in range(1, max_iterations + 1):
+        f, e = frontier.alias("f"), edges.alias("e")
+        candidates = (
+            f.join(e, F.col("f.vertex") == F.col("e.src"))
+            .select(
+                F.col("e.dst").alias("vertex"),
+                (F.col("f.distance") + F.col("e.weight")).alias("distance"),
+            )
+            .groupBy("vertex")
+            .agg(F.min("distance").alias("distance"))
+        )
+        c, d = candidates.alias("c"), dists.alias("d")
+        improved = (
+            c.join(d, F.col("c.vertex") == F.col("d.vertex"), "left")
+            .filter(
+                F.col("d.distance").isNull()
+                | (F.col("c.distance") < F.col("d.distance"))
+            )
+            .select(F.col("c.vertex").alias("vertex"), F.col("c.distance").alias("distance"))
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        i, d2 = improved.alias("i"), dists.alias("d2")
+        dists = (
+            d2.join(i, F.col("d2.vertex") == F.col("i.vertex"), "left_anti")
+            .unionByName(improved)
+        )
+        if it % checkpoint_every == 0:
+            dists = dists.localCheckpoint(eager=True)
+        frontier = improved
+    edges.unpersist()
+    return dists
+
+
 def pagerank(
     spark: SparkSession,
     graphs: DataFrame,

@@ -19,7 +19,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import fixtures
-from .graph_analytics import connected_components, degrees, pagerank, triangle_count
+from .graph_analytics import (
+    connected_components,
+    degrees,
+    pagerank,
+    sssp,
+    triangle_count,
+)
 from .graph_traversal import bfs_levels, bfs_levels_small, dfs_leaves
 
 PIN_STARTS = [(1, 0), (2, 0), (5, 0), (7, 0)]
@@ -276,6 +282,31 @@ SELECT vertex, CAST(MIN(level) AS INT) AS level FROM walk GROUP BY vertex
 """
 
 
+def sssp_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted SSSP (Bellman-Ford supersteps) on the scale graph with
+    deterministic synthetic weights w = (src*7 + dst) % 9 + 1."""
+    edges = fixtures.scale_edges_df(spark, sf_dir).selectExpr(
+        "src", "dst", "CAST((src * 7 + dst) % 9 + 1 AS BIGINT) AS weight"
+    )
+    return sssp(spark, edges, start=0)
+
+
+SSSP_SCALE_SQL = f"""
+WITH RECURSIVE scale_edges AS ({fixtures.SCALE_GRAPH_SQL}),
+we AS (
+  SELECT src, dst, CAST((src * 7 + dst) % 9 + 1 AS BIGINT) AS weight FROM scale_edges
+),
+walk(vertex, distance) AS (
+  SELECT CAST(0 AS INT), CAST(0 AS BIGINT)
+  UNION
+  SELECT e.dst, w.distance + e.weight
+  FROM walk w JOIN we e ON e.src = w.vertex
+  WHERE w.distance < 500
+)
+SELECT vertex, MIN(distance) AS distance FROM walk GROUP BY vertex
+"""
+
+
 GRAPH_QUERIES: dict[str, tuple] = {
     "g_bfs_levels": (bfs_levels_fixture, BFS_LEVELS_SQL),
     "g_bfs_levels_kernel": (bfs_levels_kernel_fixture, BFS_LEVELS_SQL),
@@ -286,6 +317,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "g_degrees": (degrees_fixture, DEGREES_SQL),
     "g_triangles": (triangles_fixture, TRIANGLES_SQL),
     "g_triangles_scale": (triangles_scale, TRIANGLES_SCALE_SQL),
+    "g_sssp_scale": (sssp_scale, SSSP_SCALE_SQL),
     "g_pagerank": (pagerank_fixture, None),
     "g_bfs_scale": (bfs_scale, BFS_SCALE_SQL),
     "g_store_roundtrip": (store_roundtrip, STORE_ROUNDTRIP_SQL),
