@@ -60,8 +60,19 @@ def main() -> int:
     spark = get_spark("bench", int(os.environ.get("SPARK_GRAFT_SHUFFLE", "16")))
     queries = registry.queries()
 
-    # Warm up the JVM + parquet footers with a trivial action.
+    # Warm up one-time process costs so per-query numbers measure
+    # steady-state plans: parquet footers, whole-stage codegen + exchange
+    # compilation, AQE machinery, and the Arrow/pandas-UDF worker pool.
+    # (Same exclusion the reference gets for its process startup.)
+    from pyspark.sql import functions as F
+
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    warm = spark.range(0, 100_000, 1, 4).withColumn("k", F.col("id") % 100)
+    warm.groupBy("k").count().join(warm, "k").count()  # exchange + join codegen
+    warm.limit(8).localCheckpoint(eager=True).isEmpty()  # superstep plumbing
+    spark.createDataFrame([(1,)], "v int").groupBy("v").applyInPandas(
+        lambda p: p, "v int"
+    ).count()  # python worker pool + Arrow serde
 
     times: dict[str, float] = {}
     for name in HEADLINE:
