@@ -208,12 +208,107 @@ JOIN canon ac ON ac.src = ab.src AND ac.dst = bc.dst
 """
 
 
-def pagerank_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Iterative float algorithm: rows-only driver check (no SQL oracle);
-    # invariants (sum-to-one) are pinned in unit tests.
-    return pagerank(
-        spark, fixtures.fixture_graphs_df(spark), fixtures.fixture_edges_df(spark), iterations=5
+def _micro_ranks(pr: DataFrame) -> DataFrame:
+    """Integer-scaled rank view for the differential check.
+
+    A fixed-iteration power iteration is deterministic up to float summation
+    order, which differs between engines (ulp-level). Scaling to integer
+    micro-units makes the comparison exact while keeping 1e-6 rank
+    resolution; the full-precision surface stays on :func:`pagerank` and is
+    pinned by unit tests.
+    """
+    return pr.select(
+        "graph_id",
+        "vertex",
+        F.round(F.col("rank") * F.lit(1000000.0)).cast("bigint").alias("rank_micro"),
     )
+
+
+def _pagerank_sql(edges_cte: str, graphs_cte: str, iterations: int, damping: float = 0.85) -> str:
+    """Unrolled power-iteration oracle (iteration count is small and fixed,
+    so plain chained CTEs beat a recursive CTE — no aggregate-over-recursive
+    restrictions to dodge). Mirrors :func:`pagerank` step for step, dangling
+    mass included; float literals use repr() so both engines see the exact
+    doubles the Spark loop uses."""
+    base = 1.0 - damping
+    parts = [
+        f"WITH pr_edges AS ({edges_cte}),",
+        f"pr_graphs(graph_id, n) AS ({graphs_cte}),",
+        """outdeg AS (
+  SELECT graph_id, src AS vertex, CAST(COUNT(*) AS DOUBLE) AS out_degree
+  FROM pr_edges GROUP BY graph_id, src
+),
+pr_base AS (
+  SELECT graph_id, CAST(UNNEST(range(n)) AS INT) AS vertex, CAST(n AS DOUBLE) AS n
+  FROM pr_graphs
+),
+it0 AS (SELECT graph_id, vertex, 1.0 / n AS rank FROM pr_base)""",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f""",
+it{k} AS (
+  SELECT b.graph_id, b.vertex,
+         {base!r} / b.n + {damping!r} * (COALESCE(c.received, 0.0)
+                                         + COALESCE(dg.mass, 0.0) / b.n) AS rank
+  FROM pr_base b
+  LEFT JOIN (
+    SELECT e.graph_id, e.dst AS vertex, SUM(r.rank / o.out_degree) AS received
+    FROM it{k - 1} r
+    JOIN outdeg o ON o.graph_id = r.graph_id AND o.vertex = r.vertex
+    JOIN pr_edges e ON e.graph_id = r.graph_id AND e.src = r.vertex
+    GROUP BY e.graph_id, e.dst
+  ) c ON c.graph_id = b.graph_id AND c.vertex = b.vertex
+  LEFT JOIN (
+    SELECT r.graph_id, SUM(r.rank) AS mass
+    FROM it{k - 1} r
+    LEFT JOIN outdeg o ON o.graph_id = r.graph_id AND o.vertex = r.vertex
+    WHERE o.vertex IS NULL
+    GROUP BY r.graph_id
+  ) dg ON dg.graph_id = b.graph_id
+)"""
+        )
+    parts.append(
+        f"""
+SELECT graph_id, vertex, CAST(ROUND(rank * 1000000.0) AS BIGINT) AS rank_micro
+FROM it{iterations}"""
+    )
+    return "\n".join(parts)
+
+
+def pagerank_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _micro_ranks(
+        pagerank(
+            spark, fixtures.fixture_graphs_df(spark), fixtures.fixture_edges_df(spark), iterations=5
+        )
+    )
+
+
+PAGERANK_SQL = _pagerank_sql(
+    f"SELECT * FROM {fixtures.edges_values_sql()}",
+    "VALUES " + ", ".join(f"({g},{n})" for g, n in fixtures.GRAPHS),
+    iterations=5,
+)
+
+
+def pagerank_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power iteration on the orders-derived scale graph (101 vertices,
+    edge count tracks sf; dangling vertices possible — isolated mod classes
+    receive only the uniform + dangling terms)."""
+    from ..sources.graph_text import GRAPH_SCHEMA
+
+    edges = fixtures.scale_edges_df(spark, sf_dir).selectExpr(
+        "CAST(1 AS INT) AS graph_id", "src", "dst"
+    )
+    graphs = spark.createDataFrame([(1, fixtures.SCALE_V)], GRAPH_SCHEMA)
+    return _micro_ranks(pagerank(spark, graphs, edges, iterations=5))
+
+
+PAGERANK_SCALE_SQL = _pagerank_sql(
+    f"SELECT CAST(1 AS INT) AS graph_id, src, dst FROM ({fixtures.SCALE_GRAPH_SQL}) se",
+    f"VALUES (1, {fixtures.SCALE_V})",
+    iterations=5,
+)
 
 
 def store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -318,7 +413,8 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "g_triangles": (triangles_fixture, TRIANGLES_SQL),
     "g_triangles_scale": (triangles_scale, TRIANGLES_SCALE_SQL),
     "g_sssp_scale": (sssp_scale, SSSP_SCALE_SQL),
-    "g_pagerank": (pagerank_fixture, None),
+    "g_pagerank": (pagerank_fixture, PAGERANK_SQL),
+    "g_pagerank_scale": (pagerank_scale, PAGERANK_SCALE_SQL),
     "g_bfs_scale": (bfs_scale, BFS_SCALE_SQL),
     "g_store_roundtrip": (store_roundtrip, STORE_ROUNDTRIP_SQL),
     "g_text_scan": (text_scan, TEXT_SCAN_SQL),
