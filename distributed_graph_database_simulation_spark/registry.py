@@ -24,6 +24,7 @@ from .operators.multimodal import MULTIMODAL_QUERIES
 from .operators.relational import RELATIONAL_QUERIES
 from .operators.similarity import SIMILARITY_QUERIES
 from .operators.text_analysis import TEXT_QUERIES
+from .operators.udf_surface import UDF_SURFACE_QUERIES
 from .streaming.windowed import STREAMING_QUERIES
 
 ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
@@ -34,6 +35,7 @@ for suite in (
     SIMILARITY_QUERIES,
     TEXT_QUERIES,
     MULTIMODAL_QUERIES,
+    UDF_SURFACE_QUERIES,
     STREAMING_QUERIES,
 ):
     overlap = ALL_QUERIES.keys() & suite.keys()

@@ -196,3 +196,42 @@ def test_fingerprint_shape_and_window_count(spark, sf_dir):
         assert len(r.fingerprint) == 32 and all(c in "0123456789abcdef" for c in r.fingerprint)
         expected = max(r.ws_tokens - (text_analysis.WINDOW_W - 1), 0)
         assert r.n_windows == expected
+
+
+def test_udaf_weighted_discount_exact(spark):
+    """Grouped-agg pandas UDAF on a hand-computable frame: the basis-point
+    integer path must give the exact rational answer, not a float drift."""
+    from distributed_graph_database_simulation_spark.operators import udf_surface
+
+    df = spark.createDataFrame(
+        [("A", 500, 10), ("A", 1000, 30), ("B", 0, 5)],
+        "l_returnflag string, disc_bp long, qty long",
+    )
+    out = {
+        r.l_returnflag: (r.w_avg_discount, r.total_qty)
+        for r in df.groupBy("l_returnflag")
+        .agg(
+            udf_surface._weighted_discount("disc_bp", "qty").alias("w_avg_discount"),
+            udf_surface._total_qty("qty").alias("total_qty"),
+        )
+        .collect()
+    }
+    # A: (500*10 + 1000*30) / 40 / 10000 = 35000/40/10000 = 0.0875 exactly
+    assert out["A"] == (0.0875, 40)
+    assert out["B"] == (0.0, 5)
+
+
+def test_udtf_heavy_tokens_literal(spark):
+    """UDTF yields one row per qualifying token, none for sparse docs."""
+    from distributed_graph_database_simulation_spark.operators import udf_surface
+
+    spark.udtf.register("heavy_tokens_t", udf_surface._HeavyTokens)
+    docs = spark.createDataFrame(
+        [(1, " ".join(["a"] * 9 + ["b"] * 8 + ["c"] * 7)), (2, "x y z")],
+        "doc_id long, text string",
+    )
+    rows = spark.sql(
+        "SELECT d.doc_id, t.token, t.n FROM {d} d, LATERAL heavy_tokens_t(d.text) t",
+        d=docs,
+    ).collect()
+    assert {(r.doc_id, r.token, r.n) for r in rows} == {(1, "a", 9), (1, "b", 8)}
