@@ -88,10 +88,12 @@ def bfs_levels(
             .withColumn("level", F.lit(level).cast("int"))
         )
         # Materialize the (small) frontier once per superstep; reuse for the
-        # emptiness check, the union, and the next join. Eager checkpoint =
-        # the reference's level barrier.
-        next_frontier = next_frontier.localCheckpoint(eager=True)
-        if next_frontier.isEmpty():
+        # emptiness check, the union, and the next join. The lazy checkpoint
+        # + count() folds the barrier and the emptiness check into ONE job
+        # per superstep (count is the action that materializes the
+        # checkpoint). Checkpoint = the reference's level barrier.
+        next_frontier = next_frontier.localCheckpoint(eager=False)
+        if next_frontier.count() == 0:
             break
         visited = visited.union(next_frontier)
         if level % checkpoint_every == 0:

@@ -44,6 +44,10 @@ def get_spark(app_name: str = "distributed_graph_database_simulation_spark",
         .config("spark.ui.enabled", "false")
         # Broadcast joins for dimension tables (region/nation/graphs) up to 64 MiB.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The 128-permutation MinHash aggregate is >100 fields wide; keep it
+        # (and any similarly wide plan) inside whole-stage codegen instead of
+        # silently dropping to interpreted mode (~25% on the signature stage).
+        .config("spark.sql.codegen.maxFields", "256")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -233,6 +233,118 @@ FROM events GROUP BY user_id
 """
 
 
+def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the streaming events feed enriched against the
+    (static, broadcastable) customer dimension, then windowed per segment.
+
+    The static side is re-read per micro-batch by the engine; at scale it is
+    a broadcast-hash join inside each batch — no stream state at all, which
+    is why stream-static inner joins need no watermark."""
+    from ..sources.tables import load_table
+
+    ev = _events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        ev.join(cust, "user_id")
+        .groupBy(F.window("ts", "1 day").alias("w"), "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("day"), "c_mktsegment", "n_events", "sum_value")
+    )
+    return _run_bounded(agg, spark, "stream_static_enrichment", "complete")
+
+
+STREAM_STATIC_ENRICHMENT_SQL = """
+SELECT date_trunc('day', e.ts) AS day, c.c_mktsegment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY date_trunc('day', e.ts), c.c_mktsegment
+"""
+
+
+def stream_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same user's
+    clicks in the preceding hour.
+
+    Both sides carry event-time watermarks; the join condition's time bounds
+    let the engine evict click state older than (watermark - 1 hour) — the
+    canonical bounded-state stream-stream join. Inner-join matches emit as
+    soon as both rows have arrived (no watermark-close delay), so a bounded
+    availableNow run yields exactly the batch answer."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "value",
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("click_user") == F.col("user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        # exact integer seconds: engine-portable, no float timestamp math
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_micros"),
+    )
+    return _run_bounded(joined, spark, "stream_stream_click_purchase", "append")
+
+
+STREAM_STREAM_CLICK_PURCHASE_SQL = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS lag_micros
+FROM events p
+JOIN events c ON c.event_type = 'click' AND p.event_type = 'purchase'
+  AND c.user_id = p.user_id
+  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '1 hour'
+"""
+
+
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup under a watermark: the events stream unioned with a
+    second copy of itself (every row arrives twice) and collapsed by
+    ``dropDuplicatesWithinWatermark`` on event_id.
+
+    First occurrence passes through and is emitted immediately; duplicates
+    are dropped while the key is within the watermark horizon, after which
+    its state is evicted — the bounded-state form of streaming dedup (plain
+    ``dropDuplicates`` on a stream retains keys forever)."""
+    doubled = _events_stream(spark, sf_dir).unionByName(_events_stream(spark, sf_dir))
+    deduped = (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return _run_bounded(deduped, spark, "stream_dedup_events", "append")
+
+
+STREAM_DEDUP_EVENTS_SQL = """
+SELECT event_id, user_id, event_type FROM events
+"""
+
+
 STREAMING_QUERIES: dict[str, tuple] = {
     "stream_events_hourly": (stream_events_hourly, STREAM_EVENTS_HOURLY_SQL),
     "stream_events_sliding": (stream_events_sliding, STREAM_EVENTS_SLIDING_SQL),
@@ -241,4 +353,10 @@ STREAMING_QUERIES: dict[str, tuple] = {
         stream_stateful_user_totals,
         STREAM_STATEFUL_USER_TOTALS_SQL,
     ),
+    "stream_static_enrichment": (stream_static_enrichment, STREAM_STATIC_ENRICHMENT_SQL),
+    "stream_stream_click_purchase": (
+        stream_stream_click_purchase,
+        STREAM_STREAM_CLICK_PURCHASE_SQL,
+    ),
+    "stream_dedup_events": (stream_dedup_events, STREAM_DEDUP_EVENTS_SQL),
 }
