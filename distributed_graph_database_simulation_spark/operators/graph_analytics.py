@@ -74,23 +74,29 @@ def connected_components(
                          & (F.col("lbl.vertex") == F.col("e.src")))
             .select(F.col("e.graph_id").alias("graph_id"),
                     F.col("e.dst").alias("vertex"),
-                    F.col("lbl.component").alias("component"))
+                    F.col("lbl.component").alias("component"),
+                    F.lit(None).cast("int").alias("old_component"))
         )
+        # Each vertex has exactly ONE label row, so threading the previous
+        # label through the min-aggregate (max over {old, NULL...}) lets the
+        # convergence test ride the SAME shuffle as the label update: one
+        # job per superstep (materialize-checkpoint + changed-count), where
+        # a separate new-vs-old join would be a second job with two scans.
         new_labels = (
-            labels.unionByName(msgs)
+            labels.withColumn("old_component", F.col("component"))
+            .unionByName(msgs)
             .groupBy("graph_id", "vertex")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.max("old_component").alias("old_component"),
+            )
+            .localCheckpoint(eager=False)
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        a, b = new_labels.alias("a"), labels.alias("b")
-        converged = (
-            a.join(b, on=(F.col("a.graph_id") == F.col("b.graph_id"))
-                       & (F.col("a.vertex") == F.col("b.vertex")))
-            .filter(F.col("a.component") != F.col("b.component"))
-            .isEmpty()
-        )
-        labels = new_labels
-        if converged:  # no label decreased -> done
+        n_changed = new_labels.filter(
+            F.col("component") < F.col("old_component")
+        ).count()
+        labels = new_labels.drop("old_component")
+        if n_changed == 0:  # no label decreased -> done
             break
     return labels
 
@@ -165,9 +171,11 @@ def sssp(
                 | (F.col("c.distance") < F.col("d.distance"))
             )
             .select(F.col("c.vertex").alias("vertex"), F.col("c.distance").alias("distance"))
-            .localCheckpoint(eager=True)
+            # lazy checkpoint + count: barrier and termination test in ONE
+            # job per superstep (count materializes the checkpoint)
+            .localCheckpoint(eager=False)
         )
-        if improved.isEmpty():
+        if improved.count() == 0:
             break
         i, d2 = improved.alias("i"), dists.alias("d2")
         dists = (
@@ -211,6 +219,14 @@ def pagerank(
     out_deg = edges.groupBy("graph_id", F.col("src").alias("vertex")).agg(
         F.count("*").alias("out_degree")
     ).localCheckpoint(eager=True)
+    # The dangling-vertex SET is loop-invariant (out_degree is static):
+    # materialize it once so each superstep's dangling-mass pass is a
+    # broadcast semi-join + tiny agg, not a recomputed anti-join.
+    dangling_verts = (
+        base.select("graph_id", "vertex")
+        .join(out_deg, ["graph_id", "vertex"], "left_anti")
+        .localCheckpoint(eager=True)
+    )
     ranks = base.select(
         "graph_id", "vertex", (F.lit(1.0) / F.col("n_vertices")).alias("rank")
     ).localCheckpoint(eager=True)
@@ -228,8 +244,11 @@ def pagerank(
             .agg(F.sum("contrib").alias("received"))
         )
         # Dangling vertices (out_degree 0) leak rank; redistribute uniformly.
+        # Semi-join against the precomputed (broadcast-sized per graph)
+        # dangling set — NOT a derived view of contrib, which would evaluate
+        # the contribution join twice per superstep.
         dangling = (
-            ranks.join(out_deg, ["graph_id", "vertex"], "left_anti")
+            ranks.join(dangling_verts, ["graph_id", "vertex"], "left_semi")
             .groupBy("graph_id")
             .agg(F.sum("rank").alias("dangling_mass"))
         )

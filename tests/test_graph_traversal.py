@@ -112,3 +112,21 @@ def test_pagerank_sums_to_one(spark, graphs, edges):
     sums = pdf.groupby("graph_id")["rank"].sum()
     for g, s in sums.items():
         assert abs(s - 1.0) < 1e-6, (g, s)
+
+
+def test_pagerank_dangling_and_edgeless(spark):
+    """Dangling mass via 1 - sum(received) must match the explicit
+    semantics: a pure sink vertex redistributes, and a graph with NO edges
+    at all converges to the uniform distribution."""
+    # graph 1: 0 -> 1, vertex 1 is dangling; graph 2: two vertices, no edges
+    graphs = spark.createDataFrame([(1, 2), (2, 2)], "graph_id INT, n INT")
+    edges = spark.createDataFrame([(1, 0, 1)], "graph_id INT, src INT, dst INT")
+    out = pagerank(spark, graphs, edges, iterations=20)
+    ranks = {(r.graph_id, r.vertex): r.rank for r in out.collect()}
+    # edgeless graph: exactly uniform at every iteration
+    assert abs(ranks[(2, 0)] - 0.5) < 1e-12
+    assert abs(ranks[(2, 1)] - 0.5) < 1e-12
+    # dangling fixed point: r0 = 0.15/2 + 0.85*r1/2, r1 = same + 0.85*r0,
+    # mass sums to 1
+    assert abs(ranks[(1, 0)] + ranks[(1, 1)] - 1.0) < 1e-9
+    assert ranks[(1, 1)] > ranks[(1, 0)]  # sink receives strictly more
