@@ -705,11 +705,11 @@ WHERE l_quantity < (
 # --- source formats: csv / json round-trip -------------------------------
 
 def multiformat_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CSV and JSON scan surface: export a nation/region slice to both
-    formats, read each back with explicit schemas, join and aggregate.
+    """CSV, JSON and ORC scan surface: export nation/region/supplier to the
+    three formats, read each back with explicit schemas, join and aggregate.
 
-    The oracle reads the original parquet, so the answer proves both codecs
-    round-trip values (ints, strings, dates survive csv+json). Files land
+    The oracle reads the original parquet, so the answer proves all three
+    codecs round-trip values (ints, strings, doubles survive). Files land
     in a scratch dir; at scale these are the standard landing-zone formats
     in front of parquet.
     """
@@ -719,30 +719,43 @@ def multiformat_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _os.path.join(tempfile.gettempdir(), "dgds_multiformat")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
+    supplier = _t(spark, sf_dir, "supplier")
     nation.write.mode("overwrite").option("header", True).csv(f"{base}/nation_csv")
     region.write.mode("overwrite").json(f"{base}/region_json")
+    supplier.write.mode("overwrite").orc(f"{base}/supplier_orc")
     nation_csv = (
         spark.read.option("header", True)
         .schema(nation.schema)
         .csv(f"{base}/nation_csv")
     )
     region_json = spark.read.schema(region.schema).json(f"{base}/region_json")
+    supplier_orc = spark.read.orc(f"{base}/supplier_orc")
     return (
-        nation_csv.join(
+        supplier_orc.join(
+            F.broadcast(nation_csv),
+            supplier_orc["s_nationkey"] == nation_csv["n_nationkey"],
+        )
+        .join(
             F.broadcast(region_json),
             nation_csv["n_regionkey"] == region_json["r_regionkey"],
         )
         .groupBy("r_name")
         .agg(
-            F.count("*").alias("n_nations"),
+            F.countDistinct("n_nationkey").alias("n_nations"),
+            F.count("*").alias("n_suppliers"),
             F.min("n_name").alias("first_nation"),
         )
     )
 
 
 MULTIFORMAT_SOURCES_SQL = """
-SELECT r_name, COUNT(*) AS n_nations, MIN(n_name) AS first_nation
-FROM nation JOIN region ON n_regionkey = r_regionkey
+SELECT r_name,
+       COUNT(DISTINCT n_nationkey) AS n_nations,
+       COUNT(*) AS n_suppliers,
+       MIN(n_name) AS first_nation
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
 """
 
