@@ -4,9 +4,10 @@
 the reference fixture graphs) at sf0.001. ``queries()`` /
 ``oracle_sql()`` expose the full operator registry
 (distributed_graph_database_simulation_spark.registry); every SQL-expressible
-operator carries a DuckDB oracle, the rest (DFS-leaf order-dependent
-traversal, iterative PageRank, LSH bucketing internals) use the rows-only
-check as documented in their modules.
+operator carries a DuckDB oracle — including fixed-iteration PageRank
+(unrolled power-iteration CTE, integer micro-rank compare) — the rest
+(DFS-leaf order-dependent traversal, probabilistic SimHash/ANN bucketing,
+HLL sketches) use the rows-only check as documented in their modules.
 """
 
 from __future__ import annotations
