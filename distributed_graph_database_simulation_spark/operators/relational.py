@@ -760,6 +760,62 @@ GROUP BY r_name
 """
 
 
+# --- bucketed co-located join (shuffle-free at any scale) ----------------
+
+def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ lineitem with BOTH sides bucketed on the join key.
+
+    `bucketBy(orderkey)` at write time pre-partitions the data so the join
+    needs NO exchange at read time — at 100 TB this converts the single
+    most expensive shuffle (fact-fact join) into a zero-network merge of
+    co-located buckets; `tests/test_plans.py` pins the exchange-free plan.
+    The bucket count (8 here for the local run) scales to thousands on a
+    cluster; only bucket-count parity between the two tables matters.
+    """
+    import os
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for tbl in ("dgds_orders_b", "dgds_lineitem_b"):
+        # in-memory catalog forgets tables between sessions but the files
+        # survive; clear both so overwrite semantics stay deterministic
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(os.path.join(warehouse, tbl), ignore_errors=True)
+    _t(spark, sf_dir, "orders").write.bucketBy(8, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).mode("overwrite").saveAsTable("dgds_orders_b")
+    _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("dgds_lineitem_b")
+    joined = bucketed_join_bare(spark)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        dsum_expr(dec("l_extendedprice") * (F.lit(1).cast("decimal(12,4)")
+                                            - dec("l_discount")), "revenue"),
+    )
+
+
+def bucketed_join_bare(spark: SparkSession) -> DataFrame:
+    """The exchange-free join itself (plan-test target; assumes the bucketed
+    tables exist). The merge hint only pins the join strategy — the absence
+    of shuffles comes from the matching bucket layout, not the hint."""
+    ob = spark.table("dgds_orders_b").select("o_orderkey", "o_orderpriority")
+    lb = spark.table("dgds_lineitem_b")
+    return ob.hint("merge").join(lb, ob["o_orderkey"] == lb["l_orderkey"])
+
+
+BUCKETED_JOIN_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_items,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+             * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))), 6)
+            AS DOUBLE) AS revenue
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 # --- two-phase salted aggregation (skew pattern) -------------------------
 
 N_SALTS = 16
@@ -879,5 +935,6 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "rel_correlated_exists": (priority_late_orders, PRIORITY_LATE_ORDERS_SQL),
     "rel_correlated_scalar": (small_qty_revenue, SMALL_QTY_REVENUE_SQL),
     "rel_salted_heavy_hitters": (salted_heavy_hitters, SALTED_HEAVY_HITTERS_SQL),
+    "rel_bucketed_join": (bucketed_join, BUCKETED_JOIN_SQL),
     "rel_distinct_parts_per_flag": (distinct_parts_per_flag, DISTINCT_PARTS_PER_FLAG_SQL),
 }

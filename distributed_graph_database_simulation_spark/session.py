@@ -48,6 +48,10 @@ def get_spark(app_name: str = "distributed_graph_database_simulation_spark",
         # (and any similarly wide plan) inside whole-stage codegen instead of
         # silently dropping to interpreted mode (~25% on the signature stage).
         .config("spark.sql.codegen.maxFields", "256")
+        # Bucketed-table demos (rel_bucketed_join) write through the catalog;
+        # keep the warehouse out of the repo/cwd.
+        .config("spark.sql.warehouse.dir", os.path.join(
+            os.environ.get("TMPDIR", "/tmp"), "dgds_warehouse"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

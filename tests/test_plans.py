@@ -83,3 +83,14 @@ def test_asof_join_is_single_shuffle_window(spark, sf_dir):
     assert "Window" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Matching bucket layouts on both sides must make the fact-fact join
+    shuffle-free: zero Exchange operators anywhere in the join plan, and
+    the scans actually report their bucketing."""
+    relational.bucketed_join(spark, sf_dir)  # (re)write the bucketed tables
+    plan = _formatted_plan(relational.bucketed_join_bare(spark))
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan
