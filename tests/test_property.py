@@ -92,3 +92,44 @@ def test_superstep_and_kernel_bfs_agree(sess, matrix):
         for r in bfs_levels_small(sess, edges, [(1, 0)]).collect()
     }
     assert big == small
+
+
+def _py_components(matrix: list[list[int]]) -> dict[int, int]:
+    """Union-find over the undirected closure — an independent algorithm
+    (not label propagation) giving vertex -> min id of its component."""
+    n = len(matrix)
+    parent = list(range(n))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(n):
+        for j in range(n):
+            if matrix[i][j] == 1:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    comp_min: dict[int, int] = {}
+    for v in range(n):
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    return {v: comp_min[find(v)] for v in range(n)}
+
+
+@given(matrix=matrices)
+@_SETTINGS
+def test_connected_components_match_union_find(sess, matrix):
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        connected_components,
+    )
+
+    n = len(matrix)
+    graphs, edges = matrix_to_edges(sess, 1, matrix)
+    got = {
+        r.vertex: r.component
+        for r in connected_components(sess, graphs, edges).collect()
+    }
+    assert got == _py_components(matrix)
