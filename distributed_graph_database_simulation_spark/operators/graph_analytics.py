@@ -101,6 +101,62 @@ def connected_components(
     return labels
 
 
+def label_propagation(
+    spark: SparkSession,
+    graphs: DataFrame,
+    edges: DataFrame,
+    iterations: int = 4,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Synchronous label-propagation communities (fixed iterations).
+
+    Each superstep every vertex adopts the most frequent label among its
+    undirected neighbors, ties broken by MIN label; isolated vertices keep
+    their own. Initial label = vertex id. All-integer arithmetic and the
+    min tie-break make the fixed-iteration result fully deterministic —
+    unlike classic randomized LPA — so it carries an exact unrolled-CTE
+    oracle. One count-shuffle + one top-1 window per superstep; the window
+    partitions on the same (graph_id, vertex) key the count shuffle
+    produced, so Catalyst plans them in a single exchange.
+    """
+    from pyspark.sql.window import Window
+
+    ue = undirected(edges).localCheckpoint(eager=True)
+    base = vertices(graphs).localCheckpoint(eager=True)
+    labels = base.withColumn("label", F.col("vertex"))
+    for it in range(1, iterations + 1):
+        lbl, e = labels.alias("lbl"), ue.alias("e")
+        counts = (
+            lbl.join(e, on=(F.col("lbl.graph_id") == F.col("e.graph_id"))
+                         & (F.col("lbl.vertex") == F.col("e.src")))
+            .groupBy(
+                F.col("e.graph_id").alias("graph_id"),
+                F.col("e.dst").alias("vertex"),
+                F.col("lbl.label").alias("label"),
+            )
+            .agg(F.count("*").alias("cnt"))
+        )
+        w = Window.partitionBy("graph_id", "vertex").orderBy(
+            F.col("cnt").desc(), F.col("label").asc()
+        )
+        best = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("graph_id", "vertex", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(best, ["graph_id", "vertex"], "left")
+            .select(
+                "graph_id",
+                "vertex",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+        )
+        if it % checkpoint_every == 0 or it == iterations:
+            labels = labels.localCheckpoint(eager=True)
+    return labels
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Triangles per graph on the undirected simple graph (no self-loops).
 

@@ -22,6 +22,7 @@ from .. import fixtures
 from .graph_analytics import (
     connected_components,
     degrees,
+    label_propagation,
     pagerank,
     sssp,
     triangle_count,
@@ -276,6 +277,78 @@ FROM it{iterations}"""
     return "\n".join(parts)
 
 
+def _label_propagation_sql(edges_cte: str, graphs_cte: str, iterations: int) -> str:
+    """Unrolled synchronous-LPA oracle (all-integer; min tie-break) —
+    mirrors :func:`label_propagation` superstep for superstep."""
+    parts = [
+        f"WITH lp_edges AS ({edges_cte}),",
+        f"lp_graphs(graph_id, n) AS ({graphs_cte}),",
+        """ue(graph_id, src, dst) AS (
+  SELECT graph_id, src, dst FROM lp_edges
+  UNION
+  SELECT graph_id, dst, src FROM lp_edges
+),
+lp_base AS (
+  SELECT graph_id, CAST(UNNEST(range(n)) AS INT) AS vertex FROM lp_graphs
+),
+it0 AS (SELECT graph_id, vertex, vertex AS label FROM lp_base)""",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f""",
+it{k} AS (
+  SELECT b.graph_id, b.vertex, COALESCE(w.new_label, p.label) AS label
+  FROM lp_base b
+  JOIN it{k - 1} p ON p.graph_id = b.graph_id AND p.vertex = b.vertex
+  LEFT JOIN (
+    SELECT graph_id, vertex, label AS new_label FROM (
+      SELECT graph_id, vertex, label,
+             ROW_NUMBER() OVER (PARTITION BY graph_id, vertex
+                                ORDER BY cnt DESC, label ASC) AS rn
+      FROM (
+        SELECT e.graph_id, e.dst AS vertex, p2.label, COUNT(*) AS cnt
+        FROM ue e
+        JOIN it{k - 1} p2 ON p2.graph_id = e.graph_id AND p2.vertex = e.src
+        GROUP BY e.graph_id, e.dst, p2.label
+      ) c
+    ) r WHERE rn = 1
+  ) w ON w.graph_id = b.graph_id AND w.vertex = b.vertex
+)"""
+        )
+    parts.append(f"\nSELECT graph_id, vertex, label FROM it{iterations}")
+    return "\n".join(parts)
+
+
+def label_propagation_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return label_propagation(
+        spark, fixtures.fixture_graphs_df(spark), fixtures.fixture_edges_df(spark), iterations=4
+    )
+
+
+LABEL_PROPAGATION_SQL = _label_propagation_sql(
+    f"SELECT * FROM {fixtures.edges_values_sql()}",
+    "VALUES " + ", ".join(f"({g},{n})" for g, n in fixtures.GRAPHS),
+    iterations=4,
+)
+
+
+def label_propagation_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.graph_text import GRAPH_SCHEMA
+
+    edges = fixtures.scale_edges_df(spark, sf_dir).selectExpr(
+        "CAST(1 AS INT) AS graph_id", "src", "dst"
+    )
+    graphs = spark.createDataFrame([(1, fixtures.SCALE_V)], GRAPH_SCHEMA)
+    return label_propagation(spark, graphs, edges, iterations=4)
+
+
+LABEL_PROPAGATION_SCALE_SQL = _label_propagation_sql(
+    f"SELECT CAST(1 AS INT) AS graph_id, src, dst FROM ({fixtures.SCALE_GRAPH_SQL}) se",
+    f"VALUES (1, {fixtures.SCALE_V})",
+    iterations=4,
+)
+
+
 def pagerank_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _micro_ranks(
         pagerank(
@@ -415,6 +488,8 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "g_sssp_scale": (sssp_scale, SSSP_SCALE_SQL),
     "g_pagerank": (pagerank_fixture, PAGERANK_SQL),
     "g_pagerank_scale": (pagerank_scale, PAGERANK_SCALE_SQL),
+    "g_label_propagation": (label_propagation_fixture, LABEL_PROPAGATION_SQL),
+    "g_label_propagation_scale": (label_propagation_scale, LABEL_PROPAGATION_SCALE_SQL),
     "g_bfs_scale": (bfs_scale, BFS_SCALE_SQL),
     "g_store_roundtrip": (store_roundtrip, STORE_ROUNDTRIP_SQL),
     "g_text_scan": (text_scan, TEXT_SCAN_SQL),

@@ -130,3 +130,23 @@ def test_pagerank_dangling_and_edgeless(spark):
     # mass sums to 1
     assert abs(ranks[(1, 0)] + ranks[(1, 1)] - 1.0) < 1e-9
     assert ranks[(1, 1)] > ranks[(1, 0)]  # sink receives strictly more
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two disconnected triangles must converge to two communities labeled
+    by their minimum vertex ids (deterministic sync LPA, min tie-break)."""
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        label_propagation,
+    )
+
+    tri_a = [(0, 1), (1, 2), (2, 0)]
+    tri_b = [(3, 4), (4, 5), (5, 3)]
+    edges = spark.createDataFrame(
+        [(1, s, d) for s, d in tri_a + tri_b], "graph_id INT, src INT, dst INT"
+    )
+    graphs = spark.createDataFrame([(1, 6)], "graph_id INT, n INT")
+    out = {
+        r.vertex: r.label
+        for r in label_propagation(spark, graphs, edges, iterations=4).collect()
+    }
+    assert out == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3}
