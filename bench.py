@@ -57,7 +57,9 @@ def main() -> int:
     # static default cuts per-stage overhead for the many small-input
     # queries (superstep frontiers, fixture graphs). Override with
     # SPARK_GRAFT_SHUFFLE for larger scale factors.
-    spark = get_spark("bench", int(os.environ.get("SPARK_GRAFT_SHUFFLE", "16")))
+    # 8 measured best at sf0.1 on local[32] (4 starves minhash/jaccard
+    # parallelism, 16+ pays task overhead on the superstep loops).
+    spark = get_spark("bench", int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8")))
     queries = registry.queries()
 
     # Warm up one-time process costs so per-query numbers measure
