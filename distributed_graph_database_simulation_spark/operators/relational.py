@@ -760,6 +760,42 @@ GROUP BY r_name
 """
 
 
+# --- ordered-statistic aggregation ---------------------------------------
+
+def quantiles_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group: continuous (interpolated) and discrete.
+
+    Spark ``percentile`` and DuckDB ``quantile_cont`` share the
+    ``(n-1)*p`` interpolation definition, and on integral-valued doubles
+    the interpolation arithmetic is IEEE-identical — so even ordered
+    statistics are differential-checkable without rounding slop.
+    ``percentile_disc`` picks an actual data value (no arithmetic at all).
+    At scale this is the sort-based aggregate family: per-group sort within
+    the hash-partitioned shuffle, no global sort.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5D)").alias("p50_qty"),
+        F.expr("percentile(l_quantity, 0.9D)").alias("p90_qty"),
+        F.expr(
+            "percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("q1_price"),
+        F.expr(
+            "percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("q3_price"),
+    )
+
+
+QUANTILES_PER_FLAG_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS p50_qty,
+       quantile_cont(l_quantity, 0.9) AS p90_qty,
+       quantile_disc(l_extendedprice, 0.25) AS q1_price,
+       quantile_disc(l_extendedprice, 0.75) AS q3_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # --- bucketed co-located join (shuffle-free at any scale) ----------------
 
 def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -936,5 +972,6 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "rel_correlated_scalar": (small_qty_revenue, SMALL_QTY_REVENUE_SQL),
     "rel_salted_heavy_hitters": (salted_heavy_hitters, SALTED_HEAVY_HITTERS_SQL),
     "rel_bucketed_join": (bucketed_join, BUCKETED_JOIN_SQL),
+    "rel_quantiles": (quantiles_per_flag, QUANTILES_PER_FLAG_SQL),
     "rel_distinct_parts_per_flag": (distinct_parts_per_flag, DISTINCT_PARTS_PER_FLAG_SQL),
 }
