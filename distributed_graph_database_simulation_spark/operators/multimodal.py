@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StructField,
@@ -144,6 +145,106 @@ FROM t
 """
 
 
+def decode_audio_real(payload: bytes) -> object:
+    """Real audio decode — requires soundfile/librosa, absent here (stub)."""
+    try:
+        import soundfile  # noqa: F401
+        import io
+
+        return soundfile.read(io.BytesIO(payload))
+    except ImportError as e:
+        raise NotImplementedError(
+            "audio decoding requires soundfile; container provides none "
+            "(stubbed). mm_audio_features runs the same plumbing over the "
+            "payload interpreted as 8-bit PCM."
+        ) from e
+
+
+_AUDIO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("peak", IntegerType()),
+        StructField("zero_crossings", LongType()),
+        StructField("rms", DoubleType()),
+    ]
+)
+
+_PCM_CENTER = 100  # ASCII corpus straddles this; 128 would never cross
+
+
+def _audio_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Audio-shaped features over payload bytes as 8-bit PCM samples.
+
+    Same one-buffer + reduceat vectorization as the image features; the
+    crossing mask appends a zero per segment end so boundary pairs never
+    leak between payloads. RMS is sqrt(int-exact sum of squares / n) —
+    two IEEE-exact ops, so the doubles match any engine bit for bit.
+    """
+    import numpy as np
+
+    for pdf in batches:
+        payloads = pdf["payload"]
+        lens = payloads.map(len).to_numpy(dtype="int64")
+        buf = np.frombuffer(b"".join(payloads), dtype=np.uint8).astype(np.int64)
+        offsets = np.zeros(len(lens), dtype="int64")
+        np.cumsum(lens[:-1], out=offsets[1:])
+        nonempty = lens > 0
+        peaks = np.full(len(lens), -1, dtype="int32")
+        sq_sums = np.zeros(len(lens), dtype="int64")
+        crossings = np.zeros(len(lens), dtype="int64")
+        if buf.size:
+            peaks[nonempty] = np.maximum.reduceat(buf, offsets[nonempty])
+            sq_sums[nonempty] = np.add.reduceat(buf * buf, offsets[nonempty])
+            cross = np.zeros(buf.size, dtype="int64")
+            if buf.size > 1:
+                cross[:-1] = (buf[:-1] < _PCM_CENTER) != (buf[1:] < _PCM_CENTER)
+            cross[(offsets + lens - 1)[nonempty]] = 0  # no cross-payload pairs
+            crossings[nonempty] = np.add.reduceat(cross, offsets[nonempty])
+        rms = np.zeros(len(lens), dtype="float64")
+        ne = nonempty
+        rms[ne] = np.sqrt(sq_sums[ne].astype("float64") / lens[ne].astype("float64"))
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "n_samples": lens,
+                "peak": peaks,
+                "zero_crossings": crossings,
+                "rms": rms,
+            }
+        )
+
+
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-payload PCM sample statistics via Arrow-batched ``mapInPandas`` —
+    the audio leg of the multimodal surface (decode stubbed, plumbing and
+    math real; see :func:`decode_audio_real`)."""
+    return media_table(spark, sf_dir).mapInPandas(
+        _audio_batches, schema=_AUDIO_SCHEMA
+    )
+
+
+MM_AUDIO_FEATURES_SQL = f"""
+WITH t AS (SELECT doc_id AS media_id, text FROM documents),
+b AS (
+  SELECT media_id, length(text) AS n,
+         list_transform(range(1, length(text) + 1), i -> ord(text[i])) AS s
+  FROM t
+)
+SELECT media_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(CASE WHEN n > 0 THEN list_max(s) ELSE -1 END AS INT) AS peak,
+       CAST(COALESCE(list_sum(list_transform(range(1, n),
+                i -> CASE WHEN (s[i] < {_PCM_CENTER}) <> (s[i + 1] < {_PCM_CENTER})
+                     THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings,
+       CASE WHEN n > 0
+            THEN sqrt(CAST(list_sum(list_transform(s, x -> x * x)) AS DOUBLE)
+                      / CAST(n AS DOUBLE))
+            ELSE 0.0 END AS rms
+FROM b
+"""
+
+
 _FRAMES_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -214,4 +315,5 @@ FROM frames
 MULTIMODAL_QUERIES: dict[str, tuple] = {
     "mm_image_features": (mm_image_features, MM_IMAGE_FEATURES_SQL),
     "mm_frame_sample": (mm_frame_sample, MM_FRAME_SAMPLE_SQL),
+    "mm_audio_features": (mm_audio_features, MM_AUDIO_FEATURES_SQL),
 }

@@ -235,3 +235,31 @@ def test_udtf_heavy_tokens_literal(spark):
         d=docs,
     ).collect()
     assert {(r.doc_id, r.token, r.n) for r in rows} == {(1, "a", 9), (1, "b", 8)}
+
+
+def test_decode_audio_real_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio_real(b"\x00\x01")
+
+
+def test_audio_features_literal(spark):
+    """Hand-computable PCM stats: bytes 'a?a' = (97, 63, 97) around the
+    100 centerline -> 0 crossings; ' Ã ' style crossing pairs counted."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "media_id": [1, 2],
+            "payload": [b"aza", b""],  # a=97 z=122: crossings at 97->122, 122->97
+            "width": [1, 1],
+            "height": [1, 1],
+            "n_frames": [1, 1],
+            "mime": ["fake/raw", "fake/raw"],
+        }
+    )
+    out = list(multimodal._audio_batches(iter([pdf])))[0]
+    r1 = out[out.media_id == 1].iloc[0]
+    assert r1.n_samples == 3 and r1.peak == 122 and r1.zero_crossings == 2
+    assert abs(r1.rms - ((97 * 97 + 122 * 122 + 97 * 97) / 3) ** 0.5) < 1e-12
+    r2 = out[out.media_id == 2].iloc[0]
+    assert r2.n_samples == 0 and r2.peak == -1 and r2.zero_crossings == 0 and r2.rms == 0.0
