@@ -115,9 +115,11 @@ def label_propagation(
     their own. Initial label = vertex id. All-integer arithmetic and the
     min tie-break make the fixed-iteration result fully deterministic —
     unlike classic randomized LPA — so it carries an exact unrolled-CTE
-    oracle. One count-shuffle + one top-1 window per superstep; the window
-    partitions on the same (graph_id, vertex) key the count shuffle
-    produced, so Catalyst plans them in a single exchange.
+    oracle. Two exchanges per superstep: the count aggregate on
+    (graph_id, vertex, label), then the narrower (graph_id, vertex)
+    re-shuffle for the top-1 window — where Spark's WindowGroupLimit
+    prunes to one candidate row per vertex on the map side, so the second
+    exchange carries O(V) rows, not O(V x labels).
     """
     from pyspark.sql.window import Window
 
