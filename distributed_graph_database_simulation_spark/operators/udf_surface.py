@@ -77,7 +77,9 @@ UDAF_WEIGHTED_DISCOUNT_SQL = """
 SELECT l_returnflag,
        CAST(SUM(CAST(ROUND(l_discount * 10000) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE)
          / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / 10000.0 AS w_avg_discount,
-       SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+       -- cast back down: DuckDB promotes SUM(BIGINT) to HUGEINT, which
+       -- pandas renders as float64 and the strict dtype compare rejects
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
 FROM lineitem
 GROUP BY l_returnflag
 """

@@ -94,3 +94,48 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan, plan
     assert plan.count("Bucketed: true") == 2, plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling, demonstrated end-to-end: a 95%-one-key join
+    re-planned at runtime into `SortMergeJoin(skew=true)` with an
+    `AQEShuffleRead skewed` input. Thresholds are lowered so local-scale
+    data exhibits the 100 TB failure mode; session defaults are restored."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.5",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {}
+    for k, v in tuned.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        facts = spark.range(2_000_000).select(
+            F.when(F.col("id") < 1_900_000, F.lit(0)).otherwise(F.col("id") % 1000).alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("payload"),
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"), F.concat(F.lit("n"), F.col("id")).alias("name")
+        )
+        j = facts.join(dim, "k").select("k", "payload", "name")
+        # collect() finalizes THIS DataFrame's QueryExecution (count() would
+        # plan a separate one and leave this plan un-adapted)
+        assert len(j.collect()) == 2_000_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "AQEShuffleRead skewed" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
