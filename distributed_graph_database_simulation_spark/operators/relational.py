@@ -760,6 +760,94 @@ GROUP BY r_name
 """
 
 
+# --- outer joins ---------------------------------------------------------
+
+def outer_join_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two per-nation aggregates with deliberately
+    asymmetric coverage (the supplier side is acctbal-filtered so some
+    nations appear on one side only) — the null-completing join family,
+    COALESCE-normalized exactly like the SQL oracle."""
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_rich_suppliers"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_building_customers"))
+    )
+    return (
+        sup.join(cust, sup["s_nationkey"] == cust["c_nationkey"], "full_outer")
+        .select(
+            F.coalesce("s_nationkey", "c_nationkey").alias("nationkey"),
+            F.coalesce("n_rich_suppliers", F.lit(0)).alias("n_rich_suppliers"),
+            F.coalesce("n_building_customers", F.lit(0)).alias("n_building_customers"),
+        )
+    )
+
+
+OUTER_JOIN_NATION_ACTIVITY_SQL = """
+WITH sup AS (
+  SELECT s_nationkey, COUNT(*) AS n_rich_suppliers
+  FROM supplier WHERE s_acctbal > 5000 GROUP BY s_nationkey
+),
+cust AS (
+  SELECT c_nationkey, COUNT(*) AS n_building_customers
+  FROM customer WHERE c_mktsegment = 'BUILDING' GROUP BY c_nationkey
+)
+SELECT COALESCE(s_nationkey, c_nationkey) AS nationkey,
+       COALESCE(n_rich_suppliers, 0) AS n_rich_suppliers,
+       COALESCE(n_building_customers, 0) AS n_building_customers
+FROM sup FULL OUTER JOIN cust ON s_nationkey = c_nationkey
+"""
+
+
+# --- time-range window frame ---------------------------------------------
+
+def trailing_month_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per supplier, trailing-30-day shipped quantity at
+    each lineitem's ship date.
+
+    Spark's rangeBetween needs a numeric ordering key, so the frame is
+    [ts-30d, ts] in integer epoch seconds — value-identical to the oracle's
+    ``RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW`` over the
+    timestamp (peers included in both). Integer quantities keep the running
+    sums exact. One hash-partitioned sort per supplier; no global sort.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.unix_timestamp("l_shipdate").alias("ship_s"),
+    )
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("ship_s")
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum("qty").over(w).alias("qty_30d"),
+        F.count("*").over(w).alias("n_30d"),
+    )
+
+
+TRAILING_MONTH_QTY_SQL = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) OVER w AS BIGINT) AS qty_30d,
+       COUNT(*) OVER w AS n_30d
+FROM lineitem
+WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+"""
+
+
 # --- ordered-statistic aggregation ---------------------------------------
 
 def quantiles_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -973,5 +1061,7 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "rel_salted_heavy_hitters": (salted_heavy_hitters, SALTED_HEAVY_HITTERS_SQL),
     "rel_bucketed_join": (bucketed_join, BUCKETED_JOIN_SQL),
     "rel_quantiles": (quantiles_per_flag, QUANTILES_PER_FLAG_SQL),
+    "rel_outer_join": (outer_join_nation_activity, OUTER_JOIN_NATION_ACTIVITY_SQL),
+    "rel_range_frame_window": (trailing_month_qty, TRAILING_MONTH_QTY_SQL),
     "rel_distinct_parts_per_flag": (distinct_parts_per_flag, DISTINCT_PARTS_PER_FLAG_SQL),
 }
