@@ -132,6 +132,42 @@ def probe_minhash(spark, n_docs: int, words_per_doc: int = 200) -> dict:
             "cand_sec": round(time.perf_counter() - t0, 2)}
 
 
+def probe_pagerank(spark, n_edges: int, n_vertices: int, iterations: int = 5) -> dict:
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        pagerank,
+    )
+
+    edges = spark.range(n_edges).select(
+        F.lit(1).alias("graph_id"),
+        F.pmod(F.xxhash64("id", F.lit(3)), F.lit(n_vertices)).cast("int").alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(4)), F.lit(n_vertices)).cast("int").alias("dst"),
+    )
+    graphs = spark.createDataFrame([(1, n_vertices)], "graph_id INT, n INT")
+    t0 = time.perf_counter()
+    out = pagerank(spark, graphs, edges, iterations=iterations)
+    n = out.count()
+    return {"probe": "pagerank", "edges": n_edges, "vertices": n,
+            "iterations": iterations, "sec": round(time.perf_counter() - t0, 2)}
+
+
+def probe_label_propagation(spark, n_edges: int, n_vertices: int, iterations: int = 4) -> dict:
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        label_propagation,
+    )
+
+    edges = spark.range(n_edges).select(
+        F.lit(1).alias("graph_id"),
+        F.pmod(F.xxhash64("id", F.lit(5)), F.lit(n_vertices)).cast("int").alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(6)), F.lit(n_vertices)).cast("int").alias("dst"),
+    )
+    graphs = spark.createDataFrame([(1, n_vertices)], "graph_id INT, n INT")
+    t0 = time.perf_counter()
+    out = label_propagation(spark, graphs, edges, iterations=iterations)
+    n = out.count()
+    return {"probe": "label_propagation", "edges": n_edges, "vertices": n,
+            "iterations": iterations, "sec": round(time.perf_counter() - t0, 2)}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--edges", type=float, default=5e6)
@@ -142,12 +178,17 @@ def main() -> int:
     from distributed_graph_database_simulation_spark.session import get_spark
 
     spark = get_spark("scale_probe")
-    for result in (
-        probe_bfs(spark, int(args.edges), int(args.vertices)),
-        probe_cc(spark, int(args.edges) // 5, int(args.vertices) // 5),
-        probe_minhash(spark, int(args.docs)),
-    ):
-        print(json.dumps(result), flush=True)
+    probes = (
+        lambda: probe_bfs(spark, int(args.edges), int(args.vertices)),
+        lambda: probe_cc(spark, int(args.edges) // 5, int(args.vertices) // 5),
+        lambda: probe_minhash(spark, int(args.docs)),
+        lambda: probe_pagerank(spark, int(args.edges) // 5, int(args.vertices) // 5),
+        lambda: probe_label_propagation(
+            spark, int(args.edges) // 5, int(args.vertices) // 5
+        ),
+    )
+    for probe in probes:
+        print(json.dumps(probe()), flush=True)
     return 0
 
 
