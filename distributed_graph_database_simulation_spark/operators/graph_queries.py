@@ -277,6 +277,33 @@ FROM it{iterations}"""
     return "\n".join(parts)
 
 
+def degrees_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degrees over the orders-derived scale graph (input grows with sf)."""
+    from ..sources.graph_text import GRAPH_SCHEMA
+
+    edges = fixtures.scale_edges_df(spark, sf_dir).selectExpr(
+        "CAST(1 AS INT) AS graph_id", "src", "dst"
+    )
+    graphs = spark.createDataFrame([(1, fixtures.SCALE_V)], GRAPH_SCHEMA)
+    return degrees(graphs, edges)
+
+
+DEGREES_SCALE_SQL = f"""
+WITH scale_edges AS ({fixtures.SCALE_GRAPH_SQL}),
+verts(graph_id, vertex) AS (
+  SELECT 1, CAST(UNNEST(range({fixtures.SCALE_V})) AS INT)
+)
+SELECT CAST(v.graph_id AS INT) AS graph_id, v.vertex,
+       CAST(COALESCE(o.c, 0) AS BIGINT) AS out_degree,
+       CAST(COALESCE(i.c, 0) AS BIGINT) AS in_degree
+FROM verts v
+LEFT JOIN (SELECT src AS vertex, COUNT(*) AS c FROM scale_edges GROUP BY 1) o
+       ON o.vertex = v.vertex
+LEFT JOIN (SELECT dst AS vertex, COUNT(*) AS c FROM scale_edges GROUP BY 1) i
+       ON i.vertex = v.vertex
+"""
+
+
 def _label_propagation_sql(edges_cte: str, graphs_cte: str, iterations: int) -> str:
     """Unrolled synchronous-LPA oracle (all-integer; min tie-break) —
     mirrors :func:`label_propagation` superstep for superstep."""
@@ -483,6 +510,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "g_reachable": (reachable_fixture, REACHABLE_SQL),
     "g_connected_components": (connected_components_fixture, CONNECTED_COMPONENTS_SQL),
     "g_degrees": (degrees_fixture, DEGREES_SQL),
+    "g_degrees_scale": (degrees_scale, DEGREES_SCALE_SQL),
     "g_triangles": (triangles_fixture, TRIANGLES_SQL),
     "g_triangles_scale": (triangles_scale, TRIANGLES_SCALE_SQL),
     "g_sssp_scale": (sssp_scale, SSSP_SCALE_SQL),
