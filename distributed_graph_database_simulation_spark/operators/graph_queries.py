@@ -277,6 +277,20 @@ FROM it{iterations}"""
     return "\n".join(parts)
 
 
+def dfs_leaves_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFS-leaf set on the orders-derived scale graph from vertex 0.
+
+    Rows-only driver check (traversal-order semantics, SURVEY §2a row 3);
+    cross-validated against an independent iterative Python DFS in
+    ``tests/test_graph_traversal.py`` — the kernel's recursion and
+    ascending-neighbor contract exercised on a ~100-vertex dense-ish graph
+    rather than the 7-vertex fixtures."""
+    edges = fixtures.scale_edges_df(spark, sf_dir).selectExpr(
+        "CAST(1 AS INT) AS graph_id", "src", "dst"
+    )
+    return dfs_leaves(spark, edges, [(1, 0)])
+
+
 def degrees_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degrees over the orders-derived scale graph (input grows with sf)."""
     from ..sources.graph_text import GRAPH_SCHEMA
@@ -507,6 +521,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "g_bfs_levels_kernel": (bfs_levels_kernel_fixture, BFS_LEVELS_SQL),
     "g_bfs_levels_alt": (bfs_levels_alt_starts, BFS_LEVELS_ALT_SQL),
     "g_dfs_leaves": (dfs_leaves_fixture, None),
+    "g_dfs_leaves_scale": (dfs_leaves_scale, None),
     "g_reachable": (reachable_fixture, REACHABLE_SQL),
     "g_connected_components": (connected_components_fixture, CONNECTED_COMPONENTS_SQL),
     "g_degrees": (degrees_fixture, DEGREES_SQL),

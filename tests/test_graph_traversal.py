@@ -150,3 +150,45 @@ def test_label_propagation_two_cliques(spark):
         for r in label_propagation(spark, graphs, edges, iterations=4).collect()
     }
     assert out == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3}
+
+
+def test_dfs_scale_graph_matches_independent_dfs(spark, sf_dir):
+    """Kernel DFS on the ~100-vertex scale graph vs an INDEPENDENT
+    iterative DFS (explicit stack, not the kernel's recursion) — same
+    ascending-neighbor contract, so the leaf sets must agree exactly."""
+    from distributed_graph_database_simulation_spark import fixtures
+    from distributed_graph_database_simulation_spark.operators.graph_queries import (
+        dfs_leaves_scale,
+    )
+
+    got = {r.vertex for r in dfs_leaves_scale(spark, sf_dir).collect()}
+
+    edges = fixtures.scale_edges_df(spark, sf_dir).collect()
+    adj: dict[int, list[int]] = {}
+    for r in edges:
+        adj.setdefault(r.src, []).append(r.dst)
+    for v in adj.values():
+        v.sort()
+
+    visited = {0}
+    leaves: set[int] = set()
+    # iterative preorder with per-node child counting (mirrors the
+    # reference's child_count flag, secondary_server.c:156-173)
+    stack: list[tuple[int, int, int]] = [(0, 0, 0)]  # (vertex, next_idx, n_children)
+    while stack:
+        u, i, kids = stack.pop()
+        ns = adj.get(u, [])
+        advanced = False
+        while i < len(ns):
+            v = ns[i]
+            i += 1
+            if v not in visited:
+                visited.add(v)
+                stack.append((u, i, kids + 1))
+                stack.append((v, 0, 0))
+                advanced = True
+                break
+        if not advanced and not (i < len(ns)) and kids == 0:
+            leaves.add(u)
+
+    assert got == leaves
