@@ -139,3 +139,24 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_text_and_multimodal_ops_are_shuffle_free(spark, sf_dir):
+    """SCALE.md claims the text operators and multimodal feature extraction
+    are single narrow projections — embarrassingly parallel at any scale.
+    Pin it: zero Exchange operators in any of their plans."""
+    from distributed_graph_database_simulation_spark.operators import (
+        multimodal,
+        text_analysis,
+    )
+
+    for fn in (
+        text_analysis.text_language_id,
+        text_analysis.text_quality_score,
+        text_analysis.text_token_count,
+        text_analysis.text_fingerprint,
+        multimodal.mm_image_features,
+        multimodal.mm_audio_features,
+    ):
+        plan = _formatted_plan(fn(spark, sf_dir))
+        assert "Exchange" not in plan, (fn.__name__, plan)
