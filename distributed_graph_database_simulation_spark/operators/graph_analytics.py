@@ -221,25 +221,29 @@ def sssp(
             .groupBy("vertex")
             .agg(F.min("distance").alias("distance"))
         )
-        c, d = candidates.alias("c"), dists.alias("d")
+        # USING-column joins, not explicit f.col conditions: the frontier's
+        # checkpointed attributes appear on BOTH sides of these joins (dists
+        # contains the same LogicalRDD), and Catalyst's constraint inference
+        # crashes on the duplicated expr-ids with alias-based conditions
+        # ("key not found: vertex#N" — found by the Dijkstra property test
+        # on a 2-vertex graph). Using-joins deduplicate the key attribute at
+        # analysis time, which sidesteps the collision entirely.
         improved = (
-            c.join(d, F.col("c.vertex") == F.col("d.vertex"), "left")
-            .filter(
-                F.col("d.distance").isNull()
-                | (F.col("c.distance") < F.col("d.distance"))
+            candidates.join(
+                dists.withColumnRenamed("distance", "old_distance"), "vertex", "left"
             )
-            .select(F.col("c.vertex").alias("vertex"), F.col("c.distance").alias("distance"))
+            .filter(
+                F.col("old_distance").isNull()
+                | (F.col("distance") < F.col("old_distance"))
+            )
+            .select("vertex", "distance")
             # lazy checkpoint + count: barrier and termination test in ONE
             # job per superstep (count materializes the checkpoint)
             .localCheckpoint(eager=False)
         )
         if improved.count() == 0:
             break
-        i, d2 = improved.alias("i"), dists.alias("d2")
-        dists = (
-            d2.join(i, F.col("d2.vertex") == F.col("i.vertex"), "left_anti")
-            .unionByName(improved)
-        )
+        dists = dists.join(improved, "vertex", "left_anti").unionByName(improved)
         if it % checkpoint_every == 0:
             dists = dists.localCheckpoint(eager=True)
         frontier = improved

@@ -133,3 +133,80 @@ def test_connected_components_match_union_find(sess, matrix):
         for r in connected_components(sess, graphs, edges).collect()
     }
     assert got == _py_components(matrix)
+
+
+def _py_pagerank(matrix: list[list[int]], iterations: int, damping: float = 0.85) -> dict[int, float]:
+    """Independent dense power iteration with dangling redistribution."""
+    n = len(matrix)
+    rank = [1.0 / n] * n
+    for _ in range(iterations):
+        received = [0.0] * n
+        dangling = 0.0
+        for u in range(n):
+            out = [v for v in range(n) if matrix[u][v] == 1]
+            if out:
+                share = rank[u] / len(out)
+                for v in out:
+                    received[v] += share
+            else:
+                dangling += rank[u]
+        rank = [
+            (1.0 - damping) / n + damping * (received[v] + dangling / n)
+            for v in range(n)
+        ]
+    return dict(enumerate(rank))
+
+
+@given(matrix=matrices)
+@_SETTINGS
+def test_pagerank_matches_dense_power_iteration(sess, matrix):
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        pagerank,
+    )
+
+    graphs, edges = matrix_to_edges(sess, 1, matrix)
+    got = {
+        r.vertex: r.rank for r in pagerank(sess, graphs, edges, iterations=4).collect()
+    }
+    want = _py_pagerank(matrix, iterations=4)
+    assert got.keys() == want.keys()
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+
+
+def _py_dijkstra(matrix: list[list[int]], start: int) -> dict[int, int]:
+    """Independent Dijkstra (heap) on the same deterministic edge weights
+    the SSSP query derives: w = (src*7 + dst) % 9 + 1."""
+    import heapq
+
+    n = len(matrix)
+    dist = {start: 0}
+    heap = [(0, start)]
+    while heap:
+        d, u = heapq.heappop(heap)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v in range(n):
+            if matrix[u][v] == 1:
+                nd = d + (u * 7 + v) % 9 + 1
+                if nd < dist.get(v, float("inf")):
+                    dist[v] = nd
+                    heapq.heappush(heap, (nd, v))
+    return dist
+
+
+@given(matrix=matrices)
+@_SETTINGS
+def test_sssp_matches_dijkstra(sess, matrix):
+    from pyspark.sql import functions as F
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        sssp,
+    )
+
+    _, edges = matrix_to_edges(sess, 1, matrix)
+    weighted = edges.select(
+        "src", "dst",
+        ((F.col("src") * 7 + F.col("dst")) % 9 + 1).cast("bigint").alias("weight"),
+    )
+    got = {r.vertex: r.distance for r in sssp(sess, weighted, start=0).collect()}
+    assert got == _py_dijkstra(matrix, 0)
