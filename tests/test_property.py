@@ -210,3 +210,44 @@ def test_sssp_matches_dijkstra(sess, matrix):
     )
     got = {r.vertex: r.distance for r in sssp(sess, weighted, start=0).collect()}
     assert got == _py_dijkstra(matrix, 0)
+
+
+def _py_label_propagation(matrix: list[list[int]], iterations: int) -> dict[int, int]:
+    """Independent dense sync LPA: most-frequent neighbor label over the
+    undirected closure, min tie-break, isolated vertices keep their own."""
+    n = len(matrix)
+    neigh = [set() for _ in range(n)]
+    for i in range(n):
+        for j in range(n):
+            if matrix[i][j] == 1:
+                neigh[i].add(j)
+                neigh[j].add(i)
+    labels = list(range(n))
+    for _ in range(iterations):
+        nxt = []
+        for v in range(n):
+            if not neigh[v]:
+                nxt.append(labels[v])
+                continue
+            counts: dict[int, int] = {}
+            for u in neigh[v]:
+                counts[labels[u]] = counts.get(labels[u], 0) + 1
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt.append(best[0])
+        labels = nxt
+    return dict(enumerate(labels))
+
+
+@given(matrix=matrices)
+@_SETTINGS
+def test_label_propagation_matches_dense_lpa(sess, matrix):
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        label_propagation,
+    )
+
+    graphs, edges = matrix_to_edges(sess, 1, matrix)
+    got = {
+        r.vertex: r.label
+        for r in label_propagation(sess, graphs, edges, iterations=3).collect()
+    }
+    assert got == _py_label_propagation(matrix, iterations=3)
