@@ -159,6 +159,42 @@ def label_propagation(
     return labels
 
 
+def kcore(
+    spark: SparkSession,
+    graphs: DataFrame,
+    edges: DataFrame,
+    k: int,
+    max_iterations: int = 1000,
+) -> DataFrame:
+    """k-core: vertices surviving iterated removal of degree-<k vertices
+    (undirected closure; self-loops count once). Peeling is a fixed point —
+    each round recomputes degrees among survivors and drops the underfull;
+    convergence is at most |V| rounds, usually a handful. One count-shuffle
+    per round over the shrinking survivor set; same one-job-per-superstep
+    barrier/termination fold as the other loops. Returns (graph_id, vertex).
+    """
+    ue = undirected(edges).localCheckpoint(eager=True)
+    survivors = vertices(graphs).localCheckpoint(eager=True)
+    n_prev = survivors.count()
+    for it in range(1, max_iterations + 1):
+        deg = (
+            ue.join(survivors.withColumnRenamed("vertex", "src"), ["graph_id", "src"], "left_semi")
+            .join(survivors.withColumnRenamed("vertex", "dst"), ["graph_id", "dst"], "left_semi")
+            .groupBy("graph_id", F.col("src").alias("vertex"))
+            .agg(F.count("*").alias("deg"))
+        )
+        survivors = (
+            deg.filter(F.col("deg") >= k)
+            .select("graph_id", "vertex")
+            .localCheckpoint(eager=False)
+        )
+        n_now = survivors.count()
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+    return survivors
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Triangles per graph on the undirected simple graph (no self-loops).
 

@@ -22,6 +22,7 @@ from .. import fixtures
 from .graph_analytics import (
     connected_components,
     degrees,
+    kcore,
     label_propagation,
     pagerank,
     sssp,
@@ -277,6 +278,69 @@ FROM it{iterations}"""
     return "\n".join(parts)
 
 
+def _kcore_sql(edges_cte: str, graphs_cte: str, k: int, rounds: int) -> str:
+    """Unrolled k-core peeling oracle. ``rounds`` must cover convergence for
+    the target data (peeling observed <= 4 rounds on the scale graph across
+    all shipped sfs; 12 gives 3x margin — extra rounds past the fixed point
+    are no-ops, so over-unrolling is safe, under-unrolling is not).
+
+    Every round CTE is MATERIALIZED: each round references its predecessor
+    TWICE (both endpoints must survive), and DuckDB inlines plain CTEs, so
+    without materialization the expansion is 2^rounds copies of the base
+    join — unrolled peeling hangs instead of running in milliseconds."""
+    parts = [
+        f"WITH kc_edges AS ({edges_cte}),",
+        f"kc_graphs(graph_id, n) AS ({graphs_cte}),",
+        """kc_ue(graph_id, src, dst) AS (
+  SELECT graph_id, src, dst FROM kc_edges
+  UNION
+  SELECT graph_id, dst, src FROM kc_edges
+),
+s0 AS (
+  SELECT graph_id, CAST(UNNEST(range(n)) AS INT) AS vertex FROM kc_graphs
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+s{r} AS MATERIALIZED (
+  SELECT e.graph_id, e.src AS vertex
+  FROM kc_ue e
+  JOIN s{r - 1} a ON a.graph_id = e.graph_id AND a.vertex = e.src
+  JOIN s{r - 1} b ON b.graph_id = e.graph_id AND b.vertex = e.dst
+  GROUP BY e.graph_id, e.src
+  HAVING COUNT(*) >= {k}
+)"""
+        )
+    parts.append(f"\nSELECT graph_id, vertex FROM s{rounds}")
+    return "\n".join(parts)
+
+
+KCORE_K = 25
+
+
+def kcore_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core (k=25) of the orders-derived scale graph: real multi-round
+    peeling at sf0.001 (cascades to empty), a one-round stable core at
+    bigger sfs. Generic peeling correctness is property-tested against an
+    independent Python implementation on random graphs."""
+    from ..sources.graph_text import GRAPH_SCHEMA
+
+    edges = fixtures.scale_edges_df(spark, sf_dir).selectExpr(
+        "CAST(1 AS INT) AS graph_id", "src", "dst"
+    )
+    graphs = spark.createDataFrame([(1, fixtures.SCALE_V)], GRAPH_SCHEMA)
+    return kcore(spark, graphs, edges, k=KCORE_K)
+
+
+KCORE_SCALE_SQL = _kcore_sql(
+    f"SELECT CAST(1 AS INT) AS graph_id, src, dst FROM ({fixtures.SCALE_GRAPH_SQL}) se",
+    f"VALUES (1, {fixtures.SCALE_V})",
+    k=KCORE_K,
+    rounds=12,
+)
+
+
 def dfs_leaves_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DFS-leaf set on the orders-derived scale graph from vertex 0.
 
@@ -526,6 +590,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "g_connected_components": (connected_components_fixture, CONNECTED_COMPONENTS_SQL),
     "g_degrees": (degrees_fixture, DEGREES_SQL),
     "g_degrees_scale": (degrees_scale, DEGREES_SCALE_SQL),
+    "g_kcore_scale": (kcore_scale, KCORE_SCALE_SQL),
     "g_triangles": (triangles_fixture, TRIANGLES_SQL),
     "g_triangles_scale": (triangles_scale, TRIANGLES_SCALE_SQL),
     "g_sssp_scale": (sssp_scale, SSSP_SCALE_SQL),

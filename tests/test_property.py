@@ -251,3 +251,33 @@ def test_label_propagation_matches_dense_lpa(sess, matrix):
         for r in label_propagation(sess, graphs, edges, iterations=3).collect()
     }
     assert got == _py_label_propagation(matrix, iterations=3)
+
+
+def _py_kcore(matrix: list[list[int]], k: int) -> set[int]:
+    """Independent k-core peeling on the undirected closure (self-loops
+    count once, matching `undirected()`'s distinct edge set)."""
+    n = len(matrix)
+    und = {(i, j) for i in range(n) for j in range(n) if matrix[i][j] == 1}
+    und |= {(j, i) for i, j in und}
+    surv = set(range(n))
+    while True:
+        deg = {v: 0 for v in surv}
+        for s, d in und:
+            if s in surv and d in surv:
+                deg[s] += 1
+        new = {v for v in surv if deg[v] >= k}
+        if new == surv:
+            return surv
+        surv = new
+
+
+@given(matrix=matrices, k=st.integers(min_value=1, max_value=4))
+@_SETTINGS
+def test_kcore_matches_python_peeling(sess, matrix, k):
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        kcore,
+    )
+
+    graphs, edges = matrix_to_edges(sess, 1, matrix)
+    got = {r.vertex for r in kcore(sess, graphs, edges, k=k).collect()}
+    assert got == _py_kcore(matrix, k)
