@@ -20,3 +20,20 @@ imperative pieces are the BFS superstep driver loop and two per-graph
 """
 
 __version__ = "0.1.0"
+
+# Python UDF workers (applyInPandas / mapInPandas kernels) deserialize
+# module-level helpers by name, so the package must be importable in the
+# worker interpreter. The JVM captures PYTHONPATH when the SparkContext
+# launches; exporting here — at import time, not in the session factory —
+# covers any session built after this import, including bare sessions the
+# driver's harness creates. (On a real cluster the equivalent is --py-files.)
+import os as _os
+
+_pkg_parent = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _pkg_parent not in _os.environ.get("PYTHONPATH", "").split(_os.pathsep):
+    _os.environ["PYTHONPATH"] = (
+        f"{_pkg_parent}{_os.pathsep}{_os.environ['PYTHONPATH']}"
+        if _os.environ.get("PYTHONPATH")
+        else _pkg_parent
+    )
+del _os, _pkg_parent

@@ -25,9 +25,27 @@ TABLES = (
 )
 
 
+def ensure_nanos_readable(spark: SparkSession) -> None:
+    """Make TIMESTAMP(NANOS) parquet columns readable in ANY session.
+
+    events.parquet carries INT64 TIMESTAMP(NANOS,false), which a vanilla
+    SparkSession rejects outright (PARQUET_TYPE_ILLEGAL). The conf is
+    runtime-settable, so set it here — at load time, not session-build time —
+    because callers (the driver's harness included) bring their own bare
+    sessions. With the conf on, ts arrives as bigint nanos and the caller
+    converts explicitly.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Timestamp semantics must match the TZ-naive-UTC DuckDB oracles even when
+    # the caller's session (or machine) isn't UTC. Runtime-settable.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        ensure_nanos_readable(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read via nanosAsLong: truncate to microseconds

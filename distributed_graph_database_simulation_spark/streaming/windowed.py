@@ -38,6 +38,9 @@ from ..functions.portable import dec
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet with the same ts normalization as
     the batch loader (TIMESTAMP(NANOS) -> microsecond timestamps)."""
+    from ..sources.tables import ensure_nanos_readable
+
+    ensure_nanos_readable(spark)  # vanilla sessions reject TIMESTAMP(NANOS)
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
     # The file source requires a directory: stream the sf dir filtered down

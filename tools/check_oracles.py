@@ -51,6 +51,12 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--keep-going", action="store_true")
     ap.add_argument(
+        "--builder-session",
+        action="store_true",
+        help="use the tuned session factory instead of the default "
+        "driver-mimicking vanilla SparkSession",
+    )
+    ap.add_argument(
         "--bitexact",
         action="store_true",
         help="compare float columns for bit equality instead of the "
@@ -60,9 +66,32 @@ def main() -> int:
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
     import __spark_entry__ as entrymod
-    from distributed_graph_database_simulation_spark.session import get_spark
 
-    spark = get_spark("check_oracles", 8)
+    if args.builder_session:
+        from distributed_graph_database_simulation_spark.session import get_spark
+
+        spark = get_spark("check_oracles", 8)
+    else:
+        # Default: the same bare SparkSession the driver's harness builds —
+        # no session.py confs. Round 1 failed 5 queries purely from this
+        # environment drift (nanosAsLong lived only in the builder session);
+        # gating on a vanilla session makes that class of bug unreproducible.
+        # Python UDF workers still need the package importable (cloudpickle
+        # serializes module-level kernel helpers by name).
+        if REPO not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                REPO + os.pathsep + os.environ["PYTHONPATH"]
+                if os.environ.get("PYTHONPATH")
+                else REPO
+            )
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("check_oracles_vanilla")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("WARN")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
