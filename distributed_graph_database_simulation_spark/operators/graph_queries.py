@@ -574,7 +574,12 @@ walk(vertex, distance) AS (
   UNION
   SELECT e.dst, w.distance + e.weight
   FROM walk w JOIN we e ON e.src = w.vertex
-  WHERE w.distance < 500
+  -- Data-derived bound, NOT a tuning knob: every shortest path has at most
+  -- SCALE_V-1 edges of weight <= 9, so no true distance can reach
+  -- SCALE_V*9; walks pruned here cannot improve any minimum. (The Spark
+  -- Bellman-Ford is unbounded — a too-small bound here would truncate the
+  -- oracle and report a false mismatch.)
+  WHERE w.distance < {fixtures.SCALE_V * 9}
 )
 SELECT vertex, MIN(distance) AS distance FROM walk GROUP BY vertex
 """

@@ -32,7 +32,6 @@ Two physical strategies, chosen by the caller:
 
 from __future__ import annotations
 
-import sys
 from collections.abc import Iterable
 
 import pandas as pd
@@ -202,22 +201,35 @@ def dfs_leaves(
         graph_id = int(pdf["graph_id"].iloc[0])
         start = int(pdf[pdf["is_seed"]]["src"].iloc[0])
         adj = _adjacency(pdf[~pdf["is_seed"]])
-        n_vertices = len(set(adj) | {d for ds in adj.values() for d in ds})
-        sys.setrecursionlimit(max(1000, 2 * n_vertices + 100))
+        n_vertices = len(set(adj) | {d for ds in adj.values() for d in ds} | {start})
+        if n_vertices > max_nodes:
+            raise ValueError(
+                f"graph {graph_id} has {n_vertices} vertices, over the "
+                f"kernel cap {max_nodes}; DFS is order-dependent and has no "
+                "distributed form"
+            )
+        # Explicit-stack DFS (recursion on a deep path would overflow the C
+        # stack and kill the worker, not raise): each frame keeps its
+        # neighbor iterator so descend/backtrack order matches the recursive
+        # reference semantics exactly — visited-on-descend, ascending
+        # neighbor order, leaf iff zero children expanded.
         visited = {start}
-        leaves: list[int] = []
-
-        def dfs(u: int) -> None:
-            child_count = 0
-            for v in adj.get(u, ()):
+        expanded = {start: 0}
+        stack: list[tuple[int, object]] = [(start, iter(adj.get(start, ())))]
+        while stack:
+            u, it = stack[-1]
+            descended = False
+            for v in it:
                 if v not in visited:
                     visited.add(v)
-                    child_count += 1
-                    dfs(v)
-            if child_count == 0:
-                leaves.append(u)
-
-        dfs(start)
+                    expanded[u] += 1
+                    expanded[v] = 0
+                    stack.append((v, iter(adj.get(v, ()))))
+                    descended = True
+                    break
+            if not descended:
+                stack.pop()
+        leaves = [u for u, c in expanded.items() if c == 0]
         return pd.DataFrame({"graph_id": graph_id, "vertex": sorted(leaves)})
 
     return _grouped_with_start(edges, starts, spark).groupBy("graph_id").applyInPandas(

@@ -192,52 +192,117 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IVF_LISTS = 16       # inverted lists (coarse centroids)
 IVF_PROBES = 4       # lists probed per query
+IVF_KMEANS_ITERS = 3  # Lloyd rounds (fixed count => bounded, reproducible plan)
+
+
+def _cent_scores(cent_map: dict[int, list[float]]) -> F.Column:
+    """Centroids inlined as a literal array<struct(sim, ncid)> scored against
+    the row's vector — a NARROW map: no join, no shuffle, evaluated inside
+    the corpus scan. ``ncid = -cent_id`` so lexicographic struct ordering
+    (sim, then ncid) breaks similarity ties toward the smaller cent_id.
+    Centroid norms are driver-computed floats (ranking only, k x dim cells).
+    """
+    import math
+
+    entries = []
+    for cid, vec in sorted(cent_map.items()):
+        cnorm = math.sqrt(sum(x * x for x in vec))
+        sim = _dot(F.col("e"), F.lit(vec)) / (F.col("norm") * F.lit(cnorm))
+        entries.append(F.struct(sim.alias("sim"), F.lit(-cid).alias("ncid")))
+    return F.array(*entries)
+
+
+def _ivf_centroids(spark: SparkSession, corpus: DataFrame) -> dict[int, list[float]]:
+    """Spherical k-means centroids: deterministic seeding + fixed Lloyd rounds.
+
+    Seeds = the IVF_LISTS lowest-id corpus vectors (order-independent, no
+    RNG). Each round assigns every corpus vector to its max-cosine centroid
+    via the narrow :func:`_cent_scores` map, then recomputes centroids as
+    per-dimension means with a (cent_id, dim)-keyed aggregate — only
+    IVF_LISTS x dim distinct keys, so map-side combine shrinks the shuffle
+    to ~k*dim rows per partition regardless of corpus size. k is a CONSTANT,
+    so the per-round collect is k x dim cells — the standard k-means shape
+    (centroids always fit; the corpus never moves). Empty clusters keep
+    their previous centroid. Cosine is scale-invariant, so means need no
+    renormalization before max-cosine assignment.
+
+    Float means depend on partial-aggregation order (bit-level only); IVF is
+    probabilistic-recall territory and stays a rows-only check regardless.
+    """
+    seeds = (
+        corpus.filter(F.col("vec_id") < IVF_LISTS)
+        .select(F.col("vec_id").alias("cent_id"), F.col("e").alias("ce"))
+        .collect()
+    )
+    cent_map = {int(r.cent_id): [float(x) for x in r.ce] for r in seeds}
+    for _ in range(IVF_KMEANS_ITERS):
+        # Two-step select: field extraction on the resolved `best` attribute
+        # (extracting from the raw array_max expression in the same select as
+        # a generator mis-resolves the struct field names).
+        means = (
+            corpus.select(F.array_max(_cent_scores(cent_map)).alias("best"), "e")
+            .select(
+                (-F.col("best")["ncid"]).alias("cent_id"),
+                F.posexplode("e").alias("pos", "x"),
+            )
+            .groupBy("cent_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cent: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cent.setdefault(int(r.cent_id), {})[int(r.pos)] = float(r.m)
+        for cid, dims in by_cent.items():
+            cent_map[cid] = [dims[i] for i in range(len(dims))]
+    return cent_map
 
 
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 via IVF (inverted-file) coarse quantization.
 
-    The other classic ANN scale path next to LSH: pick IVF_LISTS coarse
-    centroids (deterministically: the vectors with the IVF_LISTS smallest
-    ids — a real system would k-means them), assign every corpus vector to
-    its nearest centroid (one broadcast pass), then search each query only
-    in its IVF_PROBES closest lists with exact re-ranking.
+    The other classic ANN scale path next to LSH: build IVF_LISTS coarse
+    centroids with deterministic-seeded spherical k-means
+    (:func:`_ivf_centroids`), assign every corpus vector to its max-cosine
+    list, then search each query only in its IVF_PROBES closest lists with
+    exact re-ranking.
 
-    At 100 TB: assignment is a narrow map over the corpus (centroids
-    broadcast); the probe join shuffles only (list_id) keys, so query cost
-    scales with corpus/IVF_LISTS * IVF_PROBES instead of the full corpus.
+    At 100 TB: k-means costs IVF_KMEANS_ITERS narrow passes + combiner
+    aggregations over the corpus; final list assignment is a narrow map
+    (centroid literals evaluated inside the scan — zero shuffle); the
+    candidate join broadcasts the ~|queries| x IVF_PROBES probe rows, so the
+    corpus is never shuffled and query cost scales with
+    corpus/IVF_LISTS * IVF_PROBES instead of the full corpus.
     Probabilistic recall -> rows-only check; recall floor pinned in tests.
     """
     corpus = _with_norm(_emb(spark, sf_dir))
-    cents = corpus.filter(F.col("vec_id") < IVF_LISTS).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("e").alias("ce"),
-        F.col("norm").alias("cnorm"),
-    )
-    c = corpus.alias("v")
+    cent_map = _ivf_centroids(spark, corpus)
+    scores = _cent_scores(cent_map)
 
-    def nearest_lists(df: DataFrame, keep: int, id_col: str) -> DataFrame:
-        """Assign each vector to its `keep` nearest centroid lists."""
-        sim = _dot(F.col("e"), F.col("ce")) / (F.col("norm") * F.col("cnorm"))
-        w = W.partitionBy(id_col).orderBy(F.desc("cent_sim"), F.asc("cent_id"))
-        return (
-            df.join(F.broadcast(cents))
-            .withColumn("cent_sim", sim)
-            .withColumn("cent_rank", F.row_number().over(w))
-            .filter(F.col("cent_rank") <= keep)
-            .drop("ce", "cnorm", "cent_sim", "cent_rank")
-        )
-
-    assigned = nearest_lists(corpus, 1, "vec_id")  # corpus: 1 list each
+    # Corpus: argmax list, narrow (no shuffle of the big side).
+    assigned = corpus.withColumn("cent_id", (-F.array_max(scores)["ncid"]).cast("int"))
+    # Queries: top-IVF_PROBES lists each — struct sort is (sim asc, ncid
+    # asc); reversed gives sim desc with smaller cent_id first on ties.
     queries = corpus.filter(F.col("vec_id") < N_QUERIES)
-    probed = nearest_lists(queries, IVF_PROBES, "vec_id").select(
-        F.col("vec_id").alias("query_id"),
-        F.col("e").alias("qe"),
-        F.col("norm").alias("qnorm"),
-        "cent_id",
+    probed = (
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("norm").alias("qnorm"),
+            F.slice(F.reverse(F.array_sort(scores)), 1, IVF_PROBES).alias("top"),
+        )
+        # two-step select: extract fields from the resolved `top` attribute
+        # (generator + unresolved struct access in one select mis-resolves)
+        .select(
+            "query_id",
+            "qe",
+            "qnorm",
+            F.explode(
+                F.transform("top", lambda s: (-s["ncid"]).cast("int"))
+            ).alias("cent_id"),
+        )
     )
     cand = (
-        probed.join(assigned, "cent_id")
+        F.broadcast(probed).join(assigned, "cent_id")
         .filter(F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id", "qe", "qnorm",

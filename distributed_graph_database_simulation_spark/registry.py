@@ -59,6 +59,7 @@ _WINDOW_ORDER = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_embedding_cosine_tiled",
     "sim_topk_bruteforce",
     "sim_topk_lsh",
     "sim_topk_ivf",
@@ -90,7 +91,6 @@ _WINDOW_ORDER = [
     "rel_bucketed_join",
     "rel_rollup_shipping",
     "rel_correlated_scalar",
-    "rel_multiformat_sources",
 ]
 
 _SUITES = (

@@ -224,8 +224,13 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = _run_bounded(out, spark, "stream_stateful_user_totals", "update")
     # Totals are cumulative: keep each user's final emission so the result
     # is batch-equivalent even if the source splits into multiple batches.
+    # The final emission is the row with the maximal n_events (count strictly
+    # increases every batch that touches the user); taking sum_value via
+    # max_by keeps the pair atomic — independent max(sum_value) would break
+    # if values could be negative.
     return result.groupBy("user_id").agg(
-        F.max("n_events").alias("n_events"), F.max("sum_value").alias("sum_value")
+        F.max("n_events").alias("n_events"),
+        F.max_by("sum_value", "n_events").alias("sum_value"),
     )
 
 

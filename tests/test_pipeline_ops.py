@@ -92,7 +92,9 @@ def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
 
 def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
     """IVF probes 4/16 lists: recall well above the 25% corpus fraction
-    because queries rank their own lists first (measured ~0.9 at sf0.01)."""
+    because queries rank their own lists first. Lloyd-refined centroids
+    measured 0.84 at sf0.01 (seed-only centroids were ~0.7); the floor
+    leaves margin for float-mean jitter across partial-agg orders."""
     exact = {
         (r.query_id, r.neighbor_id)
         for r in similarity.sim_topk_bruteforce(spark, sf_dir).collect()
@@ -103,7 +105,22 @@ def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
     }
     assert ivf
     recall = len(exact & ivf) / len(exact)
-    assert recall >= 0.5, f"IVF recall collapsed: {recall:.2f}"
+    assert recall >= 0.65, f"IVF recall collapsed: {recall:.2f}"
+
+
+def test_embedding_cosine_tiled_equals_broadcast(spark, sf_dir):
+    """The blocked all-pairs path must be bit-identical to the broadcast
+    path (shared dimension-major kernel): same pairs, same cosine doubles."""
+    broadcast = {
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in dedup.dedup_embedding_cosine(spark, sf_dir).collect()
+    }
+    tiled = {
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in dedup.dedup_embedding_cosine_tiled(spark, sf_dir).collect()
+    }
+    assert tiled == broadcast
+    assert broadcast, "corpus is expected to contain planted near-dup vectors"
 
 
 def test_lsh_buckets_are_deterministic(spark, sf_dir):
@@ -128,6 +145,25 @@ def test_kernel_guard_refuses_oversized_graph(spark):
     )
     with pytest.raises(Exception, match="too large"):
         bfs_levels_small(spark, edges, [(1, 0)], max_nodes=1).collect()
+
+
+def test_dfs_kernel_guard_and_deep_path(spark):
+    """DFS kernel must (a) refuse graphs over max_nodes with an error, not
+    a worker crash, and (b) survive a path graph far deeper than the old
+    recursive kernel's C-stack budget (explicit-stack form)."""
+    from pyspark.sql import Row
+
+    from distributed_graph_database_simulation_spark.operators.graph_traversal import (
+        dfs_leaves,
+    )
+
+    deep = spark.createDataFrame(
+        [Row(graph_id=1, src=i, dst=i + 1) for i in range(4999)]
+    )
+    with pytest.raises(Exception, match="over the"):
+        dfs_leaves(spark, deep, [(1, 0)], max_nodes=10).collect()
+    out = {r.vertex for r in dfs_leaves(spark, deep, [(1, 0)]).collect()}
+    assert out == {4999}
 
 
 def test_decode_image_real_is_stubbed():
