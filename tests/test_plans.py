@@ -76,6 +76,31 @@ def test_dedup_pair_finders_never_go_quadratic(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
 
 
+def test_blocked_cosine_is_single_shuffle_group(spark, sf_dir):
+    """The tiled all-pairs cosine path must be one hash shuffle on the
+    block-pair key feeding the pandas kernel — no join node at all (a
+    cartesian or nested-loop would defeat the design), no driver collect."""
+    from distributed_graph_database_simulation_spark.operators import dedup
+
+    plan = _formatted_plan(dedup.dedup_embedding_cosine_tiled(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    # one node-detail header per physical node: exactly one shuffle
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_ivf_corpus_side_stays_unshuffled(spark, sf_dir):
+    """IVF list assignment is a narrow map (centroid literals in the scan)
+    and the candidate join broadcasts the tiny probe side — the corpus must
+    never hit a sort-merge join."""
+    from distributed_graph_database_simulation_spark.operators import similarity
+
+    plan = _formatted_plan(similarity.sim_topk_ivf(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_asof_join_is_single_shuffle_window(spark, sf_dir):
     """The as-of join must stay the union+window plan: exactly one window
     sort, no join of events against orders (which would explode pairs)."""
