@@ -243,9 +243,219 @@ FROM d
 """
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics: duplicate-word fraction and the
+    most-frequent-bigram fraction per document.
+
+    The duplicate-word fraction is a narrow projection. The top-bigram mode
+    is computed RELATIONALLY — explode bigrams, count per (doc, gram), max
+    per doc — because a per-row O(grams^2) array-mode would blow up on long
+    documents; both aggregations have map-side combine and key cardinality
+    bounded by distinct (doc, gram), so the shape survives arbitrarily long
+    docs at 100 TB.
+    """
+    return repetition_df(_docs(spark, sf_dir))
+
+
+def repetition_df(docs_in: DataFrame) -> DataFrame:
+    docs = docs_in.select("doc_id", _words().alias("w"))
+    base = docs.select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        F.size(F.array_distinct("w")).alias("n_distinct"),
+    )
+    grams = (
+        docs.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("w", i), F.element_at("w", i + 1)
+                    ),
+                )
+            ).alias("gram"),
+        )
+    )
+    top = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_count"), F.sum("c").alias("n_bigrams"))
+    )
+    return base.join(top, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_words").cast("int").alias("n_words"),
+        (
+            (F.col("n_words") - F.col("n_distinct")).cast("double")
+            / F.col("n_words").cast("double")
+        ).alias("dup_word_frac"),
+        F.coalesce(F.col("top_bigram_count"), F.lit(0)).cast("bigint").alias("top_bigram_count"),
+        F.when(
+            F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
+            F.col("top_bigram_count").cast("double") / F.col("n_bigrams").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+    )
+
+
+TEXT_REPETITION_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+),
+base AS (
+  SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct FROM d
+),
+grams AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram
+  FROM d WHERE len(w) >= 2
+),
+gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+top AS (
+  SELECT doc_id, MAX(c) AS top_bigram_count, SUM(c) AS n_bigrams FROM gc GROUP BY 1
+)
+SELECT b.doc_id,
+       CAST(b.n_words AS INT) AS n_words,
+       CAST(b.n_words - b.n_distinct AS DOUBLE) / CAST(b.n_words AS DOUBLE) AS dup_word_frac,
+       CAST(COALESCE(t.top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+       CASE WHEN COALESCE(t.n_bigrams, 0) > 0
+            THEN CAST(t.top_bigram_count AS DOUBLE) / CAST(t.n_bigrams AS DOUBLE)
+            ELSE 0.0 END AS top_bigram_frac
+FROM base b LEFT JOIN top t USING (doc_id)
+"""
+
+
+BENCH_DOC_CUTOFF = 10  # doc_id < 10 acts as the synthetic "benchmark" set
+
+
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: for every corpus document, the
+    fraction of its distinct word-3-grams that appear in ANY benchmark
+    document (here: doc_id < BENCH_DOC_CUTOFF stands in for the held-out
+    eval set).
+
+    Plan shape: the benchmark gram set is tiny relative to the corpus by
+    definition — distinct + broadcast; the corpus side explodes grams and
+    LEFT SEMI joins against it (never materializes non-matches), then a
+    combiner-friendly per-doc count. At 100 TB the corpus never shuffles on
+    anything wider than (doc_id).
+    """
+    return contamination_df(_docs(spark, sf_dir))
+
+
+def contamination_df(docs: DataFrame) -> DataFrame:
+    from .dedup import _shingled
+
+    sh = _shingled(docs)
+    totals = sh.filter(F.col("doc_id") >= BENCH_DOC_CUTOFF).select(
+        "doc_id", F.size("shingles").alias("n_grams")
+    )
+    corpus = sh.filter(F.col("doc_id") >= BENCH_DOC_CUTOFF).select(
+        "doc_id", F.explode("shingles").alias("gram")
+    )
+    bench = (
+        sh.filter(F.col("doc_id") < BENCH_DOC_CUTOFF)
+        .select(F.explode("shingles").alias("gram"))
+        .distinct()
+    )
+    matched = (
+        corpus.join(F.broadcast(bench), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return totals.join(matched, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_grams").cast("int").alias("n_grams"),
+        F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("bigint").alias("n_contaminated"),
+        (
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("double")
+            / F.col("n_grams").cast("double")
+        ).alias("contamination_frac"),
+    )
+
+
+TEXT_CONTAMINATION_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM d WHERE len(w) >= 3
+),
+bench AS (
+  SELECT DISTINCT UNNEST(s) AS gram FROM sh WHERE doc_id < {BENCH_DOC_CUTOFF}
+),
+corpus AS (
+  SELECT doc_id, UNNEST(s) AS gram FROM sh WHERE doc_id >= {BENCH_DOC_CUTOFF}
+),
+tot AS (
+  SELECT doc_id, len(s) AS n_grams FROM sh WHERE doc_id >= {BENCH_DOC_CUTOFF}
+),
+m AS (
+  SELECT c.doc_id, COUNT(*) AS n_cont
+  FROM corpus c JOIN bench b USING (gram) GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(t.n_grams AS INT) AS n_grams,
+       CAST(COALESCE(m.n_cont, 0) AS BIGINT) AS n_contaminated,
+       CAST(COALESCE(m.n_cont, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE) AS contamination_frac
+FROM tot t LEFT JOIN m USING (doc_id)
+"""
+
+
+# Simple, RE2-and-Java-compatible patterns (no backrefs / lookarounds).
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+LONG_NUM_RE = "[0-9]{7,}"
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: count + redact email addresses and long digit
+    runs (phone/ID-shaped). Pure narrow projection — regexp_count and two
+    regexp_replace passes per row, no shuffle; the scrubbed text is
+    returned as an md5 so the differential check pins the exact redaction
+    output without hauling full text through the compare.
+    """
+    return pii_scrub_df(_docs(spark, sf_dir))
+
+
+def pii_scrub_df(docs: DataFrame) -> DataFrame:
+    t = _norm_text()
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), LONG_NUM_RE, "<NUM>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t, F.lit(LONG_NUM_RE)).cast("bigint").alias("n_long_numbers"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+TEXT_PII_SCRUB_SQL = (
+    "SELECT doc_id,\n"
+    "       CAST(len(regexp_extract_all(t, '" + EMAIL_RE + "')) AS BIGINT) AS n_emails,\n"
+    "       CAST(len(regexp_extract_all(t, '" + LONG_NUM_RE + "')) AS BIGINT) AS n_long_numbers,\n"
+    "       md5(regexp_replace(regexp_replace(t, '" + EMAIL_RE + "', '<EMAIL>', 'g'),\n"
+    "                          '" + LONG_NUM_RE + "', '<NUM>', 'g')) AS scrubbed_md5\n"
+    "FROM (SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS t FROM documents)\n"
+)
+
+
 TEXT_QUERIES: dict[str, tuple] = {
     "text_language_id": (text_language_id, TEXT_LANGUAGE_ID_SQL),
     "text_quality_score": (text_quality_score, TEXT_QUALITY_SCORE_SQL),
     "text_token_count": (text_token_count, TEXT_TOKEN_COUNT_SQL),
     "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
+    "text_repetition": (text_repetition, TEXT_REPETITION_SQL),
+    "text_contamination": (text_contamination, TEXT_CONTAMINATION_SQL),
+    "text_pii_scrub": (text_pii_scrub, TEXT_PII_SCRUB_SQL),
 }

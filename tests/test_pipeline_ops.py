@@ -166,6 +166,55 @@ def test_dfs_kernel_guard_and_deep_path(spark):
     assert out == {4999}
 
 
+def test_pii_scrub_detects_planted_pii(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="reach me at jane.doe@example.com or 5551234567 ok"),
+            Row(doc_id=2, text="nothing sensitive in here 123"),
+        ]
+    )
+    out = {r.doc_id: r for r in text_analysis.pii_scrub_df(docs).collect()}
+    assert out[1].n_emails == 1 and out[1].n_long_numbers == 1
+    assert out[2].n_emails == 0 and out[2].n_long_numbers == 0
+    # redaction changes the hash for the PII doc only
+    import hashlib
+
+    expected = hashlib.md5(
+        b"reach me at <EMAIL> or <NUM> ok"
+    ).hexdigest()
+    assert out[1].scrubbed_md5 == expected
+    assert out[2].scrubbed_md5 == hashlib.md5(b"nothing sensitive in here 123").hexdigest()
+
+
+def test_repetition_metrics_on_planted_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spam spam spam spam"),       # one bigram, repeated
+            Row(doc_id=2, text="all words here are unique"),
+            Row(doc_id=3, text="solo"),                       # no bigrams
+        ]
+    )
+    out = {r.doc_id: r for r in text_analysis.repetition_df(docs).collect()}
+    assert out[1].dup_word_frac == 0.75 and out[1].top_bigram_frac == 1.0
+    assert out[2].dup_word_frac == 0.0 and out[2].top_bigram_count == 1
+    assert out[3].top_bigram_count == 0 and out[3].top_bigram_frac == 0.0
+
+
+def test_contamination_flags_benchmark_overlap(spark):
+    bench_text = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=bench_text),                       # benchmark set
+            Row(doc_id=11, text=bench_text),                      # fully contaminated
+            Row(doc_id=12, text="totally different words entirely here"),
+        ]
+    )
+    out = {r.doc_id: r for r in text_analysis.contamination_df(docs).collect()}
+    assert set(out) == {11, 12}  # benchmark docs are not scored
+    assert out[11].contamination_frac == 1.0
+    assert out[12].contamination_frac == 0.0
+
+
 def test_decode_image_real_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_real(b"\x89PNG\r\n")
