@@ -79,6 +79,16 @@ def main() -> int:
     spark.createDataFrame([(1,)], "v int").groupBy("v").applyInPandas(
         lambda p: p, "v int"
     ).count()  # python worker pool + Arrow serde
+    # The 128-permutation minhash aggregate generates a very wide codegen
+    # stage (~3 s to compile at sf0.1). Running the identical pipeline on a
+    # 2-doc frame compiles and caches the same generated classes, so the
+    # measured number is the data-proportional cost, not javac.
+    from distributed_graph_database_simulation_spark.operators import dedup as _dedup
+
+    _tiny = spark.createDataFrame(
+        [(0, "a b c d"), (1, "b c d e")], "doc_id long, text string"
+    )
+    _dedup._minhash_sigs(_dedup._shingled(_tiny)).count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:
