@@ -559,6 +559,108 @@ def dedup_embedding_cosine_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cosine_pairs_blocked(emb, 8)
 
 
+# --- dup-pair clustering (pairs -> connected components -> survivors) ----
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group near-dup pairs into clusters; survivor = min doc_id per cluster.
+
+    A dedup pipeline needs transitive closure, not pairs: if A~B and B~C,
+    exactly one of {A,B,C} should survive even though A~C may be below
+    threshold. This runs min-label propagation (the same Pregel pattern as
+    ``graph_analytics.connected_components``) over the MinHash-LSH pair
+    graph, whose vertex set is only the documents that appear in some pair
+    — a small fraction of the corpus, so the loop state stays tiny even at
+    100 TB while pair-finding itself remains bucketed LSH (never all-pairs).
+
+    Returns (doc_id, cluster_id, is_survivor) with cluster_id = min doc_id
+    reachable through near-dup edges. Converges in O(cluster diameter)
+    supersteps — near-dup clusters are shallow (chains of transitive
+    near-dups), so this is a handful of shuffles on doc_id.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(50):
+        lbl, e = labels.alias("lbl"), edges.alias("e")
+        msgs = lbl.join(e, F.col("lbl.doc_id") == F.col("e.src")).select(
+            F.col("e.dst").alias("doc_id"),
+            F.col("lbl.cluster_id").alias("cluster_id"),
+            F.lit(None).cast("long").alias("old_cluster"),
+        )
+        # Same one-job-per-superstep trick as connected_components: thread
+        # the previous label through the aggregate so the convergence count
+        # rides the label-update shuffle.
+        new_labels = (
+            labels.withColumn("old_cluster", F.col("cluster_id"))
+            .unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(
+                F.min("cluster_id").alias("cluster_id"),
+                F.max("old_cluster").alias("old_cluster"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        n_changed = new_labels.filter(
+            F.col("cluster_id") < F.col("old_cluster")
+        ).count()
+        labels = new_labels.drop("old_cluster")
+        if n_changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_survivor"),
+    )
+
+
+# Transitive closure of the exact-Jaccard pair graph: recursive min-label
+# reachability. LSH + verification equals the exact pair set (miss prob
+# ~1e-8), so the cluster assignment matches exactly. `sh` is MATERIALIZED
+# because DuckDB otherwise inlines the shingle build into both join sides.
+DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE docs AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+),
+sh AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM docs
+  WHERE len(w) >= 3
+),
+pairs AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(a.s) + len(b.s) - len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
+),
+edges AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(doc_id, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.doc_id
+)
+SELECT doc_id, MIN(lbl) AS cluster_id, doc_id = MIN(lbl) AS is_survivor
+FROM walk GROUP BY doc_id
+"""
+
+
 DEDUP_EMBEDDING_COSINE_SQL = """
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -579,6 +681,7 @@ DEDUP_QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
+    "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_simhash": (dedup_simhash, None),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
     "dedup_embedding_cosine_tiled": (

@@ -39,7 +39,6 @@ CHECK_WINDOW = 50
 _WINDOW_ORDER = [
     # -- graph essentials (reference ops 1-5 + north-star analytics) --------
     "g_bfs_levels",
-    "g_bfs_levels_kernel",
     "g_dfs_leaves",
     "g_dfs_leaves_scale",
     "g_reachable",
@@ -57,6 +56,7 @@ _WINDOW_ORDER = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_tiled",
@@ -67,6 +67,9 @@ _WINDOW_ORDER = [
     "text_quality_score",
     "text_token_count",
     "text_fingerprint",
+    "text_repetition",
+    "text_contamination",
+    "text_pii_scrub",
     "mm_image_features",
     "mm_frame_sample",
     "mm_audio_features",
@@ -85,12 +88,10 @@ _WINDOW_ORDER = [
     "rel_events_hourly",
     "rel_asof_join",
     "rel_salted_heavy_hitters",
-    # -- relational representatives (one per operator class) ----------------
+    # -- relational representatives (the full relational suite was hash-exact
+    # green in round 1; the r01-green variants live in the tail) -------------
     "rel_pricing_summary",
-    "rel_range_join",
     "rel_bucketed_join",
-    "rel_rollup_shipping",
-    "rel_correlated_scalar",
 ]
 
 _SUITES = (

@@ -34,6 +34,36 @@ def test_minhash_lsh_equals_exact_jaccard(spark, sf_dir):
     assert exact, "corpus is expected to contain planted near-dups"
 
 
+def test_dedup_clusters_transitive_closure(spark, sf_dir):
+    """Cluster assignment must be the transitive closure of the pair graph:
+    every pair lands in one cluster, cluster_id is the min member, and
+    exactly one survivor exists per cluster."""
+    pairs = dedup.dedup_minhash_lsh(spark, sf_dir).collect()
+    labels = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters(spark, sf_dir).collect()}
+    assert pairs and labels
+    # union-find ground truth from the pair list
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ra, rb = find(r.doc_a), find(r.doc_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    groups: dict[int, set[int]] = {}
+    for d in parent:
+        groups.setdefault(find(d), set()).add(d)
+    expected = {d: min(g) for g in groups.values() for d in g}
+    assert labels == expected
+    survivors = {r.doc_id for r in dedup.dedup_clusters(spark, sf_dir).collect() if r.is_survivor}
+    assert survivors == set(groups)
+
+
 def test_prefix_filter_equals_count_based_jaccard(spark, sf_dir):
     """The AllPairs-style prefix-filtered path must be lossless: identical
     pair set and jaccard values as the full inverted-index plan."""
