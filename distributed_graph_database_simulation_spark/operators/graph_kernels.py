@@ -1,0 +1,117 @@
+"""Per-graph analytics kernels (applyInPandas) for the reference's regime.
+
+The reference's graphs are tiny (n <= 100 per ``secondary_server.c:91``),
+so iterative analytics on them are latency-bound, not data-bound: a
+superstep loop pays ~0.1-0.3 s of local scheduler floor per shuffle stage,
+~40 stages for 5 PageRank iterations. These kernels run the WHOLE
+algorithm inside one Arrow batch per graph — one shuffle total, parallel
+across graphs — which is also the right 100 TB plan for a corpus of many
+small graphs (the superstep loops in ``graph_analytics`` remain the plan
+for single huge graphs, and stay registry-covered via the ``*_scale``
+entries).
+
+Numerics: the PageRank kernel applies the identical per-iteration formula
+as :func:`graph_analytics.pagerank`; both are compared at micro (1e-6)
+resolution by the oracle, far above double accumulation-order noise.
+Connected components is exact integer math (min reachable id) — kernel and
+superstep agree bit-for-bit; equality of both pairs is pinned in tests.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .graph_traversal import DEFAULT_KERNEL_MAX_NODES
+
+PR_OUT_SCHEMA = "graph_id INT, vertex INT, rank DOUBLE"
+CC_OUT_SCHEMA = "graph_id INT, vertex INT, component INT"
+
+
+def _grouped_with_n(graphs: DataFrame, edges: DataFrame) -> DataFrame:
+    """Edges joined with the graph's declared n, plus one seed row per graph
+    (src=NULL) so edgeless graphs still form a pandas group."""
+    dims = graphs.select("graph_id", "n")
+    seeds = dims.select(
+        "graph_id", "n",
+        F.lit(None).cast("int").alias("src"),
+        F.lit(None).cast("int").alias("dst"),
+    )
+    return (
+        edges.join(F.broadcast(dims), "graph_id")
+        .select("graph_id", "n", "src", "dst")
+        .unionByName(seeds)
+    )
+
+
+def pagerank_kernel(
+    graphs: DataFrame,
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    max_nodes: int = DEFAULT_KERNEL_MAX_NODES,
+) -> DataFrame:
+    """Whole-graph power iteration per pandas group; same per-iteration
+    update as the superstep loop (dangling mass redistributed uniformly)."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        graph_id = int(pdf["graph_id"].iloc[0])
+        n = int(pdf["n"].iloc[0])
+        if n > max_nodes:
+            raise ValueError(f"graph {graph_id} has n={n}, over kernel cap {max_nodes}")
+        e = pdf[pdf["src"].notna()]
+        src = e["src"].to_numpy(dtype=np.int64)
+        dst = e["dst"].to_numpy(dtype=np.int64)
+        out_deg = np.bincount(src, minlength=n).astype(np.float64)
+        dangling = out_deg == 0
+        ranks = np.full(n, 1.0 / n, dtype=np.float64)
+        for _ in range(iterations):
+            received = np.zeros(n, dtype=np.float64)
+            if len(src):
+                np.add.at(received, dst, ranks[src] / out_deg[src])
+            dangling_mass = ranks[dangling].sum()
+            ranks = (1.0 - damping) / n + damping * (received + dangling_mass / n)
+        return pd.DataFrame(
+            {"graph_id": graph_id, "vertex": np.arange(n), "rank": ranks}
+        )
+
+    return _grouped_with_n(graphs, edges).groupBy("graph_id").applyInPandas(
+        kernel, PR_OUT_SCHEMA
+    )
+
+
+def connected_components_kernel(
+    graphs: DataFrame,
+    edges: DataFrame,
+    max_nodes: int = DEFAULT_KERNEL_MAX_NODES,
+) -> DataFrame:
+    """Union-find per pandas group over the undirected closure; component =
+    min vertex id, matching the superstep min-label fixed point exactly."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        graph_id = int(pdf["graph_id"].iloc[0])
+        n = int(pdf["n"].iloc[0])
+        if n > max_nodes:
+            raise ValueError(f"graph {graph_id} has n={n}, over kernel cap {max_nodes}")
+        parent = list(range(n))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        e = pdf[pdf["src"].notna()]
+        for s, d in zip(e["src"].astype(int), e["dst"].astype(int)):
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                parent[max(rs, rd)] = min(rs, rd)
+        comp = [find(v) for v in range(n)]
+        return pd.DataFrame({"graph_id": graph_id, "vertex": range(n), "component": comp})
+
+    return _grouped_with_n(graphs, edges).groupBy("graph_id").applyInPandas(
+        kernel, CC_OUT_SCHEMA
+    )

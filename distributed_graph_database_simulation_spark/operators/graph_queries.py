@@ -119,9 +119,27 @@ SELECT DISTINCT graph_id, vertex FROM walk
 
 
 def connected_components_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return connected_components(
-        spark, fixtures.fixture_graphs_df(spark), fixtures.fixture_edges_df(spark)
+    """Fixture graphs take the per-graph union-find kernel (one shuffle,
+    ~3 s of superstep scheduler floor saved); the superstep loop keeps its
+    own oracle row via :func:`connected_components_scale`. Kernel ==
+    superstep equality is pinned in tests."""
+    from .graph_kernels import connected_components_kernel
+
+    return connected_components_kernel(
+        fixtures.fixture_graphs_df(spark), fixtures.fixture_edges_df(spark)
     )
+
+
+def connected_components_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label superstep CC on the orders-derived scale graph — the
+    single-huge-graph regime where the Pregel loop is the right plan."""
+    from ..sources.graph_text import GRAPH_SCHEMA
+
+    edges = fixtures.scale_edges_df(spark, sf_dir).selectExpr(
+        "CAST(1 AS INT) AS graph_id", "src", "dst"
+    )
+    graphs = spark.createDataFrame([(1, fixtures.SCALE_V)], GRAPH_SCHEMA)
+    return connected_components(spark, graphs, edges)
 
 
 CONNECTED_COMPONENTS_SQL = f"""
@@ -142,6 +160,24 @@ reach(graph_id, vertex, r) AS (
 )
 SELECT graph_id, vertex, CAST(MIN(r) AS INT) AS component
 FROM reach GROUP BY graph_id, vertex
+"""
+
+
+CONNECTED_COMPONENTS_SCALE_SQL = f"""
+WITH RECURSIVE scale_edges AS ({fixtures.SCALE_GRAPH_SQL}),
+ue(src, dst) AS (
+  SELECT src, dst FROM scale_edges
+  UNION
+  SELECT dst, src FROM scale_edges
+),
+reach(vertex, r) AS (
+  SELECT CAST(UNNEST(range({fixtures.SCALE_V})) AS INT), CAST(UNNEST(range({fixtures.SCALE_V})) AS INT)
+  UNION
+  SELECT re.vertex, e.dst
+  FROM reach re JOIN ue e ON e.src = re.r
+)
+SELECT CAST(1 AS INT) AS graph_id, vertex, CAST(MIN(r) AS INT) AS component
+FROM reach GROUP BY vertex
 """
 
 
@@ -455,9 +491,16 @@ LABEL_PROPAGATION_SCALE_SQL = _label_propagation_sql(
 
 
 def pagerank_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture graphs take the whole-graph numpy kernel (one shuffle instead
+    of ~40 superstep stages of scheduler floor); the superstep loop keeps
+    its own oracle row via :func:`pagerank_scale`. Same per-iteration
+    formula; compared at micro resolution, and kernel-vs-superstep
+    agreement is pinned in tests."""
+    from .graph_kernels import pagerank_kernel
+
     return _micro_ranks(
-        pagerank(
-            spark, fixtures.fixture_graphs_df(spark), fixtures.fixture_edges_df(spark), iterations=5
+        pagerank_kernel(
+            fixtures.fixture_graphs_df(spark), fixtures.fixture_edges_df(spark), iterations=5
         )
     )
 
@@ -593,6 +636,10 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "g_dfs_leaves_scale": (dfs_leaves_scale, None),
     "g_reachable": (reachable_fixture, REACHABLE_SQL),
     "g_connected_components": (connected_components_fixture, CONNECTED_COMPONENTS_SQL),
+    "g_connected_components_scale": (
+        connected_components_scale,
+        CONNECTED_COMPONENTS_SCALE_SQL,
+    ),
     "g_degrees": (degrees_fixture, DEGREES_SQL),
     "g_degrees_scale": (degrees_scale, DEGREES_SCALE_SQL),
     "g_kcore_scale": (kcore_scale, KCORE_SCALE_SQL),

@@ -281,3 +281,54 @@ def test_kcore_matches_python_peeling(sess, matrix, k):
     graphs, edges = matrix_to_edges(sess, 1, matrix)
     got = {r.vertex for r in kcore(sess, graphs, edges, k=k).collect()}
     assert got == _py_kcore(matrix, k)
+
+
+@given(matrix=matrices)
+@_SETTINGS
+def test_pagerank_kernel_matches_superstep(sess, matrix):
+    """The whole-graph numpy kernel and the superstep loop implement the
+    same per-iteration update; on random digraphs they must agree far
+    below the oracle's micro resolution."""
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        pagerank,
+    )
+    from distributed_graph_database_simulation_spark.operators.graph_kernels import (
+        pagerank_kernel,
+    )
+
+    graphs, edges = matrix_to_edges(sess, 1, matrix)
+    loop = {
+        r.vertex: r.rank
+        for r in pagerank(sess, graphs, edges, iterations=4).collect()
+    }
+    kern = {
+        r.vertex: r.rank
+        for r in pagerank_kernel(graphs, edges, iterations=4).collect()
+    }
+    assert loop.keys() == kern.keys()
+    for v in loop:
+        assert abs(loop[v] - kern[v]) < 1e-9, (v, loop[v], kern[v])
+
+
+@given(matrix=matrices)
+@_SETTINGS
+def test_connected_components_kernel_matches_superstep(sess, matrix):
+    """Union-find kernel vs min-label superstep fixed point: exact integer
+    equality (component = min vertex id in both)."""
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        connected_components,
+    )
+    from distributed_graph_database_simulation_spark.operators.graph_kernels import (
+        connected_components_kernel,
+    )
+
+    graphs, edges = matrix_to_edges(sess, 1, matrix)
+    loop = {
+        (r.vertex, r.component)
+        for r in connected_components(sess, graphs, edges).collect()
+    }
+    kern = {
+        (r.vertex, r.component)
+        for r in connected_components_kernel(graphs, edges).collect()
+    }
+    assert loop == kern
