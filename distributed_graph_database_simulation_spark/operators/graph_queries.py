@@ -418,6 +418,56 @@ LEFT JOIN (SELECT dst AS vertex, COUNT(*) AS c FROM scale_edges GROUP BY 1) i
 """
 
 
+def common_neighbors_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the scale graph: common-neighbor counts for
+    non-adjacent vertex pairs (the classic CN score; Adamic-Adar and
+    Jaccard are one extra weighted agg away from this shape).
+
+    Plan: undirected closure, self-join on the shared-neighbor key (one
+    shuffle on ``dst`` — the same key-join shape as triangle counting,
+    never an all-pairs product), count per pair, then a left-anti join
+    against the edge set to keep only non-adjacent candidates. At 100 TB
+    the shared-neighbor key join is the scalable formulation; hub skew on
+    ``dst`` is the known hazard and is AQE-split like the triangles query.
+    """
+    e = fixtures.scale_edges_df(spark, sf_dir)
+    ue = (
+        e.select("src", "dst")
+        .union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    a, b = ue.alias("a"), ue.alias("b")
+    pairs = (
+        a.join(b, F.col("a.dst") == F.col("b.dst"))
+        .where(F.col("a.src") < F.col("b.src"))
+        .groupBy(F.col("a.src").alias("u"), F.col("b.src").alias("v"))
+        .agg(F.count("*").alias("common_neighbors"))
+    )
+    adj = ue.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    return (
+        pairs.join(adj, ["u", "v"], "left_anti")
+        .select("u", "v", F.col("common_neighbors").cast("bigint").alias("common_neighbors"))
+    )
+
+
+COMMON_NEIGHBORS_SCALE_SQL = f"""
+WITH scale_edges AS ({fixtures.SCALE_GRAPH_SQL}),
+ue AS (
+  SELECT src, dst FROM scale_edges
+  UNION
+  SELECT dst, src FROM scale_edges
+),
+pairs AS (
+  SELECT a.src AS u, b.src AS v, COUNT(*) AS common_neighbors
+  FROM ue a JOIN ue b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT u, v, CAST(common_neighbors AS BIGINT) AS common_neighbors
+FROM pairs p
+WHERE NOT EXISTS (SELECT 1 FROM ue e WHERE e.src = p.u AND e.dst = p.v)
+"""
+
+
 def _label_propagation_sql(edges_cte: str, graphs_cte: str, iterations: int) -> str:
     """Unrolled synchronous-LPA oracle (all-integer; min tie-break) —
     mirrors :func:`label_propagation` superstep for superstep."""
@@ -640,6 +690,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
         connected_components_scale,
         CONNECTED_COMPONENTS_SCALE_SQL,
     ),
+    "g_common_neighbors_scale": (common_neighbors_scale, COMMON_NEIGHBORS_SCALE_SQL),
     "g_degrees": (degrees_fixture, DEGREES_SQL),
     "g_degrees_scale": (degrees_scale, DEGREES_SCALE_SQL),
     "g_kcore_scale": (kcore_scale, KCORE_SCALE_SQL),

@@ -1,0 +1,201 @@
+"""Training-data pipeline operators over ``documents`` (north-star §2c).
+
+The two ops here are the corpus-preparation steps that sit between the
+text-analysis scoring pass and the dedup pass in an LLM data pipeline:
+
+- **chunking** — split every document into overlapping fixed-width token
+  windows (the pretraining "context window packing" precursor). Pure
+  narrow expression code: one ``split`` + per-row ``sequence`` +
+  ``explode`` + ``slice``; no shuffle, no Python. Emits ``md5`` of each
+  chunk so the differential compare pins exact chunk contents without
+  hauling full text through the driver (same trick as
+  ``text_analysis.pii_scrub_df``).
+- **stratified sampling** — deterministic per-language downsampling via a
+  Knuth multiplicative hash on ``doc_id`` (public constant 2654435761 =
+  floor(2^32/phi)). Engine-portable integer arithmetic, so the DuckDB
+  oracle reproduces the exact sample; no ``rand()``, which would be
+  unverifiable and non-reproducible across retries — determinism is the
+  property a 100 TB pipeline needs for resumable runs.
+
+Scale posture: both are single narrow projections (filter/explode) over
+the corpus — embarrassingly parallel, zero Exchange; chunk fan-out is
+bounded by doc length / STRIDE per row, so partition sizes stay
+proportional to input bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+CHUNK = 64  # tokens per chunk
+STRIDE = 48  # tokens between chunk starts (CHUNK - STRIDE = 16 overlap)
+
+# floor(2^32 / golden_ratio) — Knuth's multiplicative hashing constant.
+_KNUTH = 2654435761
+_BUCKETS = 1_000_000
+
+# Per-language keep rates in parts-per-million. Rebalances the corpus
+# toward the low-resource languages (keep all de/zh, downsample en most).
+SAMPLE_PPM: dict[str, int] = {
+    "de": 1_000_000,
+    "en": 300_000,
+    "es": 700_000,
+    "fr": 500_000,
+    "zh": 1_000_000,
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_windows_df(_docs(spark, sf_dir))
+
+
+def chunk_windows_df(docs: DataFrame) -> DataFrame:
+    """Overlapping token-window chunking: windows of ``CHUNK`` whitespace
+    tokens every ``STRIDE`` tokens; the last window is the ragged tail.
+
+    n_chunks = 1 for n <= CHUNK else ceil((n - CHUNK) / STRIDE) + 1, in
+    integer arithmetic (``floor((n - CHUNK + STRIDE - 1) / STRIDE) + 1``)
+    so both engines compute the identical count.
+    """
+    words = F.split(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "), " ")
+    n = F.size("w")
+    n_chunks = F.when(n <= CHUNK, F.lit(1)).otherwise(
+        (F.floor((n - CHUNK + STRIDE - 1) / STRIDE) + 1).cast("int")
+    )
+    base = docs.select("doc_id", words.alias("w"))
+    # sequence() materializes [0..n_chunks-1] per row; explode is the only
+    # fan-out. slice() is 1-based and clamps at the array end, exactly like
+    # DuckDB list slicing.
+    exploded = base.select(
+        "doc_id", "w", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id")
+    )
+    chunk = F.slice("w", F.col("chunk_id") * STRIDE + 1, CHUNK)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+        F.size(chunk).alias("n_tokens"),
+    )
+
+
+TEXT_CHUNK_WINDOWS_SQL = f"""
+WITH docs AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+),
+dims AS (
+  SELECT doc_id, w,
+         CASE WHEN len(w) <= {CHUNK} THEN 1
+              ELSE CAST((len(w) - {CHUNK} + {STRIDE - 1}) // {STRIDE} AS INT) + 1
+         END AS n_chunks
+  FROM docs
+),
+exploded AS (
+  SELECT doc_id, w, CAST(UNNEST(range(n_chunks)) AS INT) AS chunk_id FROM dims
+)
+SELECT doc_id, chunk_id,
+       md5(array_to_string(w[chunk_id * {STRIDE} + 1 : chunk_id * {STRIDE} + {CHUNK}], ' ')) AS chunk_md5,
+       CAST(len(w[chunk_id * {STRIDE} + 1 : chunk_id * {STRIDE} + {CHUNK}]) AS INT) AS n_tokens
+FROM exploded
+"""
+
+
+def text_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_stratified_df(_docs(spark, sf_dir))
+
+
+def sample_stratified_df(docs: DataFrame) -> DataFrame:
+    """Deterministic stratified sample: keep doc iff
+    ``(doc_id * KNUTH) % 1e6 < SAMPLE_PPM[lang]``. Unknown languages are
+    kept (rate 1.0) — dropping data silently on a new label is the wrong
+    default for a pipeline."""
+    bucket = F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(_BUCKETS))
+    rate = F.lit(_BUCKETS)
+    for lang, ppm in sorted(SAMPLE_PPM.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(ppm)).otherwise(rate)
+    return (
+        docs.select("doc_id", "lang", bucket.alias("sample_bucket"))
+        .where(F.col("sample_bucket") < rate)
+        .select("doc_id", "lang", F.col("sample_bucket").cast("bigint").alias("sample_bucket"))
+    )
+
+
+_RATE_CASES = "\n".join(
+    f"            WHEN lang = '{lang}' THEN {ppm}"
+    for lang, ppm in sorted(SAMPLE_PPM.items())
+)
+
+TEXT_SAMPLE_STRATIFIED_SQL = f"""
+SELECT doc_id, lang, CAST((doc_id * {_KNUTH}) % {_BUCKETS} AS BIGINT) AS sample_bucket
+FROM documents
+WHERE (doc_id * {_KNUTH}) % {_BUCKETS} <
+      CASE
+{_RATE_CASES}
+            ELSE {_BUCKETS} END
+"""
+
+
+N_SHARDS = 16
+# xxHash32 prime 2 — a second public multiplicative constant, independent of
+# _KNUTH so shard id and within-shard order are decorrelated.
+_XXPRIME = 2246822519
+_ORDER_MOD = 1_000_003  # prime modulus for the within-shard scramble key
+
+
+def text_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shard_assign_df(_docs(spark, sf_dir))
+
+
+def shard_assign_df(docs: DataFrame) -> DataFrame:
+    """Deterministic training-data layout: assign every doc to one of
+    ``N_SHARDS`` shards and give it a stable pseudo-random position within
+    the shard (the dataloader read order).
+
+    This is the write-side ``repartition(N).sortWithinPartitions(...)``
+    layout step of a 100 TB pipeline, expressed verifiably: shard =
+    multiplicative hash of doc_id, position = row_number over a second,
+    independent hash (doc_id tie-break makes the total order unique, so
+    the output is reproducible run-to-run and engine-to-engine — the
+    property that makes checkpoint-resume of a training run possible).
+    One Exchange on the shard key; the sort is within-shard only, never
+    global.
+    """
+    from pyspark.sql import Window
+
+    shard = F.pmod(F.col("doc_id") * _XXPRIME, F.lit(N_SHARDS)).cast("int")
+    scramble = F.pmod(F.col("doc_id") * _KNUTH, F.lit(_ORDER_MOD))
+    w = Window.partitionBy("shard").orderBy("scramble", "doc_id")
+    return (
+        docs.select("doc_id", shard.alias("shard"), scramble.alias("scramble"))
+        .select(
+            "doc_id",
+            "shard",
+            (F.row_number().over(w) - 1).cast("bigint").alias("pos"),
+        )
+    )
+
+
+TEXT_SHARD_ASSIGN_SQL = f"""
+SELECT doc_id,
+       CAST((doc_id * {_XXPRIME}) % {N_SHARDS} AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (
+              PARTITION BY (doc_id * {_XXPRIME}) % {N_SHARDS}
+              ORDER BY (doc_id * {_KNUTH}) % {_ORDER_MOD}, doc_id
+            ) - 1 AS BIGINT) AS pos
+FROM documents
+"""
+
+
+PIPELINE_QUERIES: dict[str, tuple] = {
+    "text_chunk_windows": (text_chunk_windows, TEXT_CHUNK_WINDOWS_SQL),
+    "text_sample_stratified": (text_sample_stratified, TEXT_SAMPLE_STRATIFIED_SQL),
+    "text_shard_assign": (text_shard_assign, TEXT_SHARD_ASSIGN_SQL),
+}

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .operators.dedup import DEDUP_QUERIES
 from .operators.graph_queries import GRAPH_QUERIES
 from .operators.multimodal import MULTIMODAL_QUERIES
+from .operators.pipeline import PIPELINE_QUERIES
 from .operators.relational import RELATIONAL_QUERIES
 from .operators.similarity import SIMILARITY_QUERIES
 from .operators.text_analysis import TEXT_QUERIES
@@ -40,9 +41,9 @@ _WINDOW_ORDER = [
     # -- graph essentials (reference ops 1-5 + north-star analytics) --------
     "g_bfs_levels",
     "g_dfs_leaves",
-    "g_dfs_leaves_scale",
     "g_reachable",
     "g_connected_components",
+    "g_connected_components_scale",
     "g_degrees_scale",
     "g_kcore_scale",
     "g_triangles_scale",
@@ -70,6 +71,8 @@ _WINDOW_ORDER = [
     "text_repetition",
     "text_contamination",
     "text_pii_scrub",
+    "text_chunk_windows",
+    "text_sample_stratified",
     "mm_image_features",
     "mm_frame_sample",
     "mm_audio_features",
@@ -88,10 +91,6 @@ _WINDOW_ORDER = [
     "rel_events_hourly",
     "rel_asof_join",
     "rel_salted_heavy_hitters",
-    # -- relational representatives (the full relational suite was hash-exact
-    # green in round 1; the r01-green variants live in the tail) -------------
-    "rel_pricing_summary",
-    "rel_bucketed_join",
 ]
 
 _SUITES = (
@@ -101,6 +100,7 @@ _SUITES = (
     SIMILARITY_QUERIES,
     TEXT_QUERIES,
     MULTIMODAL_QUERIES,
+    PIPELINE_QUERIES,
     UDF_SURFACE_QUERIES,
     STREAMING_QUERIES,
 )

@@ -378,3 +378,105 @@ def test_audio_features_literal(spark):
     assert abs(r1.rms - ((97 * 97 + 122 * 122 + 97 * 97) / 3) ** 0.5) < 1e-12
     r2 = out[out.media_id == 2].iloc[0]
     assert r2.n_samples == 0 and r2.peak == -1 and r2.zero_crossings == 0 and r2.rms == 0.0
+
+
+def test_chunk_windows_literal(spark):
+    """100-token doc -> chunks [0..63] and [48..99]; 5-token doc -> itself."""
+    import hashlib
+
+    from distributed_graph_database_simulation_spark.operators import pipeline
+
+    long_toks = [f"t{i}" for i in range(100)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(long_toks)), (2, "a b c d e")], "doc_id long, text string"
+    )
+    rows = {
+        (r.doc_id, r.chunk_id): (r.chunk_md5, r.n_tokens)
+        for r in pipeline.chunk_windows_df(docs).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert rows == {
+        (1, 0): (md5(" ".join(long_toks[0:64])), 64),
+        (1, 1): (md5(" ".join(long_toks[48:100])), 52),
+        (2, 0): (md5("a b c d e"), 5),
+    }
+
+
+def test_chunk_windows_tail_boundary(spark):
+    """Exactly CHUNK tokens -> one chunk; CHUNK+1 -> two (ragged 17-token tail)."""
+    from distributed_graph_database_simulation_spark.operators import pipeline
+
+    c = pipeline.CHUNK
+    docs = spark.createDataFrame(
+        [(1, " ".join(["x"] * c)), (2, " ".join(["x"] * (c + 1)))],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.chunk_id): r.n_tokens
+        for r in pipeline.chunk_windows_df(docs).collect()
+    }
+    assert got == {(1, 0): c, (2, 0): c, (2, 1): c + 1 - pipeline.STRIDE}
+
+
+def test_stratified_sample_deterministic_and_rate_shaped(spark, sf_dir):
+    from distributed_graph_database_simulation_spark.operators import pipeline
+
+    a = pipeline.text_sample_stratified(spark, sf_dir).collect()
+    b = pipeline.text_sample_stratified(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # no rand() anywhere
+    for r in a:  # every kept row satisfies the arithmetic-hash predicate
+        assert (r.doc_id * 2654435761) % 1_000_000 == r.sample_bucket
+        assert r.sample_bucket < pipeline.SAMPLE_PPM.get(r.lang, 1_000_000)
+    # full-rate strata are kept in their entirety
+    docs = pipeline._docs(spark, sf_dir)
+    n_de = docs.where("lang = 'de'").count()
+    assert sum(1 for r in a if r.lang == "de") == n_de
+
+
+def test_common_neighbors_vs_python(spark, sf_dir):
+    """Cross-check the CN join pipeline against an independent Python
+    adjacency-set computation on the same scale edges."""
+    from distributed_graph_database_simulation_spark import fixtures
+    from distributed_graph_database_simulation_spark.operators.graph_queries import (
+        common_neighbors_scale,
+    )
+
+    edges = fixtures.scale_edges_df(spark, sf_dir).collect()
+    adj: dict[int, set[int]] = {}
+    for r in edges:
+        adj.setdefault(r.src, set()).add(r.dst)
+        adj.setdefault(r.dst, set()).add(r.src)
+    expected = {}
+    verts = sorted(adj)
+    for i, u in enumerate(verts):
+        for v in verts[i + 1 :]:
+            if v in adj[u]:
+                continue
+            c = len(adj[u] & adj[v])
+            if c:
+                expected[(u, v)] = c
+    got = {
+        (r.u, r.v): r.common_neighbors
+        for r in common_neighbors_scale(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_shard_assign_layout_properties(spark, sf_dir):
+    """Positions are a 0-based contiguous sequence per shard; assignment is
+    the documented arithmetic; ordering matches an independent Python sort."""
+    from distributed_graph_database_simulation_spark.operators import pipeline
+
+    rows = pipeline.text_shard_assign(spark, sf_dir).collect()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert r.shard == (r.doc_id * 2246822519) % pipeline.N_SHARDS
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, members in by_shard.items():
+        members.sort(key=lambda r: r.pos)
+        assert [r.pos for r in members] == list(range(len(members)))
+        expected_order = sorted(
+            (r.doc_id for r in members),
+            key=lambda d: ((d * 2654435761) % 1_000_003, d),
+        )
+        assert [r.doc_id for r in members] == expected_order

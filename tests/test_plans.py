@@ -185,3 +185,26 @@ def test_text_and_multimodal_ops_are_shuffle_free(spark, sf_dir):
     ):
         plan = _formatted_plan(fn(spark, sf_dir))
         assert "Exchange" not in plan, (fn.__name__, plan)
+
+
+def test_pipeline_ops_are_shuffle_free(spark, sf_dir):
+    """Chunking and stratified sampling are narrow projections (explode /
+    filter only) — zero Exchange, so they parallelize with input splits at
+    any scale."""
+    from distributed_graph_database_simulation_spark.operators import pipeline
+
+    for fn in (pipeline.text_chunk_windows, pipeline.text_sample_stratified):
+        plan = _formatted_plan(fn(spark, sf_dir))
+        assert "Exchange" not in plan, (fn.__name__, plan)
+
+
+def test_common_neighbors_is_keyed_join(spark, sf_dir):
+    """The CN pair space must come from the shared-neighbor key join —
+    never a cartesian/nested-loop enumeration of vertex pairs."""
+    from distributed_graph_database_simulation_spark.operators.graph_queries import (
+        common_neighbors_scale,
+    )
+
+    plan = _formatted_plan(common_neighbors_scale(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
