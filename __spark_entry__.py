@@ -6,7 +6,7 @@ the reference fixture graphs) at sf0.001. ``queries()`` /
 (distributed_graph_database_simulation_spark.registry); every SQL-expressible
 operator carries a DuckDB oracle — including fixed-iteration PageRank
 (unrolled power-iteration CTE, integer micro-rank compare) — the rest
-(DFS-leaf order-dependent traversal, probabilistic SimHash/ANN bucketing,
+(DFS-leaf order-dependent traversal, probabilistic ANN bucketing,
 HLL sketches) use the rows-only check as documented in their modules.
 """
 

@@ -323,23 +323,48 @@ DEDUP_MINHASH_LSH_SQL = _NGRAM_ORACLE_CORE
 # --- SimHash -------------------------------------------------------------
 
 def _simhash(sh: DataFrame) -> DataFrame:
-    """doc_id -> 64-bit simhash over shingle features (xxhash64 bit votes)."""
+    """doc_id -> 64-bit simhash as two 32-bit halves (sim_hi, sim_lo).
+
+    Feature hash = md5 of the shingle split into two 32-bit words — md5 is
+    bit-identical across engines, which is what makes the DuckDB oracle
+    possible (the previous xxhash64 design was deterministic but
+    Spark-only). The halves stay in [0, 2^32) so every shift/mask below is
+    sign-free in both engines (DuckDB raises on BIGINT overflow rather
+    than wrapping, so a packed 64-bit value with a high bit 63 would trap).
+    Same plan shape as minhash: explode -> 64 partial-aggregated bit
+    votes, map-side combined, one row per doc after the shuffle.
+    """
     posting = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    h = F.xxhash64(F.col("shingle"))
+    h = F.md5("shingle")
+    hashed = posting.select(
+        "doc_id",
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("hh"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("hl"),
+    )
     votes = [
         F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(SIMHASH_BITS)
-    ]
-    agg = posting.groupBy("doc_id").agg(*votes)
-    sim = F.lit(0).cast("long")
-    for i in range(SIMHASH_BITS):
-        sim = sim.bitwiseOR(
-            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i))
-            .otherwise(F.lit(0).cast("long"))
+            F.when(
+                F.shiftright(F.col(half), i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"b{j}")
+        for j, (half, i) in enumerate(
+            [("hl", i) for i in range(32)] + [("hh", i) for i in range(32)]
         )
-    return agg.select("doc_id", sim.alias("simhash"))
+    ]
+    agg = hashed.groupBy("doc_id").agg(*votes)
+
+    def pack(start: int) -> F.Column:
+        v = F.lit(0).cast("long")
+        for j in range(32):
+            v = v.bitwiseOR(
+                F.when(
+                    F.col(f"b{start + j}") > 0,
+                    F.shiftleft(F.lit(1).cast("long"), j),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+        return v
+
+    return agg.select("doc_id", pack(32).alias("sim_hi"), pack(0).alias("sim_lo"))
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -348,31 +373,37 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Splitting 64 bits into 4 16-bit bands guarantees any pair within Hamming
     distance 3 agrees on at least one whole band, so the band join finds every
     qualifying pair; the Hamming filter then removes band-collision false
-    positives. Deterministic (xxhash64) but not SQL-portable -> rows-only
-    driver check; pinned by unit tests.
+    positives. The md5-derived hash makes the whole pipeline SQL-portable,
+    and the oracle deliberately does NOT replicate the banding: it
+    enumerates all pairs and filters on Hamming directly, so the driver
+    check independently proves the pigeonhole blocking loses no pair.
     """
     sh = _shingled(_docs(spark, sf_dir))
     sims = _simhash(sh)
+    band_cols = [
+        F.col("sim_lo").bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright(F.col("sim_lo"), 16).bitwiseAND(F.lit(0xFFFF)),
+        F.col("sim_hi").bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright(F.col("sim_hi"), 16).bitwiseAND(F.lit(0xFFFF)),
+    ]
     bands = sims.select(
         "doc_id",
-        "simhash",
+        "sim_hi",
+        "sim_lo",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("band_id"),
-                        F.shiftright(F.col("simhash"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("band_val"),
-                    )
-                    for i in range(SIMHASH_BANDS)
+                    F.struct(F.lit(i).alias("band_id"), c.alias("band_val"))
+                    for i, c in enumerate(band_cols)
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+    ).select("doc_id", "sim_hi", "sim_lo", "band.band_id", "band.band_val")
     a = bands.alias("a")
     b = bands.alias("b")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    hamming = F.bit_count(
+        F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi"))
+    ) + F.bit_count(F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo")))
     return (
         a.join(
             b,
@@ -388,6 +419,61 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= 3)
     )
+
+
+def _simhash_oracle_sql() -> str:
+    """All-pairs Hamming oracle over the same md5 bit votes (no banding —
+    see :func:`dedup_simhash`). 64 unrolled vote columns, same unrolled-SQL
+    technique as the PageRank/k-core oracles."""
+    vote_cols = ",\n".join(
+        f"         SUM(CASE WHEN ({half} >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j, (half, i) in enumerate(
+            [("hl", i) for i in range(32)] + [("hh", i) for i in range(32)]
+        )
+    )
+    pack_lo = " | ".join(
+        f"(CASE WHEN b{j} > 0 THEN (1::BIGINT << {j}) ELSE 0 END)" for j in range(32)
+    )
+    pack_hi = " | ".join(
+        f"(CASE WHEN b{32 + j} > 0 THEN (1::BIGINT << {j}) ELSE 0 END)"
+        for j in range(32)
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM docs
+  WHERE len(w) >= 3
+),
+hashed AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS hh,
+         CAST('0x' || substr(md5(shingle), 9, 8) AS BIGINT) AS hl
+  FROM (SELECT doc_id, UNNEST(s) AS shingle FROM sh)
+),
+votes AS (
+  SELECT doc_id,
+{vote_cols}
+  FROM hashed GROUP BY doc_id
+),
+sims AS (
+  SELECT doc_id, {pack_hi} AS sim_hi, {pack_lo} AS sim_lo FROM votes
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sim_hi, b.sim_hi))
+          + bit_count(xor(a.sim_lo, b.sim_lo)) AS INT) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) <= 3
+"""
+
+
+DEDUP_SIMHASH_SQL = _simhash_oracle_sql()
 
 
 # --- embedding cosine near-dup ------------------------------------------
@@ -682,7 +768,7 @@ DEDUP_QUERIES: dict[str, tuple] = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
-    "dedup_simhash": (dedup_simhash, None),
+    "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
     "dedup_embedding_cosine_tiled": (
         dedup_embedding_cosine_tiled,

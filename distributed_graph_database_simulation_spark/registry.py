@@ -4,7 +4,7 @@ Every implemented operator from SURVEY.md §2 appears here as
 ``name -> (spark_fn, oracle_sql | None)``. ``spark_fn(spark, sf_dir)`` returns
 a DataFrame; ``oracle_sql`` is ANSI SQL DuckDB runs on the same parquet views.
 ``None`` marks genuinely non-SQL-expressible ops (traversal-order-dependent
-DFS, iterative float PageRank, probabilistic SimHash/ANN, HLL sketches) — the
+DFS, iterative float PageRank, probabilistic ANN bucketing, HLL sketches) — the
 driver then records a rows-only check; their invariants are pinned in tests.
 
 Imports are deliberately eager: a broken suite must fail the smoke test

@@ -88,10 +88,12 @@ def test_simhash_detects_identical_and_is_deterministic(spark, sf_dir):
         ]
     )
     sh = dedup._shingled(docs)
-    sims = {r.doc_id: r.simhash for r in dedup._simhash(sh).collect()}
+    sims = {r.doc_id: (r.sim_hi, r.sim_lo) for r in dedup._simhash(sh).collect()}
     assert sims[1] == sims[2]
     assert sims[1] != sims[3]
-    again = {r.doc_id: r.simhash for r in dedup._simhash(sh).collect()}
+    for hi, lo in sims.values():  # halves stay in unsigned-32 range
+        assert 0 <= hi < 2**32 and 0 <= lo < 2**32
+    again = {r.doc_id: (r.sim_hi, r.sim_lo) for r in dedup._simhash(sh).collect()}
     assert sims == again
 
 
