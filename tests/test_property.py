@@ -332,3 +332,48 @@ def test_connected_components_kernel_matches_superstep(sess, matrix):
         for r in connected_components_kernel(graphs, edges).collect()
     }
     assert loop == kern
+
+
+# Token lists, rendered to text with single spaces — matches the operator's
+# whitespace normalization, so the Python reference below is exact.
+_token_docs = st.lists(
+    st.lists(
+        st.text(alphabet="abcxyz09", min_size=1, max_size=4),
+        min_size=1,
+        max_size=200,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(docs=_token_docs)
+@_SETTINGS
+def test_chunk_windows_matches_python(sess, docs):
+    """Chunking == an independent Python sliding-window implementation for
+    arbitrary token sequences (1..200 tokens spans the 1-chunk, boundary,
+    and multi-chunk regimes for CHUNK=64/STRIDE=48)."""
+    import hashlib
+
+    from distributed_graph_database_simulation_spark.operators import pipeline
+
+    df = sess.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.chunk_id): (r.chunk_md5, r.n_tokens)
+        for r in pipeline.chunk_windows_df(df).collect()
+    }
+    expected = {}
+    for i, toks in enumerate(docs):
+        starts = [0]
+        while starts[-1] + pipeline.CHUNK < len(toks):
+            starts.append(starts[-1] + pipeline.STRIDE)
+        for cid, s in enumerate(starts):
+            window = toks[s : s + pipeline.CHUNK]
+            expected[(i, cid)] = (
+                hashlib.md5(" ".join(window).encode()).hexdigest(),
+                len(window),
+            )
+    assert got == expected
