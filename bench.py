@@ -47,6 +47,8 @@ HEADLINE = [
     "sim_topk_bruteforce",
     "text_quality_score",
     "text_fingerprint",
+    "text_chunk_windows",
+    "text_shard_assign",
     "mm_image_features",
     "stream_events_hourly",
 ]
