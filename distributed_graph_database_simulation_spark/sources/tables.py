@@ -25,15 +25,25 @@ TABLES = (
 )
 
 
-def ensure_nanos_readable(spark: SparkSession) -> None:
-    """Make TIMESTAMP(NANOS) parquet columns readable in ANY session.
+def ensure_events_readable(spark: SparkSession) -> None:
+    """Make every physical shape of events.parquet readable in ANY session.
 
-    events.parquet carries INT64 TIMESTAMP(NANOS,false), which a vanilla
-    SparkSession rejects outright (PARQUET_TYPE_ILLEGAL). The conf is
-    runtime-settable, so set it here — at load time, not session-build time —
-    because callers (the driver's harness included) bring their own bare
-    sessions. With the conf on, ts arrives as bigint nanos and the caller
-    converts explicitly.
+    The driver has regenerated events.parquet across rounds with different
+    physical timestamp encodings; the loader must be total over all of them:
+
+    * INT64 TIMESTAMP(NANOS,false) — a vanilla SparkSession rejects it
+      outright (PARQUET_TYPE_ILLEGAL) unless ``nanosAsLong`` is on; ts then
+      arrives as bigint nanos and :func:`_normalize_ts` converts.
+    * Timestamp(isAdjustedToUTC=false, MICROS) — Spark 4 infers TIMESTAMP_NTZ
+      by default; :func:`_normalize_ts` casts it to TIMESTAMP (session TZ is
+      pinned UTC below, so the cast is a pure relabel matching DuckDB's naive
+      semantics). The NTZ-inference conf is deliberately left at its default
+      so unrelated reads keep standard behavior.
+    * Plain TIMESTAMP — passes through untouched.
+
+    Confs are runtime-settable, so set them here — at load time, not
+    session-build time — because callers (the driver's harness included)
+    bring their own bare sessions.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Timestamp semantics must match the TZ-naive-UTC DuckDB oracles even when
@@ -41,18 +51,38 @@ def ensure_nanos_readable(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+# Back-compat alias (pre-round-4 name).
+ensure_nanos_readable = ensure_events_readable
+
+
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to TIMESTAMP for any physical shape.
+
+    Works on batch and streaming DataFrames alike (cast and timestamp_micros
+    are both streaming-safe projections).
+    """
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        # TIMESTAMP(NANOS) read via nanosAsLong: truncate to microseconds
+        # (DuckDB's epoch_us over TIMESTAMP_NS truncates the same way).
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dtype == "timestamp_ntz":
+        # NTZ wall-clock -> instant under the session TZ (pinned UTC above):
+        # same epoch micros as DuckDB's epoch_us over the naive column.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        ensure_nanos_readable(spark)
+        ensure_events_readable(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read via nanosAsLong: truncate to microseconds
-        # (DuckDB's epoch_us over TIMESTAMP_NS truncates the same way).
-        from pyspark.sql import functions as F
-
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = _normalize_ts(df)
     return df
 
 

@@ -37,10 +37,10 @@ from ..functions.portable import dec
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet with the same ts normalization as
-    the batch loader (TIMESTAMP(NANOS) -> microsecond timestamps)."""
-    from ..sources.tables import ensure_nanos_readable
+    the batch loader (nanos-bigint / TIMESTAMP_NTZ / TIMESTAMP -> TIMESTAMP)."""
+    from ..sources.tables import _normalize_ts, ensure_events_readable
 
-    ensure_nanos_readable(spark)  # vanilla sessions reject TIMESTAMP(NANOS)
+    ensure_events_readable(spark)  # vanilla sessions reject TIMESTAMP(NANOS)
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
     # The file source requires a directory: stream the sf dir filtered down
@@ -51,9 +51,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return _normalize_ts(stream)
 
 
 def _run_bounded(df: DataFrame, spark: SparkSession, name: str, mode: str) -> DataFrame:
