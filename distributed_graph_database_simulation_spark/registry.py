@@ -41,7 +41,9 @@ _WINDOW_ORDER = [
     # -- graph essentials (reference ops 1-5 + north-star analytics) --------
     "g_bfs_levels",
     "g_dfs_leaves",
-    "g_reachable",
+    # r04 rotation: g_reachable (twice-certified r01+r03) -> tail; its window
+    # slot now certifies the never-checked link-prediction operator.
+    "g_common_neighbors_scale",
     "g_connected_components",
     "g_connected_components_scale",
     "g_degrees_scale",
@@ -66,7 +68,9 @@ _WINDOW_ORDER = [
     "sim_topk_ivf",
     "text_language_id",
     "text_quality_score",
-    "text_token_count",
+    # r04 rotation: text_token_count (twice-certified) -> tail, in favor of
+    # the never-checked shard-assignment pipeline op.
+    "text_shard_assign",
     "text_fingerprint",
     "text_repetition",
     "text_contamination",

@@ -8,6 +8,7 @@ against the same parquet tables, then compares row count, column names/order
     python tools/check_oracles.py                      # all queries @ sf0.01
     python tools/check_oracles.py rel_pricing_summary  # one query
     python tools/check_oracles.py --sf /root/testdata/sf0.001
+    python tools/check_oracles.py --window             # the driver's exact gate
 """
 
 from __future__ import annotations
@@ -50,6 +51,14 @@ def main() -> int:
     ap.add_argument("names", nargs="*")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--keep-going", action="store_true")
+    ap.add_argument(
+        "--window",
+        action="store_true",
+        help="run exactly the first CHECK_WINDOW registry entries on the "
+        "vanilla session — a local reproduction of the driver's per-round "
+        "correctness gate (round 3 proved environment drift can reach the "
+        "driver before any repo check sees it)",
+    )
     ap.add_argument(
         "--builder-session",
         action="store_true",
@@ -100,7 +109,14 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    names = args.names or list(queries)
+    if args.window:
+        from distributed_graph_database_simulation_spark.registry import CHECK_WINDOW
+
+        names = list(queries)[:CHECK_WINDOW]
+        if args.names:
+            names = [n for n in names if n in args.names]
+    else:
+        names = args.names or list(queries)
     n_pass = n_fail = n_rows_only = 0
     for name in names:
         t0 = time.time()
