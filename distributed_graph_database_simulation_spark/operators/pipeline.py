@@ -148,6 +148,12 @@ N_SHARDS = 16
 # _KNUTH so shard id and within-shard order are decorrelated.
 _XXPRIME = 2246822519
 _ORDER_MOD = 1_000_003  # prime modulus for the within-shard scramble key
+# Sub-buckets per shard: the expensive rank/sort runs per (shard, sub), so
+# sort parallelism is N_SHARDS * N_SUB tasks, not N_SHARDS. Raise for bigger
+# clusters — output positions are invariant to N_SUB (range bucketing on the
+# sort key keeps the global order identical).
+N_SUB = 64
+_SUB_WIDTH = -(-_ORDER_MOD // N_SUB)  # ceil(mod / N_SUB): sub monotone in scramble
 
 
 def text_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -161,24 +167,48 @@ def shard_assign_df(docs: DataFrame) -> DataFrame:
 
     This is the write-side ``repartition(N).sortWithinPartitions(...)``
     layout step of a 100 TB pipeline, expressed verifiably: shard =
-    multiplicative hash of doc_id, position = row_number over a second,
+    multiplicative hash of doc_id, position = dense rank over a second,
     independent hash (doc_id tie-break makes the total order unique, so
     the output is reproducible run-to-run and engine-to-engine — the
     property that makes checkpoint-resume of a training run possible).
-    One Exchange on the shard key; the sort is within-shard only, never
-    global.
+
+    Scale: a naive ``row_number() over (partition by shard)`` caps rank
+    parallelism at N_SHARDS tasks (~6 TB/task at 100 TB). Instead the
+    scramble key is range-bucketed into ``N_SUB`` sub-buckets — monotone in
+    the sort key, so dense per-shard positions are unchanged — the rank runs
+    per (shard, sub) over N_SHARDS * N_SUB tasks, and a broadcast cumulative
+    offset (one tiny N_SHARDS*N_SUB-row aggregate) recomposes global
+    positions. Two Exchanges over the corpus (rank keys + count agg), both
+    on uniform hash keys; no global sort anywhere.
     """
     from pyspark.sql import Window
 
     shard = F.pmod(F.col("doc_id") * _XXPRIME, F.lit(N_SHARDS)).cast("int")
     scramble = F.pmod(F.col("doc_id") * _KNUTH, F.lit(_ORDER_MOD))
-    w = Window.partitionBy("shard").orderBy("scramble", "doc_id")
+    keyed = docs.select(
+        "doc_id", shard.alias("shard"), scramble.alias("scramble")
+    ).withColumn("sub", F.expr(f"scramble div {_SUB_WIDTH}").cast("int"))
+    w_rank = Window.partitionBy("shard", "sub").orderBy("scramble", "doc_id")
+    ranked = keyed.withColumn("rn", F.row_number().over(w_rank))
+    # Per-(shard, sub) counts -> cumulative start offset of each sub-bucket.
+    # The window here runs over <= N_SHARDS * N_SUB aggregate rows — trivial.
+    w_off = (
+        Window.partitionBy("shard")
+        .orderBy("sub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        keyed.groupBy("shard", "sub")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("offset", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)))
+        .select("shard", "sub", "offset")
+    )
     return (
-        docs.select("doc_id", shard.alias("shard"), scramble.alias("scramble"))
+        ranked.join(F.broadcast(offsets), ["shard", "sub"])
         .select(
             "doc_id",
             "shard",
-            (F.row_number().over(w) - 1).cast("bigint").alias("pos"),
+            (F.col("offset") + F.col("rn") - 1).cast("bigint").alias("pos"),
         )
     )
 

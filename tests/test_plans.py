@@ -198,6 +198,20 @@ def test_pipeline_ops_are_shuffle_free(spark, sf_dir):
         assert "Exchange" not in plan, (fn.__name__, plan)
 
 
+def test_shard_assign_rank_parallelism_exceeds_shard_count(spark, sf_dir):
+    """The expensive row_number must partition on (shard, sub) — N_SHARDS *
+    N_SUB tasks — never on shard alone, which would cap the sort at 16 tasks
+    (~6 TB/task at 100 TB). The offset recomposition must be a broadcast,
+    not another corpus-wide shuffle."""
+    from distributed_graph_database_simulation_spark.operators import pipeline
+
+    plan = _formatted_plan(pipeline.text_shard_assign(spark, sf_dir))
+    windows = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    rank_specs = [w for w in windows if "scramble" in w]
+    assert rank_specs and all("sub" in w for w in rank_specs), windows
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_common_neighbors_is_keyed_join(spark, sf_dir):
     """The CN pair space must come from the shared-neighbor key join —
     never a cartesian/nested-loop enumeration of vertex pairs."""
