@@ -50,6 +50,26 @@ def test_dfs_leaf_pins(spark, edges):
         assert got[g] == expected, f"graph {g}"
 
 
+def test_dfs_deep_path_runs_iteratively(spark):
+    # 5000-vertex chain: far past CPython's default recursion limit (1000),
+    # so this passes only with the explicit-stack kernel — no
+    # setrecursionlimit escape hatch. Leaf set of a chain is the far end.
+    n = 5000
+    chain = spark.createDataFrame(
+        [(42, i, i + 1) for i in range(n - 1)], "graph_id INT, src INT, dst INT"
+    ).coalesce(1)
+    out = dfs_leaves(spark, chain, [(42, 0)])
+    assert {r["vertex"] for r in out.collect()} == {n - 1}
+
+
+def test_dfs_max_nodes_guard_enforced(spark):
+    chain = spark.createDataFrame(
+        [(42, i, i + 1) for i in range(99)], "graph_id INT, src INT, dst INT"
+    ).coalesce(1)
+    with pytest.raises(Exception, match="kernel cap"):
+        dfs_leaves(spark, chain, [(42, 0)], max_nodes=10).collect()
+
+
 def test_bfs_isolated_start(spark, edges):
     # start vertex with no outgoing/incoming edges in that graph: level-0 row only
     out = bfs_levels_small(spark, edges, [(5, 2)])
