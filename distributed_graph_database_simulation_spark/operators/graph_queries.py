@@ -468,6 +468,77 @@ WHERE NOT EXISTS (SELECT 1 FROM ue e WHERE e.src = p.u AND e.dst = p.v)
 """
 
 
+# Max degree of a shared-neighbor key vertex in the capped CN variant. The
+# shared-neighbor self-join is quadratic in hub degree (a degree-d vertex
+# emits d*(d-1)/2 pairs); dropping hubs above the cap bounds per-key fan-out
+# at CAP^2/2 — the standard link-prediction mitigation (hubs carry near-zero
+# CN signal anyway). The oracle applies the identical cap for exact parity.
+CN_DEGREE_CAP = 32
+
+
+def common_neighbors_capped_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-capped common-neighbors: identical to
+    :func:`common_neighbors_scale` but common neighbors are only counted
+    through vertices of undirected degree <= ``CN_DEGREE_CAP``.
+
+    At 100 TB this is the variant to run: the uncapped query's worst case is
+    a single hub key producing deg^2 pairs (AQE skew-split shares the work
+    but not the total), while here every key's fan-out is bounded, so the
+    pair volume is at most |E| * CAP regardless of skew. Degree filtering is
+    one keyed agg + keyed join on ``dst`` — the same shuffle key the pair
+    join needs, so the partitioning is reused, and the anti-join against the
+    edge set still removes adjacent pairs exactly.
+    """
+    e = fixtures.scale_edges_df(spark, sf_dir)
+    ue = (
+        e.select("src", "dst")
+        .union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    low_deg = (
+        ue.groupBy("dst")
+        .agg(F.count("*").alias("deg"))
+        .where(F.col("deg") <= CN_DEGREE_CAP)
+        .select("dst")
+    )
+    kept = ue.join(low_deg, "dst")
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (
+        a.join(b, F.col("a.dst") == F.col("b.dst"))
+        .where(F.col("a.src") < F.col("b.src"))
+        .groupBy(F.col("a.src").alias("u"), F.col("b.src").alias("v"))
+        .agg(F.count("*").alias("common_neighbors"))
+    )
+    adj = ue.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    return (
+        pairs.join(adj, ["u", "v"], "left_anti")
+        .select("u", "v", F.col("common_neighbors").cast("bigint").alias("common_neighbors"))
+    )
+
+
+COMMON_NEIGHBORS_CAPPED_SCALE_SQL = f"""
+WITH scale_edges AS ({fixtures.SCALE_GRAPH_SQL}),
+ue AS (
+  SELECT src, dst FROM scale_edges
+  UNION
+  SELECT dst, src FROM scale_edges
+),
+kept AS (
+  SELECT ue.src, ue.dst FROM ue
+  JOIN (SELECT dst, COUNT(*) AS deg FROM ue GROUP BY 1) d USING (dst)
+  WHERE d.deg <= {CN_DEGREE_CAP}
+),
+pairs AS (
+  SELECT a.src AS u, b.src AS v, COUNT(*) AS common_neighbors
+  FROM kept a JOIN kept b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT u, v, CAST(common_neighbors AS BIGINT) AS common_neighbors
+FROM pairs p
+WHERE NOT EXISTS (SELECT 1 FROM ue e WHERE e.src = p.u AND e.dst = p.v)
+"""
+
+
 def _label_propagation_sql(edges_cte: str, graphs_cte: str, iterations: int) -> str:
     """Unrolled synchronous-LPA oracle (all-integer; min tie-break) —
     mirrors :func:`label_propagation` superstep for superstep."""
@@ -691,6 +762,10 @@ GRAPH_QUERIES: dict[str, tuple] = {
         CONNECTED_COMPONENTS_SCALE_SQL,
     ),
     "g_common_neighbors_scale": (common_neighbors_scale, COMMON_NEIGHBORS_SCALE_SQL),
+    "g_common_neighbors_capped_scale": (
+        common_neighbors_capped_scale,
+        COMMON_NEIGHBORS_CAPPED_SCALE_SQL,
+    ),
     "g_degrees": (degrees_fixture, DEGREES_SQL),
     "g_degrees_scale": (degrees_scale, DEGREES_SCALE_SQL),
     "g_kcore_scale": (kcore_scale, KCORE_SCALE_SQL),

@@ -222,3 +222,29 @@ def test_common_neighbors_is_keyed_join(spark, sf_dir):
     plan = _formatted_plan(common_neighbors_scale(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_capped_common_neighbors_is_keyed_and_bounded(spark, sf_dir):
+    """The capped variant must keep the keyed-join shape AND cap per-key
+    fan-out: every pair comes from a shared-neighbor key of degree <=
+    CN_DEGREE_CAP, so no key can explode quadratically at scale."""
+    from distributed_graph_database_simulation_spark.operators.graph_queries import (
+        CN_DEGREE_CAP,
+        common_neighbors_capped_scale,
+        common_neighbors_scale,
+    )
+
+    df = common_neighbors_capped_scale(spark, sf_dir)
+    plan = _formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # capped counts are a lower bound of the exact counts on the same pairs
+    exact = {
+        (r.u, r.v): r.common_neighbors
+        for r in common_neighbors_scale(spark, sf_dir).collect()
+    }
+    capped = {(r.u, r.v): r.common_neighbors for r in df.collect()}
+    assert capped, "capped CN produced no pairs on the scale graph"
+    assert set(capped) <= set(exact)
+    assert all(capped[p] <= exact[p] for p in capped)
+    assert CN_DEGREE_CAP == 32
