@@ -184,52 +184,63 @@ GROUP BY user_id, session_id
 """
 
 
-def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful operator: per-user running totals via
-    ``applyInPandasWithState`` (the arbitrary-state API — the engine's escape
-    hatch when windowed aggregates can't express the state machine).
+def _user_totals_fold(key, pdfs, state):
+    """Per-user state fold: (event count, value sum in exact 1e-4 units).
 
-    State per user = (event count, value sum in exact 1e-4 units). Each
-    micro-batch folds its rows into state and emits the running totals;
-    the final emission therefore equals the batch GROUP BY, which is the
-    oracle. Value sums are kept in integer ten-thousandths so state stays
-    exact regardless of batch order (float accumulation would drift).
-    """
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    Value sums are kept in integer ten-thousandths so state stays exact
+    regardless of batch order (float accumulation would drift)."""
+    import numpy as np
 
-    def fold(key, pdfs, state: GroupState):
-        count, units = state.get if state.exists else (0, 0)
-        import numpy as np
+    count, units = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        count += len(pdf)
+        # round per ROW before summing: each 4-decimal value scales to
+        # an exact integer; summing floats first would reintroduce drift
+        units += int(np.round(pdf["value"].to_numpy() * 10_000).sum())
+    state.update((count, units))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [count], "sum_value": [units / 10_000.0]}
+    )
 
-        for pdf in pdfs:
-            count += len(pdf)
-            # round per ROW before summing: each 4-decimal value scales to
-            # an exact integer; summing floats first would reintroduce drift
-            units += int(np.round(pdf["value"].to_numpy() * 10_000).sum())
-        state.update((count, units))
-        yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [count], "sum_value": [units / 10_000.0]}
-        )
 
-    ev = _events_stream(spark, sf_dir)
-    out = ev.groupBy("user_id").applyInPandasWithState(
-        fold,
+def _stateful_user_totals(ev: DataFrame) -> DataFrame:
+    """applyInPandasWithState pipeline over any events-shaped stream."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _user_totals_fold,
         outputStructType="user_id BIGINT, n_events BIGINT, sum_value DOUBLE",
         stateStructType="count BIGINT, units BIGINT",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    result = _run_bounded(out, spark, "stream_stateful_user_totals", "update")
-    # Totals are cumulative: keep each user's final emission so the result
-    # is batch-equivalent even if the source splits into multiple batches.
-    # The final emission is the row with the maximal n_events (count strictly
-    # increases every batch that touches the user); taking sum_value via
-    # max_by keeps the pair atomic — independent max(sum_value) would break
-    # if values could be negative.
+
+
+def _final_user_totals(result: DataFrame) -> DataFrame:
+    """Keep each user's FINAL cumulative emission from a multi-batch run.
+
+    The final emission is the row with the maximal n_events (count strictly
+    increases every batch that touches the user); taking sum_value via
+    max_by keeps the pair atomic — independent max(sum_value) would break
+    if values can be negative (sum_value is not monotone in that case)."""
     return result.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
         F.max_by("sum_value", "n_events").alias("sum_value"),
     )
+
+
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator: per-user running totals via
+    ``applyInPandasWithState`` (the arbitrary-state API — the engine's escape
+    hatch when windowed aggregates can't express the state machine).
+
+    Each micro-batch folds its rows into state and emits the running
+    totals; the final emission therefore equals the batch GROUP BY, which
+    is the oracle.
+    """
+    out = _stateful_user_totals(_events_stream(spark, sf_dir))
+    result = _run_bounded(out, spark, "stream_stateful_user_totals", "update")
+    return _final_user_totals(result)
 
 
 STREAM_STATEFUL_USER_TOTALS_SQL = """

@@ -34,6 +34,39 @@ def test_append_with_watermark_emits_closed_windows_only(spark, sf_dir):
     assert all((max_hour - h).total_seconds() <= 3 * 3600 for h in withheld)
 
 
+def test_stateful_totals_multibatch_with_negative_values(spark, tmp_path):
+    """Two forced micro-batches whose second batch DECREASES sum_value for
+    every user: the final-emission reduction must pair (n_events, sum_value)
+    atomically (max_by), not take independent maxima — an independent
+    max(sum_value) would resurrect the batch-1 partial sum here."""
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE"
+    batch1 = [(1, ts, 7, 10.5), (2, ts, 7, 2.25), (3, ts, 8, -1.0)]
+    batch2 = [(4, ts, 7, -20.0), (5, ts, 8, -3.5)]
+    src = str(tmp_path / "stream_src")
+    for rows in (batch1, batch2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    raw = windowed._run_bounded(
+        windowed._stateful_user_totals(stream), spark, "stateful_neg_test", "update"
+    )
+    # multi-batch actually happened: user 7 emitted a running total twice
+    assert raw.where("user_id = 7").count() == 2
+    got = {
+        r.user_id: (r.n_events, r.sum_value)
+        for r in windowed._final_user_totals(raw).collect()
+    }
+    assert got == {7: (3, -7.25), 8: (2, -4.5)}
+
+
 def test_streaming_session_window_matches_batch_sessionization(spark, sf_dir):
     """session_window(streaming) must agree with the batch gap-and-islands
     session count per user (rel_event_sessions)."""
