@@ -713,7 +713,10 @@ walk(vertex, level) AS (
   UNION
   SELECT e.dst, w.level + 1
   FROM walk w JOIN scale_edges e ON e.src = w.vertex
-  WHERE w.level < 50
+  -- Data-derived bound: no shortest unweighted path has more than
+  -- SCALE_V-1 edges, so pruning at SCALE_V cannot truncate any minimum
+  -- (same reasoning as the SSSP oracle bound below).
+  WHERE w.level < {fixtures.SCALE_V}
 )
 SELECT vertex, CAST(MIN(level) AS INT) AS level FROM walk GROUP BY vertex
 """
