@@ -82,15 +82,19 @@ def main() -> int:
         lambda p: p, "v int"
     ).count()  # python worker pool + Arrow serde
     # The 128-permutation minhash aggregate generates a very wide codegen
-    # stage (~3 s to compile at sf0.1). Running the identical pipeline on a
-    # 2-doc frame compiles and caches the same generated classes, so the
-    # measured number is the data-proportional cost, not javac.
+    # stage (~3 s to compile at sf0.1). Running the WHOLE production
+    # pipeline on a tiny frame — persist included, so the aggregate consumes
+    # an InMemoryTableScan exactly like the measured run — compiles and
+    # caches the same generated classes (the codegen cache keys on generated
+    # source bodies, which are shape- not data-dependent), leaving the
+    # measured number the data-proportional cost, not javac.
     from distributed_graph_database_simulation_spark.operators import dedup as _dedup
 
     _tiny = spark.createDataFrame(
-        [(0, "a b c d"), (1, "b c d e")], "doc_id long, text string"
+        [(0, "a b c d e f"), (1, "b c d e f g"), (2, "x y z w v u")],
+        "doc_id long, text string",
     )
-    _dedup._minhash_sigs(_dedup._shingled(_tiny)).count()
+    _dedup.minhash_lsh_df(_tiny).count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:
