@@ -355,8 +355,79 @@ def test_udtf_heavy_tokens_literal(spark):
 
 
 def test_decode_audio_real_is_stubbed():
+    # non-WAV payloads still need a real audio library -> stub raises
     with pytest.raises(NotImplementedError):
         multimodal.decode_audio_real(b"\x00\x01")
+
+
+def test_wav_roundtrip_8bit():
+    samples = bytes(range(256))
+    meta, decoded = multimodal.parse_wav(multimodal.encode_wav_pcm8(samples, 8000))
+    assert meta == {
+        "sample_rate": 8000,
+        "n_channels": 1,
+        "bits_per_sample": 8,
+        "n_samples": 256,
+    }
+    assert bytes(decoded) == samples
+
+
+def test_wav_odd_length_padding_and_unknown_chunks():
+    import struct
+
+    # odd-sized data chunk: writer emits a pad byte the parser must not
+    # count as a sample, and a LIST chunk between fmt and data must be
+    # skipped by the chunk walk
+    wav = multimodal.encode_wav_pcm8(b"abc", 16000)
+    riff_body = wav[12:]
+    listc = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd size + pad
+    patched = b"RIFF" + struct.pack("<I", 4 + len(listc) + len(riff_body)) + b"WAVE" + listc + riff_body
+    meta, decoded = multimodal.parse_wav(patched)
+    assert meta["n_samples"] == 3 and bytes(decoded) == b"abc"
+
+
+def test_wav_16bit_decode():
+    import struct
+
+    import numpy as np
+
+    vals = np.array([-32768, -1, 0, 1, 32767], dtype="<i2")
+    data = vals.tobytes()
+    fmt_body = struct.pack("<HHIIHH", 1, 1, 44100, 88200, 2, 16)
+    body = (
+        b"fmt " + struct.pack("<I", 16) + fmt_body
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    meta, decoded = multimodal.parse_wav(wav)
+    assert meta["bits_per_sample"] == 16 and meta["sample_rate"] == 44100
+    assert list(decoded) == list(vals)
+
+
+def test_wav_malformed_raises():
+    import struct
+
+    with pytest.raises(ValueError):
+        multimodal.parse_wav(b"RIFX\x00\x00\x00\x00WAVE")
+    # truncated data chunk
+    wav = multimodal.encode_wav_pcm8(b"abcd", 8000)
+    with pytest.raises(ValueError):
+        multimodal.parse_wav(wav[:-2])
+    # non-PCM format code
+    fmt_body = struct.pack("<HHIIHH", 3, 1, 8000, 8000, 1, 8)
+    body = (
+        b"fmt " + struct.pack("<I", 16) + fmt_body
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(ValueError):
+        multimodal.parse_wav(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)
+
+
+def test_decode_audio_real_executes_on_wav():
+    samples, rate = multimodal.decode_audio_real(
+        multimodal.encode_wav_pcm8(b"hello", 12000)
+    )
+    assert rate == 12000 and bytes(samples) == b"hello"
 
 
 def test_audio_features_literal(spark):
