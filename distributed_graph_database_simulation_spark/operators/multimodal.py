@@ -41,7 +41,14 @@ from ..sources.tables import load_table
 
 
 def decode_image_real(payload: bytes) -> object:
-    """Real image decode — requires PIL, absent in this container (stub)."""
+    """Real image decode.
+
+    BMP payloads decode with the stdlib parser below — an executable codec
+    path (struct-based headers, row padding, bottom-up/BGR handling).
+    Compressed formats (PNG/JPEG) would need PIL, absent here (stubbed).
+    """
+    if payload[:2] == b"BM":
+        return parse_bmp(payload)
     try:
         from PIL import Image  # noqa: F401
         import io
@@ -49,9 +56,76 @@ def decode_image_real(payload: bytes) -> object:
         return Image.open(io.BytesIO(payload))
     except ImportError as e:
         raise NotImplementedError(
-            "image decoding requires PIL; container provides none (stubbed). "
-            "The deterministic fake path below exercises the same plumbing."
+            "non-BMP image decoding requires PIL; container provides none "
+            "(stubbed). BMP payloads use the stdlib parse_bmp path."
         ) from e
+
+
+# --- Real BMP codec (stdlib struct + numpy; no media libraries) ----------
+
+def encode_bmp_rgb24(pixels: bytes, width: int, height: int) -> bytes:
+    """Minimal uncompressed 24-bit BMP writer from row-major top-down RGB.
+
+    Writes the standard positive-height form: rows bottom-up, pixels BGR,
+    each row zero-padded to a 4-byte boundary — the three gotchas a real
+    parser must undo."""
+    import struct
+
+    import numpy as np
+
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixel buffer size != width*height*3")
+    rgb = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, 3)
+    bgr = rgb[::-1, :, ::-1]  # bottom-up rows, BGR channel order
+    row_size = (width * 3 + 3) & ~3
+    img = np.zeros((height, row_size), dtype=np.uint8)
+    img[:, : width * 3] = bgr.reshape(height, width * 3)
+    data_off = 14 + 40
+    return (
+        b"BM"
+        + struct.pack("<IHHI", data_off + img.size, 0, 0, data_off)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img.size, 2835, 2835, 0, 0
+        )
+        + img.tobytes()
+    )
+
+
+def parse_bmp(payload: bytes):
+    """Parse an uncompressed 24-bit BMP: returns (meta, row-major RGB bytes).
+
+    Handles both bottom-up (positive height) and top-down (negative height)
+    forms, strips per-row padding, and swaps BGR back to RGB. Raises
+    ValueError on malformed or unsupported input rather than mis-decoding.
+    """
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    hdr_size, width, height_raw, _planes, bpp, compression = struct.unpack(
+        "<IiiHHI", payload[14:34]
+    )
+    if hdr_size < 40:
+        raise ValueError(f"unsupported DIB header size {hdr_size}")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit supported, got bpp={bpp}")
+    top_down = height_raw < 0
+    height = abs(height_raw)
+    if width <= 0 or height <= 0:
+        raise ValueError("bad dimensions")
+    row_size = (width * 3 + 3) & ~3
+    body = payload[data_off : data_off + row_size * height]
+    if len(body) < row_size * height:
+        raise ValueError("truncated pixel data")
+    rows = np.frombuffer(body, dtype=np.uint8).reshape(height, row_size)
+    bgr = rows[:, : width * 3].reshape(height, width, 3)
+    if not top_down:
+        bgr = bgr[::-1]
+    meta = {"width": width, "height": height, "bits_per_pixel": bpp}
+    return meta, bgr[:, :, ::-1].tobytes()
 
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -411,6 +485,82 @@ FROM b
 """
 
 
+_BMP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("img_width", IntegerType()),
+        StructField("img_height", IntegerType()),
+        StructField("n_pixel_bytes", LongType()),
+        StructField("weighted_checksum", LongType()),
+    ]
+)
+
+
+def _bmp_roundtrip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Encode each payload's bytes as pixels of a real BMP file, decode it
+    back with the real parser, and emit an order-SENSITIVE checksum
+    (sum of position*value over the row-major RGB stream) — a wrong row
+    order, channel swap, or padding slip changes the checksum, so the
+    oracle catches it; a plain byte sum would not."""
+    import numpy as np
+
+    for pdf in batches:
+        widths = np.zeros(len(pdf), dtype="int32")
+        heights = np.zeros(len(pdf), dtype="int32")
+        n_bytes = np.zeros(len(pdf), dtype="int64")
+        checks = np.zeros(len(pdf), dtype="int64")
+        for i, (media_id, payload) in enumerate(zip(pdf["media_id"], pdf["payload"])):
+            mid = int(media_id)
+            w = 2 + mid % 4
+            h = 2 + (mid * 3) % 4
+            npx = w * h * 3
+            pixels = bytes(payload)[:npx].ljust(npx, b"\x00")
+            meta, decoded = parse_bmp(encode_bmp_rgb24(pixels, w, h))
+            assert meta["width"] == w and meta["height"] == h
+            assert decoded == pixels  # exact round trip, order included
+            arr = np.frombuffer(decoded, dtype=np.uint8).astype(np.int64)
+            widths[i], heights[i], n_bytes[i] = w, h, npx
+            checks[i] = int((np.arange(arr.size, dtype=np.int64) * arr).sum())
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "img_width": widths,
+                "img_height": heights,
+                "n_pixel_bytes": n_bytes,
+                "weighted_checksum": checks,
+            }
+        )
+
+
+def mm_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-codec round trip for images: write payload bytes as an actual
+    uncompressed 24-bit BMP and decode it back with the stdlib parser
+    (bottom-up rows, BGR, 4-byte row padding all round-tripped)."""
+    return media_table(spark, sf_dir).mapInPandas(
+        _bmp_roundtrip_batches, schema=_BMP_SCHEMA
+    )
+
+
+# Pixels are the first w*h*3 text bytes zero-padded, so the weighted
+# checksum is sum((i-1) * ord(text[i])) over i <= min(len, w*h*3) — the
+# padding zeros contribute nothing.
+MM_BMP_DECODE_SQL = """
+WITH t AS (
+  SELECT doc_id AS media_id, text,
+         2 + doc_id % 4 AS w, 2 + (doc_id * 3) % 4 AS h
+  FROM documents
+)
+SELECT media_id,
+       CAST(w AS INT) AS img_width,
+       CAST(h AS INT) AS img_height,
+       CAST(w * h * 3 AS BIGINT) AS n_pixel_bytes,
+       CAST(COALESCE(list_sum(list_transform(
+              range(1, least(length(text), w * h * 3) + 1),
+              i -> (i - 1) * ord(text[i]))), 0) AS BIGINT) AS weighted_checksum
+FROM t
+"""
+
+
 _FRAMES_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -483,4 +633,5 @@ MULTIMODAL_QUERIES: dict[str, tuple] = {
     "mm_frame_sample": (mm_frame_sample, MM_FRAME_SAMPLE_SQL),
     "mm_audio_features": (mm_audio_features, MM_AUDIO_FEATURES_SQL),
     "mm_wav_decode": (mm_wav_decode, MM_WAV_DECODE_SQL),
+    "mm_bmp_decode": (mm_bmp_decode, MM_BMP_DECODE_SQL),
 }

@@ -354,6 +354,53 @@ def test_udtf_heavy_tokens_literal(spark):
     assert {(r.doc_id, r.token, r.n) for r in rows} == {(1, "a", 9), (1, "b", 8)}
 
 
+def test_bmp_roundtrip_padding_and_order():
+    import numpy as np
+
+    # 3x2 RGB, width*3=9 -> row pad to 12: exercises padding, bottom-up,
+    # and BGR swap; exact round trip proves all three are undone
+    pixels = bytes(range(3 * 2 * 3))
+    bmp = multimodal.encode_bmp_rgb24(pixels, 3, 2)
+    meta, decoded = multimodal.parse_bmp(bmp)
+    assert meta == {"width": 3, "height": 2, "bits_per_pixel": 24}
+    assert decoded == pixels
+    # raw file really is bottom-up BGR: first stored pixel is the
+    # bottom-left one (row 1, pixel 0 = RGB 9,10,11) stored as B,G,R
+    body = bmp[54:]
+    assert body[0:3] == bytes((11, 10, 9))
+    assert np.frombuffer(bmp[:2], dtype="S2")[0] == b"BM"
+
+
+def test_bmp_top_down_form_parses():
+    import struct
+
+    pixels = bytes(range(2 * 2 * 3))
+    bmp = bytearray(multimodal.encode_bmp_rgb24(pixels, 2, 2))
+    # flip to the top-down form: negate height, reverse stored row order
+    bmp[22:26] = struct.pack("<i", -2)
+    row = (2 * 3 + 3) & ~3
+    body = bmp[54:]
+    bmp[54:] = bytes(body[row:]) + bytes(body[:row])
+    meta, decoded = multimodal.parse_bmp(bytes(bmp))
+    assert meta["height"] == 2 and decoded == pixels
+
+
+def test_bmp_malformed_raises():
+    with pytest.raises(ValueError):
+        multimodal.parse_bmp(b"PNG not bmp")
+    bmp = multimodal.encode_bmp_rgb24(bytes(12), 2, 2)
+    with pytest.raises(ValueError):
+        multimodal.parse_bmp(bmp[:-4])
+
+
+def test_decode_image_real_executes_on_bmp():
+    pixels = b"\x01\x02\x03" * 4
+    meta, decoded = multimodal.decode_image_real(
+        multimodal.encode_bmp_rgb24(pixels, 2, 2)
+    )
+    assert meta["width"] == 2 and decoded == pixels
+
+
 def test_decode_audio_real_is_stubbed():
     # non-WAV payloads still need a real audio library -> stub raises
     with pytest.raises(NotImplementedError):
