@@ -48,6 +48,29 @@ def test_every_window_entry_has_oracle_or_documented_rows_only():
     assert rows_only <= {"g_dfs_leaves", "sim_topk_lsh", "sim_topk_ivf"}
 
 
+def test_canary_smoke_representative_window_queries():
+    """End-to-end drift canary inside the suite: run one window entry per
+    drift-prone family through the REAL vanilla-session gate at sf0.001.
+    Round 3's regression (regenerated events.parquet -> TIMESTAMP_NTZ) broke
+    exactly these query shapes while every repo check stayed green; this
+    test makes `pytest tests/` fail the moment the testdata moves again."""
+    names = [
+        "rel_scalar_events",       # ts scalar arithmetic (unix_micros)
+        "rel_event_sessions",      # ts lag-window sessionization
+        "stream_dedup_events",     # withWatermark requires TIMESTAMP
+        "dedup_exact",             # documents table shape
+        "g_bfs_levels",            # fixture graph path
+        "mm_image_features",       # binary payload plumbing
+    ]
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "check_oracles.py"),
+         "--window", "--sf", "/root/testdata/sf0.001", "--keep-going", *names],
+        capture_output=True, text=True, timeout=420, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-2000:]
+    assert "0 fail" in out.stdout
+
+
 def test_canary_window_flag_selects_gate_prefix():
     # --window + explicit names intersects, preserving gate membership: a
     # tail-only name under --window selects nothing (exit fast, no Spark job
