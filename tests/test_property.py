@@ -377,3 +377,29 @@ def test_chunk_windows_matches_python(sess, docs):
                 len(window),
             )
     assert got == expected
+
+
+# --- media codec round-trip properties (pure Python, no Spark) ------------
+
+@given(data=st.binary(max_size=512), rate=st.integers(min_value=1, max_value=192_000))
+def test_wav_roundtrip_property(data, rate):
+    from distributed_graph_database_simulation_spark.operators import multimodal
+
+    meta, samples = multimodal.parse_wav(multimodal.encode_wav_pcm8(data, rate))
+    assert meta["sample_rate"] == rate
+    assert meta["n_samples"] == len(data)
+    assert bytes(samples) == data
+
+
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=9),
+    data=st.data(),
+)
+def test_bmp_roundtrip_property(w, h, data):
+    from distributed_graph_database_simulation_spark.operators import multimodal
+
+    pixels = data.draw(st.binary(min_size=w * h * 3, max_size=w * h * 3))
+    meta, decoded = multimodal.parse_bmp(multimodal.encode_bmp_rgb24(pixels, w, h))
+    assert meta == {"width": w, "height": h, "bits_per_pixel": 24}
+    assert decoded == pixels

@@ -198,6 +198,50 @@ def probe_shard_assign(spark, n_docs: int) -> dict:
             "sec": round(time.perf_counter() - t0, 2)}
 
 
+def probe_capped_common_neighbors(spark, n_background: int, hub_degree: int) -> dict:
+    """Adversarial-skew link prediction: a graph with one degree-``hub_degree``
+    hub vertex plus a uniform background. Uncapped CN would emit
+    hub_degree^2/2 pairs through the hub key (~1.25e9 at 50k — the join that
+    kills a cluster); the degree cap drops the hub key before the self-join,
+    so the probe completing quickly IS the demonstration."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from distributed_graph_database_simulation_spark.operators.graph_queries import (
+        CN_DEGREE_CAP,
+    )
+
+    t0 = time.perf_counter()
+    # background: ring + stride edges over 2..n; hub 0 connects to everything
+    bg = spark.range(2, n_background, 1, 32).select(
+        F.col("id").cast("int").alias("src"),
+        ((F.col("id") * 7 + 3) % n_background).cast("int").alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    hub = spark.range(1, hub_degree + 1, 1, 32).select(
+        F.lit(0).cast("int").alias("src"),
+        ((F.col("id") % (n_background - 1)) + 1).cast("int").alias("dst"),
+    )
+    e = bg.union(hub)
+    ue = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    low = (
+        ue.groupBy("dst").agg(F.count("*").alias("deg"))
+        .where(F.col("deg") <= CN_DEGREE_CAP).select("dst")
+    )
+    kept = ue.join(low, "dst")
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (
+        a.join(b, F.col("a.dst") == F.col("b.dst"))
+        .where(F.col("a.src") < F.col("b.src"))
+        .groupBy(F.col("a.src").alias("u"), F.col("b.src").alias("v"))
+        .agg(F.count("*").alias("cn"))
+    )
+    n = pairs.count()
+    return {"probe": "capped_common_neighbors", "background_edges": n_background,
+            "hub_degree": hub_degree, "cap": CN_DEGREE_CAP, "pairs": n,
+            "sec": round(time.perf_counter() - t0, 2)}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--edges", type=float, default=5e6)
@@ -217,6 +261,7 @@ def main() -> int:
             spark, int(args.edges) // 5, int(args.vertices) // 5
         ),
         lambda: probe_shard_assign(spark, int(args.docs) * 100),
+        lambda: probe_capped_common_neighbors(spark, int(args.vertices), 50_000),
     )
     for probe in probes:
         print(json.dumps(probe()), flush=True)
