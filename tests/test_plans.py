@@ -182,6 +182,8 @@ def test_text_and_multimodal_ops_are_shuffle_free(spark, sf_dir):
         text_analysis.text_fingerprint,
         multimodal.mm_image_features,
         multimodal.mm_audio_features,
+        multimodal.mm_wav_decode,
+        multimodal.mm_bmp_decode,
     ):
         plan = _formatted_plan(fn(spark, sf_dir))
         assert "Exchange" not in plan, (fn.__name__, plan)
