@@ -539,6 +539,68 @@ WHERE NOT EXISTS (SELECT 1 FROM ue e WHERE e.src = p.u AND e.dst = p.v)
 """
 
 
+def adamic_adar_capped_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (degree-capped): for non-adjacent pairs,
+    score = sum over shared neighbors w of 1/ln(deg(w)).
+
+    Same skew-proof candidate plan as :func:`common_neighbors_capped_scale`
+    (only shared-neighbor keys of degree <= CN_DEGREE_CAP generate pairs);
+    the weight uses w's TRUE undirected degree. Float determinism: each
+    term is rounded independently to integer micro-units
+    (round(1e6/ln(deg))) and summed as BIGINT, so the result is
+    order-independent and engine-exact — the same trick as the PageRank
+    micro-rank oracle. deg >= 2 for any shared neighbor (it touches both
+    endpoints), so ln(deg) > 0 always.
+    """
+    e = fixtures.scale_edges_df(spark, sf_dir)
+    ue = (
+        e.select("src", "dst")
+        .union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    deg = ue.groupBy("dst").agg(F.count("*").alias("deg"))
+    kept = ue.join(deg.where(F.col("deg") <= CN_DEGREE_CAP), "dst").withColumn(
+        "w_micro", F.round(F.lit(1_000_000.0) / F.log(F.col("deg"))).cast("bigint")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (
+        a.join(b, F.col("a.dst") == F.col("b.dst"))
+        .where(F.col("a.src") < F.col("b.src"))
+        .groupBy(F.col("a.src").alias("u"), F.col("b.src").alias("v"))
+        .agg(F.sum(F.col("a.w_micro")).alias("aa_micro"))
+    )
+    adj = ue.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    return (
+        pairs.join(adj, ["u", "v"], "left_anti")
+        .select("u", "v", F.col("aa_micro").cast("bigint").alias("aa_micro"))
+    )
+
+
+ADAMIC_ADAR_CAPPED_SCALE_SQL = f"""
+WITH scale_edges AS ({fixtures.SCALE_GRAPH_SQL}),
+ue AS (
+  SELECT src, dst FROM scale_edges
+  UNION
+  SELECT dst, src FROM scale_edges
+),
+deg AS (SELECT dst, COUNT(*) AS deg FROM ue GROUP BY 1),
+kept AS (
+  SELECT ue.src, ue.dst,
+         CAST(ROUND(1000000.0 / ln(d.deg)) AS BIGINT) AS w_micro
+  FROM ue JOIN deg d USING (dst)
+  WHERE d.deg <= {CN_DEGREE_CAP}
+),
+pairs AS (
+  SELECT a.src AS u, b.src AS v, SUM(a.w_micro) AS aa_micro
+  FROM kept a JOIN kept b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT u, v, CAST(aa_micro AS BIGINT) AS aa_micro
+FROM pairs p
+WHERE NOT EXISTS (SELECT 1 FROM ue e WHERE e.src = p.u AND e.dst = p.v)
+"""
+
+
 def _label_propagation_sql(edges_cte: str, graphs_cte: str, iterations: int) -> str:
     """Unrolled synchronous-LPA oracle (all-integer; min tie-break) —
     mirrors :func:`label_propagation` superstep for superstep."""
@@ -768,6 +830,10 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "g_common_neighbors_capped_scale": (
         common_neighbors_capped_scale,
         COMMON_NEIGHBORS_CAPPED_SCALE_SQL,
+    ),
+    "g_adamic_adar_capped_scale": (
+        adamic_adar_capped_scale,
+        ADAMIC_ADAR_CAPPED_SCALE_SQL,
     ),
     "g_degrees": (degrees_fixture, DEGREES_SQL),
     "g_degrees_scale": (degrees_scale, DEGREES_SCALE_SQL),
