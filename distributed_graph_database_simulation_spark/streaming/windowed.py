@@ -43,14 +43,21 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_events_readable(spark)  # vanilla sessions reject TIMESTAMP(NANOS)
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
-    # The file source requires a directory: stream the sf dir filtered down
-    # to the events file (at scale this is the standard drop-files-in-a-dir
-    # ingestion layout).
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    if os.path.isdir(path):
+        # events.parquet shipped as a directory of part files (standard
+        # Spark writer output): stream the directory itself — a leaf-name
+        # glob for "events.parquet" would match nothing and silently yield
+        # an empty stream.
+        stream = spark.readStream.schema(schema).parquet(path)
+    else:
+        # Single file: the file source requires a directory, so stream the
+        # sf dir filtered down to the events file (at scale this is the
+        # standard drop-files-in-a-dir ingestion layout).
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     return _normalize_ts(stream)
 
 

@@ -67,6 +67,28 @@ def test_stateful_totals_multibatch_with_negative_values(spark, tmp_path):
     assert got == {7: (3, -7.25), 8: (2, -4.5)}
 
 
+def test_events_stream_handles_directory_form(spark, sf_dir, tmp_path):
+    """If the driver ever ships events.parquet as a DIRECTORY of part files
+    (standard Spark writer output), the leaf-name glob would match nothing
+    and silently stream zero rows; the source must detect the directory
+    form and stream it directly, producing the identical answer."""
+    import os
+    import shutil
+
+    mirror = str(tmp_path / "sf_mirror")
+    os.makedirs(mirror)
+    for f in os.listdir(sf_dir):
+        src = os.path.join(sf_dir, f)
+        if f != "events.parquet" and os.path.isfile(src):
+            shutil.copy(src, os.path.join(mirror, f))
+    spark.read.parquet(os.path.join(sf_dir, "events.parquet")).repartition(
+        2
+    ).write.parquet(os.path.join(mirror, "events.parquet"))
+    n_dir = windowed.stream_events_hourly(spark, mirror).count()
+    n_file = windowed.stream_events_hourly(spark, sf_dir).count()
+    assert n_dir == n_file > 0
+
+
 def test_streaming_session_window_matches_batch_sessionization(spark, sf_dir):
     """session_window(streaming) must agree with the batch gap-and-islands
     session count per user (rel_event_sessions)."""
