@@ -242,6 +242,60 @@ def probe_capped_common_neighbors(spark, n_background: int, hub_degree: int) -> 
             "sec": round(time.perf_counter() - t0, 2)}
 
 
+def probe_asof_and_sessions(spark, n_events: int, n_users: int = 100_000) -> dict:
+    """Event-time operators at 10-100x the sf0.1 events table: gap-based
+    sessionization (lag window over (user, ts)) and the union+last_value
+    as-of join against a 10k-row quote table, on synthetic timestamps."""
+    import time
+
+    from pyspark.sql import Window, functions as F
+
+    t0 = time.perf_counter()
+    ev = spark.range(0, n_events, 1, 32).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % n_users).alias("user_id"),
+        F.timestamp_micros(
+            (F.lit(1_700_000_000_000_000) + (F.col("id") * 37) % (86_400 * 30) * 1_000_000)
+        ).alias("ts"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    sessions = (
+        ev.withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"))
+    )
+    n_sess = sessions.count()
+    quotes = spark.range(0, 10_000, 1, 8).select(
+        (F.col("id") % n_users).alias("user_id"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("id") * 250_000_000
+        ).alias("q_ts"),
+        (F.col("id") * 7 % 1000).alias("quote"),
+    )
+    tagged = ev.select(
+        "user_id", F.col("ts"), F.lit(None).cast("long").alias("quote"), F.lit(1).alias("is_event")
+    ).unionByName(
+        quotes.select("user_id", F.col("q_ts").alias("ts"), "quote", F.lit(0).alias("is_event"))
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_event")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    asof = (
+        tagged.withColumn("last_quote", F.last("quote", ignorenulls=True).over(w2))
+        .where(F.col("is_event") == 1)
+    )
+    n_asof = asof.count()
+    return {"probe": "asof_and_sessions", "events": n_events,
+            "session_rows": n_sess, "asof_rows": n_asof,
+            "sec": round(time.perf_counter() - t0, 2)}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--edges", type=float, default=5e6)
@@ -262,6 +316,7 @@ def main() -> int:
         ),
         lambda: probe_shard_assign(spark, int(args.docs) * 100),
         lambda: probe_capped_common_neighbors(spark, int(args.vertices), 50_000),
+        lambda: probe_asof_and_sessions(spark, int(args.edges) * 2),
     )
     for probe in probes:
         print(json.dumps(probe()), flush=True)
