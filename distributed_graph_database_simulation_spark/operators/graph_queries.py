@@ -468,26 +468,76 @@ WHERE NOT EXISTS (SELECT 1 FROM ue e WHERE e.src = p.u AND e.dst = p.v)
 """
 
 
-# Max degree of a shared-neighbor key vertex in the capped CN variant. The
+# The capped CN/Adamic-Adar variants drop hub shared-neighbor keys: the
 # shared-neighbor self-join is quadratic in hub degree (a degree-d vertex
-# emits d*(d-1)/2 pairs); dropping hubs above the cap bounds per-key fan-out
-# at CAP^2/2 — the standard link-prediction mitigation (hubs carry near-zero
-# CN signal anyway). The oracle applies the identical cap for exact parity.
-CN_DEGREE_CAP = 32
+# emits d*(d-1)/2 pairs), so bounding the admitted degree bounds per-key
+# fan-out — the standard link-prediction mitigation (hubs carry near-zero
+# CN signal anyway). The cap is DERIVED from the degree distribution as the
+# p90 undirected degree (exact rank, not approx), so it adapts to the scale
+# factor: a fixed cap of 32 was vacuous on the near-complete sf>=0.01 scale
+# graph (degree floor 87 there — every key was dropped and the oracle match
+# was empty-vs-empty). Rank selection uses only integer arithmetic
+# (rn * 10 <= n * 9, ties broken by vertex id) so Spark and DuckDB derive
+# the identical cap with no float rounding divergence. Hub keys of degree 1
+# are also dropped (BETWEEN 2 AND cap): a degree-1 vertex can never host a
+# pair, and admitting it would evaluate 1/ln(1) in the Adamic-Adar weight
+# (engine-specific division-by-zero behavior).
+CN_CAP_RANK_NUM, CN_CAP_RANK_DEN = 9, 10
+
+
+def _derived_degree_cap(ue: DataFrame) -> int:
+    """Exact p90 of the undirected degree distribution, as one scalar.
+
+    Driver-side by design (same pattern as the IVF centroid pull in
+    similarity.py): the degree table has |V| rows — tiny next to |E| — and
+    the resulting literal keeps the pair join free of an extra 1-row
+    broadcast nested-loop join. At 100 TB (billions of vertices) swap the
+    exact global rank for ``percentile_approx`` with a documented error
+    bound; the window here is a single-task sort over |V| rows.
+    """
+    from pyspark.sql import Window
+
+    deg = ue.groupBy("dst").agg(F.count("*").alias("deg"))
+    ranked = deg.select(
+        "deg",
+        F.row_number().over(Window.orderBy("deg", "dst")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    row = (
+        ranked.where(F.col("rn") * CN_CAP_RANK_DEN <= F.col("n") * CN_CAP_RANK_NUM)
+        .agg(F.max("deg").alias("cap"))
+        .first()
+    )
+    return int(row["cap"]) if row["cap"] is not None else 1
+
+
+# SQL fragment computing the identical cap (CTEs `deg` -> scalar `cap`);
+# interpolated into both capped oracles so engine and oracle agree exactly.
+_CAP_SQL = f"""
+deg AS (SELECT dst, COUNT(*) AS deg FROM ue GROUP BY 1),
+ranked AS (
+  SELECT deg, ROW_NUMBER() OVER (ORDER BY deg, dst) AS rn,
+         COUNT(*) OVER () AS n
+  FROM deg
+),
+cap AS (SELECT MAX(deg) AS cap FROM ranked
+        WHERE rn * {CN_CAP_RANK_DEN} <= n * {CN_CAP_RANK_NUM})
+"""
 
 
 def common_neighbors_capped_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-capped common-neighbors: identical to
     :func:`common_neighbors_scale` but common neighbors are only counted
-    through vertices of undirected degree <= ``CN_DEGREE_CAP``.
+    through vertices of undirected degree in [2, p90(degree)].
 
     At 100 TB this is the variant to run: the uncapped query's worst case is
     a single hub key producing deg^2 pairs (AQE skew-split shares the work
-    but not the total), while here every key's fan-out is bounded, so the
-    pair volume is at most |E| * CAP regardless of skew. Degree filtering is
-    one keyed agg + keyed join on ``dst`` — the same shuffle key the pair
-    join needs, so the partitioning is reused, and the anti-join against the
-    edge set still removes adjacent pairs exactly.
+    but not the total), while here every key's fan-out is bounded by the
+    distribution-derived cap, so the pair volume is at most |E| * cap
+    regardless of skew. Degree filtering is one keyed agg + keyed join on
+    ``dst`` — the same shuffle key the pair join needs, so the partitioning
+    is reused, and the anti-join against the edge set still removes adjacent
+    pairs exactly.
     """
     e = fixtures.scale_edges_df(spark, sf_dir)
     ue = (
@@ -495,10 +545,11 @@ def common_neighbors_capped_scale(spark: SparkSession, sf_dir: str) -> DataFrame
         .union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
     )
+    cap = _derived_degree_cap(ue)
     low_deg = (
         ue.groupBy("dst")
         .agg(F.count("*").alias("deg"))
-        .where(F.col("deg") <= CN_DEGREE_CAP)
+        .where(F.col("deg").between(2, cap))
         .select("dst")
     )
     kept = ue.join(low_deg, "dst")
@@ -523,10 +574,12 @@ ue AS (
   UNION
   SELECT dst, src FROM scale_edges
 ),
+{_CAP_SQL},
 kept AS (
   SELECT ue.src, ue.dst FROM ue
-  JOIN (SELECT dst, COUNT(*) AS deg FROM ue GROUP BY 1) d USING (dst)
-  WHERE d.deg <= {CN_DEGREE_CAP}
+  JOIN deg d ON d.dst = ue.dst
+  CROSS JOIN cap
+  WHERE d.deg BETWEEN 2 AND cap.cap
 ),
 pairs AS (
   SELECT a.src AS u, b.src AS v, COUNT(*) AS common_neighbors
@@ -544,13 +597,13 @@ def adamic_adar_capped_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = sum over shared neighbors w of 1/ln(deg(w)).
 
     Same skew-proof candidate plan as :func:`common_neighbors_capped_scale`
-    (only shared-neighbor keys of degree <= CN_DEGREE_CAP generate pairs);
-    the weight uses w's TRUE undirected degree. Float determinism: each
-    term is rounded independently to integer micro-units
+    (only shared-neighbor keys of degree in [2, p90(degree)] generate
+    pairs); the weight uses w's TRUE undirected degree. Float determinism:
+    each term is rounded independently to integer micro-units
     (round(1e6/ln(deg))) and summed as BIGINT, so the result is
     order-independent and engine-exact — the same trick as the PageRank
-    micro-rank oracle. deg >= 2 for any shared neighbor (it touches both
-    endpoints), so ln(deg) > 0 always.
+    micro-rank oracle. The BETWEEN 2 floor guarantees ln(deg) > 0, so the
+    weight expression is never evaluated on a zero-log row.
     """
     e = fixtures.scale_edges_df(spark, sf_dir)
     ue = (
@@ -558,8 +611,9 @@ def adamic_adar_capped_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
     )
+    cap = _derived_degree_cap(ue)
     deg = ue.groupBy("dst").agg(F.count("*").alias("deg"))
-    kept = ue.join(deg.where(F.col("deg") <= CN_DEGREE_CAP), "dst").withColumn(
+    kept = ue.join(deg.where(F.col("deg").between(2, cap)), "dst").withColumn(
         "w_micro", F.round(F.lit(1_000_000.0) / F.log(F.col("deg"))).cast("bigint")
     )
     a, b = kept.alias("a"), kept.alias("b")
@@ -583,12 +637,13 @@ ue AS (
   UNION
   SELECT dst, src FROM scale_edges
 ),
-deg AS (SELECT dst, COUNT(*) AS deg FROM ue GROUP BY 1),
+{_CAP_SQL},
 kept AS (
   SELECT ue.src, ue.dst,
          CAST(ROUND(1000000.0 / ln(d.deg)) AS BIGINT) AS w_micro
-  FROM ue JOIN deg d USING (dst)
-  WHERE d.deg <= {CN_DEGREE_CAP}
+  FROM ue JOIN deg d ON d.dst = ue.dst
+  CROSS JOIN cap
+  WHERE d.deg BETWEEN 2 AND cap.cap
 ),
 pairs AS (
   SELECT a.src AS u, b.src AS v, SUM(a.w_micro) AS aa_micro

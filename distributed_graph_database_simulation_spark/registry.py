@@ -44,9 +44,14 @@ _WINDOW_ORDER = [
     # r04 rotation: g_reachable (twice-certified r01+r03) -> tail; its window
     # slot now certifies the never-checked link-prediction operator.
     "g_common_neighbors_scale",
-    "g_connected_components",
+    # r05 rotation: g_connected_components (4x-certified fixture variant;
+    # its scale variant stays) and g_degrees_scale (4x-certified) -> tail;
+    # their slots certify the capped link-prediction pair, now non-vacuous
+    # at the gate sf (cap derived from the degree distribution — 313 rows
+    # at sf0.01 vs the fixed cap's 0).
+    "g_common_neighbors_capped_scale",
+    "g_adamic_adar_capped_scale",
     "g_connected_components_scale",
-    "g_degrees_scale",
     "g_kcore_scale",
     "g_triangles_scale",
     "g_sssp_scale",
@@ -71,8 +76,13 @@ _WINDOW_ORDER = [
     # r04 rotation: text_token_count (twice-certified) -> tail, in favor of
     # the never-checked shard-assignment pipeline op.
     "text_shard_assign",
-    "text_fingerprint",
-    "text_repetition",
+    # r05 rotation: text_fingerprint / text_repetition (3x-certified) ->
+    # tail in favor of the executable WAV/BMP codecs' first certification.
+    # After this rotation every registry entry has been driver-certified at
+    # least once — the registry is FROZEN (rotation guard in
+    # tests/test_registry_window.py).
+    "mm_wav_decode",
+    "mm_bmp_decode",
     "text_contamination",
     "text_pii_scrub",
     "text_chunk_windows",

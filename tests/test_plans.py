@@ -228,10 +228,12 @@ def test_common_neighbors_is_keyed_join(spark, sf_dir):
 
 def test_capped_common_neighbors_is_keyed_and_bounded(spark, sf_dir):
     """The capped variant must keep the keyed-join shape AND cap per-key
-    fan-out: every pair comes from a shared-neighbor key of degree <=
-    CN_DEGREE_CAP, so no key can explode quadratically at scale."""
+    fan-out: every pair comes from a shared-neighbor key of degree <= the
+    distribution-derived p90 cap, so no key can explode quadratically at
+    scale — and because the cap tracks the distribution, the result is
+    non-empty wherever the uncapped result is (a fixed cap of 32 was
+    vacuously empty on the near-complete sf>=0.01 scale graph)."""
     from distributed_graph_database_simulation_spark.operators.graph_queries import (
-        CN_DEGREE_CAP,
         common_neighbors_capped_scale,
         common_neighbors_scale,
     )
@@ -246,7 +248,10 @@ def test_capped_common_neighbors_is_keyed_and_bounded(spark, sf_dir):
         for r in common_neighbors_scale(spark, sf_dir).collect()
     }
     capped = {(r.u, r.v): r.common_neighbors for r in df.collect()}
-    assert capped, "capped CN produced no pairs on the scale graph"
+    if exact:
+        # on a complete graph (sf0.1) there are no non-adjacent pairs at
+        # all, so emptiness is only meaningful when the uncapped query has
+        # results
+        assert capped, "capped CN produced no pairs on the scale graph"
     assert set(capped) <= set(exact)
     assert all(capped[p] <= exact[p] for p in capped)
-    assert CN_DEGREE_CAP == 32

@@ -40,6 +40,63 @@ def test_r04_rotation_certifies_previously_unchecked_ops():
     assert "g_reachable" not in w and "text_token_count" not in w
 
 
+def test_r05_rotation_certifies_final_unchecked_ops():
+    w = window_names()
+    for name in ("g_common_neighbors_capped_scale", "g_adamic_adar_capped_scale",
+                 "mm_wav_decode", "mm_bmp_decode"):
+        assert name in w
+    q = registry.queries()
+    for name in ("g_connected_components", "g_degrees_scale",
+                 "text_fingerprint", "text_repetition"):
+        assert name in q and name not in w
+
+
+def _green_history():
+    """Names with >=1 hash-green (or rows-only-by-design) driver row across
+    all committed CORRECTNESS_r*.json files."""
+    import glob
+    import json
+
+    green = set()
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        with open(path) as f:
+            for name, row in json.load(f).items():
+                if row.get("hash_match") or row.get("err") == "no_oracle":
+                    green.add(name)
+    return green
+
+
+def test_rotated_out_entries_were_driver_certified():
+    """Rotation guard: nothing may be pushed out of the gate window without
+    at least one green historical driver row — otherwise a never-certified
+    query could silently live in the tail forever."""
+    green = _green_history()
+    tail = set(registry.queries()) - set(window_names())
+    uncertified = tail - green
+    assert not uncertified, (
+        f"rotated-out entries with no green CORRECTNESS history: "
+        f"{sorted(uncertified)}"
+    )
+
+
+def test_capped_link_prediction_is_non_vacuous_at_gate_sf(spark):
+    """The r04 verdict found the fixed CN_DEGREE_CAP=32 certified vacuously
+    (0 rows vs 0 rows at sf0.01). The derived cap must keep the gate-sf
+    result non-empty so a driver hash match is real evidence."""
+    import pytest
+
+    from distributed_graph_database_simulation_spark.operators.graph_queries import (
+        adamic_adar_capped_scale,
+        common_neighbors_capped_scale,
+    )
+
+    gate_sf = "/root/testdata/sf0.01"
+    if not os.path.isdir(gate_sf):  # driver gate sf must exist to be probed
+        pytest.skip("gate-sf testdata not present")
+    assert common_neighbors_capped_scale(spark, gate_sf).limit(1).count() == 1
+    assert adamic_adar_capped_scale(spark, gate_sf).limit(1).count() == 1
+
+
 def test_every_window_entry_has_oracle_or_documented_rows_only():
     oracles = registry.oracle_sql()
     # rows-only-by-design set (SURVEY §5): traversal-order DFS, probabilistic

@@ -202,14 +202,16 @@ def probe_capped_common_neighbors(spark, n_background: int, hub_degree: int) -> 
     """Adversarial-skew link prediction: a graph with one degree-``hub_degree``
     hub vertex plus a uniform background. Uncapped CN would emit
     hub_degree^2/2 pairs through the hub key (~1.25e9 at 50k — the join that
-    kills a cluster); the degree cap drops the hub key before the self-join,
-    so the probe completing quickly IS the demonstration."""
+    kills a cluster); the distribution-derived degree cap (p90 — the
+    background dominates the vertex count, so the hub sits far above it)
+    drops the hub key before the self-join, so the probe completing quickly
+    IS the demonstration."""
     import time
 
     from pyspark.sql import functions as F
 
     from distributed_graph_database_simulation_spark.operators.graph_queries import (
-        CN_DEGREE_CAP,
+        _derived_degree_cap,
     )
 
     t0 = time.perf_counter()
@@ -224,9 +226,10 @@ def probe_capped_common_neighbors(spark, n_background: int, hub_degree: int) -> 
     )
     e = bg.union(hub)
     ue = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    cap = _derived_degree_cap(ue)
     low = (
         ue.groupBy("dst").agg(F.count("*").alias("deg"))
-        .where(F.col("deg") <= CN_DEGREE_CAP).select("dst")
+        .where(F.col("deg").between(2, cap)).select("dst")
     )
     kept = ue.join(low, "dst")
     a, b = kept.alias("a"), kept.alias("b")
@@ -238,7 +241,7 @@ def probe_capped_common_neighbors(spark, n_background: int, hub_degree: int) -> 
     )
     n = pairs.count()
     return {"probe": "capped_common_neighbors", "background_edges": n_background,
-            "hub_degree": hub_degree, "cap": CN_DEGREE_CAP, "pairs": n,
+            "hub_degree": hub_degree, "cap": cap, "pairs": n,
             "sec": round(time.perf_counter() - t0, 2)}
 
 
