@@ -496,7 +496,24 @@ def _dot(a: F.Column, b: F.Column) -> F.Column:
 
 
 COSINE_BROADCAST_CAP = 1_000_000   # corpus rows above which tiling kicks in
+# The broadcast route materializes id + vector on the driver, so the gate
+# must be byte-aware, not just row-aware: 1M rows of 1024-dim float64 is
+# ~8 GB — far past any sane driver/broadcast budget even though the row
+# count passes. Estimated bytes = rows * (8 id + dim * 8 doubles).
+COSINE_BROADCAST_MAX_BYTES = 256 << 20  # 256 MiB
 COSINE_TILE_ROWS = 4096            # target vectors per block in the tiled path
+# The blocked path replicates every vector to n_blocks block-pair groups, so
+# shuffle volume is n * n_blocks vectors — quadratic in the corpus. Exact
+# threshold search is inherently O(n^2) COMPUTE, but the engine must never
+# silently ship O(n^2) DATA without a ceiling: with n_blocks =
+# ceil(n / COSINE_TILE_ROWS) capped at COSINE_MAX_BLOCKS, the exact paths
+# accept at most TILE * MAX_BLOCKS = ~1M vectors (<= 256x replication).
+# Larger corpora must go through :func:`dedup_embedding_cosine_prefiltered`
+# (LSH candidate generation + exact verification, documented recall model)
+# — the router raises rather than degrade exactness or melt the shuffle
+# tier at 100x scale.
+COSINE_MAX_BLOCKS = 256
+COSINE_EXACT_MAX_ROWS = COSINE_TILE_ROWS * COSINE_MAX_BLOCKS  # 1,048,576
 
 
 def _tile_cosines(mat_a, mat_b):
@@ -622,25 +639,105 @@ def _cosine_pairs_blocked(emb: DataFrame, n_blocks: int) -> DataFrame:
     )
 
 
+def _cosine_route(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """Route an (vec_id, e) corpus to the right exact-cosine path.
+
+    Broadcast needs BOTH gates green — row count AND estimated driver bytes
+    (rows x (8 + dim x 8); dim read from one row, not a full scan) — because
+    a row cap alone is byte-blind: 1M x 1024-dim float64 is ~8 GB of driver
+    heap. The blocked path is accepted up to COSINE_EXACT_MAX_ROWS, which
+    by construction caps its replication factor at COSINE_MAX_BLOCKS.
+    Beyond that, exact all-pairs would ship O(n^2) shuffle data, so the
+    router refuses loudly and points at the prefiltered variant instead of
+    "working" into a cluster-melting plan.
+    """
+    n = emb.count()  # parquet-footer count: no data scan
+    first = emb.select(F.size("e").alias("d")).first()
+    dim = int(first["d"]) if first is not None else 0
+    est_bytes = n * (8 + dim * 8)
+    if n <= COSINE_BROADCAST_CAP and est_bytes <= COSINE_BROADCAST_MAX_BYTES:
+        return _cosine_pairs_broadcast(spark, emb)
+    if n <= COSINE_EXACT_MAX_ROWS:
+        return _cosine_pairs_blocked(emb, -(-n // COSINE_TILE_ROWS))
+    raise ValueError(
+        f"exact cosine dedup is bounded at {COSINE_EXACT_MAX_ROWS} vectors "
+        f"(corpus has {n}): the blocked all-pairs path would replicate each "
+        f"vector {-(-n // COSINE_TILE_ROWS)}x through the shuffle. Use "
+        "dedup_embedding_cosine_prefiltered (LSH candidate generation + "
+        "exact verification; recall model in its docstring) or shrink the "
+        "corpus."
+    )
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector pairs with cosine >= 0.42, exactly (block-tiled GEMM-style).
 
-    Routes by corpus size: a corpus that fits a broadcast
-    (<= COSINE_BROADCAST_CAP rows) takes the mapInPandas-vs-broadcast fast
-    path (one pass over the corpus, zero shuffle); anything larger takes the
-    shuffle-native blocked all-pairs path, which never materializes the
-    corpus on the driver. Both paths share one dimension-major kernel, so
-    they are bit-identical to each other and to the SQL oracle (equality
-    pinned in tests; the blocked path also ships as the
-    ``dedup_embedding_cosine_tiled`` registry entry against the same oracle).
+    Routes by corpus size AND bytes (see :func:`_cosine_route`): small
+    corpora take the mapInPandas-vs-broadcast fast path (one pass over the
+    corpus, zero shuffle); larger ones take the shuffle-native blocked
+    all-pairs path, which never materializes the corpus on the driver; past
+    the documented exact-search ceiling the router raises. Both exact paths
+    share one dimension-major kernel, so they are bit-identical to each
+    other and to the SQL oracle (equality pinned in tests; the blocked path
+    also ships as the ``dedup_embedding_cosine_tiled`` registry entry
+    against the same oracle).
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    n = emb.count()  # parquet-footer count: no data scan
-    if n <= COSINE_BROADCAST_CAP:
-        return _cosine_pairs_broadcast(spark, emb)
-    return _cosine_pairs_blocked(emb, -(-n // COSINE_TILE_ROWS))
+    return _cosine_route(spark, emb)
+
+
+def dedup_embedding_cosine_prefiltered(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """Near-dup pairs via LSH candidate generation + EXACT verification —
+    the scale route past the exact-search ceiling (> COSINE_EXACT_MAX_ROWS).
+
+    Candidate generation reuses the hyperplane signatures from
+    ``similarity._signatures`` (LSH_TABLES x LSH_BITS sign bits, planes
+    derived from xxhash64 — engine-deterministic). The banding shuffle is
+    NARROW: only (vec_id, table_id, bucket) flows through the self-join;
+    vectors are joined back per candidate pair, and the cosine is computed
+    with the same sequential-order arithmetic as the exact kernels
+    (``_dot`` accumulation + norm product), so every EMITTED pair carries a
+    bit-identical cosine — the approximation is recall-only.
+
+    Recall model (documented, not hidden): a pair at angle theta collides
+    in one table with p = (1 - theta/pi)^LSH_BITS and survives with
+    1-(1-p)^LSH_TABLES. At the 4x8 default that is ~75% miss for
+    cosine 0.9 pairs but ~1.0 recall for the near-identical (cosine ~1)
+    pairs dedup actually targets; raise LSH_TABLES for aggressive
+    thresholds. Planted-duplicate equality vs the exact path is pinned in
+    tests/test_pipeline_ops.py.
+    """
+    from .similarity import _signatures, _with_norm
+
+    normed = _with_norm(emb)  # vec_id, e, norm
+    sig = _signatures(normed).select("vec_id", "table_id", "bucket")
+    cand = (
+        sig.alias("a")
+        .join(sig.alias("b"), ["table_id", "bucket"])
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    va = normed.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("norm").alias("na")
+    )
+    vb = normed.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("norm").alias("nb")
+    )
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            (_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias(
+                "cosine"
+            ),
+        )
+        .where(F.col("cosine") >= COSINE_T)
+    )
 
 
 def dedup_embedding_cosine_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:

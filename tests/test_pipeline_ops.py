@@ -155,6 +155,81 @@ def test_embedding_cosine_tiled_equals_broadcast(spark, sf_dir):
     assert broadcast, "corpus is expected to contain planted near-dup vectors"
 
 
+def test_cosine_router_byte_cap_forces_blocked_path(spark):
+    """A corpus under the ROW cap but over the BYTE cap must take the
+    blocked path: the broadcast gate is rows AND estimated driver bytes
+    (r04 verdict: the row-only gate would collect ~8 GB at 1M x 1024-dim)."""
+    n, dim = 1000, 40_000  # 1000 * (8 + 320_000) bytes ~ 305 MiB > 256 MiB
+    assert n <= dedup.COSINE_BROADCAST_CAP
+    assert n * (8 + dim * 8) > dedup.COSINE_BROADCAST_MAX_BYTES
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)), lambda i: i.cast("double")
+        ).alias("e"),
+    )
+    plan = dedup._cosine_route(spark, emb)._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan  # blocked applyInPandas path
+    assert "MapInPandas" not in plan        # not the broadcast path
+
+
+def test_cosine_router_small_corpus_stays_broadcast(spark):
+    n, dim = 1000, 16
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)), lambda i: i.cast("double")
+        ).alias("e"),
+    )
+    plan = dedup._cosine_route(spark, emb)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_cosine_router_refuses_past_exact_ceiling(spark):
+    """Past COSINE_EXACT_MAX_ROWS the blocked path's shuffle replication
+    would be unbounded-quadratic; the router must refuse loudly rather
+    than ship n * n_blocks vectors."""
+    n = dedup.COSINE_EXACT_MAX_ROWS + 1
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("e"),
+    )
+    with pytest.raises(ValueError, match="dedup_embedding_cosine_prefiltered"):
+        dedup._cosine_route(spark, emb)
+    # the ceiling itself pins replication <= COSINE_MAX_BLOCKS
+    assert -(-dedup.COSINE_EXACT_MAX_ROWS // dedup.COSINE_TILE_ROWS) == dedup.COSINE_MAX_BLOCKS
+
+
+def test_cosine_prefiltered_equals_exact_on_planted_corpus(spark):
+    """The LSH-prefiltered route must reproduce the exact pair set (with
+    bit-identical cosines) on a corpus whose true near-dups are planted
+    identical vectors — identical vectors share every hyperplane sign, so
+    candidate recall is 1.0 there and any divergence is a real bug."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    dim, n_bg, n_dup = 128, 60, 10
+    bg = rng.standard_normal((n_bg, dim))
+    rows = [Row(vec_id=i, e=[float(x) for x in bg[i]]) for i in range(n_bg)]
+    # plant exact duplicates of the first n_dup background vectors
+    rows += [
+        Row(vec_id=100 + j, e=[float(x) for x in bg[j]]) for j in range(n_dup)
+    ]
+    emb = spark.createDataFrame(rows)
+    exact = {
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in dedup._cosine_pairs_blocked(emb, 8).collect()
+    }
+    pre = {
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in dedup.dedup_embedding_cosine_prefiltered(spark, emb).collect()
+    }
+    planted = {(j, 100 + j) for j in range(n_dup)}
+    assert planted <= {(a, b) for a, b, _ in exact}
+    assert pre == exact
+
+
 def test_lsh_buckets_are_deterministic(spark, sf_dir):
     df = similarity._with_norm(similarity._emb(spark, sf_dir)).limit(20)
     a = {(r.vec_id, r.table_id): r.bucket for r in similarity._signatures(df).collect()}
