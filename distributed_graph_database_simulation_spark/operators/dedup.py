@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import barrier_t
 from ..sources.tables import load_table
 
 JACCARD_T = 0.5
@@ -773,13 +774,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(barrier_t(eager=True))
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
-        .localCheckpoint(eager=True)
+        .transform(barrier_t(eager=True))
     )
     for _ in range(50):
         lbl, e = labels.alias("lbl"), edges.alias("e")
@@ -799,7 +800,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.min("cluster_id").alias("cluster_id"),
                 F.max("old_cluster").alias("old_cluster"),
             )
-            .localCheckpoint(eager=False)
+            .transform(barrier_t(eager=False))
         )
         n_changed = new_labels.filter(
             F.col("cluster_id") < F.col("old_cluster")

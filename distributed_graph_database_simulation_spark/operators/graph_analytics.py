@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import barrier, barrier_t
+
 
 def vertices(graphs: DataFrame) -> DataFrame:
     """(graph_id, vertex) for vertex in 0..n-1 — includes isolated vertices."""
@@ -65,8 +67,10 @@ def connected_components(
     superstep is one shuffle on (graph_id, vertex). Returns
     (graph_id, vertex, component) with component = min vertex id reachable.
     """
-    ue = undirected(edges).localCheckpoint(eager=True)
-    labels = vertices(graphs).withColumn("component", F.col("vertex")).localCheckpoint(eager=True)
+    ue = barrier(undirected(edges), eager=True)
+    labels = barrier(
+        vertices(graphs).withColumn("component", F.col("vertex")), eager=True
+    )
     for it in range(1, max_iterations + 1):
         lbl, e = labels.alias("lbl"), ue.alias("e")
         msgs = (
@@ -90,7 +94,7 @@ def connected_components(
                 F.min("component").alias("component"),
                 F.max("old_component").alias("old_component"),
             )
-            .localCheckpoint(eager=False)
+            .transform(barrier_t(eager=False))
         )
         n_changed = new_labels.filter(
             F.col("component") < F.col("old_component")
@@ -123,8 +127,8 @@ def label_propagation(
     """
     from pyspark.sql.window import Window
 
-    ue = undirected(edges).localCheckpoint(eager=True)
-    base = vertices(graphs).localCheckpoint(eager=True)
+    ue = barrier(undirected(edges), eager=True)
+    base = barrier(vertices(graphs), eager=True)
     labels = base.withColumn("label", F.col("vertex"))
     for it in range(1, iterations + 1):
         lbl, e = labels.alias("lbl"), ue.alias("e")
@@ -155,7 +159,7 @@ def label_propagation(
             )
         )
         if it % checkpoint_every == 0 or it == iterations:
-            labels = labels.localCheckpoint(eager=True)
+            labels = barrier(labels, eager=True)
     return labels
 
 
@@ -173,8 +177,8 @@ def kcore(
     per round over the shrinking survivor set; same one-job-per-superstep
     barrier/termination fold as the other loops. Returns (graph_id, vertex).
     """
-    ue = undirected(edges).localCheckpoint(eager=True)
-    survivors = vertices(graphs).localCheckpoint(eager=True)
+    ue = barrier(undirected(edges), eager=True)
+    survivors = barrier(vertices(graphs), eager=True)
     n_prev = survivors.count()
     for it in range(1, max_iterations + 1):
         deg = (
@@ -186,7 +190,7 @@ def kcore(
         survivors = (
             deg.filter(F.col("deg") >= k)
             .select("graph_id", "vertex")
-            .localCheckpoint(eager=False)
+            .transform(barrier_t(eager=False))
         )
         n_now = survivors.count()
         if n_now == n_prev:
@@ -242,9 +246,10 @@ def sssp(
     from pyspark.storagelevel import StorageLevel
 
     edges = edges.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
-    dists = spark.createDataFrame(
-        [(start, 0)], "vertex INT, distance BIGINT"
-    ).localCheckpoint(eager=True)
+    dists = barrier(
+        spark.createDataFrame([(start, 0)], "vertex INT, distance BIGINT"),
+        eager=True,
+    )
     frontier = dists
     for it in range(1, max_iterations + 1):
         f, e = frontier.alias("f"), edges.alias("e")
@@ -275,13 +280,13 @@ def sssp(
             .select("vertex", "distance")
             # lazy checkpoint + count: barrier and termination test in ONE
             # job per superstep (count materializes the checkpoint)
-            .localCheckpoint(eager=False)
+            .transform(barrier_t(eager=False))
         )
         if improved.count() == 0:
             break
         dists = dists.join(improved, "vertex", "left_anti").unionByName(improved)
         if it % checkpoint_every == 0:
-            dists = dists.localCheckpoint(eager=True)
+            dists = barrier(dists, eager=True)
         frontier = improved
     edges.unpersist()
     return dists
@@ -312,22 +317,28 @@ def pagerank(
     base = (
         vertices(graphs)
         .join(n_by_graph, "graph_id")
-        .localCheckpoint(eager=True)
+        .transform(barrier_t(eager=True))
     )
-    out_deg = edges.groupBy("graph_id", F.col("src").alias("vertex")).agg(
-        F.count("*").alias("out_degree")
-    ).localCheckpoint(eager=True)
+    out_deg = barrier(
+        edges.groupBy("graph_id", F.col("src").alias("vertex")).agg(
+            F.count("*").alias("out_degree")
+        ),
+        eager=True,
+    )
     # The dangling-vertex SET is loop-invariant (out_degree is static):
     # materialize it once so each superstep's dangling-mass pass is a
     # broadcast semi-join + tiny agg, not a recomputed anti-join.
     dangling_verts = (
         base.select("graph_id", "vertex")
         .join(out_deg, ["graph_id", "vertex"], "left_anti")
-        .localCheckpoint(eager=True)
+        .transform(barrier_t(eager=True))
     )
-    ranks = base.select(
-        "graph_id", "vertex", (F.lit(1.0) / F.col("n_vertices")).alias("rank")
-    ).localCheckpoint(eager=True)
+    ranks = barrier(
+        base.select(
+            "graph_id", "vertex", (F.lit(1.0) / F.col("n_vertices")).alias("rank")
+        ),
+        eager=True,
+    )
     for it in range(1, iterations + 1):
         r, e = ranks.join(out_deg, ["graph_id", "vertex"]).alias("r"), edges.alias("e")
         contrib = (
@@ -367,7 +378,7 @@ def pagerank(
             )
         )
         if it % checkpoint_every == 0 or it == iterations:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = barrier(ranks, eager=True)
     # Final ranks are checkpointed (it == iterations), so the cached edge
     # table is no longer referenced: release it rather than leak per call.
     edges.unpersist()

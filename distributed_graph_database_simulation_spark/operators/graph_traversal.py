@@ -38,6 +38,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import barrier
+
 DEFAULT_KERNEL_MAX_NODES = 100_000
 
 BFS_OUT_SCHEMA = "graph_id INT, vertex INT, level INT"
@@ -72,7 +74,7 @@ def bfs_levels(
 
     edges = edges.repartition("graph_id", "src").persist(StorageLevel.MEMORY_AND_DISK)
     frontier = _starts_df(spark, starts).withColumn("level", F.lit(0).cast("int"))
-    visited = frontier.localCheckpoint(eager=True)
+    visited = barrier(frontier, eager=True)
     frontier = visited
     for level in range(1, max_levels + 1):
         # Explicit aliases: after checkpointing, frontier columns carry the
@@ -91,12 +93,12 @@ def bfs_levels(
         # + count() folds the barrier and the emptiness check into ONE job
         # per superstep (count is the action that materializes the
         # checkpoint). Checkpoint = the reference's level barrier.
-        next_frontier = next_frontier.localCheckpoint(eager=False)
+        next_frontier = barrier(next_frontier, eager=False)
         if next_frontier.count() == 0:
             break
         visited = visited.union(next_frontier)
         if level % checkpoint_every == 0:
-            visited = visited.localCheckpoint(eager=True)
+            visited = barrier(visited, eager=True)
         frontier = next_frontier
     # Every frontier is eagerly checkpointed, so the result never re-reads
     # the edge table: release the cache instead of leaking one per call.

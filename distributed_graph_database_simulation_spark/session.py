@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 
 def get_spark(app_name: str = "distributed_graph_database_simulation_spark",
@@ -56,3 +56,39 @@ def get_spark(app_name: str = "distributed_graph_database_simulation_spark",
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+# Conf key: when set to a directory (HDFS/S3/local path), superstep loops use
+# RELIABLE checkpoints there instead of executor-local ones.
+CHECKPOINT_DIR_CONF = "spark.graft.checkpointDir"
+
+
+def barrier(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Lineage-truncation barrier for superstep loops (BFS/SSSP/CC/PageRank/
+    k-core/LPA/dedup-clustering).
+
+    Default is ``localCheckpoint`` — executor-local blocks, no distributed
+    filesystem needed, the right call on local[N] and for short loops. On a
+    real cluster a long-running loop must survive executor loss, so setting
+    ``spark.graft.checkpointDir`` (HDFS/S3 path) flips every barrier to a
+    reliable ``checkpoint()`` under that directory; results are identical,
+    only the storage tier changes. The SparkContext checkpoint dir is set
+    lazily on first use so merely importing the package never touches
+    storage.
+    """
+    spark = df.sparkSession
+    ckdir = spark.conf.get(CHECKPOINT_DIR_CONF, None)
+    if not ckdir:
+        return df.localCheckpoint(eager=eager)
+    sc = spark.sparkContext
+    # setCheckpointDir materializes a UUID subdir (scheme-prefixed), so the
+    # round-trip value never equals the conf — remember what we set instead.
+    if getattr(sc, "_graft_checkpoint_dir", None) != ckdir:
+        sc.setCheckpointDir(ckdir)
+        sc._graft_checkpoint_dir = ckdir
+    return df.checkpoint(eager=eager)
+
+
+def barrier_t(eager: bool = True):
+    """:func:`barrier` curried for fluent chains: ``df.transform(barrier_t())``."""
+    return lambda df: barrier(df, eager=eager)

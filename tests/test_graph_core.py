@@ -51,3 +51,32 @@ def test_graph_store_add_modify(spark, tmp_path):
     assert {(r["src"], r["dst"]) for r in store.edges(5).collect()} == {(0, 0), (1, 1)}
     # graph 6 untouched (dynamic partition overwrite)
     assert {(r["src"], r["dst"]) for r in store.edges(6).collect()} == {(1, 0)}
+
+
+def test_reliable_checkpoint_switch_matches_local(spark, tmp_path):
+    """SCALE.md promises the superstep barrier flips localCheckpoint ->
+    reliable checkpoint with one conf; run a real loop both ways and pin
+    identical results plus actual checkpoint files on disk."""
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        connected_components,
+    )
+    from distributed_graph_database_simulation_spark.session import CHECKPOINT_DIR_CONF
+
+    graphs = fixtures.fixture_graphs_df(spark)
+    edges = fixtures.fixture_edges_df(spark)
+    local = {
+        (r.graph_id, r.vertex, r.component)
+        for r in connected_components(spark, graphs, edges).collect()
+    }
+    ckdir = str(tmp_path / "reliable_ck")
+    spark.conf.set(CHECKPOINT_DIR_CONF, ckdir)
+    try:
+        reliable = {
+            (r.graph_id, r.vertex, r.component)
+            for r in connected_components(spark, graphs, edges).collect()
+        }
+    finally:
+        spark.conf.unset(CHECKPOINT_DIR_CONF)
+    assert reliable == local and local
+    ck_files = [f for _, _, fs in os.walk(ckdir) for f in fs]
+    assert ck_files, "reliable mode must write checkpoint files under the conf dir"
