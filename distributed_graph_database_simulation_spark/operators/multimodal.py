@@ -293,12 +293,18 @@ def parse_wav(payload: bytes):
     audio_format, n_channels, sample_rate, _byte_rate, _block_align, bits = fmt
     if audio_format != 1:
         raise ValueError(f"only PCM supported, got format {audio_format}")
+    if bits not in (8, 16):
+        raise ValueError(f"unsupported bit depth {bits}")
+    frame_width = (bits // 8) * max(n_channels, 1)
+    if len(data) % frame_width:
+        raise ValueError(
+            f"data chunk length {len(data)} is not a multiple of the "
+            f"{frame_width}-byte frame width"
+        )
     if bits == 8:
         samples = np.frombuffer(data, dtype=np.uint8)
-    elif bits == 16:
-        samples = np.frombuffer(data[: len(data) - (len(data) & 1)], dtype="<i2")
     else:
-        raise ValueError(f"unsupported bit depth {bits}")
+        samples = np.frombuffer(data, dtype="<i2")
     meta = {
         "sample_rate": sample_rate,
         "n_channels": n_channels,
@@ -333,8 +339,12 @@ def _wav_roundtrip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
         for i, (media_id, payload) in enumerate(zip(pdf["media_id"], pdf["payload"])):
             rate = 8000 + (int(media_id) % 8) * 1000
             meta, samples = parse_wav(encode_wav_pcm8(bytes(payload), rate))
-            assert meta["bits_per_sample"] == 8 and meta["n_channels"] == 1
-            assert meta["sample_rate"] == rate and meta["n_samples"] == len(payload)
+            # Explicit checks, not asserts: the round-trip IS the codec
+            # verification and must survive python -O.
+            if meta["bits_per_sample"] != 8 or meta["n_channels"] != 1:
+                raise ValueError(f"WAV round-trip format drift: {meta}")
+            if meta["sample_rate"] != rate or meta["n_samples"] != len(payload):
+                raise ValueError(f"WAV round-trip size drift: {meta}")
             decoded.append(samples)
             rates[i] = rate
         lens = np.array([len(s) for s in decoded], dtype="int64")
@@ -516,8 +526,12 @@ def _bmp_roundtrip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
             npx = w * h * 3
             pixels = bytes(payload)[:npx].ljust(npx, b"\x00")
             meta, decoded = parse_bmp(encode_bmp_rgb24(pixels, w, h))
-            assert meta["width"] == w and meta["height"] == h
-            assert decoded == pixels  # exact round trip, order included
+            # Explicit checks, not asserts: the round-trip IS the codec
+            # verification and must survive python -O.
+            if meta["width"] != w or meta["height"] != h:
+                raise ValueError(f"BMP round-trip dimension drift: {meta}")
+            if decoded != pixels:  # exact round trip, order included
+                raise ValueError("BMP round-trip pixel drift")
             arr = np.frombuffer(decoded, dtype=np.uint8).astype(np.int64)
             widths[i], heights[i], n_bytes[i] = w, h, npx
             checks[i] = int((np.arange(arr.size, dtype=np.int64) * arr).sum())

@@ -543,6 +543,18 @@ def test_wav_malformed_raises():
     )
     with pytest.raises(ValueError):
         multimodal.parse_wav(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)
+    # 16-bit data chunk with a trailing odd byte: must raise, not silently
+    # truncate (the docstring's no-mis-decoding contract)
+    import numpy as np
+
+    data = np.array([7, -7], dtype="<i2").tobytes() + b"\x01"
+    fmt_body = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (
+        b"fmt " + struct.pack("<I", 16) + fmt_body
+        + b"data" + struct.pack("<I", len(data)) + data + b"\x00"
+    )
+    with pytest.raises(ValueError, match="frame width"):
+        multimodal.parse_wav(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)
 
 
 def test_decode_audio_real_executes_on_wav():
