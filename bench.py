@@ -50,6 +50,10 @@ HEADLINE = [
     "text_chunk_windows",
     "text_shard_assign",
     "mm_image_features",
+    # executable codec paths (r04 verdict: the only operator family with no
+    # timing row) — encode->decode round trip inside the mapInPandas kernel
+    "mm_wav_decode",
+    "mm_bmp_decode",
     "stream_events_hourly",
 ]
 

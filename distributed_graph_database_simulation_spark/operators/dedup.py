@@ -689,31 +689,48 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cosine_route(spark, emb)
 
 
-def dedup_embedding_cosine_prefiltered(spark: SparkSession, emb: DataFrame) -> DataFrame:
+def dedup_embedding_cosine_prefiltered(
+    spark: SparkSession,
+    emb: DataFrame,
+    tables: int = 4,
+    bits: int | None = None,
+) -> DataFrame:
     """Near-dup pairs via LSH candidate generation + EXACT verification —
     the scale route past the exact-search ceiling (> COSINE_EXACT_MAX_ROWS).
 
     Candidate generation reuses the hyperplane signatures from
-    ``similarity._signatures`` (LSH_TABLES x LSH_BITS sign bits, planes
-    derived from xxhash64 — engine-deterministic). The banding shuffle is
-    NARROW: only (vec_id, table_id, bucket) flows through the self-join;
-    vectors are joined back per candidate pair, and the cosine is computed
-    with the same sequential-order arithmetic as the exact kernels
-    (``_dot`` accumulation + norm product), so every EMITTED pair carries a
-    bit-identical cosine — the approximation is recall-only.
+    ``similarity._signatures`` (sign bits from xxhash64-derived planes —
+    engine-deterministic). The banding shuffle is NARROW: only (vec_id,
+    table_id, bucket) flows through the self-join; vectors are joined back
+    per candidate pair, and the cosine is computed with the same
+    sequential-order arithmetic as the exact kernels (``_dot`` accumulation
+    + norm product), so every EMITTED pair carries a bit-identical cosine —
+    the approximation is recall-only.
+
+    Bucket granularity must track the corpus: expected candidates are
+    ~ n^2 * tables / 2^bits, so ``bits`` defaults to ceil(log2(n)) clamped
+    to [8, 24] — buckets stay ~O(1)-occupancy and the candidate set ~O(n)
+    at any corpus size (8 fixed bits would be quadratic-per-bucket at 1M).
 
     Recall model (documented, not hidden): a pair at angle theta collides
-    in one table with p = (1 - theta/pi)^LSH_BITS and survives with
-    1-(1-p)^LSH_TABLES. At the 4x8 default that is ~75% miss for
-    cosine 0.9 pairs but ~1.0 recall for the near-identical (cosine ~1)
-    pairs dedup actually targets; raise LSH_TABLES for aggressive
-    thresholds. Planted-duplicate equality vs the exact path is pinned in
-    tests/test_pipeline_ops.py.
+    in one table with p = (1 - theta/pi)^bits and survives with
+    1-(1-p)^tables — decaying fast for loose pairs as bits grow, but the
+    near-IDENTICAL (cosine ~1, theta ~0) pairs dedup actually targets have
+    p ~ 1 per bit, so their recall stays ~1.0 at any bits. Raise ``tables``
+    when hunting looser thresholds. Planted-duplicate equality vs the exact
+    path is pinned in tests/test_pipeline_ops.py.
     """
+    import math
+
     from .similarity import _signatures, _with_norm
 
+    if bits is None:
+        n = emb.count()
+        bits = min(24, max(8, math.ceil(math.log2(max(n, 2)))))
     normed = _with_norm(emb)  # vec_id, e, norm
-    sig = _signatures(normed).select("vec_id", "table_id", "bucket")
+    sig = _signatures(normed, tables=tables, bits=bits).select(
+        "vec_id", "table_id", "bucket"
+    )
     cand = (
         sig.alias("a")
         .join(sig.alias("b"), ["table_id", "bucket"])

@@ -489,23 +489,36 @@ def _derived_degree_cap(ue: DataFrame) -> int:
     """Exact p90 of the undirected degree distribution, as one scalar.
 
     Driver-side by design (same pattern as the IVF centroid pull in
-    similarity.py): the degree table has |V| rows — tiny next to |E| — and
-    the resulting literal keeps the pair join free of an extra 1-row
-    broadcast nested-loop join. At 100 TB (billions of vertices) swap the
-    exact global rank for ``percentile_approx`` with a documented error
-    bound; the window here is a single-task sort over |V| rows.
+    similarity.py): the result is one integer, and using it as a literal
+    keeps the pair join free of an extra 1-row broadcast nested-loop join.
+    The percentile is computed from the degree HISTOGRAM — per-degree
+    counts (a map-side-combined aggregate over |V| rows) followed by a
+    cumulative sum over |distinct degree values| rows — so the only
+    single-task window runs over the handful of distinct degrees, never
+    over |V|. Exact at any graph size: the rank threshold is pure integer
+    arithmetic (cum * DEN >= rank-numerator), no percentile_approx and no
+    float rounding, and ranks within a tied degree share that degree, so
+    histogram rank selection equals per-vertex rank selection.
     """
     from pyspark.sql import Window
 
     deg = ue.groupBy("dst").agg(F.count("*").alias("deg"))
-    ranked = deg.select(
+    hist = deg.groupBy("deg").agg(F.count("*").alias("cnt"))
+    cum = hist.select(
         "deg",
-        F.row_number().over(Window.orderBy("deg", "dst")).alias("rn"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
+        F.sum("cnt").over(
+            Window.orderBy("deg").rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
     )
+    # target rank r* = floor(n * NUM / DEN); cap = smallest degree whose
+    # cumulative count reaches r* (no row when r* == 0 -> cap floor of 1)
     row = (
-        ranked.where(F.col("rn") * CN_CAP_RANK_DEN <= F.col("n") * CN_CAP_RANK_NUM)
-        .agg(F.max("deg").alias("cap"))
+        cum.where(
+            F.col("cum") * CN_CAP_RANK_DEN
+            >= (F.col("n") * CN_CAP_RANK_NUM) - F.pmod(F.col("n") * CN_CAP_RANK_NUM, CN_CAP_RANK_DEN)
+        )
+        .agg(F.min("deg").alias("cap"))
         .first()
     )
     return int(row["cap"]) if row["cap"] is not None else 1
@@ -515,13 +528,15 @@ def _derived_degree_cap(ue: DataFrame) -> int:
 # interpolated into both capped oracles so engine and oracle agree exactly.
 _CAP_SQL = f"""
 deg AS (SELECT dst, COUNT(*) AS deg FROM ue GROUP BY 1),
-ranked AS (
-  SELECT deg, ROW_NUMBER() OVER (ORDER BY deg, dst) AS rn,
-         COUNT(*) OVER () AS n
-  FROM deg
+hist AS (SELECT deg, COUNT(*) AS cnt FROM deg GROUP BY 1),
+cum AS (
+  SELECT deg,
+         SUM(cnt) OVER (ORDER BY deg ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER () AS n
+  FROM hist
 ),
-cap AS (SELECT MAX(deg) AS cap FROM ranked
-        WHERE rn * {CN_CAP_RANK_DEN} <= n * {CN_CAP_RANK_NUM})
+cap AS (SELECT MIN(deg) AS cap FROM cum
+        WHERE cum * {CN_CAP_RANK_DEN} >= (n * {CN_CAP_RANK_NUM}) - ((n * {CN_CAP_RANK_NUM}) % {CN_CAP_RANK_DEN}))
 """
 
 

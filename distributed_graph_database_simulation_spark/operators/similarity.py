@@ -106,33 +106,38 @@ WHERE rank <= 10
 """
 
 
-def _signatures(df: DataFrame) -> DataFrame:
+def _signatures(df: DataFrame, tables: int = LSH_TABLES, bits: int = LSH_BITS) -> DataFrame:
     """vec_id -> (table_id, bucket) LSH signatures, one row per table.
 
     Hyperplane t-bit signatures: plane (t, b) component i is a deterministic
     pseudo-random double in [-1, 1) derived from xxhash64(t, b, i); bucket =
     packed sign bits of the plane dot products. Everything is JVM expression
     code — signatures cost one projection over the vector table.
+
+    ``bits`` sets the bucket granularity: expected candidate-pair volume in
+    a banding self-join is ~ n^2 * tables / 2^bits, so pair-finding callers
+    (dedup prefilter) must scale bits with corpus size (log2(n)) to keep
+    candidates O(n), while top-k probing keeps small buckets (the default).
+
+    Planes are materialized ONCE as array literals (one tiny driver-side
+    job over tables x bits x dim hash evaluations) instead of re-deriving
+    xxhash64 per element per row — the signature projection is then pure
+    multiply-accumulate inside codegen. Values and therefore buckets are
+    bit-identical to the per-element derivation (equality pinned in
+    tests/test_pipeline_ops.py); at 1M x 256-dim x 64 planes this removes
+    ~800M hash evaluations from the corpus pass.
     """
-    dim = F.size(F.col("e"))
-
-    def _plane_fn(t: int, b: int):
-        def component(i: F.Column) -> F.Column:
-            h = F.pmod(F.xxhash64(F.lit(t), F.lit(b), i), F.lit(100003)).cast("double")
-            return h / F.lit(50001.5) - F.lit(1.0)
-
-        return component
+    spark = df.sparkSession
+    first = df.select(F.size("e").alias("d")).first()
+    dim = int(first["d"]) if first is not None else 0
+    planes = _plane_literals(spark, tables, bits, dim)
 
     rows = []
-    for t in range(LSH_TABLES):
+    for t in range(tables):
         bucket = F.lit(0).cast("long")
-        for b in range(LSH_BITS):
+        for b in range(bits):
             proj = F.aggregate(
-                F.zip_with(
-                    F.col("e"),
-                    F.transform(F.sequence(F.lit(0), dim - 1), _plane_fn(t, b)),
-                    lambda x, p: x * p,
-                ),
+                F.zip_with(F.col("e"), F.lit(planes[t][b]), lambda x, p: x * p),
                 F.lit(0.0),
                 lambda acc, v: acc + v,
             )
@@ -144,6 +149,49 @@ def _signatures(df: DataFrame) -> DataFrame:
     return df.select(
         "vec_id", "e", "norm", F.explode(F.array(*rows)).alias("sig")
     ).select("vec_id", "e", "norm", "sig.table_id", "sig.bucket")
+
+
+def _plane_literals(spark: SparkSession, tables: int, bits: int, dim: int):
+    """planes[t][b] = the dim-component hyperplane as a Python list.
+
+    Component (t, b, i) = pmod(xxhash64(int t, int b, int i), 100003) /
+    50001.5 - 1.0 — computed by the JVM's own xxhash64 in one
+    tables*bits*dim-row job so the values (and downstream buckets) are
+    bit-identical to deriving them inline per element. Cached per
+    (tables, bits, dim) for the session.
+    """
+    key = (tables, bits, dim)
+    cache = _PLANE_CACHE.setdefault(id(spark.sparkContext), {})
+    if key in cache:
+        return cache[key]
+    per_table = bits * dim
+    comp = (
+        spark.range(tables * per_table)
+        .select(
+            (F.col("id") / per_table).cast("int").alias("t"),
+            ((F.col("id") % per_table) / dim).cast("int").alias("b"),
+            (F.col("id") % dim).cast("int").alias("i"),
+        )
+        .select(
+            "t",
+            "b",
+            "i",
+            (
+                F.pmod(F.xxhash64("t", "b", "i"), F.lit(100003)).cast("double")
+                / F.lit(50001.5)
+                - F.lit(1.0)
+            ).alias("v"),
+        )
+        .collect()
+    )
+    planes = [[[0.0] * dim for _ in range(bits)] for _ in range(tables)]
+    for r in comp:
+        planes[r.t][r.b][r.i] = r.v
+    cache[key] = planes
+    return planes
+
+
+_PLANE_CACHE: dict[int, dict] = {}
 
 
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -687,3 +687,42 @@ def test_shard_assign_layout_properties(spark, sf_dir):
             key=lambda d: ((d * 2654435761) % 1_000_003, d),
         )
         assert [r.doc_id for r in members] == expected_order
+
+
+def test_signature_literal_planes_match_inline_hash_derivation(spark, sf_dir):
+    """_signatures materializes hyperplanes as array literals (one tiny hash
+    job) instead of per-element xxhash64; buckets must be bit-identical to
+    the inline derivation it replaced."""
+    df = similarity._with_norm(similarity._emb(spark, sf_dir)).limit(8)
+    got = {
+        (r.vec_id, r.table_id): r.bucket
+        for r in similarity._signatures(df).collect()
+    }
+    dim = F.size(F.col("e"))
+
+    def plane(t, b):
+        def component(i):
+            h = F.pmod(F.xxhash64(F.lit(t), F.lit(b), i), F.lit(100003)).cast("double")
+            return h / F.lit(50001.5) - F.lit(1.0)
+
+        return component
+
+    for t in range(similarity.LSH_TABLES):
+        bucket = F.lit(0).cast("long")
+        for b in range(similarity.LSH_BITS):
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col("e"),
+                    F.transform(F.sequence(F.lit(0), dim - 1), plane(t, b)),
+                    lambda x, p: x * p,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bucket = bucket.bitwiseOR(
+                F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), b))
+                .otherwise(F.lit(0).cast("long"))
+            )
+        ref = {r.vec_id: r.b for r in df.select("vec_id", bucket.alias("b")).collect()}
+        for vid, bk in ref.items():
+            assert got[(vid, t)] == bk, (vid, t)

@@ -299,6 +299,44 @@ def probe_asof_and_sessions(spark, n_events: int, n_users: int = 100_000) -> dic
             "sec": round(time.perf_counter() - t0, 2)}
 
 
+def probe_cosine_router(spark, n_vectors: int, dim: int) -> dict:
+    """Route a 1M x 256-dim-class synthetic corpus through the exact-cosine
+    router WITHOUT executing the O(n^2) job: the point is that the router's
+    decisions (byte-gate, replication ceiling, refusal) are taken from
+    metadata-only jobs (count + one-row dim read), so they stay O(1) at any
+    corpus size. Also times the prefiltered route's CANDIDATE stage — the
+    part whose shuffle must stay narrow — on a 100k slice."""
+    from distributed_graph_database_simulation_spark.operators import dedup
+
+    t0 = time.perf_counter()
+    emb = spark.range(n_vectors).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: (F.pmod(F.xxhash64(F.col("id"), i), F.lit(1000)) / 500.0 - 1.0),
+        ).alias("e"),
+    )
+    est_bytes = n_vectors * (8 + dim * 8)
+    routed = "broadcast"
+    try:
+        plan = dedup._cosine_route(spark, emb)._jdf.queryExecution().executedPlan().toString()
+        if "FlatMapGroupsInPandas" in plan:
+            routed = "blocked"
+    except ValueError:
+        routed = "refused"
+    route_sec = round(time.perf_counter() - t0, 2)
+    # prefiltered route on a 50k slice (filter, NOT limit — limit collapses
+    # to one partition): banding stays narrow, bits scale with the slice
+    t1 = time.perf_counter()
+    slice_df = emb.where(F.col("vec_id") < 50_000)
+    pairs = dedup.dedup_embedding_cosine_prefiltered(spark, slice_df)
+    n_pairs = pairs.count()
+    return {"probe": "cosine_router", "vectors": n_vectors, "dim": dim,
+            "est_bytes": est_bytes, "routed": routed, "route_sec": route_sec,
+            "prefiltered_slice_pairs": n_pairs,
+            "prefiltered_sec": round(time.perf_counter() - t1, 2)}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--edges", type=float, default=5e6)
@@ -320,6 +358,7 @@ def main() -> int:
         lambda: probe_shard_assign(spark, int(args.docs) * 100),
         lambda: probe_capped_common_neighbors(spark, int(args.vertices), 50_000),
         lambda: probe_asof_and_sessions(spark, int(args.edges) * 2),
+        lambda: probe_cosine_router(spark, 1_000_000, 256),
     )
     for probe in probes:
         print(json.dumps(probe()), flush=True)
