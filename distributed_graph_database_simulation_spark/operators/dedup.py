@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import barrier_t
+from ..session import barrier_t, checkpoint_dir
 from ..sources.tables import load_table
 
 JACCARD_T = 0.5
@@ -786,18 +786,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     supersteps — near-dup clusters are shallow (chains of transitive
     near-dups), so this is a handful of shuffles on doc_id.
     """
+    ck = checkpoint_dir(spark)
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
-        .transform(barrier_t(eager=True))
+        .transform(barrier_t(eager=True, ckdir=ck))
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
-        .transform(barrier_t(eager=True))
+        .transform(barrier_t(eager=True, ckdir=ck))
     )
     for _ in range(50):
         lbl, e = labels.alias("lbl"), edges.alias("e")
@@ -817,7 +818,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.min("cluster_id").alias("cluster_id"),
                 F.max("old_cluster").alias("old_cluster"),
             )
-            .transform(barrier_t(eager=False))
+            .transform(barrier_t(eager=False, ckdir=ck))
         )
         n_changed = new_labels.filter(
             F.col("cluster_id") < F.col("old_cluster")

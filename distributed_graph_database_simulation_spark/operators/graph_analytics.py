@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import barrier, barrier_t
+from ..session import barrier, barrier_t, checkpoint_dir
 
 
 def vertices(graphs: DataFrame) -> DataFrame:
@@ -67,9 +67,10 @@ def connected_components(
     superstep is one shuffle on (graph_id, vertex). Returns
     (graph_id, vertex, component) with component = min vertex id reachable.
     """
-    ue = barrier(undirected(edges), eager=True)
+    ck = checkpoint_dir(spark)
+    ue = barrier(undirected(edges), eager=True, ckdir=ck)
     labels = barrier(
-        vertices(graphs).withColumn("component", F.col("vertex")), eager=True
+        vertices(graphs).withColumn("component", F.col("vertex")), eager=True, ckdir=ck
     )
     for it in range(1, max_iterations + 1):
         lbl, e = labels.alias("lbl"), ue.alias("e")
@@ -94,7 +95,7 @@ def connected_components(
                 F.min("component").alias("component"),
                 F.max("old_component").alias("old_component"),
             )
-            .transform(barrier_t(eager=False))
+            .transform(barrier_t(eager=False, ckdir=ck))
         )
         n_changed = new_labels.filter(
             F.col("component") < F.col("old_component")
@@ -127,8 +128,9 @@ def label_propagation(
     """
     from pyspark.sql.window import Window
 
-    ue = barrier(undirected(edges), eager=True)
-    base = barrier(vertices(graphs), eager=True)
+    ck = checkpoint_dir(spark)
+    ue = barrier(undirected(edges), eager=True, ckdir=ck)
+    base = barrier(vertices(graphs), eager=True, ckdir=ck)
     labels = base.withColumn("label", F.col("vertex"))
     for it in range(1, iterations + 1):
         lbl, e = labels.alias("lbl"), ue.alias("e")
@@ -159,7 +161,7 @@ def label_propagation(
             )
         )
         if it % checkpoint_every == 0 or it == iterations:
-            labels = barrier(labels, eager=True)
+            labels = barrier(labels, eager=True, ckdir=ck)
     return labels
 
 
@@ -177,8 +179,9 @@ def kcore(
     per round over the shrinking survivor set; same one-job-per-superstep
     barrier/termination fold as the other loops. Returns (graph_id, vertex).
     """
-    ue = barrier(undirected(edges), eager=True)
-    survivors = barrier(vertices(graphs), eager=True)
+    ck = checkpoint_dir(spark)
+    ue = barrier(undirected(edges), eager=True, ckdir=ck)
+    survivors = barrier(vertices(graphs), eager=True, ckdir=ck)
     n_prev = survivors.count()
     for it in range(1, max_iterations + 1):
         deg = (
@@ -190,7 +193,7 @@ def kcore(
         survivors = (
             deg.filter(F.col("deg") >= k)
             .select("graph_id", "vertex")
-            .transform(barrier_t(eager=False))
+            .transform(barrier_t(eager=False, ckdir=ck))
         )
         n_now = survivors.count()
         if n_now == n_prev:
@@ -246,9 +249,11 @@ def sssp(
     from pyspark.storagelevel import StorageLevel
 
     edges = edges.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+    ck = checkpoint_dir(spark)
     dists = barrier(
         spark.createDataFrame([(start, 0)], "vertex INT, distance BIGINT"),
         eager=True,
+        ckdir=ck,
     )
     frontier = dists
     for it in range(1, max_iterations + 1):
@@ -280,13 +285,13 @@ def sssp(
             .select("vertex", "distance")
             # lazy checkpoint + count: barrier and termination test in ONE
             # job per superstep (count materializes the checkpoint)
-            .transform(barrier_t(eager=False))
+            .transform(barrier_t(eager=False, ckdir=ck))
         )
         if improved.count() == 0:
             break
         dists = dists.join(improved, "vertex", "left_anti").unionByName(improved)
         if it % checkpoint_every == 0:
-            dists = barrier(dists, eager=True)
+            dists = barrier(dists, eager=True, ckdir=ck)
         frontier = improved
     edges.unpersist()
     return dists
@@ -314,16 +319,18 @@ def pagerank(
     # materialized once instead of being re-joined/re-aggregated inside every
     # iteration's lineage (one fewer join per superstep; at cluster scale,
     # one fewer broadcast per superstep).
+    ck = checkpoint_dir(spark)
     base = (
         vertices(graphs)
         .join(n_by_graph, "graph_id")
-        .transform(barrier_t(eager=True))
+        .transform(barrier_t(eager=True, ckdir=ck))
     )
     out_deg = barrier(
         edges.groupBy("graph_id", F.col("src").alias("vertex")).agg(
             F.count("*").alias("out_degree")
         ),
         eager=True,
+        ckdir=ck,
     )
     # The dangling-vertex SET is loop-invariant (out_degree is static):
     # materialize it once so each superstep's dangling-mass pass is a
@@ -331,13 +338,14 @@ def pagerank(
     dangling_verts = (
         base.select("graph_id", "vertex")
         .join(out_deg, ["graph_id", "vertex"], "left_anti")
-        .transform(barrier_t(eager=True))
+        .transform(barrier_t(eager=True, ckdir=ck))
     )
     ranks = barrier(
         base.select(
             "graph_id", "vertex", (F.lit(1.0) / F.col("n_vertices")).alias("rank")
         ),
         eager=True,
+        ckdir=ck,
     )
     for it in range(1, iterations + 1):
         r, e = ranks.join(out_deg, ["graph_id", "vertex"]).alias("r"), edges.alias("e")
@@ -378,7 +386,7 @@ def pagerank(
             )
         )
         if it % checkpoint_every == 0 or it == iterations:
-            ranks = barrier(ranks, eager=True)
+            ranks = barrier(ranks, eager=True, ckdir=ck)
     # Final ranks are checkpointed (it == iterations), so the cached edge
     # table is no longer referenced: release it rather than leak per call.
     edges.unpersist()

@@ -38,7 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import barrier
+from ..session import barrier, checkpoint_dir
 
 DEFAULT_KERNEL_MAX_NODES = 100_000
 
@@ -73,8 +73,9 @@ def bfs_levels(
     from pyspark.storagelevel import StorageLevel
 
     edges = edges.repartition("graph_id", "src").persist(StorageLevel.MEMORY_AND_DISK)
+    ck = checkpoint_dir(spark)
     frontier = _starts_df(spark, starts).withColumn("level", F.lit(0).cast("int"))
-    visited = barrier(frontier, eager=True)
+    visited = barrier(frontier, eager=True, ckdir=ck)
     frontier = visited
     for level in range(1, max_levels + 1):
         # Explicit aliases: after checkpointing, frontier columns carry the
@@ -93,12 +94,12 @@ def bfs_levels(
         # + count() folds the barrier and the emptiness check into ONE job
         # per superstep (count is the action that materializes the
         # checkpoint). Checkpoint = the reference's level barrier.
-        next_frontier = barrier(next_frontier, eager=False)
+        next_frontier = barrier(next_frontier, eager=False, ckdir=ck)
         if next_frontier.count() == 0:
             break
         visited = visited.union(next_frontier)
         if level % checkpoint_every == 0:
-            visited = barrier(visited, eager=True)
+            visited = barrier(visited, eager=True, ckdir=ck)
         frontier = next_frontier
     # Every frontier is eagerly checkpointed, so the result never re-reads
     # the edge table: release the cache instead of leaking one per call.

@@ -62,8 +62,21 @@ def get_spark(app_name: str = "distributed_graph_database_simulation_spark",
 # RELIABLE checkpoints there instead of executor-local ones.
 CHECKPOINT_DIR_CONF = "spark.graft.checkpointDir"
 
+_UNSET = object()  # barrier(ckdir=...) sentinel: "look the conf up yourself"
 
-def barrier(df: DataFrame, eager: bool = True) -> DataFrame:
+
+def checkpoint_dir(spark: SparkSession) -> str | None:
+    """Resolve the reliable-checkpoint directory conf (None = local mode).
+
+    Superstep loops call this ONCE per operator invocation and thread the
+    result into each :func:`barrier` — a conf read is a ~5 ms py4j round
+    trip, which multiplied by every barrier of every superstep would tax
+    the loops for nothing (the conf cannot meaningfully change mid-loop).
+    """
+    return spark.conf.get(CHECKPOINT_DIR_CONF, None)
+
+
+def barrier(df: DataFrame, eager: bool = True, ckdir=_UNSET) -> DataFrame:
     """Lineage-truncation barrier for superstep loops (BFS/SSSP/CC/PageRank/
     k-core/LPA/dedup-clustering).
 
@@ -75,12 +88,16 @@ def barrier(df: DataFrame, eager: bool = True) -> DataFrame:
     only the storage tier changes. The SparkContext checkpoint dir is set
     lazily on first use so merely importing the package never touches
     storage.
+
+    ``ckdir``: pass :func:`checkpoint_dir`'s result when calling from a
+    loop (one conf read per operator, not per barrier); omit for one-off
+    barriers.
     """
-    spark = df.sparkSession
-    ckdir = spark.conf.get(CHECKPOINT_DIR_CONF, None)
+    if ckdir is _UNSET:
+        ckdir = checkpoint_dir(df.sparkSession)
     if not ckdir:
         return df.localCheckpoint(eager=eager)
-    sc = spark.sparkContext
+    sc = df.sparkSession.sparkContext
     # setCheckpointDir materializes a UUID subdir (scheme-prefixed), so the
     # round-trip value never equals the conf — remember what we set instead.
     if getattr(sc, "_graft_checkpoint_dir", None) != ckdir:
@@ -89,6 +106,6 @@ def barrier(df: DataFrame, eager: bool = True) -> DataFrame:
     return df.checkpoint(eager=eager)
 
 
-def barrier_t(eager: bool = True):
+def barrier_t(eager: bool = True, ckdir=_UNSET):
     """:func:`barrier` curried for fluent chains: ``df.transform(barrier_t())``."""
-    return lambda df: barrier(df, eager=eager)
+    return lambda df: barrier(df, eager=eager, ckdir=ckdir)
