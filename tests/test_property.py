@@ -403,3 +403,33 @@ def test_bmp_roundtrip_property(w, h, data):
     meta, decoded = multimodal.parse_bmp(multimodal.encode_bmp_rgb24(pixels, w, h))
     assert meta == {"width": w, "height": h, "bits_per_pixel": 24}
     assert decoded == pixels
+
+
+@given(matrix=matrices)
+@_SETTINGS
+def test_derived_degree_cap_matches_python_percentile(sess, matrix):
+    """The histogram-based exact-p90 cap (graph_queries._derived_degree_cap)
+    equals the rank-selection reference: sort undirected degrees ascending,
+    r* = floor(9n/10), cap = degs[r*-1] (min degree when r* == 0)."""
+    from distributed_graph_database_simulation_spark.operators.graph_queries import (
+        _derived_degree_cap,
+    )
+
+    n = len(matrix)
+    pairs = {
+        (u, v)
+        for u in range(n)
+        for v in range(n)
+        if matrix[u][v] == 1 and u != v
+    }
+    ue_pairs = sorted(pairs | {(v, u) for u, v in pairs})
+    if not ue_pairs:
+        return  # empty graphs have no degree distribution to cap
+    ue = sess.createDataFrame(ue_pairs, "src INT, dst INT")
+    degs = sorted(
+        len([1 for s, d in ue_pairs if d == x])
+        for x in {d for _, d in ue_pairs}
+    )
+    r_star = (9 * len(degs)) // 10
+    expected = degs[r_star - 1] if r_star >= 1 else degs[0]
+    assert _derived_degree_cap(ue) == expected
