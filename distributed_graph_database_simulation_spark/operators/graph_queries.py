@@ -540,6 +540,28 @@ cap AS (SELECT MIN(deg) AS cap FROM cum
 """
 
 
+def _ue_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected scale-graph edge set, persisted MEMORY_AND_DISK.
+
+    The capped queries consume ``ue`` twice — the cap-derivation job, then
+    the pair plan (degree filter + self-join + anti-join). Without a
+    persist the orders scan + symmetrize + distinct shuffle runs in BOTH
+    jobs; at 100 TB that is the heaviest stage in the query. Persisted
+    blocks are LRU-evicted under memory pressure and the lineage stays
+    recomputable, so no explicit unpersist hook is needed (the result
+    DataFrame keeps referencing ue lazily).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    e = fixtures.scale_edges_df(spark, sf_dir)
+    return (
+        e.select("src", "dst")
+        .union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
 def common_neighbors_capped_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-capped common-neighbors: identical to
     :func:`common_neighbors_scale` but common neighbors are only counted
@@ -554,13 +576,8 @@ def common_neighbors_capped_scale(spark: SparkSession, sf_dir: str) -> DataFrame
     is reused, and the anti-join against the edge set still removes adjacent
     pairs exactly.
     """
-    e = fixtures.scale_edges_df(spark, sf_dir)
-    ue = (
-        e.select("src", "dst")
-        .union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-    )
-    cap = _derived_degree_cap(ue)
+    ue = _ue_persisted(spark, sf_dir)
+    cap = _derived_degree_cap(ue)  # materializes the persisted ue
     low_deg = (
         ue.groupBy("dst")
         .agg(F.count("*").alias("deg"))
@@ -620,13 +637,8 @@ def adamic_adar_capped_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-rank oracle. The BETWEEN 2 floor guarantees ln(deg) > 0, so the
     weight expression is never evaluated on a zero-log row.
     """
-    e = fixtures.scale_edges_df(spark, sf_dir)
-    ue = (
-        e.select("src", "dst")
-        .union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-    )
-    cap = _derived_degree_cap(ue)
+    ue = _ue_persisted(spark, sf_dir)
+    cap = _derived_degree_cap(ue)  # materializes the persisted ue
     deg = ue.groupBy("dst").agg(F.count("*").alias("deg"))
     kept = ue.join(deg.where(F.col("deg").between(2, cap)), "dst").withColumn(
         "w_micro", F.round(F.lit(1_000_000.0) / F.log(F.col("deg"))).cast("bigint")
