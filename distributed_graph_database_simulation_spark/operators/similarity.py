@@ -160,10 +160,11 @@ def _plane_literals(spark: SparkSession, tables: int, bits: int, dim: int):
     bit-identical to deriving them inline per element. Cached per
     (tables, bits, dim) for the session.
     """
+    # Values are a pure function of (tables, bits, dim) — the JVM xxhash64
+    # is deterministic across sessions — so one flat process-wide cache.
     key = (tables, bits, dim)
-    cache = _PLANE_CACHE.setdefault(id(spark.sparkContext), {})
-    if key in cache:
-        return cache[key]
+    if key in _PLANE_CACHE:
+        return _PLANE_CACHE[key]
     per_table = bits * dim
     comp = (
         spark.range(tables * per_table)
@@ -187,11 +188,11 @@ def _plane_literals(spark: SparkSession, tables: int, bits: int, dim: int):
     planes = [[[0.0] * dim for _ in range(bits)] for _ in range(tables)]
     for r in comp:
         planes[r.t][r.b][r.i] = r.v
-    cache[key] = planes
+    _PLANE_CACHE[key] = planes
     return planes
 
 
-_PLANE_CACHE: dict[int, dict] = {}
+_PLANE_CACHE: dict[tuple[int, int, int], list] = {}
 
 
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
