@@ -726,3 +726,16 @@ def test_signature_literal_planes_match_inline_hash_derivation(spark, sf_dir):
         ref = {r.vec_id: r.b for r in df.select("vec_id", bucket.alias("b")).collect()}
         for vid, bk in ref.items():
             assert got[(vid, t)] == bk, (vid, t)
+
+
+def test_cosine_router_and_prefilter_handle_empty_corpus(spark):
+    """Zero-row corpora must flow through both the router and the LSH
+    prefilter without erroring (dim probe returns no row; plane literals
+    degenerate to empty arrays)."""
+    empty = (
+        spark.range(0)
+        .select(F.col("id").alias("vec_id"), F.array(F.lit(1.0)).alias("e"))
+        .where(F.lit(False))
+    )
+    assert dedup._cosine_route(spark, empty).count() == 0
+    assert dedup.dedup_embedding_cosine_prefiltered(spark, empty).count() == 0
