@@ -107,3 +107,68 @@ def test_streaming_session_window_matches_batch_sessionization(spark, sf_dir):
         r.user_id: r.n_sessions for r in event_sessions(spark, sf_dir).collect()
     }
     assert per_user_stream == per_user_batch
+
+
+def test_file_sink_checkpoint_recovery_no_duplicate_windows(spark, tmp_path):
+    """The production sink path: append-mode windowed agg -> parquet file
+    sink with a checkpointLocation, stopped and restarted twice as new
+    source files land. Across restarts every emitted window must appear
+    exactly once (checkpoint recovery must not re-emit), and every emitted
+    count must equal the batch ground truth over the same data."""
+    import datetime
+
+    schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE"
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(i, hours):
+        return (i, base + datetime.timedelta(hours=hours), i % 3, 1.0)
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+    batches = [
+        [ev(1, 0.2), ev(2, 0.5), ev(3, 1.1), ev(4, 5.0)],
+        [ev(5, 6.0), ev(6, 9.0)],
+        [ev(7, 12.0)],
+    ]
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("hour"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    all_rows = []
+    for rows in batches:
+        all_rows += rows
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        run_once()
+
+    emitted = spark.read.parquet(sink).collect()
+    # exactly-once: no window appears twice across the three runs
+    hours = [r.hour for r in emitted]
+    assert len(hours) == len(set(hours)), f"duplicate windows emitted: {hours}"
+    # the early windows are certainly closed by the final 12h watermark
+    assert {h.hour for h in hours} >= {0, 1, 5}
+    # every emitted value equals the batch ground truth
+    truth = {}
+    for _, ts, _, _ in all_rows:
+        truth[ts.replace(minute=0, second=0)] = (
+            truth.get(ts.replace(minute=0, second=0), 0) + 1
+        )
+    for r in emitted:
+        assert truth[r.hour] == r.n, (r.hour, r.n, truth)
