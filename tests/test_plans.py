@@ -255,3 +255,23 @@ def test_capped_common_neighbors_is_keyed_and_bounded(spark, sf_dir):
         assert capped, "capped CN produced no pairs on the scale graph"
     assert set(capped) <= set(exact)
     assert all(capped[p] <= exact[p] for p in capped)
+
+
+def test_cosine_prefiltered_is_keyed_join(spark):
+    """The prefiltered route's candidate space must come from the
+    (table_id, bucket) banding join — never a cartesian/nested-loop pair
+    enumeration — and exact verification must join vectors back by key."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from distributed_graph_database_simulation_spark.operators import dedup
+
+    rng = np.random.RandomState(7)
+    rows = [
+        Row(vec_id=i, e=[float(x) for x in rng.standard_normal(16)])
+        for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows)
+    plan = _formatted_plan(dedup.dedup_embedding_cosine_prefiltered(spark, emb))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
