@@ -786,8 +786,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     supersteps — near-dup clusters are shallow (chains of transitive
     near-dups), so this is a handful of shuffles on doc_id.
     """
+    return dedup_clusters_df(spark, _docs(spark, sf_dir))
+
+
+def dedup_clusters_df(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """df-level :func:`dedup_clusters` (same pattern as minhash_lsh_df), so
+    pipeline compositions can cluster an already-filtered corpus instead of
+    the raw table."""
     ck = checkpoint_dir(spark)
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = minhash_lsh_df(docs).select("doc_a", "doc_b")
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))

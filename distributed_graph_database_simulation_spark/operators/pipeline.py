@@ -224,6 +224,63 @@ FROM documents
 """
 
 
+def prepare_training_corpus(
+    spark: SparkSession, sf_dir: str, min_quality: float = 0.5
+) -> DataFrame:
+    """The composed end-to-end corpus-preparation flow a training-data user
+    actually runs, built entirely from this repo's certified operators:
+
+        quality filter -> exact dedup -> near-dup cluster dedup
+        -> stratified sample -> shard + position assignment
+
+    Returns (doc_id, lang, quality, shard, pos) — one row per surviving
+    document, deterministically placed for a resumable dataloader.
+
+    Composition semantics worth naming:
+
+    - Quality runs FIRST, so dedup clusters form over the quality-passing
+      corpus (``dedup_clusters_df`` on the filtered frame): a low-quality
+      copy cannot become a cluster's survivor and drag the cluster down.
+    - Exact dedup keeps ``survivor_id`` (min doc_id per content hash);
+      identical texts share a quality score, so the filter order cannot
+      split an exact-dup group.
+    - Sampling and sharding are the deterministic hash-keyed steps — the
+      composed output is reproducible run-to-run, which is what makes a
+      checkpoint-resumed training job read the same shards.
+
+    Scale: each stage is one of the already-audited plans (narrow scoring,
+    hash-agg dedup, bucketed LSH + tiny closure loop, narrow sample,
+    (shard, sub)-parallel rank); composition adds only doc_id semi/anti
+    joins, which broadcast on the small side or hash on uniform keys.
+    """
+    from .dedup import dedup_clusters_df, dedup_exact
+    from .text_analysis import quality_score_df
+
+    docs = _docs(spark, sf_dir)
+    quality = quality_score_df(docs).select("doc_id", "quality")
+    passing = docs.join(
+        quality.where(F.col("quality") >= min_quality).select("doc_id"), "doc_id"
+    )
+    exact_survivors = passing.join(
+        dedup_exact(spark, sf_dir).select(F.col("survivor_id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
+    near_dup_losers = (
+        dedup_clusters_df(spark, exact_survivors)
+        .where(~F.col("is_survivor"))
+        .select("doc_id")
+    )
+    unique_docs = exact_survivors.join(near_dup_losers, "doc_id", "left_anti")
+    sampled = sample_stratified_df(unique_docs).select("doc_id", "lang")
+    placed = shard_assign_df(sampled)
+    return (
+        placed.join(sampled, "doc_id")
+        .join(quality, "doc_id")
+        .select("doc_id", "lang", "quality", "shard", "pos")
+    )
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     "text_chunk_windows": (text_chunk_windows, TEXT_CHUNK_WINDOWS_SQL),
     "text_sample_stratified": (text_sample_stratified, TEXT_SAMPLE_STRATIFIED_SQL),

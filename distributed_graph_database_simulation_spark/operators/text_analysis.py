@@ -122,7 +122,11 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
           + 0.25*alpha_ratio + 0.25*min(avg_word_len/8, 1)
     evaluated left-to-right in both engines (bit-identical doubles).
     """
-    docs = _docs(spark, sf_dir)
+    return quality_score_df(_docs(spark, sf_dir))
+
+
+def quality_score_df(docs: DataFrame) -> DataFrame:
+    """df-level :func:`text_quality_score` for pipeline composition."""
     words = _words()
     n_words = F.size(words).cast("double")
     n_stop = _marker_count(words, EN_STOPWORDS).cast("double")

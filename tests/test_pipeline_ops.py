@@ -739,3 +739,31 @@ def test_cosine_router_and_prefilter_handle_empty_corpus(spark):
     )
     assert dedup._cosine_route(spark, empty).count() == 0
     assert dedup.dedup_embedding_cosine_prefiltered(spark, empty).count() == 0
+
+
+def test_prepare_training_corpus_invariants(spark, sf_dir):
+    """The composed pipeline (quality -> exact dedup -> near-dup clusters ->
+    sample -> shard) must produce a corpus that is unique, near-dup-free,
+    quality-gated, densely sharded, and deterministic."""
+    from distributed_graph_database_simulation_spark.operators import pipeline
+
+    out = pipeline.prepare_training_corpus(spark, sf_dir).collect()
+    assert out, "pipeline produced an empty corpus"
+    ids = [r.doc_id for r in out]
+    assert len(ids) == len(set(ids))
+    assert all(r.quality >= 0.5 for r in out)
+    # exact-dup free: no two survivors share normalized text
+    docs = dedup._docs(spark, sf_dir).where(F.col("doc_id").isin(ids))
+    texts = docs.select(F.regexp_replace(F.trim("text"), r"\s+", " ").alias("t"))
+    assert texts.count() == texts.distinct().count()
+    # near-dup free: the minhash pair-finder finds nothing in the output
+    assert dedup.minhash_lsh_df(docs).count() == 0
+    # dense per-shard positions 0..n_i-1
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, positions in by_shard.items():
+        assert sorted(positions) == list(range(len(positions))), shard
+    # deterministic end to end
+    again = pipeline.prepare_training_corpus(spark, sf_dir).collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in out}
