@@ -262,6 +262,25 @@ def _minhash_sigs(sh: DataFrame) -> DataFrame:
     )
 
 
+def _bands(sigs: DataFrame) -> DataFrame:
+    """sig array -> (doc_id, band_id, band_hash): 64 bands x 2 rows, band
+    hash over the sig slice so the banding join key is one fixed-width int."""
+    n_bands = N_PERM // LSH_ROWS
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(F.slice(F.col("sig"), b * LSH_ROWS + 1, LSH_ROWS))
+                    .alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_df(_docs(spark, sf_dir))
 
@@ -285,21 +304,7 @@ def minhash_lsh_df(docs: DataFrame) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     sh = _shingled(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    sigs = _minhash_sigs(sh)
-    n_bands = N_PERM // LSH_ROWS
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_id"),
-                    F.xxhash64(F.slice(F.col("sig"), b * LSH_ROWS + 1, LSH_ROWS))
-                    .alias("band_hash"),
-                ),
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_hash")
+    bands = _bands(_minhash_sigs(sh))
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (
@@ -327,6 +332,82 @@ def minhash_lsh_df(docs: DataFrame) -> DataFrame:
 # LSH + verification converges to the exhaustive answer (miss prob ~1e-8),
 # so it shares the exact oracle.
 DEDUP_MINHASH_LSH_SQL = _NGRAM_ORACLE_CORE
+
+
+# --- incremental dedup against a persisted signature store ---------------
+
+def write_signature_store(docs: DataFrame, path: str) -> None:
+    """Persist the MinHash banding state of a corpus for incremental dedup.
+
+    A 100 TB pipeline ingests continuously; re-sharding and re-hashing the
+    historical corpus for every new batch would be quadratic over the
+    pipeline's lifetime. The store keeps the two artifacts the pair-finder
+    needs — the band table (doc_id, band_id, band_hash) for candidate
+    generation and the shingle arrays for exact verification — as plain
+    partitioned parquet, so appending a new batch to the store is a
+    write-side union. Band hashes are engine-deterministic (xxhash64), so
+    stores written by different runs/sessions are compatible.
+    """
+    sh = _shingled(docs)
+    _bands(_minhash_sigs(sh)).write.mode("overwrite").parquet(f"{path}/bands")
+    sh.write.mode("overwrite").parquet(f"{path}/shingles")
+
+
+def dedup_against_store(
+    spark: SparkSession, new_docs: DataFrame, path: str
+) -> DataFrame:
+    """Near-dup pairs (Jaccard >= 0.5) touching at least one NEW document:
+    new-vs-store plus new-vs-new, WITHOUT recomputing or rescanning the
+    stored corpus's signatures.
+
+    Candidate generation joins the new batch's bands against the stored
+    band table (hash-keyed, uniform) and against itself; verification
+    joins shingle arrays only for candidates, reading stored shingles for
+    the store side. Old-old pairs are never produced — they were reported
+    when their batch was ingested. Same miss probability as
+    :func:`minhash_lsh_df` (~1e-8 at the 0.5 threshold), so the combined
+    result over (store + batch) equals the one-shot run on the union —
+    pinned in tests.
+    """
+    sh_new = _shingled(new_docs)
+    bands_new = _bands(_minhash_sigs(sh_new))
+    bands_old = spark.read.parquet(f"{path}/bands")
+    sh_old = spark.read.parquet(f"{path}/shingles")
+
+    a, b = bands_new.alias("a"), bands_old.alias("b")
+    cand_cross = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+    )
+    n1, n2 = bands_new.alias("a"), bands_new.alias("b")
+    cand_new = (
+        n1.join(
+            n2,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    candidates = cand_cross.union(cand_new).distinct()
+    all_sh = sh_old.unionByName(sh_new)
+    sh_a = all_sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = all_sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    union_size = F.size(F.array_union("sh_a", "sh_b"))
+    inter_size = F.size("sh_a") + F.size("sh_b") - union_size
+    return (
+        candidates.join(sh_a, "doc_a").join(sh_b, "doc_b")
+        .withColumn("jaccard", inter_size.cast("double") / union_size.cast("double"))
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 # --- SimHash -------------------------------------------------------------

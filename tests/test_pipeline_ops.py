@@ -767,3 +767,35 @@ def test_prepare_training_corpus_invariants(spark, sf_dir):
     # deterministic end to end
     again = pipeline.prepare_training_corpus(spark, sf_dir).collect()
     assert {tuple(r) for r in again} == {tuple(r) for r in out}
+
+
+def test_incremental_dedup_against_store_matches_one_shot(spark, sf_dir, tmp_path):
+    """Ingesting a corpus in two batches through the signature store must
+    find exactly the one-shot pair set minus old-old pairs (reported when
+    batch one was ingested), with identical jaccard values."""
+    docs = dedup._docs(spark, sf_dir)
+    split = 250
+    old = docs.where(F.col("doc_id") < split)
+    new = docs.where(F.col("doc_id") >= split)
+    store = str(tmp_path / "sigstore")
+    dedup.write_signature_store(old, store)
+
+    incremental = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.dedup_against_store(spark, new, store).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.minhash_lsh_df(docs).collect()
+    }
+    expected = {
+        (a, b, j) for a, b, j in full if a >= split or b >= split
+    }
+    assert incremental == expected
+    assert incremental, "split corpus should contain cross-batch near-dups"
+    # batch-one pairs were the store's own ingest report
+    old_pairs = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.minhash_lsh_df(old).collect()
+    }
+    assert old_pairs | incremental == full
