@@ -275,3 +275,20 @@ def test_cosine_prefiltered_is_keyed_join(spark):
     plan = _formatted_plan(dedup.dedup_embedding_cosine_prefiltered(spark, emb))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_dedup_store_join_stays_keyed(spark, sf_dir, tmp_path):
+    """The store-based candidate joins (new-vs-store, new-vs-new) must be
+    hash-keyed on (band_id, band_hash) — never cartesian/nested-loop."""
+    from pyspark.sql import functions as F
+
+    from distributed_graph_database_simulation_spark.operators import dedup
+
+    docs = dedup._docs(spark, sf_dir)
+    store = str(tmp_path / "sigstore_plan")
+    dedup.write_signature_store(docs.where(F.col("doc_id") < 100), store)
+    plan = _formatted_plan(
+        dedup.dedup_against_store(spark, docs.where(F.col("doc_id") >= 100), store)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
