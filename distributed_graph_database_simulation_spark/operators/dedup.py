@@ -975,6 +975,127 @@ WHERE list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
 """
 
 
+# --- duplicated-span detection (substring-level dedup) -------------------
+
+DUP_SPAN_K = 8            # words per gram: spans shorter than this survive
+DUP_SPAN_MIN_OCC = 2      # corpus-wide occurrences that make a gram "dup"
+
+
+def dup_spans_df(
+    docs: DataFrame, k: int = DUP_SPAN_K, min_occurrences: int = DUP_SPAN_MIN_OCC
+) -> DataFrame:
+    """Maximal duplicated word spans per document (substring-level dedup).
+
+    Document-level dedup misses the dominant failure mode of web corpora:
+    *partial* duplication — boilerplate, license headers, quoted passages —
+    embedded in otherwise-unique documents (the motivation for exact
+    substring dedup in Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", 2022). This finds every maximal word span all
+    of whose length-``k`` grams occur at least ``min_occurrences`` times
+    corpus-wide (within-doc repeats count — a doc that repeats its own
+    paragraph is also duplication), expressed relationally:
+
+    1. positional k-grams per doc (``NGram`` + ``posexplode`` — narrow),
+       keyed by ``xxhash64`` of the gram text (fixed-width join key, same
+       collision argument as the Jaccard inverted index);
+    2. corpus-wide occurrence counts — ONE hash aggregate with map-side
+       combine on the gram hash (near-uniform by construction);
+    3. keyed semi-join back to positions (fan-out = true occurrence count,
+       proportional to output, never quadratic);
+    4. per-doc interval merge of the surviving [pos, pos+k-1] windows via
+       gaps-and-islands (running-max end, window partitioned by doc_id —
+       bounded by doc length, never by corpus size).
+
+    Returns ``(doc_id, span_start, span_end, n_grams)`` in word
+    coordinates, inclusive. Deterministic; engine-hash-dependent only
+    through xxhash64 gram keys (collisions could only *add* a span gram,
+    probability ~|grams|^2/2^64 — the same envelope the verified-LSH path
+    documents), so correctness is pinned against an independent pure-Python
+    reference in tests rather than a SQL oracle.
+    """
+    from pyspark.ml.feature import NGram
+    from pyspark.sql import Window
+
+    with_words = docs.select("doc_id", F.split(_norm_text(), " ").alias("w"))
+    grams = NGram(n=k, inputCol="w", outputCol="grams").transform(with_words)
+    pos = grams.select(
+        "doc_id", F.posexplode("grams").alias("pos", "gram")
+    ).select("doc_id", "pos", F.xxhash64("gram").alias("gh"))
+    dup_keys = (
+        pos.groupBy("gh")
+        .agg(F.count("*").alias("occ"))
+        .where(F.col("occ") >= min_occurrences)
+        .select("gh")
+    )
+    dup_pos = pos.join(dup_keys, "gh", "left_semi").select(
+        "doc_id", "pos", (F.col("pos") + k - 1).alias("end")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max_end = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = dup_pos.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                prev_max_end.isNull() | (F.col("pos") > prev_max_end + 1), 1
+            ).otherwise(0)
+        ).over(w),
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            F.max("end").cast("int").alias("span_end"),
+            F.count("*").cast("bigint").alias("n_grams"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_grams")
+    )
+
+
+def scrub_dup_spans_df(
+    docs: DataFrame, k: int = DUP_SPAN_K, min_occurrences: int = DUP_SPAN_MIN_OCC
+) -> DataFrame:
+    """Rewrite each document with its duplicated spans removed.
+
+    The span table from :func:`dup_spans_df` is aggregated to one array of
+    (start, end) structs per affected doc — bounded by doc length — and
+    joined back on ``doc_id`` (keyed, broadcast-eligible when the affected
+    set is small). The rewrite itself is pure JVM higher-order-function
+    code: index-tag every word with ``transform``, drop words covered by
+    any span with ``filter`` + ``exists``, re-join with ``concat_ws`` — no
+    shuffle beyond the span computation and no Python in the hot path.
+
+    Returns ``(doc_id, text, n_words_removed)`` where untouched docs pass
+    through with their normalized text and 0 removed.
+    """
+    spans_arr = (
+        dup_spans_df(docs, k=k, min_occurrences=min_occurrences)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+        )
+    )
+    words = F.split(_norm_text(), " ")
+    indexed = F.transform(words, lambda wd, i: F.struct(wd.alias("wd"), i.alias("i")))
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            F.col("spans"),
+            lambda sp: (s["i"] >= sp["span_start"]) & (s["i"] <= sp["span_end"]),
+        ),
+    )
+    joined = docs.join(spans_arr, "doc_id", "left")
+    return joined.select(
+        "doc_id",
+        F.when(F.col("spans").isNull(), _norm_text())
+        .otherwise(F.concat_ws(" ", F.transform(kept, lambda s: s["wd"])))
+        .alias("text"),
+        F.when(F.col("spans").isNull(), F.lit(0))
+        .otherwise(F.size(words) - F.size(kept))
+        .cast("int")
+        .alias("n_words_removed"),
+    )
+
+
 DEDUP_QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),

@@ -281,6 +281,83 @@ def prepare_training_corpus(
     )
 
 
+SEQ_LEN = 2048  # tokens per packed training sequence
+
+
+def pack_sequences_df(chunks: DataFrame, seq_len: int = SEQ_LEN) -> DataFrame:
+    """Concat-and-split sequence packing: lay chunks end-to-end in a
+    deterministic pseudo-random order and cut every ``seq_len`` tokens —
+    the standard GPT-style packed-dataloader layout (a chunk whose tokens
+    straddle a cut simply continues in the next sequence; no padding waste
+    except the final ragged sequence per shard).
+
+    Input: any frame with ``(doc_id, chunk_id, n_tokens)`` — e.g. the
+    output of :func:`chunk_windows_df`. Output adds:
+
+    - ``shard`` — same doc-keyed multiplicative hash as
+      :func:`shard_assign_df`, so all chunks of a doc pack into one shard
+      and a doc's chunks stay adjacent (ordered by ``chunk_id``) within
+      the stream;
+    - ``seq_id`` — which fixed-length sequence (within the shard) the
+      chunk's FIRST token lands in;
+    - ``seq_offset`` — token offset of the chunk's first token within that
+      sequence (in ``[0, seq_len)``).
+
+    Determinism run-to-run and engine-to-engine is the resumability
+    contract (same argument as :func:`shard_assign_df`).
+
+    Scale: the packing order needs a per-shard running token total — a
+    naive per-shard window caps cumsum parallelism at N_SHARDS tasks, so
+    the same range-bucketing trick as :func:`shard_assign_df` applies:
+    cumsum runs per (shard, sub) over N_SHARDS * N_SUB tasks, and a
+    broadcast per-sub-bucket total (tiny aggregate) recomposes the global
+    running sum — valid because ``sub`` is monotone in the scramble order.
+    Two corpus Exchanges (window keys + count agg), both uniform hash keys,
+    no global sort.
+    """
+    from pyspark.sql import Window
+
+    shard = F.pmod(F.col("doc_id") * _XXPRIME, F.lit(N_SHARDS)).cast("int")
+    scramble = F.pmod(F.col("doc_id") * _KNUTH, F.lit(_ORDER_MOD))
+    keyed = chunks.select(
+        "doc_id", "chunk_id", "n_tokens", shard.alias("shard"), scramble.alias("scramble")
+    ).withColumn("sub", F.expr(f"scramble div {_SUB_WIDTH}").cast("int"))
+    order = ["scramble", "doc_id", "chunk_id"]
+    w_cum = (
+        Window.partitionBy("shard", "sub")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    in_sub = keyed.withColumn(
+        "cum_in_sub", F.coalesce(F.sum("n_tokens").over(w_cum), F.lit(0))
+    )
+    # Per-(shard, sub) token totals -> cumulative start offset per sub-bucket.
+    # The window runs over <= N_SHARDS * N_SUB aggregate rows — trivial.
+    w_off = (
+        Window.partitionBy("shard")
+        .orderBy("sub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        keyed.groupBy("shard", "sub")
+        .agg(F.sum("n_tokens").alias("tok"))
+        .withColumn("offset", F.coalesce(F.sum("tok").over(w_off), F.lit(0)))
+        .select("shard", "sub", "offset")
+    )
+    cum_before = F.col("offset") + F.col("cum_in_sub")
+    return (
+        in_sub.join(F.broadcast(offsets), ["shard", "sub"])
+        .select(
+            "doc_id",
+            "chunk_id",
+            "shard",
+            F.floor(cum_before / seq_len).cast("bigint").alias("seq_id"),
+            F.pmod(cum_before, F.lit(seq_len)).cast("int").alias("seq_offset"),
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+        )
+    )
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     "text_chunk_windows": (text_chunk_windows, TEXT_CHUNK_WINDOWS_SQL),
     "text_sample_stratified": (text_sample_stratified, TEXT_SAMPLE_STRATIFIED_SQL),

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from distributed_graph_database_simulation_spark.operators import (
     dedup,
     multimodal,
+    pipeline,
     similarity,
     text_analysis,
 )
@@ -799,3 +800,148 @@ def test_incremental_dedup_against_store_matches_one_shot(spark, sf_dir, tmp_pat
         for r in dedup.minhash_lsh_df(old).collect()
     }
     assert old_pairs | incremental == full
+
+
+# --- duplicated-span (substring-level) dedup ------------------------------
+
+def _py_dup_spans(rows, k, min_occ):
+    """Independent pure-Python reference for dup_spans_df: k-gram counting
+    on gram TEXT (the Spark side keys on xxhash64 of the same text — a
+    collision could only differ, which is the point of the cross-check),
+    then per-doc interval merge."""
+    from collections import Counter
+
+    words = {
+        doc_id: " ".join(text.split()).split(" ") for doc_id, text in rows
+    }
+    counts = Counter()
+    per_doc = {}
+    for doc_id, w in words.items():
+        grams = [tuple(w[i : i + k]) for i in range(len(w) - k + 1)]
+        per_doc[doc_id] = grams
+        counts.update(grams)
+    spans = set()
+    for doc_id, grams in per_doc.items():
+        pos = [i for i, g in enumerate(grams) if counts[g] >= min_occ]
+        i = 0
+        while i < len(pos):
+            start, end, n = pos[i], pos[i] + k - 1, 1
+            while i + 1 < len(pos) and pos[i + 1] <= end + 1:
+                i += 1
+                end = max(end, pos[i] + k - 1)
+                n += 1
+            spans.add((doc_id, start, end, n))
+            i += 1
+    return spans
+
+
+def test_dup_spans_planted_boilerplate(spark):
+    boiler = " ".join(f"b{i}" for i in range(12))  # 12-word shared block
+    docs = spark.createDataFrame(
+        [
+            (0, f"u0a u0b u0c {boiler} u0d u0e u0f u0g u0h"),
+            (1, f"{boiler} v0 v1 v2 v3 v4 v5 v6 v7 v8 v9"),
+            (2, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_grams)
+        for r in dedup.dup_spans_df(docs, k=8, min_occurrences=2).collect()
+    }
+    # doc 0: boiler words occupy positions 3..14 -> grams 3..7 (5 grams)
+    # doc 1: positions 0..11 -> grams 0..4 (5 grams); doc 2: clean
+    assert got == {(0, 3, 14, 5), (1, 0, 11, 5)}
+
+
+def test_dup_spans_match_python_reference(spark, sf_dir):
+    docs = dedup._docs(spark, sf_dir).where(F.col("doc_id") < 120)
+    rows = [(r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()]
+    expected = _py_dup_spans(rows, k=8, min_occ=2)
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_grams)
+        for r in dedup.dup_spans_df(docs, k=8, min_occurrences=2).collect()
+    }
+    assert got == expected
+    assert got, "synthetic corpus should contain duplicated 8-gram spans"
+
+
+def test_scrub_dup_spans_removes_exactly_spanned_words(spark):
+    boiler = " ".join(f"b{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (0, f"u0 u1 {boiler} u2 u3"),
+            (1, f"{boiler} v0 v1 v2"),
+            (2, "w0  w1   w2 w3 w4 w5 w6 w7 w8 w9"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.text, r.n_words_removed)
+        for r in dedup.scrub_dup_spans_df(docs, k=8, min_occurrences=2).collect()
+    }
+    assert got[0] == ("u0 u1 u2 u3", 10)
+    assert got[1] == ("v0 v1 v2", 10)
+    # untouched doc passes through normalized, nothing removed
+    assert got[2] == ("w0 w1 w2 w3 w4 w5 w6 w7 w8 w9", 0)
+
+
+# --- sequence packing -----------------------------------------------------
+
+def _py_pack_sequences(chunk_rows, seq_len):
+    """Independent reference: shard by doc hash, order by (scramble,
+    doc_id, chunk_id), running token total -> (seq_id, seq_offset)."""
+    out = {}
+    by_shard = {}
+    for doc_id, chunk_id, n_tokens in chunk_rows:
+        shard = (doc_id * 2246822519) % 16
+        scramble = (doc_id * 2654435761) % 1_000_003
+        by_shard.setdefault(shard, []).append(
+            (scramble, doc_id, chunk_id, n_tokens)
+        )
+    for shard, rows in by_shard.items():
+        cum = 0
+        for scramble, doc_id, chunk_id, n_tokens in sorted(rows):
+            out[(doc_id, chunk_id)] = (
+                shard, cum // seq_len, cum % seq_len, n_tokens
+            )
+            cum += n_tokens
+    return out
+
+
+def test_pack_sequences_matches_python_reference(spark, sf_dir):
+    chunks = pipeline.chunk_windows_df(pipeline._docs(spark, sf_dir)).select(
+        "doc_id", "chunk_id", "n_tokens"
+    )
+    rows = [(r.doc_id, r.chunk_id, r.n_tokens) for r in chunks.collect()]
+    expected = _py_pack_sequences(rows, seq_len=2048)
+    got = {
+        (r.doc_id, r.chunk_id): (r.shard, r.seq_id, r.seq_offset, r.n_tokens)
+        for r in pipeline.pack_sequences_df(chunks).collect()
+    }
+    assert got == expected
+    assert len(got) == len(rows)
+    # multiple sequences actually formed, offsets stay in range
+    assert max(seq_id for _, seq_id, _, _ in got.values()) > 0
+    assert all(0 <= off < 2048 for _, _, off, _ in got.values())
+
+
+def test_pack_sequences_is_deterministic_and_dense(spark, sf_dir):
+    chunks = pipeline.chunk_windows_df(pipeline._docs(spark, sf_dir)).select(
+        "doc_id", "chunk_id", "n_tokens"
+    )
+    a = pipeline.pack_sequences_df(chunks, seq_len=512).collect()
+    b = pipeline.pack_sequences_df(chunks, seq_len=512).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # per shard: token mass accounts for every seq boundary (concat-and-split
+    # means seq_ids are dense 0..floor(total/seq_len))
+    from collections import defaultdict
+
+    total = defaultdict(int)
+    max_seq = defaultdict(int)
+    for r in a:
+        total[r.shard] += r.n_tokens
+        max_seq[r.shard] = max(max_seq[r.shard], r.seq_id)
+    for shard, tok in total.items():
+        # the last chunk START lands in a seq no later than floor(total/512)
+        assert max_seq[shard] <= tok // 512
