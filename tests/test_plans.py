@@ -292,3 +292,34 @@ def test_incremental_dedup_store_join_stays_keyed(spark, sf_dir, tmp_path):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dup_spans_is_keyed_never_quadratic(spark, sf_dir):
+    """Substring-level dedup must be candidate generation on the gram-hash
+    key — a keyed semi-join from the occurrence counts back to positions —
+    never a pairwise product; the interval merge is a per-doc window."""
+    from distributed_graph_database_simulation_spark.operators import dedup
+    from distributed_graph_database_simulation_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for df in (dedup.dup_spans_df(docs), dedup.scrub_dup_spans_df(docs)):
+        plan = _formatted_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_sequences_cumsum_parallelism_exceeds_shard_count(spark, sf_dir):
+    """Same posture as shard_assign: the corpus-wide running-token-total
+    window must partition on (shard, sub), and the per-sub-bucket offset
+    recomposition must broadcast — never a second corpus shuffle."""
+    from distributed_graph_database_simulation_spark.operators import pipeline
+    from distributed_graph_database_simulation_spark.sources.tables import load_table
+
+    chunks = pipeline.chunk_windows_df(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "chunk_id", "n_tokens"
+    )
+    plan = _formatted_plan(pipeline.pack_sequences_df(chunks))
+    windows = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    cum_specs = [w for w in windows if "scramble" in w and "n_tokens" not in w.split(",")[0]]
+    assert cum_specs and all("sub" in w for w in cum_specs), windows
+    assert "BroadcastHashJoin" in plan, plan

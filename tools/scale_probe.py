@@ -337,6 +337,87 @@ def probe_cosine_router(spark, n_vectors: int, dim: int) -> dict:
             "prefiltered_sec": round(time.perf_counter() - t1, 2)}
 
 
+def probe_dup_spans(spark, n_docs: int, boiler_every: int = 10) -> dict:
+    """Substring-level dedup on a synthetic corpus: every ``boiler_every``-th
+    doc carries the same 12-word boilerplate block inside otherwise-unique
+    text. Verifies the gram-count -> semi-join -> interval-merge pipeline
+    finds exactly one span per planted doc at 100x-bench corpus sizes, with
+    the corpus generated distributively (never collected)."""
+    import time as _t
+
+    from distributed_graph_database_simulation_spark.operators.dedup import (
+        dup_spans_df,
+    )
+
+    t0 = _t.perf_counter()
+    boiler = " ".join(f"boiler{i}" for i in range(12))
+    # 28 unique filler words per doc: 'u<doc*37+i>' over a large modulus --
+    # collisions across docs are possible but a shared 8-gram needs 8
+    # *consecutive* collisions, probability ~0.
+    filler = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(27)),
+            lambda i: F.concat(
+                F.lit("u"), ((F.col("id") * 37 + i) % F.lit(10_000_000_000)).cast("string")
+            ),
+        ),
+        " ",
+    )
+    docs = spark.range(0, n_docs, 1, 32).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % boiler_every == 0,
+            F.concat(F.lit(boiler + " "), filler),
+        )
+        .otherwise(filler)
+        .alias("text"),
+    )
+    spans = dup_spans_df(docs)
+    n_spans = spans.count()
+    planted = -(-n_docs // boiler_every)  # ceil: ids 0, boiler_every, ...
+    if n_spans != planted:
+        raise AssertionError(f"expected {planted} spans, got {n_spans}")
+    return {"probe": "dup_spans", "docs": n_docs, "spans": n_spans,
+            "sec": round(_t.perf_counter() - t0, 2)}
+
+
+def probe_pack_sequences(spark, n_chunks: int) -> dict:
+    """Concat-and-split packing at 1000x the sf0.01 chunk count: verifies
+    offsets stay in range and token mass is conserved per shard while the
+    cumsum runs per (shard, sub)."""
+    import time as _t
+
+    from distributed_graph_database_simulation_spark.operators.pipeline import (
+        SEQ_LEN,
+        pack_sequences_df,
+    )
+
+    t0 = _t.perf_counter()
+    chunks = spark.range(0, n_chunks, 1, 32).select(
+        (F.col("id") / 4).cast("bigint").alias("doc_id"),
+        (F.col("id") % 4).cast("int").alias("chunk_id"),
+        (F.pmod(F.col("id") * 2654435761, F.lit(64)) + 1).cast("int").alias("n_tokens"),
+    )
+    packed = pack_sequences_df(chunks)
+    stats = packed.agg(
+        F.count("*").alias("n"),
+        F.min("seq_offset").alias("min_off"),
+        F.max("seq_offset").alias("max_off"),
+        F.sum("n_tokens").alias("tok"),
+    ).first()
+    if not (stats["n"] == n_chunks and 0 <= stats["min_off"] and stats["max_off"] < SEQ_LEN):
+        raise AssertionError(f"packing invariants violated: {stats}")
+    per_shard = packed.groupBy("shard").agg(
+        F.sum("n_tokens").alias("tok"), F.max("seq_id").alias("max_seq")
+    )
+    bad = per_shard.where(F.col("max_seq") > F.col("tok") / SEQ_LEN).count()
+    if bad:
+        raise AssertionError("seq_id exceeded token mass bound")
+    return {"probe": "pack_sequences", "chunks": n_chunks,
+            "tokens": int(stats["tok"]),
+            "sec": round(_t.perf_counter() - t0, 2)}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--edges", type=float, default=5e6)
@@ -359,6 +440,8 @@ def main() -> int:
         lambda: probe_capped_common_neighbors(spark, int(args.vertices), 50_000),
         lambda: probe_asof_and_sessions(spark, int(args.edges) * 2),
         lambda: probe_cosine_router(spark, 1_000_000, 256),
+        lambda: probe_dup_spans(spark, int(args.docs) * 10),
+        lambda: probe_pack_sequences(spark, int(args.docs) * 100),
     )
     for probe in probes:
         print(json.dumps(probe()), flush=True)
