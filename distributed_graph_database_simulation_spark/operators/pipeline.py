@@ -358,6 +358,90 @@ def pack_sequences_df(chunks: DataFrame, seq_len: int = SEQ_LEN) -> DataFrame:
     )
 
 
+def cap_per_source_df(docs: DataFrame, max_per_source: int) -> DataFrame:
+    """Per-source admission cap: keep at most ``max_per_source`` documents
+    from every ``source``, chosen by a deterministic pseudo-random order —
+    the over-represented-domain mitigation every web-scale corpus needs
+    (one crawl domain must not dominate the training mixture).
+
+    Which docs survive is decided by rank in (scramble, doc_id) order
+    within the source, so the admitted set is reproducible run-to-run and
+    independent of partitioning — NOT "first N encountered", which would
+    be nondeterministic under Spark's scheduling.
+
+    Scale: a giant source is exactly the skewed-window hazard, so the rank
+    reuses the (key, sub) range-bucketing trick from
+    :func:`shard_assign_df`: ranks run per (source, sub) over
+    |sources| × N_SUB tasks, and a broadcast cumulative per-sub-bucket
+    count recomposes the global within-source rank. One corpus Exchange
+    for the rank keys + one tiny count aggregate; no global sort.
+    """
+    from pyspark.sql import Window
+
+    scramble = F.pmod(F.col("doc_id") * _KNUTH, F.lit(_ORDER_MOD))
+    keyed = docs.withColumn("_scr", scramble).withColumn(
+        "_sub", F.expr(f"_scr div {_SUB_WIDTH}").cast("int")
+    )
+    w_rank = Window.partitionBy("source", "_sub").orderBy("_scr", "doc_id")
+    ranked = keyed.withColumn("_rn", F.row_number().over(w_rank))
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("_sub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        keyed.groupBy("source", "_sub")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("_off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)))
+        .select("source", "_sub", "_off")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), ["source", "_sub"])
+        .where(F.col("_off") + F.col("_rn") - 1 < max_per_source)
+        .select(*docs.columns)
+    )
+
+
+def sample_token_budget_df(
+    docs: DataFrame, budgets: dict[str, int]
+) -> DataFrame:
+    """Token-budget mixture sampling: downsample each language to a target
+    TOKEN budget (not a doc-count rate — what a training mixture actually
+    specifies). Languages without a budget pass through whole.
+
+    Two jobs: (1) measure per-language token totals — one map-side-combined
+    aggregate to |langs| rows, pulled to the driver (tiny by construction);
+    (2) convert each budget to a parts-per-million keep rate
+    ``min(1, budget / total)`` in integer ppm and admit docs with the same
+    Knuth-hash filter as :func:`sample_stratified_df`. Deterministic and
+    resumable; the realized token count concentrates around the budget
+    (hash sampling is doc-granular — exact-budget packing is what
+    :func:`pack_sequences_df` is for downstream).
+
+    Returns ``(doc_id, lang, n_tokens, keep_ppm)`` for admitted docs.
+    """
+    words = F.split(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "), " ")
+    toks = docs.select("doc_id", "lang", F.size(words).alias("n_tokens"))
+    totals = {
+        r["lang"]: r["tok"]
+        for r in toks.groupBy("lang").agg(F.sum("n_tokens").alias("tok")).collect()
+    }
+    ppm = {
+        lang: min(_BUCKETS, (budgets[lang] * _BUCKETS) // total) if total else _BUCKETS
+        for lang, total in totals.items()
+        if lang in budgets
+    }
+    rate = F.lit(_BUCKETS)
+    for lang, p in sorted(ppm.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(p)).otherwise(rate)
+    bucket = F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(_BUCKETS))
+    return (
+        toks.withColumn("keep_ppm", rate.cast("int"))
+        .where(bucket < F.col("keep_ppm"))
+        .select("doc_id", "lang", "n_tokens", "keep_ppm")
+    )
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     "text_chunk_windows": (text_chunk_windows, TEXT_CHUNK_WINDOWS_SQL),
     "text_sample_stratified": (text_sample_stratified, TEXT_SAMPLE_STRATIFIED_SQL),

@@ -945,3 +945,91 @@ def test_pack_sequences_is_deterministic_and_dense(spark, sf_dir):
     for shard, tok in total.items():
         # the last chunk START lands in a seq no later than floor(total/512)
         assert max_seq[shard] <= tok // 512
+
+
+# --- per-source cap -------------------------------------------------------
+
+def test_cap_per_source_matches_python_reference(spark, sf_dir):
+    docs = pipeline._docs(spark, sf_dir)
+    rows = [(r.doc_id, r.source) for r in docs.select("doc_id", "source").collect()]
+    cap = 15
+    by_source = {}
+    for doc_id, source in rows:
+        scr = (doc_id * 2654435761) % 1_000_003
+        by_source.setdefault(source, []).append((scr, doc_id))
+    expected = set()
+    for source, lst in by_source.items():
+        for rank, (_, doc_id) in enumerate(sorted(lst)):
+            if rank < cap:
+                expected.add(doc_id)
+    got = {
+        r.doc_id for r in pipeline.cap_per_source_df(docs, cap).collect()
+    }
+    assert got == expected
+    # the cap actually binds on this corpus, and schema passes through
+    assert len(got) < len(rows)
+    out_cols = pipeline.cap_per_source_df(docs, cap).columns
+    assert out_cols == docs.columns
+
+
+def test_cap_per_source_is_deterministic_and_capped(spark, sf_dir):
+    docs = pipeline._docs(spark, sf_dir)
+    a = {r.doc_id for r in pipeline.cap_per_source_df(docs, 10).collect()}
+    b = {r.doc_id for r in pipeline.cap_per_source_df(docs, 10).collect()}
+    assert a == b
+    per_source = (
+        pipeline.cap_per_source_df(docs, 10)
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    assert per_source and all(r["count"] <= 10 for r in per_source)
+
+
+# --- token-budget mixture sampling ---------------------------------------
+
+def test_sample_token_budget_matches_python_reference(spark, sf_dir):
+    docs = pipeline._docs(spark, sf_dir)
+    rows = [
+        (r.doc_id, r.lang, len(" ".join(r.text.split()).split(" ")))
+        for r in docs.select("doc_id", "lang", "text").collect()
+    ]
+    totals = {}
+    for _, lang, n in rows:
+        totals[lang] = totals.get(lang, 0) + n
+    budgets = {"en": 5_000, "fr": 10_000_000}  # en binds hard, fr passes whole
+    ppm = {
+        lang: min(1_000_000, budgets[lang] * 1_000_000 // tot)
+        for lang, tot in totals.items()
+        if lang in budgets
+    }
+    expected = {
+        (doc_id, lang, n, ppm.get(lang, 1_000_000))
+        for doc_id, lang, n in rows
+        if (doc_id * 2654435761) % 1_000_000 < ppm.get(lang, 1_000_000)
+    }
+    got = {
+        (r.doc_id, r.lang, r.n_tokens, r.keep_ppm)
+        for r in pipeline.sample_token_budget_df(docs, budgets).collect()
+    }
+    assert got == expected
+    # en was actually downsampled; unbudgeted langs passed through whole
+    langs_in = {lang for _, lang, _ in rows}
+    kept_en = sum(1 for d, l, n, p in got if l == "en")
+    total_en = sum(1 for _, l, _ in rows if l == "en")
+    assert 0 < kept_en < total_en
+    for lang in langs_in - set(budgets):
+        assert sum(1 for _, l, _, _ in got if l == lang) == sum(
+            1 for _, l, _ in rows if l == lang
+        )
+
+
+def test_sample_token_budget_realized_tokens_near_budget(spark, sf_dir):
+    docs = pipeline._docs(spark, sf_dir)
+    budget = {"en": 8_000}
+    kept = pipeline.sample_token_budget_df(docs, budget)
+    realized = (
+        kept.where(F.col("lang") == "en").agg(F.sum("n_tokens")).first()[0]
+    )
+    # doc-granular hash sampling: realized concentrates around the budget
+    assert 0.5 * budget["en"] <= realized <= 1.5 * budget["en"]

@@ -323,3 +323,24 @@ def test_pack_sequences_cumsum_parallelism_exceeds_shard_count(spark, sf_dir):
     cum_specs = [w for w in windows if "scramble" in w and "n_tokens" not in w.split(",")[0]]
     assert cum_specs and all("sub" in w for w in cum_specs), windows
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_cap_per_source_rank_parallelism_and_token_budget_narrowness(spark, sf_dir):
+    """cap_per_source must rank per (source, sub) — never per source alone
+    (a giant crawl domain would serialize) — with broadcast offset
+    recomposition; token-budget sampling's filter job is a narrow
+    projection + WHERE (the totals agg is a separate tiny job)."""
+    from distributed_graph_database_simulation_spark.operators import pipeline
+    from distributed_graph_database_simulation_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _formatted_plan(pipeline.cap_per_source_df(docs, 10))
+    windows = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    rank_specs = [w for w in windows if "_scr" in w]
+    assert rank_specs and all("_sub" in w for w in rank_specs), windows
+    assert "BroadcastHashJoin" in plan, plan
+
+    budget_plan = _formatted_plan(
+        pipeline.sample_token_budget_df(docs, {"en": 10_000})
+    )
+    assert "Exchange" not in budget_plan, budget_plan

@@ -418,6 +418,39 @@ def probe_pack_sequences(spark, n_chunks: int) -> dict:
             "sec": round(_t.perf_counter() - t0, 2)}
 
 
+def probe_cap_per_source(spark, n_docs: int, n_hot: int = 3) -> dict:
+    """Per-source admission cap under adversarial skew: ``n_hot`` sources
+    own 90% of the corpus. Verifies the (source, sub)-bucketed rank admits
+    exactly ``cap`` docs from each hot source without a single-task
+    per-source sort."""
+    import time as _t
+
+    from distributed_graph_database_simulation_spark.operators.pipeline import (
+        cap_per_source_df,
+    )
+
+    t0 = _t.perf_counter()
+    cap = 1000
+    docs = spark.range(0, n_docs, 1, 32).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 10 < 9, F.concat(F.lit("hot"), (F.col("id") % n_hot)).cast("string")
+        )
+        .otherwise(F.concat(F.lit("cold"), (F.col("id") % 10_000)).cast("string"))
+        .alias("source"),
+    )
+    kept = cap_per_source_df(docs, cap)
+    per_hot = (
+        kept.where(F.col("source").startswith("hot")).groupBy("source").count().collect()
+    )
+    if len(per_hot) != n_hot or any(r["count"] != cap for r in per_hot):
+        raise AssertionError(f"hot sources not capped exactly: {per_hot}")
+    n_kept = kept.count()
+    return {"probe": "cap_per_source", "docs": n_docs, "kept": n_kept,
+            "hot_sources": n_hot, "cap": cap,
+            "sec": round(_t.perf_counter() - t0, 2)}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--edges", type=float, default=5e6)
@@ -442,6 +475,7 @@ def main() -> int:
         lambda: probe_cosine_router(spark, 1_000_000, 256),
         lambda: probe_dup_spans(spark, int(args.docs) * 10),
         lambda: probe_pack_sequences(spark, int(args.docs) * 100),
+        lambda: probe_cap_per_source(spark, int(args.docs) * 100),
     )
     for probe in probes:
         print(json.dumps(probe()), flush=True)
