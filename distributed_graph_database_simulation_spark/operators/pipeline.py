@@ -225,13 +225,21 @@ FROM documents
 
 
 def prepare_training_corpus(
-    spark: SparkSession, sf_dir: str, min_quality: float = 0.5
+    spark: SparkSession, sf_dir: str, min_quality: float = 0.5,
+    scrub_spans: bool = False,
 ) -> DataFrame:
     """The composed end-to-end corpus-preparation flow a training-data user
     actually runs, built entirely from this repo's certified operators:
 
-        quality filter -> exact dedup -> near-dup cluster dedup
-        -> stratified sample -> shard + position assignment
+        quality filter [-> duplicated-span scrub] -> exact dedup
+        -> near-dup cluster dedup -> stratified sample
+        -> shard + position assignment
+
+    With ``scrub_spans=True`` the substring-level pass
+    (:func:`~.dedup.scrub_dup_spans_df`) runs after the quality gate:
+    boilerplate shared across surviving docs is excised BEFORE document-
+    level dedup, so two docs that differ only by injected boilerplate
+    collapse into one exact-dup group instead of surviving as "distinct".
 
     Returns (doc_id, lang, quality, shard, pos) — one row per surviving
     document, deterministically placed for a resumable dataloader.
@@ -253,7 +261,7 @@ def prepare_training_corpus(
     (shard, sub)-parallel rank); composition adds only doc_id semi/anti
     joins, which broadcast on the small side or hash on uniform keys.
     """
-    from .dedup import dedup_clusters_df, dedup_exact
+    from .dedup import dedup_clusters_df, dedup_exact, scrub_dup_spans_df
     from .text_analysis import quality_score_df
 
     docs = _docs(spark, sf_dir)
@@ -261,11 +269,29 @@ def prepare_training_corpus(
     passing = docs.join(
         quality.where(F.col("quality") >= min_quality).select("doc_id"), "doc_id"
     )
-    exact_survivors = passing.join(
-        dedup_exact(spark, sf_dir).select(F.col("survivor_id").alias("doc_id")),
-        "doc_id",
-        "left_semi",
-    )
+    if scrub_spans:
+        # Substring-level pass over the quality-passing corpus; exact dedup
+        # must then hash the SCRUBBED text, so it runs inline on this frame
+        # (same md5-of-normalized-text groupBy as dedup_exact).
+        passing = (
+            scrub_dup_spans_df(passing)
+            .select("doc_id", "text")
+            .join(passing.drop("text"), "doc_id")
+        )
+        exact = (
+            passing.select(
+                "doc_id", F.md5(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")).alias("h")
+            )
+            .groupBy("h")
+            .agg(F.min("doc_id").alias("doc_id"))
+        )
+        exact_survivors = passing.join(exact.select("doc_id"), "doc_id", "left_semi")
+    else:
+        exact_survivors = passing.join(
+            dedup_exact(spark, sf_dir).select(F.col("survivor_id").alias("doc_id")),
+            "doc_id",
+            "left_semi",
+        )
     near_dup_losers = (
         dedup_clusters_df(spark, exact_survivors)
         .where(~F.col("is_survivor"))

@@ -1033,3 +1033,29 @@ def test_sample_token_budget_realized_tokens_near_budget(spark, sf_dir):
     )
     # doc-granular hash sampling: realized concentrates around the budget
     assert 0.5 * budget["en"] <= realized <= 1.5 * budget["en"]
+
+
+def test_prepare_training_corpus_scrub_stage(spark, sf_dir):
+    """With scrub_spans=True the substring pass runs before exact dedup:
+    output keeps the composed invariants (unique, dense shards,
+    deterministic) and survivors' SCRUBBED texts are exact-dup-free."""
+    out = pipeline.prepare_training_corpus(spark, sf_dir, scrub_spans=True).collect()
+    assert out
+    ids = [r.doc_id for r in out]
+    assert len(ids) == len(set(ids))
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, positions in by_shard.items():
+        assert sorted(positions) == list(range(len(positions))), shard
+    # survivors are exact-dup-free AFTER scrubbing (the property the stage
+    # ordering buys: boilerplate-only differences collapse pre-dedup)
+    docs = dedup._docs(spark, sf_dir)
+    quality = text_analysis.quality_score_df(docs).select("doc_id", "quality")
+    passing = docs.join(
+        quality.where(F.col("quality") >= 0.5).select("doc_id"), "doc_id"
+    )
+    scrubbed = dedup.scrub_dup_spans_df(passing).where(F.col("doc_id").isin(ids))
+    assert scrubbed.select("text").count() == scrubbed.select("text").distinct().count()
+    again = pipeline.prepare_training_corpus(spark, sf_dir, scrub_spans=True).collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in out}
