@@ -160,7 +160,7 @@ def text_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_assign_df(_docs(spark, sf_dir))
 
 
-def shard_assign_df(docs: DataFrame) -> DataFrame:
+def shard_assign_df(docs: DataFrame, epoch: int = 0) -> DataFrame:
     """Deterministic training-data layout: assign every doc to one of
     ``N_SHARDS`` shards and give it a stable pseudo-random position within
     the shard (the dataloader read order).
@@ -171,6 +171,13 @@ def shard_assign_df(docs: DataFrame) -> DataFrame:
     independent hash (doc_id tie-break makes the total order unique, so
     the output is reproducible run-to-run and engine-to-engine — the
     property that makes checkpoint-resume of a training run possible).
+
+    ``epoch`` re-shuffles the within-shard order per training epoch with an
+    additive salt on the scramble key — each epoch's order is decorrelated
+    from the last yet fully deterministic (epoch 0 is the historical
+    layout, bit-for-bit). Shard membership is epoch-invariant by design:
+    only the read order changes, so shard files written once serve every
+    epoch.
 
     Scale: a naive ``row_number() over (partition by shard)`` caps rank
     parallelism at N_SHARDS tasks (~6 TB/task at 100 TB). Instead the
@@ -184,7 +191,12 @@ def shard_assign_df(docs: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     shard = F.pmod(F.col("doc_id") * _XXPRIME, F.lit(N_SHARDS)).cast("int")
-    scramble = F.pmod(F.col("doc_id") * _KNUTH, F.lit(_ORDER_MOD))
+    # epoch salt: additive in the multiplier so epoch 0 reduces exactly to
+    # (doc_id * KNUTH) % mod; distinct epochs permute the order independently
+    mult = _KNUTH + epoch * _XXPRIME
+    if mult % _ORDER_MOD == 0:  # degenerate multiplier (1-in-1e6 epochs)
+        mult += 1
+    scramble = F.pmod(F.col("doc_id") * mult, F.lit(_ORDER_MOD))
     keyed = docs.select(
         "doc_id", shard.alias("shard"), scramble.alias("scramble")
     ).withColumn("sub", F.expr(f"scramble div {_SUB_WIDTH}").cast("int"))
@@ -310,7 +322,9 @@ def prepare_training_corpus(
 SEQ_LEN = 2048  # tokens per packed training sequence
 
 
-def pack_sequences_df(chunks: DataFrame, seq_len: int = SEQ_LEN) -> DataFrame:
+def pack_sequences_df(
+    chunks: DataFrame, seq_len: int = SEQ_LEN, epoch: int = 0
+) -> DataFrame:
     """Concat-and-split sequence packing: lay chunks end-to-end in a
     deterministic pseudo-random order and cut every ``seq_len`` tokens —
     the standard GPT-style packed-dataloader layout (a chunk whose tokens
@@ -330,7 +344,8 @@ def pack_sequences_df(chunks: DataFrame, seq_len: int = SEQ_LEN) -> DataFrame:
       sequence (in ``[0, seq_len)``).
 
     Determinism run-to-run and engine-to-engine is the resumability
-    contract (same argument as :func:`shard_assign_df`).
+    contract (same argument as :func:`shard_assign_df`); ``epoch`` applies
+    the same per-epoch order salt (epoch 0 = the historical layout).
 
     Scale: the packing order needs a per-shard running token total — a
     naive per-shard window caps cumsum parallelism at N_SHARDS tasks, so
@@ -344,7 +359,11 @@ def pack_sequences_df(chunks: DataFrame, seq_len: int = SEQ_LEN) -> DataFrame:
     from pyspark.sql import Window
 
     shard = F.pmod(F.col("doc_id") * _XXPRIME, F.lit(N_SHARDS)).cast("int")
-    scramble = F.pmod(F.col("doc_id") * _KNUTH, F.lit(_ORDER_MOD))
+    # same per-epoch salt as shard_assign_df (epoch 0 = historical layout)
+    mult = _KNUTH + epoch * _XXPRIME
+    if mult % _ORDER_MOD == 0:
+        mult += 1
+    scramble = F.pmod(F.col("doc_id") * mult, F.lit(_ORDER_MOD))
     keyed = chunks.select(
         "doc_id", "chunk_id", "n_tokens", shard.alias("shard"), scramble.alias("scramble")
     ).withColumn("sub", F.expr(f"scramble div {_SUB_WIDTH}").cast("int"))

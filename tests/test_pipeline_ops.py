@@ -1059,3 +1059,42 @@ def test_prepare_training_corpus_scrub_stage(spark, sf_dir):
     assert scrubbed.select("text").count() == scrubbed.select("text").distinct().count()
     again = pipeline.prepare_training_corpus(spark, sf_dir, scrub_spans=True).collect()
     assert {tuple(r) for r in again} == {tuple(r) for r in out}
+
+
+# --- per-epoch reshuffle + empty-input hardening --------------------------
+
+def test_epoch_reshuffle_decorrelates_order_keeps_shards(spark, sf_dir):
+    """epoch=0 must be the historical layout bit-for-bit; later epochs keep
+    shard membership and dense positions but permute the read order."""
+    docs = pipeline._docs(spark, sf_dir)
+    base = {(r.doc_id): (r.shard, r.pos) for r in pipeline.shard_assign_df(docs).collect()}
+    e0 = {(r.doc_id): (r.shard, r.pos) for r in pipeline.shard_assign_df(docs, epoch=0).collect()}
+    assert e0 == base
+    e1 = {(r.doc_id): (r.shard, r.pos) for r in pipeline.shard_assign_df(docs, epoch=1).collect()}
+    # shard membership invariant, order changed for a meaningful fraction
+    assert {d: s for d, (s, _) in e1.items()} == {d: s for d, (s, _) in base.items()}
+    moved = sum(1 for d in base if base[d][1] != e1[d][1])
+    assert moved > len(base) // 4, f"epoch salt barely moved anything: {moved}"
+    # dense positions per shard in every epoch
+    by_shard = {}
+    for d, (s, p) in e1.items():
+        by_shard.setdefault(s, []).append(p)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps))), s
+    # deterministic per epoch
+    again = {(r.doc_id): (r.shard, r.pos) for r in pipeline.shard_assign_df(docs, epoch=1).collect()}
+    assert again == e1
+
+
+def test_new_ops_empty_corpus(spark):
+    """Every new library operator must be total over an empty frame —
+    empty result, correct schema, no exceptions."""
+    empty_docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    assert dedup.dup_spans_df(empty_docs).count() == 0
+    assert dedup.scrub_dup_spans_df(empty_docs).count() == 0
+    empty_chunks = spark.createDataFrame([], "doc_id long, chunk_id int, n_tokens int")
+    assert pipeline.pack_sequences_df(empty_chunks).count() == 0
+    assert pipeline.cap_per_source_df(empty_docs, 10).count() == 0
+    assert pipeline.sample_token_budget_df(empty_docs, {"en": 1000}).count() == 0
