@@ -391,3 +391,134 @@ def pagerank(
     # table is no longer referenced: release it rather than leak per call.
     edges.unpersist()
     return ranks
+
+
+def multi_source_bfs(
+    spark: SparkSession,
+    edges: DataFrame,
+    sources: DataFrame,
+    max_levels: int = 10_000,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Landmark BFS: one level-synchronous BFS per (graph_id, source) pair,
+    ALL sources advancing in the same superstep loop.
+
+    :func:`~.graph_traversal.bfs_levels` permits one start per graph (two
+    frontiers in one graph would merge); here ``source`` is part of the
+    frontier key, so k landmarks explore one graph concurrently without
+    interference — the building block for sampled centralities and
+    landmark-distance sketches. Wall-clock is one loop over the max
+    eccentricity of any (graph, source), not a loop over sources; state is
+    k×|reached| rows keyed (graph_id, source, vertex).
+
+    ``sources``: DataFrame (graph_id, source). Returns
+    (graph_id, source, vertex, level).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    edges = edges.repartition("graph_id", "src").persist(StorageLevel.MEMORY_AND_DISK)
+    ck = checkpoint_dir(spark)
+    # Constraint propagation must be off for this loop: ``vertex`` starts as
+    # an alias of ``source``, and the derived equality constraint survives
+    # into the iterated union-of-checkpoints, where Spark's
+    # LogicalRDD.rewriteStatsAndConstraints fails with "key not found:
+    # source#N" on the periodic visited re-checkpoint (reproduced whenever
+    # ``sources`` is a derived plan, e.g. the windowed pivot selection).
+    # Inference off costs nothing here — every join in the loop is an
+    # explicit equi-join with no filters to infer — and the conf is
+    # restored on exit.
+    conf_key = "spark.sql.constraintPropagation.enabled"
+    prev = spark.conf.get(conf_key, "true")
+    spark.conf.set(conf_key, "false")
+    try:
+        sources = barrier(sources.select("graph_id", "source"), eager=True, ckdir=ck)
+        frontier = sources.select(
+            "graph_id", "source", F.col("source").alias("vertex")
+        ).withColumn("level", F.lit(0).cast("int"))
+        visited = barrier(frontier, eager=True, ckdir=ck)
+        frontier = visited
+        for level in range(1, max_levels + 1):
+            f, e = frontier.alias("f"), edges.alias("e")
+            next_frontier = (
+                f.join(e, on=(F.col("f.graph_id") == F.col("e.graph_id"))
+                            & (F.col("f.vertex") == F.col("e.src")))
+                .select(
+                    F.col("e.graph_id").alias("graph_id"),
+                    F.col("f.source").alias("source"),
+                    F.col("e.dst").alias("vertex"),
+                )
+                .distinct()
+                .join(visited, ["graph_id", "source", "vertex"], "left_anti")
+                .withColumn("level", F.lit(level).cast("int"))
+            )
+            next_frontier = barrier(next_frontier, eager=False, ckdir=ck)
+            if next_frontier.count() == 0:
+                break
+            visited = visited.union(next_frontier)
+            if level % checkpoint_every == 0:
+                visited = barrier(visited, eager=True, ckdir=ck)
+            frontier = next_frontier
+    finally:
+        spark.conf.set(conf_key, prev)
+    edges.unpersist()
+    return visited
+
+
+# Deterministic pivot selection: Knuth multiplicative scramble over the
+# vertex universe (same public constant as the pipeline samplers).
+_PIVOT_KNUTH = 2654435761
+_PIVOT_MOD = 1_000_003
+
+
+def harmonic_closeness_sampled(
+    spark: SparkSession,
+    graphs: DataFrame,
+    edges: DataFrame,
+    k_pivots: int = 8,
+) -> DataFrame:
+    """Sampled harmonic centrality (Eppstein–Wang style): for every vertex
+    v, ``harmonic_micro = Σ_pivots round(1e6 / d(p, v))`` over the k
+    deterministically-chosen pivots p that reach v in 1+ steps, plus
+    ``n_pivots_reached``. The caller scales by n/k for the estimator;
+    harmonic (reciprocal-distance) form is used because it is total over
+    disconnected graphs — unreachable pivots simply contribute 0, no
+    infinite-distance special case.
+
+    Engine-exact by the micro-unit trick (each reciprocal rounded to
+    integer micro-units independently, summed as BIGINT — order-independent
+    like the PageRank and Adamic-Adar oracles). Pivots are the ``k`` vertices
+    with the smallest Knuth-scrambled ids per graph — reproducible
+    run-to-run, and a rank-k WindowGroupLimit prunes map-side so pivot
+    selection never materializes a per-graph sort of the full universe.
+
+    Scale: one multi-source BFS loop (diameter supersteps, k×|V| state) +
+    one hash aggregate. k trades accuracy for cost explicitly.
+    """
+    from pyspark.sql import Window
+
+    verts = vertices(graphs)
+    w = Window.partitionBy("graph_id").orderBy(
+        F.pmod(F.col("vertex") * _PIVOT_KNUTH, F.lit(_PIVOT_MOD)), F.col("vertex")
+    )
+    pivots = (
+        verts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k_pivots)
+        .select("graph_id", F.col("vertex").alias("source"))
+    )
+    dists = multi_source_bfs(spark, edges, pivots)
+    reached = dists.where(F.col("level") > 0)
+    scores = reached.groupBy("graph_id", "vertex").agg(
+        F.sum(F.round(F.lit(1_000_000.0) / F.col("level")).cast("bigint")).alias(
+            "harmonic_micro"
+        ),
+        F.count("*").cast("int").alias("n_pivots_reached"),
+    )
+    return (
+        verts.join(scores, ["graph_id", "vertex"], "left")
+        .select(
+            "graph_id",
+            "vertex",
+            F.coalesce("harmonic_micro", F.lit(0)).cast("bigint").alias("harmonic_micro"),
+            F.coalesce("n_pivots_reached", F.lit(0)).alias("n_pivots_reached"),
+        )
+    )

@@ -212,3 +212,101 @@ def test_dfs_scale_graph_matches_independent_dfs(spark, sf_dir):
             leaves.add(u)
 
     assert got == leaves
+
+
+def test_multi_source_bfs_equals_per_source_bfs(spark):
+    """k landmarks in one loop must equal k independent single-source runs."""
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        multi_source_bfs,
+    )
+
+    rng = random.Random(7)
+    rows = _random_graph(rng, 35, 0.09)
+    df = spark.createDataFrame(rows, "graph_id INT, src INT, dst INT")
+    sources = spark.createDataFrame(
+        [(11, 0), (11, 5), (11, 17)], "graph_id INT, source INT"
+    )
+    multi = {
+        (r.source, r.vertex, r.level)
+        for r in multi_source_bfs(spark, df, sources).collect()
+    }
+    single = set()
+    for s in (0, 5, 17):
+        for r in bfs_levels(spark, df, [(11, s)]).collect():
+            single.add((s, r.vertex, r.level))
+    assert multi == single
+    assert len({s for s, _, _ in multi}) == 3
+
+
+def test_harmonic_closeness_matches_python_reference(spark, sf_dir):
+    """Sampled harmonic centrality on the scale graph vs an independent
+    Python BFS over the same deterministic pivots."""
+    from collections import deque
+
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        _PIVOT_KNUTH,
+        _PIVOT_MOD,
+        harmonic_closeness_sampled,
+    )
+    from distributed_graph_database_simulation_spark.fixtures import (
+        SCALE_V,
+        scale_edges_df,
+    )
+
+    k = 6
+    scale_edges = scale_edges_df(spark, sf_dir).selectExpr(
+        "CAST(1 AS INT) AS graph_id", "src", "dst"
+    )
+    edge_rows = [(r.src, r.dst) for r in scale_edges.collect()]
+    adj = {}
+    for s, d in edge_rows:
+        adj.setdefault(s, []).append(d)
+    pivots = sorted(
+        range(SCALE_V), key=lambda v: ((v * _PIVOT_KNUTH) % _PIVOT_MOD, v)
+    )[:k]
+    expected = {}
+    for p in pivots:
+        dist = {p: 0}
+        q = deque([p])
+        while q:
+            u = q.popleft()
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        for v, d in dist.items():
+            if d > 0:
+                micro, n = expected.get(v, (0, 0))
+                expected[v] = (micro + round(1_000_000.0 / d), n + 1)
+    got = {
+        r.vertex: (r.harmonic_micro, r.n_pivots_reached)
+        for r in harmonic_closeness_sampled(
+            spark,
+            spark.createDataFrame([(1, SCALE_V)], "graph_id INT, n INT"),
+            scale_edges,
+            k_pivots=k,
+        ).collect()
+    }
+    for v in range(SCALE_V):
+        assert got[v] == expected.get(v, (0, 0)), v
+
+
+def test_multi_source_bfs_with_derived_sources_on_text_reader(spark):
+    """Regression: a window-derived pivot frame + the text-reader edge plan
+    used to fail Spark's constraint rewrite ("key not found: source#N") at
+    the periodic visited re-checkpoint; the loop now disables constraint
+    propagation for its duration (and restores it)."""
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        harmonic_closeness_sampled,
+    )
+    from distributed_graph_database_simulation_spark.sources.graph_text import (
+        read_graph_text,
+    )
+
+    _graphs, g7_edges = read_graph_text(spark, "/root/reference/G7.txt")
+    graphs = spark.createDataFrame([(7, 7)], "graph_id INT, n INT")
+    out = harmonic_closeness_sampled(spark, graphs, g7_edges, k_pivots=3).collect()
+    assert len(out) == 7
+    assert any(r.harmonic_micro > 0 for r in out)
+    # conf restored
+    assert spark.conf.get("spark.sql.constraintPropagation.enabled") in ("true", "True")

@@ -451,6 +451,37 @@ def probe_cap_per_source(spark, n_docs: int, n_hot: int = 3) -> dict:
             "sec": round(_t.perf_counter() - t0, 2)}
 
 
+def probe_multi_source_bfs(spark, n_edges: int, n_vertices: int, k: int = 4) -> dict:
+    """k-landmark BFS in one superstep loop over a random digraph: state is
+    k x |reached| keyed rows; wall should track the single-source probe times
+    a small constant, not k sequential BFS runs."""
+    import time as _t
+
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        multi_source_bfs,
+    )
+
+    t0 = _t.perf_counter()
+    # xxhash edge endpoints (same construction as probe_bfs): affine/LCG
+    # endpoints would collapse to a one-out-edge functional graph whose
+    # diameter is O(|V|) — a pathological superstep count, not a scale test.
+    edges = spark.range(0, n_edges, 1, 32).select(
+        F.lit(1).alias("graph_id"),
+        F.pmod(F.xxhash64("id", F.lit(21)), F.lit(n_vertices)).cast("int").alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(22)), F.lit(n_vertices)).cast("int").alias("dst"),
+    )
+    sources = spark.createDataFrame(
+        [(1, i * (n_vertices // k)) for i in range(k)], "graph_id INT, source INT"
+    )
+    out = multi_source_bfs(spark, edges, sources)
+    per_source = out.groupBy("source").count().collect()
+    if len(per_source) != k or any(r["count"] < n_vertices // 2 for r in per_source):
+        raise AssertionError(f"landmark coverage collapsed: {per_source}")
+    return {"probe": "multi_source_bfs", "edges": n_edges, "vertices": n_vertices,
+            "k": k, "reached_rows": sum(r["count"] for r in per_source),
+            "sec": round(_t.perf_counter() - t0, 2)}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--edges", type=float, default=5e6)
@@ -476,6 +507,7 @@ def main() -> int:
         lambda: probe_dup_spans(spark, int(args.docs) * 10),
         lambda: probe_pack_sequences(spark, int(args.docs) * 100),
         lambda: probe_cap_per_source(spark, int(args.docs) * 100),
+        lambda: probe_multi_source_bfs(spark, int(args.edges) // 2, int(args.vertices) // 2),
     )
     for probe in probes:
         print(json.dumps(probe()), flush=True)
