@@ -454,6 +454,56 @@ TEXT_PII_SCRUB_SQL = (
 )
 
 
+def unigram_logprob_df(docs: DataFrame, vocab_size: int = 50_000) -> DataFrame:
+    """Unigram language-model quality score (the CCNet-style perplexity
+    proxy): per document, the mean negative log2 unigram probability of its
+    tokens under the corpus's OWN empirical unigram distribution. Low
+    bits-per-token = typical text; high = noise, OOV soup, or junk — the
+    standard cheap LM filter when a real LM is too expensive at corpus
+    scale.
+
+    Engine-exact construction: token probabilities use integer counts
+    (count(w)/total); each token's -log2(p) is rounded independently to
+    integer micro-bits and summed as BIGINT (order-independent — same trick
+    as the PageRank/Adamic-Adar oracles); the per-doc mean is an integer
+    floor-division. Vocabulary = the ``vocab_size`` most frequent tokens
+    (ties broken by token text, deterministic); everything else scores at
+    the floor probability 1/total (add-nothing smoothing, documented).
+
+    Scale: one corpus-wide token-count aggregate (map-side combined; the
+    hot-key "the" is absorbed by partial aggregation), a driver-free top-K
+    vocabulary (TakeOrdered over the vocab-sized count table — never the
+    corpus), and ONE broadcast join of the bounded vocab onto the exploded
+    tokens. Stopword skew never shuffles: the probability lookup is
+    broadcast, so the only corpus Exchange is the per-doc score aggregate
+    keyed on doc_id (uniform).
+
+    Returns (doc_id, n_tokens, bits_micro_per_token).
+    """
+    toks = docs.select("doc_id", F.explode(_words()).alias("w"))
+    counts = toks.groupBy("w").agg(F.count("*").alias("c"))
+    total = toks.count()
+    vocab = counts.orderBy(F.col("c").desc(), F.col("w")).limit(vocab_size)
+    # -log2(c/total) in micro-bits, precomputed per vocab row (tiny table)
+    bits = F.round(
+        F.lit(1_000_000.0) * -F.log2(F.col("c").cast("double") / F.lit(float(total)))
+    ).cast("bigint")
+    vocab_bits = vocab.select("w", bits.alias("bits_micro"))
+    floor_bits = int(round(1_000_000.0 * __import__("math").log2(float(total))))
+    scored = toks.join(F.broadcast(vocab_bits), "w", "left").select(
+        "doc_id", F.coalesce("bits_micro", F.lit(floor_bits)).alias("bits_micro")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_tokens"),
+            F.expr("sum(bits_micro) div count(*)").cast("bigint").alias(
+                "bits_micro_per_token"
+            ),
+        )
+    )
+
+
 TEXT_QUERIES: dict[str, tuple] = {
     "text_language_id": (text_language_id, TEXT_LANGUAGE_ID_SQL),
     "text_quality_score": (text_quality_score, TEXT_QUALITY_SCORE_SQL),

@@ -1098,3 +1098,49 @@ def test_new_ops_empty_corpus(spark):
     assert pipeline.pack_sequences_df(empty_chunks).count() == 0
     assert pipeline.cap_per_source_df(empty_docs, 10).count() == 0
     assert pipeline.sample_token_budget_df(empty_docs, {"en": 1000}).count() == 0
+
+
+# --- unigram log-probability quality score --------------------------------
+
+def test_unigram_logprob_matches_python_reference(spark, sf_dir):
+    """Spark scorer vs an independent Python unigram model, small vocab so
+    the OOV floor path is exercised on real tokens."""
+    import math
+    from collections import Counter
+
+    docs = text_analysis._docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    rows = [(r.doc_id, " ".join(r.text.split()).split(" "))
+            for r in docs.select("doc_id", "text").collect()]
+    counts = Counter(w for _, ws in rows for w in ws)
+    total = sum(counts.values())
+    vocab_size = 25
+    vocab = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    bits = {w: round(1_000_000.0 * -math.log2(c / float(total))) for w, c in vocab}
+    floor = round(1_000_000.0 * math.log2(float(total)))
+    expected = {}
+    for doc_id, ws in rows:
+        s = sum(bits.get(w, floor) for w in ws)
+        expected[doc_id] = (len(ws), s // len(ws))
+    got = {
+        r.doc_id: (r.n_tokens, r.bits_micro_per_token)
+        for r in text_analysis.unigram_logprob_df(docs, vocab_size=vocab_size).collect()
+    }
+    assert got == expected
+    # OOV floor actually exercised and scores vary
+    assert len({v for _, v in got.values()}) > 1
+
+
+def test_unigram_logprob_flags_junk(spark):
+    """A junk document of unique gibberish must score strictly worse
+    (higher bits/token) than repetitive typical text."""
+    docs = spark.createDataFrame(
+        [(0, "the cat sat on the mat and the cat sat again and the cat sat"),
+         (1, "the dog sat on the mat and the dog sat again and the dog sat"),
+         (2, "zq9x kvf2 pq7w mmz3 yyb8 qqr4 zzk1 vvn6 ccd5 bbt0 hhg2 jjl9 wwe3 rrt7")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.bits_micro_per_token
+        for r in text_analysis.unigram_logprob_df(docs, vocab_size=10).collect()
+    }
+    assert got[2] > got[0] and got[2] > got[1]

@@ -344,3 +344,16 @@ def test_cap_per_source_rank_parallelism_and_token_budget_narrowness(spark, sf_d
         pipeline.sample_token_budget_df(docs, {"en": 10_000})
     )
     assert "Exchange" not in budget_plan, budget_plan
+
+
+def test_unigram_logprob_vocab_join_broadcasts(spark, sf_dir):
+    """The token-probability lookup must broadcast the bounded vocab onto
+    the exploded token stream — a sort-merge join there would shuffle the
+    whole corpus on the (stopword-skewed) token key."""
+    from distributed_graph_database_simulation_spark.operators import text_analysis
+    from distributed_graph_database_simulation_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _formatted_plan(text_analysis.unigram_logprob_df(docs, vocab_size=100))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
