@@ -369,10 +369,24 @@ def dedup_against_store(
     result over (store + batch) equals the one-shot run on the union —
     pinned in tests.
     """
+    # Explicit projections: the store may carry extra layout columns (the
+    # streaming ingester partitions by batch_id for idempotent replay).
+    bands_old = spark.read.parquet(f"{path}/bands").select(
+        "doc_id", "band_id", "band_hash"
+    )
+    sh_old = spark.read.parquet(f"{path}/shingles").select("doc_id", "shingles")
+    return dedup_against_frames(new_docs, bands_old, sh_old)
+
+
+def dedup_against_frames(
+    new_docs: DataFrame, bands_old: DataFrame, sh_old: DataFrame
+) -> DataFrame:
+    """:func:`dedup_against_store` against already-loaded store frames —
+    the streaming ingester uses this to exclude the replaying batch's own
+    prior contribution from the store side (idempotent micro-batch retry).
+    """
     sh_new = _shingled(new_docs)
     bands_new = _bands(_minhash_sigs(sh_new))
-    bands_old = spark.read.parquet(f"{path}/bands")
-    sh_old = spark.read.parquet(f"{path}/shingles")
 
     a, b = bands_new.alias("a"), bands_old.alias("b")
     cand_cross = (

@@ -1,0 +1,112 @@
+"""Streaming corpus ingestion with continuous near-dup detection.
+
+The batch-side signature store (``dedup.write_signature_store`` /
+``dedup_against_store``) made incremental dedup a two-step API; this module
+closes the loop for a CONTINUOUS pipeline: a ``foreachBatch`` sink that, per
+micro-batch of documents,
+
+1. finds near-dup pairs touching the batch (vs the store AND within the
+   batch) with the LSH + exact-verification pair-finder,
+2. writes those pairs to a parquet results table, and
+3. appends the batch's banding state (bands + shingles) to the store so the
+   NEXT batch dedups against it —
+
+without ever re-hashing the historical corpus (the store is read, not
+recomputed; cost per batch is batch-size + candidate-proportional).
+
+Idempotence under micro-batch replay: Structured Streaming re-runs a batch
+after a failure with the SAME ``batch_id``, so every write here is
+``partitionBy(batch_id)`` + dynamic partition overwrite — a replayed batch
+overwrites exactly its own partitions (the standard idempotent-foreachBatch
+pattern), never duplicating store rows or pair rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _write_partition(df: DataFrame, batch_id: int, path: str) -> None:
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        df.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+
+
+def dedup_ingest_batch(
+    spark: SparkSession, batch: DataFrame, batch_id: int, store_path: str, pairs_path: str
+) -> None:
+    """Process one micro-batch: emit pairs, then extend the store.
+
+    Pure function of (batch, batch_id, store state) — called by the
+    foreachBatch sink below and directly unit-testable without a stream.
+    """
+    import os
+
+    from ..operators.dedup import (
+        _bands,
+        _minhash_sigs,
+        _shingled,
+        dedup_against_frames,
+        minhash_lsh_df,
+    )
+
+    store_exists = os.path.isdir(f"{store_path}/bands")
+    if store_exists:
+        # Exclude this batch's OWN partition from the store side: on a
+        # replayed micro-batch the store already holds the batch's bands,
+        # and reading them back would emit self-pairs and duplicate the
+        # batch-internal pairs — replay must reproduce the original output.
+        bands_old = (
+            spark.read.parquet(f"{store_path}/bands")
+            .where(F.col("batch_id") != int(batch_id))
+            .select("doc_id", "band_id", "band_hash")
+        )
+        sh_old = (
+            spark.read.parquet(f"{store_path}/shingles")
+            .where(F.col("batch_id") != int(batch_id))
+            .select("doc_id", "shingles")
+        )
+        pairs = dedup_against_frames(batch, bands_old, sh_old)
+    else:
+        pairs = minhash_lsh_df(batch)
+    # Pairs first, store second: if the job dies between the two writes the
+    # replay overwrites the same pair partition and re-extends the store —
+    # both idempotent per batch_id. (Store-first would also be safe, but
+    # pairs-first means a reader never sees store state whose pairs are
+    # missing once the batch commits.)
+    _write_partition(pairs, batch_id, pairs_path)
+    sh = _shingled(batch)
+    _write_partition(_bands(_minhash_sigs(sh)), batch_id, f"{store_path}/bands")
+    _write_partition(sh, batch_id, f"{store_path}/shingles")
+
+
+def stream_dedup_ingest(
+    spark: SparkSession,
+    stream: DataFrame,
+    store_path: str,
+    pairs_path: str,
+    checkpoint_path: str,
+):
+    """Attach the continuous-dedup sink to a streaming documents frame.
+
+    ``stream`` must carry (doc_id, text). Returns the started
+    StreamingQuery (caller awaits / stops). With ``availableNow`` triggers
+    this doubles as a catch-up batch ingester over a directory of parquet
+    drops.
+    """
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        dedup_ingest_batch(spark, batch, batch_id, store_path, pairs_path)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -172,3 +172,54 @@ def test_file_sink_checkpoint_recovery_no_duplicate_windows(spark, tmp_path):
         )
     for r in emitted:
         assert truth[r.hour] == r.n, (r.hour, r.n, truth)
+
+
+def test_stream_dedup_ingest_matches_one_shot(spark, sf_dir, tmp_path):
+    """Continuous dedup ingestion: two micro-batches through the
+    foreachBatch sink must (a) produce exactly the one-shot pair set over
+    the full corpus (batch-1 pairs in partition 0, cross/new pairs in
+    partition 1), and (b) be idempotent under batch replay."""
+    from distributed_graph_database_simulation_spark.operators import dedup
+    from distributed_graph_database_simulation_spark.streaming.ingest import (
+        dedup_ingest_batch,
+        stream_dedup_ingest,
+    )
+
+    docs = dedup._docs(spark, sf_dir).select("doc_id", "text")
+    split = 250
+    feed = str(tmp_path / "feed")
+    docs.where(F.col("doc_id") < split).coalesce(1).write.parquet(f"{feed}/b0")
+    docs.where(F.col("doc_id") >= split).coalesce(1).write.parquet(f"{feed}/b1")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{feed}/*")
+    )
+    store = str(tmp_path / "store")
+    pairs_path = str(tmp_path / "pairs")
+    q = stream_dedup_ingest(
+        spark, stream, store, pairs_path, str(tmp_path / "ck")
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in spark.read.parquet(pairs_path).collect()
+    }
+    expected = {
+        (r.doc_a, r.doc_b, r.jaccard) for r in dedup.minhash_lsh_df(docs).collect()
+    }
+    assert got == expected
+    assert got, "corpus is expected to contain near-dup pairs"
+
+    # replaying a batch (same batch_id) must leave pairs AND store unchanged
+    n_bands_before = spark.read.parquet(f"{store}/bands").count()
+    replay = spark.read.parquet(f"{feed}/b1")
+    dedup_ingest_batch(spark, replay, 1, store, pairs_path)
+    got_after = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in spark.read.parquet(pairs_path).collect()
+    }
+    assert got_after == expected
+    assert spark.read.parquet(f"{store}/bands").count() == n_bands_before
