@@ -522,3 +522,114 @@ def harmonic_closeness_sampled(
             F.coalesce("n_pivots_reached", F.lit(0)).alias("n_pivots_reached"),
         )
     )
+
+
+def clustering_coefficient(graphs: DataFrame, edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient per vertex on the undirected simple
+    graph: closed wedges at v / possible wedges at v, in engine-exact
+    integer micro-units (``coeff_micro = floor(1e6 * 2*tri_v /
+    (deg_v*(deg_v-1)))``; vertices of degree < 2 score 0 by convention).
+
+    Same canonical ``src < dst`` two-join enumeration as
+    :func:`triangle_count`, but each found triangle (a, b, c) credits ALL
+    THREE corners — one explode over the 3-row corner array, then a hash
+    aggregate per vertex. Zero-filled over the full vertex universe. The
+    undirected degree here counts distinct neighbors excluding self-loops
+    (the simple-graph degree the wedge count needs — NOT the multigraph
+    in+out degree :func:`degrees` reports).
+
+    Scale posture: identical to triangle counting (the joins dominate; AQE
+    skew-split applies on hub keys) plus one narrow explode proportional to
+    the triangle count and one keyed aggregate.
+    """
+    canon = (
+        undirected(edges)
+        .filter(F.col("src") < F.col("dst"))
+        .select("graph_id", "src", "dst")
+    )
+    ab, bc, ac = canon.alias("ab"), canon.alias("bc"), canon.alias("ac")
+    corners = (
+        ab.join(bc, on=[F.col("ab.graph_id") == F.col("bc.graph_id"),
+                        F.col("ab.dst") == F.col("bc.src")])
+        .join(ac, on=[F.col("ab.graph_id") == F.col("ac.graph_id"),
+                      F.col("ab.src") == F.col("ac.src"),
+                      F.col("bc.dst") == F.col("ac.dst")])
+        .select(
+            F.col("ab.graph_id").alias("graph_id"),
+            F.explode(
+                F.array(F.col("ab.src"), F.col("ab.dst"), F.col("bc.dst"))
+            ).alias("vertex"),
+        )
+    )
+    tri_v = corners.groupBy("graph_id", "vertex").agg(
+        F.count("*").alias("tri")
+    )
+    simple_deg = (
+        undirected(edges)
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("graph_id", F.col("src").alias("vertex"))
+        .agg(F.count("*").alias("deg"))
+    )
+    possible = F.col("deg") * (F.col("deg") - 1)
+    return (
+        vertices(graphs)
+        .join(simple_deg, ["graph_id", "vertex"], "left")
+        .join(tri_v, ["graph_id", "vertex"], "left")
+        .select(
+            "graph_id",
+            "vertex",
+            F.coalesce("deg", F.lit(0)).cast("int").alias("degree"),
+            F.coalesce("tri", F.lit(0)).cast("bigint").alias("triangles"),
+            F.when(
+                F.coalesce("deg", F.lit(0)) < 2, F.lit(0)
+            )
+            .otherwise(
+                F.floor(
+                    F.lit(1_000_000) * 2 * F.coalesce("tri", F.lit(0)) / possible
+                )
+            )
+            .cast("bigint")
+            .alias("coeff_micro"),
+        )
+    )
+
+
+def diameter_double_sweep(
+    spark: SparkSession, edges: DataFrame, start: int = 0
+) -> DataFrame:
+    """Double-sweep diameter LOWER bound per graph (the standard 2-BFS
+    heuristic, exact on trees): BFS from ``start``, then one more BFS from
+    each graph's farthest vertex (min vertex id among ties —
+    deterministic); the second eccentricity is the bound.
+
+    Both sweeps ride :func:`multi_source_bfs` — the second sweep's sources
+    are a per-graph argmax aggregate of the first (tiny), so the whole
+    estimate is two superstep loops regardless of graph count. Directed
+    edges are used as-is; symmetrize first for the undirected bound.
+
+    Returns (graph_id, diameter_lower_bound, far_vertex).
+    """
+    gids = edges.select("graph_id").distinct()
+    first = multi_source_bfs(
+        spark, edges, gids.select("graph_id", F.lit(start).alias("source"))
+    )
+    far = (
+        first.groupBy("graph_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("level").alias("level"),
+                    (-F.col("vertex")).alias("neg_vertex"),
+                )
+            ).alias("m")
+        )
+        .select("graph_id", (-F.col("m.neg_vertex")).cast("int").alias("source"))
+    )
+    second = multi_source_bfs(spark, edges, far)
+    return (
+        second.groupBy("graph_id")
+        .agg(
+            F.max("level").cast("int").alias("diameter_lower_bound"),
+            F.min("source").alias("far_vertex"),  # one source per graph
+        )
+    )

@@ -310,3 +310,80 @@ def test_multi_source_bfs_with_derived_sources_on_text_reader(spark):
     assert any(r.harmonic_micro > 0 for r in out)
     # conf restored
     assert spark.conf.get("spark.sql.constraintPropagation.enabled") in ("true", "True")
+
+
+def test_clustering_coefficient_matches_python_reference(spark, sf_dir):
+    """Per-vertex clustering coefficient on the scale graph vs an
+    independent Python adjacency-set computation (micro-unit exact)."""
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        clustering_coefficient,
+    )
+    from distributed_graph_database_simulation_spark.fixtures import (
+        SCALE_V,
+        scale_edges_df,
+    )
+
+    scale_edges = scale_edges_df(spark, sf_dir).selectExpr(
+        "CAST(1 AS INT) AS graph_id", "src", "dst"
+    )
+    nbrs = {}
+    for r in scale_edges.collect():
+        if r.src != r.dst:
+            nbrs.setdefault(r.src, set()).add(r.dst)
+            nbrs.setdefault(r.dst, set()).add(r.src)
+    expected = {}
+    for v in range(SCALE_V):
+        ns = nbrs.get(v, set())
+        deg = len(ns)
+        tri = sum(1 for a in ns for b in ns if a < b and b in nbrs.get(a, set()))
+        coeff = 0 if deg < 2 else (1_000_000 * 2 * tri) // (deg * (deg - 1))
+        expected[v] = (deg, tri, coeff)
+    graphs = spark.createDataFrame([(1, SCALE_V)], "graph_id INT, n INT")
+    got = {
+        r.vertex: (r.degree, r.triangles, r.coeff_micro)
+        for r in clustering_coefficient(graphs, scale_edges).collect()
+    }
+    assert got == expected
+    assert any(c > 0 for _, _, c in got.values())
+
+
+def test_clustering_coefficient_triangle_plus_dangler(spark):
+    """Literal pin: triangle 0-1-2 with a dangling edge 2-3."""
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        clustering_coefficient,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 0, 1), (1, 1, 2), (1, 2, 0), (1, 2, 3)], "graph_id INT, src INT, dst INT"
+    )
+    graphs = spark.createDataFrame([(1, 4)], "graph_id INT, n INT")
+    got = {
+        r.vertex: (r.degree, r.triangles, r.coeff_micro)
+        for r in clustering_coefficient(graphs, edges).collect()
+    }
+    assert got[0] == (2, 1, 1_000_000)
+    assert got[1] == (2, 1, 1_000_000)
+    assert got[2] == (3, 1, 333_333)  # floor(1e6 * 2/6)
+    assert got[3] == (1, 0, 0)
+
+
+def test_diameter_double_sweep_on_path_and_scale(spark, sf_dir):
+    """Exact on a path graph (double sweep is exact on trees); sanity lower
+    bound vs true eccentricity structure on the scale graph."""
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        diameter_double_sweep, undirected,
+    )
+    from distributed_graph_database_simulation_spark.fixtures import scale_edges_df
+
+    # path 0-1-2-3-4-5 (undirected): diameter 5, farthest-from-2 is 5
+    path = spark.createDataFrame(
+        [(9, i, i + 1) for i in range(5)], "graph_id INT, src INT, dst INT"
+    )
+    row = diameter_double_sweep(spark, undirected(path), start=2).collect()[0]
+    assert row.diameter_lower_bound == 5 and row.far_vertex in (0, 5)
+
+    scale_edges = undirected(scale_edges_df(spark, sf_dir).selectExpr(
+        "CAST(1 AS INT) AS graph_id", "src", "dst"
+    ))
+    row = diameter_double_sweep(spark, scale_edges, start=0).collect()[0]
+    assert row.diameter_lower_bound >= 1
