@@ -371,6 +371,105 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def build_ivf_index(spark: SparkSession, corpus: DataFrame, path: str) -> None:
+    """Persist an IVF index: centroids + the corpus PARTITIONED BY LIST.
+
+    Train-once / query-many is the real IVF deployment shape — k-means over
+    100 TB is a build-time cost, not a per-query one. The layout IS the
+    index: ``{path}/lists/cent_id=K/`` holds exactly list K's vectors, so a
+    probe becomes parquet partition pruning — a query that probes 4 of 16
+    lists physically reads 1/4 of the corpus bytes, no filter execution
+    needed (pinned: the cent_id predicate lands in PartitionFilters, and at
+    1000 lists a probe reads 0.4% of the corpus). Centroids are a tiny
+    parquet (k rows) loaded driver-side at query time, same as training.
+
+    ``corpus`` must carry (vec_id, embedding) or (vec_id, e).
+    """
+    if "e" not in corpus.columns:
+        corpus = corpus.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+    corpus = _with_norm(corpus.select("vec_id", "e"))
+    cent_map = _ivf_centroids(spark, corpus)
+    cent_rows = [(cid, vec) for cid, vec in sorted(cent_map.items())]
+    spark.createDataFrame(
+        cent_rows, "cent_id INT, ce ARRAY<DOUBLE>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned = corpus.withColumn(
+        "cent_id", (-F.array_max(_cent_scores(cent_map))["ncid"]).cast("int")
+    )
+    assigned.write.mode("overwrite").partitionBy("cent_id").parquet(f"{path}/lists")
+
+
+def sim_topk_ivf_index(
+    spark: SparkSession,
+    queries: DataFrame,
+    path: str,
+    probes: int = IVF_PROBES,
+    k: int = TOP_K,
+) -> DataFrame:
+    """ANN top-k against a persisted :func:`build_ivf_index` index.
+
+    Per query batch: load centroids (k×dim cells, driver-side), rank each
+    query's ``probes`` closest lists with the same narrow literal-centroid
+    map as training, then read ONLY those lists from the index — the
+    ``cent_id IN (...)`` predicate is a partition filter, so unprobed lists
+    are never scanned — and exact-re-rank the candidates. The probed-query
+    side broadcasts; the index side is never shuffled.
+
+    ``queries`` must carry (vec_id, embedding) or (vec_id, e).
+    """
+    if "e" not in queries.columns:
+        queries = queries.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+    queries = _with_norm(queries.select("vec_id", "e"))
+    cent_map = {
+        int(r.cent_id): [float(x) for x in r.ce]
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    }
+    scores = _cent_scores(cent_map)
+    probed = (
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("norm").alias("qnorm"),
+            F.slice(F.reverse(F.array_sort(scores)), 1, probes).alias("top"),
+        )
+        .select(
+            "query_id", "qe", "qnorm",
+            F.explode(
+                F.transform("top", lambda s: (-s["ncid"]).cast("int"))
+            ).alias("cent_id"),
+        )
+    )
+    probed_lists = [
+        int(r.cent_id) for r in probed.select("cent_id").distinct().collect()
+    ]
+    lists = spark.read.parquet(f"{path}/lists").where(
+        F.col("cent_id").isin(probed_lists)
+    )
+    cand = (
+        F.broadcast(probed).join(lists, "cent_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id", "qe", "qnorm",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("e").alias("ce2"),
+            F.col("norm").alias("cnorm2"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cos = _dot(F.col("qe"), F.col("ce2")) / (F.col("qnorm") * F.col("cnorm2"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
 SIMILARITY_QUERIES: dict[str, tuple] = {
     "sim_topk_bruteforce": (sim_topk_bruteforce, SIM_TOPK_BRUTEFORCE_SQL),
     "sim_topk_lsh": (sim_topk_lsh, None),

@@ -1144,3 +1144,48 @@ def test_unigram_logprob_flags_junk(spark):
         for r in text_analysis.unigram_logprob_df(docs, vocab_size=10).collect()
     }
     assert got[2] > got[0] and got[2] > got[1]
+
+
+# --- persisted IVF index --------------------------------------------------
+
+def test_ivf_index_roundtrip_equals_in_memory(spark, sf_dir, tmp_path):
+    """Search against the persisted index must equal the in-memory IVF
+    query exactly (same deterministic centroids, same probes, same exact
+    re-rank)."""
+    emb = similarity._emb(spark, sf_dir)
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(spark, emb, idx)
+    queries = similarity._with_norm(emb).where(
+        F.col("vec_id") < similarity.N_QUERIES
+    )
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in similarity.sim_topk_ivf_index(spark, queries, idx).collect()
+    }
+    expected = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in similarity.sim_topk_ivf(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert got
+
+
+def test_ivf_index_probe_is_partition_pruned(spark, sf_dir, tmp_path):
+    """The probed-list read must prune at the partition level: the cent_id
+    predicate appears in PartitionFilters, and fewer than all lists scan."""
+    emb = similarity._emb(spark, sf_dir)
+    idx = str(tmp_path / "ivf2")
+    similarity.build_ivf_index(spark, emb, idx)
+    one_query = similarity._with_norm(emb).where(F.col("vec_id") == 0)
+    df = similarity.sim_topk_ivf_index(spark, one_query, idx)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the index-lists scan (path .../lists) must carry the cent_id predicate
+    # as a PARTITION filter, not a data filter
+    # identify the index-lists scan by its column set (Location strings are
+    # truncated for long tmp paths): it is the only scan reading cent_id
+    lists_scan = next(
+        seg for seg in plan.split("FileScan")
+        if "cent_id" in seg[:200] and "PartitionFilters" in seg
+    )
+    partition_clause = lists_scan.split("PartitionFilters", 1)[1][:250]
+    assert "cent_id" in partition_clause, partition_clause
