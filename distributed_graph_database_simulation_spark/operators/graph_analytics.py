@@ -633,3 +633,104 @@ def diameter_double_sweep(
             F.min("source").alias("far_vertex"),  # one source per graph
         )
     )
+
+
+def personalized_pagerank(
+    spark: SparkSession,
+    graphs: DataFrame,
+    edges: DataFrame,
+    sources: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Personalized PageRank / random walk with restart: teleportation goes
+    to the per-graph SOURCE SET (uniform over it) instead of all vertices —
+    the standard relevance-to-a-seed measure (recommendation, local
+    community scoring). Dangling mass also restarts at the sources, so each
+    graph's ranks sum to exactly the walk's stationary mass (1.0).
+
+    Same superstep shape and loop-invariant hoisting as :func:`pagerank`
+    (one contribution shuffle per iteration; degree/dangling/teleport
+    tables materialized once); vertices unreachable from the source set
+    converge to rank 0, which plain PageRank structurally cannot express.
+
+    ``sources``: DataFrame (graph_id, vertex). Returns
+    (graph_id, vertex, rank).
+    """
+    from pyspark.sql.window import Window
+    from pyspark.storagelevel import StorageLevel
+
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    ck = checkpoint_dir(spark)
+    base = barrier(vertices(graphs), eager=True, ckdir=ck)
+    src_w = (
+        sources.select("graph_id", "vertex")
+        .distinct()
+        .withColumn(
+            "tele",
+            F.lit(1.0) / F.count("*").over(Window.partitionBy("graph_id")),
+        )
+    )
+    tele = barrier(
+        base.join(src_w, ["graph_id", "vertex"], "left").select(
+            "graph_id", "vertex", F.coalesce("tele", F.lit(0.0)).alias("tele")
+        ),
+        eager=True,
+        ckdir=ck,
+    )
+    out_deg = barrier(
+        edges.groupBy("graph_id", F.col("src").alias("vertex")).agg(
+            F.count("*").alias("out_degree")
+        ),
+        eager=True,
+        ckdir=ck,
+    )
+    dangling_verts = (
+        base.join(out_deg, ["graph_id", "vertex"], "left_anti")
+        .transform(barrier_t(eager=True, ckdir=ck))
+    )
+    ranks = barrier(
+        tele.select("graph_id", "vertex", F.col("tele").alias("rank")),
+        eager=True,
+        ckdir=ck,
+    )
+    for it in range(1, iterations + 1):
+        r, e = ranks.join(out_deg, ["graph_id", "vertex"]).alias("r"), edges.alias("e")
+        contrib = (
+            r.join(e, on=(F.col("r.graph_id") == F.col("e.graph_id"))
+                       & (F.col("r.vertex") == F.col("e.src")))
+            .select(
+                F.col("e.graph_id").alias("graph_id"),
+                F.col("e.dst").alias("vertex"),
+                (F.col("r.rank") / F.col("r.out_degree")).alias("contrib"),
+            )
+            .groupBy("graph_id", "vertex")
+            .agg(F.sum("contrib").alias("received"))
+        )
+        dangling = (
+            ranks.join(dangling_verts, ["graph_id", "vertex"], "left_semi")
+            .groupBy("graph_id")
+            .agg(F.sum("rank").alias("dangling_mass"))
+        )
+        ranks = (
+            tele.join(contrib, ["graph_id", "vertex"], "left")
+            .join(dangling, "graph_id", "left")
+            .select(
+                "graph_id",
+                "vertex",
+                (
+                    (1.0 - damping) * F.col("tele")
+                    + damping
+                    * (
+                        F.coalesce(F.col("received"), F.lit(0.0))
+                        + F.coalesce(F.col("dangling_mass"), F.lit(0.0))
+                        * F.col("tele")
+                    )
+                ).alias("rank"),
+            )
+        )
+        if it % checkpoint_every == 0 or it == iterations:
+            ranks = barrier(ranks, eager=True, ckdir=ck)
+    edges.unpersist()
+    return ranks

@@ -387,3 +387,61 @@ def test_diameter_double_sweep_on_path_and_scale(spark, sf_dir):
     ))
     row = diameter_double_sweep(spark, scale_edges, start=0).collect()[0]
     assert row.diameter_lower_bound >= 1
+
+
+def test_personalized_pagerank_matches_python_reference(spark):
+    """PPR on a small digraph vs an independent dense power iteration with
+    restart-to-sources semantics (dangling mass restarts too)."""
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        personalized_pagerank,
+    )
+
+    rng = random.Random(13)
+    rows = _random_graph(rng, 25, 0.12)
+    edges = spark.createDataFrame(rows, "graph_id INT, src INT, dst INT")
+    graphs = spark.createDataFrame([(11, 25)], "graph_id INT, n INT")
+    srcs = [0, 7]
+    sources = spark.createDataFrame([(11, s) for s in srcs], "graph_id INT, vertex INT")
+
+    n, d, iters = 25, 0.85, 10
+    adj = {}
+    for _, s, t in rows:
+        adj.setdefault(s, []).append(t)
+    tele = [1.0 / len(srcs) if v in srcs else 0.0 for v in range(n)]
+    rank = tele[:]
+    for _ in range(iters):
+        received = [0.0] * n
+        dangling = 0.0
+        for v in range(n):
+            outs = adj.get(v, [])
+            if outs:
+                for t in outs:
+                    received[t] += rank[v] / len(outs)
+            else:
+                dangling += rank[v]
+        rank = [
+            (1 - d) * tele[v] + d * (received[v] + dangling * tele[v])
+            for v in range(n)
+        ]
+
+    got = {
+        r.vertex: r.rank
+        for r in personalized_pagerank(
+            spark, graphs, edges, sources, iterations=iters
+        ).collect()
+    }
+    for v in range(n):
+        assert abs(got[v] - rank[v]) < 1e-9, (v, got[v], rank[v])
+    # mass conserved; a vertex unreachable from the sources ranks 0
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    reachable = set(srcs)
+    frontier = list(srcs)
+    while frontier:
+        u = frontier.pop()
+        for t in adj.get(u, []):
+            if t not in reachable:
+                reachable.add(t)
+                frontier.append(t)
+    for v in range(n):
+        if v not in reachable:
+            assert got[v] == 0.0, v
