@@ -1033,6 +1033,67 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def funnel_df(
+    events: DataFrame, steps: list[str], horizon_minutes: int = 60
+) -> DataFrame:
+    """K-step event funnel per user: how far along ``steps`` each user got,
+    where step i+1 must occur strictly AFTER the matched step i and the
+    whole funnel must complete within ``horizon_minutes`` of step 1 — the
+    standard product-analytics query (view -> click -> purchase).
+
+    Single-shuffle formulation: per-user events collect into one sorted
+    array (bounded by per-user activity, the same envelope sessionization
+    assumes), and the funnel state machine runs INSIDE ``F.aggregate`` over
+    that array — a JVM higher-order fold, no Python, no per-step join or
+    re-aggregation (the naive formulation is k chained conditional
+    aggregates = k shuffles). Returns (user_id, stage_reached,
+    funnel_start_ts) with stage_reached in [0, len(steps)];
+    funnel_start_ts is NULL for users who never hit step 1.
+    """
+    k = len(steps)
+    lit_steps = F.array(*[F.lit(s) for s in steps])
+    horizon_us = int(horizon_minutes) * 60 * 1_000_000
+    per_user = (
+        events.where(F.col("event_type").isin(steps))
+        .groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros("ts").alias("us"),
+                        F.col("event_id").alias("eid"),  # deterministic tie order
+                        F.col("event_type").alias("etype"),
+                    )
+                )
+            ).alias("evs")
+        )
+    )
+    zero = F.struct(
+        F.lit(0).cast("int").alias("stage"), F.lit(None).cast("bigint").alias("t0")
+    )
+    state = F.aggregate(
+        "evs",
+        zero,
+        lambda acc, x: F.when(
+            (acc["stage"] < k)
+            & (x["etype"] == F.element_at(lit_steps, acc["stage"] + 1))
+            & (
+                (acc["stage"] == 0)
+                | ((x["us"] > acc["t0"]) & (x["us"] <= acc["t0"] + F.lit(horizon_us)))
+            ),
+            F.struct(
+                (acc["stage"] + 1).cast("int").alias("stage"),
+                F.when(acc["stage"] == 0, x["us"]).otherwise(acc["t0"]).alias("t0"),
+            ),
+        ).otherwise(acc),
+    )
+    return per_user.select(
+        "user_id",
+        state["stage"].alias("stage_reached"),
+        F.timestamp_micros(state["t0"]).alias("funnel_start_ts"),
+    )
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "rel_pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "rel_top_revenue_orders": (top_revenue_orders, TOP_REVENUE_ORDERS_SQL),

@@ -1227,3 +1227,85 @@ def test_select_top_quality_matches_python_reference(spark, sf_dir):
     for lang, vals in by_lang.items():
         kept = sum(1 for d in got if scored[d][0] == lang)
         assert 0 < kept < len(vals)
+
+
+# --- event funnel ---------------------------------------------------------
+
+def test_funnel_matches_python_reference(spark, sf_dir):
+    """Funnel state machine vs an independent Python fold over the same
+    (ts, event_id)-sorted event stream."""
+    from distributed_graph_database_simulation_spark.operators.relational import (
+        funnel_df,
+    )
+    from distributed_graph_database_simulation_spark.sources.tables import load_table
+
+    steps = ["view", "click", "purchase"]
+    horizon_min = 7 * 24 * 60  # events span ~30 days per user at sf0.001
+    events = load_table(spark, sf_dir, "events")
+    rows = [
+        (r.user_id, int(r.ts.timestamp() * 1_000_000), r.event_id, r.event_type)
+        for r in events.where(F.col("event_type").isin(steps))
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    ]
+    by_user = {}
+    for uid, us, eid, etype in rows:
+        by_user.setdefault(uid, []).append((us, eid, etype))
+    horizon_us = horizon_min * 60 * 1_000_000
+    expected = {}
+    for uid, evs in by_user.items():
+        stage, t0 = 0, None
+        for us, eid, etype in sorted(evs):
+            if stage < len(steps) and etype == steps[stage] and (
+                stage == 0 or (us > t0 and us <= t0 + horizon_us)
+            ):
+                if stage == 0:
+                    t0 = us
+                stage += 1
+        expected[uid] = (stage, t0)
+    got = {
+        r.user_id: (
+            r.stage_reached,
+            None
+            if r.funnel_start_ts is None
+            else int(r.funnel_start_ts.timestamp() * 1_000_000),
+        )
+        for r in funnel_df(events, steps, horizon_minutes=horizon_min).collect()
+    }
+    assert got == expected
+    # funnel actually discriminates on this corpus
+    stages = {s for s, _ in got.values()}
+    assert len(stages) > 1 and max(stages) == 3
+
+
+def test_funnel_horizon_and_order_semantics(spark):
+    """Literal pins: order must be respected (click before view doesn't
+    count) and the horizon bounds the whole funnel from step 1."""
+    from datetime import datetime
+
+    from distributed_graph_database_simulation_spark.operators.relational import (
+        funnel_df,
+    )
+
+    def ev(eid, uid, minute, etype):
+        return (eid, datetime(2026, 1, 1, 10, minute), uid, etype, 0.0, "{}")
+
+    events = spark.createDataFrame(
+        [
+            # user 1: clean 3-step funnel
+            ev(1, 1, 0, "view"), ev(2, 1, 5, "click"), ev(3, 1, 10, "purchase"),
+            # user 2: click precedes view -> only reaches stage 1 via view,
+            # then purchase without an intervening click stays stage 1
+            ev(4, 2, 0, "click"), ev(5, 2, 5, "view"), ev(6, 2, 10, "purchase"),
+            # user 3: purchase outside the 15-minute horizon from view
+            ev(7, 3, 0, "view"), ev(8, 3, 5, "click"), ev(9, 3, 30, "purchase"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {
+        r.user_id: r.stage_reached
+        for r in funnel_df(
+            events, ["view", "click", "purchase"], horizon_minutes=15
+        ).collect()
+    }
+    assert got == {1: 3, 2: 1, 3: 2}
