@@ -734,3 +734,169 @@ def personalized_pagerank(
             ranks = barrier(ranks, eager=True, ckdir=ck)
     edges.unpersist()
     return ranks
+
+
+def strongly_connected_components(
+    spark: SparkSession,
+    graphs: DataFrame,
+    edges: DataFrame,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Strongly connected components via Trim + Forward-Max-Coloring +
+    backward sweep (the Orzan/FW-BW family — the standard distributed SCC
+    scheme; Tarjan is inherently sequential and has no superstep form).
+
+    Per outer round, on the remaining subgraph:
+
+    1. **Trim** to a fixpoint: vertices with no in- or out-edges among the
+       remaining set are singleton SCCs (removing them peels chains/DAG
+       tails — without this, a path graph would cost one round per vertex);
+    2. **Color**: propagate ``color(v) = max id that reaches v`` along
+       forward edges to convergence (a directed max-label loop, same shape
+       as :func:`connected_components`);
+    3. **Sweep**: every color root r (``color(r) == r``) reaches all of its
+       color class; the class members that reach r BACK form SCC(r). One
+       :func:`multi_source_bfs` on the color-homogeneous REVERSED edges
+       from all roots simultaneously finds them — per round, one backward
+       BFS regardless of root count.
+
+    Labels follow the CC convention (scc_id = min member id). Superstep
+    counts: trim and color are O(diameter)-ish per round; outer rounds are
+    bounded by the graph's SCC "nesting depth" after trimming (small in
+    practice, ``max_rounds``-guarded). Returns (graph_id, vertex, scc_id).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    ck = checkpoint_dir(spark)
+    edges = (
+        edges.select("graph_id", "src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    remaining = barrier(vertices(graphs), eager=True, ckdir=ck)
+    labeled_parts: list[DataFrame] = []
+
+    # Same constraint-propagation guard as multi_source_bfs: the color loop
+    # seeds an alias-equality (color = vertex) over derived anti-join plans,
+    # which trips Spark's LogicalRDD constraint rewrite on re-checkpoint.
+    conf_key = "spark.sql.constraintPropagation.enabled"
+    prev_conf = spark.conf.get(conf_key, "true")
+    spark.conf.set(conf_key, "false")
+    try:
+        labeled_parts = _scc_rounds(spark, edges, remaining, max_rounds, ck)
+    finally:
+        spark.conf.set(conf_key, prev_conf)
+    edges.unpersist()
+    if not labeled_parts:
+        return spark.createDataFrame([], "graph_id INT, vertex INT, scc_id INT")
+    out = labeled_parts[0]
+    for part in labeled_parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
+def _scc_rounds(spark, edges, remaining, max_rounds, ck) -> list[DataFrame]:
+    labeled_parts: list[DataFrame] = []
+    for _ in range(max_rounds):
+        if remaining.isEmpty():
+            break
+        e_r = (
+            edges.join(remaining.withColumnRenamed("vertex", "src"), ["graph_id", "src"], "left_semi")
+            .join(remaining.withColumnRenamed("vertex", "dst"), ["graph_id", "dst"], "left_semi")
+        )
+        e_r = barrier(e_r, eager=True, ckdir=ck)
+        # --- 1. trim to fixpoint -------------------------------------------
+        while True:
+            has_out = e_r.select("graph_id", F.col("src").alias("vertex")).distinct()
+            has_in = e_r.select("graph_id", F.col("dst").alias("vertex")).distinct()
+            core = remaining.join(has_out, ["graph_id", "vertex"], "left_semi").join(
+                has_in, ["graph_id", "vertex"], "left_semi"
+            )
+            core = barrier(core, eager=False, ckdir=ck)
+            n_core, n_rem = core.count(), remaining.count()
+            if n_core == n_rem:
+                break
+            trimmed = remaining.join(core, ["graph_id", "vertex"], "left_anti").select(
+                "graph_id", "vertex", F.col("vertex").alias("scc_id")
+            )
+            labeled_parts.append(barrier(trimmed, eager=True, ckdir=ck))
+            remaining = core
+            if n_core == 0:
+                break
+            e_r = barrier(
+                e_r.join(remaining.withColumnRenamed("vertex", "src"), ["graph_id", "src"], "left_semi")
+                .join(remaining.withColumnRenamed("vertex", "dst"), ["graph_id", "dst"], "left_semi"),
+                eager=True,
+                ckdir=ck,
+            )
+        if remaining.isEmpty():
+            break
+        # --- 2. forward max coloring ---------------------------------------
+        colors = barrier(
+            remaining.withColumn("color", F.col("vertex")), eager=True, ckdir=ck
+        )
+        while True:
+            c, e = colors.alias("c"), e_r.alias("e")
+            msgs = (
+                c.join(e, on=(F.col("c.graph_id") == F.col("e.graph_id"))
+                           & (F.col("c.vertex") == F.col("e.src")))
+                .select(
+                    F.col("e.graph_id").alias("graph_id"),
+                    F.col("e.dst").alias("vertex"),
+                    F.col("c.color").alias("color"),
+                    F.lit(None).cast("int").alias("old_color"),
+                )
+            )
+            new_colors = (
+                colors.withColumn("old_color", F.col("color"))
+                .unionByName(msgs)
+                .groupBy("graph_id", "vertex")
+                .agg(
+                    F.max("color").alias("color"),
+                    F.max("old_color").alias("old_color"),
+                )
+                .transform(barrier_t(eager=False, ckdir=ck))
+            )
+            n_changed = new_colors.filter(F.col("color") > F.col("old_color")).count()
+            colors = new_colors.drop("old_color")
+            if n_changed == 0:
+                break
+        colors = barrier(colors, eager=True, ckdir=ck)
+        # --- 3. backward sweep from the roots ------------------------------
+        roots = colors.where(F.col("color") == F.col("vertex")).select(
+            "graph_id", F.col("vertex").alias("source")
+        )
+        csrc = colors.select("graph_id", F.col("vertex").alias("src"), F.col("color").alias("c_src"))
+        cdst = colors.select("graph_id", F.col("vertex").alias("dst"), F.col("color").alias("c_dst"))
+        same_color_rev = (
+            e_r.join(csrc, ["graph_id", "src"])
+            .join(cdst, ["graph_id", "dst"])
+            .where(F.col("c_src") == F.col("c_dst"))
+            .select("graph_id", F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        scc_members = multi_source_bfs(spark, same_color_rev, roots).select(
+            "graph_id", F.col("source").alias("root"), "vertex"
+        )
+        scc_ids = scc_members.groupBy("graph_id", "root").agg(
+            F.min("vertex").alias("scc_id")
+        )
+        found = barrier(
+            scc_members.join(scc_ids, ["graph_id", "root"]).select(
+                "graph_id", "vertex", "scc_id"
+            ),
+            eager=True,
+            ckdir=ck,
+        )
+        labeled_parts.append(found)
+        remaining = barrier(
+            remaining.join(found, ["graph_id", "vertex"], "left_anti"),
+            eager=True,
+            ckdir=ck,
+        )
+    else:
+        if not remaining.isEmpty():
+            raise RuntimeError(
+                f"SCC did not converge in {max_rounds} rounds; raise max_rounds"
+            )
+    return labeled_parts
