@@ -528,3 +528,45 @@ def select_top_quality_df(
         scored.join(F.broadcast(thresholds), "lang")
         .where(F.col("quality") >= F.col("q_threshold"))
     )
+
+
+def write_distinct_sketch(
+    df: DataFrame, key_col: str, group_col: str, path: str, batch_id: int
+) -> None:
+    """Append one batch's per-group HLL sketches (Datasketches
+    ``hll_sketch_agg``) to a sketch store — the mergeable-state pattern for
+    incremental distinct counting: a 100 TB pipeline tracking distinct
+    users/domains/doc-hashes per slice cannot re-scan history per report,
+    and exact distinct state is unbounded; HLL register state is ~KB per
+    group and merges associatively, so each batch writes its own sketches
+    once and any later union is sketch-sized work.
+
+    Written ``partitionBy(batch_id)`` with dynamic overwrite — idempotent
+    under replay, same as the streaming dedup ingester.
+    """
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        df.groupBy(F.col(group_col).alias("group_key"))
+        .agg(F.hll_sketch_agg(key_col).alias("sketch"))
+        .withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+
+
+def read_distinct_estimates(spark: SparkSession, path: str) -> DataFrame:
+    """Merge every stored batch sketch per group (``hll_union_agg`` — max
+    per HLL register, order-insensitive) and return
+    (group_key, n_distinct_estimate). Cost is sketch-proportional: the
+    original keys are never re-read."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("group_key")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+                "n_distinct_estimate"
+            )
+        )
+    )

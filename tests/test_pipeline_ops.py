@@ -1309,3 +1309,49 @@ def test_funnel_horizon_and_order_semantics(spark):
         ).collect()
     }
     assert got == {1: 3, 2: 1, 3: 2}
+
+
+# --- mergeable distinct-count sketch store --------------------------------
+
+def test_distinct_sketch_store_merges_batches_exactly(spark, sf_dir, tmp_path):
+    """Two-batch sketch ingestion must estimate EXACTLY what a one-shot
+    sketch over the union estimates (HLL union is max-per-register,
+    order-insensitive), and land within the HLL error envelope of truth."""
+    from distributed_graph_database_simulation_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    store = str(tmp_path / "sketches")
+    pipeline.write_distinct_sketch(
+        events.where(F.col("event_id") % 2 == 0), "user_id", "event_type", store, 0
+    )
+    pipeline.write_distinct_sketch(
+        events.where(F.col("event_id") % 2 == 1), "user_id", "event_type", store, 1
+    )
+    merged = {
+        r.group_key: r.n_distinct_estimate
+        for r in pipeline.read_distinct_estimates(spark, store).collect()
+    }
+    one_shot = {
+        r.group_key: r.est
+        for r in events.groupBy(F.col("event_type").alias("group_key"))
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    assert merged == one_shot
+    truth = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for g, est in merged.items():
+        assert abs(est - truth[g]) <= max(2, 0.05 * truth[g]), (g, est, truth[g])
+    # replay idempotence: rewriting batch 1 changes nothing
+    pipeline.write_distinct_sketch(
+        events.where(F.col("event_id") % 2 == 1), "user_id", "event_type", store, 1
+    )
+    again = {
+        r.group_key: r.n_distinct_estimate
+        for r in pipeline.read_distinct_estimates(spark, store).collect()
+    }
+    assert again == merged
