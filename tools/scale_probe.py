@@ -482,6 +482,43 @@ def probe_multi_source_bfs(spark, n_edges: int, n_vertices: int, k: int = 4) -> 
             "sec": round(_t.perf_counter() - t0, 2)}
 
 
+def probe_scc(spark, n_cycles: int = 20_000, cycle_len: int = 10) -> dict:
+    """SCC on a corpus of many small cycles (the many-components regime):
+    20k disjoint directed cycles = 20k nontrivial SCCs found by ONE
+    backward sweep from 20k roots simultaneously. Color propagation cost is
+    O(cycle_len) supersteps — the known coloring-SCC constraint (one long
+    cycle would cost O(|C|) supersteps; that regime wants the per-graph
+    kernel path instead, same two-regimes split as CC)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        strongly_connected_components,
+    )
+
+    t0 = _t.perf_counter()
+    n = n_cycles * cycle_len
+    ids = spark.range(0, n, 1, 32)
+    edges = ids.select(
+        F.lit(1).alias("graph_id"),
+        F.col("id").cast("int").alias("src"),
+        (
+            (F.col("id") - F.col("id") % cycle_len)
+            + (F.col("id") + 1) % cycle_len
+        ).cast("int").alias("dst"),
+    )
+    graphs = spark.createDataFrame([(1, n)], "graph_id INT, n INT")
+    out = strongly_connected_components(spark, graphs, edges)
+    sizes = out.groupBy("scc_id").count()
+    n_sccs = sizes.count()
+    bad = sizes.where(F.col("count") != cycle_len).count()
+    if n_sccs != n_cycles or bad:
+        raise AssertionError(f"expected {n_cycles} SCCs of size {cycle_len}: got {n_sccs}, bad={bad}")
+    return {"probe": "scc", "vertices": n, "sccs": n_sccs,
+            "sec": round(_t.perf_counter() - t0, 2)}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--edges", type=float, default=5e6)
@@ -508,6 +545,7 @@ def main() -> int:
         lambda: probe_pack_sequences(spark, int(args.docs) * 100),
         lambda: probe_cap_per_source(spark, int(args.docs) * 100),
         lambda: probe_multi_source_bfs(spark, int(args.edges) // 2, int(args.vertices) // 2),
+        lambda: probe_scc(spark),
     )
     for probe in probes:
         print(json.dumps(probe()), flush=True)
