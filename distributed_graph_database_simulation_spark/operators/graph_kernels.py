@@ -115,3 +115,85 @@ def connected_components_kernel(
     return _grouped_with_n(graphs, edges).groupBy("graph_id").applyInPandas(
         kernel, CC_OUT_SCHEMA
     )
+
+
+SCC_OUT_SCHEMA = "graph_id INT, vertex INT, scc_id INT"
+
+
+def scc_kernel(
+    graphs: DataFrame,
+    edges: DataFrame,
+    max_nodes: int = DEFAULT_KERNEL_MAX_NODES,
+) -> DataFrame:
+    """Strongly connected components per pandas group — iterative Tarjan
+    (explicit stack, no recursion limit), scc_id = min member id.
+
+    The two-regimes complement to
+    :func:`~.graph_analytics.strongly_connected_components`: the superstep
+    FW-BW scheme pays O(cycle length) color supersteps on long cycles, so
+    a corpus of MANY bounded-size graphs (the reference's n<=100 regime)
+    runs Tarjan whole-graph inside one Arrow batch per graph instead —
+    one shuffle total, parallel across graphs, immune to cycle length.
+    """
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        graph_id = int(pdf["graph_id"].iloc[0])
+        n = int(pdf["n"].iloc[0])
+        if n > max_nodes:
+            raise ValueError(f"graph {graph_id} has n={n}, over kernel cap {max_nodes}")
+        adj: dict[int, list[int]] = {}
+        e = pdf[pdf["src"].notna()]
+        for s, d in zip(e["src"].astype(int), e["dst"].astype(int)):
+            if s != d:
+                adj.setdefault(s, []).append(d)
+        index: dict[int, int] = {}
+        low: dict[int, int] = {}
+        on_stack: set[int] = set()
+        stack: list[int] = []
+        label = list(range(n))
+        counter = 0
+        for root in range(n):
+            if root in index:
+                continue
+            work: list[tuple[int, int]] = [(root, 0)]
+            while work:
+                v, pi = work[-1]
+                if pi == 0:
+                    index[v] = low[v] = counter
+                    counter += 1
+                    stack.append(v)
+                    on_stack.add(v)
+                advanced = False
+                nbrs = adj.get(v, [])
+                for i in range(pi, len(nbrs)):
+                    w = nbrs[i]
+                    if w not in index:
+                        work[-1] = (v, i + 1)
+                        work.append((w, 0))
+                        advanced = True
+                        break
+                    if w in on_stack:
+                        low[v] = min(low[v], index[w])
+                if not advanced:
+                    work.pop()
+                    if work:
+                        u = work[-1][0]
+                        low[u] = min(low[u], low[v])
+                    if low[v] == index[v]:
+                        comp = []
+                        while True:
+                            w = stack.pop()
+                            on_stack.discard(w)
+                            comp.append(w)
+                            if w == v:
+                                break
+                        m = min(comp)
+                        for w in comp:
+                            label[w] = m
+        return pd.DataFrame(
+            {"graph_id": graph_id, "vertex": range(n), "scc_id": label}
+        )
+
+    return _grouped_with_n(graphs, edges).groupBy("graph_id").applyInPandas(
+        kernel, SCC_OUT_SCHEMA
+    )

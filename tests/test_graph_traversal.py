@@ -583,3 +583,43 @@ def test_scc_scale_graph_matches_tarjan(spark, sf_dir):
     # Tarjan reference assigns every vertex (isolated ones are their own
     # SCC); ours zero-fills from the vertex universe the same way
     assert got == expected
+
+
+def test_scc_kernel_equals_superstep_random(spark):
+    """Kernel (Tarjan) ≡ superstep (FW-BW coloring) on random digraphs —
+    the same two-regimes equivalence pin CC and PageRank carry."""
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        strongly_connected_components,
+    )
+    from distributed_graph_database_simulation_spark.operators.graph_kernels import (
+        scc_kernel,
+    )
+
+    for seed in (5, 23):
+        rng = random.Random(seed)
+        n = 25
+        rows = [(11, s, d) for s in range(n) for d in range(n)
+                if s != d and rng.random() < 0.08]
+        edges = spark.createDataFrame(rows, "graph_id INT, src INT, dst INT")
+        graphs = spark.createDataFrame([(11, n)], "graph_id INT, n INT")
+        a = {(r.vertex, r.scc_id) for r in scc_kernel(graphs, edges).collect()}
+        b = {
+            (r.vertex, r.scc_id)
+            for r in strongly_connected_components(spark, graphs, edges).collect()
+        }
+        assert a == b, f"seed {seed}"
+
+
+def test_scc_kernel_long_cycle(spark):
+    """A 2000-vertex directed cycle: one SCC — the long-cycle regime the
+    superstep coloring scheme would pay O(|C|) supersteps for."""
+    from distributed_graph_database_simulation_spark.operators.graph_kernels import (
+        scc_kernel,
+    )
+
+    n = 2000
+    rows = [(1, i, (i + 1) % n) for i in range(n)]
+    edges = spark.createDataFrame(rows, "graph_id INT, src INT, dst INT").coalesce(1)
+    graphs = spark.createDataFrame([(1, n)], "graph_id INT, n INT")
+    got = {r.scc_id for r in scc_kernel(graphs, edges).collect()}
+    assert got == {0}
