@@ -1355,3 +1355,58 @@ def test_distinct_sketch_store_merges_batches_exactly(spark, sf_dir, tmp_path):
         for r in pipeline.read_distinct_estimates(spark, store).collect()
     }
     assert again == merged
+
+
+# --- z-order layout -------------------------------------------------------
+
+def test_zorder_layout_clusters_both_dimensions(spark):
+    """Every output partition's bounding box must be small in BOTH
+    clustering columns — the property single-column sorting cannot give
+    (its trailing column spans the full range in every file)."""
+    from pyspark.sql.functions import spark_partition_id
+
+    n = 40_000
+    df = spark.range(n).select(
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(10_000)).cast("double").alias("x"),
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(10_000)).cast("double").alias("y"),
+    )
+    zed = pipeline.zorder_layout_df(df, ["x", "y"], n_files=16)
+    boxes = (
+        zed.withColumn("pid", spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            (F.max("x") - F.min("x")).alias("dx"),
+            (F.max("y") - F.min("y")).alias("dy"),
+            F.count("*").alias("cnt"),
+        )
+        .collect()
+    )
+    assert len(boxes) >= 8
+    total_area = 10_000.0 * 10_000.0
+    areas = [r.dx * r.dy for r in boxes if r.cnt > 100]
+    # each well-populated file covers a small fraction of the value space
+    assert areas and max(areas) < 0.35 * total_area
+    assert sum(areas) / len(areas) < 0.15 * total_area
+    # contrast: a plain sort by x leaves y spanning ~everything per file
+    plain = (
+        df.repartitionByRange(16, "x")
+        .withColumn("pid", spark_partition_id())
+        .groupBy("pid")
+        .agg((F.max("y") - F.min("y")).alias("dy"), F.count("*").alias("cnt"))
+        .collect()
+    )
+    plain_dy = [r.dy for r in plain if r.cnt > 100]
+    z_dy = [r.dy for r in boxes if r.cnt > 100]
+    assert sum(z_dy) / len(z_dy) < 0.6 * (sum(plain_dy) / len(plain_dy))
+
+
+def test_zorder_preserves_rows_and_is_deterministic(spark, sf_dir):
+    docs = pipeline._docs(spark, sf_dir).select("doc_id", "n_chars")
+    zed = pipeline.zorder_layout_df(docs, ["doc_id", "n_chars"], n_files=8)
+    assert zed.count() == docs.count()
+    a = sorted((r.doc_id, r.zval) for r in zed.collect())
+    b = sorted(
+        (r.doc_id, r.zval)
+        for r in pipeline.zorder_layout_df(docs, ["doc_id", "n_chars"], n_files=8).collect()
+    )
+    assert a == b
