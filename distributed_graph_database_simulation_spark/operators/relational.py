@@ -1094,6 +1094,62 @@ def funnel_df(
     )
 
 
+def interval_overlap_join_df(
+    left: DataFrame,
+    right: DataFrame,
+    bucket_width: int,
+    on: list[str] | None = None,
+) -> DataFrame:
+    """All pairs of overlapping intervals between two tables (half-open
+    ``[start, end)`` semantics), without a cross product: each interval is
+    exploded to the fixed-width buckets it covers, candidates come from a
+    keyed equi-join on (optional key columns +) bucket, duplicates from
+    multi-bucket overlaps collapse via the canonical bucket trick (keep a
+    candidate only in the FIRST bucket both intervals cover), and the
+    exact predicate verifies. This is the standard genomic/temporal
+    interval-join decomposition: shuffle volume is rows × avg buckets per
+    interval — proportional to data and interval length, never |L|×|R|.
+
+    ``left``/``right`` need (``start``, ``end``) columns; ``on`` adds
+    equi-key columns (e.g. a user or chromosome id) that must also match.
+    ``bucket_width`` should approximate the typical interval length (too
+    small explodes rows; too large admits more false candidates for the
+    verifier — a knob, not a correctness concern).
+
+    Returns left.* (prefixed ``l_``) + right.* (prefixed ``r_``).
+    """
+    on = on or []
+
+    def bucketed(df: DataFrame, prefix: str) -> DataFrame:
+        renamed = df.select(
+            *[F.col(c).alias(f"{prefix}{c}") for c in df.columns]
+        )
+        s, e = F.col(f"{prefix}start"), F.col(f"{prefix}end")
+        buckets = F.sequence(
+            F.floor(s / bucket_width).cast("bigint"),
+            F.floor((F.greatest(e, s + 1) - 1) / bucket_width).cast("bigint"),
+        )
+        return renamed.withColumn("bucket", F.explode(buckets))
+
+    lb = bucketed(left, "l_")
+    rb = bucketed(right, "r_")
+    join_keys = [lb["bucket"] == rb["bucket"]] + [
+        lb[f"l_{c}"] == rb[f"r_{c}"] for c in on
+    ]
+    ls, le = F.col("l_start"), F.col("l_end")
+    rs, re_ = F.col("r_start"), F.col("r_end")
+    overlap = (ls < re_) & (rs < le)
+    # canonical bucket: the first bucket both intervals cover — exactly one
+    # per overlapping pair, so no distinct over the full candidate set
+    first_common = F.floor(F.greatest(ls, rs) / bucket_width).cast("bigint")
+    return (
+        lb.join(rb, join_keys)
+        .where(overlap & (lb["bucket"] == first_common))
+        .drop(rb["bucket"])
+        .drop("bucket")
+    )
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "rel_pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "rel_top_revenue_orders": (top_revenue_orders, TOP_REVENUE_ORDERS_SQL),

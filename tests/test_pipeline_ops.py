@@ -1410,3 +1410,61 @@ def test_zorder_preserves_rows_and_is_deterministic(spark, sf_dir):
         for r in pipeline.zorder_layout_df(docs, ["doc_id", "n_chars"], n_files=8).collect()
     )
     assert a == b
+
+
+# --- interval overlap join ------------------------------------------------
+
+def test_interval_overlap_join_matches_python_reference(spark):
+    """Bucketized interval join vs brute-force Python overlap check,
+    including multi-bucket spans (no duplicate pairs) and an equi-key."""
+    import random as _random
+
+    from distributed_graph_database_simulation_spark.operators.relational import (
+        interval_overlap_join_df,
+    )
+
+    rng = _random.Random(99)
+    L = [(i, rng.randrange(2), rng.randrange(0, 5000)) for i in range(400)]
+    left_rows = [(i, k, s, s + rng.randrange(1, 400)) for i, k, s in L]
+    R = [(i, rng.randrange(2), rng.randrange(0, 5000)) for i in range(300)]
+    right_rows = [(i, k, s, s + rng.randrange(1, 400)) for i, k, s in R]
+    left = spark.createDataFrame(left_rows, "lid long, key int, start long, end long")
+    right = spark.createDataFrame(right_rows, "rid long, key int, start long, end long")
+    expected = {
+        (li, ri)
+        for li, lk, ls, le in left_rows
+        for ri, rk, rs, re_ in right_rows
+        if lk == rk and ls < re_ and rs < le
+    }
+    got = {
+        (r.l_lid, r.r_rid)
+        for r in interval_overlap_join_df(left, right, bucket_width=256, on=["key"]).collect()
+    }
+    assert got == expected
+    assert got, "random intervals should overlap"
+    # robustness across bucket widths (correctness must not depend on the knob)
+    for bw in (64, 1024):
+        got_bw = {
+            (r.l_lid, r.r_rid)
+            for r in interval_overlap_join_df(left, right, bucket_width=bw, on=["key"]).collect()
+        }
+        assert got_bw == expected, bw
+
+
+def test_interval_overlap_join_stays_keyed(spark):
+    from distributed_graph_database_simulation_spark.operators.relational import (
+        interval_overlap_join_df,
+    )
+
+    left = spark.range(100).select(
+        F.col("id").alias("lid"), (F.col("id") * 10).alias("start"),
+        (F.col("id") * 10 + 15).alias("end"),
+    )
+    right = spark.range(100).select(
+        F.col("id").alias("rid"), (F.col("id") * 10 + 5).alias("start"),
+        (F.col("id") * 10 + 20).alias("end"),
+    )
+    df = interval_overlap_join_df(left, right, bucket_width=16)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

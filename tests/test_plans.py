@@ -357,3 +357,38 @@ def test_unigram_logprob_vocab_join_broadcasts(spark, sf_dir):
     plan = _formatted_plan(text_analysis.unigram_logprob_df(docs, vocab_size=100))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_fact_join(spark, sf_dir):
+    """Optimizer mechanism pin: with the size thresholds lowered to the
+    test scale, a selective fact-fact join must inject a runtime Bloom
+    filter (bloom_filter_agg on the selective side, might_contain on the
+    probe side) — at 100 TB this is what keeps the big side's shuffle from
+    carrying rows the other side will discard."""
+    from pyspark.sql import functions as F
+
+    from distributed_graph_database_simulation_spark.sources.tables import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        lineitem = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").where(
+            F.col("o_totalprice") > 400_000  # highly selective build side
+        )
+        joined = lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan or "might_contain" in plan, plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
