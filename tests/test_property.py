@@ -433,3 +433,65 @@ def test_derived_degree_cap_matches_python_percentile(sess, matrix):
     r_star = (9 * len(degs)) // 10
     expected = degs[r_star - 1] if r_star >= 1 else degs[0]
     assert _derived_degree_cap(ue) == expected
+
+
+# --- layout-operator properties -------------------------------------------
+
+chunk_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50),   # doc_id
+        st.integers(min_value=0, max_value=3),    # chunk_id
+        st.integers(min_value=1, max_value=300),  # n_tokens
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@given(chunk_lists, st.integers(min_value=16, max_value=512))
+@_SETTINGS
+def test_pack_sequences_properties(spark, rows, seq_len):
+    """For arbitrary chunk sets and sequence lengths: row preservation,
+    offsets in range, per-shard token-mass accounting, and exact agreement
+    with the independent Python packer."""
+    from distributed_graph_database_simulation_spark.operators import pipeline
+    from tests.test_pipeline_ops import _py_pack_sequences
+
+    chunks = spark.createDataFrame(rows, "doc_id long, chunk_id int, n_tokens int")
+    got = {
+        (r.doc_id, r.chunk_id): (r.shard, r.seq_id, r.seq_offset, r.n_tokens)
+        for r in pipeline.pack_sequences_df(chunks, seq_len=seq_len).collect()
+    }
+    assert got == _py_pack_sequences(rows, seq_len)
+    assert all(0 <= off < seq_len for _, _, off, _ in got.values())
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+@_SETTINGS
+def test_cap_per_source_properties(spark, rows, cap):
+    """For arbitrary doc/source sets and caps: per-source counts bounded,
+    admitted set matches the deterministic hash-order reference."""
+    from distributed_graph_database_simulation_spark.operators import pipeline
+
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    by_source: dict[str, list[tuple[int, int]]] = {}
+    for doc_id, source in rows:
+        scr = (doc_id * 2654435761) % 1_000_003
+        by_source.setdefault(source, []).append((scr, doc_id))
+    expected = {
+        doc_id
+        for lst in by_source.values()
+        for rank, (_, doc_id) in enumerate(sorted(lst))
+        if rank < cap
+    }
+    got = {r.doc_id for r in pipeline.cap_per_source_df(docs, cap).collect()}
+    assert got == expected
