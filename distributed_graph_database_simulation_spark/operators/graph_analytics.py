@@ -900,3 +900,147 @@ def _scc_rounds(spark, edges, remaining, max_rounds, ck) -> list[DataFrame]:
                 f"SCC did not converge in {max_rounds} rounds; raise max_rounds"
             )
     return labeled_parts
+
+
+def betweenness_sampled(
+    spark: SparkSession,
+    graphs: DataFrame,
+    edges: DataFrame,
+    k_pivots: int = 8,
+    max_levels: int = 10_000,
+) -> DataFrame:
+    """Sampled betweenness centrality (Brandes' algorithm from k
+    deterministic landmarks — the Brandes/Pich estimator): forward
+    level-synchronous BFS carrying shortest-path COUNTS (sigma), then a
+    backward dependency accumulation walked level-by-level.
+
+    Both passes run for ALL landmarks simultaneously: the forward pass is
+    the :func:`multi_source_bfs` loop with a sum-of-parent-sigmas
+    aggregate, and each backward step joins only the two adjacent level
+    slices across every (graph, source) at once, so the superstep count is
+    O(max eccentricity) per pass regardless of k. Landmarks are the same
+    Knuth-scramble pivots as :func:`harmonic_closeness_sampled`.
+
+    Returns (graph_id, vertex, delta_sum, bc_estimate) where ``delta_sum``
+    is the raw summed dependency over the landmarks (endpoints excluded,
+    Brandes convention) and ``bc_estimate = delta_sum * n / k`` is the
+    Brandes-Pich scaled estimate. Sigma/delta are doubles — sampled
+    centrality is estimation territory (rows-only style), pinned against
+    an independent Python Brandes reference in tests.
+    """
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    edges = edges.select("graph_id", "src", "dst").where(
+        F.col("src") != F.col("dst")
+    ).distinct().repartition("graph_id", "src").persist(StorageLevel.MEMORY_AND_DISK)
+    ck = checkpoint_dir(spark)
+    conf_key = "spark.sql.constraintPropagation.enabled"
+    prev_conf = spark.conf.get(conf_key, "true")
+    spark.conf.set(conf_key, "false")
+    try:
+        verts = vertices(graphs)
+        w = Window.partitionBy("graph_id").orderBy(
+            F.pmod(F.col("vertex") * _PIVOT_KNUTH, F.lit(_PIVOT_MOD)), F.col("vertex")
+        )
+        pivots = (
+            verts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k_pivots)
+            .select("graph_id", F.col("vertex").alias("source"))
+        )
+        # ---- forward pass: levels + path counts --------------------------
+        frontier = barrier(
+            pivots.select(
+                "graph_id", "source", F.col("source").alias("vertex"),
+                F.lit(0).cast("int").alias("level"),
+                F.lit(1.0).alias("sigma"),
+            ),
+            eager=True, ckdir=ck,
+        )
+        visited = frontier
+        levels = [frontier]
+        for level in range(1, max_levels + 1):
+            f, e = frontier.alias("f"), edges.alias("e")
+            nxt = (
+                f.join(e, on=(F.col("f.graph_id") == F.col("e.graph_id"))
+                           & (F.col("f.vertex") == F.col("e.src")))
+                .groupBy(
+                    F.col("e.graph_id").alias("graph_id"),
+                    F.col("f.source").alias("source"),
+                    F.col("e.dst").alias("vertex"),
+                )
+                .agg(F.sum("f.sigma").alias("sigma"))
+                .join(visited.select("graph_id", "source", "vertex"),
+                      ["graph_id", "source", "vertex"], "left_anti")
+                .withColumn("level", F.lit(level).cast("int"))
+                .select("graph_id", "source", "vertex", "level", "sigma")
+            )
+            nxt = barrier(nxt, eager=False, ckdir=ck)
+            if nxt.count() == 0:
+                break
+            visited = visited.unionByName(nxt)
+            levels.append(nxt)
+            if level % 5 == 0:
+                visited = barrier(visited, eager=True, ckdir=ck)
+            frontier = nxt
+        # ---- backward pass: dependency accumulation ----------------------
+        lmax = len(levels) - 1
+        deltas_by_level: dict[int, DataFrame] = {
+            lmax: levels[lmax].select(
+                "graph_id", "source", "vertex", "sigma", F.lit(0.0).alias("delta")
+            )
+        }
+        for lvl in range(lmax - 1, -1, -1):
+            down = deltas_by_level[lvl + 1].alias("wd")
+            v_rows = levels[lvl].alias("v")
+            e = edges.alias("e")
+            contrib = (
+                v_rows.join(e, on=(F.col("v.graph_id") == F.col("e.graph_id"))
+                               & (F.col("v.vertex") == F.col("e.src")))
+                .join(down, on=(F.col("e.graph_id") == F.col("wd.graph_id"))
+                            & (F.col("v.source") == F.col("wd.source"))
+                            & (F.col("e.dst") == F.col("wd.vertex")))
+                .groupBy(
+                    F.col("v.graph_id").alias("graph_id"),
+                    F.col("v.source").alias("source"),
+                    F.col("v.vertex").alias("vertex"),
+                )
+                .agg(
+                    F.sum(
+                        F.col("v.sigma") / F.col("wd.sigma")
+                        * (F.lit(1.0) + F.col("wd.delta"))
+                    ).alias("delta")
+                )
+            )
+            lvl_delta = (
+                levels[lvl]
+                .join(contrib, ["graph_id", "source", "vertex"], "left")
+                .select(
+                    "graph_id", "source", "vertex", "sigma",
+                    F.coalesce("delta", F.lit(0.0)).alias("delta"),
+                )
+            )
+            deltas_by_level[lvl] = barrier(lvl_delta, eager=True, ckdir=ck)
+        all_deltas = deltas_by_level[lmax]
+        for lvl in range(lmax - 1, -1, -1):
+            all_deltas = all_deltas.unionByName(deltas_by_level[lvl])
+        n_by_graph = graphs.select("graph_id", F.col("n").cast("double").alias("nv"))
+        out = (
+            all_deltas.where(F.col("vertex") != F.col("source"))
+            .groupBy("graph_id", "vertex")
+            .agg(F.sum("delta").alias("delta_sum"))
+        )
+        result = (
+            verts.join(out, ["graph_id", "vertex"], "left")
+            .join(F.broadcast(n_by_graph), "graph_id")
+            .select(
+                "graph_id", "vertex",
+                F.coalesce("delta_sum", F.lit(0.0)).alias("delta_sum"),
+                (F.coalesce("delta_sum", F.lit(0.0)) * F.col("nv") / k_pivots).alias(
+                    "bc_estimate"
+                ),
+            )
+        )
+        return result
+    finally:
+        spark.conf.set(conf_key, prev_conf)

@@ -623,3 +623,86 @@ def test_scc_kernel_long_cycle(spark):
     graphs = spark.createDataFrame([(1, n)], "graph_id INT, n INT")
     got = {r.scc_id for r in scc_kernel(graphs, edges).collect()}
     assert got == {0}
+
+
+def _py_brandes_from_pivots(n, edge_list, pivots):
+    """Independent Brandes dependency accumulation (BFS DAG, endpoints
+    excluded), summed over the given pivot sources."""
+    from collections import deque
+
+    adj = {}
+    for s, t in edge_list:
+        if s != t:
+            adj.setdefault(s, []).append(t)
+    delta_sum = {v: 0.0 for v in range(n)}
+    for s in pivots:
+        dist = {s: 0}
+        sigma = {s: 1.0}
+        order = []
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            order.append(u)
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    sigma[v] = 0.0
+                    q.append(v)
+                if dist[v] == dist[u] + 1:
+                    sigma[v] += sigma[u]
+        delta = {v: 0.0 for v in dist}
+        for u in reversed(order):
+            for v in adj.get(u, ()):
+                if v in dist and dist[v] == dist[u] + 1:
+                    delta[u] += sigma[u] / sigma[v] * (1.0 + delta[v])
+            if u != s:
+                delta_sum[u] += delta[u]
+    return delta_sum
+
+
+def test_betweenness_sampled_matches_python_brandes(spark):
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        _PIVOT_KNUTH, _PIVOT_MOD, betweenness_sampled,
+    )
+
+    rng = random.Random(31)
+    n, k = 28, 5
+    rows = [(11, s, d) for s in range(n) for d in range(n)
+            if s != d and rng.random() < 0.1]
+    pivots = sorted(range(n), key=lambda v: ((v * _PIVOT_KNUTH) % _PIVOT_MOD, v))[:k]
+    expected = _py_brandes_from_pivots(n, [(s, d) for _, s, d in rows], pivots)
+    edges = spark.createDataFrame(rows, "graph_id INT, src INT, dst INT")
+    graphs = spark.createDataFrame([(11, n)], "graph_id INT, n INT")
+    got = {
+        r.vertex: (r.delta_sum, r.bc_estimate)
+        for r in betweenness_sampled(spark, graphs, edges, k_pivots=k).collect()
+    }
+    assert set(got) == set(range(n))
+    for v in range(n):
+        assert abs(got[v][0] - expected[v]) < 1e-9, (v, got[v][0], expected[v])
+        assert abs(got[v][1] - expected[v] * n / k) < 1e-6
+    assert any(d > 0 for d, _ in got.values())
+
+
+def test_betweenness_path_graph_literal(spark):
+    """On a directed path with a pivot at the head, interior vertices carry
+    descending dependency (classic Brandes hand answer)."""
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        betweenness_sampled,
+    )
+
+    n = 5
+    rows = [(1, i, i + 1) for i in range(n - 1)]
+    edges = spark.createDataFrame(rows, "graph_id INT, src INT, dst INT")
+    graphs = spark.createDataFrame([(1, n)], "graph_id INT, n INT")
+    got = {
+        r.vertex: r.delta_sum
+        for r in betweenness_sampled(spark, graphs, edges, k_pivots=n).collect()
+    }
+    # all n pivots: vertex v (interior) lies on paths from every s < v to
+    # every t > v; delta from source s at v = (n-1-v) if s <= v... verify by
+    # the independent reference instead of deriving by hand
+    expected = _py_brandes_from_pivots(n, [(s, d) for _, s, d in rows], list(range(n)))
+    for v in range(n):
+        assert abs(got[v] - expected[v]) < 1e-9
+    assert got[2] > got[4]
