@@ -1044,3 +1044,88 @@ def betweenness_sampled(
         return result
     finally:
         spark.conf.set(conf_key, prev_conf)
+
+
+def sssp_with_predecessors(
+    spark: SparkSession,
+    edges: DataFrame,
+    start: int,
+    max_iterations: int = 100,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """:func:`sssp` carrying a shortest-path TREE: each settled vertex keeps
+    a predecessor (deterministic: among min-distance parents, the smallest
+    vertex id — a min over (distance, pred) structs, so the tie-break rides
+    the same aggregate as the relaxation). Returns
+    (vertex, distance, pred); pred is NULL at the start vertex.
+
+    The tree is what actual route queries need — distances alone cannot
+    answer "via where?" — and it costs nothing extra at scale: the struct
+    min replaces the plain min in the same one-shuffle relaxation.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    edges = edges.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+    ck = checkpoint_dir(spark)
+    dists = barrier(
+        spark.createDataFrame(
+            [(start, 0, None)], "vertex INT, distance BIGINT, pred INT"
+        ),
+        eager=True,
+        ckdir=ck,
+    )
+    frontier = dists
+    for it in range(1, max_iterations + 1):
+        f, e = frontier.alias("f"), edges.alias("e")
+        candidates = (
+            f.join(e, F.col("f.vertex") == F.col("e.src"))
+            .select(
+                F.col("e.dst").alias("vertex"),
+                F.struct(
+                    (F.col("f.distance") + F.col("e.weight")).alias("distance"),
+                    F.col("f.vertex").alias("pred"),
+                ).alias("cand"),
+            )
+            .groupBy("vertex")
+            .agg(F.min("cand").alias("m"))
+            .select("vertex", F.col("m.distance").alias("distance"), F.col("m.pred").alias("pred"))
+        )
+        improved = (
+            candidates.join(
+                dists.select("vertex", F.col("distance").alias("old_distance")),
+                "vertex",
+                "left",
+            )
+            .filter(
+                F.col("old_distance").isNull()
+                | (F.col("distance") < F.col("old_distance"))
+            )
+            .select("vertex", "distance", "pred")
+            .transform(barrier_t(eager=False, ckdir=ck))
+        )
+        if improved.count() == 0:
+            break
+        dists = dists.join(improved, "vertex", "left_anti").unionByName(improved)
+        if it % checkpoint_every == 0:
+            dists = barrier(dists, eager=True, ckdir=ck)
+        frontier = improved
+    edges.unpersist()
+    return dists
+
+
+def reconstruct_path(preds: DataFrame, target: int, max_hops: int = 100_000) -> list[int]:
+    """Walk the predecessor tree from ``target`` back to the source and
+    return the forward path as vertex ids. Driver-side by nature — a
+    single path is one row per hop; the tree itself stays distributed.
+    Raises if ``target`` is unreachable (no row)."""
+    path = [target]
+    cur = target
+    for _ in range(max_hops):
+        row = preds.where(F.col("vertex") == cur).select("pred").first()
+        if row is None:
+            raise ValueError(f"vertex {target} is not reachable")
+        if row["pred"] is None:
+            return list(reversed(path))
+        cur = int(row["pred"])
+        path.append(cur)
+    raise RuntimeError("predecessor walk exceeded max_hops (cycle in tree?)")

@@ -706,3 +706,60 @@ def test_betweenness_path_graph_literal(spark):
     for v in range(n):
         assert abs(got[v] - expected[v]) < 1e-9
     assert got[2] > got[4]
+
+
+def test_sssp_predecessors_form_valid_shortest_path_tree(spark):
+    """Distances ≡ Python Dijkstra; every pred edge is tight
+    (dist[pred] + w == dist[v]); reconstructed paths are valid and
+    weight-exact."""
+    import heapq
+
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        reconstruct_path,
+        sssp_with_predecessors,
+    )
+
+    rng = random.Random(77)
+    n = 30
+    rows = [
+        (s, d, rng.randrange(1, 20))
+        for s in range(n)
+        for d in range(n)
+        if s != d and rng.random() < 0.12
+    ]
+    w = {}
+    adj = {}
+    for s, d, wt in rows:
+        if (s, d) not in w or wt < w[(s, d)]:
+            w[(s, d)] = wt
+    for (s, d), wt in w.items():
+        adj.setdefault(s, []).append((d, wt))
+    dist = {0: 0}
+    pq = [(0, 0)]
+    while pq:
+        du, u = heapq.heappop(pq)
+        if du > dist.get(u, float("inf")):
+            continue
+        for v, wt in adj.get(u, ()):
+            nd = du + wt
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+
+    edges = spark.createDataFrame(
+        [(s, d, wt) for (s, d), wt in w.items()], "src INT, dst INT, weight BIGINT"
+    )
+    out = sssp_with_predecessors(spark, edges, 0)
+    got = {r.vertex: (r.distance, r.pred) for r in out.collect()}
+    assert {v: d for v, (d, _) in got.items()} == dist
+    for v, (d, p) in got.items():
+        if v == 0:
+            assert p is None
+            continue
+        assert (p, v) in w and got[p][0] + w[(p, v)] == d, (v, p)
+    # reconstruct a few paths; each must be edge-valid and weight-exact
+    reachable = sorted(set(dist) - {0})[:5]
+    for t in reachable:
+        path = reconstruct_path(out, t)
+        assert path[0] == 0 and path[-1] == t
+        assert sum(w[(a, b)] for a, b in zip(path, path[1:])) == dist[t]
