@@ -1129,3 +1129,99 @@ def reconstruct_path(preds: DataFrame, target: int, max_hops: int = 100_000) -> 
         cur = int(row["pred"])
         path.append(cur)
     raise RuntimeError("predecessor walk exceeded max_hops (cycle in tree?)")
+
+
+def pagerank_weighted(
+    spark: SparkSession,
+    graphs: DataFrame,
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """PageRank over WEIGHTED edges ``(graph_id, src, dst, weight)``: each
+    vertex distributes its rank proportionally to outgoing edge weight
+    (``w(u,v) / sum_out(u)``) instead of uniformly — the citation-strength
+    / transition-probability form. Dangling vertices (no outgoing weight)
+    redistribute uniformly, exactly like :func:`pagerank`.
+
+    Same superstep shape and loop-invariant hoisting as :func:`pagerank`;
+    the only change is the out-degree table becoming an out-WEIGHT sum and
+    the contribution carrying the per-edge fraction. Weights must be
+    non-negative; zero-weight edges contribute nothing but do not make
+    their source dangling unless ALL its edges are zero (documented:
+    sum_out(u) = 0 is treated as dangling).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    edges = edges.where(F.col("weight") > 0).persist(StorageLevel.MEMORY_AND_DISK)
+    n_by_graph = graphs.select("graph_id", F.col("n").cast("double").alias("n_vertices"))
+    ck = checkpoint_dir(spark)
+    base = (
+        vertices(graphs)
+        .join(n_by_graph, "graph_id")
+        .transform(barrier_t(eager=True, ckdir=ck))
+    )
+    out_w = barrier(
+        edges.groupBy("graph_id", F.col("src").alias("vertex")).agg(
+            F.sum(F.col("weight").cast("double")).alias("out_weight")
+        ),
+        eager=True,
+        ckdir=ck,
+    )
+    dangling_verts = (
+        base.select("graph_id", "vertex")
+        .join(out_w, ["graph_id", "vertex"], "left_anti")
+        .transform(barrier_t(eager=True, ckdir=ck))
+    )
+    ranks = barrier(
+        base.select(
+            "graph_id", "vertex", (F.lit(1.0) / F.col("n_vertices")).alias("rank")
+        ),
+        eager=True,
+        ckdir=ck,
+    )
+    for it in range(1, iterations + 1):
+        r = ranks.join(out_w, ["graph_id", "vertex"]).alias("r")
+        e = edges.alias("e")
+        contrib = (
+            r.join(e, on=(F.col("r.graph_id") == F.col("e.graph_id"))
+                       & (F.col("r.vertex") == F.col("e.src")))
+            .select(
+                F.col("e.graph_id").alias("graph_id"),
+                F.col("e.dst").alias("vertex"),
+                (
+                    F.col("r.rank")
+                    * F.col("e.weight").cast("double")
+                    / F.col("r.out_weight")
+                ).alias("contrib"),
+            )
+            .groupBy("graph_id", "vertex")
+            .agg(F.sum("contrib").alias("received"))
+        )
+        dangling = (
+            ranks.join(dangling_verts, ["graph_id", "vertex"], "left_semi")
+            .groupBy("graph_id")
+            .agg(F.sum("rank").alias("dangling_mass"))
+        )
+        ranks = (
+            base.join(contrib, ["graph_id", "vertex"], "left")
+            .join(dangling, "graph_id", "left")
+            .select(
+                "graph_id",
+                "vertex",
+                (
+                    (1.0 - damping) / F.col("n_vertices")
+                    + damping
+                    * (
+                        F.coalesce(F.col("received"), F.lit(0.0))
+                        + F.coalesce(F.col("dangling_mass"), F.lit(0.0))
+                        / F.col("n_vertices")
+                    )
+                ).alias("rank"),
+            )
+        )
+        if it % checkpoint_every == 0 or it == iterations:
+            ranks = barrier(ranks, eager=True, ckdir=ck)
+    edges.unpersist()
+    return ranks

@@ -763,3 +763,58 @@ def test_sssp_predecessors_form_valid_shortest_path_tree(spark):
         path = reconstruct_path(out, t)
         assert path[0] == 0 and path[-1] == t
         assert sum(w[(a, b)] for a, b in zip(path, path[1:])) == dist[t]
+
+
+def test_weighted_pagerank_matches_python_reference(spark):
+    """Weighted PageRank vs an independent dense power iteration with
+    weight-proportional transitions; uniform weights must reduce to plain
+    PageRank exactly."""
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        pagerank, pagerank_weighted,
+    )
+
+    rng = random.Random(41)
+    n, iters, d = 20, 8, 0.85
+    rows = [
+        (1, s, t, rng.randrange(1, 10))
+        for s in range(n) for t in range(n)
+        if s != t and rng.random() < 0.15
+    ]
+    edges = spark.createDataFrame(rows, "graph_id INT, src INT, dst INT, weight INT")
+    graphs = spark.createDataFrame([(1, n)], "graph_id INT, n INT")
+
+    out_w = {}
+    for _, s, t, wt in rows:
+        out_w[s] = out_w.get(s, 0) + wt
+    rank = [1.0 / n] * n
+    for _ in range(iters):
+        received = [0.0] * n
+        dangling = sum(rank[v] for v in range(n) if v not in out_w)
+        for _, s, t, wt in rows:
+            received[t] += rank[s] * wt / out_w[s]
+        rank = [
+            (1 - d) / n + d * (received[v] + dangling / n) for v in range(n)
+        ]
+    got = {
+        r.vertex: r.rank
+        for r in pagerank_weighted(spark, graphs, edges, iterations=iters).collect()
+    }
+    for v in range(n):
+        assert abs(got[v] - rank[v]) < 1e-9, (v, got[v], rank[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    # unit weights -> identical to plain pagerank (same formula, same order)
+    from pyspark.sql import functions as F
+
+    unit = edges.withColumn("weight", F.lit(1))
+    plain = {
+        r.vertex: r.rank
+        for r in pagerank(spark, graphs, edges.drop("weight"), iterations=iters).collect()
+    }
+    weighted_unit = {
+        r.vertex: r.rank
+        for r in pagerank_weighted(spark, graphs, unit, iterations=iters).collect()
+    }
+    for v in range(n):
+        assert abs(weighted_unit[v] - plain[v]) < 1e-12
+
