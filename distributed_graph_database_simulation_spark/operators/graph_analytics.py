@@ -1225,3 +1225,198 @@ def pagerank_weighted(
             ranks = barrier(ranks, eager=True, ckdir=ck)
     edges.unpersist()
     return ranks
+
+
+# ---------------------------------------------------------------------------
+# HyperBall: approximate neighborhood function + effective diameter
+# ---------------------------------------------------------------------------
+# Boldi/Rosa/Vigna, "HyperANF: Approximating the Neighbourhood Function of
+# Very Large Graphs on a Budget" (WWW 2011). Each vertex carries a
+# HyperLogLog counter of the vertices in its out-ball; one superstep unions
+# every vertex's counter into its in-neighbors' counters, so after t steps
+# counter(v) estimates |{w : dist(v, w) <= t}|. The neighborhood function
+# N(t) = sum_v |ball(v, t)| yields distance distribution, effective
+# diameter, and centrality sketches without any all-pairs computation.
+#
+# Register-transposed layout: the per-vertex HLL is NOT an array column but
+# SPARSE rows (graph_id, vertex, reg, rho) — only touched registers exist.
+# The superstep merge is then a plain groupBy().max(): Spark has no native
+# elementwise-array-max aggregate, and this layout gets map-side partial
+# aggregation for free (registers crush to one row per (vertex, reg) before
+# the exchange). State is bounded by m rows/vertex; shuffle volume per
+# superstep is at most m*|E| narrow int rows combined map-side — the 100 TB
+# formulation. Registers use a 60-bit md5-derived hash (engine-portable,
+# same trick as dedup.simhash) so results are deterministic everywhere.
+
+_HB_LOG2M_DEFAULT = 6  # m = 64 registers -> ~13% HLL std error, linear
+                       # counting keeps small balls much tighter than that
+
+
+def _hb_alpha(m: int) -> float:
+    """Standard HLL bias-correction constant (Flajolet et al. 2007)."""
+    if m <= 16:
+        return 0.673
+    if m <= 32:
+        return 0.697
+    if m <= 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _hb_init_state(graphs: DataFrame, log2m: int) -> DataFrame:
+    """Ball(v, 0) = {v}: one register row per vertex.
+
+    reg = low log2m bits of the 60-bit hash; rho = leading-zero count + 1
+    of the remaining W bits (computed exactly via the length of the base-2
+    string — no float log2, whose rounding at powers of two differs by
+    libm). All JVM-side expression code.
+    """
+    m = 1 << log2m
+    w_bits = 60 - log2m
+    h = F.conv(F.substring(F.md5(F.col("vertex").cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    v = vertices(graphs).withColumn("h", h)
+    w = (F.col("h") / F.lit(m)).cast("bigint")
+    rho = F.when(w == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits + 1) - F.length(F.conv(w, 10, 2))
+    )
+    return v.select(
+        "graph_id",
+        "vertex",
+        F.pmod("h", F.lit(m)).cast("int").alias("reg"),
+        rho.cast("int").alias("rho"),
+    )
+
+
+def _hb_estimates(state: DataFrame, log2m: int) -> list:
+    """One aggregation pass -> [(graph_id, nf_est, checksum)] rows.
+
+    Per-vertex HLL estimate with the standard small-range (linear counting)
+    correction — absent registers contribute 2^0 each and count as zeros —
+    summed per graph. ``checksum`` = sum of all rho values + row count: rho
+    values only ever increase and rows are only ever added, so an unchanged
+    checksum proves NO register changed (the balls reached their transitive
+    closure) without a new-vs-old join.
+    """
+    m = 1 << log2m
+    alpha = _hb_alpha(m)
+    per_vertex = state.groupBy("graph_id", "vertex").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("z_nz"),
+        F.count("*").alias("nz"),
+        F.sum("rho").cast("bigint").alias("rho_sum"),
+    )
+    zeros = F.lit(m) - F.col("nz")
+    e_raw = F.lit(alpha * m * m) / (F.col("z_nz") + zeros)
+    est = F.when(
+        (zeros > 0) & (e_raw <= F.lit(2.5 * m)), F.lit(float(m)) * F.log(F.lit(m) / zeros)
+    ).otherwise(e_raw)
+    return (
+        per_vertex.select("graph_id", est.alias("est"), "rho_sum", "nz")
+        .groupBy("graph_id")
+        .agg(
+            F.sum("est").alias("nf_est"),
+            (F.sum("rho_sum") + F.sum("nz")).alias("checksum"),
+        )
+        .collect()
+    )
+
+
+def hyperball(
+    spark: SparkSession,
+    graphs: DataFrame,
+    edges: DataFrame,
+    log2m: int = _HB_LOG2M_DEFAULT,
+    max_t: int = 10_000,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Approximate neighborhood function N(t) per graph via HyperBall.
+
+    Returns a small DataFrame (graph_id int, t int, nf_est double):
+    for each t until convergence, the estimated number of ordered vertex
+    pairs (v, w) with dist(v, w) <= t following OUT-edges (t=0 rows are the
+    HLL estimate of |V| — each ball is its own vertex). Convergence =
+    the monotone register checksum stops changing, i.e. every ball reached
+    its transitive closure; N(final t) estimates reachable-pair count.
+
+    One shuffle per superstep (groupBy max over propagated registers), one
+    aggregation job per superstep for the N(t) point + convergence test.
+    Deterministic: md5-derived registers, no RNG.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    ck = checkpoint_dir(spark)
+    edges = (
+        edges.select("graph_id", "src", "dst")
+        .repartition("graph_id", "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    state = barrier(_hb_init_state(graphs, log2m), eager=True, ckdir=ck)
+    rows = _hb_estimates(state, log2m)
+    nf = [(int(r["graph_id"]), 0, float(r["nf_est"])) for r in rows]
+    prev_checksum = {int(r["graph_id"]): int(r["checksum"]) for r in rows}
+    for t in range(1, max_t + 1):
+        s, e = state.alias("s"), edges.alias("e")
+        # counter(dst) flows to src: ball_{t}(src) |= ball_{t-1}(dst)
+        propagated = s.join(
+            e,
+            on=(F.col("s.graph_id") == F.col("e.graph_id"))
+            & (F.col("s.vertex") == F.col("e.dst")),
+        ).select(
+            F.col("e.graph_id").alias("graph_id"),
+            F.col("e.src").alias("vertex"),
+            F.col("s.reg").alias("reg"),
+            F.col("s.rho").alias("rho"),
+        )
+        state = (
+            state.unionByName(propagated)
+            .groupBy("graph_id", "vertex", "reg")
+            .agg(F.max("rho").alias("rho"))
+        )
+        state = barrier(state, eager=(t % checkpoint_every == 0), ckdir=ck)
+        rows = _hb_estimates(state, log2m)
+        checksum = {int(r["graph_id"]): int(r["checksum"]) for r in rows}
+        if checksum == prev_checksum:
+            break  # all balls closed; N(t) == N(t-1) exactly, don't emit
+        nf.extend((int(r["graph_id"]), t, float(r["nf_est"])) for r in rows)
+        prev_checksum = checksum
+    edges.unpersist()
+    return spark.createDataFrame(nf, "graph_id int, t int, nf_est double")
+
+
+def effective_diameter(nf: DataFrame, alpha: float = 0.9) -> DataFrame:
+    """Effective diameter from a neighborhood function (graph_id, t, nf_est).
+
+    The standard ANF/HyperANF definition with linear interpolation: the
+    smallest (fractional) t at which N(t) reaches alpha * N(t_max). Window
+    functions over the tiny nf frame — no driver loop, composes with
+    :func:`hyperball` or an exact N(t) alike. Returns
+    (graph_id, effective_diameter double).
+    """
+    from pyspark.sql import Window
+
+    per_g = Window.partitionBy("graph_id")
+    ordered = Window.partitionBy("graph_id").orderBy("t")
+    target = F.lit(alpha) * F.max("nf_est").over(per_g)
+    annotated = nf.select(
+        "graph_id",
+        "t",
+        "nf_est",
+        target.alias("target"),
+        F.lag("nf_est").over(ordered).alias("prev_nf"),
+    )
+    # first row per graph with nf_est >= target; interpolate into (t-1, t]
+    hit = (
+        annotated.where(F.col("nf_est") >= F.col("target"))
+        .groupBy("graph_id")
+        .agg(F.min_by(F.struct("t", "nf_est", "prev_nf", "target"), "t").alias("s"))
+        .select("graph_id", F.col("s.*"))
+    )
+    interp = F.when(
+        (F.col("t") == 0) | F.col("prev_nf").isNull() | (F.col("prev_nf") >= F.col("target")),
+        F.col("t").cast("double"),
+    ).otherwise(
+        F.col("t") - 1
+        + (F.col("target") - F.col("prev_nf")) / (F.col("nf_est") - F.col("prev_nf"))
+    )
+    return hit.select("graph_id", interp.alias("effective_diameter"))

@@ -818,3 +818,159 @@ def test_weighted_pagerank_matches_python_reference(spark):
     for v in range(n):
         assert abs(weighted_unit[v] - plain[v]) < 1e-12
 
+
+
+# ---------------------------------------------------------------------------
+# HyperBall (approximate neighborhood function) + effective diameter
+# ---------------------------------------------------------------------------
+
+_HB_M = 64
+_HB_W = 54  # 60-bit hash, log2m = 6
+
+
+def _hb_py_init(v):
+    """Python mirror of graph_analytics._hb_init_state's hashing."""
+    import hashlib
+
+    h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+    reg = h % _HB_M
+    w = h // _HB_M
+    rho = _HB_W + 1 if w == 0 else _HB_W + 1 - w.bit_length()
+    return reg, rho
+
+
+def _hb_py_estimate(regs):
+    """Python mirror of graph_analytics._hb_estimates's per-vertex formula."""
+    import math
+
+    zeros = _HB_M - len(regs)
+    z = sum(2.0 ** -r for r in regs.values()) + zeros
+    e_raw = 0.709 * _HB_M * _HB_M / z
+    if zeros > 0 and e_raw <= 2.5 * _HB_M:
+        return _HB_M * math.log(_HB_M / zeros)
+    return e_raw
+
+
+def _hb_py_simulate(n, edge_rows, max_t=10_000):
+    """Independent HyperBall simulation: dict-of-registers per vertex,
+    identical hash / merge / estimate / convergence semantics.
+    Returns {t: nf_est}."""
+    counters = {}
+    for v in range(n):
+        reg, rho = _hb_py_init(v)
+        counters[v] = {reg: rho}
+    out = {v: [] for v in range(n)}
+    for s, d in edge_rows:
+        out[s].append(d)
+
+    def checksum():
+        return sum(sum(c.values()) + len(c) for c in counters.values())
+
+    nf = {0: sum(_hb_py_estimate(c) for c in counters.values())}
+    prev = checksum()
+    for t in range(1, max_t + 1):
+        new = {}
+        for v in range(n):
+            merged = dict(counters[v])
+            for w in out[v]:
+                for reg, rho in counters[w].items():
+                    if merged.get(reg, 0) < rho:
+                        merged[reg] = rho
+            new[v] = merged
+        counters = new
+        cs = checksum()
+        if cs == prev:
+            break
+        nf[t] = sum(_hb_py_estimate(c) for c in counters.values())
+        prev = cs
+    return nf
+
+
+def test_hyperball_matches_python_simulation(spark):
+    """Spark HyperBall must reproduce an independent Python simulation of
+    the same deterministic register algebra exactly (md5 hashes, max-merge,
+    linear-counting correction, checksum-based convergence)."""
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        hyperball,
+    )
+
+    rng = random.Random(19)
+    n = 30
+    rows = [(11, s, d) for (_, s, d) in _random_graph(rng, n, 0.07)]
+    edges = spark.createDataFrame(rows, "graph_id INT, src INT, dst INT")
+    graphs = spark.createDataFrame([(11, n)], "graph_id INT, n INT")
+    got = {r.t: r.nf_est for r in hyperball(spark, graphs, edges).collect()}
+    want = _hb_py_simulate(n, [(s, d) for (_, s, d) in rows])
+    assert set(got) == set(want)
+    for t in want:
+        assert got[t] == pytest.approx(want[t], rel=1e-6)
+    assert len(want) >= 2  # graph actually propagated
+
+
+def test_hyperball_estimates_exact_nf_on_path_graph(spark):
+    """Directed path 0->1->...->9: exact N(t) known in closed form; the
+    m=64 estimate (small balls -> linear-counting regime) must land within
+    10% at every t and converge in exactly diameter supersteps."""
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        hyperball,
+    )
+
+    n = 10
+    edges = spark.createDataFrame(
+        [(1, v, v + 1) for v in range(n - 1)], "graph_id INT, src INT, dst INT"
+    )
+    graphs = spark.createDataFrame([(1, n)], "graph_id INT, n INT")
+    nf = {r.t: r.nf_est for r in hyperball(spark, graphs, edges).collect()}
+    assert max(nf) == n - 1  # converges after exactly diameter steps
+    for t in range(n):
+        exact = sum(min(t, n - 1 - v) + 1 for v in range(n))
+        assert nf[t] == pytest.approx(exact, rel=0.10)
+
+
+def test_hyperball_on_scale_graph_reachable_pairs(spark, sf_dir):
+    """Orders-derived scale graph, symmetrized: strongly connected with a
+    tiny diameter, so the converged N(t) must estimate |V|^2 reachable
+    pairs within the HLL envelope, after very few supersteps."""
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        hyperball,
+        undirected,
+    )
+    from distributed_graph_database_simulation_spark.fixtures import (
+        SCALE_V,
+        scale_edges_df,
+    )
+
+    edges = undirected(
+        scale_edges_df(spark, sf_dir).selectExpr(
+            "CAST(1 AS INT) AS graph_id", "src", "dst"
+        )
+    )
+    graphs = spark.createDataFrame([(1, SCALE_V)], "graph_id INT, n INT")
+    nf = {r.t: r.nf_est for r in hyperball(spark, graphs, edges).collect()}
+    t_max = max(nf)
+    assert t_max <= 6  # near-complete graph closes almost immediately
+    assert nf[t_max] == pytest.approx(SCALE_V * SCALE_V, rel=0.15)
+
+
+def test_effective_diameter_interpolates_exact_nf(spark):
+    """effective_diameter on an EXACT neighborhood function of the path
+    graph must equal the hand-computed interpolated value, and alpha=1
+    must return the true diameter."""
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        effective_diameter,
+    )
+
+    n = 10
+    rows = [
+        (1, t, float(sum(min(t, n - 1 - v) + 1 for v in range(n))))
+        for t in range(n)
+    ]
+    nf = spark.createDataFrame(rows, "graph_id INT, t INT, nf_est DOUBLE")
+    target = 0.9 * rows[-1][2]
+    exact = {t: v for (_, t, v) in rows}
+    t_hit = min(t for t in exact if exact[t] >= target)
+    want = (t_hit - 1) + (target - exact[t_hit - 1]) / (exact[t_hit] - exact[t_hit - 1])
+    got = effective_diameter(nf).collect()[0]
+    assert got.effective_diameter == pytest.approx(want, rel=1e-12)
+    full = effective_diameter(nf, alpha=1.0).collect()[0]
+    assert full.effective_diameter == pytest.approx(float(n - 1), rel=1e-12)
