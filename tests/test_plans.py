@@ -392,3 +392,39 @@ def test_runtime_bloom_filter_prunes_fact_fact_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_hyperball_superstep_is_partial_aggregated_keyed_join(spark):
+    """The HyperBall superstep must stay a keyed equi-join + map-side
+    partial max — register rows crush before the exchange, never a
+    quadratic pair product."""
+    from pyspark.sql import functions as F
+
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        _hb_init_state,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, v, v + 1) for v in range(63)], "graph_id INT, src INT, dst INT"
+    )
+    graphs = spark.createDataFrame([(1, 64)], "graph_id INT, n INT")
+    state = _hb_init_state(graphs, 6)
+    propagated = state.alias("s").join(
+        edges.alias("e"),
+        on=(F.col("s.graph_id") == F.col("e.graph_id"))
+        & (F.col("s.vertex") == F.col("e.dst")),
+    ).select(
+        F.col("e.graph_id").alias("graph_id"),
+        F.col("e.src").alias("vertex"),
+        F.col("s.reg").alias("reg"),
+        F.col("s.rho").alias("rho"),
+    )
+    step = (
+        state.unionByName(propagated)
+        .groupBy("graph_id", "vertex", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    plan = _formatted_plan(step)
+    assert "partial_max" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
