@@ -1,0 +1,242 @@
+"""Graph-derived training data: random-walk corpora and neighborhood
+feature aggregation (the graph-to-ML bridge of the pipeline surface).
+
+The reference's graphs are pure topology (`secondary_server.c:91-100`);
+these operators consume the same edge-list model the rest of the engine
+uses and produce the two artifacts large-scale embedding / GNN training
+pipelines need from a graph: DeepWalk-style walk sequences (Perozzi et
+al., KDD 2014) and per-vertex aggregated neighborhood features
+(GraphSAGE-style mean/sum aggregation, Hamilton et al., NeurIPS 2017).
+
+Scale design notes:
+
+- **Walks never replicate neighbor lists.** The naive step — join the
+  frontier to ALL out-edges and pick one — ships deg(v) candidate rows per
+  walk visiting v, which a 10^6-degree hub turns into a shuffle bomb. Here
+  neighbor choice is ``r = H mod outdeg(v)`` with a deterministic 60-bit
+  md5-derived hash, followed by an equi-join against a precomputed
+  (src, rank) -> dst table: exactly ONE matched row per walk per step,
+  keyed joins only, O(walks) shuffle volume per superstep regardless of
+  skew. The rank table costs one window over (graph_id, src) computed
+  once and reused by every step.
+- **Determinism.** The hash folds (graph_id, start, walk_no, step, seed),
+  so corpora are reproducible across runs, engines, and partitionings —
+  the same property the samplers in pipeline.py guarantee; modulo bias of
+  a 60-bit hash over realistic degrees is < 2^-40.
+- **Feature aggregation is plain keyed join + partial agg** — the shapes
+  Catalyst already optimizes; k-hop composition re-uses the same shuffle
+  key (graph_id, vertex) every hop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import barrier, checkpoint_dir
+
+_WALK_HASH_HEX = 15  # 60-bit hash: bigint-safe, engine-portable (md5)
+
+
+def _walk_hash(step: int, seed: int):
+    """Deterministic per-(walk, step) 60-bit hash column."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("graph_id").cast("string"),
+                    F.col("start").cast("string"),
+                    F.col("walk_no").cast("string"),
+                    F.lit(str(step)),
+                    F.lit(str(seed)),
+                )
+            ),
+            1,
+            _WALK_HASH_HEX,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def random_walks(
+    spark: SparkSession,
+    graphs: DataFrame,
+    edges: DataFrame,
+    walks_per_vertex: int = 1,
+    walk_length: int = 8,
+    seed: int = 1,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """DeepWalk-style uniform random walks from every vertex.
+
+    Returns (graph_id, start, walk_no, step, vertex): ``walks_per_vertex``
+    walks per start vertex, each up to ``walk_length`` steps, stopping
+    early at sinks (no out-edges). step=0 rows are the starts themselves.
+    Neighbor choice at step t is the ``H mod outdeg``-th out-neighbor in
+    ascending-dst order — uniform per step, deterministic in
+    (graph_id, start, walk_no, step, seed).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    ck = checkpoint_dir(spark)
+    e = edges.select("graph_id", "src", "dst")
+    ranked = (
+        e.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("graph_id", "src").orderBy("dst")
+            )
+            - 1,
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = (
+        e.groupBy("graph_id", "src")
+        .agg(F.count("*").alias("outdeg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    starts = graphs.select(
+        "graph_id", F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("start")
+    ).select(
+        "graph_id",
+        "start",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(walks_per_vertex - 1))
+        ).alias("walk_no"),
+    )
+    frontier = barrier(
+        starts.select(
+            "graph_id",
+            "start",
+            "walk_no",
+            F.lit(0).cast("int").alias("step"),
+            F.col("start").alias("vertex"),
+        ),
+        eager=True,
+        ckdir=ck,
+    )
+    segments = [frontier]
+    for step in range(1, walk_length + 1):
+        cur = (
+            frontier.alias("f")
+            .join(
+                deg.alias("d"),
+                on=(F.col("f.graph_id") == F.col("d.graph_id"))
+                & (F.col("f.vertex") == F.col("d.src")),
+            )
+            .select(
+                F.col("f.graph_id").alias("graph_id"),
+                F.col("f.start").alias("start"),
+                F.col("f.walk_no").alias("walk_no"),
+                F.col("f.vertex").alias("at"),
+                F.col("d.outdeg").alias("outdeg"),
+            )
+            .select(
+                "graph_id",
+                "start",
+                "walk_no",
+                "at",
+                F.pmod(_walk_hash(step, seed), F.col("outdeg")).cast("int").alias("r"),
+            )
+        )
+        frontier = (
+            cur.alias("c")
+            .join(
+                ranked.alias("rk"),
+                on=(F.col("c.graph_id") == F.col("rk.graph_id"))
+                & (F.col("c.at") == F.col("rk.src"))
+                & (F.col("c.r") == F.col("rk.rank")),
+            )
+            .select(
+                F.col("c.graph_id").alias("graph_id"),
+                F.col("c.start").alias("start"),
+                F.col("c.walk_no").alias("walk_no"),
+                F.lit(step).cast("int").alias("step"),
+                F.col("rk.dst").alias("vertex"),
+            )
+        )
+        eager = step % checkpoint_every == 0 or step == walk_length
+        frontier = barrier(frontier, eager=eager, ckdir=ck)
+        segments.append(frontier)
+    out = segments[0]
+    for seg in segments[1:]:
+        out = out.unionByName(seg)
+    ranked.unpersist()
+    deg.unpersist()
+    return out
+
+
+def walks_as_sentences(walks: DataFrame) -> DataFrame:
+    """Collapse step rows into ordered vertex sequences — the "sentence"
+    layout embedding trainers consume. One shuffle on the walk key;
+    ordering is by the carried step column (sort_array over structs — no
+    window, no assumption about row order). Returns
+    (graph_id, start, walk_no, walk array<int>).
+    """
+    return (
+        walks.groupBy("graph_id", "start", "walk_no")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("step", "vertex"))),
+                lambda s: s["vertex"],
+            ).alias("walk")
+        )
+    )
+
+
+def aggregate_neighbor_features(
+    vertex_features: DataFrame,
+    edges: DataFrame,
+    feature_cols: list[str],
+    hops: int = 1,
+) -> DataFrame:
+    """GraphSAGE-style neighborhood feature aggregation.
+
+    For each vertex, the mean and sum of each feature over its out-
+    neighbors' ``hops``-hop aggregates (hop h consumes hop h-1's means —
+    iterated mean aggregation, the standard GNN feature-prep shape).
+    Missing neighbors (sinks) yield NULL aggregates, preserved rather than
+    zero-filled so downstream imputation stays explicit.
+
+    Returns (graph_id, vertex, <f>_mean, <f>_sum, n_neighbors) for the
+    final hop. Every hop is ONE keyed shuffle (join on the neighbor key +
+    partial-aggregated groupBy on the vertex key); feature columns stay
+    JVM-side the whole way.
+    """
+    if hops < 1:
+        raise ValueError(f"hops must be >= 1, got {hops}")
+    feats = vertex_features.select(
+        "graph_id", "vertex", *[F.col(c).cast("double").alias(c) for c in feature_cols]
+    )
+    e = edges.select("graph_id", "src", "dst")
+    current = feats
+    for _ in range(hops):
+        joined = (
+            e.alias("e")
+            .join(
+                current.alias("cf"),
+                on=(F.col("e.graph_id") == F.col("cf.graph_id"))
+                & (F.col("e.dst") == F.col("cf.vertex")),
+            )
+            .select(
+                F.col("e.graph_id").alias("graph_id"),
+                F.col("e.src").alias("vertex"),
+                *[F.col(f"cf.{c}").alias(c) for c in feature_cols],
+            )
+        )
+        aggs = []
+        for c in feature_cols:
+            aggs.append(F.avg(c).alias(f"{c}_mean"))
+            aggs.append(F.sum(c).alias(f"{c}_sum"))
+        aggs.append(F.count("*").cast("bigint").alias("n_neighbors"))
+        hop_out = joined.groupBy("graph_id", "vertex").agg(*aggs)
+        # next hop consumes this hop's means under the plain feature names
+        current = hop_out.select(
+            "graph_id",
+            "vertex",
+            *[F.col(f"{c}_mean").alias(c) for c in feature_cols],
+        )
+        last = hop_out
+    return last

@@ -1,0 +1,184 @@
+"""Graph-to-ML operators: deterministic random walks, sentence layout,
+neighborhood feature aggregation (operators/graph_ml.py).
+
+Registry is frozen, so these are test-pinned: exact equality against
+independent Python references that re-implement the documented contracts
+(md5 hash-mod neighbor choice, iterated mean aggregation) from scratch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import pytest
+
+from distributed_graph_database_simulation_spark.operators.graph_ml import (
+    aggregate_neighbor_features,
+    random_walks,
+    walks_as_sentences,
+)
+
+
+def _py_walks(g, n, edge_rows, walks_per_vertex, walk_length, seed):
+    """Independent reference: same documented hash rule, plain Python."""
+    nbrs = {}
+    for s, d in edge_rows:
+        nbrs.setdefault(s, []).append(d)
+    for s in nbrs:
+        nbrs[s] = sorted(nbrs[s])
+    rows = set()
+    for start in range(n):
+        for k in range(walks_per_vertex):
+            v = start
+            rows.add((g, start, k, 0, start))
+            for step in range(1, walk_length + 1):
+                out = nbrs.get(v)
+                if not out:
+                    break
+                h = int(
+                    hashlib.md5(
+                        f"{g}|{start}|{k}|{step}|{seed}".encode()
+                    ).hexdigest()[:15],
+                    16,
+                )
+                v = out[h % len(out)]
+                rows.add((g, start, k, step, v))
+    return rows
+
+
+def test_random_walks_match_python_reference(spark):
+    """Walk set must equal the independent Python implementation exactly."""
+    rng = random.Random(23)
+    n = 25
+    edge_rows = [
+        (s, d)
+        for s in range(n)
+        for d in range(n)
+        if s != d and rng.random() < 0.12
+    ]
+    edges = spark.createDataFrame(
+        [(11, s, d) for s, d in edge_rows], "graph_id INT, src INT, dst INT"
+    )
+    graphs = spark.createDataFrame([(11, n)], "graph_id INT, n INT")
+    got = {
+        (r.graph_id, r.start, r.walk_no, r.step, r.vertex)
+        for r in random_walks(
+            spark, graphs, edges, walks_per_vertex=2, walk_length=6, seed=5
+        ).collect()
+    }
+    want = _py_walks(11, n, edge_rows, 2, 6, 5)
+    assert got == want
+    # walks actually moved somewhere
+    assert any(step > 0 for (_, _, _, step, _) in got)
+
+
+def test_random_walks_are_valid_paths_and_deterministic(spark, sf_dir):
+    """Every consecutive (step, step+1) pair must be a real edge; two runs
+    must be identical."""
+    from distributed_graph_database_simulation_spark.fixtures import (
+        SCALE_V,
+        scale_edges_df,
+    )
+
+    edges = scale_edges_df(spark, sf_dir).selectExpr(
+        "CAST(1 AS INT) AS graph_id", "src", "dst"
+    )
+    graphs = spark.createDataFrame([(1, SCALE_V)], "graph_id INT, n INT")
+    w1 = random_walks(spark, graphs, edges, walk_length=4, seed=9).collect()
+    w2 = random_walks(spark, graphs, edges, walk_length=4, seed=9).collect()
+    s1 = {(r.start, r.walk_no, r.step, r.vertex) for r in w1}
+    assert s1 == {(r.start, r.walk_no, r.step, r.vertex) for r in w2}
+    edge_set = {(r.src, r.dst) for r in edges.collect()}
+    pos = {(r.start, r.walk_no, r.step): r.vertex for r in w1}
+    hops = 0
+    for (start, k, step), v in pos.items():
+        nxt = pos.get((start, k, step + 1))
+        if nxt is not None:
+            assert (v, nxt) in edge_set
+            hops += 1
+    assert hops > 0
+
+
+def test_random_walks_stop_at_sinks(spark):
+    """Directed path graph: a walk from the sink is just its start row,
+    and no walk exceeds the remaining path length."""
+    n = 5
+    edges = spark.createDataFrame(
+        [(1, v, v + 1) for v in range(n - 1)], "graph_id INT, src INT, dst INT"
+    )
+    graphs = spark.createDataFrame([(1, n)], "graph_id INT, n INT")
+    rows = random_walks(spark, graphs, edges, walk_length=10).collect()
+    by_start = {}
+    for r in rows:
+        by_start.setdefault(r.start, []).append((r.step, r.vertex))
+    assert sorted(by_start[n - 1]) == [(0, n - 1)]
+    # the only walk from v is v, v+1, ..., n-1 (single out-neighbor chain)
+    for start, steps in by_start.items():
+        assert sorted(steps) == [(i, start + i) for i in range(n - start)]
+
+
+def test_walks_as_sentences_orders_by_step(spark):
+    edges = spark.createDataFrame(
+        [(1, v, v + 1) for v in range(4)], "graph_id INT, src INT, dst INT"
+    )
+    graphs = spark.createDataFrame([(1, 5)], "graph_id INT, n INT")
+    walks = random_walks(spark, graphs, edges, walk_length=10)
+    sent = {r.start: r.walk for r in walks_as_sentences(walks).collect()}
+    assert sent[0] == [0, 1, 2, 3, 4]
+    assert sent[3] == [3, 4]
+    assert sent[4] == [4]
+
+
+def _py_neighbor_agg(edge_rows, feats, hops):
+    """Independent iterated-mean reference. feats: {v: {col: val}}."""
+    cols = sorted(next(iter(feats.values())).keys())
+    current = {v: dict(f) for v, f in feats.items()}
+    for _ in range(hops):
+        out = {}
+        for s, d in edge_rows:
+            if d in current:
+                acc = out.setdefault(s, {c: [] for c in cols})
+                for c in cols:
+                    acc[c].append(current[d][c])
+        hop_result = {}
+        for v, acc in out.items():
+            hop_result[v] = {
+                "n_neighbors": len(next(iter(acc.values()))),
+                **{f"{c}_mean": sum(acc[c]) / len(acc[c]) for c in cols},
+                **{f"{c}_sum": sum(acc[c]) for c in cols},
+            }
+        current = {v: {c: r[f"{c}_mean"] for c in cols} for v, r in hop_result.items()}
+        last = hop_result
+    return last
+
+
+@pytest.mark.parametrize("hops", [1, 2])
+def test_aggregate_neighbor_features_matches_reference(spark, hops):
+    rng = random.Random(31)
+    n = 20
+    edge_rows = [
+        (s, d)
+        for s in range(n)
+        for d in range(n)
+        if s != d and rng.random() < 0.15
+    ]
+    feats = {v: {"fa": float(v), "fb": float((v * 7) % 5)} for v in range(n)}
+    edges = spark.createDataFrame(
+        [(1, s, d) for s, d in edge_rows], "graph_id INT, src INT, dst INT"
+    )
+    vf = spark.createDataFrame(
+        [(1, v, f["fa"], f["fb"]) for v, f in feats.items()],
+        "graph_id INT, vertex INT, fa DOUBLE, fb DOUBLE",
+    )
+    got = {
+        r.vertex: r.asDict()
+        for r in aggregate_neighbor_features(vf, edges, ["fa", "fb"], hops=hops).collect()
+    }
+    want = _py_neighbor_agg(edge_rows, feats, hops)
+    assert set(got) == set(want)
+    for v, w in want.items():
+        g = got[v]
+        assert g["n_neighbors"] == w["n_neighbors"]
+        for c in ("fa_mean", "fa_sum", "fb_mean", "fb_sum"):
+            assert g[c] == pytest.approx(w[c], rel=1e-12)

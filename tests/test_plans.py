@@ -428,3 +428,38 @@ def test_hyperball_superstep_is_partial_aggregated_keyed_join(spark):
     assert "partial_max" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_random_walk_step_is_keyed_rank_lookup(spark):
+    """One walk step = two keyed equi-joins (degree lookup + rank lookup).
+    Never a neighbor-list replication: no cartesian/BNLJ anywhere, and the
+    rank join carries the walk rows, not deg(v) candidates."""
+    from distributed_graph_database_simulation_spark.operators.graph_ml import (
+        random_walks,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, v, (v + 1) % 50) for v in range(50)]
+        + [(1, v, (v + 7) % 50) for v in range(50)],
+        "graph_id INT, src INT, dst INT",
+    )
+    graphs = spark.createDataFrame([(1, 50)], "graph_id INT, n INT")
+    plan = _formatted_plan(random_walks(spark, graphs, edges, walk_length=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_neighbor_feature_agg_is_partial_aggregated(spark):
+    from distributed_graph_database_simulation_spark.operators.graph_ml import (
+        aggregate_neighbor_features,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, v, (v + 1) % 30) for v in range(30)], "graph_id INT, src INT, dst INT"
+    )
+    vf = spark.createDataFrame(
+        [(1, v, float(v)) for v in range(30)], "graph_id INT, vertex INT, fa DOUBLE"
+    )
+    plan = _formatted_plan(aggregate_neighbor_features(vf, edges, ["fa"]))
+    assert "partial_avg" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan
