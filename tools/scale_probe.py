@@ -519,6 +519,66 @@ def probe_scc(spark, n_cycles: int = 20_000, cycle_len: int = 10) -> dict:
             "sec": round(_t.perf_counter() - t0, 2)}
 
 
+def probe_hyperball(spark, n_edges: int, n_vertices: int) -> dict:
+    """Neighborhood function over a random digraph: supersteps ~ effective
+    diameter (log |V| for random graphs), state bounded m rows/vertex. The
+    converged N(t) must land at least at |reached pairs of the giant
+    component| scale — sanity: >= |V| (every ball holds its own vertex)."""
+    import time as _t
+
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        hyperball,
+    )
+
+    t0 = _t.perf_counter()
+    edges = spark.range(0, n_edges, 1, 32).select(
+        F.lit(1).alias("graph_id"),
+        F.pmod(F.xxhash64("id", F.lit(31)), F.lit(n_vertices)).cast("int").alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(32)), F.lit(n_vertices)).cast("int").alias("dst"),
+    )
+    graphs = spark.createDataFrame([(1, n_vertices)], "graph_id INT, n INT")
+    nf = hyperball(spark, graphs, edges).collect()
+    t_max = max(r.t for r in nf)
+    final = max(r.nf_est for r in nf)
+    if final < n_vertices:
+        raise AssertionError(f"converged N(t)={final} below |V|={n_vertices}")
+    return {"probe": "hyperball", "edges": n_edges, "vertices": n_vertices,
+            "t_converged": t_max, "nf_final": round(final),
+            "sec": round(_t.perf_counter() - t0, 2)}
+
+
+def probe_random_walks_hub(spark, n_vertices: int, walk_length: int = 6) -> dict:
+    """Walks over a graph with a full-fan hub (hub -> EVERY vertex, every
+    vertex -> hub): a neighbor-replicating step would ship |V| candidate
+    rows per walk touching the hub (~|V|^2/2 total); the rank-lookup step
+    ships one row per walk per step, so this must complete in seconds and
+    emit exactly (walk_length+1) rows per start (no sinks anywhere)."""
+    import time as _t
+
+    from distributed_graph_database_simulation_spark.operators.graph_ml import (
+        random_walks,
+    )
+
+    t0 = _t.perf_counter()
+    ids = spark.range(0, n_vertices, 1, 32).select(F.col("id").cast("int").alias("v"))
+    hub = 0
+    edges = (
+        ids.select(F.lit(1).alias("graph_id"), F.lit(hub).alias("src"), F.col("v").alias("dst"))
+        .union(ids.select(F.lit(1), F.col("v"), F.lit(hub)))
+        .union(ids.select(F.lit(1), F.col("v"), ((F.col("v") + 1) % n_vertices)))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    graphs = spark.createDataFrame([(1, n_vertices)], "graph_id INT, n INT")
+    out = random_walks(spark, graphs, edges, walk_length=walk_length)
+    n_rows = out.count()
+    expected = n_vertices * (walk_length + 1)
+    if n_rows != expected:
+        raise AssertionError(f"expected {expected} walk rows, got {n_rows}")
+    return {"probe": "random_walks_hub", "vertices": n_vertices,
+            "walk_rows": n_rows, "sec": round(_t.perf_counter() - t0, 2)}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--edges", type=float, default=5e6)
@@ -546,6 +606,8 @@ def main() -> int:
         lambda: probe_cap_per_source(spark, int(args.docs) * 100),
         lambda: probe_multi_source_bfs(spark, int(args.edges) // 2, int(args.vertices) // 2),
         lambda: probe_scc(spark),
+        lambda: probe_hyperball(spark, int(args.edges) // 5, int(args.vertices) // 5),
+        lambda: probe_random_walks_hub(spark, int(args.vertices) // 5),
     )
     for probe in probes:
         print(json.dumps(probe()), flush=True)
