@@ -1339,9 +1339,14 @@ def hyperball(
     the monotone register checksum stops changing, i.e. every ball reached
     its transitive closure; N(final t) estimates reachable-pair count.
 
-    One shuffle per superstep (groupBy max over propagated registers), one
-    aggregation job per superstep for the N(t) point + convergence test.
-    Deterministic: md5-derived registers, no RNG.
+    Delta propagation (the HyperANF "systolic" refinement): only register
+    rows that CHANGED last superstep are re-sent along edges — a register
+    already seen by a neighbor adds nothing under the idempotent max-merge,
+    so omitting it is lossless and the dominant m*|E| propagation shuffle
+    shrinks toward zero as balls close (early supersteps touch everything,
+    late ones only the frontier of still-growing balls). Convergence is
+    then simply "no register improved". One aggregation job per superstep
+    emits the N(t) point. Deterministic: md5-derived registers, no RNG.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -1354,32 +1359,40 @@ def hyperball(
     state = barrier(_hb_init_state(graphs, log2m), eager=True, ckdir=ck)
     rows = _hb_estimates(state, log2m)
     nf = [(int(r["graph_id"]), 0, float(r["nf_est"])) for r in rows]
-    prev_checksum = {int(r["graph_id"]): int(r["checksum"]) for r in rows}
+    delta = state
     for t in range(1, max_t + 1):
-        s, e = state.alias("s"), edges.alias("e")
-        # counter(dst) flows to src: ball_{t}(src) |= ball_{t-1}(dst)
-        propagated = s.join(
-            e,
-            on=(F.col("s.graph_id") == F.col("e.graph_id"))
-            & (F.col("s.vertex") == F.col("e.dst")),
-        ).select(
-            F.col("e.graph_id").alias("graph_id"),
-            F.col("e.src").alias("vertex"),
-            F.col("s.reg").alias("reg"),
-            F.col("s.rho").alias("rho"),
-        )
-        state = (
-            state.unionByName(propagated)
+        d, e = delta.alias("d"), edges.alias("e")
+        # changed counters at dst flow to src: ball_t(src) |= ball_{t-1}(dst)
+        cand = (
+            d.join(
+                e,
+                on=(F.col("d.graph_id") == F.col("e.graph_id"))
+                & (F.col("d.vertex") == F.col("e.dst")),
+            )
+            .select(
+                F.col("e.graph_id").alias("graph_id"),
+                F.col("e.src").alias("vertex"),
+                F.col("d.reg").alias("reg"),
+                F.col("d.rho").alias("rho"),
+            )
             .groupBy("graph_id", "vertex", "reg")
             .agg(F.max("rho").alias("rho"))
         )
+        keys = ["graph_id", "vertex", "reg"]
+        improved = (
+            cand.alias("c")
+            .join(state.alias("s"), on=keys, how="left")
+            .where(F.col("s.rho").isNull() | (F.col("c.rho") > F.col("s.rho")))
+            .select(*keys, F.col("c.rho").alias("rho"))
+        )
+        improved = barrier(improved, eager=False, ckdir=ck)
+        if improved.count() == 0:
+            break  # no register grew: every ball closed at t-1
+        state = state.join(improved, on=keys, how="left_anti").unionByName(improved)
         state = barrier(state, eager=(t % checkpoint_every == 0), ckdir=ck)
         rows = _hb_estimates(state, log2m)
-        checksum = {int(r["graph_id"]): int(r["checksum"]) for r in rows}
-        if checksum == prev_checksum:
-            break  # all balls closed; N(t) == N(t-1) exactly, don't emit
         nf.extend((int(r["graph_id"]), t, float(r["nf_est"])) for r in rows)
-        prev_checksum = checksum
+        delta = improved
     edges.unpersist()
     return spark.createDataFrame(nf, "graph_id int, t int, nf_est double")
 
