@@ -1433,3 +1433,99 @@ def effective_diameter(nf: DataFrame, alpha: float = 0.9) -> DataFrame:
         + (F.col("target") - F.col("prev_nf")) / (F.col("nf_est") - F.col("prev_nf"))
     )
     return hit.select("graph_id", interp.alias("effective_diameter"))
+
+
+def _edge_support(canon: DataFrame) -> DataFrame:
+    """Triangles-per-edge (support) over a canonical src<dst edge set.
+
+    One triangle (a<b<c) enumeration — the same two-join shape as
+    :func:`triangle_count` — then each found triangle credits all THREE of
+    its edges via an explode of the three (src, dst) pairs + one
+    partial-aggregated count. Edges in no triangle get support 0 via the
+    left join. Two keyed shuffles total; hub skew rides AQE like the other
+    wedge joins.
+    """
+    ab, bc, ac = canon.alias("ab"), canon.alias("bc"), canon.alias("ac")
+    tri = (
+        ab.join(bc, on=[F.col("ab.graph_id") == F.col("bc.graph_id"),
+                        F.col("ab.dst") == F.col("bc.src")])
+        .join(ac, on=[F.col("ab.graph_id") == F.col("ac.graph_id"),
+                      F.col("ab.src") == F.col("ac.src"),
+                      F.col("bc.dst") == F.col("ac.dst")])
+        .select(
+            F.col("ab.graph_id").alias("graph_id"),
+            F.col("ab.src").alias("a"),
+            F.col("ab.dst").alias("b"),
+            F.col("bc.dst").alias("c"),
+        )
+    )
+    edge_hits = tri.select(
+        "graph_id",
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("c").alias("dst")),
+                F.struct(F.col("a").alias("src"), F.col("c").alias("dst")),
+            )
+        ).alias("e"),
+    ).select("graph_id", F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+    support = edge_hits.groupBy("graph_id", "src", "dst").agg(
+        F.count("*").alias("support")
+    )
+    return (
+        canon.join(support, ["graph_id", "src", "dst"], "left")
+        .select(
+            "graph_id",
+            "src",
+            "dst",
+            F.coalesce("support", F.lit(0)).cast("bigint").alias("support"),
+        )
+    )
+
+
+def ktruss(
+    spark: SparkSession,
+    edges: DataFrame,
+    k: int,
+    max_iterations: int = 1_000,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """The k-truss of each graph: the maximal subgraph in which every edge
+    closes at least k-2 triangles *within the subgraph* (Cohen 2008 — the
+    cohesive-subgraph middle ground between k-core and clique).
+
+    Iterated peeling, the same fixpoint shape as :func:`kcore` one level
+    up the lattice: recompute per-edge support on the surviving edge set,
+    drop edges below k-2, repeat until stable. Each round is the
+    triangle-enumeration pair of keyed joins + one count — no pairwise
+    materialization beyond actual triangles — and removal cascades are
+    handled by the fixpoint, not bookkeeping. Returns the surviving
+    canonical edges with their final support:
+    (graph_id, src, dst, support), src < dst.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pyspark.storagelevel import StorageLevel
+
+    ck = checkpoint_dir(spark)
+    canon = (
+        undirected(edges)
+        .filter(F.col("src") < F.col("dst"))
+        .select("graph_id", "src", "dst")
+    )
+    canon = barrier(canon, eager=True, ckdir=ck)
+    n_edges = canon.count()
+    for it in range(1, max_iterations + 1):
+        with_support = _edge_support(canon)
+        kept = with_support.where(F.col("support") >= k - 2)
+        kept = barrier(
+            kept, eager=(it % checkpoint_every == 0), ckdir=ck
+        )
+        n_kept = kept.count()
+        canon = kept.select("graph_id", "src", "dst")
+        if n_kept == n_edges:
+            return kept  # fixpoint: every surviving edge is supported
+        n_edges = n_kept
+        if n_kept == 0:
+            return kept
+    raise RuntimeError(f"ktruss did not converge in {max_iterations} iterations")

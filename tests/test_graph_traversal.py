@@ -974,3 +974,76 @@ def test_effective_diameter_interpolates_exact_nf(spark):
     assert got.effective_diameter == pytest.approx(want, rel=1e-12)
     full = effective_diameter(nf, alpha=1.0).collect()[0]
     assert full.effective_diameter == pytest.approx(float(n - 1), rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# k-truss
+# ---------------------------------------------------------------------------
+
+def _py_ktruss(edge_rows, k):
+    """Independent reference: iterated support peeling over adjacency sets.
+    edge_rows: undirected edges as (u, v) in any orientation."""
+    edges = {tuple(sorted(e)) for e in edge_rows if e[0] != e[1]}
+    while True:
+        adj = {}
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        support = {
+            (u, v): len(adj[u] & adj[v]) for (u, v) in edges
+        }
+        kept = {e for e in edges if support[e] >= k - 2}
+        if kept == edges:
+            return {e: support[e] for e in edges}
+        edges = kept
+
+
+def test_ktruss_matches_python_reference(spark):
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        ktruss,
+    )
+
+    rng = random.Random(47)
+    n = 22
+    edge_rows = [
+        (s, d)
+        for s in range(n)
+        for d in range(s + 1, n)
+        if rng.random() < 0.25
+    ]
+    df = spark.createDataFrame(
+        [(11, s, d) for s, d in edge_rows], "graph_id INT, src INT, dst INT"
+    )
+    for k in (3, 4, 5):
+        got = {
+            (r.src, r.dst): r.support for r in ktruss(spark, df, k).collect()
+        }
+        want = _py_ktruss(edge_rows, k)
+        assert got == want, f"k={k}"
+
+
+def test_ktruss_literals(spark):
+    """K5 survives every truss up to 5 (each edge closes 3 triangles);
+    a path graph has an empty 3-truss; a triangle with a pendant edge
+    peels to exactly the triangle."""
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        ktruss,
+    )
+
+    k5 = [(1, u, v) for u in range(5) for v in range(u + 1, 5)]
+    df = spark.createDataFrame(k5, "graph_id INT, src INT, dst INT")
+    out = ktruss(spark, df, 5).collect()
+    assert len(out) == 10 and all(r.support == 3 for r in out)
+    assert ktruss(spark, df, 6).count() == 0
+
+    path = spark.createDataFrame(
+        [(1, v, v + 1) for v in range(6)], "graph_id INT, src INT, dst INT"
+    )
+    assert ktruss(spark, path, 3).count() == 0
+
+    pendant = spark.createDataFrame(
+        [(1, 0, 1), (1, 1, 2), (1, 0, 2), (1, 2, 3)],
+        "graph_id INT, src INT, dst INT",
+    )
+    tri = {(r.src, r.dst) for r in ktruss(spark, pendant, 3).collect()}
+    assert tri == {(0, 1), (1, 2), (0, 2)}
