@@ -1529,3 +1529,202 @@ def ktruss(
         if n_kept == 0:
             return kept
     raise RuntimeError(f"ktruss did not converge in {max_iterations} iterations")
+
+
+def _mis_priority(round_no: int):
+    """Deterministic per-round vertex priority: 60-bit md5 hash of
+    (graph_id, vertex, round). Engine-portable, no RNG — the same
+    reproducibility contract as the walk/sampler hashes."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("graph_id").cast("string"),
+                    F.col("vertex").cast("string"),
+                    F.lit(str(round_no)),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def maximal_independent_set(
+    spark: SparkSession,
+    graphs: DataFrame,
+    edges: DataFrame,
+    max_rounds: int = 1_000,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Luby's maximal independent set with deterministic hash priorities.
+
+    Per round, every still-active vertex draws a priority (md5 of vertex ×
+    round, ties broken by vertex id, so the result is a pure function of
+    the graph); local maxima over the active neighborhood join the MIS,
+    then winners and their neighbors deactivate. O(log |V|) expected
+    rounds (Luby 1986); each round is one neighbor-max aggregate + two
+    keyed semi/anti joins — all on the (graph_id, vertex) key. Returns
+    (graph_id, vertex, round) for MIS members (round = when selected).
+
+    Self-loops would make their vertex ineligible by definition (it is its
+    own neighbor); they are dropped first, matching the undirected-simple
+    reading every other analytics operator uses.
+    """
+    ck = checkpoint_dir(spark)
+    from pyspark.storagelevel import StorageLevel
+
+    ue = (
+        undirected(edges)
+        .where(F.col("src") != F.col("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    active = barrier(vertices(graphs), eager=True, ckdir=ck)
+    chosen = None
+    for rnd in range(1, max_rounds + 1):
+        if active.count() == 0:
+            break
+        pri = active.select(
+            "graph_id", "vertex", _mis_priority(rnd).alias("p")
+        )
+        pri = barrier(pri, eager=False, ckdir=ck)
+        p_a, p_b, e = pri.alias("pa"), pri.alias("pb"), ue.alias("e")
+        # max (priority, vertex) over each vertex's ACTIVE neighbors; the
+        # struct max gives the deterministic tie-break for free
+        nbr_max = (
+            e.join(
+                p_b,
+                on=(F.col("e.graph_id") == F.col("pb.graph_id"))
+                & (F.col("e.dst") == F.col("pb.vertex")),
+            )
+            .select(
+                F.col("e.graph_id").alias("graph_id"),
+                F.col("e.src").alias("vertex"),
+                F.struct(F.col("pb.p").alias("p"), F.col("pb.vertex").alias("v")).alias(
+                    "nb"
+                ),
+            )
+            .groupBy("graph_id", "vertex")
+            .agg(F.max("nb").alias("nb_max"))
+        )
+        winners = (
+            p_a.join(nbr_max, ["graph_id", "vertex"], "left")
+            .where(
+                F.col("nb_max").isNull()
+                | (
+                    F.struct(F.col("p").alias("p"), F.col("vertex").alias("v"))
+                    > F.col("nb_max")
+                )
+            )
+            .select("graph_id", "vertex", F.lit(rnd).cast("int").alias("round"))
+        )
+        winners = barrier(winners, eager=True, ckdir=ck)
+        chosen = winners if chosen is None else chosen.unionByName(winners)
+        # deactivate winners and every neighbor of a winner
+        w_nbrs = (
+            ue.alias("e")
+            .join(
+                winners.alias("w"),
+                on=(F.col("e.graph_id") == F.col("w.graph_id"))
+                & (F.col("e.src") == F.col("w.vertex")),
+            )
+            .select(
+                F.col("e.graph_id").alias("graph_id"),
+                F.col("e.dst").alias("vertex"),
+            )
+        )
+        dead = winners.select("graph_id", "vertex").unionByName(w_nbrs)
+        active = active.join(dead, ["graph_id", "vertex"], "left_anti")
+        active = barrier(
+            active, eager=(rnd % checkpoint_every == 0), ckdir=ck
+        )
+    ue.unpersist()
+    if chosen is None:
+        return spark.createDataFrame([], "graph_id int, vertex int, round int")
+    return chosen
+
+
+def temporal_reachability(
+    spark: SparkSession,
+    edges: DataFrame,
+    sources: DataFrame,
+    max_supersteps: int = 10_000,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Earliest-arrival reachability over a TEMPORAL graph: each edge
+    (graph_id, src, dst, ts) is traversable only at its timestamp, and a
+    path must have non-decreasing timestamps (you cannot ride an edge that
+    departed before you arrived) — the standard time-respecting-path model
+    for event graphs (interaction networks, message logs).
+
+    Earliest arrival has optimal substructure (any prefix of a
+    time-respecting path is one, and arriving EARLIER never closes off an
+    edge), so a Bellman-Ford-style min fixpoint is exact: relax
+    ``arr(dst) <- min(ts : edge(src, dst, ts), ts >= arr(src))`` until no
+    arrival decreases. Each superstep is one keyed join + one
+    partial-aggregated min on the (graph_id, source, vertex) key; the
+    convergence test rides the same aggregate (previous arrival threaded
+    through as max(old) — the connected-components trick), so it is one
+    job per superstep. All sources advance simultaneously, landmark-BFS
+    style.
+
+    ``sources``: (graph_id, source, t0) — walks may only use edges with
+    ts >= t0. Returns (graph_id, source, vertex, earliest) including the
+    source itself at earliest = t0.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    ck = checkpoint_dir(spark)
+    e = (
+        edges.select("graph_id", "src", "dst", F.col("ts").cast("bigint").alias("ts"))
+        .repartition("graph_id", "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    arr = barrier(
+        sources.select(
+            "graph_id",
+            "source",
+            F.col("source").alias("vertex"),
+            F.col("t0").cast("bigint").alias("earliest"),
+        ),
+        eager=True,
+        ckdir=ck,
+    )
+    keys = ["graph_id", "source", "vertex"]
+    for it in range(1, max_supersteps + 1):
+        a, ee = arr.alias("a"), e.alias("e")
+        msgs = (
+            a.join(
+                ee,
+                on=(F.col("a.graph_id") == F.col("e.graph_id"))
+                & (F.col("a.vertex") == F.col("e.src"))
+                & (F.col("e.ts") >= F.col("a.earliest")),
+            )
+            .select(
+                F.col("e.graph_id").alias("graph_id"),
+                F.col("a.source").alias("source"),
+                F.col("e.dst").alias("vertex"),
+                F.col("e.ts").alias("earliest"),
+                F.lit(None).cast("bigint").alias("old"),
+            )
+        )
+        new_arr = (
+            arr.withColumn("old", F.col("earliest"))
+            .unionByName(msgs)
+            .groupBy(*keys)
+            .agg(F.min("earliest").alias("earliest"), F.max("old").alias("old"))
+            .transform(barrier_t(eager=False, ckdir=ck))
+        )
+        n_changed = new_arr.filter(
+            F.col("old").isNull() | (F.col("earliest") < F.col("old"))
+        ).count()
+        arr = new_arr.drop("old")
+        if it % checkpoint_every == 0:
+            arr = barrier(arr, eager=True, ckdir=ck)
+        if n_changed == 0:
+            break
+    e.unpersist()
+    return arr
