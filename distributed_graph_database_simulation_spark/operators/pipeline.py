@@ -621,3 +621,58 @@ def zorder_layout_df(
         .repartitionByRange(n_files, "zval")
         .sortWithinPartitions("zval")
     )
+
+
+def write_quantile_sketch(
+    df: DataFrame, value_col: str, group_col: str, path: str, batch_id: int, k: int = 200
+) -> None:
+    """Append one batch's per-group KLL quantile sketches (Datasketches
+    ``kll_sketch_agg_double``) to a sketch store — the quantile sibling of
+    :func:`write_distinct_sketch`: a pipeline tracking latency / length /
+    score distributions per slice at 100 TB cannot keep raw values, and
+    KLL state is O(k log n) per group with ~1.65% worst-case rank error at
+    the default k=200, mergeable without re-reading history.
+
+    Written ``partitionBy(batch_id)`` with dynamic overwrite — replaying a
+    batch replaces exactly its own partition (idempotent retry), matching
+    the HLL store and the streaming dedup ingester.
+    """
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        df.groupBy(F.col(group_col).alias("group_key"))
+        .agg(
+            F.kll_sketch_agg_double(
+                F.col(value_col).cast("double"), F.lit(k)
+            ).alias("sketch")
+        )
+        .withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+
+
+def read_quantile_estimates(
+    spark: SparkSession, path: str, quantiles: list[float]
+) -> DataFrame:
+    """Merge every stored batch sketch per group (``kll_merge_agg_double``,
+    order-insensitive) and return one row per group with a ``q_<pct>``
+    column per requested quantile plus the exact merged row count ``n``
+    (KLL tracks n exactly even though values are compacted). Cost is
+    sketch-proportional: the raw values are never re-read.
+    """
+    merged = (
+        spark.read.parquet(path)
+        .groupBy("group_key")
+        .agg(F.kll_merge_agg_double("sketch").alias("sk"))
+    )
+    cols = [
+        F.kll_sketch_get_quantile_double("sk", F.lit(float(q))).alias(
+            f"q_{str(q).replace('.', '_')}"
+        )
+        for q in quantiles
+    ]
+    return merged.select(
+        "group_key", *cols, F.kll_sketch_get_n_double("sk").alias("n")
+    )

@@ -1468,3 +1468,52 @@ def test_interval_overlap_join_stays_keyed(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantile_sketch_store_merge_rank_error_and_replay(spark, sf_dir, tmp_path):
+    """KLL quantile store over the real events table: merged two-batch
+    estimates must land within the k=200 rank-error envelope of truth
+    (verified by TRUE rank of the estimated value, the only meaningful
+    KLL check since compaction is sampled), track n exactly, and batch
+    replay must replace — not duplicate — its own partition."""
+    from distributed_graph_database_simulation_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    store = str(tmp_path / "qsketches")
+    pipeline.write_quantile_sketch(
+        events.where(F.col("event_id") % 2 == 0), "value", "event_type", store, 0
+    )
+    pipeline.write_quantile_sketch(
+        events.where(F.col("event_id") % 2 == 1), "value", "event_type", store, 1
+    )
+    got = {
+        r.group_key: r
+        for r in pipeline.read_quantile_estimates(
+            spark, store, [0.1, 0.5, 0.9]
+        ).collect()
+    }
+    truth = {
+        r["event_type"]: sorted(x["value"] for x in r["vals"])
+        for r in events.groupBy("event_type")
+        .agg(F.collect_list(F.struct("value")).alias("vals"))
+        .collect()
+    }
+    assert set(got) == set(truth)
+    for g, vals in truth.items():
+        n = len(vals)
+        assert got[g].n == n
+        for q, col in ((0.1, "q_0_1"), (0.5, "q_0_5"), (0.9, "q_0_9")):
+            est = got[g][col]
+            true_rank = sum(1 for v in vals if v <= est) / n
+            assert abs(true_rank - q) <= 0.05, (g, q, est, true_rank)
+    # replay batch 1: same store state (partition replaced, not appended)
+    rows_before = spark.read.parquet(store).count()
+    pipeline.write_quantile_sketch(
+        events.where(F.col("event_id") % 2 == 1), "value", "event_type", store, 1
+    )
+    assert spark.read.parquet(store).count() == rows_before
+    merged_again = {
+        r.group_key: r.n
+        for r in pipeline.read_quantile_estimates(spark, store, [0.5]).collect()
+    }
+    assert merged_again == {g: len(v) for g, v in truth.items()}
