@@ -676,3 +676,62 @@ def read_quantile_estimates(
     return merged.select(
         "group_key", *cols, F.kll_sketch_get_n_double("sk").alias("n")
     )
+
+
+def write_theta_sketch(
+    df: DataFrame, key_col: str, group_col: str, path: str, batch_id: int
+) -> None:
+    """Append one batch's per-group Theta sketches to a sketch store.
+
+    Theta is the SET-ALGEBRA sketch: unlike HLL (union-only), stored theta
+    state supports intersection and difference estimates — "distinct users
+    seen in slice A AND slice B" across a 100 TB history without ever
+    joining raw keys. Same store contract as the HLL/KLL siblings:
+    ``partitionBy(batch_id)``, dynamic overwrite, idempotent replay.
+    """
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        df.groupBy(F.col(group_col).alias("group_key"))
+        .agg(F.theta_sketch_agg(key_col).alias("sketch"))
+        .withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+
+
+def read_theta_set_estimates(spark: SparkSession, path: str) -> DataFrame:
+    """Merge batches per group, then estimate the distinct count of every
+    group PAIR's union, intersection, and difference — the set-overlap
+    report (audience overlap, slice contamination, A/B reach) that raw-key
+    joins would need a full-history shuffle for. The pair "join" is over
+    one merged sketch row per group (driver-scale), never over keys.
+
+    Returns (group_a, group_b, n_a, n_b, n_union, n_intersection, n_diff)
+    for group_a < group_b.
+    """
+    merged = (
+        spark.read.parquet(path)
+        .groupBy("group_key")
+        .agg(F.theta_union_agg("sketch").alias("sk"))
+    )
+    a, b = merged.alias("a"), merged.alias("b")
+    return (
+        a.join(b, F.col("a.group_key") < F.col("b.group_key"))
+        .select(
+            F.col("a.group_key").alias("group_a"),
+            F.col("b.group_key").alias("group_b"),
+            F.theta_sketch_estimate(F.col("a.sk")).alias("n_a"),
+            F.theta_sketch_estimate(F.col("b.sk")).alias("n_b"),
+            F.theta_sketch_estimate(
+                F.theta_union(F.col("a.sk"), F.col("b.sk"))
+            ).alias("n_union"),
+            F.theta_sketch_estimate(
+                F.theta_intersection(F.col("a.sk"), F.col("b.sk"))
+            ).alias("n_intersection"),
+            F.theta_sketch_estimate(
+                F.theta_difference(F.col("a.sk"), F.col("b.sk"))
+            ).alias("n_diff"),
+        )
+    )

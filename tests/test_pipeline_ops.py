@@ -1517,3 +1517,42 @@ def test_quantile_sketch_store_merge_rank_error_and_replay(spark, sf_dir, tmp_pa
         for r in pipeline.read_quantile_estimates(spark, store, [0.5]).collect()
     }
     assert merged_again == {g: len(v) for g, v in truth.items()}
+
+
+def test_theta_sketch_store_set_algebra_matches_truth(spark, sf_dir, tmp_path):
+    """Theta store over the real events table: pairwise union /
+    intersection / difference estimates across event_type slices must
+    match exact distinct counts (small-cardinality regime: theta sketches
+    are exact below their sampling threshold), and batch replay must not
+    inflate anything."""
+    from distributed_graph_database_simulation_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    store = str(tmp_path / "theta")
+    pipeline.write_theta_sketch(
+        events.where(F.col("event_id") % 2 == 0), "user_id", "event_type", store, 0
+    )
+    pipeline.write_theta_sketch(
+        events.where(F.col("event_id") % 2 == 1), "user_id", "event_type", store, 1
+    )
+    pipeline.write_theta_sketch(  # replay batch 1
+        events.where(F.col("event_id") % 2 == 1), "user_id", "event_type", store, 1
+    )
+    got = {
+        (r.group_a, r.group_b): r
+        for r in pipeline.read_theta_set_estimates(spark, store).collect()
+    }
+    users = {
+        r["event_type"]: {x["user_id"] for x in r["us"]}
+        for r in events.groupBy("event_type")
+        .agg(F.collect_set(F.struct("user_id")).alias("us"))
+        .collect()
+    }
+    names = sorted(users)
+    assert set(got) == {(x, y) for i, x in enumerate(names) for y in names[i + 1:]}
+    for (ga, gb), r in got.items():
+        ua, ub = users[ga], users[gb]
+        assert round(r.n_a) == len(ua) and round(r.n_b) == len(ub)
+        assert round(r.n_union) == len(ua | ub)
+        assert round(r.n_intersection) == len(ua & ub)
+        assert round(r.n_diff) == len(ua - ub)
