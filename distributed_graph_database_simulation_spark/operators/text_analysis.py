@@ -513,3 +513,74 @@ TEXT_QUERIES: dict[str, tuple] = {
     "text_contamination": (text_contamination, TEXT_CONTAMINATION_SQL),
     "text_pii_scrub": (text_pii_scrub, TEXT_PII_SCRUB_SQL),
 }
+
+
+def token_cooccurrence_pmi(
+    docs: DataFrame,
+    top_tokens_per_doc: int = 32,
+    min_pair_docs: int = 2,
+) -> DataFrame:
+    """Pointwise-mutual-information token co-occurrence graph over a
+    document corpus — the classic word-association structure (collocation
+    mining, retrieval expansion, embedding evaluation) built from
+    document-level co-occurrence.
+
+    PMI(a, b) = log( P(a,b) / (P(a) P(b)) ) with probabilities = document
+    frequencies over the corpus. Scale discipline: the pair space is NEVER
+    the full vocab² — each document contributes pairs only among its own
+    top ``top_tokens_per_doc`` tokens (by in-doc frequency, ties by token
+    — deterministic), so per-doc fan-out is bounded by N(N-1)/2 and the
+    pair join is keyed on doc_id. Marginal document frequencies join back
+    onto the surviving pairs (≥ ``min_pair_docs`` docs) by token key. All
+    JVM expression code; one explode, two keyed shuffles, no Python.
+
+    Returns (token_a, token_b, n_docs_pair, n_docs_a, n_docs_b,
+    pmi double) with token_a < token_b.
+    """
+    from pyspark.sql import Window
+
+    words = F.split(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"[^a-z0-9]+", " "), " ")
+    tok = (
+        docs.select("doc_id", F.explode(words).alias("token"))
+        .where(F.col("token") != "")
+    )
+    in_doc = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    top = (
+        in_doc.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("tf").desc(), F.col("token")
+                )
+            ),
+        )
+        .where(F.col("rk") <= top_tokens_per_doc)
+        .select("doc_id", "token")
+    )
+    n_docs = docs.select(F.countDistinct("doc_id").alias("d")).first()["d"]
+    df_tok = top.groupBy("token").agg(F.count("*").alias("df"))
+    a, b = top.alias("a"), top.alias("b")
+    pairs = (
+        a.join(b, on="doc_id")
+        .where(F.col("a.token") < F.col("b.token"))
+        .groupBy(
+            F.col("a.token").alias("token_a"), F.col("b.token").alias("token_b")
+        )
+        .agg(F.count("*").alias("n_docs_pair"))
+        .where(F.col("n_docs_pair") >= min_pair_docs)
+    )
+    return (
+        pairs.join(df_tok.select(F.col("token").alias("token_a"), F.col("df").alias("n_docs_a")), "token_a")
+        .join(df_tok.select(F.col("token").alias("token_b"), F.col("df").alias("n_docs_b")), "token_b")
+        .select(
+            "token_a",
+            "token_b",
+            F.col("n_docs_pair").cast("bigint").alias("n_docs_pair"),
+            F.col("n_docs_a").cast("bigint").alias("n_docs_a"),
+            F.col("n_docs_b").cast("bigint").alias("n_docs_b"),
+            F.log(
+                (F.col("n_docs_pair").cast("double") * F.lit(float(n_docs)))
+                / (F.col("n_docs_a") * F.col("n_docs_b"))
+            ).alias("pmi"),
+        )
+    )

@@ -1556,3 +1556,77 @@ def test_theta_sketch_store_set_algebra_matches_truth(spark, sf_dir, tmp_path):
         assert round(r.n_union) == len(ua | ub)
         assert round(r.n_intersection) == len(ua & ub)
         assert round(r.n_diff) == len(ua - ub)
+
+
+def test_token_cooccurrence_pmi_matches_python_reference(spark):
+    """PMI co-occurrence graph vs an independent Python reference
+    implementing the documented contract (top-N by tf with token
+    tie-break, doc-frequency probabilities, natural-log PMI)."""
+    import math
+
+    from distributed_graph_database_simulation_spark.operators.text_analysis import (
+        token_cooccurrence_pmi,
+    )
+
+    corpus = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat on the log"),
+        (2, "cat and dog and cat"),
+        (3, "a completely different sentence entirely"),
+        (4, "the cat and the dog sat"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id LONG, text STRING")
+    top_n, min_docs = 4, 2
+    got = {
+        (r.token_a, r.token_b): r
+        for r in token_cooccurrence_pmi(docs, top_n, min_docs).collect()
+    }
+
+    import re
+    from collections import Counter
+
+    doc_tops = {}
+    for doc_id, text in corpus:
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower().strip()) if t]
+        tf = Counter(toks)
+        ranked = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n]
+        doc_tops[doc_id] = {t for t, _ in ranked}
+    df_tok = Counter(t for tops in doc_tops.values() for t in tops)
+    pair_docs = Counter()
+    for tops in doc_tops.values():
+        ts = sorted(tops)
+        for i, x in enumerate(ts):
+            for y in ts[i + 1:]:
+                pair_docs[(x, y)] += 1
+    d = len(corpus)
+    want = {
+        p: (c, df_tok[p[0]], df_tok[p[1]], math.log(c * d / (df_tok[p[0]] * df_tok[p[1]])))
+        for p, c in pair_docs.items()
+        if c >= min_docs
+    }
+    assert set(got) == set(want)
+    for p, (c, da, db, pmi) in want.items():
+        r = got[p]
+        assert (r.n_docs_pair, r.n_docs_a, r.n_docs_b) == (c, da, db)
+        assert r.pmi == pytest.approx(pmi, rel=1e-12)
+
+
+def test_token_cooccurrence_pmi_on_documents_table(spark, sf_dir):
+    """Real documents table: output is canonical (a < b), bounded by the
+    per-doc cap, and PMI is consistent with its own counts."""
+    import math
+
+    from distributed_graph_database_simulation_spark.operators.text_analysis import (
+        token_cooccurrence_pmi,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    n_docs = docs.count()
+    out = token_cooccurrence_pmi(docs, top_tokens_per_doc=8).collect()
+    assert out
+    for r in out[:200]:
+        assert r.token_a < r.token_b
+        assert r.n_docs_pair <= min(r.n_docs_a, r.n_docs_b)
+        assert r.pmi == pytest.approx(
+            math.log(r.n_docs_pair * n_docs / (r.n_docs_a * r.n_docs_b)), rel=1e-9
+        )
