@@ -1728,3 +1728,183 @@ def temporal_reachability(
             break
     e.unpersist()
     return arr
+
+
+def greedy_coloring(
+    spark: SparkSession,
+    graphs: DataFrame,
+    edges: DataFrame,
+    max_colors: int = 10_000,
+) -> DataFrame:
+    """Distributed greedy graph coloring by iterated MIS (Jones-Plassmann
+    flavor): color c goes to a maximal independent set of the still-
+    uncolored subgraph, repeat until everything is colored. Uses at most
+    Δ+1 colors on bounded-degree graphs in practice; rounds = number of
+    colors used, each round a Luby loop over a shrinking vertex set.
+    Deterministic (inherits the md5-priority MIS). Returns
+    (graph_id, vertex, color int) — a proper coloring: no edge joins two
+    same-colored vertices.
+    """
+    ck = checkpoint_dir(spark)
+    from pyspark.storagelevel import StorageLevel
+
+    # Same Spark quirk multi_source_bfs documents: iterated unions of
+    # checkpoints under derived equality constraints can fail
+    # LogicalRDD.rewriteStatsAndConstraints ("key not found: vertex#N").
+    # Every join below is an explicit equi-join, so inference off is free.
+    conf_key = "spark.sql.constraintPropagation.enabled"
+    prev = spark.conf.get(conf_key, "true")
+    spark.conf.set(conf_key, "false")
+    ue = (
+        undirected(edges)
+        .where(F.col("src") != F.col("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        remaining_v = barrier(vertices(graphs), eager=True, ckdir=ck)
+        colored = None
+        for color in range(max_colors):
+            if remaining_v.count() == 0:
+                break
+            # induced subgraph on the still-uncolored vertex set
+            sub_edges = (
+                ue.alias("e")
+                .join(
+                    remaining_v.alias("va"),
+                    on=(F.col("e.graph_id") == F.col("va.graph_id"))
+                    & (F.col("e.src") == F.col("va.vertex")),
+                    how="left_semi",
+                )
+                .alias("e2")
+                .join(
+                    remaining_v.alias("vb"),
+                    on=(F.col("e2.graph_id") == F.col("vb.graph_id"))
+                    & (F.col("e2.dst") == F.col("vb.vertex")),
+                    how="left_semi",
+                )
+            )
+            sub_edges = barrier(sub_edges, eager=True, ckdir=ck)
+            mis = _mis_over_vertices(spark, remaining_v, sub_edges, ck)
+            batch = mis.select(
+                "graph_id", "vertex", F.lit(color).cast("int").alias("color")
+            )
+            batch = barrier(batch, eager=True, ckdir=ck)
+            colored = batch if colored is None else colored.unionByName(batch)
+            remaining_v = remaining_v.join(
+                batch.select("graph_id", "vertex"), ["graph_id", "vertex"], "left_anti"
+            )
+            remaining_v = barrier(remaining_v, eager=True, ckdir=ck)
+        else:
+            raise RuntimeError(f"coloring exceeded {max_colors} colors")
+    finally:
+        spark.conf.set(conf_key, prev)
+    ue.unpersist()
+    return colored
+
+
+def _mis_over_vertices(spark, vertex_set: DataFrame, ue: DataFrame, ck) -> DataFrame:
+    """Luby MIS over an explicit vertex set + undirected edge set (the
+    inner loop of :func:`greedy_coloring`; same algebra as
+    :func:`maximal_independent_set` with the universe passed in).
+    Returns (graph_id, vertex)."""
+    active = vertex_set.select("graph_id", "vertex")
+    chosen = None
+    rnd = 0
+    while True:
+        rnd += 1
+        if active.count() == 0:
+            break
+        pri = barrier(
+            active.select("graph_id", "vertex", _mis_priority(rnd).alias("p")),
+            eager=False,
+            ckdir=ck,
+        )
+        p_b, e = pri.alias("pb"), ue.alias("e")
+        nbr_max = (
+            e.join(
+                p_b,
+                on=(F.col("e.graph_id") == F.col("pb.graph_id"))
+                & (F.col("e.dst") == F.col("pb.vertex")),
+            )
+            .select(
+                F.col("e.graph_id").alias("graph_id"),
+                F.col("e.src").alias("vertex"),
+                F.struct(F.col("pb.p").alias("p"), F.col("pb.vertex").alias("v")).alias("nb"),
+            )
+            .groupBy("graph_id", "vertex")
+            .agg(F.max("nb").alias("nb_max"))
+        )
+        winners = (
+            pri.alias("pa")
+            .join(nbr_max, ["graph_id", "vertex"], "left")
+            .where(
+                F.col("nb_max").isNull()
+                | (F.struct(F.col("p").alias("p"), F.col("vertex").alias("v")) > F.col("nb_max"))
+            )
+            .select("graph_id", "vertex")
+        )
+        winners = barrier(winners, eager=True, ckdir=ck)
+        chosen = winners if chosen is None else chosen.unionByName(winners)
+        w_nbrs = (
+            ue.alias("e")
+            .join(
+                winners.alias("w"),
+                on=(F.col("e.graph_id") == F.col("w.graph_id"))
+                & (F.col("e.src") == F.col("w.vertex")),
+            )
+            .select(F.col("e.graph_id").alias("graph_id"), F.col("e.dst").alias("vertex"))
+        )
+        dead = winners.unionByName(w_nbrs)
+        active = barrier(
+            active.join(dead, ["graph_id", "vertex"], "left_anti"),
+            eager=True,
+            ckdir=ck,
+        )
+    if chosen is None:
+        return spark.createDataFrame([], "graph_id int, vertex int")
+    return chosen
+
+
+_DOULION_MOD = 1_000_003
+_DOULION_KNUTH = 2654435761
+
+
+def triangle_count_sampled(edges: DataFrame, sample_ppm: int = 100_000) -> DataFrame:
+    """Doulion (Tsourakakis et al., KDD 2009) sampled triangle counting:
+    keep each canonical edge with probability p = sample_ppm / 1e6 via a
+    deterministic Knuth-hash coin (no rand() — resumable, engine-stable),
+    count triangles on the sparsified graph, scale by 1/p³. Unbiased, and
+    the variance argument of the paper carries: cost drops by ~p² in the
+    wedge joins, the accuracy knob is explicit. Returns
+    (graph_id, triangles_est double) — compare :func:`triangle_count`
+    for the exact path.
+    """
+    if not 0 < sample_ppm <= 1_000_000:
+        raise ValueError(f"sample_ppm must be in (0, 1e6], got {sample_ppm}")
+    canon = (
+        undirected(edges)
+        .filter(F.col("src") < F.col("dst"))
+        .select("graph_id", "src", "dst")
+    )
+    # reduce before the Knuth multiply: |h mod M| * K < 2^51, ANSI-safe
+    coin = F.pmod(
+        F.pmod(
+            F.xxhash64(F.col("graph_id"), F.col("src"), F.col("dst")),
+            F.lit(_DOULION_MOD),
+        )
+        * F.lit(_DOULION_KNUTH),
+        F.lit(_DOULION_MOD),
+    )
+    p = sample_ppm / 1_000_000.0
+    kept = canon.where(coin < F.lit(int(sample_ppm * _DOULION_MOD / 1_000_000)))
+    ab, bc, ac = kept.alias("ab"), kept.alias("bc"), kept.alias("ac")
+    tri = (
+        ab.join(bc, on=[F.col("ab.graph_id") == F.col("bc.graph_id"),
+                        F.col("ab.dst") == F.col("bc.src")])
+        .join(ac, on=[F.col("ab.graph_id") == F.col("ac.graph_id"),
+                      F.col("ab.src") == F.col("ac.src"),
+                      F.col("bc.dst") == F.col("ac.dst")])
+        .groupBy(F.col("ab.graph_id").alias("graph_id"))
+        .agg((F.count("*") / F.lit(p ** 3)).alias("triangles_est"))
+    )
+    return tri

@@ -1225,3 +1225,108 @@ def test_temporal_reachability_respects_time_ordering(spark):
         for r in temporal_reachability(spark, early_then_late, sources).collect()
     }
     assert got == {0: 0, 1: 3, 2: 5}
+
+
+# ---------------------------------------------------------------------------
+# Greedy coloring (iterated MIS) + sampled triangles (Doulion)
+# ---------------------------------------------------------------------------
+
+def test_greedy_coloring_proper_and_matches_reference(spark):
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        greedy_coloring,
+    )
+
+    rng = random.Random(71)
+    n = 30
+    edge_rows = [
+        (s, d) for s in range(n) for d in range(s + 1, n) if rng.random() < 0.15
+    ]
+    df = spark.createDataFrame(
+        [(11, s, d) for s, d in edge_rows], "graph_id INT, src INT, dst INT"
+    )
+    graphs = spark.createDataFrame([(11, n)], "graph_id INT, n INT")
+    got = {
+        r.vertex: r.color for r in greedy_coloring(spark, graphs, df).collect()
+    }
+    # independent reference: iterate the SAME documented MIS rule per color
+    nbrs = {v: set() for v in range(n)}
+    for s, d in edge_rows:
+        nbrs[s].add(d)
+        nbrs[d].add(s)
+    remaining = set(range(n))
+    want = {}
+    color = 0
+    while remaining:
+        sub_edges = [
+            (s, d) for s, d in edge_rows if s in remaining and d in remaining
+        ]
+        mis = set(_py_mis(11, n, sub_edges)) & remaining
+        # _py_mis runs over all n vertices; restrict to the remaining set
+        # by re-running on the induced subgraph's vertex set:
+        mis = _py_mis_subset(11, remaining, sub_edges)
+        for v in mis:
+            want[v] = color
+        remaining -= mis
+        color += 1
+    assert got == want
+    # proper coloring + degree bound
+    for s, d in edge_rows:
+        assert got[s] != got[d]
+    max_deg = max(len(nbrs[v]) for v in range(n))
+    assert max(got.values()) <= max_deg
+
+
+def _py_mis_subset(g, vertex_set, edge_rows, max_rounds=1000):
+    """Luby MIS over an explicit vertex subset (reference for the coloring
+    inner loop)."""
+    import hashlib
+
+    nbrs = {v: set() for v in vertex_set}
+    for s, d in edge_rows:
+        nbrs[s].add(d)
+        nbrs[d].add(s)
+    active = set(vertex_set)
+    chosen = set()
+    for rnd in range(1, max_rounds + 1):
+        if not active:
+            break
+        pri = {
+            v: int(hashlib.md5(f"{g}|{v}|{rnd}".encode()).hexdigest()[:15], 16)
+            for v in active
+        }
+        winners = {
+            v
+            for v in active
+            if all((pri[v], v) > (pri[w], w) for w in nbrs[v] if w in active)
+        }
+        chosen |= winners
+        dead = set(winners)
+        for v in winners:
+            dead |= nbrs[v]
+        active -= dead
+    return chosen
+
+
+def test_triangle_count_sampled_exact_at_p1_and_envelope(spark):
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        triangle_count,
+        triangle_count_sampled,
+    )
+
+    rng = random.Random(83)
+    n = 60
+    edge_rows = [
+        (s, d) for s in range(n) for d in range(s + 1, n) if rng.random() < 0.3
+    ]
+    df = spark.createDataFrame(
+        [(11, s, d) for s, d in edge_rows], "graph_id INT, src INT, dst INT"
+    )
+    exact = triangle_count(df).collect()[0].triangles
+    assert exact > 100
+    full = triangle_count_sampled(df, sample_ppm=1_000_000).collect()[0]
+    assert full.triangles_est == pytest.approx(float(exact), rel=1e-12)
+    est = triangle_count_sampled(df, sample_ppm=500_000).collect()[0]
+    assert est.triangles_est == pytest.approx(float(exact), rel=0.4)
+    # determinism of the hash coin
+    est2 = triangle_count_sampled(df, sample_ppm=500_000).collect()[0]
+    assert est.triangles_est == est2.triangles_est
