@@ -475,3 +475,58 @@ SIMILARITY_QUERIES: dict[str, tuple] = {
     "sim_topk_lsh": (sim_topk_lsh, None),
     "sim_topk_ivf": (sim_topk_ivf, None),
 }
+
+
+def random_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_dim: int,
+    seed: int = 1,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: map ``vec_col``
+    (array<float/double>, any input dim) to ``out_dim`` Gaussian-projected
+    coordinates scaled by 1/sqrt(out_dim), preserving pairwise Euclidean
+    distances within (1±eps) for eps ~ sqrt(8 ln n / out_dim) — the
+    standard pre-ANN dimensionality reduction when the raw embedding width
+    makes exact distance work too expensive.
+
+    Executed as an Arrow ``mapInPandas`` batch matmul: the projection
+    matrix is regenerated INSIDE each task from the deterministic seed
+    (``numpy.random.default_rng(seed)``, out_dim × in_dim float64 — a few
+    MB even at 4096 input dims), so nothing is broadcast or shuffled and
+    the operator is a pure narrow map over the corpus; per-batch work is
+    one vectorized (batch × in_dim) @ (in_dim × out_dim) product. Output:
+    (``id_col``, projected array<double>).
+    """
+    import pandas as pd  # noqa: F401 — worker-side import check
+
+    if out_dim < 1:
+        raise ValueError(f"out_dim must be >= 1, got {out_dim}")
+    src = df.select(
+        F.col(id_col).alias("_rp_id"),
+        F.col(vec_col).cast("array<double>").alias("_rp_vec"),
+    )
+
+    def _batches(it):
+        import numpy as np
+
+        planes = {}
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf["_rp_vec"].tolist(), dtype=np.float64)
+            in_dim = mat.shape[1]
+            if in_dim not in planes:
+                rng = np.random.default_rng(seed)
+                planes[in_dim] = rng.standard_normal((in_dim, out_dim))
+            proj = mat @ planes[in_dim] / np.sqrt(out_dim)
+            out = pdf[["_rp_id"]].copy()
+            out["projected"] = list(proj)
+            yield out
+
+    out_schema = f"_rp_id long, projected array<double>"
+    return (
+        src.mapInPandas(_batches, out_schema)
+        .select(F.col("_rp_id").alias(id_col), "projected")
+    )

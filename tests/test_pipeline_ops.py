@@ -1630,3 +1630,41 @@ def test_token_cooccurrence_pmi_on_documents_table(spark, sf_dir):
         assert r.pmi == pytest.approx(
             math.log(r.n_docs_pair * n_docs / (r.n_docs_a * r.n_docs_b)), rel=1e-9
         )
+
+
+def test_random_project_matches_numpy_and_preserves_distances(spark, sf_dir):
+    """JL projection on the real embeddings table: (a) bit-level agreement
+    with an independent numpy reference using the documented rng contract,
+    (b) pairwise Euclidean distances preserved within the JL envelope."""
+    import numpy as np
+
+    from distributed_graph_database_simulation_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out_dim, seed = 64, 7
+    got = {
+        r.vec_id: np.array(r.projected)
+        for r in similarity.random_project(
+            emb, "vec_id", "embedding", out_dim, seed
+        ).collect()
+    }
+    raw = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()
+    }
+    in_dim = len(next(iter(raw.values())))
+    planes = np.random.default_rng(seed).standard_normal((in_dim, out_dim))
+    for vid, v in raw.items():
+        want = v @ planes / np.sqrt(out_dim)
+        assert np.allclose(got[vid], want, rtol=1e-9, atol=1e-12)
+    ids = sorted(raw)[:60]
+    dist_ratios = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d_raw = np.linalg.norm(raw[a] - raw[b])
+            if d_raw == 0:
+                continue
+            d_proj = np.linalg.norm(got[a] - got[b])
+            dist_ratios.append(d_proj / d_raw)
+    med = float(np.median(dist_ratios))
+    assert 0.8 < med < 1.2
+    assert float(np.mean(np.abs(np.array(dist_ratios) - 1.0))) < 0.25

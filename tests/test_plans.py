@@ -463,3 +463,18 @@ def test_neighbor_feature_agg_is_partial_aggregated(spark):
     plan = _formatted_plan(aggregate_neighbor_features(vf, edges, ["fa"]))
     assert "partial_avg" in plan or "partial_sum" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_random_project_is_narrow_map(spark, sf_dir):
+    """The JL projection must stay a pure narrow map over the corpus: scan
+    -> mapInPandas, zero Exchange (planes regenerate in-task from the
+    seed, nothing broadcast or shuffled)."""
+    from distributed_graph_database_simulation_spark.operators.similarity import (
+        random_project,
+    )
+    from distributed_graph_database_simulation_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = _formatted_plan(random_project(emb, "vec_id", "embedding", 16))
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
