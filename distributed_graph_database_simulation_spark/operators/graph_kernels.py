@@ -197,3 +197,99 @@ def scc_kernel(
     return _grouped_with_n(graphs, edges).groupBy("graph_id").applyInPandas(
         kernel, SCC_OUT_SCHEMA
     )
+
+
+BCC_OUT_SCHEMA = (
+    "graph_id INT, kind STRING, vertex INT, src INT, dst INT"
+)
+
+
+def articulation_kernel(
+    graphs: DataFrame,
+    edges: DataFrame,
+    max_nodes: int = DEFAULT_KERNEL_MAX_NODES,
+) -> DataFrame:
+    """Articulation points and bridges per pandas group — Hopcroft-Tarjan
+    lowpoint DFS (explicit stack), on the undirected simple view of each
+    graph.
+
+    Cut vertices/edges have no shuffle-native distributed formulation (the
+    lowpoint recurrence is inherently DFS-ordered), so this is a
+    kernel-regime-only operator by design, matching the reference's
+    n<=100 bound (`secondary_server.c:91`) — it parallelizes ACROSS
+    graphs, the same decomposition argument as `dfs_leaves`. Returns long
+    rows: kind='articulation' with ``vertex`` set, kind='bridge' with
+    canonical (src < dst) endpoints set.
+    """
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        graph_id = int(pdf["graph_id"].iloc[0])
+        n = int(pdf["n"].iloc[0])
+        if n > max_nodes:
+            raise ValueError(f"graph {graph_id} has n={n}, over kernel cap {max_nodes}")
+        adj: dict[int, set[int]] = {v: set() for v in range(n)}
+        e = pdf[pdf["src"].notna()]
+        for s, d in zip(e["src"].astype(int), e["dst"].astype(int)):
+            if s != d:
+                adj[s].add(d)
+                adj[d].add(s)
+        order = {v: sorted(adj[v]) for v in range(n)}
+        disc: dict[int, int] = {}
+        low: dict[int, int] = {}
+        parent: dict[int, int] = {}
+        arts: set[int] = set()
+        bridges: list[tuple[int, int]] = []
+        counter = 0
+        for root in range(n):
+            if root in disc:
+                continue
+            root_children = 0
+            work: list[tuple[int, int]] = [(root, 0)]
+            while work:
+                v, pi = work[-1]
+                if pi == 0:
+                    disc[v] = low[v] = counter
+                    counter += 1
+                advanced = False
+                nbrs = order[v]
+                for i in range(pi, len(nbrs)):
+                    w = nbrs[i]
+                    if w not in disc:
+                        parent[w] = v
+                        if v == root:
+                            root_children += 1
+                        work[-1] = (v, i + 1)
+                        work.append((w, 0))
+                        advanced = True
+                        break
+                    if w != parent.get(v):
+                        low[v] = min(low[v], disc[w])
+                if not advanced:
+                    work.pop()
+                    if work:
+                        u = work[-1][0]
+                        low[u] = min(low[u], low[v])
+                        if low[v] >= disc[u] and u != root:
+                            arts.add(u)
+                        if low[v] > disc[u]:
+                            bridges.append((min(u, v), max(u, v)))
+            if root_children >= 2:
+                arts.add(root)
+        rows = [
+            {"graph_id": graph_id, "kind": "articulation", "vertex": v,
+             "src": None, "dst": None}
+            for v in sorted(arts)
+        ] + [
+            {"graph_id": graph_id, "kind": "bridge", "vertex": None,
+             "src": s, "dst": d}
+            for s, d in sorted(bridges)
+        ]
+        if not rows:
+            rows = []
+        return pd.DataFrame(
+            rows, columns=["graph_id", "kind", "vertex", "src", "dst"]
+        )
+
+    return _grouped_with_n(graphs, edges).groupBy("graph_id").applyInPandas(
+        kernel, BCC_OUT_SCHEMA
+    )

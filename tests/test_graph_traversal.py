@@ -1330,3 +1330,97 @@ def test_triangle_count_sampled_exact_at_p1_and_envelope(spark):
     # determinism of the hash coin
     est2 = triangle_count_sampled(df, sample_ppm=500_000).collect()[0]
     assert est.triangles_est == est2.triangles_est
+
+
+# ---------------------------------------------------------------------------
+# Articulation points / bridges kernel
+# ---------------------------------------------------------------------------
+
+def _py_cut_bruteforce(n, edge_rows):
+    """Brute-force reference: v is an articulation point iff removing it
+    increases the component count among the remaining vertices; (u, v) is
+    a bridge iff removing it disconnects u from v."""
+    adj = {v: set() for v in range(n)}
+    for s, d in edge_rows:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+
+    def components(excl_v=None, excl_e=None):
+        seen, comps = set(), 0
+        for start in range(n):
+            if start == excl_v or start in seen:
+                continue
+            comps += 1
+            stack = [start]
+            seen.add(start)
+            while stack:
+                v = stack.pop()
+                for w in adj[v]:
+                    if w == excl_v or w in seen:
+                        continue
+                    if excl_e and {v, w} == set(excl_e):
+                        continue
+                    seen.add(w)
+                    stack.append(w)
+        return comps
+
+    base = components()
+    arts = {v for v in range(n) if components(excl_v=v) > base - (0 if adj[v] else 1)}
+    edges_c = {tuple(sorted((s, d))) for s, d in edge_rows if s != d}
+    bridges = {e for e in edges_c if components(excl_e=e) > base}
+    return arts, bridges
+
+
+def test_articulation_kernel_matches_bruteforce(spark):
+    from distributed_graph_database_simulation_spark.operators.graph_kernels import (
+        articulation_kernel,
+    )
+
+    rng = random.Random(97)
+    n = 25
+    edge_rows = [
+        (s, d) for s in range(n) for d in range(s + 1, n) if rng.random() < 0.08
+    ]
+    df = spark.createDataFrame(
+        [(11, s, d) for s, d in edge_rows], "graph_id INT, src INT, dst INT"
+    )
+    graphs = spark.createDataFrame([(11, n)], "graph_id INT, n INT")
+    out = articulation_kernel(graphs, df).collect()
+    got_arts = {r.vertex for r in out if r.kind == "articulation"}
+    got_bridges = {(r.src, r.dst) for r in out if r.kind == "bridge"}
+    want_arts, want_bridges = _py_cut_bruteforce(n, edge_rows)
+    assert got_arts == want_arts
+    assert got_bridges == want_bridges
+
+
+def test_articulation_kernel_literals(spark):
+    from distributed_graph_database_simulation_spark.operators.graph_kernels import (
+        articulation_kernel,
+    )
+
+    # path: internal vertices are articulation points, every edge a bridge
+    path = spark.createDataFrame(
+        [(1, v, v + 1) for v in range(4)], "graph_id INT, src INT, dst INT"
+    )
+    g1 = spark.createDataFrame([(1, 5)], "graph_id INT, n INT")
+    out = articulation_kernel(g1, path).collect()
+    assert {r.vertex for r in out if r.kind == "articulation"} == {1, 2, 3}
+    assert {(r.src, r.dst) for r in out if r.kind == "bridge"} == {
+        (0, 1), (1, 2), (2, 3), (3, 4)
+    }
+    # cycle: no cuts at all
+    cyc = spark.createDataFrame(
+        [(2, v, (v + 1) % 5) for v in range(5)], "graph_id INT, src INT, dst INT"
+    )
+    g2 = spark.createDataFrame([(2, 5)], "graph_id INT, n INT")
+    assert articulation_kernel(g2, cyc).count() == 0
+    # bowtie (two triangles sharing vertex 2): shared vertex only, no bridges
+    bow = spark.createDataFrame(
+        [(3, 0, 1), (3, 1, 2), (3, 0, 2), (3, 2, 3), (3, 3, 4), (3, 2, 4)],
+        "graph_id INT, src INT, dst INT",
+    )
+    g3 = spark.createDataFrame([(3, 5)], "graph_id INT, n INT")
+    out = articulation_kernel(g3, bow).collect()
+    assert {r.vertex for r in out if r.kind == "articulation"} == {2}
+    assert not [r for r in out if r.kind == "bridge"]
