@@ -1150,6 +1150,109 @@ def interval_overlap_join_df(
     )
 
 
+def resample_forward_fill_df(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+) -> DataFrame:
+    """Regular-grid resampling with forward fill — the hypertable
+    ``time_bucket_gapfill + locf`` shape: per key, emit one row per
+    ``step_seconds`` bucket between that key's first and last observation,
+    carrying the last observed value forward across empty buckets.
+
+    Distributed shape: bucket heads come from one keyed aggregate over the
+    raw events (last value per non-empty bucket — ``max_by`` on the raw
+    timestamp, deterministic under ties by (ts, value)); the dense grid is
+    generated JVM-side per key with ``sequence`` + ``explode`` (never a
+    driver loop or a calendar cross join); the fill is one
+    ``last(value, ignorenulls)`` window scanning forward in bucket order —
+    one shuffle on the key, one window pass, all O(grid) rows. Gaps before
+    a key's first observation cannot exist by construction (the grid
+    starts at its first bucket). Returns
+    (key, bucket_ts timestamp, value, observed boolean).
+    """
+    from pyspark.sql import Window
+
+    b = (F.unix_timestamp(F.col(ts_col)) / step_seconds).cast("bigint")
+    per_bucket = (
+        events.select(
+            F.col(key_col).alias("key"),
+            b.alias("bucket"),
+            F.struct(
+                F.unix_timestamp(F.col(ts_col)).alias("ts"),
+                F.col(value_col).cast("double").alias("v"),
+            ).alias("obs"),
+        )
+        .groupBy("key", "bucket")
+        .agg(F.max("obs")["v"].alias("value"))
+    )
+    spans = per_bucket.groupBy("key").agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    grid = spans.select(
+        "key", F.explode(F.sequence("b0", "b1")).alias("bucket")
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(per_bucket, ["key", "bucket"], "left")
+        .select(
+            "key",
+            F.timestamp_seconds(F.col("bucket") * step_seconds).alias("bucket_ts"),
+            F.last("value", ignorenulls=True).over(w).alias("value"),
+            F.col("value").isNotNull().alias("observed"),
+            "bucket",
+        )
+        .drop("bucket")
+    )
+
+
+def scd2_history_df(
+    changes: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history from a change log: per
+    key, one validity interval per observed change —
+    (key, valid_from, valid_to, <values...>, is_current), with
+    ``valid_to`` = next change's timestamp (NULL while current). The
+    standard snapshot-maintenance shape for attribute tables (doc
+    metadata, license status, source quality tier) that training-data
+    audits need to query "as of" any point in time.
+
+    One shuffle on the key + one window pass (``lead``). Duplicate
+    (key, ts) rows collapse deterministically to the struct-max of the
+    value tuple BEFORE the window, so intervals never zero-width.
+    Composes with :func:`interval_overlap_join_df` for as-of audits.
+    """
+    from pyspark.sql import Window
+
+    vals = [F.col(c) for c in value_cols]
+    collapsed = (
+        changes.select(
+            F.col(key_col).alias("key"),
+            F.col(ts_col).alias("valid_from"),
+            F.struct(*vals).alias("_vals"),
+        )
+        .groupBy("key", "valid_from")
+        .agg(F.max("_vals").alias("_vals"))
+    )
+    w = Window.partitionBy("key").orderBy("valid_from")
+    out = collapsed.select(
+        "key",
+        "valid_from",
+        F.lead("valid_from").over(w).alias("valid_to"),
+        *[F.col("_vals")[c].alias(c) for c in value_cols],
+    )
+    return out.withColumn("is_current", F.col("valid_to").isNull())
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "rel_pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "rel_top_revenue_orders": (top_revenue_orders, TOP_REVENUE_ORDERS_SQL),

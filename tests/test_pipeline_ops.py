@@ -1668,3 +1668,88 @@ def test_random_project_matches_numpy_and_preserves_distances(spark, sf_dir):
     med = float(np.median(dist_ratios))
     assert 0.8 < med < 1.2
     assert float(np.mean(np.abs(np.array(dist_ratios) - 1.0))) < 0.25
+
+
+def test_resample_forward_fill_matches_python_reference(spark, sf_dir):
+    """Gap-filled per-user resampling of the real events table vs an
+    independent Python reference (same bucket floor, last-by-(ts, value)
+    head, forward fill)."""
+    from distributed_graph_database_simulation_spark.operators.relational import (
+        resample_forward_fill_df,
+    )
+    from distributed_graph_database_simulation_spark.sources.tables import load_table
+
+    step = 6 * 3600
+    events = load_table(spark, sf_dir, "events").where(F.col("user_id") < 10)
+    got = {
+        (r.key, r.bucket_ts): (r.value, r.observed)
+        for r in resample_forward_fill_df(
+            events, "user_id", "ts", "value", step
+        ).collect()
+    }
+    rows = events.select(
+        "user_id", F.unix_timestamp("ts").alias("ts"), "value"
+    ).collect()
+    import datetime
+
+    per_key = {}
+    for r in rows:
+        per_key.setdefault(r.user_id, []).append((r.ts, float(r.value)))
+    want = {}
+    for key, obs in per_key.items():
+        heads = {}
+        for ts, v in obs:
+            bkt = ts // step
+            if bkt not in heads or (ts, v) > heads[bkt]:
+                heads[bkt] = (ts, v)
+        b0, b1 = min(heads), max(heads)
+        last = None
+        for bkt in range(b0, b1 + 1):
+            observed = bkt in heads
+            if observed:
+                last = heads[bkt][1]
+            want[(key, datetime.datetime.utcfromtimestamp(bkt * step))] = (
+                last,
+                observed,
+            )
+    assert set(got) == set(want)
+    for k, (v, obs) in want.items():
+        gv, gobs = got[k]
+        assert gobs == obs and gv == pytest.approx(v, rel=1e-12)
+    # gaps actually exercised
+    assert any(not obs for (_, obs) in want.values())
+
+
+def test_scd2_history_matches_python_reference(spark, sf_dir):
+    """SCD2 intervals from the real events change log vs an independent
+    Python reference; intervals must tile each key's timeline with no
+    overlap and exactly one current row."""
+    from distributed_graph_database_simulation_spark.operators.relational import (
+        scd2_history_df,
+    )
+    from distributed_graph_database_simulation_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").where(F.col("user_id") < 8)
+    got = scd2_history_df(events, "user_id", "ts", ["event_type", "value"]).collect()
+    rows = events.select("user_id", "ts", "event_type", "value").collect()
+    per_key = {}
+    for r in rows:
+        per_key.setdefault(r.user_id, {}).setdefault(r.ts, []).append(
+            (r.event_type, r.value)
+        )
+    want = {}
+    for key, by_ts in per_key.items():
+        tss = sorted(by_ts)
+        for i, ts in enumerate(tss):
+            et, v = max(by_ts[ts])
+            nxt = tss[i + 1] if i + 1 < len(tss) else None
+            want[(key, ts)] = (nxt, et, v, nxt is None)
+    assert {(r.key, r.valid_from) for r in got} == set(want)
+    for r in got:
+        nxt, et, v, cur = want[(r.key, r.valid_from)]
+        assert (r.valid_to, r.event_type, r.is_current) == (nxt, et, cur)
+        assert r.value == pytest.approx(v, rel=1e-12)
+    by_key_current = {}
+    for r in got:
+        by_key_current[r.key] = by_key_current.get(r.key, 0) + (1 if r.is_current else 0)
+    assert all(c == 1 for c in by_key_current.values())
