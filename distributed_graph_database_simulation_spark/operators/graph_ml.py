@@ -240,3 +240,105 @@ def aggregate_neighbor_features(
         )
         last = hop_out
     return last
+
+
+def wl_labels(
+    spark: SparkSession,
+    graphs: DataFrame,
+    edges: DataFrame,
+    iterations: int = 3,
+) -> DataFrame:
+    """Weisfeiler-Leman vertex relabeling: label_0 = undirected degree;
+    label_{i+1} = md5(label_i | sorted multiset of neighbor labels). After
+    k rounds two vertices share a label only if their k-hop neighborhood
+    trees agree — the 1-WL colour refinement underlying graph-isomorphism
+    screening and GNN expressiveness. md5 keeps labels engine-portable and
+    deterministic.
+
+    Each round is one keyed join + one partial-aggregated
+    ``sort_array(collect_list)`` per vertex; the per-vertex list is
+    degree-bounded, so this is a bounded-degree / many-small-graphs
+    operator (the reference's n<=100 regime — a 10^6-degree hub would
+    build a 10^6-element array; cap degrees upstream for power-law
+    corpora). Returns (graph_id, vertex, label string).
+    """
+    from ..session import barrier, checkpoint_dir
+
+    ck = checkpoint_dir(spark)
+    from .graph_analytics import undirected, vertices
+
+    ue = undirected(edges).where(F.col("src") != F.col("dst"))
+    ue = barrier(ue, eager=True, ckdir=ck)
+    deg = ue.groupBy("graph_id", F.col("src").alias("vertex")).agg(
+        F.count("*").alias("deg")
+    )
+    labels = (
+        vertices(graphs)
+        .join(deg, ["graph_id", "vertex"], "left")
+        .select(
+            "graph_id",
+            "vertex",
+            F.coalesce(F.col("deg"), F.lit(0)).cast("string").alias("label"),
+        )
+    )
+    labels = barrier(labels, eager=True, ckdir=ck)
+    for _ in range(iterations):
+        lb, e = labels.alias("lb"), ue.alias("e")
+        nbr = (
+            e.join(
+                lb,
+                on=(F.col("e.graph_id") == F.col("lb.graph_id"))
+                & (F.col("e.dst") == F.col("lb.vertex")),
+            )
+            .select(
+                F.col("e.graph_id").alias("graph_id"),
+                F.col("e.src").alias("vertex"),
+                F.col("lb.label").alias("nl"),
+            )
+            .groupBy("graph_id", "vertex")
+            .agg(F.sort_array(F.collect_list("nl")).alias("nls"))
+        )
+        labels = (
+            labels.join(nbr, ["graph_id", "vertex"], "left")
+            .select(
+                "graph_id",
+                "vertex",
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("label"),
+                        F.array_join(
+                            F.coalesce("nls", F.array().cast("array<string>")), ","
+                        ),
+                    )
+                ).alias("label"),
+            )
+        )
+        labels = barrier(labels, eager=True, ckdir=ck)
+    return labels
+
+
+def wl_fingerprint(
+    spark: SparkSession,
+    graphs: DataFrame,
+    edges: DataFrame,
+    iterations: int = 3,
+) -> DataFrame:
+    """Graph-level WL fingerprint: md5 of the sorted multiset of final WL
+    vertex labels plus the vertex count. Isomorphic graphs ALWAYS collide
+    (the relabeling is isomorphism-invariant); non-isomorphic graphs
+    collide only if 1-WL cannot distinguish them (rare outside regular-
+    graph corner cases). groupBy graphs by this to near-dup / dedup a
+    many-graph corpus — the graph sibling of the document fingerprints.
+    Returns (graph_id, n, fingerprint string).
+    """
+    labels = wl_labels(spark, graphs, edges, iterations)
+    return (
+        labels.groupBy("graph_id")
+        .agg(
+            F.count("*").cast("int").alias("n"),
+            F.md5(F.array_join(F.sort_array(F.collect_list("label")), ",")).alias(
+                "fingerprint"
+            ),
+        )
+    )

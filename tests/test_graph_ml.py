@@ -182,3 +182,81 @@ def test_aggregate_neighbor_features_matches_reference(spark, hops):
         assert g["n_neighbors"] == w["n_neighbors"]
         for c in ("fa_mean", "fa_sum", "fb_mean", "fb_sum"):
             assert g[c] == pytest.approx(w[c], rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Weisfeiler-Leman labels / graph fingerprints
+# ---------------------------------------------------------------------------
+
+def _py_wl(n, edge_rows, iterations):
+    """Independent WL reference with the documented hash contract."""
+    nbrs = {v: set() for v in range(n)}
+    for s, d in edge_rows:
+        if s != d:
+            nbrs[s].add(d)
+            nbrs[d].add(s)
+    labels = {v: str(len(nbrs[v])) for v in range(n)}
+    for _ in range(iterations):
+        new = {}
+        for v in range(n):
+            nls = sorted(labels[w] for w in nbrs[v])
+            new[v] = hashlib.md5(
+                (labels[v] + "|" + ",".join(nls)).encode()
+            ).hexdigest()
+        labels = new
+    return labels
+
+
+def _py_wl_fp(n, edge_rows, iterations=3):
+    labels = _py_wl(n, edge_rows, iterations)
+    return hashlib.md5(",".join(sorted(labels.values())).encode()).hexdigest()
+
+
+def test_wl_labels_match_python_reference(spark):
+    from distributed_graph_database_simulation_spark.operators.graph_ml import (
+        wl_labels,
+    )
+
+    rng = random.Random(101)
+    n = 20
+    edge_rows = [
+        (s, d) for s in range(n) for d in range(s + 1, n) if rng.random() < 0.15
+    ]
+    edges = spark.createDataFrame(
+        [(11, s, d) for s, d in edge_rows], "graph_id INT, src INT, dst INT"
+    )
+    graphs = spark.createDataFrame([(11, n)], "graph_id INT, n INT")
+    got = {r.vertex: r.label for r in wl_labels(spark, graphs, edges).collect()}
+    assert got == _py_wl(n, edge_rows, 3)
+
+
+def test_wl_fingerprint_isomorphism_invariant(spark):
+    """A relabeled copy of a graph must fingerprint identically; a graph
+    with a different degree sequence must differ — all in ONE multi-graph
+    call (the many-graphs corpus shape)."""
+    from distributed_graph_database_simulation_spark.operators.graph_ml import (
+        wl_fingerprint,
+    )
+
+    rng = random.Random(103)
+    n = 12
+    base = [
+        (s, d) for s in range(n) for d in range(s + 1, n) if rng.random() < 0.3
+    ]
+    perm = list(range(n))
+    rng.shuffle(perm)
+    relabeled = [(min(perm[s], perm[d]), max(perm[s], perm[d])) for s, d in base]
+    other = base[:-2]  # drop two edges -> different degree sequence
+    rows = (
+        [(1, s, d) for s, d in base]
+        + [(2, s, d) for s, d in relabeled]
+        + [(3, s, d) for s, d in other]
+    )
+    edges = spark.createDataFrame(rows, "graph_id INT, src INT, dst INT")
+    graphs = spark.createDataFrame(
+        [(1, n), (2, n), (3, n)], "graph_id INT, n INT"
+    )
+    fps = {r.graph_id: r.fingerprint for r in wl_fingerprint(spark, graphs, edges).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+    assert fps[1] == _py_wl_fp(n, base)
