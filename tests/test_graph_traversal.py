@@ -1424,3 +1424,47 @@ def test_articulation_kernel_literals(spark):
     out = articulation_kernel(g3, bow).collect()
     assert {r.vertex for r in out if r.kind == "articulation"} == {2}
     assert not [r for r in out if r.kind == "bridge"]
+
+
+# ---------------------------------------------------------------------------
+# Contraction (large-star/small-star) connected components
+# ---------------------------------------------------------------------------
+
+def test_contraction_cc_equals_superstep_cc_random(spark):
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        connected_components,
+        connected_components_contraction,
+    )
+
+    rng = random.Random(107)
+    rows = _random_graph(rng, 45, 0.05) + [(12, s, d) for (_, s, d) in _random_graph(rng, 20, 0.08)]
+    df = spark.createDataFrame(rows, "graph_id INT, src INT, dst INT")
+    graphs = spark.createDataFrame([(11, 45), (12, 20)], "graph_id INT, n INT")
+    a = {
+        (r.graph_id, r.vertex): r.component
+        for r in connected_components(spark, graphs, df).collect()
+    }
+    b = {
+        (r.graph_id, r.vertex): r.component
+        for r in connected_components_contraction(spark, graphs, df).collect()
+    }
+    assert a == b
+
+
+def test_contraction_cc_logarithmic_on_path(spark):
+    """A 300-vertex path: min-label propagation needs ~300 supersteps;
+    contraction must finish within 20 rounds (O(log n)) and still label
+    every vertex with component 0."""
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        connected_components_contraction,
+    )
+
+    n = 300
+    df = spark.createDataFrame(
+        [(1, v, v + 1) for v in range(n - 1)], "graph_id INT, src INT, dst INT"
+    )
+    graphs = spark.createDataFrame([(1, n)], "graph_id INT, n INT")
+    out = connected_components_contraction(spark, graphs, df, max_rounds=20)
+    comps = {r.vertex: r.component for r in out.collect()}
+    assert len(comps) == n
+    assert set(comps.values()) == {0}

@@ -579,6 +579,32 @@ def probe_random_walks_hub(spark, n_vertices: int, walk_length: int = 6) -> dict
             "walk_rows": n_rows, "sec": round(_t.perf_counter() - t0, 2)}
 
 
+def probe_contraction_cc_path(spark, n_vertices: int) -> dict:
+    """Contraction CC on a PATH of n vertices — diameter n, the regime
+    where min-label propagation needs n supersteps and contraction needs
+    O(log n) rounds. Completing at all inside max_rounds=40 proves the
+    logarithmic round count; the answer is one component rooted at 0."""
+    import time as _t
+
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        connected_components_contraction,
+    )
+
+    t0 = _t.perf_counter()
+    edges = spark.range(0, n_vertices - 1, 1, 32).select(
+        F.lit(1).alias("graph_id"),
+        F.col("id").cast("int").alias("src"),
+        (F.col("id") + 1).cast("int").alias("dst"),
+    )
+    graphs = spark.createDataFrame([(1, n_vertices)], "graph_id INT, n INT")
+    out = connected_components_contraction(spark, graphs, edges, max_rounds=40)
+    comps = out.select("component").distinct().count()
+    if comps != 1:
+        raise AssertionError(f"path should be one component, got {comps}")
+    return {"probe": "contraction_cc_path", "vertices": n_vertices,
+            "components": comps, "sec": round(_t.perf_counter() - t0, 2)}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--edges", type=float, default=5e6)
@@ -608,6 +634,7 @@ def main() -> int:
         lambda: probe_scc(spark),
         lambda: probe_hyperball(spark, int(args.edges) // 5, int(args.vertices) // 5),
         lambda: probe_random_walks_hub(spark, int(args.vertices) // 5),
+        lambda: probe_contraction_cc_path(spark, int(args.vertices) // 2),
     )
     for probe in probes:
         print(json.dumps(probe()), flush=True)
