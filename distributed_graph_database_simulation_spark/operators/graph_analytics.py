@@ -2015,3 +2015,117 @@ def connected_components_contraction(
             F.coalesce("component", F.col("vertex")).alias("component"),
         )
     )
+
+
+def _hb_vertex_estimates(state: DataFrame, log2m: int) -> DataFrame:
+    """Per-vertex HLL ball-size estimates (the pre-aggregation half of
+    :func:`_hb_estimates`): (graph_id, vertex, est double)."""
+    m = 1 << log2m
+    alpha = _hb_alpha(m)
+    per_vertex = state.groupBy("graph_id", "vertex").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("z_nz"),
+        F.count("*").alias("nz"),
+    )
+    zeros = F.lit(m) - F.col("nz")
+    e_raw = F.lit(alpha * m * m) / (F.col("z_nz") + zeros)
+    est = F.when(
+        (zeros > 0) & (e_raw <= F.lit(2.5 * m)),
+        F.lit(float(m)) * F.log(F.lit(m) / zeros),
+    ).otherwise(e_raw)
+    return per_vertex.select("graph_id", "vertex", est.alias("est"))
+
+
+def hyperball_harmonic(
+    spark: SparkSession,
+    graphs: DataFrame,
+    edges: DataFrame,
+    log2m: int = _HB_LOG2M_DEFAULT,
+    max_t: int = 10_000,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Approximate harmonic centrality for EVERY vertex via HyperBall —
+    the estimator HyperANF was built for (Boldi & Vigna, "In-Core
+    Computation of Geometric Centralities with HyperBall", ICDMW 2013):
+    H(v) = Σ_t (|ball(v,t)| − |ball(v,t−1)|) / t, accumulated from the
+    per-superstep ball-size deltas, so ALL vertices get a centrality in
+    O(diameter) supersteps — no pivot sampling (contrast
+    :func:`harmonic_closeness_sampled`, which is exact but per-pivot).
+
+    NOTE on direction: ball growth follows OUT-edges, so this estimates
+    Σ_w 1/d(v, w) over vertices w REACHABLE FROM v; feed ``edges``
+    reversed for the usual "incoming" harmonic centrality, or the
+    undirected closure for undirected graphs.
+
+    Same register algebra and delta propagation as :func:`hyperball`, plus
+    one keyed join per superstep to fold the delta into the running
+    accumulator. Returns (graph_id, vertex, harmonic_est double).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    ck = checkpoint_dir(spark)
+    edges = (
+        edges.select("graph_id", "src", "dst")
+        .repartition("graph_id", "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    state = barrier(_hb_init_state(graphs, log2m), eager=True, ckdir=ck)
+    prev_est = _hb_vertex_estimates(state, log2m)
+    acc = barrier(
+        prev_est.select(
+            "graph_id", "vertex", F.lit(0.0).alias("h"), F.col("est").alias("prev")
+        ),
+        eager=True,
+        ckdir=ck,
+    )
+    delta = state
+    keys3 = ["graph_id", "vertex", "reg"]
+    for t in range(1, max_t + 1):
+        d, e = delta.alias("d"), edges.alias("e")
+        cand = (
+            d.join(
+                e,
+                on=(F.col("d.graph_id") == F.col("e.graph_id"))
+                & (F.col("d.vertex") == F.col("e.dst")),
+            )
+            .select(
+                F.col("e.graph_id").alias("graph_id"),
+                F.col("e.src").alias("vertex"),
+                F.col("d.reg").alias("reg"),
+                F.col("d.rho").alias("rho"),
+            )
+            .groupBy(*keys3)
+            .agg(F.max("rho").alias("rho"))
+        )
+        improved = (
+            cand.alias("c")
+            .join(state.alias("s"), on=keys3, how="left")
+            .where(F.col("s.rho").isNull() | (F.col("c.rho") > F.col("s.rho")))
+            .select(*keys3, F.col("c.rho").alias("rho"))
+        )
+        improved = barrier(improved, eager=False, ckdir=ck)
+        if improved.count() == 0:
+            break
+        state = state.join(improved, on=keys3, how="left_anti").unionByName(improved)
+        state = barrier(state, eager=(t % checkpoint_every == 0), ckdir=ck)
+        est_t = _hb_vertex_estimates(state, log2m)
+        acc = (
+            acc.alias("a")
+            .join(est_t.alias("n"), on=["graph_id", "vertex"], how="left")
+            .select(
+                "graph_id",
+                "vertex",
+                (
+                    F.col("a.h")
+                    + F.greatest(
+                        F.coalesce(F.col("n.est"), F.col("a.prev")) - F.col("a.prev"),
+                        F.lit(0.0),
+                    )
+                    / F.lit(float(t))
+                ).alias("h"),
+                F.coalesce(F.col("n.est"), F.col("a.prev")).alias("prev"),
+            )
+        )
+        acc = barrier(acc, eager=(t % checkpoint_every == 0), ckdir=ck)
+        delta = improved
+    edges.unpersist()
+    return acc.select("graph_id", "vertex", F.col("h").alias("harmonic_est"))

@@ -1468,3 +1468,88 @@ def test_contraction_cc_logarithmic_on_path(spark):
     comps = {r.vertex: r.component for r in out.collect()}
     assert len(comps) == n
     assert set(comps.values()) == {0}
+
+
+def _hb_py_harmonic(n, edge_rows, max_t=10_000):
+    """Independent HyperBall-harmonic simulation: identical register
+    algebra to _hb_py_simulate, accumulating clamped per-vertex ball-size
+    deltas / t (the documented estimator)."""
+    counters = {}
+    for v in range(n):
+        reg, rho = _hb_py_init(v)
+        counters[v] = {reg: rho}
+    out = {v: [] for v in range(n)}
+    for s, d in edge_rows:
+        out[s].append(d)
+    prev = {v: _hb_py_estimate(c) for v, c in counters.items()}
+    acc = {v: 0.0 for v in range(n)}
+
+    def checksum():
+        return sum(sum(c.values()) + len(c) for c in counters.values())
+
+    cs_prev = checksum()
+    for t in range(1, max_t + 1):
+        new = {}
+        for v in range(n):
+            merged = dict(counters[v])
+            for w in out[v]:
+                for reg, rho in counters[w].items():
+                    if merged.get(reg, 0) < rho:
+                        merged[reg] = rho
+            new[v] = merged
+        counters = new
+        cs = checksum()
+        if cs == cs_prev:
+            break
+        cs_prev = cs
+        for v in range(n):
+            est = _hb_py_estimate(counters[v])
+            acc[v] += max(est - prev[v], 0.0) / t
+            prev[v] = est
+    return acc
+
+
+def test_hyperball_harmonic_matches_python_simulation(spark):
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        hyperball_harmonic,
+    )
+
+    rng = random.Random(113)
+    n = 25
+    rows = [(11, s, d) for (_, s, d) in _random_graph(rng, n, 0.09)]
+    edges = spark.createDataFrame(rows, "graph_id INT, src INT, dst INT")
+    graphs = spark.createDataFrame([(11, n)], "graph_id INT, n INT")
+    got = {
+        r.vertex: r.harmonic_est
+        for r in hyperball_harmonic(spark, graphs, edges).collect()
+    }
+    want = _hb_py_harmonic(n, [(s, d) for (_, s, d) in rows])
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-6, abs=1e-9)
+
+
+def test_hyperball_harmonic_envelope_on_path(spark):
+    """Directed path: exact out-harmonic H(v) = sum_{k=1..n-1-v} 1/k; the
+    estimate must track it (median relative error under 15%) and rank the
+    head of the path first."""
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        hyperball_harmonic,
+    )
+
+    n = 12
+    edges = spark.createDataFrame(
+        [(1, v, v + 1) for v in range(n - 1)], "graph_id INT, src INT, dst INT"
+    )
+    graphs = spark.createDataFrame([(1, n)], "graph_id INT, n INT")
+    got = {
+        r.vertex: r.harmonic_est
+        for r in hyperball_harmonic(spark, graphs, edges).collect()
+    }
+    exact = {v: sum(1.0 / k for k in range(1, n - v)) for v in range(n)}
+    rel = sorted(
+        abs(got[v] - exact[v]) / exact[v] for v in range(n - 1)
+    )
+    assert rel[len(rel) // 2] < 0.15
+    assert max(got, key=got.get) == 0
+    assert got[n - 1] == pytest.approx(0.0, abs=1e-9)
