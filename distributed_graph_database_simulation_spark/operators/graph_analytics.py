@@ -2129,3 +2129,66 @@ def hyperball_harmonic(
         delta = improved
     edges.unpersist()
     return acc.select("graph_id", "vertex", F.col("h").alias("harmonic_est"))
+
+
+def landmark_distance_oracle(
+    spark: SparkSession,
+    edges: DataFrame,
+    landmarks: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Precompute the two distance tables a landmark (2-hop cover)
+    distance oracle needs: ``fwd`` = d(landmark → vertex) via one
+    multi-source BFS over the edges, ``bwd`` = d(vertex → landmark) via
+    one multi-source BFS over the REVERSED edges. k landmarks cost two
+    superstep loops total (not 2k), state k×|reached| each — the
+    practical constant-time distance-estimate structure for repeated
+    point-to-point queries on a frozen snapshot (Potamias et al., CIKM
+    2009). Both tables: (graph_id, source, vertex, level).
+    """
+    fwd = multi_source_bfs(spark, edges, landmarks)
+    rev = edges.select(
+        "graph_id", F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    bwd = multi_source_bfs(spark, rev, landmarks)
+    return fwd, bwd
+
+
+def estimate_distances(
+    fwd: DataFrame, bwd: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """Upper-bound distance estimates for query ``pairs`` (graph_id, u, v)
+    through the landmark tables: est = min over landmarks of
+    d(u → l) + d(l → v) — always ≥ the true distance (it is a real path),
+    exact whenever a shortest path passes a landmark. Two keyed joins +
+    one min-aggregate; NULL when no landmark connects the pair. Returns
+    (graph_id, u, v, dist_upper).
+    """
+    u_side = pairs.alias("p").join(
+        bwd.alias("b"),
+        on=(F.col("p.graph_id") == F.col("b.graph_id"))
+        & (F.col("p.u") == F.col("b.vertex")),
+    ).select(
+        F.col("p.graph_id").alias("graph_id"),
+        "u",
+        "v",
+        F.col("b.source").alias("l"),
+        F.col("b.level").alias("d1"),
+    )
+    both = u_side.alias("s").join(
+        fwd.alias("f"),
+        on=(F.col("s.graph_id") == F.col("f.graph_id"))
+        & (F.col("s.l") == F.col("f.source"))
+        & (F.col("s.v") == F.col("f.vertex")),
+    ).select(
+        F.col("s.graph_id").alias("graph_id"),
+        "u",
+        "v",
+        (F.col("s.d1") + F.col("f.level")).alias("d"),
+    )
+    return (
+        pairs.join(
+            both.groupBy("graph_id", "u", "v").agg(F.min("d").alias("dist_upper")),
+            ["graph_id", "u", "v"],
+            "left",
+        )
+    )

@@ -71,3 +71,20 @@ class GraphStore:
 
     def graphs(self) -> DataFrame:
         return self.spark.read.schema(GRAPH_SCHEMA).parquet(self.graphs_path)
+
+
+def edge_diff(old_edges: DataFrame, new_edges: DataFrame) -> DataFrame:
+    """Edge-level change set between two graph snapshots: what a
+    ModifyGraph full replace (``primary_server.c:71-90`` — truncate and
+    rewrite) actually CHANGED. The reference cannot answer this (the old
+    file is gone); with immutable parquet snapshots it is two keyed
+    anti-joins — 'removed' = old ∖ new, 'added' = new ∖ old — each a
+    one-shuffle set difference that partition-prunes to the graphs
+    present in the inputs. Returns (graph_id, src, dst, change string).
+    """
+    keys = ["graph_id", "src", "dst"]
+    o = old_edges.select(*keys).distinct()
+    n = new_edges.select(*keys).distinct()
+    removed = o.join(n, keys, "left_anti").withColumn("change", F.lit("removed"))
+    added = n.join(o, keys, "left_anti").withColumn("change", F.lit("added"))
+    return removed.unionByName(added)

@@ -80,3 +80,32 @@ def test_reliable_checkpoint_switch_matches_local(spark, tmp_path):
     assert reliable == local and local
     ck_files = [f for _, _, fs in os.walk(ckdir) for f in fs]
     assert ck_files, "reliable mode must write checkpoint files under the conf dir"
+
+
+def test_edge_diff_between_store_snapshots(spark, tmp_path):
+    """AddGraph -> snapshot -> ModifyGraph; edge_diff reports exactly the
+    replaced edges (the question the reference's truncate-and-rewrite
+    cannot answer)."""
+    from distributed_graph_database_simulation_spark.sources.graph_store import (
+        GraphStore,
+        edge_diff,
+    )
+
+    store = GraphStore(spark, str(tmp_path / "store"))
+    e1 = spark.createDataFrame(
+        [(4, 0, 1), (4, 1, 2), (4, 2, 0)], "graph_id INT, src INT, dst INT"
+    )
+    store.add_graph(4, 3, e1)
+    before = store.edges(4).localCheckpoint()  # snapshot survives overwrite
+    e2 = spark.createDataFrame(
+        [(4, 0, 1), (4, 1, 0), (4, 2, 1)], "graph_id INT, src INT, dst INT"
+    )
+    store.modify_graph(4, 3, e2)
+    diff = {
+        (r.src, r.dst, r.change)
+        for r in edge_diff(before, store.edges(4)).collect()
+    }
+    assert diff == {
+        (1, 2, "removed"), (2, 0, "removed"),
+        (1, 0, "added"), (2, 1, "added"),
+    }

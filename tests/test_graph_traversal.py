@@ -1553,3 +1553,68 @@ def test_hyperball_harmonic_envelope_on_path(spark):
     assert rel[len(rel) // 2] < 0.15
     assert max(got, key=got.get) == 0
     assert got[n - 1] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_landmark_distance_oracle_upper_bounds_and_exactness(spark):
+    """Oracle estimates must equal min over landmarks of d(u,l)+d(l,v)
+    (checked vs Python BFS tables) and therefore upper-bound the true
+    distance; pairs whose shortest path crosses a landmark are exact."""
+    from collections import deque
+
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        estimate_distances,
+        landmark_distance_oracle,
+    )
+
+    rng = random.Random(127)
+    n = 30
+    edge_rows = [
+        (s, d) for s in range(n) for d in range(n) if s != d and rng.random() < 0.08
+    ]
+    edges = spark.createDataFrame(
+        [(11, s, d) for s, d in edge_rows], "graph_id INT, src INT, dst INT"
+    )
+    lms = [0, 9, 17]
+    landmarks = spark.createDataFrame(
+        [(11, l) for l in lms], "graph_id INT, source INT"
+    )
+    fwd, bwd = landmark_distance_oracle(spark, edges, landmarks)
+    pair_rows = [(11, u, v) for u in range(0, n, 3) for v in range(1, n, 4) if u != v]
+    pairs = spark.createDataFrame(pair_rows, "graph_id INT, u INT, v INT")
+    got = {
+        (r.u, r.v): r.dist_upper
+        for r in estimate_distances(fwd, bwd, pairs).collect()
+    }
+
+    def bfs_from(start, adj):
+        dist = {start: 0}
+        q = deque([start])
+        while q:
+            x = q.popleft()
+            for y in adj.get(x, ()):
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    q.append(y)
+        return dist
+
+    adj_f, adj_b = {}, {}
+    for s, d in edge_rows:
+        adj_f.setdefault(s, []).append(d)
+        adj_b.setdefault(d, []).append(s)
+    d_from = {l: bfs_from(l, adj_f) for l in lms}
+    d_to = {l: bfs_from(l, adj_b) for l in lms}  # reversed = distance TO l
+    checked_exact = 0
+    for (g, u, v) in pair_rows:
+        cands = [
+            d_to[l][u] + d_from[l][v]
+            for l in lms
+            if u in d_to[l] and v in d_from[l]
+        ]
+        want = min(cands) if cands else None
+        assert got[(u, v)] == want
+        true_d = bfs_from(u, adj_f).get(v)
+        if want is not None:
+            assert true_d is not None and want >= true_d
+            if true_d == want:
+                checked_exact += 1
+    assert checked_exact > 0
