@@ -2192,3 +2192,117 @@ def estimate_distances(
             "left",
         )
     )
+
+
+def core_numbers(
+    spark: SparkSession,
+    graphs: DataFrame,
+    edges: DataFrame,
+    max_rounds: int = 10_000,
+) -> DataFrame:
+    """Full core decomposition: every vertex's coreness (the largest k for
+    which it survives in the k-core). Peels level by level — at level k,
+    repeatedly remove vertices of current degree < k, recording their
+    coreness as k-1; when the level stabilizes, advance k. Round count is
+    bounded by degeneracy + total peel steps; every round is one
+    degree-count shuffle over the SHRINKING survivor set (the standard
+    distributed coreness schedule). Returns (graph_id, vertex, coreness)
+    over the full vertex universe (isolated vertices: coreness 0).
+    """
+    ck = checkpoint_dir(spark)
+    ue = barrier(
+        undirected(edges).where(F.col("src") != F.col("dst")), eager=True, ckdir=ck
+    )
+    survivors = barrier(vertices(graphs), eager=True, ckdir=ck)
+    out = []
+    k = 1
+    for _ in range(max_rounds):
+        if survivors.count() == 0:
+            break
+        deg = (
+            ue.join(
+                survivors.withColumnRenamed("vertex", "src"),
+                ["graph_id", "src"],
+                "left_semi",
+            )
+            .join(
+                survivors.withColumnRenamed("vertex", "dst"),
+                ["graph_id", "dst"],
+                "left_semi",
+            )
+            .groupBy("graph_id", F.col("src").alias("vertex"))
+            .agg(F.count("*").alias("deg"))
+        )
+        # vertices absent from deg have degree 0 among survivors
+        with_deg = survivors.join(deg, ["graph_id", "vertex"], "left").select(
+            "graph_id", "vertex", F.coalesce("deg", F.lit(0)).alias("deg")
+        )
+        dropped = with_deg.where(F.col("deg") < k).select("graph_id", "vertex")
+        dropped = barrier(dropped, eager=True, ckdir=ck)
+        n_dropped = dropped.count()
+        if n_dropped == 0:
+            k += 1
+            continue
+        out.append(
+            dropped.withColumn("coreness", F.lit(k - 1).cast("int"))
+        )
+        survivors = barrier(
+            survivors.join(dropped, ["graph_id", "vertex"], "left_anti"),
+            eager=True,
+            ckdir=ck,
+        )
+    else:
+        raise RuntimeError(f"core decomposition did not finish in {max_rounds} rounds")
+    if not out:
+        return spark.createDataFrame([], "graph_id int, vertex int, coreness int")
+    res = out[0]
+    for seg in out[1:]:
+        res = res.unionByName(seg)
+    return res
+
+
+def modularity(edges: DataFrame, assignment: DataFrame) -> DataFrame:
+    """Newman modularity Q of a vertex partition on the undirected simple
+    closure: Q = Σ_c [ e_c / m − (d_c / 2m)² ] with e_c = intra-community
+    edges, d_c = total community degree, m = |E|. The standard quality
+    score for LPA / coloring / clustering outputs. Three keyed aggregates,
+    no iteration. ``assignment``: (graph_id, vertex, community). Returns
+    (graph_id, modularity double).
+    """
+    ue = undirected(edges).where(F.col("src") != F.col("dst"))
+    canon = ue.where(F.col("src") < F.col("dst"))
+    a_src = assignment.select(
+        "graph_id", F.col("vertex").alias("src"), F.col("community").alias("c_src")
+    )
+    a_dst = assignment.select(
+        "graph_id", F.col("vertex").alias("dst"), F.col("community").alias("c_dst")
+    )
+    labeled = canon.join(a_src, ["graph_id", "src"]).join(a_dst, ["graph_id", "dst"])
+    m_tot = canon.groupBy("graph_id").agg(F.count("*").alias("m"))
+    e_in = (
+        labeled.where(F.col("c_src") == F.col("c_dst"))
+        .groupBy("graph_id", F.col("c_src").alias("community"))
+        .agg(F.count("*").alias("e_c"))
+    )
+    deg = (
+        ue.groupBy("graph_id", F.col("src").alias("vertex"))
+        .agg(F.count("*").alias("deg"))
+        .join(
+            assignment.select("graph_id", "vertex", "community"),
+            ["graph_id", "vertex"],
+        )
+        .groupBy("graph_id", "community")
+        .agg(F.sum("deg").alias("d_c"))
+    )
+    per_c = (
+        deg.join(e_in, ["graph_id", "community"], "left")
+        .join(m_tot, "graph_id")
+        .select(
+            "graph_id",
+            (
+                F.coalesce(F.col("e_c"), F.lit(0)) / F.col("m")
+                - F.pow(F.col("d_c") / (2.0 * F.col("m")), 2)
+            ).alias("q_c"),
+        )
+    )
+    return per_c.groupBy("graph_id").agg(F.sum("q_c").alias("modularity"))

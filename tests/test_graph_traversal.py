@@ -1618,3 +1618,102 @@ def test_landmark_distance_oracle_upper_bounds_and_exactness(spark):
             if true_d == want:
                 checked_exact += 1
     assert checked_exact > 0
+
+
+def _py_coreness(n, edge_rows):
+    """Independent reference: textbook min-degree peeling."""
+    adj = {v: set() for v in range(n)}
+    for s, d in edge_rows:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    deg = {v: len(adj[v]) for v in range(n)}
+    core = {}
+    remaining = set(range(n))
+    k = 0
+    while remaining:
+        v = min(remaining, key=lambda x: (deg[x], x))
+        k = max(k, deg[v])
+        core[v] = k
+        remaining.discard(v)
+        for w in adj[v]:
+            if w in remaining:
+                deg[w] -= 1
+    return core
+
+
+def test_core_numbers_match_python_reference(spark):
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        core_numbers,
+    )
+
+    rng = random.Random(131)
+    n = 35
+    edge_rows = [
+        (s, d) for s in range(n) for d in range(s + 1, n) if rng.random() < 0.12
+    ]
+    df = spark.createDataFrame(
+        [(11, s, d) for s, d in edge_rows], "graph_id INT, src INT, dst INT"
+    )
+    graphs = spark.createDataFrame([(11, n)], "graph_id INT, n INT")
+    got = {r.vertex: r.coreness for r in core_numbers(spark, graphs, df).collect()}
+    assert got == _py_coreness(n, edge_rows)
+
+
+def test_core_numbers_consistent_with_kcore(spark):
+    """coreness >= k exactly characterizes membership of the k-core."""
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        core_numbers,
+        kcore,
+    )
+
+    rng = random.Random(137)
+    n = 25
+    rows = [
+        (11, s, d) for s in range(n) for d in range(s + 1, n) if rng.random() < 0.2
+    ]
+    df = spark.createDataFrame(rows, "graph_id INT, src INT, dst INT")
+    graphs = spark.createDataFrame([(11, n)], "graph_id INT, n INT")
+    cores = {r.vertex: r.coreness for r in core_numbers(spark, graphs, df).collect()}
+    for k in (1, 2, 3):
+        members = {r.vertex for r in kcore(spark, graphs, df, k).collect()}
+        assert members == {v for v, c in cores.items() if c >= k}
+
+
+def test_modularity_matches_python_reference(spark):
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        label_propagation,
+        modularity,
+    )
+
+    rng = random.Random(139)
+    # two dense clusters + sparse bridge: positive modularity expected
+    rows = []
+    for base in (0, 10):
+        for s in range(base, base + 10):
+            for d in range(s + 1, base + 10):
+                if rng.random() < 0.6:
+                    rows.append((11, s, d))
+    rows.append((11, 3, 14))
+    df = spark.createDataFrame(rows, "graph_id INT, src INT, dst INT")
+    graphs = spark.createDataFrame([(11, 20)], "graph_id INT, n INT")
+    assignment = spark.createDataFrame(
+        [(11, v, 0 if v < 10 else 1) for v in range(20)],
+        "graph_id INT, vertex INT, community INT",
+    )
+    got = modularity(df, assignment).collect()[0].modularity
+    # independent reference
+    ue = {(s, d) for (_, s, d) in rows} | {(d, s) for (_, s, d) in rows}
+    canon = {(s, d) for (s, d) in ue if s < d}
+    m = len(canon)
+    comm = {v: 0 if v < 10 else 1 for v in range(20)}
+    deg = {}
+    for s, d in ue:
+        deg[s] = deg.get(s, 0) + 1
+    q = 0.0
+    for c in (0, 1):
+        e_c = sum(1 for (s, d) in canon if comm[s] == c and comm[d] == c)
+        d_c = sum(dv for v, dv in deg.items() if comm[v] == c)
+        q += e_c / m - (d_c / (2 * m)) ** 2
+    assert got == pytest.approx(q, rel=1e-12)
+    assert got > 0.3
