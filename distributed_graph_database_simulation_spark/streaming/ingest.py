@@ -110,3 +110,46 @@ def stream_dedup_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_sketch_ingest(
+    spark: SparkSession,
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    group_col: str,
+    store_path: str,
+    checkpoint_path: str,
+):
+    """Continuous sketch-store ingestion: per micro-batch, write the
+    batch's per-group HLL (distinct over ``key_col``) AND KLL (quantiles
+    over ``value_col``) sketches into the mergeable stores under
+    ``store_path`` — the streaming face of ``pipeline.write_*_sketch``.
+    Reports over the stores (``read_distinct_estimates`` /
+    ``read_quantile_estimates``) then never touch raw history: each batch
+    contributes KB-scale mergeable state instead of raw keys.
+
+    Micro-batch replay safety comes from the store contract itself: the
+    writers partition by the streaming ``batch_id`` with dynamic overwrite,
+    so a replayed batch replaces exactly its own partition. Returns the
+    started StreamingQuery (availableNow trigger — doubles as a catch-up
+    ingester over parquet drops).
+    """
+    from ..operators.pipeline import write_distinct_sketch, write_quantile_sketch
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        write_distinct_sketch(
+            batch, key_col, group_col, f"{store_path}/hll", int(batch_id)
+        )
+        write_quantile_sketch(
+            batch, value_col, group_col, f"{store_path}/kll", int(batch_id)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -223,3 +223,67 @@ def test_stream_dedup_ingest_matches_one_shot(spark, sf_dir, tmp_path):
     }
     assert got_after == expected
     assert spark.read.parquet(f"{store}/bands").count() == n_bands_before
+
+
+def test_stream_sketch_ingest_merges_to_batch_truth(spark, sf_dir, tmp_path):
+    """Two event micro-batches through the sketch sink: merged HLL
+    distinct estimates must equal what one-shot sketches over the full
+    table give, KLL quantile estimates must sit within the rank-error
+    envelope of truth (checked via true rank), and n must be exact."""
+    from distributed_graph_database_simulation_spark.operators import pipeline
+    from distributed_graph_database_simulation_spark.sources.tables import load_table
+    from distributed_graph_database_simulation_spark.streaming.ingest import (
+        stream_sketch_ingest,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    feed = str(tmp_path / "feed")
+    events.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{feed}/b0")
+    events.where(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{feed}/b1")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{feed}/*")
+    )
+    store = str(tmp_path / "sketches")
+    q = stream_sketch_ingest(
+        spark, stream, "user_id", "value", "event_type", store, str(tmp_path / "ck")
+    )
+    q.awaitTermination(300)
+
+    assert {
+        r.batch_id for r in spark.read.parquet(f"{store}/hll").select("batch_id").collect()
+    } == {0, 1}
+    merged = {
+        r.group_key: r.n_distinct_estimate
+        for r in pipeline.read_distinct_estimates(spark, f"{store}/hll").collect()
+    }
+    one_shot = {
+        r.group_key: r.est
+        for r in events.groupBy(F.col("event_type").alias("group_key"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+        )
+        .collect()
+    }
+    assert merged == one_shot
+
+    q50 = {
+        r.group_key: (r.q_0_5, r.n)
+        for r in pipeline.read_quantile_estimates(spark, f"{store}/kll", [0.5]).collect()
+    }
+    truth = {
+        r["event_type"]: sorted(x["value"] for x in r["vals"])
+        for r in events.groupBy("event_type")
+        .agg(F.collect_list(F.struct("value")).alias("vals"))
+        .collect()
+    }
+    for g, vals in truth.items():
+        est, n = q50[g]
+        assert n == len(vals)
+        true_rank = sum(1 for v in vals if v <= est) / len(vals)
+        assert abs(true_rank - 0.5) <= 0.05
