@@ -293,3 +293,56 @@ def articulation_kernel(
     return _grouped_with_n(graphs, edges).groupBy("graph_id").applyInPandas(
         kernel, BCC_OUT_SCHEMA
     )
+
+
+ECC_OUT_SCHEMA = "graph_id INT, vertex INT, eccentricity INT"
+
+
+def eccentricity_kernel(
+    graphs: DataFrame,
+    edges: DataFrame,
+    max_nodes: int = DEFAULT_KERNEL_MAX_NODES,
+) -> DataFrame:
+    """Exact per-vertex eccentricity (undirected view) per pandas group:
+    BFS from every vertex inside one Arrow batch — O(n·(n+m)) per graph,
+    the right plan at the reference's n<=100 bound where all-pairs fits
+    trivially in a task. Radius/diameter are one tiny agg over the result
+    (min/max of eccentricity); unreachable pairs make a vertex's
+    eccentricity -1 (disconnected graph marker) — callers filter or split
+    by component first for per-component metrics. Complements the
+    distributed `diameter_double_sweep` lower bound (single huge graphs)
+    and the HyperBall effective diameter (approximate, all scales).
+    """
+    from collections import deque
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        graph_id = int(pdf["graph_id"].iloc[0])
+        n = int(pdf["n"].iloc[0])
+        if n > max_nodes:
+            raise ValueError(f"graph {graph_id} has n={n}, over kernel cap {max_nodes}")
+        adj: dict[int, set[int]] = {v: set() for v in range(n)}
+        e = pdf[pdf["src"].notna()]
+        for s, d in zip(e["src"].astype(int), e["dst"].astype(int)):
+            if s != d:
+                adj[s].add(d)
+                adj[d].add(s)
+        ecc = []
+        for start in range(n):
+            dist = {start: 0}
+            q = deque([start])
+            far = 0
+            while q:
+                v = q.popleft()
+                for w in adj[v]:
+                    if w not in dist:
+                        dist[w] = dist[v] + 1
+                        far = max(far, dist[w])
+                        q.append(w)
+            ecc.append(far if len(dist) == n else -1)
+        return pd.DataFrame(
+            {"graph_id": graph_id, "vertex": range(n), "eccentricity": ecc}
+        )
+
+    return _grouped_with_n(graphs, edges).groupBy("graph_id").applyInPandas(
+        kernel, ECC_OUT_SCHEMA
+    )

@@ -342,3 +342,64 @@ def wl_fingerprint(
             ),
         )
     )
+
+
+def graph_edge_jaccard(
+    edges: DataFrame,
+    min_jaccard: float = 0.5,
+    max_edge_graphs: int = 1024,
+) -> DataFrame:
+    """Near-duplicate GRAPHS in a many-graph corpus by edge-set Jaccard —
+    the structural complement to :func:`wl_fingerprint` (which catches
+    exact isomorphism classes; this catches graphs that merely SHARE most
+    edges, e.g. successive snapshots). Same candidate-generation shape as
+    the n-gram document dedup: an inverted index keyed by canonical
+    (src, dst) edge joins graphs that share an edge, one count per graph
+    pair, then |A∩B| / (|A|+|B|−|A∩B|) filtered at ``min_jaccard`` —
+    never an all-pairs product over graphs.
+
+    ``max_edge_graphs`` drops "stop edges" present in more than that many
+    graphs before pairing (the stop-word analogue): a universally-shared
+    edge contributes quadratic pair fan-out and no discrimination. Exact
+    for corpora below the cap; with drops, reported intersections are
+    lower bounds (documented trade, same as prefix-filter dedup).
+    Returns (graph_a, graph_b, n_common, n_a, n_b, jaccard) with
+    graph_a < graph_b.
+    """
+    canon = edges.select(
+        "graph_id",
+        F.least("src", "dst").alias("u"),
+        F.greatest("src", "dst").alias("v"),
+    ).where(F.col("u") != F.col("v")).distinct()
+    sizes = canon.groupBy("graph_id").agg(F.count("*").alias("n_edges"))
+    edge_freq = canon.groupBy("u", "v").agg(F.count("*").alias("n_graphs"))
+    indexed = canon.join(
+        edge_freq.where(F.col("n_graphs") <= max_edge_graphs).select("u", "v"),
+        ["u", "v"],
+    )
+    a, b = indexed.alias("a"), indexed.alias("b")
+    common = (
+        a.join(
+            b,
+            on=(F.col("a.u") == F.col("b.u"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.graph_id") < F.col("b.graph_id")),
+        )
+        .groupBy(
+            F.col("a.graph_id").alias("graph_a"),
+            F.col("b.graph_id").alias("graph_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("graph_id").alias("graph_a"), F.col("n_edges").alias("n_a"))
+    sb = sizes.select(F.col("graph_id").alias("graph_b"), F.col("n_edges").alias("n_b"))
+    return (
+        common.join(sa, "graph_a")
+        .join(sb, "graph_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("graph_a", "graph_b", "n_common", "n_a", "n_b", "jaccard")
+    )

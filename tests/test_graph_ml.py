@@ -260,3 +260,76 @@ def test_wl_fingerprint_isomorphism_invariant(spark):
     assert fps[1] == fps[2]
     assert fps[1] != fps[3]
     assert fps[1] == _py_wl_fp(n, base)
+
+
+# ---------------------------------------------------------------------------
+# Graph-corpus near-dup by edge-set Jaccard
+# ---------------------------------------------------------------------------
+
+def test_graph_edge_jaccard_matches_python_reference(spark):
+    from distributed_graph_database_simulation_spark.operators.graph_ml import (
+        graph_edge_jaccard,
+    )
+
+    rng = random.Random(149)
+    n = 15
+    base = {
+        (s, d) for s in range(n) for d in range(s + 1, n) if rng.random() < 0.3
+    }
+    # graph 2 = near-dup of 1 (one edge flipped); graph 3 = unrelated
+    g2 = set(base)
+    g2.discard(next(iter(sorted(base))))
+    g2.add((0, n - 1)) if (0, n - 1) not in base else None
+    g3 = {
+        (s, d) for s in range(n) for d in range(s + 1, n) if rng.random() < 0.3
+    }
+    rows = (
+        [(1, s, d) for s, d in base]
+        + [(2, s, d) for s, d in g2]
+        + [(3, s, d) for s, d in g3]
+    )
+    edges = spark.createDataFrame(rows, "graph_id INT, src INT, dst INT")
+    got = {
+        (r.graph_a, r.graph_b): (r.n_common, r.n_a, r.n_b, r.jaccard)
+        for r in graph_edge_jaccard(edges, min_jaccard=0.0).collect()
+    }
+    corpora = {1: base, 2: g2, 3: g3}
+    want = {}
+    for ga in (1, 2, 3):
+        for gb in range(ga + 1, 4):
+            inter = len(corpora[ga] & corpora[gb])
+            if inter == 0:
+                continue
+            ja = inter / (len(corpora[ga]) + len(corpora[gb]) - inter)
+            want[(ga, gb)] = (inter, len(corpora[ga]), len(corpora[gb]), ja)
+    assert set(got) == set(want)
+    for k, (i, na, nb, ja) in want.items():
+        gi, gna, gnb, gja = got[k]
+        assert (gi, gna, gnb) == (i, na, nb)
+        assert gja == pytest.approx(ja, rel=1e-12)
+    # the planted near-dup pair dominates
+    filtered = {
+        (r.graph_a, r.graph_b)
+        for r in graph_edge_jaccard(edges, min_jaccard=0.8).collect()
+    }
+    assert filtered == {(1, 2)}
+
+
+def test_graph_edge_jaccard_stop_edge_cap(spark):
+    """An edge shared by every graph is dropped by the cap, lowering the
+    reported intersection but keeping the pair join bounded."""
+    from distributed_graph_database_simulation_spark.operators.graph_ml import (
+        graph_edge_jaccard,
+    )
+
+    rows = []
+    for g in range(1, 5):
+        rows.append((g, 0, 1))          # universal stop edge
+        rows.append((g, g, g + 10))     # unique edge per graph
+    rows += [(1, 2, 3), (2, 2, 3)]      # one genuinely shared edge
+    edges = spark.createDataFrame(rows, "graph_id INT, src INT, dst INT")
+    out = {
+        (r.graph_a, r.graph_b): r.n_common
+        for r in graph_edge_jaccard(edges, min_jaccard=0.0, max_edge_graphs=3).collect()
+    }
+    assert out == {(1, 2): 1}

@@ -1717,3 +1717,44 @@ def test_modularity_matches_python_reference(spark):
         q += e_c / m - (d_c / (2 * m)) ** 2
     assert got == pytest.approx(q, rel=1e-12)
     assert got > 0.3
+
+
+def test_eccentricity_kernel_matches_bruteforce_and_double_sweep(spark):
+    from collections import deque
+
+    from distributed_graph_database_simulation_spark.operators.graph_kernels import (
+        eccentricity_kernel,
+    )
+
+    rng = random.Random(151)
+    n = 20
+    edge_rows = [
+        (s, d) for s in range(n) for d in range(s + 1, n) if rng.random() < 0.15
+    ]
+    df = spark.createDataFrame(
+        [(11, s, d) for s, d in edge_rows], "graph_id INT, src INT, dst INT"
+    )
+    graphs = spark.createDataFrame([(11, n)], "graph_id INT, n INT")
+    got = {r.vertex: r.eccentricity for r in eccentricity_kernel(graphs, df).collect()}
+    adj = {v: set() for v in range(n)}
+    for s, d in edge_rows:
+        adj[s].add(d)
+        adj[d].add(s)
+    for start in range(n):
+        dist = {start: 0}
+        q = deque([start])
+        while q:
+            v = q.popleft()
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+        want = max(dist.values()) if len(dist) == n else -1
+        assert got[start] == want
+    # path graph literal: ecc(v) = max(v, n-1-v); diameter n-1
+    path = spark.createDataFrame(
+        [(1, v, v + 1) for v in range(5)], "graph_id INT, src INT, dst INT"
+    )
+    g2 = spark.createDataFrame([(1, 6)], "graph_id INT, n INT")
+    ecc = {r.vertex: r.eccentricity for r in eccentricity_kernel(g2, path).collect()}
+    assert ecc == {v: max(v, 5 - v) for v in range(6)}
