@@ -1122,3 +1122,56 @@ DEDUP_QUERIES: dict[str, tuple] = {
         DEDUP_EMBEDDING_COSINE_SQL,
     ),
 }
+
+
+def containment_df(
+    docs: DataFrame,
+    n: int = 3,
+    min_containment: float = 0.8,
+    min_shingles: int = 1,
+) -> DataFrame:
+    """Asymmetric near-containment: pairs where most of the SMALLER
+    document's shingles appear in the other —
+    containment(A→B) = |A∩B| / |A|. Catches quote-inclusion and
+    boilerplate-wrapping duplicates that symmetric Jaccard structurally
+    misses (a short doc fully quoted inside a long one has tiny Jaccard
+    but containment 1.0) — the Broder resemblance/containment split.
+
+    Same inverted-index candidate shape as the Jaccard dedup: shingle →
+    posting join → per-pair intersection count → containment from the
+    carried set sizes; never an all-pairs product. Emits both directions'
+    scores on one canonical row (doc_a < doc_b). ``min_shingles`` drops
+    degenerate tiny docs.
+    """
+    sh = _shingled(docs, n).where(F.size("shingles") >= min_shingles)
+    sized = sh.select(
+        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("g")
+    )
+    a, b = sized.alias("a"), sized.alias("b")
+    pairs = (
+        a.join(b, on=(F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.count("*").alias("n_common"),
+            F.first(F.col("a.n_sh")).alias("n_a"),
+            F.first(F.col("b.n_sh")).alias("n_b"),
+        )
+    )
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            (F.col("n_common") / F.col("n_a")).alias("containment_a_in_b"),
+            (F.col("n_common") / F.col("n_b")).alias("containment_b_in_a"),
+        )
+        .where(
+            F.greatest("containment_a_in_b", "containment_b_in_a")
+            >= min_containment
+        )
+    )

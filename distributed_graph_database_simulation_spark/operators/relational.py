@@ -1253,6 +1253,62 @@ def scd2_history_df(
     return out.withColumn("is_current", F.col("valid_to").isNull())
 
 
+def rolling_zscore_df(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_seconds: int,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Per-key rolling z-score anomaly flags: each observation scored
+    against the mean/stddev of its key's TRAILING time window (RANGE
+    frame ending at the current row, so no lookahead leakage) — the
+    standard streaming-quality outlier screen (sensor spikes, metric
+    anomalies, corrupt ingestion values) in batch form.
+
+    One shuffle on the key + one window pass computing count/mean/stddev
+    in the same frame. Rows with fewer than 2 trailing observations or
+    zero variance score NULL (insufficient evidence ≠ anomaly — kept
+    explicit, not zero-filled). Returns
+    (key, ts, value, n_window, mean_w, z double, is_anomaly boolean).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("key")
+        .orderBy(F.col("ts_sec"))
+        .rangeBetween(-window_seconds, 0)
+    )
+    base = events.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.unix_timestamp(F.col(ts_col)).alias("ts_sec"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    scored = base.select(
+        "key",
+        "ts",
+        "value",
+        F.count("value").over(w).alias("n_window"),
+        F.avg("value").over(w).alias("mean_w"),
+        F.stddev_samp("value").over(w).alias("sd_w"),
+    )
+    z = F.when(
+        (F.col("n_window") >= 2) & (F.col("sd_w") > 0),
+        (F.col("value") - F.col("mean_w")) / F.col("sd_w"),
+    )
+    return scored.select(
+        "key",
+        "ts",
+        "value",
+        "n_window",
+        "mean_w",
+        z.alias("z"),
+        (F.abs(z) > z_threshold).alias("is_anomaly"),
+    )
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "rel_pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "rel_top_revenue_orders": (top_revenue_orders, TOP_REVENUE_ORDERS_SQL),

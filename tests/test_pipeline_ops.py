@@ -1753,3 +1753,82 @@ def test_scd2_history_matches_python_reference(spark, sf_dir):
     for r in got:
         by_key_current[r.key] = by_key_current.get(r.key, 0) + (1 if r.is_current else 0)
     assert all(c == 1 for c in by_key_current.values())
+
+
+def test_containment_catches_quote_inclusion_jaccard_misses(spark):
+    """A short doc fully quoted inside a long one: containment 1.0 while
+    Jaccard is small; scores must match an independent Python set
+    reference exactly."""
+    from distributed_graph_database_simulation_spark.operators.dedup import (
+        containment_df,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"word{i}" for i in range(60))
+    corpus = [
+        (0, short),
+        (1, filler + " " + short + " " + filler.replace("word", "tail")),
+        (2, "completely unrelated text about nothing shared here at all"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id LONG, text STRING")
+    got = {
+        (r.doc_a, r.doc_b): r
+        for r in containment_df(docs, n=3, min_containment=0.9).collect()
+    }
+    assert set(got) == {(0, 1)}
+    r = got[(0, 1)]
+
+    def shingles(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    sa, sb = shingles(corpus[0][1]), shingles(corpus[1][1])
+    inter = len(sa & sb)
+    assert (r.n_common, r.n_a, r.n_b) == (inter, len(sa), len(sb))
+    assert r.containment_a_in_b == pytest.approx(1.0)
+    assert r.containment_b_in_a == pytest.approx(inter / len(sb), rel=1e-12)
+    # symmetric Jaccard would have rejected this pair at any useful cut
+    assert inter / len(sa | sb) < 0.1
+
+
+def test_rolling_zscore_matches_python_reference(spark, sf_dir):
+    from distributed_graph_database_simulation_spark.operators.relational import (
+        rolling_zscore_df,
+    )
+    from distributed_graph_database_simulation_spark.sources.tables import load_table
+
+    win = 12 * 3600
+    events = load_table(spark, sf_dir, "events").where(F.col("user_id") < 6)
+    got = {
+        (r.key, r.ts): (r.n_window, r.mean_w, r.z, r.is_anomaly)
+        for r in rolling_zscore_df(events, "user_id", "ts", "value", win, 1.0).collect()
+    }
+    rows = events.select(
+        "user_id", "ts", F.unix_timestamp("ts").alias("s"), "value"
+    ).collect()
+    import statistics
+
+    per_key = {}
+    for r in rows:
+        per_key.setdefault(r.user_id, []).append((r.s, r.ts, float(r.value)))
+    n_anom = 0
+    for key, obs in per_key.items():
+        for s, ts, v in obs:
+            trailing = [x for (xs, _, x) in obs if s - win <= xs <= s]
+            n = len(trailing)
+            mean = sum(trailing) / n
+            z = None
+            if n >= 2:
+                sd = statistics.stdev(trailing)
+                if sd > 0:
+                    z = (v - mean) / sd
+            gn, gm, gz, ga = got[(key, ts)]
+            assert gn == n
+            assert gm == pytest.approx(mean, rel=1e-12)
+            if z is None:
+                assert gz is None and ga is None
+            else:
+                assert gz == pytest.approx(z, rel=1e-9)
+                assert ga == (abs(z) > 1.0)
+                n_anom += 1 if abs(z) > 1.0 else 0
+    assert n_anom > 0  # threshold actually fires somewhere
