@@ -735,3 +735,46 @@ def read_theta_set_estimates(spark: SparkSession, path: str) -> DataFrame:
             ).alias("n_diff"),
         )
     )
+
+
+SPLIT_PPM = 1_000_000
+
+
+def split_train_val_test(
+    df: DataFrame,
+    id_col: str,
+    val_ppm: int = 10_000,
+    test_ppm: int = 10_000,
+    seed: int = 1,
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the split every training
+    pipeline needs, as a pure narrow map: split = Knuth-scrambled md5 hash
+    of (id, seed) bucketed in ppm space, so (a) membership is a pure
+    function of the id (resumable, re-runnable, join-free — any table
+    keyed by the same id splits identically), (b) fractions are exact in
+    expectation with no rand() and no global shuffle, (c) changing the
+    seed redraws the split wholesale. Returns the input plus a ``split``
+    column in {'train', 'val', 'test'}.
+
+    Contrast ``randomSplit``: rand() is neither stable across retries nor
+    consistent across tables sharing a key — both disqualifying for a
+    corpus that must be reproducible at 100 TB.
+    """
+    if val_ppm < 0 or test_ppm < 0 or val_ppm + test_ppm > SPLIT_PPM:
+        raise ValueError(f"invalid split ppms: val={val_ppm} test={test_ppm}")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(str(seed)))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    bucket = F.pmod(h, F.lit(SPLIT_PPM))
+    split = (
+        F.when(bucket < test_ppm, F.lit("test"))
+        .when(bucket < test_ppm + val_ppm, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)

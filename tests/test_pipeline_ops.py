@@ -1832,3 +1832,42 @@ def test_rolling_zscore_matches_python_reference(spark, sf_dir):
                 assert ga == (abs(z) > 1.0)
                 n_anom += 1 if abs(z) > 1.0 else 0
     assert n_anom > 0  # threshold actually fires somewhere
+
+
+def test_split_train_val_test_deterministic_and_cross_table(spark, sf_dir):
+    """Split must partition exactly, reproduce across runs AND across
+    different tables sharing the key, approximate its ppm fractions, and
+    redraw under a different seed."""
+    from distributed_graph_database_simulation_spark.sources.tables import load_table
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    a = {
+        r.doc_id: r.split
+        for r in pipeline.split_train_val_test(docs, "doc_id", 100_000, 100_000).collect()
+    }
+    b = {
+        r.doc_id: r.split
+        for r in pipeline.split_train_val_test(docs, "doc_id", 100_000, 100_000).collect()
+    }
+    assert a == b
+    # same ids via a DIFFERENT table: identical membership
+    other = spark.createDataFrame(
+        [(i,) for i in list(a)[:200]], "doc_id long"
+    )
+    c = {
+        r.doc_id: r.split
+        for r in pipeline.split_train_val_test(other, "doc_id", 100_000, 100_000).collect()
+    }
+    assert all(c[i] == a[i] for i in c)
+    n = len(a)
+    from collections import Counter
+
+    frac = Counter(a.values())
+    assert abs(frac["val"] / n - 0.1) < 0.05
+    assert abs(frac["test"] / n - 0.1) < 0.05
+    assert frac["train"] / n > 0.7
+    d = {
+        r.doc_id: r.split
+        for r in pipeline.split_train_val_test(docs, "doc_id", 100_000, 100_000, seed=2).collect()
+    }
+    assert d != a
