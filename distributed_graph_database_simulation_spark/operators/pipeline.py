@@ -737,6 +737,37 @@ def read_theta_set_estimates(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def winsorize_df(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+) -> DataFrame:
+    """Per-group winsorization: clip ``value_col`` to that group's exact
+    [lo, hi] percentiles — the outlier containment step before loss-scale-
+    sensitive statistics (quality scores, length normalization). Same
+    shape as the quantile quality gate: one map-side-combined ``percentile``
+    aggregate to ONE ROW PER GROUP, broadcast back, then a narrow clip —
+    the raw values never shuffle. Adds ``<value>_winsorized`` plus the
+    bound columns.
+    """
+    bounds = df.groupBy(F.col(group_col)).agg(
+        F.percentile(F.col(value_col).cast("double"), F.lit(lo)).alias("_lo"),
+        F.percentile(F.col(value_col).cast("double"), F.lit(hi)).alias("_hi"),
+    )
+    out_col = f"{value_col}_winsorized"
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .withColumn(
+            out_col,
+            F.least(F.greatest(F.col(value_col).cast("double"), F.col("_lo")), F.col("_hi")),
+        )
+        .withColumnRenamed("_lo", f"{value_col}_lo")
+        .withColumnRenamed("_hi", f"{value_col}_hi")
+    )
+
+
 SPLIT_PPM = 1_000_000
 
 

@@ -584,3 +584,43 @@ def token_cooccurrence_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def tfidf_df(docs: DataFrame, min_df: int = 2) -> DataFrame:
+    """TF-IDF term weights per document — the classic sparse retrieval /
+    relevance weighting (Salton), long-row layout:
+    (doc_id, token, tf, df, tfidf) with
+    tfidf = tf · ln((1 + D) / (1 + df)) (smoothed idf, never division by
+    zero, engine-portable arithmetic). ``min_df`` drops hapax noise.
+
+    Shapes: one explode + two keyed partial-aggregated counts (per-doc tf,
+    corpus df) + a token-keyed join of the df marginal back onto the tf
+    rows — the same inverted-index discipline as the dedup family; the
+    vocabulary is never collected anywhere.
+    """
+    words = F.split(
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"[^a-z0-9]+", " "), " "
+    )
+    tok = docs.select("doc_id", F.explode(words).alias("token")).where(
+        F.col("token") != ""
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    n_docs = docs.select(F.countDistinct("doc_id")).first()[0]
+    df_tok = (
+        tf.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= min_df)
+    )
+    return (
+        tf.join(df_tok, "token")
+        .select(
+            "doc_id",
+            "token",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            (
+                F.col("tf")
+                * F.log((F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("df")))
+            ).alias("tfidf"),
+        )
+    )

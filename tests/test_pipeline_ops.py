@@ -1871,3 +1871,70 @@ def test_split_train_val_test_deterministic_and_cross_table(spark, sf_dir):
         for r in pipeline.split_train_val_test(docs, "doc_id", 100_000, 100_000, seed=2).collect()
     }
     assert d != a
+
+
+def test_tfidf_matches_python_reference(spark, sf_dir):
+    import math
+    import re
+    from collections import Counter
+
+    from distributed_graph_database_simulation_spark.operators.text_analysis import (
+        tfidf_df,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).where(F.col("doc_id") < 40)
+    got = {
+        (r.doc_id, r.token): (r.tf, r.df, r.tfidf)
+        for r in tfidf_df(docs, min_df=2).collect()
+    }
+    rows = docs.collect()
+    tf = {}
+    for r in rows:
+        toks = [t for t in re.split(r"[^a-z0-9]+", r.text.lower().strip()) if t]
+        for t, c in Counter(toks).items():
+            tf[(r.doc_id, t)] = c
+    df_tok = Counter(t for (_, t) in tf)
+    d = len(rows)
+    want = {
+        (i, t): (c, df_tok[t], c * math.log((1 + d) / (1 + df_tok[t])))
+        for (i, t), c in tf.items()
+        if df_tok[t] >= 2
+    }
+    assert set(got) == set(want)
+    for k, (c, dfv, w) in want.items():
+        gc, gdf, gw = got[k]
+        assert (gc, gdf) == (c, dfv)
+        assert gw == pytest.approx(w, rel=1e-12)
+
+
+def test_winsorize_clips_to_exact_group_percentiles(spark, sf_dir):
+    from distributed_graph_database_simulation_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    out = pipeline.winsorize_df(events, "event_type", "value", 0.05, 0.95).collect()
+    truth = {
+        r["event_type"]: sorted(x["value"] for x in r["vals"])
+        for r in events.groupBy("event_type")
+        .agg(F.collect_list(F.struct("value")).alias("vals"))
+        .collect()
+    }
+
+    def pct(vals, q):
+        # linear interpolation, matching Spark's percentile()
+        k = (len(vals) - 1) * q
+        f, c = int(k), min(int(k) + 1, len(vals) - 1)
+        return vals[f] + (vals[c] - vals[f]) * (k - f)
+
+    clipped_any = 0
+    for r in out:
+        lo, hi = pct(truth[r.event_type], 0.05), pct(truth[r.event_type], 0.95)
+        assert r.value_lo == pytest.approx(lo, rel=1e-9)
+        assert r.value_hi == pytest.approx(hi, rel=1e-9)
+        assert r.value_winsorized == pytest.approx(
+            min(max(r.value, lo), hi), rel=1e-12
+        )
+        if r.value_winsorized != r.value:
+            clipped_any += 1
+    assert clipped_any > 0
