@@ -2306,3 +2306,64 @@ def modularity(edges: DataFrame, assignment: DataFrame) -> DataFrame:
         )
     )
     return per_c.groupBy("graph_id").agg(F.sum("q_c").alias("modularity"))
+
+
+def graph_summary(graphs: DataFrame, edges: DataFrame) -> DataFrame:
+    """Per-graph summary statistics in two keyed aggregates — the profile
+    report a many-graph corpus is triaged by before any expensive
+    analytics: directed edge count, undirected simple edge count,
+    density (undirected, self-loops excluded), degree min/mean/max over
+    the FULL vertex universe (isolated vertices count), isolated-vertex
+    count, and self-loop count. Returns one row per graph.
+    """
+    ue = undirected(edges).where(F.col("src") != F.col("dst"))
+    deg = (
+        vertices(graphs)
+        .join(
+            ue.groupBy("graph_id", F.col("src").alias("vertex")).agg(
+                F.count("*").alias("deg")
+            ),
+            ["graph_id", "vertex"],
+            "left",
+        )
+        .select("graph_id", F.coalesce("deg", F.lit(0)).alias("deg"))
+    )
+    deg_stats = deg.groupBy("graph_id").agg(
+        F.min("deg").cast("bigint").alias("min_degree"),
+        F.avg("deg").alias("avg_degree"),
+        F.max("deg").cast("bigint").alias("max_degree"),
+        F.sum((F.col("deg") == 0).cast("int")).cast("bigint").alias("n_isolated"),
+    )
+    edge_stats = edges.groupBy("graph_id").agg(
+        F.count("*").cast("bigint").alias("n_directed_edges"),
+        F.sum((F.col("src") == F.col("dst")).cast("int"))
+        .cast("bigint")
+        .alias("n_self_loops"),
+    )
+    und_count = (
+        ue.where(F.col("src") < F.col("dst"))
+        .groupBy("graph_id")
+        .agg(F.count("*").cast("bigint").alias("n_undirected_edges"))
+    )
+    return (
+        graphs.select("graph_id", F.col("n").cast("bigint").alias("n_vertices"))
+        .join(edge_stats, "graph_id", "left")
+        .join(und_count, "graph_id", "left")
+        .join(deg_stats, "graph_id", "left")
+        .select(
+            "graph_id",
+            "n_vertices",
+            F.coalesce("n_directed_edges", F.lit(0)).alias("n_directed_edges"),
+            F.coalesce("n_undirected_edges", F.lit(0)).alias("n_undirected_edges"),
+            F.coalesce("n_self_loops", F.lit(0)).alias("n_self_loops"),
+            F.when(
+                F.col("n_vertices") >= 2,
+                F.coalesce("n_undirected_edges", F.lit(0))
+                / (F.col("n_vertices") * (F.col("n_vertices") - 1) / 2.0),
+            ).otherwise(F.lit(0.0)).alias("density"),
+            F.coalesce("min_degree", F.lit(0)).alias("min_degree"),
+            F.coalesce("avg_degree", F.lit(0.0)).alias("avg_degree"),
+            F.coalesce("max_degree", F.lit(0)).alias("max_degree"),
+            F.coalesce("n_isolated", F.col("n_vertices")).alias("n_isolated"),
+        )
+    )

@@ -1758,3 +1758,28 @@ def test_eccentricity_kernel_matches_bruteforce_and_double_sweep(spark):
     g2 = spark.createDataFrame([(1, 6)], "graph_id INT, n INT")
     ecc = {r.vertex: r.eccentricity for r in eccentricity_kernel(g2, path).collect()}
     assert ecc == {v: max(v, 5 - v) for v in range(6)}
+
+
+def test_graph_summary_on_reference_fixtures(spark):
+    """Summary stats over the G1/G5/G7 fixture graphs vs hand-computed
+    values (G1 = 2-vertex identity matrix: two self-loops, no simple
+    edges; G5 = 5-vertex tree; G7 = 7-vertex tree)."""
+    from distributed_graph_database_simulation_spark import fixtures
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        graph_summary,
+    )
+
+    edges = fixtures.fixture_edges_df(spark)
+    graphs = fixtures.fixture_graphs_df(spark)
+    out = {r.graph_id: r for r in graph_summary(graphs, edges).collect()}
+    g1 = out[1]
+    assert (g1.n_vertices, g1.n_self_loops, g1.n_undirected_edges) == (2, 2, 0)
+    assert g1.n_isolated == 2 and g1.density == 0.0
+    g5 = out[5]
+    assert (g5.n_vertices, g5.n_undirected_edges, g5.n_self_loops) == (5, 4, 0)
+    assert g5.density == pytest.approx(4 / 10)
+    assert (g5.min_degree, g5.max_degree, g5.n_isolated) == (1, 3, 0)
+    assert g5.avg_degree == pytest.approx(8 / 5)
+    g7 = out[7]
+    assert (g7.n_vertices, g7.n_undirected_edges) == (7, 6)
+    assert g7.density == pytest.approx(6 / 21)
