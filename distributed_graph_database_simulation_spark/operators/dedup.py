@@ -747,7 +747,10 @@ def _cosine_route(spark: SparkSession, emb: DataFrame) -> DataFrame:
     router refuses loudly and points at the prefiltered variant instead of
     "working" into a cluster-melting plan.
     """
-    n = emb.count()  # parquet-footer count: no data scan
+    # A real (column-pruned, zero-column) count job — cheap, but NOT parquet
+    # footer metadata unless spark.sql.parquet.aggregatePushdown is enabled
+    # (it is not, and emb is usually a derived plan, not a bare scan anyway).
+    n = emb.count()
     first = emb.select(F.size("e").alias("d")).first()
     dim = int(first["d"]) if first is not None else 0
     est_bytes = n * (8 + dim * 8)

@@ -1277,7 +1277,10 @@ def _hb_init_state(graphs: DataFrame, log2m: int) -> DataFrame:
         "bigint"
     )
     v = vertices(graphs).withColumn("h", h)
-    w = (F.col("h") / F.lit(m)).cast("bigint")
+    # Exact bigint shift: h / m through float division would promote the
+    # 60-bit hash to double (53-bit mantissa) and can be off by ±2 near
+    # power-of-two boundaries, skewing the leading-zero count by one.
+    w = F.shiftright(F.col("h"), log2m)
     rho = F.when(w == 0, F.lit(w_bits + 1)).otherwise(
         F.lit(w_bits + 1) - F.length(F.conv(w, 10, 2))
     )
@@ -1798,7 +1801,9 @@ def greedy_coloring(
             raise RuntimeError(f"coloring exceeded {max_colors} colors")
     finally:
         spark.conf.set(conf_key, prev)
-    ue.unpersist()
+        ue.unpersist()
+    if colored is None:  # empty vertex universe: no rows, stable schema
+        return spark.createDataFrame([], "graph_id int, vertex int, color int")
     return colored
 
 

@@ -197,19 +197,28 @@ def aggregate_neighbor_features(
     For each vertex, the mean and sum of each feature over its out-
     neighbors' ``hops``-hop aggregates (hop h consumes hop h-1's means —
     iterated mean aggregation, the standard GNN feature-prep shape).
-    Missing neighbors (sinks) yield NULL aggregates, preserved rather than
-    zero-filled so downstream imputation stays explicit.
+
+    Universe semantics: every vertex of ``vertex_features`` appears in the
+    output of every hop. Sink vertices (no out-neighbors inside the
+    feature universe) carry NULL means/sums and ``n_neighbors = 0`` —
+    preserved rather than zero-filled so downstream imputation stays
+    explicit. At hops >= 2 a NULL-mean neighbor still counts toward
+    ``n_neighbors`` but is skipped by mean/sum (standard SQL aggregate
+    NULL semantics). Edge sources absent from ``vertex_features`` are out
+    of scope and emit nothing; edges to vertices outside the universe are
+    ignored (their features are unknown).
 
     Returns (graph_id, vertex, <f>_mean, <f>_sum, n_neighbors) for the
     final hop. Every hop is ONE keyed shuffle (join on the neighbor key +
-    partial-aggregated groupBy on the vertex key); feature columns stay
-    JVM-side the whole way.
+    partial-aggregated groupBy on the vertex key) plus a universe left
+    join; feature columns stay JVM-side the whole way.
     """
     if hops < 1:
         raise ValueError(f"hops must be >= 1, got {hops}")
     feats = vertex_features.select(
         "graph_id", "vertex", *[F.col(c).cast("double").alias(c) for c in feature_cols]
     )
+    universe = feats.select("graph_id", "vertex")
     e = edges.select("graph_id", "src", "dst")
     current = feats
     for _ in range(hops):
@@ -231,7 +240,14 @@ def aggregate_neighbor_features(
             aggs.append(F.avg(c).alias(f"{c}_mean"))
             aggs.append(F.sum(c).alias(f"{c}_sum"))
         aggs.append(F.count("*").cast("bigint").alias("n_neighbors"))
-        hop_out = joined.groupBy("graph_id", "vertex").agg(*aggs)
+        hop_agg = joined.groupBy("graph_id", "vertex").agg(*aggs)
+        # universe-preserving: sinks keep NULL aggregates, 0 neighbors
+        hop_out = universe.join(hop_agg, ["graph_id", "vertex"], "left").select(
+            "graph_id",
+            "vertex",
+            *[F.col(f"{c}_{s}") for c in feature_cols for s in ("mean", "sum")],
+            F.coalesce("n_neighbors", F.lit(0)).cast("bigint").alias("n_neighbors"),
+        )
         # next hop consumes this hop's means under the plain feature names
         current = hop_out.select(
             "graph_id",

@@ -2,11 +2,14 @@
 
 North-star §2c: treat image/audio/video as ``BinaryType`` columns processed
 by Arrow-batched pandas UDFs (``mapInPandas``). The container has no
-image/audio libraries, so the *codec* step is stubbed exactly as the brief
-directs: ``decode_image_real`` raises ``NotImplementedError`` unless PIL is
-importable, and the tested path runs a deterministic fake decode over the
-real bytes. Everything Spark-side — schema, partitioning, Arrow batch shape,
-UDF signatures — is real and oracle-verified.
+image/audio libraries; formats the stdlib can genuinely decode have REAL
+codecs here (BMP and WAV via ``struct``, PNG via ``zlib`` — chunk CRCs,
+inflate, all five row unfilters), while lossy/compressed formats that need
+PIL/soundfile (JPEG, OGG) are stubbed exactly as the brief directs:
+``decode_*_real`` raises ``NotImplementedError``, and the tested path runs
+a deterministic fake decode over the real bytes. Everything Spark-side —
+schema, partitioning, Arrow batch shape, UDF signatures — is real and
+oracle-verified.
 
 The synthetic corpus has no binary column, so payloads are derived
 deterministically from ``documents.text`` (UTF-8 bytes) with metadata columns
@@ -45,10 +48,14 @@ def decode_image_real(payload: bytes) -> object:
 
     BMP payloads decode with the stdlib parser below — an executable codec
     path (struct-based headers, row padding, bottom-up/BGR handling).
-    Compressed formats (PNG/JPEG) would need PIL, absent here (stubbed).
+    Non-interlaced 8-bit RGB/RGBA PNG decodes with the stdlib zlib codec
+    below (chunk CRCs, inflate, all five per-row unfilters incl. Paeth).
+    JPEG and other compressed formats would need PIL, absent here (stubbed).
     """
     if payload[:2] == b"BM":
         return parse_bmp(payload)
+    if payload[:8] == PNG_SIG:
+        return parse_png(payload)
     try:
         from PIL import Image  # noqa: F401
         import io
@@ -56,8 +63,8 @@ def decode_image_real(payload: bytes) -> object:
         return Image.open(io.BytesIO(payload))
     except ImportError as e:
         raise NotImplementedError(
-            "non-BMP image decoding requires PIL; container provides none "
-            "(stubbed). BMP payloads use the stdlib parse_bmp path."
+            "non-BMP/PNG image decoding requires PIL; container provides "
+            "none (stubbed). BMP/PNG payloads use the stdlib parsers."
         ) from e
 
 
@@ -126,6 +133,192 @@ def parse_bmp(payload: bytes):
         bgr = bgr[::-1]
     meta = {"width": width, "height": height, "bits_per_pixel": bpp}
     return meta, bgr[:, :, ::-1].tobytes()
+
+
+# --- Real PNG codec (stdlib zlib + struct + numpy; no media libraries) ----
+#
+# Baseline subset of the PNG spec (RFC 2083): non-interlaced, 8-bit,
+# truecolor (color type 2) and truecolor+alpha (color type 6). Everything a
+# baseline decoder must really do is here: chunk walk with CRC-32
+# verification, IDAT concatenation + zlib inflate, and per-row unfiltering
+# for all five filter types including the Paeth predictor.
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth_scalar(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §6.6): nearest of a/b/c to p = a + b - c,
+    ties broken a, then b."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(pixels: bytes, width: int, height: int, alpha: bool = False) -> bytes:
+    """Minimal PNG writer: 8-bit RGB (color type 2) or RGBA (6), one IDAT.
+
+    Deliberately cycles the row filter type (y % 5) so every filter —
+    None/Sub/Up/Average/Paeth — appears in the stream and the decoder's
+    five unfilter paths are all exercised by any image with >= 5 rows.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    bpp = 4 if alpha else 3
+    if len(pixels) != width * height * bpp:
+        raise ValueError(f"pixel buffer size != width*height*{bpp}")
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width * bpp)
+    raw = bytearray()
+    prev = np.zeros(width * bpp, dtype=np.int32)
+    for y in range(height):
+        row = arr[y].astype(np.int32)
+        a = np.zeros_like(row)
+        a[bpp:] = row[:-bpp]
+        b = prev
+        c = np.zeros_like(prev)
+        c[bpp:] = prev[:-bpp]
+        ft = y % 5
+        if ft == 0:
+            filt = row
+        elif ft == 1:
+            filt = row - a
+        elif ft == 2:
+            filt = row - b
+        elif ft == 3:
+            filt = row - (a + b) // 2
+        else:
+            p = a + b - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+            filt = row - pred
+        raw.append(ft)
+        raw += (filt % 256).astype(np.uint8).tobytes()
+        prev = row
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 6 if alpha else 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def parse_png(payload: bytes):
+    """Parse a non-interlaced 8-bit RGB/RGBA PNG: returns (meta, row-major
+    pixel bytes).
+
+    Real baseline decoding: walks chunks verifying each CRC-32, concatenates
+    IDAT bodies, zlib-inflates, and unfilters every row (filters 0-4; Sub is
+    vectorized as a per-channel cumulative sum, Up as one vector add;
+    Average/Paeth scan per byte — their left-neighbor data dependency is
+    spec-inherent). Raises ValueError on malformed or unsupported input
+    (bad signature/CRC, truncated chunk, interlace, palette, depth != 8)
+    rather than mis-decoding.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(payload) < 8 or payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    ihdr = None
+    idat = bytearray()
+    pos = 8
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            raise ValueError(f"truncated {typ!r} chunk")
+        crc_bytes = payload[pos + 8 + length : pos + 12 + length]
+        if len(crc_bytes) < 4:
+            raise ValueError(f"missing CRC for {typ!r} chunk")
+        (crc,) = struct.unpack(">I", crc_bytes)
+        if crc != (zlib.crc32(typ + body) & 0xFFFFFFFF):
+            raise ValueError(f"bad CRC in {typ!r} chunk")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR or IDAT chunk")
+    width, height, depth, color, comp, filt_method, interlace = ihdr
+    if width <= 0 or height <= 0:
+        raise ValueError("bad dimensions")
+    if depth != 8 or color not in (2, 6):
+        raise ValueError(
+            f"only 8-bit RGB/RGBA supported, got depth={depth} color={color}"
+        )
+    if comp != 0 or filt_method != 0:
+        raise ValueError("unsupported compression/filter method")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    bpp = 3 if color == 2 else 4
+    stride = width * bpp
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt IDAT stream: {e}") from e
+    if len(raw) != (stride + 1) * height:
+        raise ValueError(
+            f"decompressed size {len(raw)} != expected {(stride + 1) * height}"
+        )
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        ft = int(rows[y, 0])
+        cur = rows[y, 1:].astype(np.int32)
+        if ft == 0:
+            recon = cur
+        elif ft == 1:  # Sub: per-channel-lane cumulative sum
+            lanes = cur.reshape(width, bpp)
+            recon = (np.cumsum(lanes, axis=0, dtype=np.int64) % 256).astype(
+                np.int32
+            ).reshape(stride)
+        elif ft == 2:  # Up
+            recon = (cur + prev) % 256
+        elif ft in (3, 4):  # Average / Paeth: left-dependency forces a scan
+            recon = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(recon[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                if ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    pred = _paeth_scalar(a, b, c)
+                recon[x] = (int(cur[x]) + pred) % 256
+        else:
+            raise ValueError(f"unknown filter type {ft}")
+        out[y] = recon.astype(np.uint8)
+        prev = recon
+    meta = {
+        "width": width,
+        "height": height,
+        "bit_depth": depth,
+        "channels": bpp,
+    }
+    return meta, out.tobytes()
 
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -575,6 +768,87 @@ FROM t
 """
 
 
+_PNG_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("img_width", IntegerType()),
+        StructField("img_height", IntegerType()),
+        StructField("n_pixel_bytes", LongType()),
+        StructField("weighted_checksum", LongType()),
+    ]
+)
+
+
+def _png_roundtrip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Encode each payload's bytes as pixels of a real PNG file (row filters
+    cycling through all five types), decode it back through chunk-CRC
+    verification + inflate + unfilter, and emit the same order-SENSITIVE
+    position-weighted checksum as the BMP probe — a wrong unfilter, row
+    order, or stride slip changes the checksum."""
+    import numpy as np
+
+    for pdf in batches:
+        widths = np.zeros(len(pdf), dtype="int32")
+        heights = np.zeros(len(pdf), dtype="int32")
+        n_bytes = np.zeros(len(pdf), dtype="int64")
+        checks = np.zeros(len(pdf), dtype="int64")
+        for i, (media_id, payload) in enumerate(zip(pdf["media_id"], pdf["payload"])):
+            mid = int(media_id)
+            w = 3 + mid % 5
+            h = 5 + (mid * 7) % 4  # >= 5 rows: every filter type appears
+            npx = w * h * 3
+            pixels = bytes(payload)[:npx].ljust(npx, b"\x00")
+            meta, decoded = parse_png(encode_png(pixels, w, h))
+            # Explicit checks, not asserts: the round-trip IS the codec
+            # verification and must survive python -O.
+            if meta["width"] != w or meta["height"] != h or meta["channels"] != 3:
+                raise ValueError(f"PNG round-trip dimension drift: {meta}")
+            if decoded != pixels:  # exact round trip, order included
+                raise ValueError("PNG round-trip pixel drift")
+            arr = np.frombuffer(decoded, dtype=np.uint8).astype(np.int64)
+            widths[i], heights[i], n_bytes[i] = w, h, npx
+            checks[i] = int((np.arange(arr.size, dtype=np.int64) * arr).sum())
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "img_width": widths,
+                "img_height": heights,
+                "n_pixel_bytes": n_bytes,
+                "weighted_checksum": checks,
+            }
+        )
+
+
+def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-codec round trip for compressed images: write payload bytes as
+    an actual zlib-compressed PNG (filters None/Sub/Up/Average/Paeth all
+    exercised) and decode it back with the stdlib parser."""
+    return media_table(spark, sf_dir).mapInPandas(
+        _png_roundtrip_batches, schema=_PNG_SCHEMA
+    )
+
+
+# Pixels are the first w*h*3 text bytes zero-padded, so the weighted
+# checksum is sum((i-1) * ord(text[i])) over i <= min(len, w*h*3) — the
+# padding zeros contribute nothing (same construction as the BMP oracle,
+# different w/h derivation).
+MM_PNG_DECODE_SQL = """
+WITH t AS (
+  SELECT doc_id AS media_id, text,
+         3 + doc_id % 5 AS w, 5 + (doc_id * 7) % 4 AS h
+  FROM documents
+)
+SELECT media_id,
+       CAST(w AS INT) AS img_width,
+       CAST(h AS INT) AS img_height,
+       CAST(w * h * 3 AS BIGINT) AS n_pixel_bytes,
+       CAST(COALESCE(list_sum(list_transform(
+              range(1, least(length(text), w * h * 3) + 1),
+              i -> (i - 1) * ord(text[i]))), 0) AS BIGINT) AS weighted_checksum
+FROM t
+"""
+
+
 _FRAMES_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -648,4 +922,5 @@ MULTIMODAL_QUERIES: dict[str, tuple] = {
     "mm_audio_features": (mm_audio_features, MM_AUDIO_FEATURES_SQL),
     "mm_wav_decode": (mm_wav_decode, MM_WAV_DECODE_SQL),
     "mm_bmp_decode": (mm_bmp_decode, MM_BMP_DECODE_SQL),
+    "mm_png_decode": (mm_png_decode, MM_PNG_DECODE_SQL),
 }

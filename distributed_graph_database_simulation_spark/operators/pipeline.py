@@ -544,13 +544,12 @@ def write_distinct_sketch(
     Written ``partitionBy(batch_id)`` with dynamic overwrite — idempotent
     under replay, same as the streaming dedup ingester.
     """
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
         df.groupBy(F.col(group_col).alias("group_key"))
         .agg(F.hll_sketch_agg(key_col).alias("sketch"))
         .withColumn("batch_id", F.lit(int(batch_id)))
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
         .parquet(path)
     )
@@ -637,8 +636,6 @@ def write_quantile_sketch(
     batch replaces exactly its own partition (idempotent retry), matching
     the HLL store and the streaming dedup ingester.
     """
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
         df.groupBy(F.col(group_col).alias("group_key"))
         .agg(
@@ -648,6 +645,7 @@ def write_quantile_sketch(
         )
         .withColumn("batch_id", F.lit(int(batch_id)))
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
         .parquet(path)
     )
@@ -689,13 +687,12 @@ def write_theta_sketch(
     joining raw keys. Same store contract as the HLL/KLL siblings:
     ``partitionBy(batch_id)``, dynamic overwrite, idempotent replay.
     """
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
         df.groupBy(F.col(group_col).alias("group_key"))
         .agg(F.theta_sketch_agg(key_col).alias("sketch"))
         .withColumn("batch_id", F.lit(int(batch_id)))
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
         .parquet(path)
     )

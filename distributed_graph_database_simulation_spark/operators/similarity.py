@@ -525,7 +525,17 @@ def random_project(
             out["projected"] = list(proj)
             yield out
 
-    out_schema = f"_rp_id long, projected array<double>"
+    # Derive the id field's type from the input schema: a non-integral id
+    # (e.g. a string doc key) would pass the select but fail at Arrow
+    # conversion inside the job if "long" were hardcoded here.
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("_rp_id", df.schema[id_col].dataType),
+            StructField("projected", ArrayType(DoubleType())),
+        ]
+    )
     return (
         src.mapInPandas(_batches, out_schema)
         .select(F.col("_rp_id").alias(id_col), "projected")

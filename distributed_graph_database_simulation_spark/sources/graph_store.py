@@ -32,10 +32,9 @@ class GraphStore:
         self.base_dir = base_dir
         self.edges_path = os.path.join(base_dir, "edges")
         self.graphs_path = os.path.join(base_dir, "graphs")
-        # Dynamic partition overwrite: writing graph_id=k replaces only k's
-        # partition, leaving other graphs' files untouched (per-graph
-        # isolation without any lock machinery).
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Dynamic partition overwrite (set per-write in _write): writing
+        # graph_id=k replaces only k's partition, leaving other graphs'
+        # files untouched (per-graph isolation without any lock machinery).
 
     # -- write path (primary server) -----------------------------------
     def add_graph(self, graph_id: int, n: int, edges_df: DataFrame) -> str:
@@ -58,9 +57,19 @@ class GraphStore:
                 F.col("dst").cast("int"),
             )
         )
-        out.write.mode("overwrite").partitionBy("graph_id").parquet(self.edges_path)
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("graph_id")
+            .parquet(self.edges_path)
+        )
         dim = self.spark.createDataFrame([(graph_id, n)], GRAPH_SCHEMA)
-        dim.write.mode("overwrite").partitionBy("graph_id").parquet(self.graphs_path)
+        (
+            dim.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("graph_id")
+            .parquet(self.graphs_path)
+        )
 
     # -- read path (secondary servers) ----------------------------------
     def edges(self, graph_id: int | None = None) -> DataFrame:

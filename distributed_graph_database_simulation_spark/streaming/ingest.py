@@ -28,11 +28,13 @@ from pyspark.sql import functions as F
 
 
 def _write_partition(df: DataFrame, batch_id: int, path: str) -> None:
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # Per-write dynamic overwrite (not a session conf set — that would
+    # silently change overwrite semantics of unrelated partitioned writes
+    # later in the shared session).
     (
         df.withColumn("batch_id", F.lit(int(batch_id)))
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
         .parquet(path)
     )

@@ -131,22 +131,31 @@ def test_walks_as_sentences_orders_by_step(spark):
 
 
 def _py_neighbor_agg(edge_rows, feats, hops):
-    """Independent iterated-mean reference. feats: {v: {col: val}}."""
+    """Independent iterated-mean reference with the documented universe
+    semantics: every feature vertex appears each hop; sinks carry None
+    aggregates and n_neighbors=0; None-mean neighbors count toward
+    n_neighbors but are skipped by mean/sum. feats: {v: {col: val}}."""
     cols = sorted(next(iter(feats.values())).keys())
+    universe = set(feats)
     current = {v: dict(f) for v, f in feats.items()}
     for _ in range(hops):
-        out = {}
-        for s, d in edge_rows:
-            if d in current:
-                acc = out.setdefault(s, {c: [] for c in cols})
-                for c in cols:
-                    acc[c].append(current[d][c])
         hop_result = {}
-        for v, acc in out.items():
+        for v in universe:
+            vals = {c: [] for c in cols}
+            cnt = 0
+            for s, d in edge_rows:
+                if s == v and d in universe:
+                    cnt += 1
+                    for c in cols:
+                        if current[d][c] is not None:
+                            vals[c].append(current[d][c])
             hop_result[v] = {
-                "n_neighbors": len(next(iter(acc.values()))),
-                **{f"{c}_mean": sum(acc[c]) / len(acc[c]) for c in cols},
-                **{f"{c}_sum": sum(acc[c]) for c in cols},
+                "n_neighbors": cnt,
+                **{
+                    f"{c}_mean": (sum(vals[c]) / len(vals[c])) if vals[c] else None
+                    for c in cols
+                },
+                **{f"{c}_sum": sum(vals[c]) if vals[c] else None for c in cols},
             }
         current = {v: {c: r[f"{c}_mean"] for c in cols} for v, r in hop_result.items()}
         last = hop_result
@@ -181,7 +190,10 @@ def test_aggregate_neighbor_features_matches_reference(spark, hops):
         g = got[v]
         assert g["n_neighbors"] == w["n_neighbors"]
         for c in ("fa_mean", "fa_sum", "fb_mean", "fb_sum"):
-            assert g[c] == pytest.approx(w[c], rel=1e-12)
+            if w[c] is None:
+                assert g[c] is None
+            else:
+                assert g[c] == pytest.approx(w[c], rel=1e-12)
 
 
 # ---------------------------------------------------------------------------

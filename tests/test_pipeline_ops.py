@@ -558,6 +558,109 @@ def test_wav_malformed_raises():
         multimodal.parse_wav(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)
 
 
+def test_png_roundtrip_all_filters():
+    import random
+
+    # >= 5 rows so the encoder's y % 5 schedule exercises every filter
+    # (None/Sub/Up/Average/Paeth); exact round trip proves all five
+    # unfilters, the chunk walk, and the inflate path
+    rng = random.Random(11)
+    for w, h in [(3, 5), (7, 9), (1, 6)]:
+        pixels = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        meta, decoded = multimodal.parse_png(multimodal.encode_png(pixels, w, h))
+        assert meta == {"width": w, "height": h, "bit_depth": 8, "channels": 3}
+        assert decoded == pixels
+
+
+def test_png_rgba_roundtrip():
+    import random
+
+    rng = random.Random(13)
+    pixels = bytes(rng.randrange(256) for _ in range(4 * 6 * 4))
+    meta, decoded = multimodal.parse_png(
+        multimodal.encode_png(pixels, 4, 6, alpha=True)
+    )
+    assert meta["channels"] == 4 and decoded == pixels
+
+
+def test_png_idat_split_across_chunks():
+    import struct
+    import zlib
+
+    # a conforming reader must concatenate multiple IDAT chunks before
+    # inflating; re-chunk a valid stream into 1-byte IDATs
+    pixels = bytes(range(2 * 5 * 3)) * 1
+    enc = multimodal.encode_png(pixels, 2, 5)
+    # locate the single IDAT chunk
+    pos = 8
+    parts = []
+    while pos + 8 <= len(enc):
+        (length,) = struct.unpack(">I", enc[pos : pos + 4])
+        typ = enc[pos + 4 : pos + 8]
+        body = enc[pos + 8 : pos + 8 + length]
+        parts.append((typ, body))
+        pos += 12 + length
+
+    def chunk(typ, body):
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    out = multimodal.PNG_SIG
+    for typ, body in parts:
+        if typ == b"IDAT":
+            for i in range(len(body)):
+                out += chunk(b"IDAT", body[i : i + 1])
+        else:
+            out += chunk(typ, body)
+    meta, decoded = multimodal.parse_png(out)
+    assert decoded == pixels
+
+
+def test_png_malformed_raises():
+    with pytest.raises(ValueError, match="not a PNG"):
+        multimodal.parse_png(b"BM not a png")
+    enc = multimodal.encode_png(bytes(3 * 5 * 3), 3, 5)
+    # flipped byte -> CRC failure, not a silent mis-decode
+    corrupt = bytearray(enc)
+    corrupt[40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        multimodal.parse_png(bytes(corrupt))
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.parse_png(enc[:-20])
+    # interlaced flag rejected loudly
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+
+    def chunk(typ, body):
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    bad = (
+        multimodal.PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="interlaced"):
+        multimodal.parse_png(bad)
+
+
+def test_decode_image_real_executes_on_png():
+    pixels = b"\x05\x06\x07" * 10
+    meta, decoded = multimodal.decode_image_real(multimodal.encode_png(pixels, 2, 5))
+    assert meta["width"] == 2 and decoded == pixels
+
+
 def test_decode_audio_real_executes_on_wav():
     samples, rate = multimodal.decode_audio_real(
         multimodal.encode_wav_pcm8(b"hello", 12000)
