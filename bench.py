@@ -55,7 +55,56 @@ HEADLINE = [
     "mm_wav_decode",
     "mm_bmp_decode",
     "stream_events_hourly",
+    # round-5 library wave (r05 verdict #4: regressions in the new code must
+    # be visible in the headline)
+    "text_tfidf",
+    "dedup_dup_spans",
+    "rel_funnel",
+    "rel_resample_ffill",
+    "rel_rolling_zscore",
+    "pipe_winsorize",
+    "mm_png_decode",
+    "g_temporal_reach_scale",
 ]
+
+
+def _scale_graph(spark, sf_dir):
+    from distributed_graph_database_simulation_spark import fixtures
+    from distributed_graph_database_simulation_spark.sources.graph_text import (
+        GRAPH_SCHEMA,
+    )
+
+    edges = fixtures.scale_edges_df(spark, sf_dir).selectExpr(
+        "CAST(1 AS INT) AS graph_id", "src", "dst"
+    )
+    graphs = spark.createDataFrame([(1, fixtures.SCALE_V)], GRAPH_SCHEMA)
+    return graphs, edges
+
+
+def _bench_hyperball_harmonic(spark, sf_dir):
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        hyperball_harmonic,
+    )
+
+    graphs, edges = _scale_graph(spark, sf_dir)
+    return hyperball_harmonic(spark, graphs, edges)
+
+
+def _bench_ktruss(spark, sf_dir):
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        ktruss,
+    )
+
+    _, edges = _scale_graph(spark, sf_dir)
+    return ktruss(spark, edges, k=20)
+
+
+# Library operators benched directly (no registry entry: hyperball is
+# probabilistic-by-design, ktruss certification rides the property tests).
+EXTRA_BENCH = {
+    "g_hyperball_harmonic": _bench_hyperball_harmonic,
+    "g_ktruss": _bench_ktruss,
+}
 
 
 def main() -> int:
@@ -124,8 +173,8 @@ def main() -> int:
             pass  # warm-up must never fail the bench
 
     times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries.get(name)
+    for name in HEADLINE + list(EXTRA_BENCH):
+        fn = queries.get(name) or EXTRA_BENCH.get(name)
         if fn is None:
             continue
         t0 = time.perf_counter()

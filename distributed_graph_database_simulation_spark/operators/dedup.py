@@ -1178,3 +1178,100 @@ def containment_df(
             >= min_containment
         )
     )
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-containment pairs over documents
+    (:func:`containment_df`, 3-gram shingles, threshold 0.8). Containment
+    scores are exact integer divisions (IEEE-exact), so the doubles compare
+    bit-for-bit against the oracle."""
+    return containment_df(_docs(spark, sf_dir))
+
+
+# Same shingle CTE as the Jaccard oracle; intersection size via
+# |A| + |B| - |A union B| so both engines share distinct semantics.
+DEDUP_CONTAINMENT_SQL = """
+WITH docs AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM docs
+  WHERE len(w) >= 3
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(a.s) + len(b.s) - len(list_distinct(list_concat(a.s, b.s))) AS n_common,
+         len(a.s) AS n_a, len(b.s) AS n_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(n_a AS INT) AS n_a,
+       CAST(n_b AS INT) AS n_b,
+       CAST(n_common AS DOUBLE) / n_a AS containment_a_in_b,
+       CAST(n_common AS DOUBLE) / n_b AS containment_b_in_a
+FROM pairs
+WHERE greatest(CAST(n_common AS DOUBLE) / n_a,
+               CAST(n_common AS DOUBLE) / n_b) >= 0.8
+"""
+
+
+def dedup_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated word spans per document (:func:`dup_spans_df`,
+    8-word grams, >= 2 corpus-wide occurrences). The oracle reproduces the
+    positional-gram + gaps-and-islands pipeline on the raw gram TEXT (no
+    hashing), so an xxhash64 collision in the Spark path — the one
+    engine-specific ingredient — would surface as a driver mismatch."""
+    return dup_spans_df(_docs(spark, sf_dir))
+
+
+DEDUP_DUP_SPANS_SQL = """
+WITH docs AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         array_to_string(list_slice(w, i, i + 7), ' ') AS gram
+  FROM docs, LATERAL (SELECT unnest(range(1, len(w) - 6)) AS i)
+  WHERE len(w) >= 8
+),
+dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2
+),
+dp AS (
+  SELECT g.doc_id, g.pos, g.pos + 7 AS e
+  FROM grams g JOIN dup USING (gram)
+),
+pm AS (
+  SELECT doc_id, pos, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM dp
+),
+isl AS (
+  SELECT doc_id, pos, e,
+         sum(CASE WHEN prev_max IS NULL OR pos > prev_max + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM pm
+)
+SELECT doc_id,
+       CAST(min(pos) AS INT) AS span_start,
+       CAST(max(e) AS INT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_grams
+FROM isl GROUP BY doc_id, island
+"""
+
+
+DEDUP_QUERIES.update(
+    {
+        "dedup_containment": (dedup_containment, DEDUP_CONTAINMENT_SQL),
+        "dedup_dup_spans": (dedup_dup_spans, DEDUP_DUP_SPANS_SQL),
+    }
+)

@@ -896,6 +896,238 @@ SELECT vertex, MIN(distance) AS distance FROM walk GROUP BY vertex
 """
 
 
+def core_numbers_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full core decomposition (every vertex's coreness) over the reference
+    fixture graphs. The oracle unrolls one peel fixpoint per k and uses the
+    nesting of k-cores: coreness(v) = #{k >= 1 : v in k-core}."""
+    from .graph_analytics import core_numbers
+
+    return core_numbers(
+        spark, fixtures.fixture_graphs_df(spark), fixtures.fixture_edges_df(spark)
+    )
+
+
+def _core_numbers_sql(edges_cte: str, graphs_cte: str, max_k: int, rounds: int) -> str:
+    """Unrolled coreness oracle: for k = 1..max_k a MATERIALIZED peel
+    fixpoint (same round structure as ``_kcore_sql``), then coreness =
+    count of k-cores the vertex survives in (k-cores are nested, so the
+    indicator sum telescopes to the max surviving k). ``max_k`` must
+    exceed the data's maximum coreness and ``rounds`` its peel depth —
+    fixtures are n <= 7, so 8/8 is a strict bound, not a tuning knob.
+    Self-loops are excluded exactly as :func:`core_numbers` does."""
+    parts = [
+        f"WITH cn_edges AS ({edges_cte}),",
+        f"cn_graphs(graph_id, n) AS ({graphs_cte}),",
+        """cn_ue(graph_id, src, dst) AS (
+  SELECT graph_id, src, dst FROM cn_edges WHERE src <> dst
+  UNION
+  SELECT graph_id, dst, src FROM cn_edges WHERE src <> dst
+),
+cn_verts AS (
+  SELECT graph_id, CAST(UNNEST(range(n)) AS INT) AS vertex FROM cn_graphs
+)""",
+    ]
+    for k in range(1, max_k + 1):
+        parts.append(
+            f""",
+k{k}_s0 AS MATERIALIZED (SELECT graph_id, vertex FROM cn_verts)"""
+        )
+        for r in range(1, rounds + 1):
+            parts.append(
+                f""",
+k{k}_s{r} AS MATERIALIZED (
+  SELECT e.graph_id, e.src AS vertex
+  FROM cn_ue e
+  JOIN k{k}_s{r - 1} a ON a.graph_id = e.graph_id AND a.vertex = e.src
+  JOIN k{k}_s{r - 1} b ON b.graph_id = e.graph_id AND b.vertex = e.dst
+  GROUP BY e.graph_id, e.src
+  HAVING COUNT(*) >= {k}
+)"""
+            )
+    union = " UNION ALL ".join(
+        f"SELECT graph_id, vertex FROM k{k}_s{rounds}" for k in range(1, max_k + 1)
+    )
+    parts.append(f",\nallk AS ({union})")
+    parts.append(
+        """
+SELECT v.graph_id, v.vertex, CAST(COALESCE(a.cnt, 0) AS INT) AS coreness
+FROM cn_verts v
+LEFT JOIN (SELECT graph_id, vertex, COUNT(*) AS cnt FROM allk GROUP BY 1, 2) a
+  ON a.graph_id = v.graph_id AND a.vertex = v.vertex"""
+    )
+    return "\n".join(parts)
+
+
+CORE_NUMBERS_SQL = _core_numbers_sql(
+    f"SELECT * FROM (VALUES {_EDGE_ROWS}) t(graph_id, src, dst)",
+    f"VALUES {', '.join(f'({g},{n})' for g, n in fixtures.GRAPHS)}",
+    max_k=8,
+    rounds=8,
+)
+
+
+def modularity_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the deterministic vertex%4 partition on the
+    scale graph — certifies the three-aggregate modularity pipeline
+    end-to-end. The per-community q_c terms are exact in both engines;
+    their 4-term sum is micro-rounded (summation order is the one
+    engine-specific ingredient)."""
+    from ..sources.graph_text import GRAPH_SCHEMA
+    from .graph_analytics import modularity, vertices
+
+    edges = fixtures.scale_edges_df(spark, sf_dir).selectExpr(
+        "CAST(1 AS INT) AS graph_id", "src", "dst"
+    )
+    graphs = spark.createDataFrame([(1, fixtures.SCALE_V)], GRAPH_SCHEMA)
+    assignment = vertices(graphs).select(
+        "graph_id", "vertex", (F.col("vertex") % 4).alias("community")
+    )
+    q = modularity(edges, assignment)
+    return q.select(
+        "graph_id",
+        F.round(F.col("modularity") * 1e6).cast("bigint").alias("modularity_micro"),
+    )
+
+
+MODULARITY_SCALE_SQL = f"""
+WITH scale_edges AS ({fixtures.SCALE_GRAPH_SQL}),
+ue AS (
+  SELECT src, dst FROM scale_edges WHERE src <> dst
+  UNION
+  SELECT dst, src FROM scale_edges WHERE src <> dst
+),
+canon AS (SELECT src, dst FROM ue WHERE src < dst),
+m AS (SELECT COUNT(*) AS m FROM canon),
+ein AS (
+  SELECT src % 4 AS community, COUNT(*) AS e_c
+  FROM canon WHERE src % 4 = dst % 4 GROUP BY 1
+),
+deg AS (SELECT src AS vertex, COUNT(*) AS deg FROM ue GROUP BY 1),
+dc AS (SELECT vertex % 4 AS community, SUM(deg) AS d_c FROM deg GROUP BY 1),
+per_c AS (
+  SELECT COALESCE(e.e_c, 0) / CAST(m.m AS DOUBLE)
+         - pow(d.d_c / (2.0 * m.m), 2) AS q_c
+  FROM dc d LEFT JOIN ein e USING (community) CROSS JOIN m
+)
+SELECT CAST(1 AS INT) AS graph_id,
+       CAST(round(1e6 * SUM(q_c)) AS BIGINT) AS modularity_micro
+FROM per_c
+"""
+
+
+LANDMARKS = [0, 13, 57]
+N_LANDMARK_PAIRS = 50
+
+
+def landmark_distances_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark distance oracle on the scale graph: two multi-source BFS
+    passes (forward + reversed edges) for 3 landmarks, then upper-bound
+    estimates min_l d(u,l) + d(l,v) for 50 deterministic query pairs.
+    The SQL oracle recomputes both BFS tables as recursive min-distance
+    CTEs — so both the landmark tables and the estimate join certify."""
+    from .graph_analytics import estimate_distances, landmark_distance_oracle
+
+    edges = fixtures.scale_edges_df(spark, sf_dir).selectExpr(
+        "CAST(1 AS INT) AS graph_id", "src", "dst"
+    )
+    landmarks = spark.createDataFrame(
+        [(1, l) for l in LANDMARKS], "graph_id int, source int"
+    )
+    fwd, bwd = landmark_distance_oracle(spark, edges, landmarks)
+    pairs = spark.createDataFrame(
+        [
+            (1, (i * 17) % fixtures.SCALE_V, (i * 29 + 5) % fixtures.SCALE_V)
+            for i in range(N_LANDMARK_PAIRS)
+        ],
+        "graph_id int, u int, v int",
+    )
+    return estimate_distances(fwd, bwd, pairs)
+
+
+LANDMARK_DISTANCES_SCALE_SQL = f"""
+WITH RECURSIVE scale_edges AS ({fixtures.SCALE_GRAPH_SQL}),
+lm(source) AS (VALUES {', '.join(f'({l})' for l in LANDMARKS)}),
+fwd(source, vertex, lvl) AS (
+  SELECT source, source, 0 FROM lm
+  UNION
+  SELECT f.source, e.dst, f.lvl + 1
+  FROM fwd f JOIN scale_edges e ON e.src = f.vertex
+  WHERE f.lvl < {fixtures.SCALE_V}
+),
+fmin AS (SELECT source, vertex, MIN(lvl) AS d FROM fwd GROUP BY 1, 2),
+bwd(source, vertex, lvl) AS (
+  SELECT source, source, 0 FROM lm
+  UNION
+  SELECT b.source, e.src, b.lvl + 1
+  FROM bwd b JOIN scale_edges e ON e.dst = b.vertex
+  WHERE b.lvl < {fixtures.SCALE_V}
+),
+bmin AS (SELECT source, vertex, MIN(lvl) AS d FROM bwd GROUP BY 1, 2),
+qpairs(u, v) AS (
+  SELECT CAST((i * 17) % {fixtures.SCALE_V} AS INT),
+         CAST((i * 29 + 5) % {fixtures.SCALE_V} AS INT)
+  FROM (SELECT UNNEST(range({N_LANDMARK_PAIRS})) AS i)
+),
+est AS (
+  SELECT p.u, p.v, MIN(b.d + f.d) AS dist
+  FROM qpairs p
+  JOIN bmin b ON b.vertex = p.u
+  JOIN fmin f ON f.source = b.source AND f.vertex = p.v
+  GROUP BY 1, 2
+)
+SELECT CAST(1 AS INT) AS graph_id, p.u, p.v, CAST(e.dist AS INT) AS dist_upper
+FROM qpairs p LEFT JOIN est e ON e.u = p.u AND e.v = p.v
+"""
+
+
+# Temporal edges: same orders-derived topology, plus a deterministic
+# timestamp channel; an edge is traversable only at its ts and walks must
+# be time-respecting (non-decreasing ts).
+_TEMPORAL_EDGES_BODY = f"""
+SELECT DISTINCT
+    CAST(o_orderkey % {fixtures.SCALE_V} AS INT)                       AS src,
+    CAST((o_orderkey * 37 + o_custkey) % {fixtures.SCALE_V} AS INT)    AS dst,
+    CAST((o_orderkey * 13 + o_custkey) % 64 AS BIGINT)                 AS ts
+FROM orders
+WHERE o_orderkey % {fixtures.SCALE_V} <> (o_orderkey * 37 + o_custkey) % {fixtures.SCALE_V}
+"""
+
+TEMPORAL_SOURCES = [(0, 0), (7, 5)]  # (source vertex, t0)
+
+
+def temporal_reach_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest-arrival temporal reachability on the timestamped scale
+    graph from two sources (:func:`temporal_reachability`). The oracle is
+    the time-respecting-walk min fixpoint as a recursive CTE."""
+    from ..sources.tables import load_table
+    from .graph_analytics import temporal_reachability
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    edges = spark.sql(_TEMPORAL_EDGES_BODY).selectExpr(
+        "CAST(1 AS INT) AS graph_id", "src", "dst", "ts"
+    )
+    sources = spark.createDataFrame(
+        [(1, s, t0) for s, t0 in TEMPORAL_SOURCES],
+        "graph_id int, source int, t0 bigint",
+    )
+    return temporal_reachability(spark, edges, sources)
+
+
+TEMPORAL_REACH_SCALE_SQL = f"""
+WITH RECURSIVE te AS ({_TEMPORAL_EDGES_BODY}),
+srcs(source, t0) AS (VALUES {', '.join(f'({s},{t})' for s, t in TEMPORAL_SOURCES)}),
+walk(source, vertex, arr) AS (
+  SELECT source, source, CAST(t0 AS BIGINT) FROM srcs
+  UNION
+  SELECT w.source, e.dst, e.ts
+  FROM walk w JOIN te e ON e.src = w.vertex AND e.ts >= w.arr
+)
+SELECT CAST(1 AS INT) AS graph_id, CAST(source AS INT) AS source, vertex,
+       MIN(arr) AS earliest
+FROM walk GROUP BY source, vertex
+"""
+
+
 GRAPH_QUERIES: dict[str, tuple] = {
     "g_bfs_levels": (bfs_levels_fixture, BFS_LEVELS_SQL),
     "g_bfs_levels_kernel": (bfs_levels_kernel_fixture, BFS_LEVELS_SQL),
@@ -930,4 +1162,11 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "g_bfs_scale": (bfs_scale, BFS_SCALE_SQL),
     "g_store_roundtrip": (store_roundtrip, STORE_ROUNDTRIP_SQL),
     "g_text_scan": (text_scan, TEXT_SCAN_SQL),
+    "g_core_numbers": (core_numbers_fixture, CORE_NUMBERS_SQL),
+    "g_modularity_scale": (modularity_scale, MODULARITY_SCALE_SQL),
+    "g_landmark_distances_scale": (
+        landmark_distances_scale,
+        LANDMARK_DISTANCES_SCALE_SQL,
+    ),
+    "g_temporal_reach_scale": (temporal_reach_scale, TEMPORAL_REACH_SCALE_SQL),
 }

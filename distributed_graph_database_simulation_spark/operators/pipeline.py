@@ -487,10 +487,68 @@ def sample_token_budget_df(
     )
 
 
+def pipe_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag winsorization of lineitem quantity
+    (:func:`winsorize_df`, defaults lo=0.01 / hi=0.99).
+
+    l_quantity is an integral-valued double, so the exact interpolated
+    percentile arithmetic is IEEE-identical between Spark ``percentile``
+    and DuckDB ``quantile_cont`` (same (n-1)*p definition — the
+    rel_quantiles precedent) and the clip compares exactly."""
+    from ..sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    return winsorize_df(li, "l_returnflag", "l_quantity")
+
+
+PIPE_WINSORIZE_SQL = """
+WITH bounds AS (
+  SELECT l_returnflag,
+         quantile_cont(CAST(l_quantity AS DOUBLE), 0.01) AS lo,
+         quantile_cont(CAST(l_quantity AS DOUBLE), 0.99) AS hi
+  FROM lineitem GROUP BY 1
+)
+SELECT l.l_returnflag, l.l_orderkey, l.l_linenumber, l.l_quantity,
+       b.lo AS l_quantity_lo, b.hi AS l_quantity_hi,
+       least(greatest(CAST(l.l_quantity AS DOUBLE), b.lo), b.hi)
+         AS l_quantity_winsorized
+FROM lineitem l JOIN bounds b USING (l_returnflag)
+"""
+
+
+def pipe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment over documents
+    (:func:`split_train_val_test`, 1% val / 1% test, seed 1). The md5
+    bucket arithmetic is engine-portable (first 15 hex chars -> 60-bit
+    int), so DuckDB reproduces the exact same membership."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    return split_train_val_test(docs, "doc_id")
+
+
+# 1000000 == SPLIT_PPM (defined below; literal here because this string is
+# built at module load, before that assignment runs).
+PIPE_SPLIT_SQL = """
+SELECT doc_id, lang, source,
+       CASE WHEN bucket < 10000 THEN 'test'
+            WHEN bucket < 20000 THEN 'val'
+            ELSE 'train' END AS split
+FROM (
+  SELECT doc_id, lang, source,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|1'), 1, 15)
+              AS BIGINT) % 1000000 AS bucket
+  FROM documents
+)
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     "text_chunk_windows": (text_chunk_windows, TEXT_CHUNK_WINDOWS_SQL),
     "text_sample_stratified": (text_sample_stratified, TEXT_SAMPLE_STRATIFIED_SQL),
     "text_shard_assign": (text_shard_assign, TEXT_SHARD_ASSIGN_SQL),
+    "pipe_winsorize": (pipe_winsorize, PIPE_WINSORIZE_SQL),
+    "pipe_split": (pipe_split, PIPE_SPLIT_SQL),
 }
 
 

@@ -1309,6 +1309,190 @@ def rolling_zscore_df(
     )
 
 
+# --- driver-contract wrappers for the round-5 library operators ----------
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+FUNNEL_HORIZON_MIN = 1440  # 24 h: stages 2/3 non-vacuous at every gate sf
+
+
+def rel_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase funnel over events (:func:`funnel_df`).
+
+    24 h horizon chosen from the data (≈2 events/user/day): at sf0.01 the
+    stage histogram is {1: 90, 2: 46, 3: 14} — every stage populated, so a
+    driver hash match certifies the whole state machine, not a degenerate
+    all-stage-1 outcome."""
+    events = _t(spark, sf_dir, "events")
+    return funnel_df(events, FUNNEL_STEPS, horizon_minutes=FUNNEL_HORIZON_MIN)
+
+
+# The fold scans events sorted by (us, event_id, event_type); stage 1 is the
+# first step-1 event, stages 2..k match the first later-in-order event of
+# the right type with us strictly after t0 and within the horizon of t0.
+# That is exactly a per-stage min-row_number chain in SQL.
+_FUNNEL_H_US = FUNNEL_HORIZON_MIN * 60 * 1_000_000
+REL_FUNNEL_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY us, event_id, event_type) AS rn
+  FROM ev
+),
+s1 AS (
+  SELECT user_id, min(rn) AS rn1 FROM ranked
+  WHERE event_type = 'view' GROUP BY user_id
+),
+t1 AS (
+  SELECT r.user_id, r.us AS t0, s1.rn1
+  FROM ranked r JOIN s1 ON r.user_id = s1.user_id AND r.rn = s1.rn1
+),
+s2 AS (
+  SELECT r.user_id, min(r.rn) AS rn2
+  FROM ranked r JOIN t1 ON r.user_id = t1.user_id
+  WHERE r.event_type = 'click' AND r.rn > t1.rn1
+    AND r.us > t1.t0 AND r.us <= t1.t0 + {_FUNNEL_H_US}
+  GROUP BY r.user_id
+),
+s3 AS (
+  SELECT r.user_id, min(r.rn) AS rn3
+  FROM ranked r JOIN t1 ON r.user_id = t1.user_id JOIN s2 ON r.user_id = s2.user_id
+  WHERE r.event_type = 'purchase' AND r.rn > s2.rn2
+    AND r.us > t1.t0 AND r.us <= t1.t0 + {_FUNNEL_H_US}
+  GROUP BY r.user_id
+)
+SELECT u.user_id,
+       CAST(CASE WHEN s3.rn3 IS NOT NULL THEN 3
+                 WHEN s2.rn2 IS NOT NULL THEN 2
+                 WHEN t1.rn1 IS NOT NULL THEN 1
+                 ELSE 0 END AS INT) AS stage_reached,
+       make_timestamp(t1.t0) AS funnel_start_ts
+FROM (SELECT DISTINCT user_id FROM ev) u
+LEFT JOIN t1 USING (user_id)
+LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
+"""
+
+
+def rel_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals from the events change log
+    (:func:`scd2_history_df`): per user, the history of their event_type
+    "attribute" with (valid_from, valid_to] intervals and is_current."""
+    events = _t(spark, sf_dir, "events")
+    return scd2_history_df(events, "user_id", "ts", ["event_type"])
+
+
+REL_SCD2_SQL = """
+WITH collapsed AS (
+  SELECT user_id AS key, ts AS valid_from, max(event_type) AS event_type
+  FROM events GROUP BY 1, 2
+),
+led AS (
+  SELECT key, valid_from,
+         lead(valid_from) OVER (PARTITION BY key ORDER BY valid_from) AS valid_to,
+         event_type
+  FROM collapsed
+)
+SELECT key, valid_from, valid_to, event_type, valid_to IS NULL AS is_current
+FROM led
+"""
+
+
+RESAMPLE_STEP_SEC = 21_600  # 6 h buckets over the 30-day event window
+
+
+def rel_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resample + forward fill of event values per user
+    (:func:`resample_forward_fill_df`), 6 h buckets."""
+    events = _t(spark, sf_dir, "events")
+    return resample_forward_fill_df(
+        events, "user_id", "ts", "value", RESAMPLE_STEP_SEC
+    )
+
+
+REL_RESAMPLE_FFILL_SQL = f"""
+WITH b AS (
+  SELECT user_id AS key,
+         CAST(floor(epoch(ts)) AS BIGINT) // {RESAMPLE_STEP_SEC} AS bucket,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+),
+pb AS (
+  SELECT key, bucket, (max(struct_pack(ts := ts_sec, v := v))).v AS obs_value
+  FROM b GROUP BY 1, 2
+),
+spans AS (SELECT key, min(bucket) AS b0, max(bucket) AS b1 FROM pb GROUP BY 1),
+grid AS (SELECT key, unnest(generate_series(b0, b1)) AS bucket FROM spans),
+j AS (
+  SELECT g.key, g.bucket, pb.obs_value
+  FROM grid g LEFT JOIN pb ON pb.key = g.key AND pb.bucket = g.bucket
+)
+SELECT key,
+       make_timestamp(bucket * {RESAMPLE_STEP_SEC} * 1000000) AS bucket_ts,
+       last_value(obs_value IGNORE NULLS) OVER (
+         PARTITION BY key ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       obs_value IS NOT NULL AS observed
+FROM j
+"""
+
+
+ZSCORE_WINDOW_SEC = 86_400  # 1-day trailing window: ~88% of rows have n>=2
+
+
+def rel_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-1-day rolling z-score anomaly flags
+    (:func:`rolling_zscore_df`). mean/z are emitted micro-rounded BIGINTs:
+    windowed avg/stddev accumulate in engine-specific order (DuckDB uses a
+    segment tree), so the raw doubles can differ in the last ulp — the
+    same integer-micro compare the PageRank oracle uses."""
+    events = _t(spark, sf_dir, "events")
+    scored = rolling_zscore_df(events, "user_id", "ts", "value", ZSCORE_WINDOW_SEC)
+    return scored.select(
+        "key",
+        "ts",
+        "value",
+        "n_window",
+        F.round(F.col("mean_w") * 1e6).cast("bigint").alias("mean_w_micro"),
+        F.round(F.col("z") * 1e6).cast("bigint").alias("z_micro"),
+        # NULL z -> not flagged; NULL booleans stringify differently across
+        # the two engines' pandas bridges, so the wrapper pins tri-state
+        # down to two for the differential compare (z_micro stays NULL).
+        F.coalesce("is_anomaly", F.lit(False)).alias("is_anomaly"),
+    )
+
+
+REL_ROLLING_ZSCORE_SQL = f"""
+WITH b AS (
+  SELECT user_id AS key, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+         CAST(value AS DOUBLE) AS value
+  FROM events
+),
+s AS (
+  SELECT key, ts, value,
+         count(value) OVER w AS n_window,
+         avg(value) OVER w AS mean_w,
+         stddev_samp(value) OVER w AS sd_w
+  FROM b
+  WINDOW w AS (PARTITION BY key ORDER BY ts_sec
+               RANGE BETWEEN {ZSCORE_WINDOW_SEC} PRECEDING AND CURRENT ROW)
+)
+SELECT key, ts, value,
+       CAST(n_window AS BIGINT) AS n_window,
+       CAST(round(mean_w * 1e6) AS BIGINT) AS mean_w_micro,
+       CAST(round((CASE WHEN n_window >= 2 AND sd_w > 0
+                        THEN (value - mean_w) / sd_w END) * 1e6) AS BIGINT) AS z_micro,
+       COALESCE(abs(CASE WHEN n_window >= 2 AND sd_w > 0
+                         THEN (value - mean_w) / sd_w END) > 3.0,
+                FALSE) AS is_anomaly
+FROM s
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "rel_pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "rel_top_revenue_orders": (top_revenue_orders, TOP_REVENUE_ORDERS_SQL),
@@ -1340,4 +1524,8 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "rel_outer_join": (outer_join_nation_activity, OUTER_JOIN_NATION_ACTIVITY_SQL),
     "rel_range_frame_window": (trailing_month_qty, TRAILING_MONTH_QTY_SQL),
     "rel_distinct_parts_per_flag": (distinct_parts_per_flag, DISTINCT_PARTS_PER_FLAG_SQL),
+    "rel_funnel": (rel_funnel, REL_FUNNEL_SQL),
+    "rel_scd2": (rel_scd2, REL_SCD2_SQL),
+    "rel_resample_ffill": (rel_resample_ffill, REL_RESAMPLE_FFILL_SQL),
+    "rel_rolling_zscore": (rel_rolling_zscore, REL_ROLLING_ZSCORE_SQL),
 }

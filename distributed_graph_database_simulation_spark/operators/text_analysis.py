@@ -624,3 +624,98 @@ def tfidf_df(docs: DataFrame, min_df: int = 2) -> DataFrame:
             ).alias("tfidf"),
         )
     )
+
+
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF weights over documents (:func:`tfidf_df`, min_df=2), with the
+    double weight emitted as a micro-rounded BIGINT: ln() is not guaranteed
+    correctly-rounded across libm implementations, so the raw double can
+    differ in the last ulp between engines — the integer-micro compare is
+    the same device the PageRank oracle uses."""
+    out = tfidf_df(_docs(spark, sf_dir), min_df=2)
+    return out.select(
+        "doc_id",
+        "token",
+        "tf",
+        "df",
+        F.round(F.col("tfidf") * 1e6).cast("bigint").alias("tfidf_micro"),
+    )
+
+
+TEXT_TFIDF_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(trim(lower(text)), '[^a-z0-9]+', ' ', 'g'),
+                             ' ')) AS token
+  FROM documents
+),
+tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) >= 2),
+d AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+SELECT t.doc_id, t.token,
+       CAST(t.tf AS BIGINT) AS tf,
+       CAST(f.df AS BIGINT) AS df,
+       CAST(round(1e6 * t.tf * ln((1.0 + d.n) / (1.0 + f.df))) AS BIGINT)
+         AS tfidf_micro
+FROM tf t JOIN dfq f USING (token) CROSS JOIN d
+"""
+
+
+def text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI token co-occurrence graph (:func:`token_cooccurrence_pmi`,
+    top 32 tokens/doc, pairs in >= 2 docs); pmi micro-rounded for the same
+    libm-ln reason as :func:`text_tfidf`."""
+    out = token_cooccurrence_pmi(_docs(spark, sf_dir))
+    return out.select(
+        "token_a",
+        "token_b",
+        "n_docs_pair",
+        "n_docs_a",
+        "n_docs_b",
+        F.round(F.col("pmi") * 1e6).cast("bigint").alias("pmi_micro"),
+    )
+
+
+TEXT_PMI_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(trim(lower(text)), '[^a-z0-9]+', ' ', 'g'),
+                             ' ')) AS token
+  FROM documents
+),
+tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+indoc AS (SELECT doc_id, token, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+top AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, token,
+           row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, token) AS rk
+    FROM indoc)
+  WHERE rk <= 32
+),
+dft AS (SELECT token, count(*) AS df FROM top GROUP BY 1),
+nd AS (SELECT count(DISTINCT doc_id) AS d FROM documents),
+pairs AS (
+  SELECT a.token AS token_a, b.token AS token_b, count(*) AS n_docs_pair
+  FROM top a JOIN top b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT p.token_a, p.token_b,
+       CAST(p.n_docs_pair AS BIGINT) AS n_docs_pair,
+       CAST(da.df AS BIGINT) AS n_docs_a,
+       CAST(db.df AS BIGINT) AS n_docs_b,
+       CAST(round(1e6 * ln((p.n_docs_pair * CAST(nd.d AS DOUBLE))
+                           / (da.df * db.df))) AS BIGINT) AS pmi_micro
+FROM pairs p
+JOIN dft da ON da.token = p.token_a
+JOIN dft db ON db.token = p.token_b
+CROSS JOIN nd
+"""
+
+
+TEXT_QUERIES.update(
+    {
+        "text_tfidf": (text_tfidf, TEXT_TFIDF_SQL),
+        "text_pmi": (text_pmi, TEXT_PMI_SQL),
+    }
+)

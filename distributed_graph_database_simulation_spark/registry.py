@@ -37,74 +37,71 @@ from .streaming.windowed import STREAMING_QUERIES
 # fixture variants (all hash-exact green in CORRECTNESS_r01) go in the tail.
 CHECK_WINDOW = 50
 
+# r06 rotation: the round-5 library wave ships 15 never-checked entries
+# (all 15 verified hash-green locally at sf0.001 AND sf0.01 via the canary
+# before this rotation). Rotated to the tail in exchange: multiply-
+# certified entries only — g_connected_components/kcore/triangles/sssp/
+# pagerank/label_propagation _scale (2-4 green rows each r01-r05),
+# dedup_embedding_cosine_tiled (same SQL as the retained broadcast
+# variant), sim_topk_lsh/ivf (rows-only; recall floors test-pinned),
+# text_shard_assign (r04+r05), mm_wav/bmp_decode (r05),
+# stream_events_sliding/user_sessions/static_enrichment (r01-r05). The
+# rotation guard (tests/test_registry_window.py) enforces that nothing
+# leaves the gate without green history.
 _WINDOW_ORDER = [
     # -- graph essentials (reference ops 1-5 + north-star analytics) --------
     "g_bfs_levels",
     "g_dfs_leaves",
-    # r04 rotation: g_reachable (twice-certified r01+r03) -> tail; its window
-    # slot now certifies the never-checked link-prediction operator.
     "g_common_neighbors_scale",
-    # r05 rotation: g_connected_components (4x-certified fixture variant;
-    # its scale variant stays) and g_degrees_scale (4x-certified) -> tail;
-    # their slots certify the capped link-prediction pair, now non-vacuous
-    # at the gate sf (cap derived from the degree distribution — 313 rows
-    # at sf0.01 vs the fixed cap's 0).
     "g_common_neighbors_capped_scale",
     "g_adamic_adar_capped_scale",
-    "g_connected_components_scale",
-    "g_kcore_scale",
-    "g_triangles_scale",
-    "g_sssp_scale",
-    "g_pagerank_scale",
-    "g_label_propagation_scale",
+    "g_core_numbers",
+    "g_modularity_scale",
+    "g_landmark_distances_scale",
+    "g_temporal_reach_scale",
     "g_bfs_scale",
     "g_store_roundtrip",
     "g_text_scan",
-    # -- LLM-pipeline + streaming surface (no round-1 driver rows) ----------
+    # -- LLM-pipeline + streaming surface ----------------------------------
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_simhash",
     "dedup_embedding_cosine",
-    "dedup_embedding_cosine_tiled",
+    "dedup_containment",
+    "dedup_dup_spans",
     "sim_topk_bruteforce",
-    "sim_topk_lsh",
-    "sim_topk_ivf",
     "text_language_id",
     "text_quality_score",
-    # r04 rotation: text_token_count (twice-certified) -> tail, in favor of
-    # the never-checked shard-assignment pipeline op.
-    "text_shard_assign",
-    # r05 rotation: text_fingerprint / text_repetition (3x-certified) ->
-    # tail in favor of the executable WAV/BMP codecs' first certification.
-    # After this rotation every registry entry has been driver-certified at
-    # least once — the registry is FROZEN (rotation guard in
-    # tests/test_registry_window.py).
-    "mm_wav_decode",
-    "mm_bmp_decode",
+    "text_tfidf",
+    "text_pmi",
     "text_contamination",
     "text_pii_scrub",
     "text_chunk_windows",
     "text_sample_stratified",
+    "pipe_winsorize",
+    "pipe_split",
     "mm_image_features",
     "mm_frame_sample",
     "mm_audio_features",
+    "mm_png_decode",
     "rel_udaf_weighted_discount",
     "rel_udtf_heavy_tokens",
     "stream_events_hourly",
-    "stream_events_sliding",
-    "stream_user_sessions",
     "stream_stateful_user_totals",
-    "stream_static_enrichment",
     "stream_stream_click_purchase",
     "stream_dedup_events",
-    # -- events queries (round-1 failures, loader fixed this round) ---------
+    # -- events + relational library --------------------------------------
     "rel_scalar_events",
     "rel_event_sessions",
     "rel_events_hourly",
     "rel_asof_join",
     "rel_salted_heavy_hitters",
+    "rel_funnel",
+    "rel_scd2",
+    "rel_resample_ffill",
+    "rel_rolling_zscore",
 ]
 
 _SUITES = (

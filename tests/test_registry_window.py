@@ -30,25 +30,39 @@ def test_window_covers_every_family():
     assert {"g", "dedup", "sim", "text", "mm", "rel", "stream"} <= prefixes
 
 
-def test_r04_rotation_certifies_previously_unchecked_ops():
-    w = window_names()
-    assert "g_common_neighbors_scale" in w
-    assert "text_shard_assign" in w
-    # rotated-out entries remain registered (tail), just no longer gate rows
-    q = registry.queries()
-    assert "g_reachable" in q and "text_token_count" in q
-    assert "g_reachable" not in w and "text_token_count" not in w
+R06_NEW_ENTRIES = (
+    "g_core_numbers", "g_modularity_scale", "g_landmark_distances_scale",
+    "g_temporal_reach_scale", "dedup_containment", "dedup_dup_spans",
+    "text_tfidf", "text_pmi", "pipe_winsorize", "pipe_split",
+    "rel_funnel", "rel_scd2", "rel_resample_ffill", "rel_rolling_zscore",
+    "mm_png_decode",
+)
+
+R06_ROTATED_OUT = (
+    "g_connected_components_scale", "g_kcore_scale", "g_triangles_scale",
+    "g_sssp_scale", "g_pagerank_scale", "g_label_propagation_scale",
+    "dedup_embedding_cosine_tiled", "sim_topk_lsh", "sim_topk_ivf",
+    "text_shard_assign", "mm_wav_decode", "mm_bmp_decode",
+    "stream_events_sliding", "stream_user_sessions",
+    "stream_static_enrichment",
+)
 
 
-def test_r05_rotation_certifies_final_unchecked_ops():
+def test_r06_rotation_certifies_library_wave():
+    """Round 6 rotates the 15 round-5 library-wave operators into the gate
+    (each pre-verified hash-green locally at sf0.001 + sf0.01) in exchange
+    for 15 multiply-certified entries; earlier rotations' certifications
+    live on in the committed CORRECTNESS_r*.json history."""
     w = window_names()
-    for name in ("g_common_neighbors_capped_scale", "g_adamic_adar_capped_scale",
-                 "mm_wav_decode", "mm_bmp_decode"):
-        assert name in w
     q = registry.queries()
-    for name in ("g_connected_components", "g_degrees_scale",
-                 "text_fingerprint", "text_repetition"):
-        assert name in q and name not in w
+    for name in R06_NEW_ENTRIES:
+        assert name in w, name
+    for name in R06_ROTATED_OUT:
+        assert name in q and name not in w, name
+    # earlier rotations' tail entries stay registered too
+    for name in ("g_reachable", "text_token_count", "g_connected_components",
+                 "g_degrees_scale", "text_fingerprint", "text_repetition"):
+        assert name in q and name not in w, name
 
 
 def _green_history():
@@ -79,6 +93,19 @@ def test_rotated_out_entries_were_driver_certified():
     )
 
 
+def test_window_entries_without_history_are_this_rounds_rotation():
+    """Forward guard (r05 verdict #8): a window entry with no green driver
+    history must be one of the entries deliberately rotated IN this round —
+    anything else is a query that slipped into the gate without the
+    pre-verification step the rotation playbook requires."""
+    green = _green_history()
+    awaiting = set(window_names()) - green
+    assert awaiting <= set(R06_NEW_ENTRIES), (
+        f"window entries with no driver history outside this round's "
+        f"rotation: {sorted(awaiting - set(R06_NEW_ENTRIES))}"
+    )
+
+
 def test_capped_link_prediction_is_non_vacuous_at_gate_sf(spark):
     """The r04 verdict found the fixed CN_DEGREE_CAP=32 certified vacuously
     (0 rows vs 0 rows at sf0.01). The derived cap must keep the gate-sf
@@ -99,10 +126,11 @@ def test_capped_link_prediction_is_non_vacuous_at_gate_sf(spark):
 
 def test_every_window_entry_has_oracle_or_documented_rows_only():
     oracles = registry.oracle_sql()
-    # rows-only-by-design set (SURVEY §5): traversal-order DFS, probabilistic
-    # ANN recall. Everything else in the window must carry a DuckDB oracle.
+    # rows-only-by-design (SURVEY §5): only the traversal-order-dependent
+    # DFS remains in the gate without an oracle after the r06 rotation
+    # (the probabilistic ANN entries rotated to the tail).
     rows_only = {n for n in window_names() if n not in oracles}
-    assert rows_only <= {"g_dfs_leaves", "sim_topk_lsh", "sim_topk_ivf"}
+    assert rows_only == {"g_dfs_leaves"}
 
 
 def test_canary_smoke_representative_window_queries():

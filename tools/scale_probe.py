@@ -337,6 +337,76 @@ def probe_cosine_router(spark, n_vectors: int, dim: int) -> dict:
             "prefiltered_sec": round(time.perf_counter() - t1, 2)}
 
 
+def probe_prefiltered_cosine(spark, n_vectors: int = 1_000_000, dim: int = 64,
+                             planted_every: int = 1_000) -> dict:
+    """Run the FULL >1M-route (candidate generation + exact verification) at
+    its design scale — the r05 verdict's missing evidence. Every
+    ``planted_every``-th vector is a near-copy of its predecessor (tiny
+    deterministic perturbation -> cosine ~1), so recall on the target
+    near-identical regime is measurable, and the candidate count must stay
+    ~O(n): with bits = ceil(log2 n) the expected random-collision mass is
+    n^2 * tables / 2^bits ~ n * tables. Reports candidates/vector so a
+    regression to quadratic candidate growth is a number, not a timeout."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from distributed_graph_database_simulation_spark.operators import dedup
+    from distributed_graph_database_simulation_spark.operators.similarity import (
+        _signatures,
+        _with_norm,
+    )
+
+    t0 = _t.perf_counter()
+    base_of = (F.col("vec_id") - F.when(
+        F.col("vec_id") % planted_every == 1, F.lit(1)
+    ).otherwise(F.lit(0)))
+    emb = spark.range(n_vectors).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: (
+                F.pmod(F.xxhash64(base_of, i), F.lit(1000)) / 500.0 - 1.0
+                # perturbation only on the planted copies, only on dim 1
+                + F.when(
+                    (F.col("vec_id") % planted_every == 1) & (i == 1), F.lit(1e-3)
+                ).otherwise(F.lit(0.0))
+            ),
+        ).alias("e"),
+    )
+    # candidate-stage count (the part whose growth must be linear)
+    import math
+
+    bits = min(24, max(8, math.ceil(math.log2(n_vectors))))
+    sig = _signatures(_with_norm(emb), tables=4, bits=bits).select(
+        "vec_id", "table_id", "bucket"
+    )
+    n_cand = (
+        sig.alias("a")
+        .join(sig.alias("b"), ["table_id", "bucket"])
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select("a.vec_id", "b.vec_id")
+        .distinct()
+        .count()
+    )
+    cand_sec = round(_t.perf_counter() - t0, 2)
+    t1 = _t.perf_counter()
+    pairs = dedup.dedup_embedding_cosine_prefiltered(spark, emb)
+    planted = pairs.where(
+        (F.col("vec_b") == F.col("vec_a") + 1)
+        & (F.col("vec_b") % planted_every == 1)
+    ).count()
+    # ids i in [0, n) with i % planted_every == 1 (each the copy of i-1)
+    expected = (n_vectors - 2) // planted_every + 1 if n_vectors >= 2 else 0
+    verify_sec = round(_t.perf_counter() - t1, 2)
+    return {"probe": "prefiltered_cosine_full", "vectors": n_vectors, "dim": dim,
+            "bits": bits, "candidates": n_cand,
+            "candidates_per_vector": round(n_cand / n_vectors, 2),
+            "cand_sec": cand_sec,
+            "planted_recalled": planted, "planted_expected": expected,
+            "verify_sec": verify_sec}
+
+
 def probe_dup_spans(spark, n_docs: int, boiler_every: int = 10) -> dict:
     """Substring-level dedup on a synthetic corpus: every ``boiler_every``-th
     doc carries the same 12-word boilerplate block inside otherwise-unique
@@ -627,6 +697,7 @@ def main() -> int:
         lambda: probe_capped_common_neighbors(spark, int(args.vertices), 50_000),
         lambda: probe_asof_and_sessions(spark, int(args.edges) * 2),
         lambda: probe_cosine_router(spark, 1_000_000, 256),
+        lambda: probe_prefiltered_cosine(spark, 1_000_000, 64),
         lambda: probe_dup_spans(spark, int(args.docs) * 10),
         lambda: probe_pack_sequences(spark, int(args.docs) * 100),
         lambda: probe_cap_per_source(spark, int(args.docs) * 100),
