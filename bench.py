@@ -184,6 +184,17 @@ def main() -> int:
         print(f"# {name}: {n} rows in {times[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
+    # Host fingerprint (r05 verdict #8): cross-round comparisons kept
+    # tripping over cold-VM vs warm-cache runs; loadavg + uptime make the
+    # host state adjudicable from the recorded JSON alone.
+    try:
+        host = {
+            "loadavg_1m": round(os.getloadavg()[0], 2),
+            "uptime_sec": int(float(open("/proc/uptime").read().split()[0])),
+            "cpus": os.cpu_count(),
+        }
+    except OSError:
+        host = {}
     print(
         json.dumps(
             {
@@ -192,6 +203,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf_dir,
+                "host": host,
             }
         )
     )

@@ -478,3 +478,54 @@ def test_random_project_is_narrow_map(spark, sf_dir):
     plan = _formatted_plan(random_project(emb, "vec_id", "embedding", 16))
     assert "Exchange" not in plan
     assert "MapInPandas" in plan
+
+
+def test_funnel_is_single_shuffle_fold(spark, sf_dir):
+    """The funnel must stay the collect+F.aggregate fold: one Exchange on
+    user_id, no per-step join chain (k chained joins = k shuffles is the
+    naive shape this formulation exists to avoid)."""
+    plan = _formatted_plan(relational.rel_funnel(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_resample_grid_is_generated_not_joined(spark, sf_dir):
+    """The dense bucket grid must come from JVM sequence+explode per key
+    (Generate node), never a calendar cross join; the fill is one window."""
+    plan = _formatted_plan(relational.rel_resample_ffill(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan
+    assert "Window" in plan
+
+
+def test_winsorize_bounds_broadcast_back(spark, sf_dir):
+    """Percentile bounds are one row per group: they must broadcast back
+    onto the fact rows — the raw values never shuffle."""
+    from distributed_graph_database_simulation_spark.operators import pipeline
+
+    plan = _formatted_plan(pipeline.pipe_winsorize(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_split_is_pure_narrow_map(spark, sf_dir):
+    """Train/val/test assignment is a pure function of the id: zero
+    Exchange anywhere."""
+    from distributed_graph_database_simulation_spark.operators import pipeline
+
+    plan = _formatted_plan(pipeline.pipe_split(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_tfidf_and_pmi_joins_stay_keyed(spark, sf_dir):
+    """The df-marginal joins must stay keyed (token hash) with partial
+    aggregation — never a product over the vocabulary."""
+    from distributed_graph_database_simulation_spark.operators import text_analysis
+
+    for fn in (text_analysis.text_tfidf, text_analysis.text_pmi):
+        plan = _formatted_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+        assert "partial_" in plan, fn.__name__
