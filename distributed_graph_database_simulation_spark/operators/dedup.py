@@ -119,13 +119,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`_ngram_jaccard_prefix` is kept as the long-document scale path
     (equality of the two is pinned in tests).
     """
+    from pyspark.storagelevel import StorageLevel
+
     sh = _shingled(_docs(spark, sf_dir))
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    # Persisted: the posting table feeds both sides of the inverted-index
+    # self-join (and the sizes join re-derives from the same shingle pass);
+    # one materialization instead of two corpus-wide shingle explodes.
     posting = sh.select(
         "doc_id",
         F.size("shingles").alias("n_sh"),
         F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("h"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = posting.alias("a")
     b = posting.alias("b")
     common = (
@@ -1033,11 +1038,18 @@ def dup_spans_df(
     from pyspark.ml.feature import NGram
     from pyspark.sql import Window
 
+    from pyspark.storagelevel import StorageLevel
+
     with_words = docs.select("doc_id", F.split(_norm_text(), " ").alias("w"))
     grams = NGram(n=k, inputCol="w", outputCol="grams").transform(with_words)
+    # Persisted: the positional-gram table feeds both the occurrence count
+    # and the position semi-join; without it the NGram + posexplode pass
+    # over the corpus runs twice.
     pos = grams.select(
         "doc_id", F.posexplode("grams").alias("pos", "gram")
-    ).select("doc_id", "pos", F.xxhash64("gram").alias("gh"))
+    ).select("doc_id", "pos", F.xxhash64("gram").alias("gh")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     dup_keys = (
         pos.groupBy("gh")
         .agg(F.count("*").alias("occ"))
@@ -1146,10 +1158,14 @@ def containment_df(
     scores on one canonical row (doc_a < doc_b). ``min_shingles`` drops
     degenerate tiny docs.
     """
+    from pyspark.storagelevel import StorageLevel
+
     sh = _shingled(docs, n).where(F.size("shingles") >= min_shingles)
+    # Persisted: both sides of the posting self-join read this table; the
+    # shingle explode would otherwise run twice over the corpus.
     sized = sh.select(
         "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("g")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a, b = sized.alias("a"), sized.alias("b")
     pairs = (
         a.join(b, on=(F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))

@@ -545,6 +545,11 @@ def token_cooccurrence_pmi(
         .where(F.col("token") != "")
     )
     in_doc = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    # ``top`` feeds THREE consumers (both sides of the pair self-join plus
+    # the df marginal); persisted so the explode + tf aggregate + window run
+    # once, not three times. Bounded at top_tokens_per_doc rows per doc.
+    from pyspark.storagelevel import StorageLevel
+
     top = (
         in_doc.withColumn(
             "rk",
@@ -556,6 +561,7 @@ def token_cooccurrence_pmi(
         )
         .where(F.col("rk") <= top_tokens_per_doc)
         .select("doc_id", "token")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_docs = docs.select(F.countDistinct("doc_id").alias("d")).first()["d"]
     df_tok = top.groupBy("token").agg(F.count("*").alias("df"))
@@ -596,15 +602,29 @@ def tfidf_df(docs: DataFrame, min_df: int = 2) -> DataFrame:
     Shapes: one explode + two keyed partial-aggregated counts (per-doc tf,
     corpus df) + a token-keyed join of the df marginal back onto the tf
     rows — the same inverted-index discipline as the dedup family; the
-    vocabulary is never collected anywhere.
+    vocabulary is never collected anywhere. The tf table is persisted
+    (MEMORY_AND_DISK): both the df marginal and the final join consume it,
+    and without the persist Catalyst re-scans and re-explodes the whole
+    corpus for each branch — a 2x scan at 100 TB. tf is inverted-index
+    sized (sum of per-doc distinct tokens), far smaller than the raw text,
+    and spills. The df marginal stays a partial-aggregated groupBy (NOT a
+    window over token — a token-partitioned window would funnel every
+    occurrence of a stopword into one task; map-side combine crushes hot
+    tokens before the exchange).
     """
+    from pyspark.storagelevel import StorageLevel
+
     words = F.split(
         F.regexp_replace(F.trim(F.lower(F.col("text"))), r"[^a-z0-9]+", " "), " "
     )
     tok = docs.select("doc_id", F.explode(words).alias("token")).where(
         F.col("token") != ""
     )
-    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     n_docs = docs.select(F.countDistinct("doc_id")).first()[0]
     df_tok = (
         tf.groupBy("token")
