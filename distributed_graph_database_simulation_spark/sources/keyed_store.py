@@ -1,0 +1,179 @@
+"""Bucketed keyed parquet store with MERGE-style upserts (SCD1 latest-wins).
+
+The reference's only mutation primitive is whole-file overwrite
+(``primary_server.c:71-76`` — ModifyGraph truncates and rewrites the graph
+file). A training-data pipeline needs the keyed generalization: merge a
+batch of row-level updates into a 100 TB table WITHOUT rewriting the table
+and WITHOUT a transactional table format (plain parquet only, like the rest
+of this engine's storage).
+
+Design — Hive-style bucket-partition surgery:
+
+- The table is laid out ``partitionBy(key_bucket)`` with
+  ``key_bucket = pmod(xxhash64(key), n_buckets)`` — a pure function of the
+  key, so any update row names exactly the one partition directory it can
+  touch.
+- MERGE reads ONLY the affected buckets (``key_bucket IN (...)`` prunes at
+  the parquet source — the bucket list is bounded by ``n_buckets``, never
+  by data size), anti-joins the updated keys out, unions the new rows, and
+  rewrites just those partition directories via dynamic partition
+  overwrite. Cost is proportional to the affected buckets' size: an
+  upsert of k keys touches at most min(k, n_buckets) / n_buckets of the
+  table.
+- Within-batch conflicts resolve deterministically: highest
+  ``version_col`` wins, ties broken by the full value struct (max) — so
+  replaying the same batch is a byte-level no-op on the stored rows
+  (idempotent retries, same contract as the sketch stores).
+
+No ACID/concurrency claims: single-writer per table, like the reference's
+write path (the load balancer serializes all writes through one primary,
+``load_balancer.c:73-74``). Readers of unaffected partitions are untouched
+(their files are never rewritten — pinned in tests by file-listing
+equality); readers of affected partitions see the usual
+overwrite-in-place non-atomicity plain parquet has always had.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKETS = 256
+
+
+class KeyedParquetStore:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_col: str,
+        n_buckets: int = DEFAULT_BUCKETS,
+        version_col: str | None = None,
+    ):
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        self.spark = spark
+        self.path = path
+        self.key_col = key_col
+        self.n_buckets = n_buckets
+        self.version_col = version_col
+
+    # -- layout ---------------------------------------------------------
+    def _bucket(self) -> F.Column:
+        return F.pmod(F.xxhash64(F.col(self.key_col)), F.lit(self.n_buckets)).cast(
+            "int"
+        )
+
+    def _latest_wins(self, df: DataFrame) -> DataFrame:
+        """One row per key: max version wins; ties (and the no-version case)
+        resolve by the max of the full value struct — deterministic, so
+        replays are no-ops."""
+        value_cols = [c for c in df.columns if c != self.key_col]
+        order_cols = (
+            [self.version_col] + [c for c in value_cols if c != self.version_col]
+            if self.version_col
+            else value_cols
+        )
+        packed = df.groupBy(self.key_col).agg(
+            F.max(F.struct(*order_cols)).alias("_v")
+        )
+        return packed.select(
+            self.key_col, *[F.col("_v")[c].alias(c) for c in order_cols]
+        ).select(self.key_col, *value_cols)  # restore original column order
+
+    # -- operations -----------------------------------------------------
+    def write_full(self, df: DataFrame) -> None:
+        """Initial (or replacement) load: latest-wins collapse, bucket,
+        write all partitions."""
+        out = self._latest_wins(df).withColumn("key_bucket", self._bucket())
+        (
+            out.write.mode("overwrite")
+            .partitionBy("key_bucket")
+            .parquet(self.path)
+        )
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path).drop("key_bucket")
+
+    def _affected_buckets(self, updates: DataFrame) -> list[int]:
+        # Bounded collect: at most n_buckets ints, never data-proportional.
+        rows = (
+            updates.select(self._bucket().alias("b")).distinct().collect()
+        )
+        return sorted(r["b"] for r in rows)
+
+    def upsert(self, updates: DataFrame) -> dict:
+        """MERGE: replace existing rows for the updated keys, insert new
+        keys, leave every other bucket's files untouched. Returns a small
+        stats dict (buckets touched / rows written)."""
+        if not os.path.isdir(self.path):
+            self.write_full(updates)
+            return {
+                "buckets_touched": self.n_buckets,
+                "initial_load": True,
+            }
+        batch = self._latest_wins(updates)
+        buckets = self._affected_buckets(batch)
+        existing = self.spark.read.parquet(self.path).where(
+            F.col("key_bucket").isin(buckets)  # partition-prunes the scan
+        ).drop("key_bucket")
+        survivors = existing.join(
+            batch.select(self.key_col), self.key_col, "left_anti"
+        )
+        merged = survivors.unionByName(batch).withColumn(
+            "key_bucket", self._bucket()
+        )
+        n = merged.count()
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("key_bucket")
+            .parquet(self.path)
+        )
+        return {
+            "buckets_touched": len(buckets),
+            "rows_written": n,
+            "initial_load": False,
+        }
+
+    def delete(self, keys: DataFrame) -> dict:
+        """Row-level delete by key — same bucket surgery, minus the union.
+        ``keys``: a one-column DataFrame of key values."""
+        key_df = keys.select(F.col(keys.columns[0]).alias(self.key_col)).distinct()
+        buckets = self._affected_buckets(key_df)
+        existing = self.spark.read.parquet(self.path).where(
+            F.col("key_bucket").isin(buckets)
+        ).drop("key_bucket")
+        survivors = existing.join(key_df, self.key_col, "left_anti").withColumn(
+            "key_bucket", self._bucket()
+        )
+        # Materialize the survivor bucket set BEFORE the overwrite: the
+        # write replaces the very files this lineage reads, so any
+        # post-write action on `survivors` would hit FILE_NOT_EXIST.
+        written = {
+            r["key_bucket"]
+            for r in survivors.select("key_bucket").distinct().collect()
+        }
+        n = survivors.count()
+        if n > 0:
+            (
+                survivors.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("key_bucket")
+                .parquet(self.path)
+            )
+        # Buckets whose every row was deleted produce no output partition
+        # under dynamic overwrite (and an all-empty delete writes nothing
+        # at all) — which would LEAVE the deleted rows on disk; remove the
+        # stale directories explicitly. Local-FS path surgery here; on an
+        # object store this is the same delete the committer would issue.
+        import shutil
+
+        for b in buckets:
+            if b not in written:
+                part_dir = os.path.join(self.path, f"key_bucket={b}")
+                if os.path.isdir(part_dir):
+                    shutil.rmtree(part_dir)
+        return {"buckets_touched": len(buckets), "rows_written": n}

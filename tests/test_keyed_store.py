@@ -1,0 +1,165 @@
+"""Pins for the bucketed keyed parquet store (MERGE-style upserts).
+
+The contract under test: upserts replace/insert exactly the given keys,
+UNTOUCHED bucket partitions' files are never rewritten (the whole point of
+the bucket surgery — an upsert must not become a table rewrite), replays
+are idempotent, within-batch conflicts resolve latest-wins by version, and
+deletes remove rows (including the empty-partition edge where every row of
+a bucket dies).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from distributed_graph_database_simulation_spark.sources.keyed_store import (
+    KeyedParquetStore,
+)
+
+
+def _rows(store):
+    return {
+        (r["k"], r["val"], r["ver"]) for r in store.read().collect()
+    }
+
+
+def _part_files(path):
+    """{partition dir -> sorted (name, mtime_ns) of parquet files}."""
+    out = {}
+    for d in os.listdir(path):
+        if not d.startswith("key_bucket="):
+            continue
+        full = os.path.join(path, d)
+        out[d] = sorted(
+            (f, os.stat(os.path.join(full, f)).st_mtime_ns)
+            for f in os.listdir(full)
+            if f.endswith(".parquet")
+        )
+    return out
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    s = KeyedParquetStore(
+        spark, str(tmp_path / "store"), "k", n_buckets=8, version_col="ver"
+    )
+    base = spark.createDataFrame(
+        [(i, f"v{i}", 1) for i in range(100)], "k long, val string, ver int"
+    )
+    s.write_full(base)
+    return s
+
+
+def test_full_write_roundtrip(store):
+    assert _rows(store) == {(i, f"v{i}", 1) for i in range(100)}
+
+
+def test_upsert_replaces_inserts_and_leaves_rest(spark, store):
+    updates = spark.createDataFrame(
+        [(3, "updated", 2), (200, "new", 2)], "k long, val string, ver int"
+    )
+    stats = store.upsert(updates)
+    want = {(i, f"v{i}", 1) for i in range(100) if i != 3}
+    want |= {(3, "updated", 2), (200, "new", 2)}
+    assert _rows(store) == want
+    assert stats["buckets_touched"] <= 2  # 2 keys -> at most 2 buckets
+
+
+def test_untouched_partitions_are_not_rewritten(spark, store):
+    before = _part_files(store.path)
+    updates = spark.createDataFrame(
+        [(7, "touched", 2)], "k long, val string, ver int"
+    )
+    store.upsert(updates)
+    after = _part_files(store.path)
+    from pyspark.sql import functions as F
+
+    bucket = spark.createDataFrame([(7,)], "k long").select(
+        F.pmod(F.xxhash64("k"), F.lit(8)).cast("int").alias("b")
+    ).first()["b"]
+    touched = f"key_bucket={bucket}"
+    assert before[touched] != after[touched]
+    for d, files in before.items():
+        if d != touched:
+            assert after[d] == files, f"{d} was rewritten by an unrelated upsert"
+
+
+def test_upsert_replay_is_idempotent(spark, store):
+    updates = spark.createDataFrame(
+        [(5, "x", 2), (6, "y", 2)], "k long, val string, ver int"
+    )
+    store.upsert(updates)
+    first = _rows(store)
+    store.upsert(updates)  # replayed batch (retry semantics)
+    assert _rows(store) == first
+
+
+def test_within_batch_latest_version_wins(spark, store):
+    updates = spark.createDataFrame(
+        [(9, "old", 2), (9, "newer", 5), (9, "mid", 3)],
+        "k long, val string, ver int",
+    )
+    store.upsert(updates)
+    assert (9, "newer", 5) in _rows(store)
+    assert not any(r[0] == 9 and r[1] != "newer" for r in _rows(store))
+
+
+def test_stale_version_still_applies_but_deterministically(spark, store):
+    # SCD1 semantics are "batch replaces row" — cross-batch ordering is the
+    # caller's contract; within-batch resolution is what the store pins.
+    updates = spark.createDataFrame(
+        [(2, "later", 9)], "k long, val string, ver int"
+    )
+    store.upsert(updates)
+    assert (2, "later", 9) in _rows(store)
+
+
+def test_delete_removes_rows_and_empty_buckets(spark, store):
+    import shutil  # noqa: F401  (exercised inside delete)
+
+    keys = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    stats = store.delete(keys)
+    assert stats["rows_written"] == 0
+    # store is now empty: every partition directory removed
+    remaining = [
+        d for d in os.listdir(store.path) if d.startswith("key_bucket=")
+    ]
+    assert remaining == []
+
+
+def test_partial_delete_keeps_cohabiting_keys(spark, store):
+    keys = spark.createDataFrame([(3,), (4,)], "k long")
+    store.delete(keys)
+    got = _rows(store)
+    assert not any(r[0] in (3, 4) for r in got)
+    assert len(got) == 98
+
+
+def test_upsert_on_missing_store_is_initial_load(spark, tmp_path):
+    s = KeyedParquetStore(
+        spark, str(tmp_path / "fresh"), "k", n_buckets=4, version_col="ver"
+    )
+    stats = s.upsert(
+        spark.createDataFrame([(1, "a", 1)], "k long, val string, ver int")
+    )
+    assert stats["initial_load"] is True
+    assert _rows(s) == {(1, "a", 1)}
+
+
+def test_upsert_scan_is_partition_pruned(spark, store):
+    """The MERGE read must prune to the affected bucket partitions at the
+    source (PartitionFilters), not scan the table and filter later."""
+    from pyspark.sql import functions as F
+
+    buckets = [0, 1]
+    df = spark.read.parquet(store.path).where(
+        F.col("key_bucket").isin(buckets)
+    )
+    jdf = df._jdf
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = jdf.queryExecution().explainString(mode)
+    assert "PartitionFilters" in plan and "key_bucket" in plan

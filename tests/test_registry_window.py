@@ -146,6 +146,8 @@ def test_canary_smoke_representative_window_queries():
         "dedup_exact",             # documents table shape
         "g_bfs_levels",            # fixture graph path
         "mm_image_features",       # binary payload plumbing
+        "rel_resample_ffill",      # r06 wave: epoch bucketing + grid gen
+        "pipe_split",              # r06 wave: md5 bucket arithmetic
     ]
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "check_oracles.py"),
