@@ -1291,3 +1291,82 @@ DEDUP_QUERIES.update(
         "dedup_dup_spans": (dedup_dup_spans, DEDUP_DUP_SPANS_SQL),
     }
 )
+
+
+def dedup_scrub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span scrubbing (:func:`scrub_dup_spans_df`): rewrite each
+    document with its duplicated word spans removed. The oracle rebuilds
+    the text relationally from the raw-gram span table (index-filtered
+    word list), so the whole HOF rewrite chain — transform/filter/exists/
+    concat_ws — certifies string-for-string."""
+    out = scrub_dup_spans_df(_docs(spark, sf_dir))
+    # md5 the rewritten text: pins the exact byte output without hauling
+    # full documents through the driver compare (same device as PII scrub).
+    return out.select(
+        "doc_id", F.md5("text").alias("scrubbed_md5"), "n_words_removed"
+    )
+
+
+# DuckDB lambda indexes are 1-based; the word index is i - 1.
+DEDUP_SCRUB_SPANS_SQL = """
+WITH docs AS (
+  SELECT doc_id,
+         regexp_replace(trim(text), '\\s+', ' ', 'g') AS t,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         array_to_string(list_slice(w, i, i + 7), ' ') AS gram
+  FROM docs, LATERAL (SELECT unnest(range(1, len(w) - 6)) AS i)
+  WHERE len(w) >= 8
+),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+dp AS (
+  SELECT g.doc_id, g.pos, g.pos + 7 AS e
+  FROM grams g JOIN dup USING (gram)
+),
+pm AS (
+  SELECT doc_id, pos, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM dp
+),
+isl AS (
+  SELECT doc_id, pos, e,
+         sum(CASE WHEN prev_max IS NULL OR pos > prev_max + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM pm
+),
+spans AS (
+  SELECT doc_id, min(pos) AS a, max(e) AS b
+  FROM isl GROUP BY doc_id, island
+),
+sp AS (
+  SELECT doc_id, list(struct_pack(a := a, b := b)) AS spans
+  FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id,
+       -- COALESCE: DuckDB array_to_string([]) is NULL, Spark concat_ws is ''
+       md5(CASE WHEN s.spans IS NULL THEN d.t
+                ELSE COALESCE(array_to_string(
+                       list_filter(d.w, (x, i) ->
+                         len(list_filter(s.spans,
+                             v -> (i - 1) >= v.a AND (i - 1) <= v.b)) = 0),
+                       ' '), '')
+           END) AS scrubbed_md5,
+       CAST(CASE WHEN s.spans IS NULL THEN 0
+                 ELSE len(d.w) - len(list_filter(d.w, (x, i) ->
+                        len(list_filter(s.spans,
+                            v -> (i - 1) >= v.a AND (i - 1) <= v.b)) = 0))
+            END AS INT) AS n_words_removed
+FROM docs d LEFT JOIN sp s USING (doc_id)
+"""
+
+
+DEDUP_QUERIES.update(
+    {
+        # staged round-7 rotation stock (see registry.STAGED_NEXT_ROTATION)
+        "dedup_scrub_spans": (dedup_scrub_spans, DEDUP_SCRUB_SPANS_SQL),
+    }
+)

@@ -1128,6 +1128,323 @@ FROM walk GROUP BY source, vertex
 """
 
 
+# --- staged round-7 rotation stock (oracle-backed, tail-only for now) ----
+
+
+def graph_summary_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-graph profile statistics over the reference fixtures — exercises
+    self-loops (G1) and the isolated-vertex accounting. All-integer
+    aggregates; density/avg_degree are exact IEEE divisions."""
+    from .graph_analytics import graph_summary
+
+    return graph_summary(
+        fixtures.fixture_graphs_df(spark), fixtures.fixture_edges_df(spark)
+    )
+
+
+GRAPH_SUMMARY_SQL = f"""
+WITH {_FIXTURE_CTE},
+ue AS (
+  SELECT graph_id, src, dst FROM fixture_edges WHERE src <> dst
+  UNION
+  SELECT graph_id, dst, src FROM fixture_edges WHERE src <> dst
+),
+verts AS (SELECT graph_id, CAST(UNNEST(range(n)) AS INT) AS vertex FROM fixture_graphs),
+deg AS (
+  SELECT v.graph_id, v.vertex, COALESCE(d.c, 0) AS deg
+  FROM verts v LEFT JOIN (
+    SELECT graph_id, src AS vertex, COUNT(*) AS c FROM ue GROUP BY 1, 2) d
+  ON d.graph_id = v.graph_id AND d.vertex = v.vertex
+),
+deg_stats AS (
+  SELECT graph_id,
+         CAST(MIN(deg) AS BIGINT) AS min_degree,
+         AVG(CAST(deg AS DOUBLE)) AS avg_degree,
+         CAST(MAX(deg) AS BIGINT) AS max_degree,
+         CAST(SUM(CASE WHEN deg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_isolated
+  FROM deg GROUP BY 1
+),
+edge_stats AS (
+  SELECT graph_id,
+         CAST(COUNT(*) AS BIGINT) AS n_directed_edges,
+         CAST(SUM(CASE WHEN src = dst THEN 1 ELSE 0 END) AS BIGINT) AS n_self_loops
+  FROM fixture_edges GROUP BY 1
+),
+und AS (
+  SELECT graph_id, CAST(COUNT(*) AS BIGINT) AS n_undirected_edges
+  FROM ue WHERE src < dst GROUP BY 1
+)
+SELECT g.graph_id,
+       CAST(g.n AS BIGINT) AS n_vertices,
+       COALESCE(e.n_directed_edges, 0) AS n_directed_edges,
+       COALESCE(u.n_undirected_edges, 0) AS n_undirected_edges,
+       COALESCE(e.n_self_loops, 0) AS n_self_loops,
+       CASE WHEN g.n >= 2
+            THEN COALESCE(u.n_undirected_edges, 0) / (g.n * (g.n - 1) / 2.0)
+            ELSE 0.0 END AS density,
+       COALESCE(d.min_degree, 0) AS min_degree,
+       COALESCE(d.avg_degree, 0.0) AS avg_degree,
+       COALESCE(d.max_degree, 0) AS max_degree,
+       COALESCE(d.n_isolated, g.n) AS n_isolated
+FROM fixture_graphs g
+LEFT JOIN edge_stats e ON e.graph_id = g.graph_id
+LEFT JOIN und u ON u.graph_id = g.graph_id
+LEFT JOIN deg_stats d ON d.graph_id = g.graph_id
+"""
+
+
+def clustering_coefficient_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficients on the scale graph — the triangle
+    machinery per vertex, integer-micro exact."""
+    from ..sources.graph_text import GRAPH_SCHEMA
+    from .graph_analytics import clustering_coefficient
+
+    edges = fixtures.scale_edges_df(spark, sf_dir).selectExpr(
+        "CAST(1 AS INT) AS graph_id", "src", "dst"
+    )
+    graphs = spark.createDataFrame([(1, fixtures.SCALE_V)], GRAPH_SCHEMA)
+    return clustering_coefficient(graphs, edges)
+
+
+CLUSTERING_COEFFICIENT_SCALE_SQL = f"""
+WITH scale_edges AS ({fixtures.SCALE_GRAPH_SQL}),
+ue AS (
+  SELECT src, dst FROM scale_edges
+  UNION
+  SELECT dst, src FROM scale_edges
+),
+canon AS (SELECT src, dst FROM ue WHERE src < dst),
+corners AS (
+  SELECT UNNEST([ab.src, ab.dst, bc.dst]) AS vertex
+  FROM canon ab
+  JOIN canon bc ON ab.dst = bc.src
+  JOIN canon ac ON ab.src = ac.src AND bc.dst = ac.dst
+),
+tri_v AS (SELECT vertex, COUNT(*) AS tri FROM corners GROUP BY 1),
+sdeg AS (
+  SELECT src AS vertex, COUNT(*) AS deg FROM ue WHERE src <> dst GROUP BY 1
+),
+verts AS (SELECT CAST(UNNEST(range({fixtures.SCALE_V})) AS INT) AS vertex)
+SELECT CAST(1 AS INT) AS graph_id, v.vertex,
+       CAST(COALESCE(d.deg, 0) AS INT) AS degree,
+       CAST(COALESCE(t.tri, 0) AS BIGINT) AS triangles,
+       CAST(CASE WHEN COALESCE(d.deg, 0) < 2 THEN 0
+                 ELSE floor(1000000 * 2 * COALESCE(t.tri, 0)
+                            / (d.deg * (d.deg - 1)))
+            END AS BIGINT) AS coeff_micro
+FROM verts v
+LEFT JOIN sdeg d ON d.vertex = v.vertex
+LEFT JOIN tri_v t ON t.vertex = v.vertex
+"""
+
+
+def eccentricity_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-vertex eccentricity (undirected, -1 when the graph is
+    disconnected from the vertex's view) over the reference fixtures —
+    certifies the all-pairs-BFS Arrow kernel."""
+    from .graph_kernels import eccentricity_kernel
+
+    return eccentricity_kernel(
+        fixtures.fixture_graphs_df(spark), fixtures.fixture_edges_df(spark)
+    )
+
+
+ECCENTRICITY_SQL = f"""
+WITH RECURSIVE {_FIXTURE_CTE},
+ue AS (
+  SELECT graph_id, src, dst FROM fixture_edges WHERE src <> dst
+  UNION
+  SELECT graph_id, dst, src FROM fixture_edges WHERE src <> dst
+),
+verts AS (SELECT graph_id, CAST(UNNEST(range(n)) AS INT) AS vertex FROM fixture_graphs),
+walk(graph_id, start, vertex, lvl) AS (
+  SELECT graph_id, vertex, vertex, 0 FROM verts
+  UNION
+  SELECT w.graph_id, w.start, e.dst, w.lvl + 1
+  FROM walk w JOIN ue e ON e.graph_id = w.graph_id AND e.src = w.vertex
+  WHERE w.lvl < 100
+),
+dists AS (
+  SELECT graph_id, start, vertex, MIN(lvl) AS d
+  FROM walk GROUP BY 1, 2, 3
+),
+ecc AS (
+  SELECT d.graph_id, d.start,
+         MAX(d.d) AS far, COUNT(*) AS n_reached
+  FROM dists d GROUP BY 1, 2
+)
+SELECT e.graph_id, e.start AS vertex,
+       CAST(CASE WHEN e.n_reached = g.n THEN e.far ELSE -1 END AS INT)
+         AS eccentricity
+FROM ecc e JOIN fixture_graphs g ON g.graph_id = e.graph_id
+"""
+
+
+# Thinned scale graph for SCC: o_orderkey % 97 < 2 keeps ~2% of orders so
+# the gate sf has real structure (sf0.01: one 96-vertex SCC + 5 singleton
+# trims; sf0.001: all singletons — the trim-only path).
+_SCC_EDGES_BODY = f"""
+SELECT DISTINCT
+    CAST(o_orderkey % {fixtures.SCALE_V} AS INT)                       AS src,
+    CAST((o_orderkey * 37 + o_custkey) % {fixtures.SCALE_V} AS INT)    AS dst
+FROM orders
+WHERE o_orderkey % 97 < 2
+  AND o_orderkey % {fixtures.SCALE_V} <> (o_orderkey * 37 + o_custkey) % {fixtures.SCALE_V}
+"""
+
+
+def scc_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (Trim + FW-coloring + backward sweep)
+    on a thinned orders-derived digraph; oracle = mutual-reachability
+    transitive closure."""
+    from ..sources.graph_text import GRAPH_SCHEMA
+    from ..sources.tables import load_table
+    from .graph_analytics import strongly_connected_components
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    edges = spark.sql(_SCC_EDGES_BODY).selectExpr(
+        "CAST(1 AS INT) AS graph_id", "src", "dst"
+    )
+    graphs = spark.createDataFrame([(1, fixtures.SCALE_V)], GRAPH_SCHEMA)
+    return strongly_connected_components(spark, graphs, edges)
+
+
+SCC_SCALE_SQL = f"""
+WITH RECURSIVE se AS ({_SCC_EDGES_BODY}),
+reach(src, dst) AS (
+  SELECT src, dst FROM se
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN se e ON e.src = r.dst
+),
+verts AS (SELECT CAST(UNNEST(range({fixtures.SCALE_V})) AS INT) AS vertex),
+mutual AS (
+  SELECT a.src AS u, a.dst AS v
+  FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src
+)
+SELECT CAST(1 AS INT) AS graph_id, v.vertex,
+       CAST(LEAST(v.vertex, COALESCE(MIN(m.u), v.vertex)) AS INT) AS scc_id
+FROM verts v LEFT JOIN mutual m ON m.v = v.vertex
+GROUP BY v.vertex
+"""
+
+
+WL_ITERATIONS = 2
+
+
+def wl_labels_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weisfeiler-Leman labels (2 refinement rounds) on the fixtures — the
+    md5 relabeling is engine-portable string arithmetic, so the oracle
+    reproduces it exactly."""
+    from .graph_ml import wl_labels
+
+    return wl_labels(
+        spark,
+        fixtures.fixture_graphs_df(spark),
+        fixtures.fixture_edges_df(spark),
+        iterations=WL_ITERATIONS,
+    )
+
+
+def _wl_sql(iterations: int) -> str:
+    parts = [
+        f"WITH {_FIXTURE_CTE},",
+        """wl_ue(graph_id, src, dst) AS (
+  SELECT graph_id, src, dst FROM fixture_edges WHERE src <> dst
+  UNION
+  SELECT graph_id, dst, src FROM fixture_edges WHERE src <> dst
+),
+wl_verts AS (
+  SELECT graph_id, CAST(UNNEST(range(n)) AS INT) AS vertex FROM fixture_graphs
+),
+l0 AS (
+  SELECT v.graph_id, v.vertex,
+         CAST(COALESCE(d.c, 0) AS VARCHAR) AS label
+  FROM wl_verts v LEFT JOIN (
+    SELECT graph_id, src AS vertex, COUNT(*) AS c FROM wl_ue GROUP BY 1, 2) d
+  ON d.graph_id = v.graph_id AND d.vertex = v.vertex
+)""",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+l{i} AS (
+  SELECT p.graph_id, p.vertex,
+         md5(p.label || '|' ||
+             COALESCE((SELECT array_to_string(list_sort(list(n.label)), ',')
+                       FROM wl_ue e JOIN l{i - 1} n
+                         ON n.graph_id = e.graph_id AND n.vertex = e.dst
+                       WHERE e.graph_id = p.graph_id AND e.src = p.vertex),
+                      '')) AS label
+  FROM l{i - 1} p
+)"""
+        )
+    parts.append(f"\nSELECT graph_id, vertex, label FROM l{iterations}")
+    return "\n".join(parts)
+
+
+WL_LABELS_SQL = _wl_sql(WL_ITERATIONS)
+
+
+def keyed_store_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE contract in the driver gate: load orders into the bucketed
+    keyed store, upsert a deterministic batch (every 7th key restated with
+    a derived status + one brand-new key), read back. The oracle computes
+    the same latest-wins merge relationally, so both the bucket surgery
+    and the conflict resolution certify."""
+    import shutil
+    import tempfile
+
+    from ..sources.keyed_store import KeyedParquetStore
+    from ..sources.tables import load_table
+
+    base = os.path.join(tempfile.gettempdir(), "dgds_keyed_store_upsert")
+    shutil.rmtree(base, ignore_errors=True)
+    store = KeyedParquetStore(
+        spark, base, "o_orderkey", n_buckets=32, version_col="ver"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").alias("price"),
+        F.lit(1).alias("ver"),
+    )
+    store.write_full(orders)
+    updates = orders.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("price") + 1.0).alias("price"),
+        F.lit(2).alias("ver"),
+    )
+    new_row = spark.createDataFrame(
+        [(999_999_999, "N", 1.5, 2)],
+        "o_orderkey long, o_orderstatus string, price double, ver int",
+    )
+    store.upsert(updates.unionByName(new_row))
+    return store.read()
+
+
+KEYED_STORE_UPSERT_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice AS price, 1 AS ver
+  FROM orders
+),
+upd AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus, price + 1.0 AS price, 2 AS ver
+  FROM base WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT 999999999, 'N', 1.5, 2
+)
+SELECT b.o_orderkey,
+       COALESCE(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+       COALESCE(u.price, b.price) AS price,
+       CAST(COALESCE(u.ver, b.ver) AS INT) AS ver
+FROM base b LEFT JOIN upd u USING (o_orderkey)
+UNION ALL
+SELECT o_orderkey, o_orderstatus, price, CAST(ver AS INT)
+FROM upd WHERE o_orderkey NOT IN (SELECT o_orderkey FROM base)
+"""
+
+
 GRAPH_QUERIES: dict[str, tuple] = {
     "g_bfs_levels": (bfs_levels_fixture, BFS_LEVELS_SQL),
     "g_bfs_levels_kernel": (bfs_levels_kernel_fixture, BFS_LEVELS_SQL),
@@ -1169,4 +1486,14 @@ GRAPH_QUERIES: dict[str, tuple] = {
         LANDMARK_DISTANCES_SCALE_SQL,
     ),
     "g_temporal_reach_scale": (temporal_reach_scale, TEMPORAL_REACH_SCALE_SQL),
+    # staged round-7 rotation stock (see registry.STAGED_NEXT_ROTATION)
+    "g_graph_summary": (graph_summary_fixture, GRAPH_SUMMARY_SQL),
+    "g_clustering_coefficient_scale": (
+        clustering_coefficient_scale,
+        CLUSTERING_COEFFICIENT_SCALE_SQL,
+    ),
+    "g_eccentricity": (eccentricity_fixture, ECCENTRICITY_SQL),
+    "g_scc_scale": (scc_scale, SCC_SCALE_SQL),
+    "g_wl_labels": (wl_labels_fixture, WL_LABELS_SQL),
+    "g_keyed_store_upsert": (keyed_store_upsert, KEYED_STORE_UPSERT_SQL),
 }

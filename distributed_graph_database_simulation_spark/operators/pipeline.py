@@ -543,12 +543,184 @@ FROM (
 """
 
 
+CAP_PER_SOURCE = 10  # binds at every shipped sf (25+ docs/source)
+
+
+def pipe_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source admission cap (:func:`cap_per_source_df`, cap 10): the
+    sub-bucketed global rank must equal a plain within-source rank over
+    the (scramble, doc_id) order — which is exactly what the oracle
+    computes, so the offset-recomposition arithmetic certifies."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "lang")
+    return cap_per_source_df(docs, CAP_PER_SOURCE)
+
+
+PIPE_CAP_PER_SOURCE_SQL = f"""
+WITH scr AS (
+  SELECT doc_id, source, lang,
+         (doc_id * {_KNUTH}) % {1_000_003} AS s
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, lang,
+         row_number() OVER (PARTITION BY source ORDER BY s, doc_id) AS rn
+  FROM scr
+)
+SELECT doc_id, source, lang FROM ranked WHERE rn - 1 < {CAP_PER_SOURCE}
+"""
+
+
+TOKEN_BUDGETS = {"en": 6000, "fr": 2000}  # binding at every shipped sf
+
+
+def pipe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling (:func:`sample_token_budget_df`):
+    en/fr downsampled to fixed token budgets, other languages pass
+    through. The ppm conversion is integer arithmetic the oracle repeats
+    exactly (floor division of bigints)."""
+    return sample_token_budget_df(_docs(spark, sf_dir), TOKEN_BUDGETS)
+
+
+def _token_budget_sql() -> str:
+    rate_cases = " ".join(
+        f"WHEN '{lang}' THEN LEAST({_BUCKETS}, (CAST({budget} AS BIGINT) * {_BUCKETS}) // t.tok)"
+        for lang, budget in sorted(TOKEN_BUDGETS.items())
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS n_tokens
+  FROM documents
+),
+tot AS (SELECT lang, SUM(n_tokens) AS tok FROM toks GROUP BY 1),
+rated AS (
+  SELECT k.doc_id, k.lang, k.n_tokens,
+         CAST(CASE k.lang {rate_cases} ELSE {_BUCKETS} END AS INT) AS keep_ppm
+  FROM toks k JOIN tot t ON t.lang = k.lang
+)
+SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens, keep_ppm
+FROM rated
+WHERE (doc_id * {_KNUTH}) % {_BUCKETS} < keep_ppm
+"""
+
+
+PIPE_TOKEN_BUDGET_SQL = _token_budget_sql()
+
+
+def pipe_select_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-quantile selection
+    (:func:`select_top_quality_df`, keep top 50%). Evidence doubles are
+    micro-rounded: the median interpolation shares the
+    lower + (higher-lower)*frac form across engines, but the micro
+    compare removes any residual ulp sensitivity from the hash."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    out = select_top_quality_df(spark, docs, keep_fraction=0.5)
+    return out.select(
+        "doc_id",
+        "lang",
+        F.round(F.col("quality") * 1e6).cast("bigint").alias("quality_micro"),
+        F.round(F.col("q_threshold") * 1e6).cast("bigint").alias(
+            "q_threshold_micro"
+        ),
+    )
+
+
+PIPE_SELECT_QUALITY_SQL = """
+WITH d AS (
+  SELECT doc_id, lang,
+         regexp_replace(trim(text), '\\s+', ' ', 'g') AS t,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+),
+m AS (
+  SELECT doc_id, lang,
+         CAST(len(w) AS DOUBLE) AS n_words,
+         CAST(len(list_filter(w, x -> x IN ('the','a','of','is','and','to','in'))) AS DOUBLE) AS n_stop,
+         CAST(length(t) AS DOUBLE) AS n_chars,
+         CAST(length(t) - length(regexp_replace(t, '[a-z]', '', 'g')) AS DOUBLE) AS n_alpha
+  FROM d
+),
+scored AS (
+  SELECT doc_id, lang,
+         0.25 * least(n_words / 100.0, 1.0)
+       + 0.25 * (1.0 - abs(n_stop / n_words - 0.4))
+       + 0.25 * (n_alpha / n_chars)
+       + 0.25 * least(((n_chars - (n_words - 1)) / n_words) / 8.0, 1.0) AS quality
+  FROM m
+),
+thr AS (
+  SELECT lang, quantile_cont(quality, 0.5) AS q_threshold
+  FROM scored GROUP BY 1
+)
+SELECT s.doc_id, s.lang,
+       CAST(round(s.quality * 1e6) AS BIGINT) AS quality_micro,
+       CAST(round(t.q_threshold * 1e6) AS BIGINT) AS q_threshold_micro
+FROM scored s JOIN thr t ON t.lang = s.lang
+WHERE s.quality >= t.q_threshold
+"""
+
+
+def pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing over the chunk table (:func:`pack_sequences_df`,
+    epoch 0): the (shard, sub)-recomposed running token sum must equal
+    the oracle's plain per-shard cumulative sum over the same
+    deterministic order — certifying the offset algebra end-to-end."""
+    return pack_sequences_df(chunk_windows_df(_docs(spark, sf_dir)))
+
+
+PIPE_PACK_SEQUENCES_SQL = f"""
+WITH docs AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+),
+dims AS (
+  SELECT doc_id, w,
+         CASE WHEN len(w) <= {CHUNK} THEN 1
+              ELSE CAST((len(w) - {CHUNK} + {STRIDE - 1}) // {STRIDE} AS INT) + 1
+         END AS n_chunks
+  FROM docs
+),
+exploded AS (
+  SELECT doc_id, w, CAST(UNNEST(range(n_chunks)) AS INT) AS chunk_id FROM dims
+),
+chunks AS (
+  SELECT doc_id, chunk_id,
+         CAST(len(w[chunk_id * {STRIDE} + 1 : chunk_id * {STRIDE} + {CHUNK}]) AS INT) AS n_tokens
+  FROM exploded
+),
+keyed AS (
+  SELECT doc_id, chunk_id, n_tokens,
+         CAST((doc_id * {_XXPRIME}) % {N_SHARDS} AS INT) AS shard,
+         (doc_id * {_KNUTH}) % {_ORDER_MOD} AS scr
+  FROM chunks
+),
+cum AS (
+  SELECT doc_id, chunk_id, n_tokens, shard,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY scr, doc_id, chunk_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+  FROM keyed
+)
+SELECT doc_id, chunk_id, shard,
+       CAST(c // {SEQ_LEN} AS BIGINT) AS seq_id,
+       CAST(c % {SEQ_LEN} AS INT) AS seq_offset,
+       n_tokens
+FROM cum
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     "text_chunk_windows": (text_chunk_windows, TEXT_CHUNK_WINDOWS_SQL),
     "text_sample_stratified": (text_sample_stratified, TEXT_SAMPLE_STRATIFIED_SQL),
     "text_shard_assign": (text_shard_assign, TEXT_SHARD_ASSIGN_SQL),
     "pipe_winsorize": (pipe_winsorize, PIPE_WINSORIZE_SQL),
     "pipe_split": (pipe_split, PIPE_SPLIT_SQL),
+    # staged round-7 rotation stock (see registry.STAGED_NEXT_ROTATION)
+    "pipe_cap_per_source": (pipe_cap_per_source, PIPE_CAP_PER_SOURCE_SQL),
+    "pipe_token_budget": (pipe_token_budget, PIPE_TOKEN_BUDGET_SQL),
+    "pipe_select_quality": (pipe_select_quality, PIPE_SELECT_QUALITY_SQL),
+    "pipe_pack_sequences": (pipe_pack_sequences, PIPE_PACK_SEQUENCES_SQL),
 }
 
 

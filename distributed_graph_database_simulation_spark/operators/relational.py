@@ -1493,6 +1493,67 @@ FROM s
 """
 
 
+VIEW_WINDOW_SEC = 1800     # a view "covers" 30 min
+PURCHASE_WINDOW_SEC = 2700  # a purchase covers 45 min
+
+
+def rel_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join in the driver gate: per-user view windows vs
+    purchase windows (:func:`interval_overlap_join_df`, bucketized
+    decomposition). The oracle is the naive overlap predicate — fine at
+    the gate sf, which is exactly why the bucketized path needs the
+    differential check (its canonical-bucket dedup must reproduce the
+    naive semantics)."""
+    events = _t(spark, sf_dir, "events")
+    base = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("start"),
+    )
+    left = base.where(F.col("event_type") == "view").select(
+        "user_id", "event_id", "start", (F.col("start") + VIEW_WINDOW_SEC).alias("end")
+    )
+    right = base.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        "start",
+        (F.col("start") + PURCHASE_WINDOW_SEC).alias("end"),
+    )
+    out = interval_overlap_join_df(left, right, bucket_width=1800, on=["user_id"])
+    return out.select(
+        F.col("l_user_id").alias("user_id"),
+        F.col("l_event_id").alias("view_event_id"),
+        F.col("r_event_id").alias("purchase_event_id"),
+        F.col("l_start").alias("view_start"),
+        F.col("r_start").alias("purchase_start"),
+    )
+
+
+REL_INTERVAL_OVERLAP_SQL = f"""
+WITH base AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS start
+  FROM events
+),
+v AS (
+  SELECT user_id, event_id, start, start + {VIEW_WINDOW_SEC} AS e
+  FROM base WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, event_id, start, start + {PURCHASE_WINDOW_SEC} AS e
+  FROM base WHERE event_type = 'purchase'
+)
+SELECT v.user_id,
+       v.event_id AS view_event_id,
+       p.event_id AS purchase_event_id,
+       v.start AS view_start,
+       p.start AS purchase_start
+FROM v JOIN p ON p.user_id = v.user_id
+              AND v.start < p.e AND p.start < v.e
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "rel_pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "rel_top_revenue_orders": (top_revenue_orders, TOP_REVENUE_ORDERS_SQL),
@@ -1528,4 +1589,6 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "rel_scd2": (rel_scd2, REL_SCD2_SQL),
     "rel_resample_ffill": (rel_resample_ffill, REL_RESAMPLE_FFILL_SQL),
     "rel_rolling_zscore": (rel_rolling_zscore, REL_ROLLING_ZSCORE_SQL),
+    # staged round-7 rotation stock (see registry.STAGED_NEXT_ROTATION)
+    "rel_interval_overlap": (rel_interval_overlap, REL_INTERVAL_OVERLAP_SQL),
 }

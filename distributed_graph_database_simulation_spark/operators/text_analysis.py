@@ -739,3 +739,50 @@ TEXT_QUERIES.update(
         "text_pmi": (text_pmi, TEXT_PMI_SQL),
     }
 )
+
+
+UNIGRAM_VOCAB_SIZE = 2000  # < corpus distinct tokens, so the OOV floor is real
+
+
+def text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score (:func:`unigram_logprob_df`) with a vocab
+    small enough that the OOV floor path carries real rows at every
+    shipped sf — a driver row that never exercises OOV would certify only
+    half the operator."""
+    return unigram_logprob_df(_docs(spark, sf_dir), vocab_size=UNIGRAM_VOCAB_SIZE)
+
+
+TEXT_UNIGRAM_LM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS w
+  FROM documents
+),
+counts AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY 1),
+tot AS (SELECT COUNT(*) AS t FROM toks),
+vocab AS (SELECT w, c FROM counts ORDER BY c DESC, w LIMIT {UNIGRAM_VOCAB_SIZE}),
+vb AS (
+  SELECT v.w,
+         CAST(round(1000000.0 * -log2(CAST(v.c AS DOUBLE) / t.t)) AS BIGINT) AS bits
+  FROM vocab v CROSS JOIN tot t
+),
+fb AS (
+  SELECT CAST(round(1000000.0 * log2(CAST(t AS DOUBLE))) AS BIGINT) AS fbits
+  FROM tot
+),
+scored AS (
+  SELECT tk.doc_id, COALESCE(vb.bits, fb.fbits) AS bits
+  FROM toks tk LEFT JOIN vb ON vb.w = tk.w CROSS JOIN fb
+)
+SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tokens,
+       CAST(SUM(bits) // COUNT(*) AS BIGINT) AS bits_micro_per_token
+FROM scored GROUP BY 1
+"""
+
+
+TEXT_QUERIES.update(
+    {
+        # staged round-7 rotation stock (see registry.STAGED_NEXT_ROTATION)
+        "text_unigram_lm": (text_unigram_lm, TEXT_UNIGRAM_LM_SQL),
+    }
+)

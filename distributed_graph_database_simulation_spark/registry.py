@@ -138,6 +138,32 @@ ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
 ALL_QUERIES.update({name: spec for name, spec in _POOL.items() if name not in ALL_QUERIES})
 
 
+# Entries registered with oracles but NOT yet rotated into the gate window
+# (tail-only so far): the round-7 rotation stock, each pre-verified
+# hash-exact locally before being added here. The rotation guard
+# (tests/test_registry_window.py) distinguishes these from rotated-OUT
+# entries: a staged entry has never gated and so cannot have driver
+# history; anything in the tail that is neither staged nor green-certified
+# is a guard violation.
+STAGED_NEXT_ROTATION: frozenset[str] = frozenset(
+    {
+        "g_graph_summary",
+        "g_clustering_coefficient_scale",
+        "g_eccentricity",
+        "g_scc_scale",
+        "g_wl_labels",
+        "g_keyed_store_upsert",
+        "rel_interval_overlap",
+        "pipe_cap_per_source",
+        "pipe_token_budget",
+        "pipe_select_quality",
+        "pipe_pack_sequences",
+        "text_unigram_lm",
+        "dedup_scrub_spans",
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in ALL_QUERIES.items()}
 

@@ -83,14 +83,19 @@ def _green_history():
 def test_rotated_out_entries_were_driver_certified():
     """Rotation guard: nothing may be pushed out of the gate window without
     at least one green historical driver row — otherwise a never-certified
-    query could silently live in the tail forever."""
+    query could silently live in the tail forever. Entries that have never
+    gated may sit in the tail ONLY if explicitly declared as staged stock
+    for the next rotation (registry.STAGED_NEXT_ROTATION), which the
+    playbook requires to be locally pre-verified before declaration."""
     green = _green_history()
     tail = set(registry.queries()) - set(window_names())
-    uncertified = tail - green
+    uncertified = tail - green - set(registry.STAGED_NEXT_ROTATION)
     assert not uncertified, (
-        f"rotated-out entries with no green CORRECTNESS history: "
-        f"{sorted(uncertified)}"
+        f"tail entries with neither green CORRECTNESS history nor a staged "
+        f"declaration: {sorted(uncertified)}"
     )
+    # staged means staged: a staged name must not already be gating
+    assert not set(registry.STAGED_NEXT_ROTATION) & set(window_names())
 
 
 def test_window_entries_without_history_are_this_rounds_rotation():
