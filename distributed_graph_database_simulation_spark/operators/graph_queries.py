@@ -1080,6 +1080,99 @@ FROM qpairs p LEFT JOIN est e ON e.u = p.u AND e.v = p.v
 """
 
 
+def _weighted_pagerank_sql(
+    edges_cte: str, graphs_cte: str, iterations: int, damping: float = 0.85
+) -> str:
+    """Unrolled WEIGHTED power-iteration oracle: mirrors
+    :func:`~..graph_analytics.pagerank_weighted` step for step — positive
+    weights only, rank distributed as w(u,v)/sum_out(u), dangling =
+    vertices with no positive-weight out-edge. Same micro-rank compare as
+    the unweighted oracle (float summation order is the one
+    engine-specific ingredient). Every iteration CTE is MATERIALIZED:
+    wit{{k}} references wit{{k-1}} twice (contribution + dangling mass), so
+    plain CTE inlining would expand 2^iterations copies of the chain —
+    the same hazard _kcore_sql documents."""
+    base = 1.0 - damping
+    parts = [
+        f"WITH wpr_edges AS ({edges_cte}),",
+        f"wpr_graphs(graph_id, n) AS ({graphs_cte}),",
+        """wpr_pos AS MATERIALIZED (
+  SELECT graph_id, src, dst, CAST(weight AS DOUBLE) AS weight
+  FROM wpr_edges WHERE weight > 0
+),
+outw AS MATERIALIZED (
+  SELECT graph_id, src AS vertex, SUM(weight) AS out_weight
+  FROM wpr_pos GROUP BY graph_id, src
+),
+wpr_base AS (
+  SELECT graph_id, CAST(UNNEST(range(n)) AS INT) AS vertex, CAST(n AS DOUBLE) AS n
+  FROM wpr_graphs
+),
+wit0 AS (SELECT graph_id, vertex, 1.0 / n AS rank FROM wpr_base)""",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f""",
+wit{k} AS MATERIALIZED (
+  SELECT b.graph_id, b.vertex,
+         {base!r} / b.n + {damping!r} * (COALESCE(c.received, 0.0)
+                                         + COALESCE(dg.mass, 0.0) / b.n) AS rank
+  FROM wpr_base b
+  LEFT JOIN (
+    SELECT e.graph_id, e.dst AS vertex,
+           SUM(r.rank * e.weight / o.out_weight) AS received
+    FROM wit{k - 1} r
+    JOIN outw o ON o.graph_id = r.graph_id AND o.vertex = r.vertex
+    JOIN wpr_pos e ON e.graph_id = r.graph_id AND e.src = r.vertex
+    GROUP BY e.graph_id, e.dst
+  ) c ON c.graph_id = b.graph_id AND c.vertex = b.vertex
+  LEFT JOIN (
+    SELECT r.graph_id, SUM(r.rank) AS mass
+    FROM wit{k - 1} r
+    LEFT JOIN outw o ON o.graph_id = r.graph_id AND o.vertex = r.vertex
+    WHERE o.vertex IS NULL
+    GROUP BY r.graph_id
+  ) dg ON dg.graph_id = b.graph_id
+)"""
+        )
+    parts.append(
+        f"""
+SELECT graph_id, vertex, CAST(ROUND(rank * 1000000.0) AS BIGINT) AS rank_micro
+FROM wit{iterations}"""
+    )
+    return "\n".join(parts)
+
+
+WPR_ITERATIONS = 10
+
+
+def pagerank_weighted_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank on the scale graph with the SSSP weight channel
+    (w = (src*7 + dst) % 9 + 1 — all positive, so the weight>0 filter and
+    the dangling path both run on real structure)."""
+    from ..sources.graph_text import GRAPH_SCHEMA
+    from .graph_analytics import pagerank_weighted
+
+    edges = fixtures.scale_edges_df(spark, sf_dir).selectExpr(
+        "CAST(1 AS INT) AS graph_id",
+        "src",
+        "dst",
+        "CAST((src * 7 + dst) % 9 + 1 AS BIGINT) AS weight",
+    )
+    graphs = spark.createDataFrame([(1, fixtures.SCALE_V)], GRAPH_SCHEMA)
+    pr = pagerank_weighted(spark, graphs, edges, iterations=WPR_ITERATIONS)
+    return _micro_ranks(pr)
+
+
+PAGERANK_WEIGHTED_SCALE_SQL = _weighted_pagerank_sql(
+    f"SELECT CAST(1 AS INT) AS graph_id, src, dst, "
+    f"CAST((src * 7 + dst) % 9 + 1 AS BIGINT) AS weight "
+    f"FROM ({fixtures.SCALE_GRAPH_SQL}) se",
+    f"VALUES (1, {fixtures.SCALE_V})",
+    iterations=WPR_ITERATIONS,
+)
+
+
 # Temporal edges: same orders-derived topology, plus a deterministic
 # timestamp channel; an edge is traversable only at its ts and walks must
 # be time-respecting (non-decreasing ts).
@@ -1496,4 +1589,8 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "g_scc_scale": (scc_scale, SCC_SCALE_SQL),
     "g_wl_labels": (wl_labels_fixture, WL_LABELS_SQL),
     "g_keyed_store_upsert": (keyed_store_upsert, KEYED_STORE_UPSERT_SQL),
+    "g_pagerank_weighted_scale": (
+        pagerank_weighted_scale,
+        PAGERANK_WEIGHTED_SCALE_SQL,
+    ),
 }

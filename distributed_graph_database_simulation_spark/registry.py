@@ -153,6 +153,7 @@ STAGED_NEXT_ROTATION: frozenset[str] = frozenset(
         "g_scc_scale",
         "g_wl_labels",
         "g_keyed_store_upsert",
+        "g_pagerank_weighted_scale",
         "rel_interval_overlap",
         "pipe_cap_per_source",
         "pipe_token_budget",
