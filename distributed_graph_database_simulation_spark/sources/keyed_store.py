@@ -104,10 +104,16 @@ class KeyedParquetStore:
         )
         return sorted(r["b"] for r in rows)
 
-    def upsert(self, updates: DataFrame) -> dict:
+    def upsert(self, updates: DataFrame, only_if_newer: bool = False) -> dict:
         """MERGE: replace existing rows for the updated keys, insert new
         keys, leave every other bucket's files untouched. Returns a small
-        stats dict (buckets touched / rows written)."""
+        stats dict (buckets touched / rows written).
+
+        ``only_if_newer=True`` resolves against the STORED row too (max
+        version wins across stored ∪ batch, not batch-always-wins) — the
+        mode a streaming foreachBatch ingester needs: replaying ANY
+        micro-batch, old or new, then converges to the same state instead
+        of letting a replayed stale batch clobber newer rows."""
         if not os.path.isdir(self.path):
             self.write_full(updates)
             return {
@@ -119,12 +125,14 @@ class KeyedParquetStore:
         existing = self.spark.read.parquet(self.path).where(
             F.col("key_bucket").isin(buckets)  # partition-prunes the scan
         ).drop("key_bucket")
-        survivors = existing.join(
-            batch.select(self.key_col), self.key_col, "left_anti"
-        )
-        merged = survivors.unionByName(batch).withColumn(
-            "key_bucket", self._bucket()
-        )
+        if only_if_newer:
+            merged = self._latest_wins(existing.unionByName(batch))
+        else:
+            survivors = existing.join(
+                batch.select(self.key_col), self.key_col, "left_anti"
+            )
+            merged = survivors.unionByName(batch)
+        merged = merged.withColumn("key_bucket", self._bucket())
         n = merged.count()
         (
             merged.write.mode("overwrite")

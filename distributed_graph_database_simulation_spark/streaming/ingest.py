@@ -155,3 +155,79 @@ def stream_sketch_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def user_state_ingest_batch(
+    spark: SparkSession, batch: DataFrame, batch_id: int, store_path: str
+) -> None:
+    """Process one micro-batch of events into the keyed state store: the
+    CDC-style continuously-maintained materialized view (latest event_type
+    / value / timestamp per user) a serving layer reads instead of
+    replaying raw history.
+
+    Per batch: collapse to one row per user (max event-time, event_id
+    tie-break — deterministic), then MERGE into a
+    :class:`~..sources.keyed_store.KeyedParquetStore` with
+    ``only_if_newer=True``, versioned by event time. Replay safety is
+    BY VALUE, not by batch_id bookkeeping: re-applying any batch — even a
+    stale one after newer data landed — resolves max-version-wins against
+    the stored rows and converges to the same state. Cost per batch is
+    proportional to the touched bucket partitions, never the table.
+    """
+    from pyspark.sql import functions as F  # noqa: F811 — local for clarity
+
+    from ..sources.keyed_store import KeyedParquetStore
+
+    if batch.isEmpty():
+        return
+    latest = (
+        batch.select(
+            "user_id",
+            F.struct(
+                # cast first: the raw testdata stream carries TIMESTAMP_NTZ
+                # and unix_micros requires TIMESTAMP (the r03 loader lesson —
+                # an ingester must be total over the physical ts shapes)
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+                F.col("event_id").alias("event_id"),
+                F.col("event_type").alias("event_type"),
+                F.col("value").cast("double").alias("value"),
+            ).alias("ev"),
+        )
+        .groupBy("user_id")
+        .agg(F.max("ev").alias("ev"))
+        .select(
+            "user_id",
+            F.col("ev.ts_us").alias("ts_us"),
+            F.col("ev.event_id").alias("last_event_id"),
+            F.col("ev.event_type").alias("last_event_type"),
+            F.col("ev.value").alias("last_value"),
+        )
+    )
+    store = KeyedParquetStore(
+        spark, store_path, "user_id", n_buckets=64, version_col="ts_us"
+    )
+    store.upsert(latest, only_if_newer=True)
+
+
+def stream_user_state_ingest(
+    spark: SparkSession,
+    stream: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+):
+    """Attach the keyed-state MERGE sink to a streaming events frame.
+
+    ``stream`` must carry (event_id, ts, user_id, event_type, value).
+    Returns the started StreamingQuery (availableNow trigger — doubles as
+    a catch-up ingester over parquet drops).
+    """
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        user_state_ingest_batch(spark, batch, int(batch_id), store_path)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -163,3 +163,112 @@ def test_upsert_scan_is_partition_pruned(spark, store):
     )
     plan = jdf.queryExecution().explainString(mode)
     assert "PartitionFilters" in plan and "key_bucket" in plan
+
+
+# ---------------------------------------------------------------------------
+# only_if_newer MERGE mode + the streaming user-state ingester
+# ---------------------------------------------------------------------------
+
+def test_only_if_newer_keeps_stored_newer_rows(spark, store):
+    stale = spark.createDataFrame(
+        [(3, "stale", 0)], "k long, val string, ver int"  # ver 0 < stored 1
+    )
+    store.upsert(stale, only_if_newer=True)
+    assert (3, "v3", 1) in _rows(store)  # stored row survived
+    newer = spark.createDataFrame(
+        [(3, "fresh", 2)], "k long, val string, ver int"
+    )
+    store.upsert(newer, only_if_newer=True)
+    assert (3, "fresh", 2) in _rows(store)
+
+
+def test_user_state_ingest_replay_of_stale_batch_converges(spark, tmp_path):
+    """The CDC contract: apply batch 1, then batch 2 (newer events), then
+    REPLAY batch 1 — state must equal the batch-1-then-2 state exactly
+    (max event-time wins against the store, not batch order)."""
+    from distributed_graph_database_simulation_spark.streaming.ingest import (
+        user_state_ingest_batch,
+    )
+
+    from datetime import datetime
+
+    path = str(tmp_path / "state")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    b1 = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 10, 0), 7, "view", 1.0),
+            (2, datetime(2024, 1, 1, 11, 0), 7, "click", 2.0),
+            (3, datetime(2024, 1, 1, 10, 30), 8, "view", 3.0),
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [
+            (4, datetime(2024, 1, 1, 12, 0), 7, "purchase", 9.0),
+        ],
+        schema,
+    )
+    user_state_ingest_batch(spark, b1, 0, path)
+    user_state_ingest_batch(spark, b2, 1, path)
+    want = {
+        (7, "purchase", 9.0),
+        (8, "view", 3.0),
+    }
+
+    def state():
+        return {
+            (r["user_id"], r["last_event_type"], r["last_value"])
+            for r in spark.read.parquet(path).collect()
+        }
+
+    assert state() == want
+    user_state_ingest_batch(spark, b1, 0, path)  # stale replay
+    assert state() == want, "stale replay clobbered newer state"
+
+
+def test_stream_user_state_ingest_end_to_end(spark, tmp_path):
+    """Real Structured Streaming run: parquet-source stream -> foreachBatch
+    MERGE sink, availableNow catch-up trigger."""
+    import pyspark.sql.functions as F
+
+    from distributed_graph_database_simulation_spark.streaming.ingest import (
+        stream_user_state_ingest,
+    )
+
+    src_dir = str(tmp_path / "drops")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(200)
+    events.write.parquet(src_dir)
+    stream = spark.readStream.schema(events.schema).parquet(src_dir)
+    q = stream_user_state_ingest(
+        spark, stream, str(tmp_path / "state"), str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "state"))
+    # one row per user, and each row matches the batch-computed latest event
+    want = (
+        events.select(
+            "user_id",
+            F.struct(
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+                F.col("event_id").alias("event_id"),
+                F.col("event_type").alias("event_type"),
+                F.col("value").cast("double").alias("value"),
+            ).alias("ev"),
+        )
+        .groupBy("user_id")
+        .agg(F.max("ev").alias("ev"))
+        .select(
+            "user_id",
+            F.col("ev.event_type").alias("last_event_type"),
+            F.col("ev.value").alias("last_value"),
+        )
+    )
+    got_set = {
+        (r["user_id"], r["last_event_type"], r["last_value"])
+        for r in got.collect()
+    }
+    want_set = {
+        (r["user_id"], r["last_event_type"], r["last_value"])
+        for r in want.collect()
+    }
+    assert got_set == want_set and len(got_set) > 0
