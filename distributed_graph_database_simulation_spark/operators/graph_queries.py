@@ -1080,6 +1080,141 @@ FROM qpairs p LEFT JOIN est e ON e.u = p.u AND e.v = p.v
 """
 
 
+HARMONIC_K_PIVOTS = 8
+
+
+def harmonic_sampled_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled harmonic centrality on the scale graph
+    (:func:`~.graph_analytics.harmonic_closeness_sampled`, 8 deterministic
+    Knuth-scrambled pivots). Integer micro-unit reciprocals are summed as
+    BIGINT, so the oracle compares exactly (the 1e6/d division can land on
+    .5 only for d ∈ {2^a 5^b} forms where both engines round away from
+    zero identically)."""
+    from ..sources.graph_text import GRAPH_SCHEMA
+    from .graph_analytics import harmonic_closeness_sampled
+
+    edges = fixtures.scale_edges_df(spark, sf_dir).selectExpr(
+        "CAST(1 AS INT) AS graph_id", "src", "dst"
+    )
+    graphs = spark.createDataFrame([(1, fixtures.SCALE_V)], GRAPH_SCHEMA)
+    return harmonic_closeness_sampled(spark, graphs, edges, k_pivots=HARMONIC_K_PIVOTS)
+
+
+HARMONIC_SAMPLED_SCALE_SQL = f"""
+WITH RECURSIVE scale_edges AS ({fixtures.SCALE_GRAPH_SQL}),
+hverts AS (SELECT CAST(UNNEST(range({fixtures.SCALE_V})) AS INT) AS vertex),
+piv AS (
+  SELECT vertex AS source FROM (
+    SELECT vertex,
+           row_number() OVER (ORDER BY (vertex * 2654435761) % 1000003, vertex) AS rn
+    FROM hverts)
+  WHERE rn <= {HARMONIC_K_PIVOTS}
+),
+walk(source, vertex, lvl) AS (
+  SELECT source, source, 0 FROM piv
+  UNION
+  SELECT w.source, e.dst, w.lvl + 1
+  FROM walk w JOIN scale_edges e ON e.src = w.vertex
+  WHERE w.lvl < {fixtures.SCALE_V}
+),
+d AS (SELECT source, vertex, MIN(lvl) AS dist FROM walk GROUP BY 1, 2),
+sc AS (
+  SELECT vertex,
+         SUM(CAST(round(1000000.0 / dist) AS BIGINT)) AS harmonic_micro,
+         COUNT(*) AS k
+  FROM d WHERE dist > 0 GROUP BY 1
+)
+SELECT CAST(1 AS INT) AS graph_id, v.vertex,
+       CAST(COALESCE(sc.harmonic_micro, 0) AS BIGINT) AS harmonic_micro,
+       CAST(COALESCE(sc.k, 0) AS INT) AS n_pivots_reached
+FROM hverts v LEFT JOIN sc ON sc.vertex = v.vertex
+"""
+
+
+def diameter_double_sweep_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-sweep diameter lower bound on the scale graph
+    (:func:`~.graph_analytics.diameter_double_sweep` from vertex 0): the
+    oracle mirrors both BFS sweeps and the deterministic farthest-vertex
+    tie-break (max level, then min vertex id)."""
+    from .graph_analytics import diameter_double_sweep
+
+    edges = fixtures.scale_edges_df(spark, sf_dir).selectExpr(
+        "CAST(1 AS INT) AS graph_id", "src", "dst"
+    )
+    return diameter_double_sweep(spark, edges, start=0)
+
+
+DIAMETER_DOUBLE_SWEEP_SCALE_SQL = f"""
+WITH RECURSIVE scale_edges AS ({fixtures.SCALE_GRAPH_SQL}),
+w1(vertex, lvl) AS (
+  SELECT CAST(0 AS INT), 0
+  UNION
+  SELECT e.dst, w.lvl + 1 FROM w1 w JOIN scale_edges e ON e.src = w.vertex
+  WHERE w.lvl < {fixtures.SCALE_V}
+),
+d1 AS (SELECT vertex, MIN(lvl) AS d FROM w1 GROUP BY 1),
+far AS (
+  SELECT vertex AS source FROM d1
+  ORDER BY d DESC, vertex LIMIT 1
+),
+w2(vertex, lvl) AS (
+  SELECT source, 0 FROM far
+  UNION
+  SELECT e.dst, w.lvl + 1 FROM w2 w JOIN scale_edges e ON e.src = w.vertex
+  WHERE w.lvl < {fixtures.SCALE_V}
+),
+d2 AS (SELECT vertex, MIN(lvl) AS d FROM w2 GROUP BY 1)
+SELECT CAST(1 AS INT) AS graph_id,
+       CAST((SELECT MAX(d) FROM d2) AS INT) AS diameter_lower_bound,
+       CAST((SELECT source FROM far) AS INT) AS far_vertex
+"""
+
+
+def edge_diff_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot edge diff (:func:`~..sources.graph_store.edge_diff`): what
+    a full-replace ModifyGraph changed, on a derived new snapshot of the
+    scale graph (drop every (src + 2*dst) % 5 == 0 edge, add the reversal
+    of every (src*3 + dst) % 7 == 0 edge) — the directed scale graph keeps
+    both change classes non-empty where the symmetric fixtures would not."""
+    from ..sources.graph_store import edge_diff
+
+    old = fixtures.scale_edges_df(spark, sf_dir).selectExpr(
+        "CAST(1 AS INT) AS graph_id", "src", "dst"
+    )
+    keep = old.where((F.col("src") + 2 * F.col("dst")) % 5 != 0)
+    rev = old.where((F.col("src") * 3 + F.col("dst")) % 7 == 0).select(
+        "graph_id", F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    new = keep.unionByName(rev)
+    return edge_diff(old, new)
+
+
+EDGE_DIFF_SCALE_SQL = f"""
+WITH scale_edges AS ({fixtures.SCALE_GRAPH_SQL}),
+old_e AS (SELECT DISTINCT src, dst FROM scale_edges),
+keep AS (SELECT src, dst FROM old_e WHERE (src + 2 * dst) % 5 <> 0),
+rev AS (
+  SELECT dst AS src, src AS dst FROM old_e WHERE (src * 3 + dst) % 7 = 0
+),
+new_e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM keep UNION ALL SELECT src, dst FROM rev)
+),
+removed AS (
+  SELECT o.src, o.dst, 'removed' AS change
+  FROM old_e o LEFT JOIN new_e n ON n.src = o.src AND n.dst = o.dst
+  WHERE n.src IS NULL
+),
+added AS (
+  SELECT n.src, n.dst, 'added' AS change
+  FROM new_e n LEFT JOIN old_e o ON o.src = n.src AND o.dst = n.dst
+  WHERE o.src IS NULL
+)
+SELECT CAST(1 AS INT) AS graph_id, src, dst, change
+FROM (SELECT * FROM removed UNION ALL SELECT * FROM added)
+"""
+
+
 def _weighted_pagerank_sql(
     edges_cte: str, graphs_cte: str, iterations: int, damping: float = 0.85
 ) -> str:
@@ -1593,4 +1728,13 @@ GRAPH_QUERIES: dict[str, tuple] = {
         pagerank_weighted_scale,
         PAGERANK_WEIGHTED_SCALE_SQL,
     ),
+    "g_harmonic_sampled_scale": (
+        harmonic_sampled_scale,
+        HARMONIC_SAMPLED_SCALE_SQL,
+    ),
+    "g_diameter_double_sweep_scale": (
+        diameter_double_sweep_scale,
+        DIAMETER_DOUBLE_SWEEP_SCALE_SQL,
+    ),
+    "g_edge_diff_scale": (edge_diff_scale, EDGE_DIFF_SCALE_SQL),
 }

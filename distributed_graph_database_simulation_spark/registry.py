@@ -154,6 +154,9 @@ STAGED_NEXT_ROTATION: frozenset[str] = frozenset(
         "g_wl_labels",
         "g_keyed_store_upsert",
         "g_pagerank_weighted_scale",
+        "g_harmonic_sampled_scale",
+        "g_diameter_double_sweep_scale",
+        "g_edge_diff_scale",
         "rel_interval_overlap",
         "pipe_cap_per_source",
         "pipe_token_budget",

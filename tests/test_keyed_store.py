@@ -272,3 +272,55 @@ def test_stream_user_state_ingest_end_to_end(spark, tmp_path):
         for r in want.collect()
     }
     assert got_set == want_set and len(got_set) > 0
+
+
+def test_randomized_operation_sequence_matches_dict_model(spark, tmp_path):
+    """Model-based pin: a deterministic pseudo-random sequence of upserts
+    (both modes) and deletes must leave the store equal to a plain dict
+    model applying the same resolution rules."""
+    import random
+
+    rng = random.Random(1234)
+    s = KeyedParquetStore(
+        spark, str(tmp_path / "model"), "k", n_buckets=8, version_col="ver"
+    )
+    model: dict[int, tuple[str, int]] = {}
+
+    def batch_rows(n):
+        return [
+            (rng.randrange(40), f"w{rng.randrange(1000)}", rng.randrange(10))
+            for _ in range(n)
+        ]
+
+    init = batch_rows(30)
+    s.write_full(spark.createDataFrame(init, "k long, val string, ver int"))
+    # model: latest-wins = max (ver, val) per key
+    for k, val, ver in init:
+        if k not in model or (ver, val) > (model[k][1], model[k][0]):
+            model[k] = (val, ver)
+
+    for _step in range(6):
+        op = rng.choice(["upsert", "upsert_newer", "delete"])
+        if op == "delete":
+            keys = sorted({rng.randrange(40) for _ in range(4)})
+            s.delete(spark.createDataFrame([(k,) for k in keys], "k long"))
+            for k in keys:
+                model.pop(k, None)
+            continue
+        rows = batch_rows(8)
+        df = spark.createDataFrame(rows, "k long, val string, ver int")
+        resolved: dict[int, tuple[str, int]] = {}
+        for k, val, ver in rows:
+            if k not in resolved or (ver, val) > (resolved[k][1], resolved[k][0]):
+                resolved[k] = (val, ver)
+        if op == "upsert":
+            s.upsert(df)
+            model.update(resolved)
+        else:
+            s.upsert(df, only_if_newer=True)
+            for k, (val, ver) in resolved.items():
+                if k not in model or (ver, val) > (model[k][1], model[k][0]):
+                    model[k] = (val, ver)
+
+    got = {r["k"]: (r["val"], r["ver"]) for r in s.read().collect()}
+    assert got == model
