@@ -1080,6 +1080,87 @@ FROM qpairs p LEFT JOIN est e ON e.u = p.u AND e.v = p.v
 """
 
 
+def cc_contraction_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-star/small-star contraction CC on the scale graph — the
+    O(log |V|) high-diameter route, certified against the SAME oracle as
+    the min-label superstep (identical output contract)."""
+    from ..sources.graph_text import GRAPH_SCHEMA
+    from .graph_analytics import connected_components_contraction
+
+    edges = fixtures.scale_edges_df(spark, sf_dir).selectExpr(
+        "CAST(1 AS INT) AS graph_id", "src", "dst"
+    )
+    graphs = spark.createDataFrame([(1, fixtures.SCALE_V)], GRAPH_SCHEMA)
+    return connected_components_contraction(spark, graphs, edges)
+
+
+KTRUSS_K = 5  # sf0.001: real peeling (53 edges cascade out); sf0.01: all survive
+
+
+def ktruss_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss (k=5) of the scale graph: surviving canonical edges with
+    final support. The oracle unrolls the support-peel fixpoint with
+    MATERIALIZED rounds (each round references its predecessor three
+    times in the triangle joins — plain inlining would be 3^rounds)."""
+    from .graph_analytics import ktruss
+
+    edges = fixtures.scale_edges_df(spark, sf_dir).selectExpr(
+        "CAST(1 AS INT) AS graph_id", "src", "dst"
+    )
+    return ktruss(spark, edges, k=KTRUSS_K)
+
+
+def _ktruss_sql(edges_cte: str, k: int, rounds: int) -> str:
+    """Unrolled k-truss oracle: per round, triangle support over the
+    surviving canonical edge set, keep support >= k-2. ``rounds`` must
+    cover convergence at the checked sfs (peeling observed <= 3 rounds on
+    the scale graph; extra rounds past the fixpoint are no-ops)."""
+    parts = [
+        f"WITH kt_edges AS ({edges_cte}),",
+        """kt_ue AS (
+  SELECT src, dst FROM kt_edges WHERE src <> dst
+  UNION
+  SELECT dst, src FROM kt_edges WHERE src <> dst
+),
+t0 AS MATERIALIZED (SELECT src, dst FROM kt_ue WHERE src < dst)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+sup{r} AS MATERIALIZED (
+  SELECT e.src, e.dst, COALESCE(s.c, 0) AS support
+  FROM t{r - 1} e
+  LEFT JOIN (
+    SELECT src, dst, COUNT(*) AS c FROM (
+      SELECT UNNEST([
+        struct_pack(src := ab.src, dst := ab.dst),
+        struct_pack(src := ab.dst, dst := bc.dst),
+        struct_pack(src := ab.src, dst := bc.dst)
+      ], recursive := true)
+      FROM t{r - 1} ab
+      JOIN t{r - 1} bc ON ab.dst = bc.src
+      JOIN t{r - 1} ac ON ab.src = ac.src AND bc.dst = ac.dst
+    ) GROUP BY src, dst
+  ) s ON s.src = e.src AND s.dst = e.dst
+),
+t{r} AS MATERIALIZED (
+  SELECT src, dst FROM sup{r} WHERE support >= {k - 2}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT CAST(1 AS INT) AS graph_id, e.src, e.dst,
+       CAST(s.support AS BIGINT) AS support
+FROM t{rounds} e JOIN sup{rounds} s ON s.src = e.src AND s.dst = e.dst"""
+    )
+    return "\n".join(parts)
+
+
+KTRUSS_SCALE_SQL = _ktruss_sql(
+    f"SELECT src, dst FROM ({fixtures.SCALE_GRAPH_SQL}) se", k=KTRUSS_K, rounds=8
+)
+
+
 HARMONIC_K_PIVOTS = 8
 
 
@@ -1573,7 +1654,7 @@ def wl_labels_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _wl_sql(iterations: int) -> str:
+def _wl_sql(iterations: int, fingerprint: bool = False) -> str:
     parts = [
         f"WITH {_FIXTURE_CTE},",
         """wl_ue(graph_id, src, dst) AS (
@@ -1606,11 +1687,35 @@ l{i} AS (
   FROM l{i - 1} p
 )"""
         )
-    parts.append(f"\nSELECT graph_id, vertex, label FROM l{iterations}")
+    if fingerprint:
+        parts.append(
+            f"""
+SELECT graph_id, CAST(COUNT(*) AS INT) AS n,
+       md5(array_to_string(list_sort(list(label)), ',')) AS fingerprint
+FROM l{iterations} GROUP BY graph_id"""
+        )
+    else:
+        parts.append(f"\nSELECT graph_id, vertex, label FROM l{iterations}")
     return "\n".join(parts)
 
 
 WL_LABELS_SQL = _wl_sql(WL_ITERATIONS)
+
+
+def wl_fingerprint_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-level WL fingerprint (md5 of the sorted final label multiset +
+    vertex count) over the fixtures — the graph-corpus dedup key."""
+    from .graph_ml import wl_fingerprint
+
+    return wl_fingerprint(
+        spark,
+        fixtures.fixture_graphs_df(spark),
+        fixtures.fixture_edges_df(spark),
+        iterations=WL_ITERATIONS,
+    )
+
+
+WL_FINGERPRINT_SQL = _wl_sql(WL_ITERATIONS, fingerprint=True)
 
 
 def keyed_store_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1737,4 +1842,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
         DIAMETER_DOUBLE_SWEEP_SCALE_SQL,
     ),
     "g_edge_diff_scale": (edge_diff_scale, EDGE_DIFF_SCALE_SQL),
+    "g_cc_contraction_scale": (cc_contraction_scale, CONNECTED_COMPONENTS_SCALE_SQL),
+    "g_wl_fingerprint": (wl_fingerprint_fixture, WL_FINGERPRINT_SQL),
+    "g_ktruss_scale": (ktruss_scale, KTRUSS_SCALE_SQL),
 }

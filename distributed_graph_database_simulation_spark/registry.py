@@ -157,6 +157,9 @@ STAGED_NEXT_ROTATION: frozenset[str] = frozenset(
         "g_harmonic_sampled_scale",
         "g_diameter_double_sweep_scale",
         "g_edge_diff_scale",
+        "g_cc_contraction_scale",
+        "g_wl_fingerprint",
+        "g_ktruss_scale",
         "rel_interval_overlap",
         "pipe_cap_per_source",
         "pipe_token_budget",
