@@ -1054,14 +1054,20 @@ def sssp_with_predecessors(
     checkpoint_every: int = 5,
 ) -> DataFrame:
     """:func:`sssp` carrying a shortest-path TREE: each settled vertex keeps
-    a predecessor (deterministic: among min-distance parents, the smallest
-    vertex id — a min over (distance, pred) structs, so the tie-break rides
-    the same aggregate as the relaxation). Returns
-    (vertex, distance, pred); pred is NULL at the start vertex.
+    a predecessor. Returns (vertex, distance, pred); pred is NULL at the
+    start vertex.
+
+    Predecessor determinism is SCHEDULE-INDEPENDENT: after the distance
+    fixpoint, one post-pass picks ``pred(v) = min u over tight edges``
+    (dist(u) + w(u, v) == dist(v)). The in-loop struct min alone would
+    record whichever tight parent's superstep message arrived FIRST —
+    a function of hop counts, not of the graph — which is neither
+    engine-mirrorable nor stable under plan changes; the post-pass costs
+    one extra keyed join over the edges and makes the tree a pure
+    function of (graph, start).
 
     The tree is what actual route queries need — distances alone cannot
-    answer "via where?" — and it costs nothing extra at scale: the struct
-    min replaces the plain min in the same one-shuffle relaxation.
+    answer "via where?".
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -1109,8 +1115,32 @@ def sssp_with_predecessors(
         if it % checkpoint_every == 0:
             dists = barrier(dists, eager=True, ckdir=ck)
         frontier = improved
+    # Schedule-independent predecessors: min parent id over tight edges
+    # (the loop's in-flight pred reflects message arrival order — a
+    # function of hop counts, not the graph — so it is discarded here).
+    d = dists.select("vertex", "distance")
+    du = d.select(F.col("vertex").alias("src"), F.col("distance").alias("d_src"))
+    dv = d.select(F.col("vertex").alias("dst"), F.col("distance").alias("d_dst"))
+    tight = (
+        edges.join(du, "src")
+        .join(dv, "dst")
+        .where(F.col("d_src") + F.col("weight") == F.col("d_dst"))
+    )
+    tree = tight.groupBy(F.col("dst").alias("vertex")).agg(
+        F.min("src").cast("int").alias("pred")
+    )
+    out = (
+        d.join(tree, "vertex", "left")
+        .select(
+            "vertex",
+            "distance",
+            F.when(F.col("vertex") == start, F.lit(None).cast("int"))
+            .otherwise(F.col("pred"))
+            .alias("pred"),
+        )
+    )
     edges.unpersist()
-    return dists
+    return out
 
 
 def reconstruct_path(preds: DataFrame, target: int, max_hops: int = 100_000) -> list[int]:

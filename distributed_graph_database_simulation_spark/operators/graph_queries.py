@@ -1080,6 +1080,88 @@ FROM qpairs p LEFT JOIN est e ON e.u = p.u AND e.v = p.v
 """
 
 
+def sssp_tree_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted SSSP with the shortest-path TREE on the scale graph: the
+    schedule-independent predecessor rule (min parent id over tight
+    edges) is exactly mirrorable in SQL, which is the point of the
+    post-pass design."""
+    from .graph_analytics import sssp_with_predecessors
+
+    edges = fixtures.scale_edges_df(spark, sf_dir).selectExpr(
+        "src", "dst", "CAST((src * 7 + dst) % 9 + 1 AS BIGINT) AS weight"
+    )
+    return sssp_with_predecessors(spark, edges, start=0)
+
+
+SSSP_TREE_SCALE_SQL = f"""
+WITH RECURSIVE scale_edges AS ({fixtures.SCALE_GRAPH_SQL}),
+we AS (
+  SELECT src, dst, CAST((src * 7 + dst) % 9 + 1 AS BIGINT) AS weight FROM scale_edges
+),
+walk(vertex, distance) AS (
+  SELECT CAST(0 AS INT), CAST(0 AS BIGINT)
+  UNION
+  SELECT e.dst, w.distance + e.weight
+  FROM walk w JOIN we e ON e.src = w.vertex
+  WHERE w.distance < {fixtures.SCALE_V * 9}
+),
+d AS (SELECT vertex, MIN(distance) AS distance FROM walk GROUP BY vertex),
+tree AS (
+  SELECT e.dst AS vertex, CAST(MIN(e.src) AS INT) AS pred
+  FROM we e
+  JOIN d a ON a.vertex = e.src
+  JOIN d b ON b.vertex = e.dst
+  WHERE a.distance + e.weight = b.distance
+  GROUP BY e.dst
+)
+SELECT d.vertex, d.distance,
+       CASE WHEN d.vertex = 0 THEN NULL ELSE t.pred END AS pred
+FROM d LEFT JOIN tree t ON t.vertex = d.vertex
+"""
+
+
+EDGE_JACCARD_MIN = 0.1  # all 10 overlapping fixture pairs emit
+
+
+def edge_jaccard_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-corpus near-dup by edge-set Jaccard over the fixtures
+    (:func:`~.graph_ml.graph_edge_jaccard`): inverted-index pair
+    generation, exact ratio from carried set sizes."""
+    from .graph_ml import graph_edge_jaccard
+
+    return graph_edge_jaccard(
+        fixtures.fixture_edges_df(spark), min_jaccard=EDGE_JACCARD_MIN
+    )
+
+
+EDGE_JACCARD_SQL = f"""
+WITH {_FIXTURE_CTE},
+canon AS (
+  SELECT DISTINCT graph_id,
+         least(src, dst) AS u, greatest(src, dst) AS v
+  FROM fixture_edges WHERE src <> dst
+),
+sizes AS (SELECT graph_id, COUNT(*) AS n_edges FROM canon GROUP BY 1),
+common AS (
+  SELECT a.graph_id AS graph_a, b.graph_id AS graph_b, COUNT(*) AS n_common
+  FROM canon a JOIN canon b
+    ON a.u = b.u AND a.v = b.v AND a.graph_id < b.graph_id
+  GROUP BY 1, 2
+)
+SELECT c.graph_a, c.graph_b,
+       CAST(c.n_common AS BIGINT) AS n_common,
+       CAST(sa.n_edges AS BIGINT) AS n_a,
+       CAST(sb.n_edges AS BIGINT) AS n_b,
+       CAST(c.n_common AS DOUBLE) / (sa.n_edges + sb.n_edges - c.n_common)
+         AS jaccard
+FROM common c
+JOIN sizes sa ON sa.graph_id = c.graph_a
+JOIN sizes sb ON sb.graph_id = c.graph_b
+WHERE CAST(c.n_common AS DOUBLE) / (sa.n_edges + sb.n_edges - c.n_common)
+      >= {EDGE_JACCARD_MIN}
+"""
+
+
 def cc_contraction_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large-star/small-star contraction CC on the scale graph — the
     O(log |V|) high-diameter route, certified against the SAME oracle as
@@ -1845,4 +1927,6 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "g_cc_contraction_scale": (cc_contraction_scale, CONNECTED_COMPONENTS_SCALE_SQL),
     "g_wl_fingerprint": (wl_fingerprint_fixture, WL_FINGERPRINT_SQL),
     "g_ktruss_scale": (ktruss_scale, KTRUSS_SCALE_SQL),
+    "g_sssp_tree_scale": (sssp_tree_scale, SSSP_TREE_SCALE_SQL),
+    "g_edge_jaccard": (edge_jaccard_fixture, EDGE_JACCARD_SQL),
 }

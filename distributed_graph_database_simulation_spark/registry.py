@@ -160,6 +160,8 @@ STAGED_NEXT_ROTATION: frozenset[str] = frozenset(
         "g_cc_contraction_scale",
         "g_wl_fingerprint",
         "g_ktruss_scale",
+        "g_sssp_tree_scale",
+        "g_edge_jaccard",
         "rel_interval_overlap",
         "pipe_cap_per_source",
         "pipe_token_budget",
