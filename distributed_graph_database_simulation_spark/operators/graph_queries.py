@@ -1080,6 +1080,87 @@ FROM qpairs p LEFT JOIN est e ON e.u = p.u AND e.v = p.v
 """
 
 
+def mis_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luby maximal independent set over the fixtures
+    (:func:`~.graph_analytics.maximal_independent_set`): priorities are
+    60-bit md5 hashes of (graph_id, vertex, round) — engine-portable, so
+    the whole race is deterministic and the oracle replays it round for
+    round."""
+    from .graph_analytics import maximal_independent_set
+
+    return maximal_independent_set(
+        spark, fixtures.fixture_graphs_df(spark), fixtures.fixture_edges_df(spark)
+    )
+
+
+def _mis_sql(edges_cte: str, graphs_cte: str, rounds: int) -> str:
+    """Unrolled Luby-MIS oracle. Per round: md5 priorities over the active
+    set, winners = local maxima by (priority, vertex) over active
+    neighbors, then winners + their neighbors deactivate. ``rounds`` must
+    cover termination (Luby is O(log n) expected; fixtures are n <= 7);
+    extra rounds see an empty active set and emit nothing. MATERIALIZED
+    per round — act{k} feeds three consumers."""
+    parts = [
+        f"WITH mis_edges AS ({edges_cte}),",
+        f"mis_graphs(graph_id, n) AS ({graphs_cte}),",
+        """mis_ue(graph_id, src, dst) AS (
+  SELECT graph_id, src, dst FROM mis_edges WHERE src <> dst
+  UNION
+  SELECT graph_id, dst, src FROM mis_edges WHERE src <> dst
+),
+act0 AS MATERIALIZED (
+  SELECT graph_id, CAST(UNNEST(range(n)) AS INT) AS vertex FROM mis_graphs
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+pri{r} AS MATERIALIZED (
+  SELECT graph_id, vertex,
+         CAST('0x' || substr(md5(CAST(graph_id AS VARCHAR) || '|' ||
+                                 CAST(vertex AS VARCHAR) || '|' || '{r}'),
+                             1, 15) AS BIGINT) AS p
+  FROM act{r - 1}
+),
+win{r} AS MATERIALIZED (
+  SELECT a.graph_id, a.vertex
+  FROM pri{r} a
+  LEFT JOIN (
+    SELECT e.graph_id, e.src AS vertex,
+           MAX(struct_pack(p := pb.p, v := pb.vertex)) AS nb
+    FROM mis_ue e
+    JOIN pri{r} pb ON pb.graph_id = e.graph_id AND pb.vertex = e.dst
+    GROUP BY e.graph_id, e.src
+  ) m ON m.graph_id = a.graph_id AND m.vertex = a.vertex
+  WHERE m.nb IS NULL OR struct_pack(p := a.p, v := a.vertex) > m.nb
+),
+act{r} AS MATERIALIZED (
+  SELECT a.graph_id, a.vertex FROM act{r - 1} a
+  LEFT JOIN (
+    SELECT graph_id, vertex FROM win{r}
+    UNION
+    SELECT e.graph_id, e.dst AS vertex
+    FROM mis_ue e JOIN win{r} w
+      ON w.graph_id = e.graph_id AND w.vertex = e.src
+  ) dead ON dead.graph_id = a.graph_id AND dead.vertex = a.vertex
+  WHERE dead.vertex IS NULL
+)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT graph_id, vertex, CAST({r} AS INT) AS round FROM win{r}"
+        for r in range(1, rounds + 1)
+    )
+    parts.append(f"\n{union}")
+    return "\n".join(parts)
+
+
+MIS_SQL = _mis_sql(
+    f"SELECT * FROM (VALUES {_EDGE_ROWS}) t(graph_id, src, dst)",
+    f"VALUES {', '.join(f'({g},{n})' for g, n in fixtures.GRAPHS)}",
+    rounds=8,
+)
+
+
 def sssp_tree_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted SSSP with the shortest-path TREE on the scale graph: the
     schedule-independent predecessor rule (min parent id over tight
@@ -1929,4 +2010,5 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "g_ktruss_scale": (ktruss_scale, KTRUSS_SCALE_SQL),
     "g_sssp_tree_scale": (sssp_tree_scale, SSSP_TREE_SCALE_SQL),
     "g_edge_jaccard": (edge_jaccard_fixture, EDGE_JACCARD_SQL),
+    "g_mis": (mis_fixture, MIS_SQL),
 }

@@ -162,6 +162,7 @@ STAGED_NEXT_ROTATION: frozenset[str] = frozenset(
         "g_ktruss_scale",
         "g_sssp_tree_scale",
         "g_edge_jaccard",
+        "g_mis",
         "rel_interval_overlap",
         "pipe_cap_per_source",
         "pipe_token_budget",
