@@ -122,15 +122,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     sh = _shingled(_docs(spark, sf_dir))
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     # Persisted: the posting table feeds both sides of the inverted-index
-    # self-join (and the sizes join re-derives from the same shingle pass);
-    # one materialization instead of two corpus-wide shingle explodes.
+    # self-join AND (deduplicated) the size tables — one materialization,
+    # zero re-derivations of the corpus-wide shingle explode.
     posting = sh.select(
         "doc_id",
         F.size("shingles").alias("n_sh"),
         F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("h"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = posting.select("doc_id", "n_sh").distinct()
     a = posting.alias("a")
     b = posting.alias("b")
     common = (

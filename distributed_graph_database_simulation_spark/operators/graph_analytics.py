@@ -1073,10 +1073,11 @@ def sssp_with_predecessors(
 
     edges = edges.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
     ck = checkpoint_dir(spark)
+    # The relaxation loop carries distances ONLY — predecessors come from
+    # the post-pass below, so shipping a pred through every superstep's
+    # shuffle would be dead weight.
     dists = barrier(
-        spark.createDataFrame(
-            [(start, 0, None)], "vertex INT, distance BIGINT, pred INT"
-        ),
+        spark.createDataFrame([(start, 0)], "vertex INT, distance BIGINT"),
         eager=True,
         ckdir=ck,
     )
@@ -1087,14 +1088,10 @@ def sssp_with_predecessors(
             f.join(e, F.col("f.vertex") == F.col("e.src"))
             .select(
                 F.col("e.dst").alias("vertex"),
-                F.struct(
-                    (F.col("f.distance") + F.col("e.weight")).alias("distance"),
-                    F.col("f.vertex").alias("pred"),
-                ).alias("cand"),
+                (F.col("f.distance") + F.col("e.weight")).alias("distance"),
             )
             .groupBy("vertex")
-            .agg(F.min("cand").alias("m"))
-            .select("vertex", F.col("m.distance").alias("distance"), F.col("m.pred").alias("pred"))
+            .agg(F.min("distance").alias("distance"))
         )
         improved = (
             candidates.join(
@@ -1106,7 +1103,7 @@ def sssp_with_predecessors(
                 F.col("old_distance").isNull()
                 | (F.col("distance") < F.col("old_distance"))
             )
-            .select("vertex", "distance", "pred")
+            .select("vertex", "distance")
             .transform(barrier_t(eager=False, ckdir=ck))
         )
         if improved.count() == 0:
@@ -1115,9 +1112,10 @@ def sssp_with_predecessors(
         if it % checkpoint_every == 0:
             dists = barrier(dists, eager=True, ckdir=ck)
         frontier = improved
-    # Schedule-independent predecessors: min parent id over tight edges
-    # (the loop's in-flight pred reflects message arrival order — a
-    # function of hop counts, not the graph — so it is discarded here).
+    # Schedule-independent predecessors: min parent id over tight edges,
+    # computed once after the distance fixpoint (an in-loop pred would
+    # reflect message arrival order — a function of hop counts, not the
+    # graph — and would ship dead weight through every superstep).
     d = dists.select("vertex", "distance")
     du = d.select(F.col("vertex").alias("src"), F.col("distance").alias("d_src"))
     dv = d.select(F.col("vertex").alias("dst"), F.col("distance").alias("d_dst"))

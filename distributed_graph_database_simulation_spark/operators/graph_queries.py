@@ -55,6 +55,22 @@ starts(graph_id, vertex) AS (
 _FIXTURE_CTE = _fixture_cte(PIN_STARTS)
 
 
+def _scale_graph(spark: SparkSession, sf_dir: str):
+    """(graphs, edges) for the single orders-derived scale graph, tagged
+    graph_id = 1 — the one construction every ``*_scale`` wrapper shares
+    (and must share: the SQL oracles all embed the same
+    ``fixtures.SCALE_GRAPH_SQL``, so a divergence here would silently
+    decouple a wrapper from its oracle)."""
+    from ..sources.graph_text import GRAPH_SCHEMA
+
+    edges = fixtures.scale_edges_df(spark, sf_dir).selectExpr(
+        "CAST(1 AS INT) AS graph_id", "src", "dst"
+    )
+    graphs = spark.createDataFrame([(1, fixtures.SCALE_V)], GRAPH_SCHEMA)
+    return graphs, edges
+
+
+
 def bfs_levels_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_levels(spark, fixtures.fixture_edges_df(spark), PIN_STARTS)
 
@@ -133,12 +149,8 @@ def connected_components_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 def connected_components_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-label superstep CC on the orders-derived scale graph — the
     single-huge-graph regime where the Pregel loop is the right plan."""
-    from ..sources.graph_text import GRAPH_SCHEMA
 
-    edges = fixtures.scale_edges_df(spark, sf_dir).selectExpr(
-        "CAST(1 AS INT) AS graph_id", "src", "dst"
-    )
-    graphs = spark.createDataFrame([(1, fixtures.SCALE_V)], GRAPH_SCHEMA)
+    graphs, edges = _scale_graph(spark, sf_dir)
     return connected_components(spark, graphs, edges)
 
 
@@ -225,9 +237,7 @@ def triangles_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count on the orders-derived scale graph (the fixture graphs
     happen to be triangle-free, so this is the row with real work: the
     two-join enumeration over a graph whose edge count tracks the sf)."""
-    edges = fixtures.scale_edges_df(spark, sf_dir).selectExpr(
-        "CAST(1 AS INT) AS graph_id", "src", "dst"
-    )
+    _, edges = _scale_graph(spark, sf_dir)
     return triangle_count(edges).select("graph_id", "triangles")
 
 
@@ -360,12 +370,8 @@ def kcore_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     peeling at sf0.001 (cascades to empty), a one-round stable core at
     bigger sfs. Generic peeling correctness is property-tested against an
     independent Python implementation on random graphs."""
-    from ..sources.graph_text import GRAPH_SCHEMA
 
-    edges = fixtures.scale_edges_df(spark, sf_dir).selectExpr(
-        "CAST(1 AS INT) AS graph_id", "src", "dst"
-    )
-    graphs = spark.createDataFrame([(1, fixtures.SCALE_V)], GRAPH_SCHEMA)
+    graphs, edges = _scale_graph(spark, sf_dir)
     return kcore(spark, graphs, edges, k=KCORE_K)
 
 
@@ -385,20 +391,14 @@ def dfs_leaves_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``tests/test_graph_traversal.py`` — the kernel's recursion and
     ascending-neighbor contract exercised on a ~100-vertex dense-ish graph
     rather than the 7-vertex fixtures."""
-    edges = fixtures.scale_edges_df(spark, sf_dir).selectExpr(
-        "CAST(1 AS INT) AS graph_id", "src", "dst"
-    )
+    _, edges = _scale_graph(spark, sf_dir)
     return dfs_leaves(spark, edges, [(1, 0)])
 
 
 def degrees_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degrees over the orders-derived scale graph (input grows with sf)."""
-    from ..sources.graph_text import GRAPH_SCHEMA
 
-    edges = fixtures.scale_edges_df(spark, sf_dir).selectExpr(
-        "CAST(1 AS INT) AS graph_id", "src", "dst"
-    )
-    graphs = spark.createDataFrame([(1, fixtures.SCALE_V)], GRAPH_SCHEMA)
+    graphs, edges = _scale_graph(spark, sf_dir)
     return degrees(graphs, edges)
 
 
@@ -739,12 +739,8 @@ LABEL_PROPAGATION_SQL = _label_propagation_sql(
 
 
 def label_propagation_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.graph_text import GRAPH_SCHEMA
 
-    edges = fixtures.scale_edges_df(spark, sf_dir).selectExpr(
-        "CAST(1 AS INT) AS graph_id", "src", "dst"
-    )
-    graphs = spark.createDataFrame([(1, fixtures.SCALE_V)], GRAPH_SCHEMA)
+    graphs, edges = _scale_graph(spark, sf_dir)
     return label_propagation(spark, graphs, edges, iterations=4)
 
 
@@ -781,12 +777,8 @@ def pagerank_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Power iteration on the orders-derived scale graph (101 vertices,
     edge count tracks sf; dangling vertices possible — isolated mod classes
     receive only the uniform + dangling terms)."""
-    from ..sources.graph_text import GRAPH_SCHEMA
 
-    edges = fixtures.scale_edges_df(spark, sf_dir).selectExpr(
-        "CAST(1 AS INT) AS graph_id", "src", "dst"
-    )
-    graphs = spark.createDataFrame([(1, fixtures.SCALE_V)], GRAPH_SCHEMA)
+    graphs, edges = _scale_graph(spark, sf_dir)
     return _micro_ranks(pagerank(spark, graphs, edges, iterations=5))
 
 
@@ -844,9 +836,7 @@ TEXT_SCAN_SQL = STORE_ROUNDTRIP_SQL
 
 def bfs_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed superstep BFS on the orders-derived synthetic graph."""
-    edges = fixtures.scale_edges_df(spark, sf_dir).selectExpr(
-        "CAST(1 AS INT) AS graph_id", "src", "dst"
-    )
+    _, edges = _scale_graph(spark, sf_dir)
     return bfs_levels(spark, edges, [(1, 0)]).select("vertex", "level")
 
 
@@ -972,13 +962,9 @@ def modularity_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end. The per-community q_c terms are exact in both engines;
     their 4-term sum is micro-rounded (summation order is the one
     engine-specific ingredient)."""
-    from ..sources.graph_text import GRAPH_SCHEMA
     from .graph_analytics import modularity, vertices
 
-    edges = fixtures.scale_edges_df(spark, sf_dir).selectExpr(
-        "CAST(1 AS INT) AS graph_id", "src", "dst"
-    )
-    graphs = spark.createDataFrame([(1, fixtures.SCALE_V)], GRAPH_SCHEMA)
+    graphs, edges = _scale_graph(spark, sf_dir)
     assignment = vertices(graphs).select(
         "graph_id", "vertex", (F.col("vertex") % 4).alias("community")
     )
@@ -1027,9 +1013,7 @@ def landmark_distances_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTEs — so both the landmark tables and the estimate join certify."""
     from .graph_analytics import estimate_distances, landmark_distance_oracle
 
-    edges = fixtures.scale_edges_df(spark, sf_dir).selectExpr(
-        "CAST(1 AS INT) AS graph_id", "src", "dst"
-    )
+    _, edges = _scale_graph(spark, sf_dir)
     landmarks = spark.createDataFrame(
         [(1, l) for l in LANDMARKS], "graph_id int, source int"
     )
@@ -1247,13 +1231,9 @@ def cc_contraction_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large-star/small-star contraction CC on the scale graph — the
     O(log |V|) high-diameter route, certified against the SAME oracle as
     the min-label superstep (identical output contract)."""
-    from ..sources.graph_text import GRAPH_SCHEMA
     from .graph_analytics import connected_components_contraction
 
-    edges = fixtures.scale_edges_df(spark, sf_dir).selectExpr(
-        "CAST(1 AS INT) AS graph_id", "src", "dst"
-    )
-    graphs = spark.createDataFrame([(1, fixtures.SCALE_V)], GRAPH_SCHEMA)
+    graphs, edges = _scale_graph(spark, sf_dir)
     return connected_components_contraction(spark, graphs, edges)
 
 
@@ -1267,9 +1247,7 @@ def ktruss_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     times in the triangle joins — plain inlining would be 3^rounds)."""
     from .graph_analytics import ktruss
 
-    edges = fixtures.scale_edges_df(spark, sf_dir).selectExpr(
-        "CAST(1 AS INT) AS graph_id", "src", "dst"
-    )
+    _, edges = _scale_graph(spark, sf_dir)
     return ktruss(spark, edges, k=KTRUSS_K)
 
 
@@ -1334,13 +1312,9 @@ def harmonic_sampled_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT, so the oracle compares exactly (the 1e6/d division can land on
     .5 only for d ∈ {2^a 5^b} forms where both engines round away from
     zero identically)."""
-    from ..sources.graph_text import GRAPH_SCHEMA
     from .graph_analytics import harmonic_closeness_sampled
 
-    edges = fixtures.scale_edges_df(spark, sf_dir).selectExpr(
-        "CAST(1 AS INT) AS graph_id", "src", "dst"
-    )
-    graphs = spark.createDataFrame([(1, fixtures.SCALE_V)], GRAPH_SCHEMA)
+    graphs, edges = _scale_graph(spark, sf_dir)
     return harmonic_closeness_sampled(spark, graphs, edges, k_pivots=HARMONIC_K_PIVOTS)
 
 
@@ -1382,9 +1356,7 @@ def diameter_double_sweep_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break (max level, then min vertex id)."""
     from .graph_analytics import diameter_double_sweep
 
-    edges = fixtures.scale_edges_df(spark, sf_dir).selectExpr(
-        "CAST(1 AS INT) AS graph_id", "src", "dst"
-    )
+    _, edges = _scale_graph(spark, sf_dir)
     return diameter_double_sweep(spark, edges, start=0)
 
 
@@ -1422,9 +1394,7 @@ def edge_diff_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     both change classes non-empty where the symmetric fixtures would not."""
     from ..sources.graph_store import edge_diff
 
-    old = fixtures.scale_edges_df(spark, sf_dir).selectExpr(
-        "CAST(1 AS INT) AS graph_id", "src", "dst"
-    )
+    _, old = _scale_graph(spark, sf_dir)
     keep = old.where((F.col("src") + 2 * F.col("dst")) % 5 != 0)
     rev = old.where((F.col("src") * 3 + F.col("dst")) % 7 == 0).select(
         "graph_id", F.col("dst").alias("src"), F.col("src").alias("dst")
@@ -1668,13 +1638,9 @@ LEFT JOIN deg_stats d ON d.graph_id = g.graph_id
 def clustering_coefficient_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficients on the scale graph — the triangle
     machinery per vertex, integer-micro exact."""
-    from ..sources.graph_text import GRAPH_SCHEMA
     from .graph_analytics import clustering_coefficient
 
-    edges = fixtures.scale_edges_df(spark, sf_dir).selectExpr(
-        "CAST(1 AS INT) AS graph_id", "src", "dst"
-    )
-    graphs = spark.createDataFrame([(1, fixtures.SCALE_V)], GRAPH_SCHEMA)
+    graphs, edges = _scale_graph(spark, sf_dir)
     return clustering_coefficient(graphs, edges)
 
 
@@ -1887,14 +1853,14 @@ def keyed_store_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     a derived status + one brand-new key), read back. The oracle computes
     the same latest-wins merge relationally, so both the bucket surgery
     and the conflict resolution certify."""
-    import shutil
     import tempfile
 
     from ..sources.keyed_store import KeyedParquetStore
     from ..sources.tables import load_table
 
-    base = os.path.join(tempfile.gettempdir(), "dgds_keyed_store_upsert")
-    shutil.rmtree(base, ignore_errors=True)
+    # Per-call unique dir: a fixed shared path would let two concurrent
+    # gate runs rmtree each other's store mid-query.
+    base = tempfile.mkdtemp(prefix="dgds_keyed_store_upsert_")
     store = KeyedParquetStore(
         spark, base, "o_orderkey", n_buckets=32, version_col="ver"
     )

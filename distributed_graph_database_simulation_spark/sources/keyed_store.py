@@ -107,7 +107,7 @@ class KeyedParquetStore:
     def upsert(self, updates: DataFrame, only_if_newer: bool = False) -> dict:
         """MERGE: replace existing rows for the updated keys, insert new
         keys, leave every other bucket's files untouched. Returns a small
-        stats dict (buckets touched / rows written).
+        stats dict (buckets touched / initial-load flag).
 
         ``only_if_newer=True`` resolves against the STORED row too (max
         version wins across stored ∪ batch, not batch-always-wins) — the
@@ -133,7 +133,9 @@ class KeyedParquetStore:
             )
             merged = survivors.unionByName(batch)
         merged = merged.withColumn("key_bucket", self._bucket())
-        n = merged.count()
+        # No pre-write count: it would re-read and re-merge the affected
+        # buckets a second time purely for a stats number (the delete path
+        # must pre-materialize, this path must not).
         (
             merged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -142,7 +144,6 @@ class KeyedParquetStore:
         )
         return {
             "buckets_touched": len(buckets),
-            "rows_written": n,
             "initial_load": False,
         }
 
