@@ -1145,6 +1145,108 @@ MIS_SQL = _mis_sql(
 )
 
 
+def coloring_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy coloring by iterated MIS over the fixtures
+    (:func:`~.graph_analytics.greedy_coloring`): each color class is a
+    full Luby MIS of the still-uncolored subgraph, with the same
+    deterministic md5 priorities as :func:`mis_fixture` — so the oracle
+    replays the whole nested race."""
+    from .graph_analytics import greedy_coloring
+
+    return greedy_coloring(
+        spark, fixtures.fixture_graphs_df(spark), fixtures.fixture_edges_df(spark)
+    )
+
+
+def _coloring_sql(edges_cte: str, graphs_cte: str, colors: int, rounds: int) -> str:
+    """Unrolled iterated-MIS coloring oracle: per color c, a full Luby
+    fixpoint (``rounds`` inner rounds, priorities restarting at round 1 —
+    mirroring ``_mis_over_vertices``) over the still-uncolored vertex
+    set; winners take color c and leave the pool. Restricting the edge
+    set to the induced subgraph is unnecessary in SQL: priorities exist
+    only for active vertices, so edges to colored vertices contribute no
+    neighbor-max rows — the same implicit restriction the Spark inner
+    loop relies on. ``colors``/``rounds`` must cover the data (fixtures:
+    <= 4 colors, <= 5 inner rounds; extra iterations are no-ops)."""
+    parts = [
+        f"WITH col_edges AS ({edges_cte}),",
+        f"col_graphs(graph_id, n) AS ({graphs_cte}),",
+        """col_ue(graph_id, src, dst) AS (
+  SELECT graph_id, src, dst FROM col_edges WHERE src <> dst
+  UNION
+  SELECT graph_id, dst, src FROM col_edges WHERE src <> dst
+),
+rem0 AS MATERIALIZED (
+  SELECT graph_id, CAST(UNNEST(range(n)) AS INT) AS vertex FROM col_graphs
+)""",
+    ]
+    for c in range(colors):
+        parts.append(
+            f""",
+c{c}a0 AS MATERIALIZED (SELECT graph_id, vertex FROM rem{c})"""
+        )
+        for r in range(1, rounds + 1):
+            parts.append(
+                f""",
+c{c}p{r} AS MATERIALIZED (
+  SELECT graph_id, vertex,
+         CAST('0x' || substr(md5(CAST(graph_id AS VARCHAR) || '|' ||
+                                 CAST(vertex AS VARCHAR) || '|' || '{r}'),
+                             1, 15) AS BIGINT) AS p
+  FROM c{c}a{r - 1}
+),
+c{c}w{r} AS MATERIALIZED (
+  SELECT a.graph_id, a.vertex
+  FROM c{c}p{r} a
+  LEFT JOIN (
+    SELECT e.graph_id, e.src AS vertex,
+           MAX(struct_pack(p := pb.p, v := pb.vertex)) AS nb
+    FROM col_ue e
+    JOIN c{c}p{r} pb ON pb.graph_id = e.graph_id AND pb.vertex = e.dst
+    GROUP BY e.graph_id, e.src
+  ) m ON m.graph_id = a.graph_id AND m.vertex = a.vertex
+  WHERE m.nb IS NULL OR struct_pack(p := a.p, v := a.vertex) > m.nb
+),
+c{c}a{r} AS MATERIALIZED (
+  SELECT a.graph_id, a.vertex FROM c{c}a{r - 1} a
+  LEFT JOIN (
+    SELECT graph_id, vertex FROM c{c}w{r}
+    UNION
+    SELECT e.graph_id, e.dst AS vertex
+    FROM col_ue e JOIN c{c}w{r} w
+      ON w.graph_id = e.graph_id AND w.vertex = e.src
+  ) dead ON dead.graph_id = a.graph_id AND dead.vertex = a.vertex
+  WHERE dead.vertex IS NULL
+)"""
+            )
+        mis_union = " UNION ".join(
+            f"SELECT graph_id, vertex FROM c{c}w{r}" for r in range(1, rounds + 1)
+        )
+        parts.append(
+            f""",
+mis{c} AS MATERIALIZED ({mis_union}),
+rem{c + 1} AS MATERIALIZED (
+  SELECT r.graph_id, r.vertex FROM rem{c} r
+  LEFT JOIN mis{c} m ON m.graph_id = r.graph_id AND m.vertex = r.vertex
+  WHERE m.vertex IS NULL
+)"""
+        )
+    color_union = " UNION ALL ".join(
+        f"SELECT graph_id, vertex, CAST({c} AS INT) AS color FROM mis{c}"
+        for c in range(colors)
+    )
+    parts.append(f"\n{color_union}")
+    return "\n".join(parts)
+
+
+COLORING_SQL = _coloring_sql(
+    f"SELECT * FROM (VALUES {_EDGE_ROWS}) t(graph_id, src, dst)",
+    f"VALUES {', '.join(f'({g},{n})' for g, n in fixtures.GRAPHS)}",
+    colors=6,
+    rounds=6,
+)
+
+
 def sssp_tree_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted SSSP with the shortest-path TREE on the scale graph: the
     schedule-independent predecessor rule (min parent id over tight
@@ -1977,4 +2079,5 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "g_sssp_tree_scale": (sssp_tree_scale, SSSP_TREE_SCALE_SQL),
     "g_edge_jaccard": (edge_jaccard_fixture, EDGE_JACCARD_SQL),
     "g_mis": (mis_fixture, MIS_SQL),
+    "g_coloring": (coloring_fixture, COLORING_SQL),
 }

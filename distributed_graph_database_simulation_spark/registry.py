@@ -163,6 +163,7 @@ STAGED_NEXT_ROTATION: frozenset[str] = frozenset(
         "g_sssp_tree_scale",
         "g_edge_jaccard",
         "g_mis",
+        "g_coloring",
         "rel_interval_overlap",
         "pipe_cap_per_source",
         "pipe_token_budget",
