@@ -145,6 +145,18 @@ ALL_QUERIES.update({name: spec for name, spec in _POOL.items() if name not in AL
 # entries: a staged entry has never gated and so cannot have driver
 # history; anything in the tail that is neither staged nor green-certified
 # is a guard violation.
+#
+# ROUND-7 ROTATION RECIPE (the playbook, pre-worked): swap as many staged
+# names as desired into _WINDOW_ORDER in place of multiply-certified
+# veterans (candidates with 2+ green rows across CORRECTNESS_r01-r06:
+# g_bfs_levels is load-bearing for the canary; prefer rotating
+# g_common_neighbors_scale, dedup_exact-family duplicates, the mm trio,
+# text_language_id/quality, rel_scalar_events-family — check
+# _green_history() counts first), move the swapped-in names from
+# STAGED_NEXT_ROTATION to the window, add an R07_NEW_ENTRIES pin in
+# tests/test_registry_window.py mirroring R06_NEW_ENTRIES, and re-run
+# `tools/check_oracles.py --window` before committing. Every staged entry
+# below already passed hash-exact at sf0.001 AND sf0.01 this round.
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(
     {
         "g_graph_summary",
