@@ -407,6 +407,62 @@ def probe_prefiltered_cosine(spark, n_vectors: int = 1_000_000, dim: int = 64,
             "verify_sec": verify_sec}
 
 
+def probe_keyed_store_merge(spark, n_rows: int = 5_000_000,
+                            n_update_keys: int = 10_000,
+                            n_buckets: int = 256) -> dict:
+    """MERGE cost model at scale: load an n_rows keyed store, then upsert
+    n_update_keys rows clustered into FEW buckets. The claim under test is
+    bucket-proportionality — the upsert must touch only the affected
+    partition directories and cost a fraction of the full load, not a
+    table rewrite. Update keys are chosen to land in ~8 buckets (k % a
+    small residue class), so touched/total buckets is the measured
+    pruning."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from distributed_graph_database_simulation_spark.sources.keyed_store import (
+        KeyedParquetStore,
+    )
+
+    base = tempfile.mkdtemp(prefix="probe_keyed_store_")
+    try:
+        store = KeyedParquetStore(
+            spark, f"{base}/t", "k", n_buckets=n_buckets, version_col="ver"
+        )
+        rows = spark.range(n_rows).select(
+            F.col("id").alias("k"),
+            F.md5(F.col("id").cast("string")).alias("val"),
+            F.lit(1).alias("ver"),
+        )
+        t0 = _t.perf_counter()
+        store.write_full(rows)
+        load_sec = round(_t.perf_counter() - t0, 2)
+        # cluster the update keys into few buckets: filter by bucket id
+        upd = (
+            spark.range(n_rows)
+            .select(F.col("id").alias("k"))
+            .where(F.pmod(F.xxhash64("k"), F.lit(n_buckets)) < 8)
+            .limit(n_update_keys)
+            .select("k", F.lit("updated").alias("val"), F.lit(2).alias("ver"))
+        )
+        t1 = _t.perf_counter()
+        stats = store.upsert(upd)
+        upsert_sec = round(_t.perf_counter() - t1, 2)
+        n_updated = store.read().where(F.col("ver") == 2).count()
+        if stats["buckets_touched"] > 8:
+            raise AssertionError(
+                f"expected <= 8 touched buckets, got {stats['buckets_touched']}"
+            )
+        return {"probe": "keyed_store_merge", "rows": n_rows,
+                "update_keys": n_update_keys, "n_buckets": n_buckets,
+                "buckets_touched": stats["buckets_touched"],
+                "rows_updated": n_updated,
+                "full_load_sec": load_sec, "upsert_sec": upsert_sec}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def probe_dup_spans(spark, n_docs: int, boiler_every: int = 10) -> dict:
     """Substring-level dedup on a synthetic corpus: every ``boiler_every``-th
     doc carries the same 12-word boilerplate block inside otherwise-unique
@@ -698,6 +754,7 @@ def main() -> int:
         lambda: probe_asof_and_sessions(spark, int(args.edges) * 2),
         lambda: probe_cosine_router(spark, 1_000_000, 256),
         lambda: probe_prefiltered_cosine(spark, 1_000_000, 64),
+        lambda: probe_keyed_store_merge(spark),
         lambda: probe_dup_spans(spark, int(args.docs) * 10),
         lambda: probe_pack_sequences(spark, int(args.docs) * 100),
         lambda: probe_cap_per_source(spark, int(args.docs) * 100),
