@@ -1145,6 +1145,123 @@ MIS_SQL = _mis_sql(
 )
 
 
+BETWEENNESS_K_PIVOTS = 8
+BETWEENNESS_LEVELS = 12  # > max BFS depth from any pivot at every shipped sf
+
+
+def betweenness_sampled_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled betweenness (Brandes/Pich, 8 deterministic pivots) on the
+    scale graph. The oracle unrolls BOTH Brandes passes level by level:
+    sigma path counts are integer-valued doubles (exact in any summation
+    order below 2^53), and the fractional delta accumulations are
+    micro-rounded — the only engine-specific ingredient is ulp-level
+    float ordering, absorbed at 1e-6 resolution."""
+    from .graph_analytics import betweenness_sampled
+
+    graphs, edges = _scale_graph(spark, sf_dir)
+    out = betweenness_sampled(
+        spark, graphs, edges, k_pivots=BETWEENNESS_K_PIVOTS
+    )
+    return out.select(
+        "graph_id",
+        "vertex",
+        F.round(F.col("delta_sum") * 1e6).cast("bigint").alias("delta_sum_micro"),
+        F.round(F.col("bc_estimate") * 1e6).cast("bigint").alias("bc_micro"),
+    )
+
+
+def _betweenness_sql(edges_cte: str, n_vertices: int, k_pivots: int,
+                     levels: int) -> str:
+    """Unrolled two-pass Brandes oracle: recursive min-level BFS from the
+    pivots, then level-by-level sigma (sum of parent sigmas) forward and
+    delta (sigma_v/sigma_w * (1+delta_w) over next-level children)
+    backward — every per-level CTE MATERIALIZED. ``levels`` must exceed
+    the max pivot eccentricity at the checked sfs; empty over-provisioned
+    levels are no-ops."""
+    parts = [
+        f"WITH RECURSIVE bse AS ({edges_cte}),",
+        f"""bverts AS (SELECT CAST(UNNEST(range({n_vertices})) AS INT) AS vertex),
+bpiv AS (
+  SELECT vertex AS source FROM (
+    SELECT vertex,
+           row_number() OVER (ORDER BY (vertex * 2654435761) % 1000003, vertex) AS rn
+    FROM bverts)
+  WHERE rn <= {k_pivots}
+),
+bwalk(source, vertex, lvl) AS (
+  SELECT source, source, 0 FROM bpiv
+  UNION
+  SELECT w.source, e.dst, w.lvl + 1
+  FROM bwalk w JOIN bse e ON e.src = w.vertex
+  WHERE w.lvl < {n_vertices}
+),
+bd AS MATERIALIZED (
+  SELECT source, vertex, MIN(lvl) AS l FROM bwalk GROUP BY 1, 2
+),
+s0 AS MATERIALIZED (
+  SELECT source, source AS vertex, CAST(1.0 AS DOUBLE) AS sigma FROM bpiv
+)""",
+    ]
+    for l in range(1, levels + 1):
+        parts.append(
+            f""",
+s{l} AS MATERIALIZED (
+  SELECT d.source, d.vertex, SUM(p.sigma) AS sigma
+  FROM bd d
+  JOIN bse e ON e.dst = d.vertex
+  JOIN s{l - 1} p ON p.source = d.source AND p.vertex = e.src
+  WHERE d.l = {l}
+  GROUP BY d.source, d.vertex
+)"""
+        )
+    parts.append(
+        f""",
+dl{levels} AS MATERIALIZED (
+  SELECT source, vertex, sigma, CAST(0.0 AS DOUBLE) AS delta FROM s{levels}
+)"""
+    )
+    for l in range(levels - 1, -1, -1):
+        parts.append(
+            f""",
+dl{l} AS MATERIALIZED (
+  SELECT s.source, s.vertex, s.sigma, COALESCE(c.delta, 0.0) AS delta
+  FROM s{l} s
+  LEFT JOIN (
+    SELECT v.source, v.vertex,
+           SUM(v.sigma / w.sigma * (1.0 + w.delta)) AS delta
+    FROM s{l} v
+    JOIN bse e ON e.src = v.vertex
+    JOIN dl{l + 1} w ON w.source = v.source AND w.vertex = e.dst
+    GROUP BY v.source, v.vertex
+  ) c ON c.source = s.source AND c.vertex = s.vertex
+)"""
+        )
+    alld = " UNION ALL ".join(
+        f"SELECT source, vertex, delta FROM dl{l}" for l in range(levels + 1)
+    )
+    parts.append(
+        f""",
+alld AS ({alld}),
+dsum AS (
+  SELECT vertex, SUM(delta) AS s FROM alld WHERE vertex <> source GROUP BY 1
+)
+SELECT CAST(1 AS INT) AS graph_id, v.vertex,
+       CAST(round(1e6 * COALESCE(d.s, 0.0)) AS BIGINT) AS delta_sum_micro,
+       CAST(round(1e6 * COALESCE(d.s, 0.0) * {float(n_vertices)!r} / {k_pivots})
+            AS BIGINT) AS bc_micro
+FROM bverts v LEFT JOIN dsum d ON d.vertex = v.vertex"""
+    )
+    return "\n".join(parts)
+
+
+BETWEENNESS_SAMPLED_SCALE_SQL = _betweenness_sql(
+    fixtures.SCALE_GRAPH_SQL,
+    n_vertices=fixtures.SCALE_V,
+    k_pivots=BETWEENNESS_K_PIVOTS,
+    levels=BETWEENNESS_LEVELS,
+)
+
+
 def coloring_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy coloring by iterated MIS over the fixtures
     (:func:`~.graph_analytics.greedy_coloring`): each color class is a
@@ -2080,4 +2197,8 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "g_edge_jaccard": (edge_jaccard_fixture, EDGE_JACCARD_SQL),
     "g_mis": (mis_fixture, MIS_SQL),
     "g_coloring": (coloring_fixture, COLORING_SQL),
+    "g_betweenness_sampled_scale": (
+        betweenness_sampled_scale,
+        BETWEENNESS_SAMPLED_SCALE_SQL,
+    ),
 }

@@ -176,6 +176,7 @@ STAGED_NEXT_ROTATION: frozenset[str] = frozenset(
         "g_edge_jaccard",
         "g_mis",
         "g_coloring",
+        "g_betweenness_sampled_scale",
         "rel_interval_overlap",
         "pipe_cap_per_source",
         "pipe_token_budget",
