@@ -3,11 +3,15 @@
 ``entry(spark)`` smoke-runs the flagship query (distributed superstep BFS on
 the reference fixture graphs) at sf0.001. ``queries()`` /
 ``oracle_sql()`` expose the full operator registry
-(distributed_graph_database_simulation_spark.registry); every SQL-expressible
-operator carries a DuckDB oracle — including fixed-iteration PageRank
-(unrolled power-iteration CTE, integer micro-rank compare) — the rest
-(DFS-leaf order-dependent traversal, probabilistic ANN bucketing,
-HLL sketches) use the rows-only check as documented in their modules.
+(distributed_graph_database_simulation_spark.registry); every
+deterministic operator carries an exact DuckDB oracle — including the
+unrolled-CTE family (fixed-iteration plain/weighted PageRank, k-core and
+k-truss peeling, coreness, Luby MIS and iterated-MIS coloring, two-pass
+Brandes betweenness) — while the genuinely probabilistic rest (DFS-leaf
+order-dependent traversal, ANN bucketing, HLL sketches) use the
+rows-only check as documented in their modules. The first CHECK_WINDOW
+registry entries form the driver's gate; ``registry.STAGED_NEXT_ROTATION``
+lists pre-verified tail entries queued for the next rotation.
 """
 
 from __future__ import annotations
