@@ -407,6 +407,40 @@ def probe_prefiltered_cosine(spark, n_vectors: int = 1_000_000, dim: int = 64,
             "verify_sec": verify_sec}
 
 
+def probe_temporal_reachability(spark, n_edges: int = 2_000_000,
+                                n_vertices: int = 200_000,
+                                n_sources: int = 4,
+                                ts_mod: int = 64) -> dict:
+    """Earliest-arrival reachability on a synthetic temporal digraph at
+    ~100x the bench graph: k sources advance simultaneously, each
+    superstep one keyed join + one partial-aggregated min. The claim
+    under test is that state stays k x |reached| keyed rows and the loop
+    terminates in few supersteps even with 64 distinct timestamps (the
+    min fixpoint converges on arrival times, not on walk enumeration)."""
+    import time as _t
+
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        temporal_reachability,
+    )
+
+    edges = spark.range(n_edges).select(
+        F.lit(1).alias("graph_id"),
+        F.pmod(F.xxhash64("id", F.lit(11)), F.lit(n_vertices)).cast("int").alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(12)), F.lit(n_vertices)).cast("int").alias("dst"),
+        F.pmod(F.xxhash64("id", F.lit(13)), F.lit(ts_mod)).cast("bigint").alias("ts"),
+    )
+    sources = spark.createDataFrame(
+        [(1, s * 37 % n_vertices, 0) for s in range(n_sources)],
+        "graph_id int, source int, t0 bigint",
+    )
+    t0 = _t.perf_counter()
+    out = temporal_reachability(spark, edges, sources)
+    n = out.count()
+    return {"probe": "temporal_reachability", "edges": n_edges,
+            "vertices": n_vertices, "sources": n_sources,
+            "reached_rows": n, "sec": round(_t.perf_counter() - t0, 2)}
+
+
 def probe_keyed_store_merge(spark, n_rows: int = 5_000_000,
                             n_update_keys: int = 10_000,
                             n_buckets: int = 256) -> dict:
@@ -755,6 +789,7 @@ def main() -> int:
         lambda: probe_cosine_router(spark, 1_000_000, 256),
         lambda: probe_prefiltered_cosine(spark, 1_000_000, 64),
         lambda: probe_keyed_store_merge(spark),
+        lambda: probe_temporal_reachability(spark),
         lambda: probe_dup_spans(spark, int(args.docs) * 10),
         lambda: probe_pack_sequences(spark, int(args.docs) * 100),
         lambda: probe_cap_per_source(spark, int(args.docs) * 100),
