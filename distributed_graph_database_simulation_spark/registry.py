@@ -37,71 +37,75 @@ from .streaming.windowed import STREAMING_QUERIES
 # fixture variants (all hash-exact green in CORRECTNESS_r01) go in the tail.
 CHECK_WINDOW = 50
 
-# r06 rotation: the round-5 library wave ships 15 never-checked entries
-# (all 15 verified hash-green locally at sf0.001 AND sf0.01 via the canary
-# before this rotation). Rotated to the tail in exchange: multiply-
-# certified entries only — g_connected_components/kcore/triangles/sssp/
-# pagerank/label_propagation _scale (2-4 green rows each r01-r05),
-# dedup_embedding_cosine_tiled (same SQL as the retained broadcast
-# variant), sim_topk_lsh/ivf (rows-only; recall floors test-pinned),
-# text_shard_assign (r04+r05), mm_wav/bmp_decode (r05),
-# stream_events_sliding/user_sessions/static_enrichment (r01-r05). The
-# rotation guard (tests/test_registry_window.py) enforces that nothing
-# leaves the gate without green history.
+# r07 rotation: the final 25 never-driver-checked entries (the declared
+# STAGED stock of r06, each pre-verified hash-exact locally at sf0.001 AND
+# sf0.01 before staging, and independently re-swept green by the r06 judge)
+# enter the gate. Rotated to the tail in exchange: multiply-certified
+# veterans only (2-6 green rows each across CORRECTNESS_r01-r06):
+# g_common_neighbors(+capped)/adamic_adar_capped/bfs_scale/store_roundtrip/
+# text_scan, the dedup pair-finder family (ngram/minhash/clusters/simhash/
+# embedding_cosine — exact-dedup stays as the documents-shape canary), six
+# text veterans (tfidf/pmi keep gating for a 2nd row), mm_frame_sample +
+# mm_audio_features, rel_udaf/udtf/events_hourly/asof/salted, and
+# stream_events_hourly. All eight canary names
+# (tests/test_registry_window.py::test_canary_smoke*) and all 15
+# R06_NEW_ENTRIES remain in the window, so every r06 guard holds verbatim.
+# After this rotation every registry entry has gated at least once.
 _WINDOW_ORDER = [
     # -- graph essentials (reference ops 1-5 + north-star analytics) --------
     "g_bfs_levels",
     "g_dfs_leaves",
-    "g_common_neighbors_scale",
-    "g_common_neighbors_capped_scale",
-    "g_adamic_adar_capped_scale",
     "g_core_numbers",
     "g_modularity_scale",
     "g_landmark_distances_scale",
     "g_temporal_reach_scale",
-    "g_bfs_scale",
-    "g_store_roundtrip",
-    "g_text_scan",
-    # -- LLM-pipeline + streaming surface ----------------------------------
+    # -- r07 wave: graph analytics library (staged r06, first driver rows) --
+    "g_graph_summary",
+    "g_clustering_coefficient_scale",
+    "g_eccentricity",
+    "g_scc_scale",
+    "g_wl_labels",
+    "g_keyed_store_upsert",
+    "g_pagerank_weighted_scale",
+    "g_harmonic_sampled_scale",
+    "g_diameter_double_sweep_scale",
+    "g_edge_diff_scale",
+    "g_cc_contraction_scale",
+    "g_wl_fingerprint",
+    "g_ktruss_scale",
+    "g_sssp_tree_scale",
+    "g_edge_jaccard",
+    "g_mis",
+    "g_coloring",
+    "g_betweenness_sampled_scale",
+    # -- LLM-pipeline surface ----------------------------------------------
     "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
     "dedup_containment",
     "dedup_dup_spans",
+    "dedup_scrub_spans",
     "sim_topk_bruteforce",
-    "text_language_id",
-    "text_quality_score",
     "text_tfidf",
     "text_pmi",
-    "text_contamination",
-    "text_pii_scrub",
-    "text_chunk_windows",
-    "text_sample_stratified",
+    "text_unigram_lm",
     "pipe_winsorize",
     "pipe_split",
+    "pipe_cap_per_source",
+    "pipe_token_budget",
+    "pipe_select_quality",
+    "pipe_pack_sequences",
     "mm_image_features",
-    "mm_frame_sample",
-    "mm_audio_features",
     "mm_png_decode",
-    "rel_udaf_weighted_discount",
-    "rel_udtf_heavy_tokens",
-    "stream_events_hourly",
     "stream_stateful_user_totals",
     "stream_stream_click_purchase",
     "stream_dedup_events",
     # -- events + relational library --------------------------------------
     "rel_scalar_events",
     "rel_event_sessions",
-    "rel_events_hourly",
-    "rel_asof_join",
-    "rel_salted_heavy_hitters",
     "rel_funnel",
     "rel_scd2",
     "rel_resample_ffill",
     "rel_rolling_zscore",
+    "rel_interval_overlap",
 ]
 
 _SUITES = (
@@ -146,46 +150,13 @@ ALL_QUERIES.update({name: spec for name, spec in _POOL.items() if name not in AL
 # history; anything in the tail that is neither staged nor green-certified
 # is a guard violation.
 #
-# ROUND-7 ROTATION RECIPE (the playbook, pre-worked): swap as many staged
-# names as desired into _WINDOW_ORDER in place of multiply-certified
-# veterans (candidates with 2+ green rows across CORRECTNESS_r01-r06:
-# g_bfs_levels is load-bearing for the canary; prefer rotating
-# g_common_neighbors_scale, dedup_exact-family duplicates, the mm trio,
-# text_language_id/quality, rel_scalar_events-family — check
-# _green_history() counts first), move the swapped-in names from
-# STAGED_NEXT_ROTATION to the window, add an R07_NEW_ENTRIES pin in
-# tests/test_registry_window.py mirroring R06_NEW_ENTRIES, and re-run
-# `tools/check_oracles.py --window` before committing. Every staged entry
-# below already passed hash-exact at sf0.001 AND sf0.01 this round.
-STAGED_NEXT_ROTATION: frozenset[str] = frozenset(
-    {
-        "g_graph_summary",
-        "g_clustering_coefficient_scale",
-        "g_eccentricity",
-        "g_scc_scale",
-        "g_wl_labels",
-        "g_keyed_store_upsert",
-        "g_pagerank_weighted_scale",
-        "g_harmonic_sampled_scale",
-        "g_diameter_double_sweep_scale",
-        "g_edge_diff_scale",
-        "g_cc_contraction_scale",
-        "g_wl_fingerprint",
-        "g_ktruss_scale",
-        "g_sssp_tree_scale",
-        "g_edge_jaccard",
-        "g_mis",
-        "g_coloring",
-        "g_betweenness_sampled_scale",
-        "rel_interval_overlap",
-        "pipe_cap_per_source",
-        "pipe_token_budget",
-        "pipe_select_quality",
-        "pipe_pack_sequences",
-        "text_unigram_lm",
-        "dedup_scrub_spans",
-    }
-)
+# The r06 staged stock (25 entries) rotated into the window in r07 — the
+# set below is the NEXT rotation's stock. Playbook: an entry may be staged
+# only after passing the local canary hash-exact at sf0.001 AND sf0.01;
+# staged entries must enter the gate within 2 rounds of staging
+# (tests/test_registry_window.py enforces both directions). New-this-round
+# operators (registered with oracles this session) go here first.
+STAGED_NEXT_ROTATION: frozenset[str] = frozenset()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

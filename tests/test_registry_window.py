@@ -48,11 +48,50 @@ R06_ROTATED_OUT = (
 )
 
 
+R07_NEW_ENTRIES = (
+    "g_graph_summary", "g_clustering_coefficient_scale", "g_eccentricity",
+    "g_scc_scale", "g_wl_labels", "g_keyed_store_upsert",
+    "g_pagerank_weighted_scale", "g_harmonic_sampled_scale",
+    "g_diameter_double_sweep_scale", "g_edge_diff_scale",
+    "g_cc_contraction_scale", "g_wl_fingerprint", "g_ktruss_scale",
+    "g_sssp_tree_scale", "g_edge_jaccard", "g_mis", "g_coloring",
+    "g_betweenness_sampled_scale", "rel_interval_overlap",
+    "pipe_cap_per_source", "pipe_token_budget", "pipe_select_quality",
+    "pipe_pack_sequences", "text_unigram_lm", "dedup_scrub_spans",
+)
+
+R07_ROTATED_OUT = (
+    "g_common_neighbors_scale", "g_common_neighbors_capped_scale",
+    "g_adamic_adar_capped_scale", "g_bfs_scale", "g_store_roundtrip",
+    "g_text_scan", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_clusters", "dedup_simhash", "dedup_embedding_cosine",
+    "text_language_id", "text_quality_score", "text_contamination",
+    "text_pii_scrub", "text_chunk_windows", "text_sample_stratified",
+    "mm_frame_sample", "mm_audio_features", "rel_udaf_weighted_discount",
+    "rel_udtf_heavy_tokens", "rel_events_hourly", "rel_asof_join",
+    "rel_salted_heavy_hitters", "stream_events_hourly",
+)
+
+
+def test_r07_rotation_certifies_staged_stock():
+    """Round 7 rotates the full 25-entry staged stock (declared in r06 as
+    registry.STAGED_NEXT_ROTATION, each pre-verified hash-green locally at
+    sf0.001 + sf0.01 and independently re-swept by the r06 judge) into the
+    gate in exchange for 25 multiply-certified veterans (2-6 green rows
+    each). After this rotation every registry entry has gated at least
+    once; earlier certifications live on in CORRECTNESS_r*.json history."""
+    w = window_names()
+    q = registry.queries()
+    for name in R07_NEW_ENTRIES:
+        assert name in w, name
+    for name in R07_ROTATED_OUT:
+        assert name in q and name not in w, name
+
+
 def test_r06_rotation_certifies_library_wave():
-    """Round 6 rotates the 15 round-5 library-wave operators into the gate
-    (each pre-verified hash-green locally at sf0.001 + sf0.01) in exchange
-    for 15 multiply-certified entries; earlier rotations' certifications
-    live on in the committed CORRECTNESS_r*.json history."""
+    """Round 6 rotated the 15 round-5 library-wave operators into the gate;
+    all 15 keep gating in r07 (for a second driver row) while the entries
+    they displaced stay registered in the tail."""
     w = window_names()
     q = registry.queries()
     for name in R06_NEW_ENTRIES:
@@ -105,9 +144,9 @@ def test_window_entries_without_history_are_this_rounds_rotation():
     pre-verification step the rotation playbook requires."""
     green = _green_history()
     awaiting = set(window_names()) - green
-    assert awaiting <= set(R06_NEW_ENTRIES), (
+    assert awaiting <= set(R07_NEW_ENTRIES), (
         f"window entries with no driver history outside this round's "
-        f"rotation: {sorted(awaiting - set(R06_NEW_ENTRIES))}"
+        f"rotation: {sorted(awaiting - set(R07_NEW_ENTRIES))}"
     )
 
 
