@@ -65,6 +65,11 @@ HEADLINE = [
     "pipe_winsorize",
     "mm_png_decode",
     "g_temporal_reach_scale",
+    # round-7 rotation heavy hitters (r06 verdict #7: the newly certified
+    # graph-library family must be regression-visible in the headline)
+    "g_scc_scale",
+    "g_betweenness_sampled_scale",
+    "g_coloring",
 ]
 
 
@@ -182,6 +187,10 @@ def main() -> int:
         n = df.count()
         times[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {n} rows in {times[name]:.3f}s", file=sys.stderr)
+        # Release operator-persisted intermediates between queries (outside
+        # the timed region): queries never reuse each other's caches, and
+        # without this a full headline run accumulates every query's blocks.
+        spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
     # Host fingerprint (r05 verdict #8): cross-round comparisons kept

@@ -1763,9 +1763,25 @@ def temporal_reach_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import load_table
     from .graph_analytics import temporal_reachability
 
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    edges = spark.sql(_TEMPORAL_EDGES_BODY).selectExpr(
-        "CAST(1 AS INT) AS graph_id", "src", "dst", "ts"
+    # DataFrame expressions, not spark.sql over a session-global temp view:
+    # registering "orders" in the shared catalog would let interleaved runs
+    # against different sf_dirs silently read each other's snapshot. The
+    # SQL body above stays the oracle's definition of the same edge set.
+    v = F.lit(fixtures.SCALE_V)
+    src = (F.col("o_orderkey") % v).cast("int")
+    dst = ((F.col("o_orderkey") * 37 + F.col("o_custkey")) % v).cast("int")
+    edges = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            src.alias("src"),
+            dst.alias("dst"),
+            ((F.col("o_orderkey") * 13 + F.col("o_custkey")) % 64)
+            .cast("bigint")
+            .alias("ts"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .select(F.lit(1).cast("int").alias("graph_id"), "src", "dst", "ts")
     )
     sources = spark.createDataFrame(
         [(1, s, t0) for s, t0 in TEMPORAL_SOURCES],
@@ -1958,9 +1974,19 @@ def scc_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import load_table
     from .graph_analytics import strongly_connected_components
 
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    edges = spark.sql(_SCC_EDGES_BODY).selectExpr(
-        "CAST(1 AS INT) AS graph_id", "src", "dst"
+    # DataFrame expressions instead of a session-global "orders" temp view
+    # (same catalog-isolation reasoning as temporal_reach_scale); the SQL
+    # body stays the oracle's definition of the same thinned digraph.
+    v = F.lit(fixtures.SCALE_V)
+    src = (F.col("o_orderkey") % v).cast("int")
+    dst = ((F.col("o_orderkey") * 37 + F.col("o_custkey")) % v).cast("int")
+    edges = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 97 < 2)
+        .select(src.alias("src"), dst.alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .select(F.lit(1).cast("int").alias("graph_id"), "src", "dst")
     )
     graphs = spark.createDataFrame([(1, fixtures.SCALE_V)], GRAPH_SCHEMA)
     return strongly_connected_components(spark, graphs, edges)
@@ -2101,7 +2127,15 @@ def keyed_store_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey long, o_orderstatus string, price double, ver int",
     )
     store.upsert(updates.unionByName(new_row))
-    return store.read()
+    # Materialize off the store's files (eager localCheckpoint pins the
+    # result in block storage, released by the ContextCleaner when the
+    # plan is dropped), then remove the temp store immediately — repeated
+    # gate sweeps must not accumulate orphaned /tmp stores.
+    out = store.read().localCheckpoint(eager=True)
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    return out
 
 
 KEYED_STORE_UPSERT_SQL = """

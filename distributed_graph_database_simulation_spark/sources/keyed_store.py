@@ -35,10 +35,9 @@ overwrite-in-place non-atomicity plain parquet has always had.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 DEFAULT_BUCKETS = 256
 
@@ -59,6 +58,29 @@ class KeyedParquetStore:
         self.key_col = key_col
         self.n_buckets = n_buckets
         self.version_col = version_col
+
+    # -- filesystem (scheme-aware) --------------------------------------
+    def _fs_and_path(self, path_str: str):
+        """Hadoop FileSystem for the path's scheme. os.path checks would be
+        driver-local-FS only: on hdfs:// or s3a:// (or a transiently
+        unmounted local dir) ``os.path.isdir`` is False, which would send
+        upsert() down the write_full(mode=overwrite) branch and replace the
+        whole table with one update batch. Resolving through the Hadoop FS
+        API makes existence and partition-directory surgery correct for
+        every scheme the cluster's Hadoop conf supports."""
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path_str)
+        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return fs, hpath
+
+    def _table_exists(self) -> bool:
+        fs, hpath = self._fs_and_path(self.path)
+        return bool(fs.exists(hpath))
+
+    def _remove_partition_dir(self, bucket: int) -> None:
+        fs, hpath = self._fs_and_path(f"{self.path}/key_bucket={bucket}")
+        if fs.exists(hpath):
+            fs.delete(hpath, True)  # recursive; FS-scheme-appropriate delete
 
     # -- layout ---------------------------------------------------------
     def _bucket(self) -> F.Column:
@@ -114,7 +136,7 @@ class KeyedParquetStore:
         mode a streaming foreachBatch ingester needs: replaying ANY
         micro-batch, old or new, then converges to the same state instead
         of letting a replayed stale batch clobber newer rows."""
-        if not os.path.isdir(self.path):
+        if not self._table_exists():
             self.write_full(updates)
             return {
                 "buckets_touched": self.n_buckets,
@@ -158,31 +180,35 @@ class KeyedParquetStore:
         survivors = existing.join(key_df, self.key_col, "left_anti").withColumn(
             "key_bucket", self._bucket()
         )
-        # Materialize the survivor bucket set BEFORE the overwrite: the
-        # write replaces the very files this lineage reads, so any
-        # post-write action on `survivors` would hit FILE_NOT_EXIST.
-        written = {
-            r["key_bucket"]
-            for r in survivors.select("key_bucket").distinct().collect()
-        }
-        n = survivors.count()
-        if n > 0:
-            (
-                survivors.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("key_bucket")
-                .parquet(self.path)
-            )
+        # Persist, then materialize BEFORE the overwrite: the write replaces
+        # the very files this lineage reads, so any post-persist recompute
+        # (or post-write action) would hit FILE_NOT_EXIST — and without the
+        # persist, the bucket-collect, count, and write would each re-read
+        # the affected buckets. MEMORY_AND_DISK spills rather than evicts,
+        # so the write path never falls back to the deleted source files.
+        survivors = survivors.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            written = {
+                r["key_bucket"]
+                for r in survivors.select("key_bucket").distinct().collect()
+            }
+            n = survivors.count()
+            if n > 0:
+                (
+                    survivors.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("key_bucket")
+                    .parquet(self.path)
+                )
+        finally:
+            survivors.unpersist()
         # Buckets whose every row was deleted produce no output partition
         # under dynamic overwrite (and an all-empty delete writes nothing
         # at all) — which would LEAVE the deleted rows on disk; remove the
-        # stale directories explicitly. Local-FS path surgery here; on an
-        # object store this is the same delete the committer would issue.
-        import shutil
-
+        # stale directories explicitly through the scheme-aware FS handle
+        # (on an object store this is the same prefix delete the dynamic-
+        # overwrite committer issues for replaced partitions).
         for b in buckets:
             if b not in written:
-                part_dir = os.path.join(self.path, f"key_bucket={b}")
-                if os.path.isdir(part_dir):
-                    shutil.rmtree(part_dir)
+                self._remove_partition_dir(b)
         return {"buckets_touched": len(buckets), "rows_written": n}

@@ -133,6 +133,12 @@ def main() -> int:
             if not args.keep_going:
                 return 1
             continue
+        finally:
+            # Operators persist() intermediates that outlive their returned
+            # plan; the harness that materialized the plan is the owner that
+            # releases them — otherwise a full-registry sweep accumulates
+            # every query's cached blocks in one shared session.
+            spark.catalog.clearCache()
         spark_t = time.time() - t0
         if name not in oracles:
             n_rows_only += 1
