@@ -1741,6 +1741,111 @@ PAGERANK_WEIGHTED_SCALE_SQL = _weighted_pagerank_sql(
 )
 
 
+def _personalized_pagerank_sql(
+    edges_cte: str,
+    graphs_cte: str,
+    sources_cte: str,
+    iterations: int,
+    damping: float = 0.85,
+) -> str:
+    """Unrolled PERSONALIZED power-iteration oracle: mirrors
+    :func:`~..graph_analytics.personalized_pagerank` step for step —
+    teleport mass uniform over the per-graph SOURCE SET (0 elsewhere),
+    rank0 = teleport vector, dangling mass restarts at the sources.
+    Iteration CTEs are MATERIALIZED for the same reason as the weighted
+    oracle (each references its predecessor twice)."""
+    base = 1.0 - damping
+    parts = [
+        f"WITH ppr_edges AS ({edges_cte}),",
+        f"ppr_graphs(graph_id, n) AS ({graphs_cte}),",
+        f"ppr_srcs(graph_id, vertex) AS ({sources_cte}),",
+        """ppr_e AS MATERIALIZED (SELECT DISTINCT graph_id, src, dst FROM ppr_edges),
+outd AS MATERIALIZED (
+  SELECT graph_id, src AS vertex, COUNT(*) AS out_degree
+  FROM ppr_e GROUP BY graph_id, src
+),
+ppr_base AS (
+  SELECT graph_id, CAST(UNNEST(range(n)) AS INT) AS vertex FROM ppr_graphs
+),
+ppr_tele AS MATERIALIZED (
+  SELECT b.graph_id, b.vertex,
+         CASE WHEN s.vertex IS NULL THEN 0.0 ELSE 1.0 / cnt.c END AS tele
+  FROM ppr_base b
+  LEFT JOIN ppr_srcs s ON s.graph_id = b.graph_id AND s.vertex = b.vertex
+  LEFT JOIN (
+    SELECT graph_id, CAST(COUNT(*) AS DOUBLE) AS c
+    FROM ppr_srcs GROUP BY graph_id
+  ) cnt ON cnt.graph_id = b.graph_id
+),
+pit0 AS (SELECT graph_id, vertex, tele AS rank FROM ppr_tele)""",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f""",
+pit{k} AS MATERIALIZED (
+  SELECT t.graph_id, t.vertex,
+         {base!r} * t.tele + {damping!r} * (COALESCE(c.received, 0.0)
+                                            + COALESCE(dg.mass, 0.0) * t.tele) AS rank
+  FROM ppr_tele t
+  LEFT JOIN (
+    SELECT e.graph_id, e.dst AS vertex, SUM(r.rank / o.out_degree) AS received
+    FROM pit{k - 1} r
+    JOIN outd o ON o.graph_id = r.graph_id AND o.vertex = r.vertex
+    JOIN ppr_e e ON e.graph_id = r.graph_id AND e.src = r.vertex
+    GROUP BY e.graph_id, e.dst
+  ) c ON c.graph_id = t.graph_id AND c.vertex = t.vertex
+  LEFT JOIN (
+    SELECT r.graph_id, SUM(r.rank) AS mass
+    FROM pit{k - 1} r
+    LEFT JOIN outd o ON o.graph_id = r.graph_id AND o.vertex = r.vertex
+    WHERE o.vertex IS NULL
+    GROUP BY r.graph_id
+  ) dg ON dg.graph_id = t.graph_id
+)"""
+        )
+    parts.append(
+        f"""
+SELECT graph_id, vertex, CAST(ROUND(rank * 1000000.0) AS BIGINT) AS rank_micro
+FROM pit{iterations}"""
+    )
+    return "\n".join(parts)
+
+
+PPR_ITERATIONS = 10
+# Two seeds on the scale graph: vertex 0 (also the BFS/SSSP start — dense
+# neighborhood) and 7 (an arbitrary second community); |S| = 2 exercises
+# the uniform-over-set teleport split rather than a single-seed restart.
+PPR_SOURCES = [0, 7]
+
+
+def pagerank_personalized_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (random walk with restart at {0, 7}) on the
+    scale graph — the last SQL-expressible operator from the r5 candidate
+    list (COVERAGE.md #11). The scale graph is fully reachable from the
+    seed set (total micro-mass certifies at ~1e6 with no zero rows); the
+    rank-0-for-unreachable property plain PageRank cannot express is
+    pinned in tests/test_graph_traversal.py on a random sparse digraph."""
+    from ..sources.graph_text import GRAPH_SCHEMA
+    from .graph_analytics import personalized_pagerank
+
+    _, edges = _scale_graph(spark, sf_dir)
+    graphs = spark.createDataFrame([(1, fixtures.SCALE_V)], GRAPH_SCHEMA)
+    sources = spark.createDataFrame(
+        [(1, s) for s in PPR_SOURCES], "graph_id int, vertex int"
+    )
+    pr = personalized_pagerank(spark, graphs, edges, sources, iterations=PPR_ITERATIONS)
+    return _micro_ranks(pr)
+
+
+PAGERANK_PERSONALIZED_SCALE_SQL = _personalized_pagerank_sql(
+    f"SELECT CAST(1 AS INT) AS graph_id, src, dst "
+    f"FROM ({fixtures.SCALE_GRAPH_SQL}) se",
+    f"VALUES (1, {fixtures.SCALE_V})",
+    "VALUES " + ", ".join(f"(1, {s})" for s in PPR_SOURCES),
+    iterations=PPR_ITERATIONS,
+)
+
+
 # Temporal edges: same orders-derived topology, plus a deterministic
 # timestamp channel; an edge is traversable only at its ts and walks must
 # be time-respecting (non-decreasing ts).
@@ -2234,5 +2339,9 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "g_betweenness_sampled_scale": (
         betweenness_sampled_scale,
         BETWEENNESS_SAMPLED_SCALE_SQL,
+    ),
+    "g_pagerank_personalized_scale": (
+        pagerank_personalized_scale,
+        PAGERANK_PERSONALIZED_SCALE_SQL,
     ),
 }

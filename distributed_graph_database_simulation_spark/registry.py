@@ -156,7 +156,15 @@ ALL_QUERIES.update({name: spec for name, spec in _POOL.items() if name not in AL
 # staged entries must enter the gate within 2 rounds of staging
 # (tests/test_registry_window.py enforces both directions). New-this-round
 # operators (registered with oracles this session) go here first.
-STAGED_NEXT_ROTATION: frozenset[str] = frozenset()
+STAGED_NEXT_ROTATION: frozenset[str] = frozenset(
+    {
+        # r07 session: personalized PageRank (random walk with restart) —
+        # the last SQL-expressible r5 candidate (COVERAGE.md #11); unrolled
+        # power-iteration oracle in integer micro-rank units, the proven
+        # g_pagerank_weighted_scale pattern.
+        "g_pagerank_personalized_scale",
+    }
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
