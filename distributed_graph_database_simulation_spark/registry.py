@@ -163,6 +163,11 @@ STAGED_NEXT_ROTATION: frozenset[str] = frozenset(
         # power-iteration oracle in integer micro-rank units, the proven
         # g_pagerank_weighted_scale pattern.
         "g_pagerank_personalized_scale",
+        # r07 session: the streaming PRODUCTION sink shape (append mode +
+        # watermark + parquet file sink + checkpoint) with the oracle
+        # restricted to watermark-closed windows — closes the r04-r06
+        # carried caveat that only complete-mode memory sinks gated.
+        "stream_hourly_file_sink",
     }
 )
 

@@ -8,12 +8,14 @@ event-time windowed aggregation -> sink, executed here with the
 result can be differentially checked against the same DuckDB oracle as the
 batch operator.
 
-Registry entries use **complete** output mode into a memory sink: with a
-bounded source that reproduces the batch answer exactly (oracle parity).
-The at-scale posture is append mode + watermark into a real sink — that path
-(late-data dropping, watermark-gated emission) is exercised by unit tests,
-because append mode by design never emits the final un-closed windows of a
-bounded run, which would break oracle row parity.
+Most registry entries use **complete** output mode into a memory sink: with
+a bounded source that reproduces the batch answer exactly (full-table oracle
+parity). The at-scale posture — append mode + watermark into a real file
+sink — is ALSO driver-certified: ``stream_hourly_file_sink`` runs the
+production shape (parquet sink + checkpointLocation, append emission gated
+by the watermark) against an oracle restricted to watermark-closed windows,
+so the emission gating itself differential-checks; its checkpoint-recovery
+exactly-once contract is pinned in tests/test_streaming.py.
 
 Scale posture: file-source streaming partitions by input file; the windowed
 aggregate is an incremental stateful hash agg keyed on (window, event_type)
@@ -369,6 +371,70 @@ SELECT event_id, user_id, event_type FROM events
 """
 
 
+def stream_hourly_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE production sink shape, driver-certified: watermarked tumbling
+    windows in APPEND mode into a real parquet file sink with a
+    checkpointLocation — exactly the pipeline a deployment runs, not the
+    complete-mode memory sink the other entries use for full-table oracle
+    parity.
+
+    Append emits a window only once its end passes the event-time
+    watermark (max event time − 1 h), so the bounded availableNow run
+    emits every window except those within the final watermark horizon —
+    and the oracle applies the same closure predicate, certifying the
+    emission gating itself, not just the aggregate values. The final
+    flush rides the engine's requires-another-batch step: after the last
+    data batch advances the watermark, one more batch evicts and writes
+    the newly closed windows.
+
+    The checkpoint/recovery contract of this sink (exactly-once emission
+    across restarts) is pinned separately in
+    tests/test_streaming.py::test_file_sink_checkpoint_recovery_no_duplicate_windows.
+    """
+    import shutil
+    import tempfile
+
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("hour"), "event_type", "n_events", "sum_value")
+    )
+    # Per-call unique sink+checkpoint (concurrent gate runs must not share
+    # state); removed after materialization like the keyed-store entry.
+    base = tempfile.mkdtemp(prefix="dgds_stream_file_sink_")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", os.path.join(base, "out"))
+        .option("checkpointLocation", os.path.join(base, "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(os.path.join(base, "out")).localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+# Only watermark-closed windows are in the sink: window end <= final
+# watermark (max ts - 1 hour). The strictness of the comparison matters
+# only when max(ts) - 1 h lands exactly on an hour boundary, which the
+# event data's microsecond timestamps never do.
+STREAM_HOURLY_FILE_SINK_SQL = """
+WITH wm AS (SELECT MAX(ts) - INTERVAL '1 hour' AS w FROM events)
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
+FROM events, wm
+WHERE date_trunc('hour', ts) + INTERVAL '1 hour' <= wm.w
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
 STREAMING_QUERIES: dict[str, tuple] = {
     "stream_events_hourly": (stream_events_hourly, STREAM_EVENTS_HOURLY_SQL),
     "stream_events_sliding": (stream_events_sliding, STREAM_EVENTS_SLIDING_SQL),
@@ -383,4 +449,5 @@ STREAMING_QUERIES: dict[str, tuple] = {
         STREAM_STREAM_CLICK_PURCHASE_SQL,
     ),
     "stream_dedup_events": (stream_dedup_events, STREAM_DEDUP_EVENTS_SQL),
+    "stream_hourly_file_sink": (stream_hourly_file_sink, STREAM_HOURLY_FILE_SINK_SQL),
 }
