@@ -1024,6 +1024,14 @@ def betweenness_sampled(
         all_deltas = deltas_by_level[lmax]
         for lvl in range(lmax - 1, -1, -1):
             all_deltas = all_deltas.unionByName(deltas_by_level[lvl])
+        if lmax > 100:
+            # High-eccentricity regime: the union above is O(depth) wide —
+            # one slice per BFS level — and feeding a several-hundred-child
+            # Union into the final aggregate strains the planner/driver.
+            # Collapse the lineage once before aggregating; the slices are
+            # already individually checkpointed, so this is one bounded
+            # materialization, not extra recompute.
+            all_deltas = barrier(all_deltas, eager=True, ckdir=ck)
         n_by_graph = graphs.select("graph_id", F.col("n").cast("double").alias("nv"))
         out = (
             all_deltas.where(F.col("vertex") != F.col("source"))

@@ -156,20 +156,24 @@ ALL_QUERIES.update({name: spec for name, spec in _POOL.items() if name not in AL
 # staged entries must enter the gate within 2 rounds of staging
 # (tests/test_registry_window.py enforces both directions). New-this-round
 # operators (registered with oracles this session) go here first.
-STAGED_NEXT_ROTATION: frozenset[str] = frozenset(
-    {
-        # r07 session: personalized PageRank (random walk with restart) —
-        # the last SQL-expressible r5 candidate (COVERAGE.md #11); unrolled
-        # power-iteration oracle in integer micro-rank units, the proven
-        # g_pagerank_weighted_scale pattern.
-        "g_pagerank_personalized_scale",
-        # r07 session: the streaming PRODUCTION sink shape (append mode +
-        # watermark + parquet file sink + checkpoint) with the oracle
-        # restricted to watermark-closed windows — closes the r04-r06
-        # carried caveat that only complete-mode memory sinks gated.
-        "stream_hourly_file_sink",
-    }
-)
+# name -> round in which the entry was declared staged. The staleness
+# guard (tests/test_registry_window.py) asserts every staged entry gains a
+# driver row within 2 rounds of its declaration — staging is a queue for
+# the next rotation, not a parking lot where an entry can dodge the gate.
+STAGED_DECLARED_ROUND: dict[str, int] = {
+    # r07 session: personalized PageRank (random walk with restart) — the
+    # last SQL-expressible r5 candidate (COVERAGE.md #11); unrolled
+    # power-iteration oracle in integer micro-rank units, the proven
+    # g_pagerank_weighted_scale pattern.
+    "g_pagerank_personalized_scale": 7,
+    # r07 session: the streaming PRODUCTION sink shape (append mode +
+    # watermark + parquet file sink + checkpoint) with the oracle
+    # restricted to watermark-closed windows — closes the r04-r06 carried
+    # caveat that only complete-mode memory sinks gated.
+    "stream_hourly_file_sink": 7,
+}
+
+STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

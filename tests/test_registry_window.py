@@ -137,6 +137,35 @@ def test_rotated_out_entries_were_driver_certified():
     assert not set(registry.STAGED_NEXT_ROTATION) & set(window_names())
 
 
+def test_staged_entries_gate_within_two_rounds():
+    """Staleness guard (r05 verdict #8, armed in r07 now that declaration
+    rounds are recorded): an entry declared staged in round R must have a
+    green driver row by the time round R+2's CORRECTNESS file exists —
+    staging is a queue for the next rotation, not a place to park a query
+    away from the gate indefinitely."""
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    latest = max(rounds, default=0)
+    green = _green_history()
+    assert set(registry.STAGED_DECLARED_ROUND) == set(
+        registry.STAGED_NEXT_ROTATION
+    )
+    stale = {
+        name
+        for name, declared in registry.STAGED_DECLARED_ROUND.items()
+        if latest >= declared + 2 and name not in green
+    }
+    assert not stale, (
+        f"staged entries older than 2 rounds with no driver row: {sorted(stale)}"
+    )
+
+
 def test_window_entries_without_history_are_this_rounds_rotation():
     """Forward guard (r05 verdict #8): a window entry with no green driver
     history must be one of the entries deliberately rotated IN this round —

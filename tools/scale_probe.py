@@ -770,36 +770,44 @@ def main() -> int:
     ap.add_argument("--edges", type=float, default=5e6)
     ap.add_argument("--vertices", type=float, default=1e6)
     ap.add_argument("--docs", type=float, default=5e4)
+    ap.add_argument(
+        "--only",
+        nargs="*",
+        default=None,
+        help="run only probes whose name contains one of these substrings",
+    )
     args = ap.parse_args()
 
     from distributed_graph_database_simulation_spark.session import get_spark
 
     spark = get_spark("scale_probe")
     probes = (
-        lambda: probe_bfs(spark, int(args.edges), int(args.vertices)),
-        lambda: probe_cc(spark, int(args.edges) // 5, int(args.vertices) // 5),
-        lambda: probe_minhash(spark, int(args.docs)),
-        lambda: probe_pagerank(spark, int(args.edges) // 5, int(args.vertices) // 5),
-        lambda: probe_label_propagation(
+        ("bfs", lambda: probe_bfs(spark, int(args.edges), int(args.vertices))),
+        ("cc", lambda: probe_cc(spark, int(args.edges) // 5, int(args.vertices) // 5)),
+        ("minhash", lambda: probe_minhash(spark, int(args.docs))),
+        ("pagerank", lambda: probe_pagerank(spark, int(args.edges) // 5, int(args.vertices) // 5)),
+        ("label_propagation", lambda: probe_label_propagation(
             spark, int(args.edges) // 5, int(args.vertices) // 5
-        ),
-        lambda: probe_shard_assign(spark, int(args.docs) * 100),
-        lambda: probe_capped_common_neighbors(spark, int(args.vertices), 50_000),
-        lambda: probe_asof_and_sessions(spark, int(args.edges) * 2),
-        lambda: probe_cosine_router(spark, 1_000_000, 256),
-        lambda: probe_prefiltered_cosine(spark, 1_000_000, 64),
-        lambda: probe_keyed_store_merge(spark),
-        lambda: probe_temporal_reachability(spark),
-        lambda: probe_dup_spans(spark, int(args.docs) * 10),
-        lambda: probe_pack_sequences(spark, int(args.docs) * 100),
-        lambda: probe_cap_per_source(spark, int(args.docs) * 100),
-        lambda: probe_multi_source_bfs(spark, int(args.edges) // 2, int(args.vertices) // 2),
-        lambda: probe_scc(spark),
-        lambda: probe_hyperball(spark, int(args.edges) // 5, int(args.vertices) // 5),
-        lambda: probe_random_walks_hub(spark, int(args.vertices) // 5),
-        lambda: probe_contraction_cc_path(spark, int(args.vertices) // 2),
+        )),
+        ("shard_assign", lambda: probe_shard_assign(spark, int(args.docs) * 100)),
+        ("capped_common_neighbors", lambda: probe_capped_common_neighbors(spark, int(args.vertices), 50_000)),
+        ("asof_and_sessions", lambda: probe_asof_and_sessions(spark, int(args.edges) * 2)),
+        ("cosine_router", lambda: probe_cosine_router(spark, 1_000_000, 256)),
+        ("prefiltered_cosine", lambda: probe_prefiltered_cosine(spark, 1_000_000, 64)),
+        ("keyed_store_merge", lambda: probe_keyed_store_merge(spark)),
+        ("temporal_reachability", lambda: probe_temporal_reachability(spark)),
+        ("dup_spans", lambda: probe_dup_spans(spark, int(args.docs) * 10)),
+        ("pack_sequences", lambda: probe_pack_sequences(spark, int(args.docs) * 100)),
+        ("cap_per_source", lambda: probe_cap_per_source(spark, int(args.docs) * 100)),
+        ("multi_source_bfs", lambda: probe_multi_source_bfs(spark, int(args.edges) // 2, int(args.vertices) // 2)),
+        ("scc", lambda: probe_scc(spark)),
+        ("hyperball", lambda: probe_hyperball(spark, int(args.edges) // 5, int(args.vertices) // 5)),
+        ("random_walks_hub", lambda: probe_random_walks_hub(spark, int(args.vertices) // 5)),
+        ("contraction_cc_path", lambda: probe_contraction_cc_path(spark, int(args.vertices) // 2)),
     )
-    for probe in probes:
+    for name, probe in probes:
+        if args.only is not None and not any(s in name for s in args.only):
+            continue
         print(json.dumps(probe()), flush=True)
     return 0
 
