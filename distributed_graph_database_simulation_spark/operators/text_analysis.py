@@ -786,3 +786,270 @@ TEXT_QUERIES.update(
         "text_unigram_lm": (text_unigram_lm, TEXT_UNIGRAM_LM_SQL),
     }
 )
+
+
+# --- Gopher-style composite quality gate ---------------------------------
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "a", "in", "that", "have", "with")
+GOPHER_WORD_MIN = 50
+GOPHER_WORD_MAX = 100_000
+GOPHER_MWL_MIN_MICRO = 3_000_000  # mean word length in [3, 10] chars
+GOPHER_MWL_MAX_MICRO = 10_000_000
+GOPHER_STOP_MIN = 2  # >= 2 distinct required stopwords present
+GOPHER_TOPFRAC_MAX_MICRO = 200_000  # most frequent word <= 20% of tokens
+
+
+def gopher_rules_df(docs: DataFrame) -> DataFrame:
+    """Composite pretraining quality gate in the Gopher/MassiveText style
+    (Rae et al. 2021 §A1.1): per-document structural measures, one boolean
+    per rule, and the AND-of-rules ``keep`` decision — the standard cheap
+    filter battery run before any model-based scoring.
+
+    Rules (thresholds above, all engine-exact integers):
+    word count within bounds; mean word length within [3, 10] (micro-unit
+    integer division); at least ``GOPHER_STOP_MIN`` distinct required
+    stopwords present (the "not keyword soup" test); most-frequent-word
+    fraction bounded (the cheap repetition test — full n-gram repetition
+    lives in :func:`repetition_df`).
+
+    Scale: the per-doc measures are narrow JVM higher-order functions over
+    the split array (no explode, no shuffle); only the top-word fraction
+    pays one explode + two doc_id-keyed partial aggregates (uniform key).
+    Every measure is integer or integer-micro division, so the driver hash
+    certifies bit-for-bit.
+
+    Returns (doc_id, n_words, mean_word_len_micro, n_stop_distinct,
+    top_word_frac_micro, flag_* booleans, keep).
+    """
+    ws = F.split(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "), " ")
+    base = docs.select(
+        "doc_id",
+        ws.alias("ws"),
+        F.size(ws).cast("bigint").alias("n_words"),
+        F.aggregate(
+            F.transform(ws, lambda w: F.length(w).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("sum_chars"),
+        F.size(
+            F.array_intersect(ws, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
+        )
+        .cast("bigint")
+        .alias("n_stop_distinct"),
+    )
+    top = (
+        docs.select("doc_id", F.explode(ws).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    out = base.join(top, "doc_id").select(
+        "doc_id",
+        "n_words",
+        F.expr("(1000000 * sum_chars) div n_words").alias("mean_word_len_micro"),
+        "n_stop_distinct",
+        F.expr("(1000000 * top_c) div n_words").alias("top_word_frac_micro"),
+    )
+    flags = out.select(
+        "*",
+        F.col("n_words").between(GOPHER_WORD_MIN, GOPHER_WORD_MAX).alias(
+            "flag_word_count"
+        ),
+        F.col("mean_word_len_micro")
+        .between(GOPHER_MWL_MIN_MICRO, GOPHER_MWL_MAX_MICRO)
+        .alias("flag_mean_len"),
+        (F.col("n_stop_distinct") >= GOPHER_STOP_MIN).alias("flag_stopwords"),
+        (F.col("top_word_frac_micro") <= GOPHER_TOPFRAC_MAX_MICRO).alias(
+            "flag_repetition"
+        ),
+    )
+    return flags.withColumn(
+        "keep",
+        F.col("flag_word_count")
+        & F.col("flag_mean_len")
+        & F.col("flag_stopwords")
+        & F.col("flag_repetition"),
+    )
+
+
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule gate over the documents corpus (:func:`gopher_rules_df`);
+    thresholds chosen so every rule and the composite keep vary at the
+    driver's gate sf (word-count fails ~45% of docs, stopword rule ~37%,
+    repetition has real spread) — a constant-column certification would be
+    vacuous."""
+    return gopher_rules_df(_docs(spark, sf_dir))
+
+
+_GOPHER_STOP_SQL = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+
+TEXT_GOPHER_RULES_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS ws
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         CAST((SELECT SUM(len(w)) FROM unnest(ws) u(w)) AS BIGINT) AS sum_chars,
+         CAST((SELECT COUNT(DISTINCT w) FROM unnest(ws) u(w)
+               WHERE w IN ({_GOPHER_STOP_SQL})) AS BIGINT) AS n_stop_distinct,
+         CAST((SELECT MAX(c) FROM (
+                SELECT COUNT(*) AS c FROM unnest(ws) u(w) GROUP BY w)) AS BIGINT)
+           AS top_c
+  FROM t
+),
+m AS (
+  SELECT doc_id, n_words,
+         (1000000 * sum_chars) // n_words AS mean_word_len_micro,
+         n_stop_distinct,
+         (1000000 * top_c) // n_words AS top_word_frac_micro
+  FROM base
+)
+SELECT doc_id, n_words, mean_word_len_micro, n_stop_distinct, top_word_frac_micro,
+       n_words BETWEEN {GOPHER_WORD_MIN} AND {GOPHER_WORD_MAX} AS flag_word_count,
+       mean_word_len_micro BETWEEN {GOPHER_MWL_MIN_MICRO} AND {GOPHER_MWL_MAX_MICRO}
+         AS flag_mean_len,
+       n_stop_distinct >= {GOPHER_STOP_MIN} AS flag_stopwords,
+       top_word_frac_micro <= {GOPHER_TOPFRAC_MAX_MICRO} AS flag_repetition,
+       (n_words BETWEEN {GOPHER_WORD_MIN} AND {GOPHER_WORD_MAX})
+         AND (mean_word_len_micro BETWEEN {GOPHER_MWL_MIN_MICRO} AND {GOPHER_MWL_MAX_MICRO})
+         AND (n_stop_distinct >= {GOPHER_STOP_MIN})
+         AND (top_word_frac_micro <= {GOPHER_TOPFRAC_MAX_MICRO}) AS keep
+FROM m
+"""
+
+
+# --- Interpolated bigram language model ----------------------------------
+
+BIGRAM_LAMBDA = 0.75  # weight on the bigram term; (1 - λ) on the unigram
+
+
+def bigram_logprob_df(docs: DataFrame, lam: float = BIGRAM_LAMBDA) -> DataFrame:
+    """Interpolated bigram language-model score: per document, the mean
+    -log2 of p(w_i) under p = λ·p_bg(w_i | w_{i-1}) + (1-λ)·p_ug(w_i),
+    with both distributions estimated from the corpus itself — one rung up
+    the KenLM ladder from :func:`unigram_logprob_df` (context-aware, so
+    shuffled-word-soup documents score measurably worse than ordered prose
+    even when their unigram profiles are identical). Document-initial
+    tokens score with the unigram term alone (no cross-document context).
+
+    Engine-exact: probabilities are ratios of BIGINT counts; each token's
+    -log2(p) micro-rounds independently and sums as BIGINT (order-free),
+    mean by integer division — the tfidf/unigram device.
+
+    Scale: token pairs come from one lag window partitioned by doc_id
+    (arbitrarily long docs stream through the window sort); unigram,
+    bigram, and context counts are three partial aggregates; scoring is
+    two keyed joins (token key, (prev, token) key). The vocabulary and
+    bigram tables shuffle but are never collected or broadcast — bigram
+    cardinality at 100 TB far exceeds any broadcast threshold.
+
+    Returns (doc_id, n_tokens, bits_micro_per_token).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "), " ")
+        ).alias("pos", "w"),
+    )
+    seq = toks.withColumn(
+        "prev", F.lag("w").over(Window.partitionBy("doc_id").orderBy("pos"))
+    )
+    uni = seq.groupBy("w").agg(F.count("*").alias("cu"))
+    total = seq.count()
+    bi = (
+        seq.where(F.col("prev").isNotNull())
+        .groupBy("prev", "w")
+        .agg(F.count("*").alias("cb"))
+    )
+    ctx = bi.groupBy("prev").agg(F.sum("cb").alias("cc"))
+    p_ug = F.col("cu").cast("double") / F.lit(float(total))
+    scored = (
+        seq.join(uni, "w")
+        .join(bi, ["prev", "w"], "left")
+        .join(ctx, "prev", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.lit(1_000_000.0)
+                * -F.log2(
+                    F.when(F.col("prev").isNull(), p_ug).otherwise(
+                        F.lit(lam)
+                        * F.col("cb").cast("double")
+                        / F.col("cc").cast("double")
+                        + F.lit(1.0 - lam) * p_ug
+                    )
+                )
+            )
+            .cast("bigint")
+            .alias("bits_micro"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_tokens"),
+        F.expr("sum(bits_micro) div count(*)").cast("bigint").alias(
+            "bits_micro_per_token"
+        ),
+    )
+
+
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM score (:func:`bigram_logprob_df`) over the
+    documents corpus."""
+    return bigram_logprob_df(_docs(spark, sf_dir))
+
+
+TEXT_BIGRAM_LM_SQL = f"""
+WITH lists AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS ws
+  FROM documents
+),
+toks AS (
+  -- parallel UNNESTs zip positionally in DuckDB: (w, pos) pairs
+  SELECT doc_id, UNNEST(ws) AS w, UNNEST(range(1, len(ws) + 1)) AS pos
+  FROM lists
+),
+seq AS (
+  SELECT doc_id, w,
+         LAG(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM toks
+),
+uni AS (SELECT w, COUNT(*) AS cu FROM seq GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM seq),
+bi AS (
+  SELECT prev, w, COUNT(*) AS cb FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+ctx AS (SELECT prev, SUM(cb) AS cc FROM bi GROUP BY 1),
+scored AS (
+  SELECT s.doc_id,
+         CAST(round(1000000.0 * -log2(
+           CASE WHEN s.prev IS NULL THEN u.cu / tot.t
+                ELSE {BIGRAM_LAMBDA!r} * (CAST(b.cb AS DOUBLE) / c.cc)
+                     + {1.0 - BIGRAM_LAMBDA!r} * (u.cu / tot.t)
+           END)) AS BIGINT) AS bits_micro
+  FROM seq s
+  JOIN uni u ON u.w = s.w
+  LEFT JOIN bi b ON b.prev = s.prev AND b.w = s.w
+  LEFT JOIN ctx c ON c.prev = s.prev
+  CROSS JOIN tot
+)
+SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tokens,
+       CAST(SUM(bits_micro) // COUNT(*) AS BIGINT) AS bits_micro_per_token
+FROM scored GROUP BY 1
+"""
+
+
+TEXT_QUERIES.update(
+    {
+        # staged round-8 rotation stock (declared r07,
+        # registry.STAGED_DECLARED_ROUND)
+        "text_gopher_rules": (text_gopher_rules, TEXT_GOPHER_RULES_SQL),
+        "text_bigram_lm": (text_bigram_lm, TEXT_BIGRAM_LM_SQL),
+    }
+)

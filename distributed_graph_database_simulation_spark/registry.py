@@ -171,6 +171,12 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # restricted to watermark-closed windows — closes the r04-r06 carried
     # caveat that only complete-mode memory sinks gated.
     "stream_hourly_file_sink": 7,
+    # r07 session: Gopher/MassiveText-style composite quality gate — every
+    # rule and the AND-composite vary at the gate sf (244/500 keep).
+    "text_gopher_rules": 7,
+    # r07 session: interpolated bigram LM in integer micro-bits — the
+    # context-aware rung above text_unigram_lm.
+    "text_bigram_lm": 7,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

@@ -1249,6 +1249,101 @@ def test_unigram_logprob_flags_junk(spark):
     assert got[2] > got[0] and got[2] > got[1]
 
 
+# --- Gopher-rule composite quality gate -----------------------------------
+
+def test_gopher_rules_matches_python_reference(spark, sf_dir):
+    """Every measure, flag, and the composite keep vs an independent Python
+    evaluation on the real corpus; each rule must be non-vacuous (both
+    outcomes present) so a green gate row certifies real structure."""
+    from collections import Counter
+
+    docs = text_analysis._docs(spark, sf_dir)
+    rows = [(r.doc_id, " ".join(r.text.split()).split(" "))
+            for r in docs.select("doc_id", "text").collect()]
+    expected = {}
+    for doc_id, ws in rows:
+        n = len(ws)
+        mwl = (1_000_000 * sum(len(w) for w in ws)) // n
+        stops = len({w for w in ws if w in text_analysis.GOPHER_STOPWORDS})
+        topf = (1_000_000 * max(Counter(ws).values())) // n
+        f1 = text_analysis.GOPHER_WORD_MIN <= n <= text_analysis.GOPHER_WORD_MAX
+        f2 = (text_analysis.GOPHER_MWL_MIN_MICRO <= mwl
+              <= text_analysis.GOPHER_MWL_MAX_MICRO)
+        f3 = stops >= text_analysis.GOPHER_STOP_MIN
+        f4 = topf <= text_analysis.GOPHER_TOPFRAC_MAX_MICRO
+        expected[doc_id] = (n, mwl, stops, topf, f1, f2, f3, f4,
+                            f1 and f2 and f3 and f4)
+    got = {
+        r.doc_id: (r.n_words, r.mean_word_len_micro, r.n_stop_distinct,
+                   r.top_word_frac_micro, r.flag_word_count, r.flag_mean_len,
+                   r.flag_stopwords, r.flag_repetition, r.keep)
+        for r in text_analysis.gopher_rules_df(docs).collect()
+    }
+    assert got == expected
+    # composite and the data-driven rules both fire both ways on this corpus
+    keeps = {v[-1] for v in got.values()}
+    assert keeps == {True, False}
+    assert {v[4] for v in got.values()} == {True, False}  # word count
+    assert {v[6] for v in got.values()} == {True, False}  # stopwords
+
+
+# --- interpolated bigram LM ------------------------------------------------
+
+def test_bigram_logprob_matches_python_reference(spark, sf_dir):
+    """Spark scorer vs an independent Python interpolated bigram model
+    (doc-initial tokens score unigram-only; λ = BIGRAM_LAMBDA)."""
+    import math
+    from collections import Counter
+
+    docs = text_analysis._docs(spark, sf_dir).where(F.col("doc_id") < 150)
+    rows = [(r.doc_id, " ".join(r.text.split()).split(" "))
+            for r in docs.select("doc_id", "text").collect()]
+    uni = Counter(w for _, ws in rows for w in ws)
+    total = float(sum(uni.values()))
+    bi = Counter((ws[i - 1], ws[i]) for _, ws in rows for i in range(1, len(ws)))
+    ctx = Counter()
+    for (a, _), c in bi.items():
+        ctx[a] += c
+    lam = text_analysis.BIGRAM_LAMBDA
+    expected = {}
+    for doc_id, ws in rows:
+        s = 0
+        for i, w in enumerate(ws):
+            if i == 0:
+                p = uni[w] / total
+            else:
+                p = lam * bi[(ws[i - 1], w)] / ctx[ws[i - 1]] + (1 - lam) * uni[w] / total
+            s += round(1_000_000.0 * -math.log2(p))
+        expected[doc_id] = (len(ws), s // len(ws))
+    got = {
+        r.doc_id: (r.n_tokens, r.bits_micro_per_token)
+        for r in text_analysis.bigram_logprob_df(docs).collect()
+    }
+    assert got == expected
+
+
+def test_bigram_logprob_is_context_aware(spark):
+    """Two documents with IDENTICAL unigram profiles: one repeats a fixed
+    word order (predictable bigrams), one cycles permutations (every
+    neighbor pair different). The bigram model must separate them while a
+    unigram model by construction cannot."""
+    ordered = " ".join("alpha beta gamma delta" for _ in range(6))
+    shuffled = "alpha beta gamma delta beta alpha delta gamma gamma delta alpha beta delta gamma beta alpha alpha gamma beta delta beta delta alpha gamma"
+    docs = spark.createDataFrame(
+        [(0, ordered), (1, shuffled)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.bits_micro_per_token
+        for r in text_analysis.bigram_logprob_df(docs).collect()
+    }
+    uni = {
+        r.doc_id: r.bits_micro_per_token
+        for r in text_analysis.unigram_logprob_df(docs, vocab_size=10).collect()
+    }
+    assert got[0] < got[1]        # ordered text is more predictable
+    assert uni[0] == uni[1]       # unigram genuinely cannot tell them apart
+
+
 # --- persisted IVF index --------------------------------------------------
 
 def test_ivf_index_roundtrip_equals_in_memory(spark, sf_dir, tmp_path):
