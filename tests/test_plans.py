@@ -529,3 +529,27 @@ def test_tfidf_and_pmi_joins_stay_keyed(spark, sf_dir):
         assert "CartesianProduct" not in plan, fn.__name__
         assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
         assert "partial_" in plan, fn.__name__
+
+
+def test_bigram_lm_count_tables_stay_keyed(spark, sf_dir):
+    """The unigram/bigram/context scoring joins must stay keyed with
+    map-side partial counts; the bigram table (vocab² worst case) must
+    never be broadcast or enter a product."""
+    from distributed_graph_database_simulation_spark.operators import text_analysis
+
+    plan = _formatted_plan(text_analysis.text_bigram_lm(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
+
+
+def test_gopher_rules_single_keyed_aggregate(spark, sf_dir):
+    """All rules except top-word run as narrow HOF maps: exactly one
+    corpus aggregate pair (doc_id-keyed top-word count), partial-combined,
+    and no join strategy other than the doc_id-keyed hash join back."""
+    from distributed_graph_database_simulation_spark.operators import text_analysis
+
+    plan = _formatted_plan(text_analysis.text_gopher_rules(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan or "partial_max" in plan
