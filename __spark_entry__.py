@@ -5,9 +5,11 @@ the reference fixture graphs) at sf0.001. ``queries()`` /
 ``oracle_sql()`` expose the full operator registry
 (distributed_graph_database_simulation_spark.registry); every
 deterministic operator carries an exact DuckDB oracle — including the
-unrolled-CTE family (fixed-iteration plain/weighted PageRank, k-core and
-k-truss peeling, coreness, Luby MIS and iterated-MIS coloring, two-pass
-Brandes betweenness) — while the genuinely probabilistic rest (DFS-leaf
+unrolled-CTE family (fixed-iteration plain/weighted/personalized
+PageRank, k-core and k-truss peeling, coreness, Luby MIS and
+iterated-MIS coloring, two-pass Brandes betweenness) and the
+watermark-gated streaming file sink — while the genuinely probabilistic
+rest (DFS-leaf
 order-dependent traversal, ANN bucketing, HLL sketches) use the
 rows-only check as documented in their modules. The first CHECK_WINDOW
 registry entries form the driver's gate; ``registry.STAGED_NEXT_ROTATION``
