@@ -108,6 +108,127 @@ FROM exploded
 """
 
 
+CDC_GRAM = 4  # rolling window width (tokens) for the boundary hash
+CDC_MASK_HEX = "0"  # boundary iff md5(gram) starts with this -> P = 1/16
+
+
+def cdc_chunks_df(docs: DataFrame) -> DataFrame:
+    """Content-defined chunking (the FastCDC/Rabin family, token
+    granularity): a chunk boundary falls AFTER token position p whenever
+    the hash of the trailing ``CDC_GRAM``-token window at p starts with
+    ``CDC_MASK_HEX`` (P = 1/16 → mean chunk ≈ 16 tokens). Unlike the
+    fixed-stride :func:`chunk_windows_df`, boundaries move WITH the
+    content: inserting one token near the start of a document shifts
+    every fixed-stride chunk but leaves all content-defined chunks after
+    the insertion identical — the property dedup storage and incremental
+    pipelines rely on (pinned in tests).
+
+    md5 is the boundary hash because it is engine-portable (DuckDB's
+    ``hash()`` is engine-specific); the first hex nibble gives the 1/16
+    gate. Chunks are contiguous by construction, so each chunk's text is
+    re-cut from the document array by (start, length) — no
+    order-sensitive string aggregation anywhere.
+
+    Scale: the boundary-flag array is one narrow HOF ``transform`` per
+    document (no explode for hashing); the only shuffles are the doc_id
+    window for the running boundary count and the doc_id-keyed join that
+    cuts chunk text — both uniform keys. Chunk fan-out is bounded by
+    document length.
+
+    Returns (doc_id, chunk_id, start_pos, n_tokens, chunk_md5).
+    """
+    from pyspark.sql import Window
+
+    words = F.split(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "), " ")
+    base = docs.select("doc_id", words.alias("w"))
+    flags = F.transform(
+        F.sequence(F.lit(1), F.size("w")),
+        lambda p: F.when(
+            (p >= CDC_GRAM)
+            & (
+                F.substring(
+                    F.md5(F.array_join(F.slice("w", p - CDC_GRAM + 1, CDC_GRAM), " ")),
+                    1,
+                    1,
+                )
+                == CDC_MASK_HEX
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    pos_flags = base.select(
+        "doc_id", F.posexplode(flags).alias("pos0", "is_boundary")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "is_boundary")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = pos_flags.select(
+        "doc_id",
+        "pos",
+        F.coalesce(F.sum("is_boundary").over(w_prev), F.lit(0))
+        .cast("int")
+        .alias("chunk_id"),
+    )
+    spans = chunked.groupBy("doc_id", "chunk_id").agg(
+        F.min("pos").cast("int").alias("start_pos"),
+        F.count("*").cast("int").alias("n_tokens"),
+    )
+    return spans.join(base, "doc_id").select(
+        "doc_id",
+        "chunk_id",
+        "start_pos",
+        "n_tokens",
+        F.md5(
+            F.array_join(F.slice("w", F.col("start_pos"), F.col("n_tokens")), " ")
+        ).alias("chunk_md5"),
+    )
+
+
+def pipe_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking over the documents corpus
+    (:func:`cdc_chunks_df`)."""
+    return cdc_chunks_df(_docs(spark, sf_dir))
+
+
+PIPE_CDC_CHUNKS_SQL = f"""
+WITH lists AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS ws
+  FROM documents
+),
+flags AS (
+  SELECT doc_id,
+         UNNEST(range(1, len(ws) + 1)) AS pos,
+         UNNEST(list_transform(range(1, len(ws) + 1), p ->
+           CASE WHEN p >= {CDC_GRAM}
+                 AND substr(md5(array_to_string(ws[p - {CDC_GRAM} + 1 : p], ' ')), 1, 1)
+                     = '{CDC_MASK_HEX}'
+                THEN 1 ELSE 0 END)) AS is_boundary
+  FROM lists
+),
+chunked AS (
+  SELECT doc_id, pos,
+         CAST(COALESCE(SUM(is_boundary) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
+           AS chunk_id
+  FROM flags
+),
+spans AS (
+  SELECT doc_id, chunk_id,
+         CAST(MIN(pos) AS INT) AS start_pos,
+         CAST(COUNT(*) AS INT) AS n_tokens
+  FROM chunked GROUP BY 1, 2
+)
+SELECT s.doc_id, s.chunk_id, s.start_pos, s.n_tokens,
+       md5(array_to_string(l.ws[s.start_pos : s.start_pos + s.n_tokens - 1], ' '))
+         AS chunk_md5
+FROM spans s JOIN lists l ON l.doc_id = s.doc_id
+"""
+
+
 def text_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_stratified_df(_docs(spark, sf_dir))
 
@@ -721,6 +842,9 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "pipe_token_budget": (pipe_token_budget, PIPE_TOKEN_BUDGET_SQL),
     "pipe_select_quality": (pipe_select_quality, PIPE_SELECT_QUALITY_SQL),
     "pipe_pack_sequences": (pipe_pack_sequences, PIPE_PACK_SEQUENCES_SQL),
+    # staged round-8 rotation stock (declared r07,
+    # registry.STAGED_DECLARED_ROUND)
+    "pipe_cdc_chunks": (pipe_cdc_chunks, PIPE_CDC_CHUNKS_SQL),
 }
 
 

@@ -177,6 +177,10 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # r07 session: interpolated bigram LM in integer micro-bits — the
     # context-aware rung above text_unigram_lm.
     "text_bigram_lm": 7,
+    # r07 session: content-defined chunking (FastCDC family, md5-gated
+    # token-window boundaries) — boundaries move with content, pinned
+    # shift-invariance the fixed-stride chunker cannot have.
+    "pipe_cdc_chunks": 7,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)
