@@ -541,6 +541,79 @@ def probe_dup_spans(spark, n_docs: int, boiler_every: int = 10) -> dict:
             "sec": round(_t.perf_counter() - t0, 2)}
 
 
+def probe_cdc_chunks(spark, n_docs: int, words_per_doc: int = 40) -> dict:
+    """Content-defined chunking at 100x-bench corpus size, generated
+    distributively. Invariants: chunk token mass equals corpus token mass
+    (no token lost or duplicated across boundaries) and every doc yields
+    >= 1 chunk."""
+    import time as _t
+
+    from distributed_graph_database_simulation_spark.operators.pipeline import (
+        cdc_chunks_df,
+    )
+
+    t0 = _t.perf_counter()
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(words_per_doc - 1)),
+            lambda i: F.concat(
+                F.lit("w"), ((F.col("id") * 131 + i * 7) % F.lit(99_991)).cast("string")
+            ),
+        ),
+        " ",
+    )
+    docs = spark.range(0, n_docs, 1, 32).select(
+        F.col("id").alias("doc_id"), text.alias("text")
+    )
+    out = cdc_chunks_df(docs)
+    agg = out.groupBy().agg(
+        F.count("*").alias("chunks"),
+        F.sum("n_tokens").alias("tokens"),
+        F.countDistinct("doc_id").alias("docs"),
+    ).collect()[0]
+    if agg["tokens"] != n_docs * words_per_doc:
+        raise AssertionError(
+            f"token mass {agg['tokens']} != {n_docs * words_per_doc}"
+        )
+    if agg["docs"] != n_docs:
+        raise AssertionError(f"docs with chunks {agg['docs']} != {n_docs}")
+    return {"probe": "cdc_chunks", "docs": n_docs, "chunks": int(agg["chunks"]),
+            "sec": round(_t.perf_counter() - t0, 2)}
+
+
+def probe_bigram_lm(spark, n_docs: int, words_per_doc: int = 40) -> dict:
+    """Interpolated bigram LM at 100x-bench corpus size. The vocabulary is
+    ~100k distinct words and the bigram table is corpus-length-bounded;
+    invariant: every doc scores, token counts conserved."""
+    import time as _t
+
+    from distributed_graph_database_simulation_spark.operators.text_analysis import (
+        bigram_logprob_df,
+    )
+
+    t0 = _t.perf_counter()
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(words_per_doc - 1)),
+            lambda i: F.concat(
+                F.lit("w"), ((F.col("id") * 61 + i * 13) % F.lit(100_003)).cast("string")
+            ),
+        ),
+        " ",
+    )
+    docs = spark.range(0, n_docs, 1, 32).select(
+        F.col("id").alias("doc_id"), text.alias("text")
+    )
+    out = bigram_logprob_df(docs)
+    agg = out.groupBy().agg(
+        F.count("*").alias("docs"), F.sum("n_tokens").alias("tokens")
+    ).collect()[0]
+    if agg["docs"] != n_docs or agg["tokens"] != n_docs * words_per_doc:
+        raise AssertionError(f"coverage mismatch: {dict(agg.asDict())}")
+    return {"probe": "bigram_lm", "docs": n_docs,
+            "sec": round(_t.perf_counter() - t0, 2)}
+
+
 def probe_pack_sequences(spark, n_chunks: int) -> dict:
     """Concat-and-split packing at 1000x the sf0.01 chunk count: verifies
     offsets stay in range and token mass is conserved per shard while the
@@ -797,6 +870,8 @@ def main() -> int:
         ("keyed_store_merge", lambda: probe_keyed_store_merge(spark)),
         ("temporal_reachability", lambda: probe_temporal_reachability(spark)),
         ("dup_spans", lambda: probe_dup_spans(spark, int(args.docs) * 10)),
+        ("cdc_chunks", lambda: probe_cdc_chunks(spark, int(args.docs) * 10)),
+        ("bigram_lm", lambda: probe_bigram_lm(spark, int(args.docs) * 10)),
         ("pack_sequences", lambda: probe_pack_sequences(spark, int(args.docs) * 100)),
         ("cap_per_source", lambda: probe_cap_per_source(spark, int(args.docs) * 100)),
         ("multi_source_bfs", lambda: probe_multi_source_bfs(spark, int(args.edges) // 2, int(args.vertices) // 2)),
