@@ -943,9 +943,11 @@ def bigram_logprob_df(docs: DataFrame, lam: float = BIGRAM_LAMBDA) -> DataFrame:
     Scale: token pairs come from one lag window partitioned by doc_id
     (arbitrarily long docs stream through the window sort); unigram,
     bigram, and context counts are three partial aggregates; scoring is
-    two keyed joins (token key, (prev, token) key). The vocabulary and
-    bigram tables shuffle but are never collected or broadcast — bigram
-    cardinality at 100 TB far exceeds any broadcast threshold.
+    keyed equi-joins (token key, (prev, token) key) — nothing is ever
+    collected to the driver and no join can degrade to a product
+    (plan-pinned). At toy SFs Catalyst broadcasts the small count tables
+    (correct adaptive behavior); at corpus scale their stats exceed any
+    broadcast threshold and the same plan runs as shuffled keyed joins.
 
     Returns (doc_id, n_tokens, bits_micro_per_token).
     """
