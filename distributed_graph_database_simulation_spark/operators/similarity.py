@@ -470,10 +470,170 @@ def sim_topk_ivf_index(
     )
 
 
+# --- deterministic quantized k-means (trained clustering) -----------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+# Quantization: q[i] = round((x[i] + SHIFT) * SCALE). SHIFT keeps every
+# coordinate positive (embedding components are well inside (-1, 1)), so
+# every per-dimension sum is positive and integer division truncates and
+# floors identically — Spark's `div` truncates toward zero while DuckDB's
+# `//` floors, and they agree only on non-negative operands. Distances are
+# shift-invariant, so the clustering is unaffected.
+KMEANS_SHIFT = 1.0
+KMEANS_SCALE = 1_000_000
+
+
+def _emb_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform(
+            "e",
+            lambda x: F.round((x + KMEANS_SHIFT) * KMEANS_SCALE).cast("bigint"),
+        ).alias("q"),
+    )
+
+
+def kmeans_quantized(
+    spark: SparkSession,
+    vecs: DataFrame,
+    k: int = KMEANS_K,
+    iterations: int = KMEANS_ITERS,
+) -> DataFrame:
+    """Lloyd's k-means over micro-quantized vectors, every step in exact
+    BIGINT arithmetic so a fixed-iteration run is bit-reproducible across
+    engines (the IVF router's centroids are an untrained grid; this is the
+    TRAINED counterpart — corpus clustering, partition design, codebook
+    learning). Deterministic throughout: init = the k lowest vec_ids,
+    assignment argmin breaks ties on the lower centroid id, centroid
+    update is an order-free integer sum + floor division.
+
+    Scale: centroids are k rows and broadcast into the assignment join
+    (never the corpus); the update is a posexplode to (vec, dim) rows with
+    map-side partial sums keyed on (cluster, dim) — k·dim result rows —
+    then regrouped to arrays via a sort-fixed collect bounded by dim.
+    The corpus shuffles once per iteration on a uniform key; nothing is
+    ever collected to the driver.
+
+    ``vecs``: (vec_id, q array<bigint>). Returns
+    (vec_id, cluster_id, dist_sq) after ``iterations`` assignments.
+    """
+    dist = F.aggregate(
+        F.zip_with(F.col("q"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    w_init = W.orderBy("vec_id")
+    cent = (
+        vecs.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(w_init) - 1).cast("int").alias("cid"),
+            F.col("q").alias("c"),
+        )
+    )
+    assign = None
+    for _ in range(iterations):
+        scored = vecs.join(F.broadcast(cent), how="cross").select(
+            "vec_id",
+            "q",
+            F.struct(dist.alias("dist_sq"), F.col("cid")).alias("dc"),
+        )
+        assign = (
+            scored.groupBy("vec_id")
+            .agg(F.min("dc").alias("best"), F.first("q").alias("q"))
+            .select(
+                "vec_id",
+                "q",
+                F.col("best.cid").alias("cluster_id"),
+                F.col("best.dist_sq").alias("dist_sq"),
+            )
+        )
+        dims = assign.select(
+            "cluster_id", F.posexplode("q").alias("dim", "val")
+        )
+        cent = (
+            dims.groupBy("cluster_id", "dim")
+            .agg(F.expr("sum(val) div count(*)").alias("m"))
+            .groupBy("cluster_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm")
+            )
+            .select(
+                F.col("cluster_id").alias("cid"),
+                F.transform("dm", lambda s: s["m"]).alias("c"),
+            )
+        )
+    return assign.select("vec_id", "cluster_id", "dist_sq")
+
+
+def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized k-means over the embeddings corpus
+    (:func:`kmeans_quantized`, k = 8, 3 Lloyd iterations)."""
+    return kmeans_quantized(spark, _emb_quantized(spark, sf_dir))
+
+
+def _kmeans_sql(k: int, iterations: int) -> str:
+    """Unrolled Lloyd oracle. Every per-iteration CTE is MATERIALIZED —
+    each is referenced by both the next assignment and the next centroid
+    update, so plain inlining would double the chain per iteration."""
+    parts = [
+        f"""WITH kv AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round((x + {KMEANS_SHIFT!r}) * {KMEANS_SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+),
+kc0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, q AS c
+  FROM (SELECT vec_id, q FROM kv ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    for t in range(1, iterations + 1):
+        parts.append(
+            f""",
+ka{t} AS MATERIALIZED (
+  SELECT vec_id, q, cid AS cluster_id, dist_sq FROM (
+    SELECT v.vec_id, v.q, c.cid,
+           list_sum(list_transform(range(1, len(v.q) + 1),
+                    i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i]))) AS dist_sq,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_sum(list_transform(range(1, len(v.q) + 1),
+                      i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i]))), c.cid) AS rk
+    FROM kv v CROSS JOIN kc{t - 1} c)
+  WHERE rk = 1
+),
+kc{t} AS MATERIALIZED (
+  SELECT cluster_id AS cid, list(m ORDER BY dim) AS c FROM (
+    SELECT a.cluster_id, d.dim, SUM(a.q[d.dim]) // COUNT(*) AS m
+    FROM ka{t} a
+    CROSS JOIN (SELECT UNNEST(range(1, {{dim}} + 1)) AS dim) d
+    GROUP BY a.cluster_id, d.dim)
+  GROUP BY cluster_id
+)"""
+        )
+    parts.append(
+        # list_sum returns DOUBLE in DuckDB; the values are exact integers
+        # (max 64 * (2e6)^2 ≈ 2.6e14 < 2^53) so the BIGINT cast is lossless
+        f"""
+SELECT vec_id, cluster_id, CAST(dist_sq AS BIGINT) AS dist_sq FROM ka{iterations}"""
+    )
+    return "\n".join(parts)
+
+
+# dim read once from the table shape at registration time would couple the
+# SQL to testdata; 64 is the embeddings schema constant (TESTDATA.md).
+SIM_KMEANS_SQL = _kmeans_sql(KMEANS_K, KMEANS_ITERS).replace("{dim}", "64")
+
+
 SIMILARITY_QUERIES: dict[str, tuple] = {
     "sim_topk_bruteforce": (sim_topk_bruteforce, SIM_TOPK_BRUTEFORCE_SQL),
     "sim_topk_lsh": (sim_topk_lsh, None),
     "sim_topk_ivf": (sim_topk_ivf, None),
+    # staged round-8 rotation stock (declared r07,
+    # registry.STAGED_DECLARED_ROUND)
+    "sim_kmeans": (sim_kmeans, SIM_KMEANS_SQL),
 }
 
 

@@ -181,6 +181,10 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # token-window boundaries) — boundaries move with content, pinned
     # shift-invariance the fixed-stride chunker cannot have.
     "pipe_cdc_chunks": 7,
+    # r07 session: deterministic quantized k-means (trained clustering in
+    # exact BIGINT arithmetic; unrolled Lloyd oracle) — the trained
+    # counterpart to the IVF router's untrained grid centroids.
+    "sim_kmeans": 7,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

@@ -1412,6 +1412,56 @@ def test_cdc_chunks_are_insertion_shift_invariant(spark):
 
 # --- persisted IVF index --------------------------------------------------
 
+def test_kmeans_quantized_matches_python_reference(spark, sf_dir):
+    """Quantized Lloyd vs an independent Python implementation on the real
+    corpus: identical assignments, distances, and cluster sizes after the
+    fixed iteration count (exact integer arithmetic end to end)."""
+    vecs = {
+        r.vec_id: [round((x + similarity.KMEANS_SHIFT) * similarity.KMEANS_SCALE)
+                   for x in r.e]
+        for r in similarity._emb(spark, sf_dir).collect()
+    }
+    k, iters = similarity.KMEANS_K, similarity.KMEANS_ITERS
+    cents = {i: vecs[v] for i, v in enumerate(sorted(vecs)[:k])}
+    assign = {}
+    for _ in range(iters):
+        for vid, q in vecs.items():
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(q, c)), cid)
+                for cid, c in cents.items()
+            )
+            assign[vid] = (best[1], best[0])
+        new = {}
+        for cid in cents:
+            members = [vecs[v] for v, (c, _) in assign.items() if c == cid]
+            if members:
+                new[cid] = [sum(col) // len(members) for col in zip(*members)]
+            else:
+                new[cid] = cents[cid]
+        cents = new
+    got = {
+        r.vec_id: (r.cluster_id, r.dist_sq)
+        for r in similarity.sim_kmeans(spark, sf_dir).collect()
+    }
+    assert got == assign
+    # every cluster is populated at this sf (vacuous-certification guard)
+    assert len({c for c, _ in got.values()}) == k
+
+
+def test_kmeans_assignment_broadcasts_centroids_not_corpus(spark, sf_dir):
+    """The assignment join must broadcast the k-row centroid side; the
+    corpus must never be broadcast and the update must partial-aggregate."""
+    df = similarity.sim_kmeans(spark, sf_dir)
+    jdf = df._jdf
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = jdf.queryExecution().explainString(mode)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") >= 1  # k-row centroid side
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
 def test_ivf_index_roundtrip_equals_in_memory(spark, sf_dir, tmp_path):
     """Search against the persisted index must equal the in-memory IVF
     query exactly (same deterministic centroids, same probes, same exact
