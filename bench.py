@@ -70,6 +70,12 @@ HEADLINE = [
     "g_scc_scale",
     "g_betweenness_sampled_scale",
     "g_coloring",
+    # round-7 new operators (streaming file sink excluded: its wall is
+    # micro-batch overhead, already represented by stream_events_hourly)
+    "text_gopher_rules",
+    "text_bigram_lm",
+    "pipe_cdc_chunks",
+    "sim_kmeans",
 ]
 
 
