@@ -185,6 +185,11 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # exact BIGINT arithmetic; unrolled Lloyd oracle) — the trained
     # counterpart to the IVF router's untrained grid centroids.
     "sim_kmeans": 7,
+    # r07 session: stream-stream LEFT OUTER interval join — null-extended
+    # rows gated by the per-side global watermark (min over both sides of
+    # max event time - delay), certified by an oracle that applies the
+    # same closure rule.
+    "stream_outer_click_purchase": 7,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

@@ -348,6 +348,93 @@ JOIN events c ON c.event_type = 'click' AND p.event_type = 'purchase'
 """
 
 
+def stream_outer_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the semantically hardest
+    join mode the engine has: matched (purchase, click) pairs emit eagerly
+    like the inner join, but a purchase with NO click in its preceding
+    hour may emit its null-extended row only once the global watermark
+    proves no late click can still match it (purchase_ts <= min over both
+    sides of (side max event time - 1 h) — verified against the actual
+    boundary rows at both shipped sfs). The oracle
+    applies exactly that rule — full outer-join rows for purchases inside
+    the closed region, inner-only rows for the final horizon — so the
+    null-emission gating itself differential-checks, the same device as
+    ``stream_hourly_file_sink``. The final flush rides the engine's
+    requires-another-batch step after the last data batch advances the
+    watermark.
+    """
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("click_user") == F.col("user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select(
+        "purchase_id",
+        "user_id",
+        F.col("click_id"),  # NULL on the watermark-certified no-click rows
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_micros"),
+    )
+    return _run_bounded(joined, spark, "stream_outer_click_purchase", "append")
+
+
+# Null-extension closure: a purchase's null row emits once no future
+# click can match it — any future click has ts above the GLOBAL watermark,
+# and the join needs click_ts <= purchase_ts, so the closed region is
+# purchase_ts <= global watermark. The global watermark is the MIN over
+# both watermark operators of (that side's max event time - 1 h); clicks
+# and purchases are separately filtered streams, so each side's own max
+# matters (at the shipped sfs the last click precedes the last event by
+# nearly an hour — a table-level max here would certify the wrong rows).
+# Spark's event-time stats carry milliseconds, hence the ms truncation.
+STREAM_OUTER_CLICK_PURCHASE_SQL = """
+WITH wm AS (
+  SELECT LEAST(
+    (SELECT date_trunc('milliseconds', MAX(ts)) FROM events WHERE event_type = 'click'),
+    (SELECT date_trunc('milliseconds', MAX(ts)) FROM events WHERE event_type = 'purchase')
+  ) - INTERVAL '1 hour' AS w
+),
+p AS (SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'),
+matched AS (
+  SELECT p.purchase_id, p.user_id, c.click_id,
+         epoch_us(p.ts) - epoch_us(c.ts) AS lag_micros
+  FROM p JOIN c ON c.user_id = p.user_id
+    AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '1 hour'
+),
+unmatched_closed AS (
+  SELECT p.purchase_id, p.user_id,
+         CAST(NULL AS BIGINT) AS click_id, CAST(NULL AS BIGINT) AS lag_micros
+  FROM p, wm
+  WHERE p.ts <= wm.w
+    AND NOT EXISTS (
+      SELECT 1 FROM c WHERE c.user_id = p.user_id
+        AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '1 hour')
+)
+SELECT * FROM matched UNION ALL SELECT * FROM unmatched_closed
+"""
+
+
 def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup under a watermark: the events stream unioned with a
     second copy of itself (every row arrives twice) and collapsed by
@@ -450,4 +537,8 @@ STREAMING_QUERIES: dict[str, tuple] = {
     ),
     "stream_dedup_events": (stream_dedup_events, STREAM_DEDUP_EVENTS_SQL),
     "stream_hourly_file_sink": (stream_hourly_file_sink, STREAM_HOURLY_FILE_SINK_SQL),
+    "stream_outer_click_purchase": (
+        stream_outer_click_purchase,
+        STREAM_OUTER_CLICK_PURCHASE_SQL,
+    ),
 }

@@ -287,3 +287,35 @@ def test_stream_sketch_ingest_merges_to_batch_truth(spark, sf_dir, tmp_path):
         assert n == len(vals)
         true_rank = sum(1 for v in vals if v <= est) / len(vals)
         assert abs(true_rank - 0.5) <= 0.05
+
+
+def test_outer_join_extends_inner_with_watermark_gated_nulls(spark, sf_dir):
+    """The LEFT OUTER stream-stream join must contain exactly the inner
+    join's matched pairs plus null-extended rows, and every null row's
+    purchase must lie behind the per-side global watermark (min over both
+    sides of max event time - 1 h) — the closure rule the oracle pins."""
+    from distributed_graph_database_simulation_spark.streaming import windowed
+
+    inner = windowed.stream_stream_click_purchase(spark, sf_dir).collect()
+    outer = windowed.stream_outer_click_purchase(spark, sf_dir).collect()
+    inner_pairs = {(r.purchase_id, r.click_id) for r in inner}
+    matched = {(r.purchase_id, r.click_id) for r in outer if r.click_id is not None}
+    assert matched == inner_pairs
+    nulls = [r for r in outer if r.click_id is None]
+    assert nulls, "no null-extended rows emitted — gating untested"
+    import pyspark.sql.functions as F
+
+    from distributed_graph_database_simulation_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    sides = events.where(F.col("event_type").isin("click", "purchase")).groupBy(
+        "event_type").agg(F.max("ts").alias("m")).collect()
+    import datetime
+
+    wm = min(r.m for r in sides) - datetime.timedelta(hours=1)
+    p_ts = {
+        r.event_id: r.ts
+        for r in events.where(F.col("event_type") == "purchase").collect()
+    }
+    for r in nulls:
+        assert p_ts[r.purchase_id] <= wm, (r.purchase_id, p_ts[r.purchase_id], wm)
