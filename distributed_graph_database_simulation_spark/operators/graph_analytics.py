@@ -1686,6 +1686,124 @@ def maximal_independent_set(
     return chosen
 
 
+def _matching_priority(round_no: int):
+    """Deterministic per-round EDGE priority: 60-bit md5 hash of
+    (graph_id, src, dst, round) — the edge-world sibling of
+    :func:`_mis_priority`, same engine-portable no-RNG contract."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("graph_id").cast("string"),
+                    F.col("src").cast("string"),
+                    F.col("dst").cast("string"),
+                    F.lit(str(round_no)),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def maximal_matching(
+    spark: SparkSession,
+    graphs: DataFrame,
+    edges: DataFrame,
+    max_rounds: int = 1_000,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Distributed maximal matching by local-max edge selection (the
+    Israeli–Itai / Luby-style edge race): per round every still-active
+    edge draws a deterministic hash priority; an edge joins the matching
+    iff it holds the maximum (priority, src, dst) among ALL active edges
+    at BOTH of its endpoints, then every edge touching a matched vertex
+    deactivates. The globally-max active edge always wins, so each round
+    makes progress; expected O(log m) rounds.
+
+    Maximality (no two matched edges share a vertex; every unmatched
+    edge touches a matched vertex) is a structural invariant of the
+    race. Per round: one incidence-max aggregate (partial-combined on the
+    (graph_id, vertex) key) + two keyed joins back to the edge list +
+    two anti-joins for deactivation — never an edge-pair product. Edges
+    are canonicalized undirected (src < dst, self-loops dropped, the
+    usual simple-graph reading).
+
+    Returns (graph_id, src, dst, round) for matched edges.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    ck = checkpoint_dir(spark)
+    active = barrier(
+        undirected(edges)
+        .where(F.col("src") < F.col("dst"))
+        .select("graph_id", "src", "dst")
+        .distinct(),
+        eager=True,
+        ckdir=ck,
+    )
+    _ = graphs  # vertex universe not needed: isolated vertices never match
+    chosen = None
+    for rnd in range(1, max_rounds + 1):
+        if active.count() == 0:
+            break
+        pri = active.select(
+            "graph_id",
+            "src",
+            "dst",
+            F.struct(
+                _matching_priority(rnd).alias("p"),
+                F.col("src").alias("s"),
+                F.col("dst").alias("d"),
+            ).alias("pr"),
+        )
+        pri = barrier(pri, eager=False, ckdir=ck)
+        incidence = pri.select(
+            "graph_id", F.col("src").alias("vertex"), "pr"
+        ).unionByName(pri.select("graph_id", F.col("dst").alias("vertex"), "pr"))
+        vmax = incidence.groupBy("graph_id", "vertex").agg(F.max("pr").alias("vm"))
+        winners = (
+            pri.join(
+                vmax.select(
+                    "graph_id", F.col("vertex").alias("src"), F.col("vm").alias("vm_s")
+                ),
+                ["graph_id", "src"],
+            )
+            .join(
+                vmax.select(
+                    "graph_id", F.col("vertex").alias("dst"), F.col("vm").alias("vm_d")
+                ),
+                ["graph_id", "dst"],
+            )
+            .where((F.col("pr") == F.col("vm_s")) & (F.col("pr") == F.col("vm_d")))
+            .select("graph_id", "src", "dst", F.lit(rnd).cast("int").alias("round"))
+        )
+        winners = barrier(winners, eager=True, ckdir=ck)
+        chosen = winners if chosen is None else chosen.unionByName(winners)
+        matched_v = (
+            winners.select("graph_id", F.col("src").alias("vertex"))
+            .unionByName(winners.select("graph_id", F.col("dst").alias("vertex")))
+        )
+        active = (
+            active.join(
+                matched_v.select("graph_id", F.col("vertex").alias("src")),
+                ["graph_id", "src"],
+                "left_anti",
+            ).join(
+                matched_v.select("graph_id", F.col("vertex").alias("dst")),
+                ["graph_id", "dst"],
+                "left_anti",
+            )
+        )
+        active = barrier(active, eager=(rnd % checkpoint_every == 0), ckdir=ck)
+    if chosen is None:
+        return spark.createDataFrame([], "graph_id int, src int, dst int, round int")
+    return chosen.select("graph_id", "src", "dst", "round")
+
+
 def temporal_reachability(
     spark: SparkSession,
     edges: DataFrame,

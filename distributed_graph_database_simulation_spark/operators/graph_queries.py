@@ -1145,6 +1145,105 @@ MIS_SQL = _mis_sql(
 )
 
 
+def matching_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-max maximal matching over the fixtures
+    (:func:`~.graph_analytics.maximal_matching`): edge priorities are
+    60-bit md5 hashes of (graph_id, src, dst, round), so the whole race
+    is deterministic and the oracle replays it round for round — the
+    edge-world sibling of :func:`mis_fixture`."""
+    from .graph_analytics import maximal_matching
+
+    return maximal_matching(
+        spark, fixtures.fixture_graphs_df(spark), fixtures.fixture_edges_df(spark)
+    )
+
+
+def _matching_sql(edges_cte: str, rounds: int) -> str:
+    """Unrolled local-max matching oracle. Per round: md5 edge priorities
+    over the active edge set, winners = edges holding the max (priority,
+    src, dst) at BOTH endpoints, then edges touching matched vertices
+    deactivate. MATERIALIZED per round — each act{k} feeds three
+    consumers."""
+    parts = [
+        f"WITH mm_edges AS ({edges_cte}),",
+        """mm_act0 AS MATERIALIZED (
+  SELECT DISTINCT graph_id, LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+  FROM mm_edges WHERE src <> dst
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+mpri{r} AS MATERIALIZED (
+  SELECT graph_id, src, dst,
+         struct_pack(
+           p := CAST('0x' || substr(md5(CAST(graph_id AS VARCHAR) || '|' ||
+                                        CAST(src AS VARCHAR) || '|' ||
+                                        CAST(dst AS VARCHAR) || '|' || '{r}'),
+                                    1, 15) AS BIGINT),
+           s := src, d := dst) AS pr
+  FROM mm_act{r - 1}
+),
+mvmax{r} AS MATERIALIZED (
+  SELECT graph_id, vertex, MAX(pr) AS vm FROM (
+    SELECT graph_id, src AS vertex, pr FROM mpri{r}
+    UNION ALL
+    SELECT graph_id, dst AS vertex, pr FROM mpri{r})
+  GROUP BY graph_id, vertex
+),
+mwin{r} AS MATERIALIZED (
+  SELECT p.graph_id, p.src, p.dst
+  FROM mpri{r} p
+  JOIN mvmax{r} a ON a.graph_id = p.graph_id AND a.vertex = p.src
+  JOIN mvmax{r} b ON b.graph_id = p.graph_id AND b.vertex = p.dst
+  WHERE p.pr = a.vm AND p.pr = b.vm
+),
+mm_act{r} AS MATERIALIZED (
+  SELECT a.graph_id, a.src, a.dst FROM mm_act{r - 1} a
+  LEFT JOIN (
+    SELECT graph_id, src AS vertex FROM mwin{r}
+    UNION
+    SELECT graph_id, dst AS vertex FROM mwin{r}
+  ) ms ON ms.graph_id = a.graph_id AND ms.vertex = a.src
+  LEFT JOIN (
+    SELECT graph_id, src AS vertex FROM mwin{r}
+    UNION
+    SELECT graph_id, dst AS vertex FROM mwin{r}
+  ) md ON md.graph_id = a.graph_id AND md.vertex = a.dst
+  WHERE ms.vertex IS NULL AND md.vertex IS NULL
+)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT graph_id, src, dst, CAST({r} AS INT) AS round FROM mwin{r}"
+        for r in range(1, rounds + 1)
+    )
+    parts.append(f"\n{union}")
+    return "\n".join(parts)
+
+
+MATCHING_SQL = _matching_sql(
+    f"SELECT * FROM (VALUES {_EDGE_ROWS}) t(graph_id, src, dst)",
+    rounds=8,
+)
+
+
+def matching_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-max maximal matching on the orders-derived scale graph
+    (terminates in 7 rounds at every shipped sf; the oracle unrolls 10 —
+    extra rounds see an empty active set and emit nothing)."""
+    from .graph_analytics import maximal_matching
+
+    graphs, edges = _scale_graph(spark, sf_dir)
+    return maximal_matching(spark, graphs, edges)
+
+
+MATCHING_SCALE_SQL = _matching_sql(
+    f"SELECT CAST(1 AS INT) AS graph_id, src, dst "
+    f"FROM ({fixtures.SCALE_GRAPH_SQL}) se",
+    rounds=10,
+)
+
+
 BETWEENNESS_K_PIVOTS = 8
 BETWEENNESS_LEVELS = 12  # > max BFS depth from any pivot at every shipped sf
 
@@ -2344,4 +2443,6 @@ GRAPH_QUERIES: dict[str, tuple] = {
         pagerank_personalized_scale,
         PAGERANK_PERSONALIZED_SCALE_SQL,
     ),
+    "g_matching": (matching_fixture, MATCHING_SQL),
+    "g_matching_scale": (matching_scale, MATCHING_SCALE_SQL),
 }

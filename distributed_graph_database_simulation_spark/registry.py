@@ -190,6 +190,11 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # max event time - delay), certified by an oracle that applies the
     # same closure rule.
     "stream_outer_click_purchase": 7,
+    # r07 session: distributed maximal matching (local-max edge race with
+    # deterministic md5 priorities; round-replaying oracle, the edge-world
+    # sibling of g_mis) — fixture + scale variants.
+    "g_matching": 7,
+    "g_matching_scale": 7,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

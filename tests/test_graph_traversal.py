@@ -1783,3 +1783,56 @@ def test_graph_summary_on_reference_fixtures(spark):
     g7 = out[7]
     assert (g7.n_vertices, g7.n_undirected_edges) == (7, 6)
     assert g7.density == pytest.approx(6 / 21)
+
+
+def _py_matching(g, edge_rows, max_rounds=1000):
+    """Independent maximal-matching reference with the identical documented
+    edge-priority hash rule (local max at BOTH endpoints wins)."""
+    import hashlib
+
+    active = {(min(s, d), max(s, d)) for s, d in edge_rows if s != d}
+    chosen = {}
+    for rnd in range(1, max_rounds + 1):
+        if not active:
+            break
+        pri = {
+            e: (int(hashlib.md5(f"{g}|{e[0]}|{e[1]}|{rnd}".encode())
+                    .hexdigest()[:15], 16), e[0], e[1])
+            for e in active
+        }
+        winners = {
+            e for e in active
+            if all(pri[e] >= pri[f] for f in active if set(e) & set(f))
+        }
+        for e in winners:
+            chosen[e] = rnd
+        matched = {v for e in winners for v in e}
+        active = {e for e in active if not (set(e) & matched)}
+    return chosen
+
+
+def test_matching_matches_python_reference_and_is_maximal(spark):
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        maximal_matching,
+    )
+
+    rng = random.Random(71)
+    n = 40
+    edge_rows = [
+        (s, d) for s in range(n) for d in range(s + 1, n) if rng.random() < 0.12
+    ]
+    df = spark.createDataFrame(
+        [(13, s, d) for s, d in edge_rows], "graph_id INT, src INT, dst INT"
+    )
+    graphs = spark.createDataFrame([(13, n)], "graph_id INT, n INT")
+    got = {
+        (r.src, r.dst): r.round
+        for r in maximal_matching(spark, graphs, df).collect()
+    }
+    assert got == _py_matching(13, edge_rows)
+    # matching + maximality, checked structurally: matched edges are
+    # vertex-disjoint, and every input edge touches a matched vertex
+    matched_v = [v for e in got for v in e]
+    assert len(matched_v) == len(set(matched_v))
+    mv = set(matched_v)
+    assert all(s in mv or d in mv for s, d in edge_rows if s != d)
