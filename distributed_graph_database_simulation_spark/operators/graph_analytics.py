@@ -1804,6 +1804,112 @@ def maximal_matching(
     return chosen.select("graph_id", "src", "dst", "round")
 
 
+def densest_subgraph(
+    spark: SparkSession,
+    graphs: DataFrame,
+    edges: DataFrame,
+    max_rounds: int = 60,
+) -> DataFrame:
+    """Densest-subgraph 2(1+ε)-approximation by iterative peeling (the
+    Bahmani–Kumar–Vassilvitskii MapReduce scheme, ε = 0.1): each round
+    removes every vertex whose degree in the REMAINING subgraph is at
+    most 2(1+ε) times the subgraph's average density ρ = m/n, which
+    provably peels a constant fraction per round (O(log n) rounds) while
+    some surviving prefix has density ≥ ρ*/2(1+ε). The densest prefix
+    over the whole trajectory is the answer.
+
+    Fully deterministic — no RNG, and the peel predicate is the exact
+    integer cross-multiplication ``deg · n · 10 <= 11 · m2`` (m2 = twice
+    the undirected edge count, 2(1+ε) = 22/10), so both engines make
+    bit-identical peel decisions; the best round is the argmax of m2/n
+    (an IEEE double of two bounded ints — distinct fractions with n ≤
+    ~1e6 differ by far more than one ulp), ties to the earliest round.
+
+    Scale: per round one subgraph degree aggregate (partial-combined on
+    the (graph_id, vertex) key) + keyed semi/anti joins; the only
+    driver-side state is one (n, m2) row per graph per round — the same
+    bounded-collect contract as the superstep convergence checks.
+
+    Returns (graph_id, vertex, peel_round, in_densest) for every vertex:
+    ``peel_round`` = the round the vertex was removed (a pure function
+    of the graph), ``in_densest`` = membership in the best-density
+    prefix S_t = {v : peel_round >= t}.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    ck = checkpoint_dir(spark)
+    ue = (
+        undirected(edges)
+        .where(F.col("src") != F.col("dst"))
+        .select("graph_id", "src", "dst")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    active = barrier(vertices(graphs), eager=True, ckdir=ck)
+    peeled_parts = []
+    stats: dict[int, list[tuple[int, int, int]]] = {}  # g -> [(t, n, m2)]
+    for t in range(1, max_rounds + 1):
+        act_e = (
+            ue.join(
+                active.select("graph_id", F.col("vertex").alias("src")),
+                ["graph_id", "src"],
+                "left_semi",
+            ).join(
+                active.select("graph_id", F.col("vertex").alias("dst")),
+                ["graph_id", "dst"],
+                "left_semi",
+            )
+        )
+        g_n = active.groupBy("graph_id").agg(F.count("*").alias("nt"))
+        g_m = act_e.groupBy("graph_id").agg(F.count("*").alias("m2"))
+        g_stats = (
+            g_n.join(g_m, "graph_id", "left")
+            .select("graph_id", "nt", F.coalesce("m2", F.lit(0)).alias("m2"))
+        )
+        rows = g_stats.collect()  # bounded: one row per graph
+        if not rows:
+            break
+        for r in rows:
+            stats.setdefault(r["graph_id"], []).append((t, r["nt"], r["m2"]))
+        deg = act_e.groupBy("graph_id", F.col("src").alias("vertex")).agg(
+            F.count("*").alias("deg")
+        )
+        peel = (
+            active.join(deg, ["graph_id", "vertex"], "left")
+            .join(F.broadcast(g_stats), "graph_id")
+            .where(
+                F.coalesce("deg", F.lit(0)) * F.col("nt") * 10 <= 11 * F.col("m2")
+            )
+            .select("graph_id", "vertex", F.lit(t).cast("int").alias("peel_round"))
+        )
+        peel = barrier(peel, eager=True, ckdir=ck)
+        peeled_parts.append(peel)
+        active = barrier(
+            active.join(peel, ["graph_id", "vertex"], "left_anti"),
+            eager=True,
+            ckdir=ck,
+        )
+    out = peeled_parts[0]
+    for p in peeled_parts[1:]:
+        out = out.unionByName(p)
+    best = [
+        (g, min((t for t, nt, m2 in hist
+                 if m2 / nt == max(m2_ / nt_ for _, nt_, m2_ in hist))))
+        for g, hist in stats.items()
+    ]
+    best_df = spark.createDataFrame(best, "graph_id int, best_t int")
+    ue.unpersist()
+    return (
+        out.join(F.broadcast(best_df), "graph_id")
+        .select(
+            "graph_id",
+            "vertex",
+            "peel_round",
+            (F.col("peel_round") >= F.col("best_t")).alias("in_densest"),
+        )
+    )
+
+
 def temporal_reachability(
     spark: SparkSession,
     edges: DataFrame,

@@ -1244,6 +1244,151 @@ MATCHING_SCALE_SQL = _matching_sql(
 )
 
 
+# Densest subgraph needs a graph whose density DISCRIMINATES: the plain
+# scale graph is near-regular (everything peels in round 1, answer = whole
+# graph — vacuous). This derived graph plants a ~15-vertex dense core
+# (orders-keyed near-clique) inside a sparse 101-vertex periphery, so the
+# peeling trajectory has a real argmax.
+_DENSEST_EDGES_BODY = f"""
+SELECT DISTINCT src, dst FROM (
+  SELECT CAST(o_orderkey % 15 AS INT)      AS src,
+         CAST((o_custkey * 31) % 15 AS INT) AS dst
+  FROM orders
+  WHERE o_orderkey % 15 <> (o_custkey * 31) % 15
+  UNION ALL
+  SELECT CAST(o_orderkey % {fixtures.SCALE_V} AS INT),
+         CAST((o_orderkey * 37 + o_custkey) % {fixtures.SCALE_V} AS INT)
+  FROM orders
+  WHERE o_orderkey % 97 < 1
+    AND o_orderkey % {fixtures.SCALE_V} <> (o_orderkey * 37 + o_custkey) % {fixtures.SCALE_V}
+)
+"""
+
+
+def densest_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densest-subgraph peeling (Bahmani et al. 2(1+ε)-approx,
+    :func:`~.graph_analytics.densest_subgraph`) on the planted-core
+    graph: the sparse periphery peels early, the near-clique core is the
+    best-density prefix. The oracle replays the peel rounds with the
+    identical integer cross-multiplied predicate and picks the argmax
+    round by exact-fraction density compare."""
+    from ..sources.graph_text import GRAPH_SCHEMA
+    from ..sources.tables import load_table
+    from .graph_analytics import densest_subgraph
+
+    # DataFrame mirror of _DENSEST_EDGES_BODY (catalog isolation — same
+    # reasoning as temporal_reach_scale / scc_scale).
+    orders = load_table(spark, sf_dir, "orders")
+    v = F.lit(fixtures.SCALE_V)
+    core = orders.select(
+        (F.col("o_orderkey") % 15).cast("int").alias("src"),
+        ((F.col("o_custkey") * 31) % 15).cast("int").alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    sparse = (
+        orders.where(F.col("o_orderkey") % 97 < 1)
+        .select(
+            (F.col("o_orderkey") % v).cast("int").alias("src"),
+            ((F.col("o_orderkey") * 37 + F.col("o_custkey")) % v)
+            .cast("int")
+            .alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    edges = (
+        core.unionByName(sparse)
+        .distinct()
+        .select(F.lit(1).cast("int").alias("graph_id"), "src", "dst")
+    )
+    graphs = spark.createDataFrame([(1, fixtures.SCALE_V)], GRAPH_SCHEMA)
+    return densest_subgraph(spark, graphs, edges)
+
+
+def _densest_sql(edges_cte: str, graphs_cte: str, rounds: int) -> str:
+    """Unrolled peel oracle: per round, per-graph (n, m2) stats over the
+    remaining subgraph, then remove vertices with
+    deg · n · 10 <= 11 · m2 (the exact-integer form of
+    deg <= 2(1+ε)·m/n at ε = 0.1). Best round per graph = max density
+    m2/n (exact double of bounded ints), ties to the earliest round;
+    in_densest = peel_round >= best round."""
+    parts = [
+        f"WITH dsq_edges AS ({edges_cte}),",
+        f"dsq_graphs(graph_id, n) AS ({graphs_cte}),",
+        """dsq_ue AS MATERIALIZED (
+  SELECT DISTINCT graph_id, src, dst FROM (
+    SELECT graph_id, src, dst FROM dsq_edges WHERE src <> dst
+    UNION ALL
+    SELECT graph_id, dst, src FROM dsq_edges WHERE src <> dst)
+),
+dsa0 AS MATERIALIZED (
+  SELECT graph_id, CAST(UNNEST(range(n)) AS INT) AS vertex FROM dsq_graphs
+)""",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f""",
+dst{t} AS MATERIALIZED (
+  SELECT a.graph_id, COUNT(*) AS nt, COALESCE(MAX(e.m2), 0) AS m2
+  FROM dsa{t - 1} a
+  LEFT JOIN (
+    SELECT e.graph_id, COUNT(*) AS m2 FROM dsq_ue e
+    JOIN dsa{t - 1} x ON x.graph_id = e.graph_id AND x.vertex = e.src
+    JOIN dsa{t - 1} y ON y.graph_id = e.graph_id AND y.vertex = e.dst
+    GROUP BY e.graph_id) e ON e.graph_id = a.graph_id
+  GROUP BY a.graph_id
+),
+dsp{t} AS MATERIALIZED (
+  SELECT a.graph_id, a.vertex
+  FROM dsa{t - 1} a
+  JOIN dst{t} s ON s.graph_id = a.graph_id
+  LEFT JOIN (
+    SELECT e.graph_id, e.src AS vertex, COUNT(*) AS deg FROM dsq_ue e
+    JOIN dsa{t - 1} x ON x.graph_id = e.graph_id AND x.vertex = e.src
+    JOIN dsa{t - 1} y ON y.graph_id = e.graph_id AND y.vertex = e.dst
+    GROUP BY e.graph_id, e.src) d
+    ON d.graph_id = a.graph_id AND d.vertex = a.vertex
+  WHERE COALESCE(d.deg, 0) * s.nt * 10 <= 11 * s.m2
+),
+dsa{t} AS MATERIALIZED (
+  SELECT a.graph_id, a.vertex FROM dsa{t - 1} a
+  LEFT JOIN dsp{t} p ON p.graph_id = a.graph_id AND p.vertex = a.vertex
+  WHERE p.vertex IS NULL
+)"""
+        )
+    rounds_union = " UNION ALL ".join(
+        f"SELECT graph_id, vertex, CAST({t} AS INT) AS peel_round FROM dsp{t}"
+        for t in range(1, rounds + 1)
+    )
+    stats_union = " UNION ALL ".join(
+        f"SELECT graph_id, {t} AS t, nt, m2 FROM dst{t} WHERE nt > 0"
+        for t in range(1, rounds + 1)
+    )
+    parts.append(
+        f""",
+dsq_peels AS ({rounds_union}),
+dsq_stats AS ({stats_union}),
+dsq_best AS (
+  SELECT graph_id, t AS best_t FROM (
+    SELECT graph_id, t,
+           row_number() OVER (
+             PARTITION BY graph_id
+             ORDER BY CAST(m2 AS DOUBLE) / nt DESC, t) AS rk
+    FROM dsq_stats)
+  WHERE rk = 1
+)
+SELECT p.graph_id, p.vertex, p.peel_round,
+       p.peel_round >= b.best_t AS in_densest
+FROM dsq_peels p JOIN dsq_best b ON b.graph_id = p.graph_id"""
+    )
+    return "\n".join(parts)
+
+
+DENSEST_SCALE_SQL = _densest_sql(
+    f"SELECT CAST(1 AS INT) AS graph_id, src, dst FROM ({_DENSEST_EDGES_BODY}) de",
+    f"VALUES (1, {fixtures.SCALE_V})",
+    rounds=12,
+)
+
+
 BETWEENNESS_K_PIVOTS = 8
 BETWEENNESS_LEVELS = 12  # > max BFS depth from any pivot at every shipped sf
 
@@ -2445,4 +2590,5 @@ GRAPH_QUERIES: dict[str, tuple] = {
     ),
     "g_matching": (matching_fixture, MATCHING_SQL),
     "g_matching_scale": (matching_scale, MATCHING_SCALE_SQL),
+    "g_densest_scale": (densest_scale, DENSEST_SCALE_SQL),
 }

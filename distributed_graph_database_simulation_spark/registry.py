@@ -195,6 +195,10 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # sibling of g_mis) — fixture + scale variants.
     "g_matching": 7,
     "g_matching_scale": 7,
+    # r07 session: densest subgraph (Bahmani et al. 2(1+eps) peeling,
+    # exact integer peel predicate, round-replaying oracle) on a
+    # planted-core graph the peeling recovers exactly.
+    "g_densest_scale": 7,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

@@ -1836,3 +1836,57 @@ def test_matching_matches_python_reference_and_is_maximal(spark):
     assert len(matched_v) == len(set(matched_v))
     mv = set(matched_v)
     assert all(s in mv or d in mv for s, d in edge_rows if s != d)
+
+
+def test_densest_subgraph_peels_to_planted_core(spark):
+    """Peeling must recover a planted near-clique inside a sparse
+    periphery, replaying exactly the documented integer peel predicate
+    (deg * n * 10 <= 11 * m2); verified against an independent Python
+    peeling of the same graph."""
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        densest_subgraph,
+    )
+
+    n = 40
+    core = [(s, d) for s in range(8) for d in range(s + 1, 8)]  # K8
+    rng = random.Random(17)
+    periphery = [
+        (s, d) for s in range(8, n) for d in range(s + 1, n) if rng.random() < 0.04
+    ]
+    edge_rows = core + periphery + [(0, 20), (3, 25)]  # bridge the core in
+    df = spark.createDataFrame(
+        [(9, s, d) for s, d in edge_rows], "graph_id INT, src INT, dst INT"
+    )
+    graphs = spark.createDataFrame([(9, n)], "graph_id INT, n INT")
+    got = {
+        r.vertex: (r.peel_round, r.in_densest)
+        for r in densest_subgraph(spark, graphs, df).collect()
+    }
+    # independent Python replay
+    ue = {(s, d) for s, d in edge_rows if s != d} | {
+        (d, s) for s, d in edge_rows if s != d
+    }
+    active, peel, t = set(range(n)), {}, 0
+    while active:
+        t += 1
+        sub = {(s, d) for s, d in ue if s in active and d in active}
+        m2, nt = len(sub), len(active)
+        deg = {v: 0 for v in active}
+        for s, _ in sub:
+            deg[s] += 1
+        removed = {v for v in active if deg[v] * nt * 10 <= 11 * m2}
+        for v in removed:
+            peel[v] = (t, nt, m2)
+        active -= removed
+    hist = {}
+    for v, (pt, nt, m2) in peel.items():
+        hist[pt] = (nt, m2)
+    best_t = min(
+        (t for t in hist if hist[t][1] / hist[t][0]
+         == max(m2 / nt for nt, m2 in hist.values()))
+    )
+    want = {v: (pt, pt >= best_t) for v, (pt, _, _) in peel.items()}
+    assert got == want
+    densest = {v for v, (_, ind) in got.items() if ind}
+    assert set(range(8)) <= densest  # the K8 core survives to the best prefix
+    assert len(densest) < n // 2     # and the sparse periphery does not
