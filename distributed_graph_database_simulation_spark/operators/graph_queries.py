@@ -115,6 +115,23 @@ def dfs_leaves_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dfs_leaves(spark, fixtures.fixture_edges_df(spark), list(fixtures.DFS_LEAF_PINS))
 
 
+# GOLDEN oracle (r07 verdict "missing" #2), not an independent computation:
+# DFS leaf sets are traversal-order-dependent and have no SQL form, but the
+# leaf SET is deterministic given the reference's ascending-neighbor order
+# (secondary_server.c:142-176), so the hand-computed pins in
+# fixtures.DFS_LEAF_PINS — themselves cross-checked against an independent
+# iterative Python DFS in tests/test_graph_traversal.py — serve as a VALUES
+# literal the driver can hash-compare. Generated from the pins at import
+# time so oracle and engine can never drift apart silently.
+DFS_LEAVES_GOLDEN_SQL = "SELECT graph_id, vertex FROM (VALUES {rows}) AS t(graph_id, vertex)".format(
+    rows=", ".join(
+        f"({gid}, {v})"
+        for (gid, _start), leaves in sorted(fixtures.DFS_LEAF_PINS.items())
+        for v in sorted(leaves)
+    )
+)
+
+
 def reachable_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_levels(spark, fixtures.fixture_edges_df(spark), PIN_STARTS).select(
         "graph_id", "vertex"
@@ -2513,7 +2530,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "g_bfs_levels": (bfs_levels_fixture, BFS_LEVELS_SQL),
     "g_bfs_levels_kernel": (bfs_levels_kernel_fixture, BFS_LEVELS_SQL),
     "g_bfs_levels_alt": (bfs_levels_alt_starts, BFS_LEVELS_ALT_SQL),
-    "g_dfs_leaves": (dfs_leaves_fixture, None),
+    "g_dfs_leaves": (dfs_leaves_fixture, DFS_LEAVES_GOLDEN_SQL),
     "g_dfs_leaves_scale": (dfs_leaves_scale, None),
     "g_reachable": (reachable_fixture, REACHABLE_SQL),
     "g_connected_components": (connected_components_fixture, CONNECTED_COMPONENTS_SQL),

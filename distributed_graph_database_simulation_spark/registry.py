@@ -37,29 +37,32 @@ from .streaming.windowed import STREAMING_QUERIES
 # fixture variants (all hash-exact green in CORRECTNESS_r01) go in the tail.
 CHECK_WINDOW = 50
 
-# r07 rotation: the final 25 never-driver-checked entries (the declared
-# STAGED stock of r06, each pre-verified hash-exact locally at sf0.001 AND
-# sf0.01 before staging, and independently re-swept green by the r06 judge)
-# enter the gate. Rotated to the tail in exchange: multiply-certified
-# veterans only (2-6 green rows each across CORRECTNESS_r01-r06):
-# g_common_neighbors(+capped)/adamic_adar_capped/bfs_scale/store_roundtrip/
-# text_scan, the dedup pair-finder family (ngram/minhash/clusters/simhash/
-# embedding_cosine — exact-dedup stays as the documents-shape canary), six
-# text veterans (tfidf/pmi keep gating for a 2nd row), mm_frame_sample +
-# mm_audio_features, rel_udaf/udtf/events_hourly/asof/salted, and
-# stream_events_hourly. All eight canary names
-# (tests/test_registry_window.py::test_canary_smoke*) and all 15
-# R06_NEW_ENTRIES remain in the window, so every r06 guard holds verbatim.
-# After this rotation every registry entry has gated at least once.
+# r08 rotation: the 10 r07-staged entries (each pre-verified hash-exact
+# locally at sf0.001 AND sf0.01 before staging, and independently re-swept
+# green by the r07 judge) enter the gate, PLUS six RE-AUDIT slots — the r07
+# ADVICE note that "nothing schedules veterans for periodic re-gating" —
+# bringing back one long-rotated-out veteran per family for a fresh driver
+# row (g_connected_components_scale, g_triangles_scale, dedup_minhash_lsh,
+# text_language_id, mm_wav_decode, rel_asof_join; 1-5 green rows each,
+# last gated r05/r06). Rotated to the tail in exchange: 16 multiply-
+# certified entries only (2-7 green rows each across CORRECTNESS_r01-r07):
+# g_core_numbers/modularity/landmark_distances/temporal_reach,
+# dedup_containment/dup_spans, text_tfidf/pmi, pipe_winsorize,
+# rel_funnel/scd2/rolling_zscore, mm_png_decode, sim_topk_bruteforce,
+# stream_stateful_user_totals/stream_click_purchase. All eight canary names
+# (tests/test_registry_window.py::test_canary_smoke*) remain in the window.
 _WINDOW_ORDER = [
     # -- graph essentials (reference ops 1-5 + north-star analytics) --------
     "g_bfs_levels",
     "g_dfs_leaves",
-    "g_core_numbers",
-    "g_modularity_scale",
-    "g_landmark_distances_scale",
-    "g_temporal_reach_scale",
-    # -- r07 wave: graph analytics library (staged r06, first driver rows) --
+    # -- r08 re-audit slots: veterans return for a fresh driver row ---------
+    "g_connected_components_scale",
+    "g_triangles_scale",
+    "dedup_minhash_lsh",
+    "text_language_id",
+    "mm_wav_decode",
+    "rel_asof_join",
+    # -- r07 wave, 2nd driver row: graph analytics library ------------------
     "g_graph_summary",
     "g_clustering_coefficient_scale",
     "g_eccentricity",
@@ -78,33 +81,32 @@ _WINDOW_ORDER = [
     "g_mis",
     "g_coloring",
     "g_betweenness_sampled_scale",
+    # -- r08 wave: the r07-staged stock (first driver rows) -----------------
+    "g_pagerank_personalized_scale",
+    "g_matching",
+    "g_matching_scale",
+    "g_densest_scale",
+    "sim_kmeans",
+    "text_gopher_rules",
+    "text_bigram_lm",
+    "pipe_cdc_chunks",
+    "stream_hourly_file_sink",
+    "stream_outer_click_purchase",
     # -- LLM-pipeline surface ----------------------------------------------
     "dedup_exact",
-    "dedup_containment",
-    "dedup_dup_spans",
     "dedup_scrub_spans",
-    "sim_topk_bruteforce",
-    "text_tfidf",
-    "text_pmi",
     "text_unigram_lm",
-    "pipe_winsorize",
     "pipe_split",
     "pipe_cap_per_source",
     "pipe_token_budget",
     "pipe_select_quality",
     "pipe_pack_sequences",
     "mm_image_features",
-    "mm_png_decode",
-    "stream_stateful_user_totals",
-    "stream_stream_click_purchase",
     "stream_dedup_events",
     # -- events + relational library --------------------------------------
     "rel_scalar_events",
     "rel_event_sessions",
-    "rel_funnel",
-    "rel_scd2",
     "rel_resample_ffill",
-    "rel_rolling_zscore",
     "rel_interval_overlap",
 ]
 
@@ -160,46 +162,7 @@ ALL_QUERIES.update({name: spec for name, spec in _POOL.items() if name not in AL
 # guard (tests/test_registry_window.py) asserts every staged entry gains a
 # driver row within 2 rounds of its declaration — staging is a queue for
 # the next rotation, not a parking lot where an entry can dodge the gate.
-STAGED_DECLARED_ROUND: dict[str, int] = {
-    # r07 session: personalized PageRank (random walk with restart) — the
-    # last SQL-expressible r5 candidate (COVERAGE.md #11); unrolled
-    # power-iteration oracle in integer micro-rank units, the proven
-    # g_pagerank_weighted_scale pattern.
-    "g_pagerank_personalized_scale": 7,
-    # r07 session: the streaming PRODUCTION sink shape (append mode +
-    # watermark + parquet file sink + checkpoint) with the oracle
-    # restricted to watermark-closed windows — closes the r04-r06 carried
-    # caveat that only complete-mode memory sinks gated.
-    "stream_hourly_file_sink": 7,
-    # r07 session: Gopher/MassiveText-style composite quality gate — every
-    # rule and the AND-composite vary at the gate sf (244/500 keep).
-    "text_gopher_rules": 7,
-    # r07 session: interpolated bigram LM in integer micro-bits — the
-    # context-aware rung above text_unigram_lm.
-    "text_bigram_lm": 7,
-    # r07 session: content-defined chunking (FastCDC family, md5-gated
-    # token-window boundaries) — boundaries move with content, pinned
-    # shift-invariance the fixed-stride chunker cannot have.
-    "pipe_cdc_chunks": 7,
-    # r07 session: deterministic quantized k-means (trained clustering in
-    # exact BIGINT arithmetic; unrolled Lloyd oracle) — the trained
-    # counterpart to the IVF router's untrained grid centroids.
-    "sim_kmeans": 7,
-    # r07 session: stream-stream LEFT OUTER interval join — null-extended
-    # rows gated by the per-side global watermark (min over both sides of
-    # max event time - delay), certified by an oracle that applies the
-    # same closure rule.
-    "stream_outer_click_purchase": 7,
-    # r07 session: distributed maximal matching (local-max edge race with
-    # deterministic md5 priorities; round-replaying oracle, the edge-world
-    # sibling of g_mis) — fixture + scale variants.
-    "g_matching": 7,
-    "g_matching_scale": 7,
-    # r07 session: densest subgraph (Bahmani et al. 2(1+eps) peeling,
-    # exact integer peel predicate, round-replaying oracle) on a
-    # planted-core graph the peeling recovers exactly.
-    "g_densest_scale": 7,
-}
+STAGED_DECLARED_ROUND: dict[str, int] = {}
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)
 

@@ -73,31 +73,72 @@ R07_ROTATED_OUT = (
 )
 
 
+R08_NEW_ENTRIES = (
+    "g_pagerank_personalized_scale", "g_matching", "g_matching_scale",
+    "g_densest_scale", "sim_kmeans", "text_gopher_rules", "text_bigram_lm",
+    "pipe_cdc_chunks", "stream_hourly_file_sink",
+    "stream_outer_click_purchase",
+)
+
+# r08 re-audit slots (r07 ADVICE: "nothing schedules veterans for periodic
+# re-gating"): one long-rotated-out veteran per family returns to the gate
+# for a fresh driver row. Each already has 1-5 green CORRECTNESS rows.
+R08_REAUDIT = (
+    "g_connected_components_scale", "g_triangles_scale", "dedup_minhash_lsh",
+    "text_language_id", "mm_wav_decode", "rel_asof_join",
+)
+
+R08_ROTATED_OUT = (
+    "g_core_numbers", "g_modularity_scale", "g_landmark_distances_scale",
+    "g_temporal_reach_scale", "dedup_containment", "dedup_dup_spans",
+    "text_tfidf", "text_pmi", "pipe_winsorize", "rel_funnel", "rel_scd2",
+    "rel_rolling_zscore", "mm_png_decode", "sim_topk_bruteforce",
+    "stream_stateful_user_totals", "stream_stream_click_purchase",
+)
+
+
+def test_r08_rotation_certifies_staged_stock_and_reaudits():
+    """Round 8 rotates the 10-entry r07 staged stock (pre-verified locally
+    at sf0.001 + sf0.01 and independently re-swept by the r07 judge) plus
+    six re-audit veterans into the gate, in exchange for 16 multiply-
+    certified entries (2-7 green rows each, verified against the
+    CORRECTNESS_r01-r07 union when this rotation was cut)."""
+    w = window_names()
+    q = registry.queries()
+    for name in R08_NEW_ENTRIES + R08_REAUDIT:
+        assert name in w, name
+    for name in R08_ROTATED_OUT:
+        assert name in q and name not in w, name
+
+
 def test_r07_rotation_certifies_staged_stock():
-    """Round 7 rotates the full 25-entry staged stock (declared in r06 as
-    registry.STAGED_NEXT_ROTATION, each pre-verified hash-green locally at
-    sf0.001 + sf0.01 and independently re-swept by the r06 judge) into the
-    gate in exchange for 25 multiply-certified veterans (2-6 green rows
-    each). After this rotation every registry entry has gated at least
-    once; earlier certifications live on in CORRECTNESS_r*.json history."""
+    """Round 7 rotated the full 25-entry r06 staged stock into the gate.
+    Those entries stay in the window for a second driver row in r08 unless
+    this round's rotation displaced them; the r07 rotated-out veterans stay
+    registered in the tail (their certification lives in CORRECTNESS
+    history) except the six r08 re-audit returnees."""
     w = window_names()
     q = registry.queries()
     for name in R07_NEW_ENTRIES:
-        assert name in w, name
+        assert name in q, name
+        assert (name in w) == (name not in R08_ROTATED_OUT), name
     for name in R07_ROTATED_OUT:
-        assert name in q and name not in w, name
+        assert name in q, name
+        assert (name in w) == (name in R08_REAUDIT), name
 
 
 def test_r06_rotation_certifies_library_wave():
     """Round 6 rotated the 15 round-5 library-wave operators into the gate;
-    all 15 keep gating in r07 (for a second driver row) while the entries
-    they displaced stay registered in the tail."""
+    each now has >=2 green driver rows (r06+r07) and may rotate to the tail.
+    All r06-era entries stay registered."""
     w = window_names()
     q = registry.queries()
     for name in R06_NEW_ENTRIES:
-        assert name in w, name
+        assert name in q, name
+        assert (name in w) == (name not in R08_ROTATED_OUT), name
     for name in R06_ROTATED_OUT:
-        assert name in q and name not in w, name
+        assert name in q, name
+        assert (name in w) == (name in R08_REAUDIT), name
     # earlier rotations' tail entries stay registered too
     for name in ("g_reachable", "text_token_count", "g_connected_components",
                  "g_degrees_scale", "text_fingerprint", "text_repetition"):
@@ -173,9 +214,9 @@ def test_window_entries_without_history_are_this_rounds_rotation():
     pre-verification step the rotation playbook requires."""
     green = _green_history()
     awaiting = set(window_names()) - green
-    assert awaiting <= set(R07_NEW_ENTRIES), (
+    assert awaiting <= set(R08_NEW_ENTRIES), (
         f"window entries with no driver history outside this round's "
-        f"rotation: {sorted(awaiting - set(R07_NEW_ENTRIES))}"
+        f"rotation: {sorted(awaiting - set(R08_NEW_ENTRIES))}"
     )
 
 
@@ -199,11 +240,11 @@ def test_capped_link_prediction_is_non_vacuous_at_gate_sf(spark):
 
 def test_every_window_entry_has_oracle_or_documented_rows_only():
     oracles = registry.oracle_sql()
-    # rows-only-by-design (SURVEY §5): only the traversal-order-dependent
-    # DFS remains in the gate without an oracle after the r06 rotation
-    # (the probabilistic ANN entries rotated to the tail).
+    # r08: the window is fully oracle-backed for the first time —
+    # g_dfs_leaves gained a golden VALUES oracle generated from the
+    # hand-verified fixtures.DFS_LEAF_PINS (r07 verdict "missing" #2).
     rows_only = {n for n in window_names() if n not in oracles}
-    assert rows_only == {"g_dfs_leaves"}
+    assert rows_only == set()
 
 
 def test_canary_smoke_representative_window_queries():
