@@ -802,8 +802,9 @@ def dedup_embedding_cosine_prefiltered(
     the scale route past the exact-search ceiling (> COSINE_EXACT_MAX_ROWS).
 
     Candidate generation reuses the hyperplane signatures from
-    ``similarity._signatures`` (sign bits from xxhash64-derived planes —
-    engine-deterministic). The banding shuffle is NARROW: only (vec_id,
+    ``similarity._signatures`` (sign bits of exact integer projections on
+    md5-derived planes — deterministic and portable across engines). The
+    banding shuffle is NARROW: only (vec_id,
     table_id, bucket) flows through the self-join; vectors are joined back
     per candidate pair, and the cosine is computed with the same
     sequential-order arithmetic as the exact kernels (``_dot`` accumulation

@@ -1,0 +1,55 @@
+"""Cache-ownership policy pin (r07 verdict "what's wrong" #1).
+
+Operators that persist() intermediates fall in two classes:
+
+- **Iterative graph algorithms** own their caches: they materialize rounds
+  internally and unpersist before returning (e.g.
+  ``graph_analytics.py`` pagerank/cc/sssp — persist + unpersist pairs).
+- **Lazy-plan operators** (dedup pair-finders, text tf/top tables) persist
+  blocks that the RETURNED plan still needs, so they cannot release them
+  themselves; the HARNESS that materializes the plan is the owner that
+  releases (``tools/check_oracles.py`` and ``bench.py`` both
+  ``spark.catalog.clearCache()`` after each query, outside the timed
+  region).
+
+This test pins the policy end-to-end: materializing the persist-heaviest
+dedup/text operators the way the harnesses do must leave ZERO persisted
+blocks behind — a full registry sweep accumulates nothing.
+"""
+
+from distributed_graph_database_simulation_spark import registry
+
+PERSISTING_QUERIES = [
+    "dedup_ngram_jaccard",   # dedup.py shingle table persist
+    "dedup_minhash_lsh",     # dedup.py signature pipeline persist
+    "dedup_dup_spans",       # dedup.py positional k-gram persist
+    "dedup_containment",     # dedup.py shingle persist (asymmetric)
+    "text_tfidf",            # text_analysis.py tf table persist
+    "text_pmi",              # text_analysis.py window/top persist
+]
+
+
+def _n_persisted(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_harness_cache_release_leaves_no_persisted_blocks(spark, sf_dir):
+    q = registry.queries()
+    spark.catalog.clearCache()  # isolate from earlier tests in the session
+    for name in PERSISTING_QUERIES:
+        q[name](spark, sf_dir).count()
+        spark.catalog.clearCache()
+        assert _n_persisted(spark) == 0, (
+            f"{name}: persisted blocks survive clearCache — an intermediate "
+            f"was cached outside spark.catalog (e.g. raw RDD persist)"
+        )
+
+
+def test_iterative_graph_ops_release_their_own_caches(spark, sf_dir):
+    """Graph algorithms persist edges internally and must unpersist before
+    returning — WITHOUT any harness clearCache."""
+    q = registry.queries()
+    spark.catalog.clearCache()
+    for name in ("g_pagerank_weighted_scale", "g_cc_contraction_scale"):
+        q[name](spark, sf_dir).count()
+        assert _n_persisted(spark) == 0, f"{name} leaked a persisted block"

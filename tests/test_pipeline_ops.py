@@ -794,20 +794,36 @@ def test_shard_assign_layout_properties(spark, sf_dir):
 
 
 def test_signature_literal_planes_match_inline_hash_derivation(spark, sf_dir):
-    """_signatures materializes hyperplanes as array literals (one tiny hash
-    job) instead of per-element xxhash64; buckets must be bit-identical to
-    the inline derivation it replaced."""
+    """_signatures materializes hyperplane weights as hashlib-computed array
+    literals (driver-side, no job); buckets must be bit-identical to an
+    inline Spark F.md5 derivation of the same weights — the cross-engine
+    pin that lets the DuckDB oracle re-derive the planes with its own md5()."""
     df = similarity._with_norm(similarity._emb(spark, sf_dir)).limit(8)
     got = {
         (r.vec_id, r.table_id): r.bucket
         for r in similarity._signatures(df).collect()
     }
     dim = F.size(F.col("e"))
+    q = F.transform(
+        "e", lambda x: F.round(x * similarity.LSH_QUANT_SCALE).cast("bigint")
+    )
 
     def plane(t, b):
         def component(i):
-            h = F.pmod(F.xxhash64(F.lit(t), F.lit(b), i), F.lit(100003)).cast("double")
-            return h / F.lit(50001.5) - F.lit(1.0)
+            h = F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.lit(str(t)), F.lit(str(b)), i.cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            return h % similarity.LSH_PLANE_MOD - similarity.LSH_PLANE_CENTER
 
         return component
 
@@ -816,11 +832,11 @@ def test_signature_literal_planes_match_inline_hash_derivation(spark, sf_dir):
         for b in range(similarity.LSH_BITS):
             proj = F.aggregate(
                 F.zip_with(
-                    F.col("e"),
+                    q,
                     F.transform(F.sequence(F.lit(0), dim - 1), plane(t, b)),
                     lambda x, p: x * p,
                 ),
-                F.lit(0.0),
+                F.lit(0).cast("bigint"),
                 lambda acc, v: acc + v,
             )
             bucket = bucket.bitwiseOR(
