@@ -37,51 +37,63 @@ from .streaming.windowed import STREAMING_QUERIES
 # fixture variants (all hash-exact green in CORRECTNESS_r01) go in the tail.
 CHECK_WINDOW = 50
 
-# r08 rotation: the 10 r07-staged entries (each pre-verified hash-exact
-# locally at sf0.001 AND sf0.01 before staging, and independently re-swept
-# green by the r07 judge) enter the gate, PLUS six RE-AUDIT slots — the r07
-# ADVICE note that "nothing schedules veterans for periodic re-gating" —
-# bringing back one long-rotated-out veteran per family for a fresh driver
-# row (g_connected_components_scale, g_triangles_scale, dedup_minhash_lsh,
-# text_language_id, mm_wav_decode, rel_asof_join; 1-5 green rows each,
-# last gated r05/r06). Rotated to the tail in exchange: 16 multiply-
-# certified entries only (2-7 green rows each across CORRECTNESS_r01-r07):
-# g_core_numbers/modularity/landmark_distances/temporal_reach,
-# dedup_containment/dup_spans, text_tfidf/pmi, pipe_winsorize,
-# rel_funnel/scd2/rolling_zscore, mm_png_decode, sim_topk_bruteforce,
-# stream_stateful_user_totals/stream_click_purchase. All eight canary names
+# r09 rotation (two moves, both ordered by the r08 verdict):
+#
+# 1. FIRST DRIVER ROWS for ``sim_topk_lsh`` / ``sim_topk_ivf`` (r08 verdict
+#    "missing" #1): they gained exact md5-portable oracles in the r08 LSH
+#    rewrite but errored `no_oracle` in r02-r05 and never re-gated. Both
+#    pre-verified hash-exact at sf0.001 AND sf0.01 this session (the
+#    playbook's staging bar), rotated straight into the gate rather than
+#    parked in STAGED_DECLARED_ROUND — staging is for entries awaiting a
+#    FUTURE rotation, and this IS their rotation.
+# 2. SIXTEEN RE-AUDIT VETERANS (r08 verdict #6): entries last driver-green
+#    in r01-r04 return for a fresh row — g_degrees/pagerank/
+#    label_propagation/reachable/connected_components/degrees_scale/
+#    bfs_levels_kernel, text_token_count/fingerprint/repetition,
+#    rel_pricing_summary/topk_orders/rollup_shipping/pivot_returnflag/
+#    quantiles/outer_join. All 16 re-verified hash-exact at sf0.001 +
+#    sf0.01 this session before the swap. (g_triangles was considered and
+#    rejected: 0 rows at both gate sfs — a vacuous hash match, the r04
+#    capped-link-prediction lesson.)
+#
+# Rotated to the tail in exchange, all multiply-certified: the six r08
+# re-audit returnees (fresh r08 row on top of 1-5 historical rows) and
+# twelve r07-wave entries with 2 green rows each (r07+r08). Six r07-wave
+# iterative/scale entries stay for a 3rd row to keep the heavyweight graph
+# loops under the driver's eye. All eight canary names
 # (tests/test_registry_window.py::test_canary_smoke*) remain in the window.
 _WINDOW_ORDER = [
     # -- graph essentials (reference ops 1-5 + north-star analytics) --------
     "g_bfs_levels",
     "g_dfs_leaves",
-    # -- r08 re-audit slots: veterans return for a fresh driver row ---------
-    "g_connected_components_scale",
-    "g_triangles_scale",
-    "dedup_minhash_lsh",
-    "text_language_id",
-    "mm_wav_decode",
-    "rel_asof_join",
-    # -- r07 wave, 2nd driver row: graph analytics library ------------------
-    "g_graph_summary",
-    "g_clustering_coefficient_scale",
-    "g_eccentricity",
-    "g_scc_scale",
-    "g_wl_labels",
-    "g_keyed_store_upsert",
-    "g_pagerank_weighted_scale",
-    "g_harmonic_sampled_scale",
-    "g_diameter_double_sweep_scale",
-    "g_edge_diff_scale",
+    # -- r09 first-timers: ANN top-k, oracle-backed since the r08 rewrite ---
+    "sim_topk_lsh",
+    "sim_topk_ivf",
+    # -- r09 re-audit slots: r01-r04 veterans return for a fresh row --------
+    "g_bfs_levels_kernel",
+    "g_degrees",
+    "g_pagerank",
+    "g_label_propagation",
+    "g_reachable",
+    "g_connected_components",
+    "g_degrees_scale",
+    "text_token_count",
+    "text_fingerprint",
+    "text_repetition",
+    "rel_pricing_summary",
+    "rel_topk_orders",
+    "rel_rollup_shipping",
+    "rel_pivot_returnflag",
+    "rel_quantiles",
+    "rel_outer_join",
+    # -- r07 wave, 3rd driver row: heavyweight iterative graph loops --------
     "g_cc_contraction_scale",
-    "g_wl_fingerprint",
     "g_ktruss_scale",
     "g_sssp_tree_scale",
-    "g_edge_jaccard",
     "g_mis",
     "g_coloring",
     "g_betweenness_sampled_scale",
-    # -- r08 wave: the r07-staged stock (first driver rows) -----------------
+    # -- r08 wave, 2nd driver row ------------------------------------------
     "g_pagerank_personalized_scale",
     "g_matching",
     "g_matching_scale",

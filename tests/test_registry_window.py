@@ -96,53 +96,83 @@ R08_ROTATED_OUT = (
     "stream_stateful_user_totals", "stream_stream_click_purchase",
 )
 
+# r09 first-timers (r08 verdict "missing" #1): the ANN top-k pair gained
+# exact md5-portable oracles in the r08 LSH rewrite but had only
+# `err: no_oracle` driver rows (r02-r05); both pre-verified hash-exact at
+# sf0.001 + sf0.01 this session, then rotated straight into the gate.
+R09_NEW_ENTRIES = (
+    "sim_topk_lsh", "sim_topk_ivf",
+)
 
-def test_r08_rotation_certifies_staged_stock_and_reaudits():
-    """Round 8 rotates the 10-entry r07 staged stock (pre-verified locally
-    at sf0.001 + sf0.01 and independently re-swept by the r07 judge) plus
-    six re-audit veterans into the gate, in exchange for 16 multiply-
-    certified entries (2-7 green rows each, verified against the
-    CORRECTNESS_r01-r07 union when this rotation was cut)."""
-    w = window_names()
+# r09 re-audit slots (r08 verdict #6): sixteen veterans last driver-green
+# in r01-r04 return for a fresh row, all re-verified hash-exact at
+# sf0.001 + sf0.01 before the swap. g_triangles was rejected: 0 rows at
+# both gate sfs = vacuous hash match (the r04 lesson pinned below).
+R09_REAUDIT = (
+    "g_bfs_levels_kernel", "g_degrees", "g_pagerank", "g_label_propagation",
+    "g_reachable", "g_connected_components", "g_degrees_scale",
+    "text_token_count", "text_fingerprint", "text_repetition",
+    "rel_pricing_summary", "rel_topk_orders", "rel_rollup_shipping",
+    "rel_pivot_returnflag", "rel_quantiles", "rel_outer_join",
+)
+
+R09_ROTATED_OUT = (
+    # the six r08 re-audit returnees, freshly re-certified in r08
+    "g_connected_components_scale", "g_triangles_scale", "dedup_minhash_lsh",
+    "text_language_id", "mm_wav_decode", "rel_asof_join",
+    # twelve r07-wave entries with 2 green rows each (r07 + r08)
+    "g_graph_summary", "g_clustering_coefficient_scale", "g_eccentricity",
+    "g_scc_scale", "g_wl_labels", "g_keyed_store_upsert",
+    "g_pagerank_weighted_scale", "g_harmonic_sampled_scale",
+    "g_diameter_double_sweep_scale", "g_edge_diff_scale", "g_wl_fingerprint",
+    "g_edge_jaccard",
+)
+
+# Rotation ledger, newest first: (round, rotated-in, rotated-out). Window
+# membership for any name touched by a rotation is decided by the LATEST
+# rotation that mentions it — replaying this ledger replaces the
+# conditional chains the per-round tests used to carry.
+ROTATIONS = (
+    (9, R09_NEW_ENTRIES + R09_REAUDIT, R09_ROTATED_OUT),
+    (8, R08_NEW_ENTRIES + R08_REAUDIT, R08_ROTATED_OUT),
+    (7, R07_NEW_ENTRIES, R07_ROTATED_OUT),
+    (6, R06_NEW_ENTRIES, R06_ROTATED_OUT),
+)
+
+
+def expected_in_window(name):
+    """True/False per the latest rotation mentioning `name`; None if no
+    rotation ever touched it (an original window member or original tail
+    entry, pinned elsewhere)."""
+    for _, ins, outs in ROTATIONS:
+        if name in ins:
+            return True
+        if name in outs:
+            return False
+    return None
+
+
+def test_rotation_ledger_is_consistent():
+    """Each rotation's in/out sets must be disjoint and every name
+    registered; every ledger-touched name's membership must match the
+    actual window — one replayed invariant instead of per-round
+    conditionals."""
+    w = set(window_names())
     q = registry.queries()
-    for name in R08_NEW_ENTRIES + R08_REAUDIT:
-        assert name in w, name
-    for name in R08_ROTATED_OUT:
-        assert name in q and name not in w, name
+    for rnd, ins, outs in ROTATIONS:
+        assert not set(ins) & set(outs), rnd
+    touched = {n for _, ins, outs in ROTATIONS for n in (*ins, *outs)}
+    for name in touched:
+        assert name in q, name
+        assert (name in w) == expected_in_window(name), name
 
 
-def test_r07_rotation_certifies_staged_stock():
-    """Round 7 rotated the full 25-entry r06 staged stock into the gate.
-    Those entries stay in the window for a second driver row in r08 unless
-    this round's rotation displaced them; the r07 rotated-out veterans stay
-    registered in the tail (their certification lives in CORRECTNESS
-    history) except the six r08 re-audit returnees."""
-    w = window_names()
-    q = registry.queries()
-    for name in R07_NEW_ENTRIES:
-        assert name in q, name
-        assert (name in w) == (name not in R08_ROTATED_OUT), name
-    for name in R07_ROTATED_OUT:
-        assert name in q, name
-        assert (name in w) == (name in R08_REAUDIT), name
-
-
-def test_r06_rotation_certifies_library_wave():
-    """Round 6 rotated the 15 round-5 library-wave operators into the gate;
-    each now has >=2 green driver rows (r06+r07) and may rotate to the tail.
-    All r06-era entries stay registered."""
-    w = window_names()
-    q = registry.queries()
-    for name in R06_NEW_ENTRIES:
-        assert name in q, name
-        assert (name in w) == (name not in R08_ROTATED_OUT), name
-    for name in R06_ROTATED_OUT:
-        assert name in q, name
-        assert (name in w) == (name in R08_REAUDIT), name
-    # earlier rotations' tail entries stay registered too
-    for name in ("g_reachable", "text_token_count", "g_connected_components",
-                 "g_degrees_scale", "text_fingerprint", "text_repetition"):
-        assert name in q and name not in w, name
+def test_r09_rotation_swaps_balance():
+    """r09 swaps 18 in for 18 out, window stays exactly CHECK_WINDOW."""
+    assert len(R09_NEW_ENTRIES) + len(R09_REAUDIT) == len(R09_ROTATED_OUT) == 18
+    w = set(window_names())
+    assert set(R09_NEW_ENTRIES + R09_REAUDIT) <= w
+    assert not set(R09_ROTATED_OUT) & w
 
 
 def _green_history():
@@ -214,9 +244,9 @@ def test_window_entries_without_history_are_this_rounds_rotation():
     pre-verification step the rotation playbook requires."""
     green = _green_history()
     awaiting = set(window_names()) - green
-    assert awaiting <= set(R08_NEW_ENTRIES), (
+    assert awaiting <= set(R09_NEW_ENTRIES), (
         f"window entries with no driver history outside this round's "
-        f"rotation: {sorted(awaiting - set(R08_NEW_ENTRIES))}"
+        f"rotation: {sorted(awaiting - set(R09_NEW_ENTRIES))}"
     )
 
 
@@ -275,12 +305,14 @@ def test_canary_smoke_representative_window_queries():
 def test_canary_window_flag_selects_gate_prefix():
     # --window + explicit names intersects, preserving gate membership: a
     # tail-only name under --window selects nothing (exit fast, no Spark job
-    # beyond session startup is fine to pay once here).
+    # beyond session startup is fine to pay once here). Pick the probe from
+    # the CURRENT rotated-out set so it is tail-only by construction.
+    tail_name = R09_ROTATED_OUT[0]
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "check_oracles.py"),
-         "--window", "g_reachable"],
+         "--window", tail_name],
         capture_output=True, text=True, timeout=180, cwd=REPO,
     )
     assert out.returncode == 0, out.stdout + out.stderr
     assert "0 fail" in out.stdout
-    assert "g_reachable" not in out.stdout
+    assert tail_name not in out.stdout
