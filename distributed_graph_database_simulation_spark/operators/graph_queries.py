@@ -401,15 +401,34 @@ KCORE_SCALE_SQL = _kcore_sql(
 
 
 def dfs_leaves_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DFS-leaf set on the orders-derived scale graph from vertex 0.
+    """DFS-leaf set on the orders-derived scale graph from vertex 0
+    (traversal-order semantics, SURVEY §2a row 3).
 
-    Rows-only driver check (traversal-order semantics, SURVEY §2a row 3);
-    cross-validated against an independent iterative Python DFS in
-    ``tests/test_graph_traversal.py`` — the kernel's recursion and
-    ascending-neighbor contract exercised on a ~100-vertex dense-ish graph
-    rather than the 7-vertex fixtures."""
+    Oracle = per-sf GOLDEN (r08 verdict #8): the scale graph is a pure
+    function of the orders table, so ``fixtures.DFS_SCALE_LEAF_GOLDEN``
+    pins the leaf set per shipped sf, keyed on ``COUNT(*) FROM orders``
+    inside the oracle query. The goldens were generated by the independent
+    explicit-stack Python DFS from ``tests/test_graph_traversal.py`` (same
+    ascending-neighbor contract as secondary_server.c:142-176), never by
+    this Spark kernel — which that test also cross-validates per run."""
     _, edges = _scale_graph(spark, sf_dir)
     return dfs_leaves(spark, edges, [(1, 0)])
+
+
+# Dispatch on the orders row count: exactly one golden branch survives at a
+# shipped sf; an unpinned sf yields zero oracle rows = loud mismatch.
+DFS_LEAVES_SCALE_GOLDEN_SQL = (
+    "WITH n AS (SELECT COUNT(*) AS c FROM orders), "
+    "golden(c, graph_id, vertex) AS (VALUES {rows}) "
+    "SELECT CAST(graph_id AS INT) AS graph_id, CAST(vertex AS INT) AS vertex "
+    "FROM golden JOIN n ON golden.c = n.c"
+).format(
+    rows=", ".join(
+        f"({c}, 1, {v})"
+        for c, leaves in sorted(fixtures.DFS_SCALE_LEAF_GOLDEN.items())
+        for v in leaves
+    )
+)
 
 
 def degrees_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2531,7 +2550,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "g_bfs_levels_kernel": (bfs_levels_kernel_fixture, BFS_LEVELS_SQL),
     "g_bfs_levels_alt": (bfs_levels_alt_starts, BFS_LEVELS_ALT_SQL),
     "g_dfs_leaves": (dfs_leaves_fixture, DFS_LEAVES_GOLDEN_SQL),
-    "g_dfs_leaves_scale": (dfs_leaves_scale, None),
+    "g_dfs_leaves_scale": (dfs_leaves_scale, DFS_LEAVES_SCALE_GOLDEN_SQL),
     "g_reachable": (reachable_fixture, REACHABLE_SQL),
     "g_connected_components": (connected_components_fixture, CONNECTED_COMPONENTS_SQL),
     "g_connected_components_scale": (

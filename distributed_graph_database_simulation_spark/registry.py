@@ -3,9 +3,10 @@
 Every implemented operator from SURVEY.md §2 appears here as
 ``name -> (spark_fn, oracle_sql | None)``. ``spark_fn(spark, sf_dir)`` returns
 a DataFrame; ``oracle_sql`` is ANSI SQL DuckDB runs on the same parquet views.
-``None`` marks genuinely non-SQL-expressible ops (traversal-order-dependent
-DFS, iterative float PageRank, probabilistic ANN bucketing, HLL sketches) — the
-driver then records a rows-only check; their invariants are pinned in tests.
+``None`` marks genuinely non-SQL-expressible ops — as of r09 only the HLL
+sketch (``rel_approx_distinct``, envelope-pinned in tests); everything else,
+including the traversal-order-dependent DFS entries, carries an exact oracle
+(golden VALUES for the DFS fixture / per-sf goldens for the scale DFS).
 
 Imports are deliberately eager: a broken suite must fail the smoke test
 loudly, not silently shrink the registry (a swallowed ImportError here once

@@ -812,6 +812,67 @@ def probe_random_walks_hub(spark, n_vertices: int, walk_length: int = 6) -> dict
             "walk_rows": n_rows, "sec": round(_t.perf_counter() - t0, 2)}
 
 
+def probe_matching(spark, n_edges: int, n_vertices: int) -> dict:
+    """Local-max maximal matching on a uniform random graph ~10-100x the
+    testdata scale graph (r07 verdict #6: both priority-race loops need a
+    measured round count under growth — the loop is O(log m) EXPECTED, and
+    round count is the multiplier on every per-round shuffle at 100 TB)."""
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        maximal_matching,
+    )
+
+    edges = spark.range(n_edges).select(
+        F.lit(1).alias("graph_id"),
+        F.pmod(F.xxhash64("id", F.lit(21)), F.lit(n_vertices)).cast("int").alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(22)), F.lit(n_vertices)).cast("int").alias("dst"),
+    )
+    graphs = spark.createDataFrame([(1, n_vertices)], "graph_id INT, n INT")
+    t0 = time.perf_counter()
+    out = maximal_matching(spark, graphs, edges)
+    agg = out.groupBy().agg(
+        F.count("*").alias("matched"), F.max("round").alias("rounds")
+    ).collect()[0]
+    return {
+        "probe": "maximal_matching", "edges": n_edges, "vertices": n_vertices,
+        "matched_edges": agg["matched"], "rounds": agg["rounds"],
+        "sec": round(time.perf_counter() - t0, 2),
+    }
+
+
+def probe_densest(spark, n_edges: int, n_vertices: int, core_v: int = 2_000) -> dict:
+    """Densest-subgraph peeling on a planted-core graph (dense ~core_v-vertex
+    near-clique inside a sparse periphery — a uniform graph peels in one
+    round, which would measure nothing). Reports peel rounds + whether the
+    best prefix recovered the core."""
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        densest_subgraph,
+    )
+
+    periphery = spark.range(n_edges).select(
+        F.lit(1).alias("graph_id"),
+        F.pmod(F.xxhash64("id", F.lit(31)), F.lit(n_vertices)).cast("int").alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(32)), F.lit(n_vertices)).cast("int").alias("dst"),
+    )
+    core = spark.range(n_edges // 10).select(
+        F.lit(1).alias("graph_id"),
+        F.pmod(F.xxhash64("id", F.lit(33)), F.lit(core_v)).cast("int").alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(34)), F.lit(core_v)).cast("int").alias("dst"),
+    )
+    graphs = spark.createDataFrame([(1, n_vertices)], "graph_id INT, n INT")
+    t0 = time.perf_counter()
+    out = densest_subgraph(spark, graphs, periphery.unionByName(core))
+    agg = out.groupBy().agg(
+        F.max("peel_round").alias("rounds"),
+        F.sum(F.col("in_densest").cast("int")).alias("densest_size"),
+    ).collect()[0]
+    return {
+        "probe": "densest_subgraph", "edges": n_edges + n_edges // 10,
+        "vertices": n_vertices, "core_vertices": core_v,
+        "rounds": agg["rounds"], "densest_size": agg["densest_size"],
+        "sec": round(time.perf_counter() - t0, 2),
+    }
+
+
 def probe_contraction_cc_path(spark, n_vertices: int) -> dict:
     """Contraction CC on a PATH of n vertices — diameter n, the regime
     where min-label propagation needs n supersteps and contraction needs
@@ -879,6 +940,8 @@ def main() -> int:
         ("hyperball", lambda: probe_hyperball(spark, int(args.edges) // 5, int(args.vertices) // 5)),
         ("random_walks_hub", lambda: probe_random_walks_hub(spark, int(args.vertices) // 5)),
         ("contraction_cc_path", lambda: probe_contraction_cc_path(spark, int(args.vertices) // 2)),
+        ("matching", lambda: probe_matching(spark, int(args.edges) // 2, int(args.vertices) // 2)),
+        ("densest", lambda: probe_densest(spark, int(args.edges) // 2, int(args.vertices) // 2)),
     )
     for name, probe in probes:
         if args.only is not None and not any(s in name for s in args.only):
