@@ -133,35 +133,55 @@ def _signatures(df: DataFrame, tables: int = LSH_TABLES, bits: int = LSH_BITS) -
     (dedup prefilter) must scale bits with corpus size (log2(n)) to keep
     candidates O(n), while top-k probing keeps small buckets (the default).
 
-    Planes are materialized as array literals (tables x bits x dim hashlib
-    calls on the driver, microseconds) so the signature projection is pure
-    integer multiply-accumulate inside codegen — no per-element hash
-    evaluation on the corpus pass (at 1M x 256-dim x 64 planes that removes
-    ~800M hash evaluations). Literal weights are pinned equal to a
-    Spark-expression md5 derivation in tests/test_pipeline_ops.py.
+    QUANTIZATION stays a JVM expression (``F.round(x * SCALE)`` — decimal
+    HALF_UP, the exact semantics DuckDB's ``round()`` replays in the
+    oracle); only the plane projection runs in an Arrow ``mapInPandas``
+    kernel: one numpy int64 matmul (n x dim) @ (dim x tables*bits) per
+    batch, exact by the same < 2^53 bound, then sign-bit packing. The
+    earlier all-Catalyst formulation (tables x bits separate
+    ``F.aggregate(zip_with(...))`` expressions over literal plane arrays)
+    produced the same buckets but paid seconds of analysis/codegen per
+    call — higher-order-function lambdas are interpreted per element, so
+    it was slower per ROW too. The matmul kernel is the 100 TB plan:
+    narrow, Arrow-batched, memory-bandwidth bound. Bucket equality with a
+    Spark-expression md5 derivation is pinned in tests/test_pipeline_ops.py.
     """
-    first = df.select(F.size("e").alias("d")).first()
-    dim = int(first["d"]) if first is not None else 0
-    planes = _plane_weights(tables, bits, dim)
+    import numpy as np
+    import pandas as pd
 
     q = F.transform("e", lambda x: F.round(x * LSH_QUANT_SCALE).cast("bigint"))
-    rows = []
-    for t in range(tables):
-        bucket = F.lit(0).cast("long")
-        for b in range(bits):
-            proj = F.aggregate(
-                F.zip_with(q, F.lit(planes[t][b]).cast("array<bigint>"), lambda x, p: x * p),
-                F.lit(0).cast("bigint"),
-                lambda acc, v: acc + v,
+    base = df.select("vec_id", "e", "norm", q.alias("q"))
+    table_ids = np.arange(tables, dtype=np.int32)
+    bit_weights = (1 << np.arange(bits, dtype=np.int64))
+
+    def kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            dim = len(pdf["q"].iloc[0])
+            planes = np.asarray(
+                _plane_weights(tables, bits, dim), dtype=np.int64
+            ).reshape(tables * bits, dim)
+            qm = np.vstack(pdf["q"].to_numpy()).astype(np.int64)
+            proj = qm @ planes.T                       # exact int64
+            signs = (proj >= 0).astype(np.int64).reshape(n, tables, bits)
+            buckets = signs @ bit_weights              # n x tables
+            idx = np.repeat(np.arange(n), tables)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[idx],
+                    "e": pdf["e"].take(idx).reset_index(drop=True),
+                    "norm": pdf["norm"].to_numpy()[idx],
+                    "table_id": np.tile(table_ids, n),
+                    "bucket": buckets.reshape(-1),
+                }
             )
-            bucket = bucket.bitwiseOR(
-                F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), b))
-                .otherwise(F.lit(0).cast("long"))
-            )
-        rows.append(F.struct(F.lit(t).alias("table_id"), bucket.alias("bucket")))
-    return df.select(
-        "vec_id", "e", "norm", F.explode(F.array(*rows)).alias("sig")
-    ).select("vec_id", "e", "norm", "sig.table_id", "sig.bucket")
+
+    return base.mapInPandas(
+        kernel,
+        "vec_id bigint, e array<double>, norm double, table_id int, bucket long",
+    )
 
 
 def _plane_weights(tables: int, bits: int, dim: int) -> list:
@@ -306,19 +326,45 @@ IVF_PROBES = 4       # lists probed per query
 IVF_KMEANS_ITERS = 3  # Lloyd rounds (fixed count => bounded, reproducible plan)
 
 
-def _qdist_literal(cvec: list[int]) -> F.Column:
-    """Exact squared L2 distance between the row's quantized vector ``q``
-    and a literal integer centroid — pure int64 multiply-accumulate inside
-    codegen, no join, no shuffle."""
-    return F.aggregate(
-        F.zip_with(
-            F.col("q"),
-            F.lit(cvec).cast("array<bigint>"),
-            lambda x, y: (x - y) * (x - y),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
+def _centroid_ranks(df: DataFrame, cent: dict[int, list[int]], p: int) -> DataFrame:
+    """(vec_id, q) -> (vec_id, q, cids): the ``p`` centroid ids closest to
+    each row's quantized vector, ordered by exact squared-L2 distance with
+    ties to the lower cid — the same (dist, cid) order the unrolled SQL
+    oracle replays.
+
+    One Arrow kernel per batch: dist2 = ||q||^2 - 2 q.C + ||C||^2 via int64
+    einsum/matmul (|q| <= ~2e6, dim <= 4096 keeps every term well under
+    2^63 — exact), then a stable argsort (ties resolve to the lower column
+    index = lower cid, since centroid columns are laid out in cid order).
+    Narrow — no shuffle, centroids ride the closure (k x dim ints). This
+    replaced a per-centroid ``F.aggregate(zip_with(...))`` literal
+    expression array: same numbers, but higher-order-function lambdas are
+    interpreted per element and the k x dim literal tree cost seconds of
+    analysis per call."""
+    import numpy as np
+    import pandas as pd
+
+    cid_arr = np.asarray(sorted(cent), dtype=np.int32)
+    cmat = np.asarray([cent[c] for c in sorted(cent)], dtype=np.int64)
+    cc = np.einsum("ij,ij->i", cmat, cmat)
+
+    def kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            qm = np.vstack(pdf["q"].to_numpy()).astype(np.int64)
+            d = np.einsum("ij,ij->i", qm, qm)[:, None] - 2 * (qm @ cmat.T) + cc[None, :]
+            order = np.argsort(d, axis=1, kind="stable")[:, :p]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "q": pdf["q"],
+                    "cids": [cid_arr[row].tolist() for row in order],
+                }
+            )
+
+    return df.mapInPandas(kernel, "vec_id bigint, q array<bigint>, cids array<int>")
 
 
 def _kmeans_centroids_quantized(
@@ -339,16 +385,9 @@ def _kmeans_centroids_quantized(
     rows = sorted(vecs.orderBy("vec_id").limit(k).collect(), key=lambda r: r.vec_id)
     cent = {i: [int(x) for x in r.q] for i, r in enumerate(rows)}
     for _ in range(iterations - 1):
-        best = F.array_min(
-            F.array(
-                *[
-                    F.struct(_qdist_literal(cvec).alias("dist"), F.lit(cid).alias("cid"))
-                    for cid, cvec in sorted(cent.items())
-                ]
-            )
-        )
         means = (
-            vecs.withColumn("cluster_id", best["cid"])
+            _centroid_ranks(vecs, cent, 1)
+            .select(F.col("cids")[0].alias("cluster_id"), "q")
             .select("cluster_id", F.posexplode("q").alias("dim", "val"))
             .groupBy("cluster_id", "dim")
             .agg(F.expr("sum(val) div count(*)").alias("m"))
@@ -387,12 +426,6 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     vecs = _emb_quantized(spark, sf_dir)
     cent = _kmeans_centroids_quantized(vecs, IVF_LISTS, IVF_KMEANS_ITERS)
-    scores = F.array(
-        *[
-            F.struct(_qdist_literal(cvec).alias("dist"), F.lit(cid).alias("cid"))
-            for cid, cvec in sorted(cent.items())
-        ]
-    )
     unshift = int(KMEANS_SHIFT * KMEANS_SCALE)
     raw = F.transform("q", lambda x: x - unshift)
     qnorm2 = F.aggregate(
@@ -402,30 +435,22 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # Corpus: argmin list + norm, both narrow (no shuffle of the big side).
-    assigned = vecs.select(
+    assigned = _centroid_ranks(vecs, cent, 1).select(
         "vec_id",
         raw.alias("r"),
         F.sqrt(qnorm2.cast("double")).alias("cnorm"),
-        F.array_min(scores)["cid"].alias("cluster_id"),
+        F.col("cids")[0].alias("cluster_id"),
     )
-    # Queries: IVF_PROBES argmin-distance lists each (struct sort ties to
-    # the lower cid, matching the oracle's (dist, cid) ROW_NUMBER order).
-    probed = (
-        vecs.filter(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            raw.alias("qr"),
-            F.sqrt(qnorm2.cast("double")).alias("qnorm"),
-            F.slice(F.array_sort(scores), 1, IVF_PROBES).alias("top"),
-        )
-        # two-step select: extract fields from the resolved `top` attribute
-        # (generator + unresolved struct access in one select mis-resolves)
-        .select(
-            "query_id",
-            "qr",
-            "qnorm",
-            F.explode(F.transform("top", lambda s: s["cid"])).alias("cluster_id"),
-        )
+    # Queries: IVF_PROBES argmin-distance lists each ((dist, cid) order,
+    # matching the oracle's ROW_NUMBER order). The vec_id filter sits UNDER
+    # the kernel so it pushes to the scan — the kernel runs over 8 rows.
+    probed = _centroid_ranks(
+        vecs.filter(F.col("vec_id") < N_QUERIES), cent, IVF_PROBES
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        raw.alias("qr"),
+        F.sqrt(qnorm2.cast("double")).alias("qnorm"),
+        F.explode("cids").alias("cluster_id"),
     )
     # Each corpus vector lives in exactly one list and a query probes
     # distinct lists, so candidate pairs are unique by construction.
@@ -491,13 +516,9 @@ def build_ivf_index(spark: SparkSession, corpus: DataFrame, path: str) -> None:
     spark.createDataFrame(
         cent_rows, "cent_id INT, c ARRAY<BIGINT>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    scores = F.array(
-        *[
-            F.struct(_qdist_literal(cvec).alias("dist"), F.lit(cid).alias("cid"))
-            for cid, cvec in sorted(cent.items())
-        ]
+    assigned = _centroid_ranks(vecs, cent, 1).select(
+        "vec_id", "q", F.col("cids")[0].alias("cent_id")
     )
-    assigned = vecs.withColumn("cent_id", F.array_min(scores)["cid"])
     assigned.write.mode("overwrite").partitionBy("cent_id").parquet(f"{path}/lists")
 
 
@@ -525,12 +546,6 @@ def sim_topk_ivf_index(
         int(r.cent_id): [int(x) for x in r.c]
         for r in spark.read.parquet(f"{path}/centroids").collect()
     }
-    scores = F.array(
-        *[
-            F.struct(_qdist_literal(cvec).alias("dist"), F.lit(cid).alias("cid"))
-            for cid, cvec in sorted(cent.items())
-        ]
-    )
     unshift = int(KMEANS_SHIFT * KMEANS_SCALE)
     raw = F.transform("q", lambda x: x - unshift)
     qnorm2 = F.aggregate(
@@ -538,19 +553,11 @@ def sim_topk_ivf_index(
         F.lit(0).cast("bigint"),
         lambda acc, v: acc + v,
     )
-    probed = (
-        qvecs.select(
-            F.col("vec_id").alias("query_id"),
-            raw.alias("qr"),
-            F.sqrt(qnorm2.cast("double")).alias("qnorm"),
-            F.slice(F.array_sort(scores), 1, probes).alias("top"),
-        )
-        # two-step select: extract fields from the resolved `top` attribute
-        # (generator + unresolved struct access in one select mis-resolves)
-        .select(
-            "query_id", "qr", "qnorm",
-            F.explode(F.transform("top", lambda s: s["cid"])).alias("cent_id"),
-        )
+    probed = _centroid_ranks(qvecs, cent, probes).select(
+        F.col("vec_id").alias("query_id"),
+        raw.alias("qr"),
+        F.sqrt(qnorm2.cast("double")).alias("qnorm"),
+        F.explode("cids").alias("cent_id"),
     )
     probed_lists = [
         int(r.cent_id) for r in probed.select("cent_id").distinct().collect()
