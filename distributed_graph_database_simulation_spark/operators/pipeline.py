@@ -831,6 +831,94 @@ FROM cum
 """
 
 
+def mixture_balance_df(docs: DataFrame, weights: dict[str, float], key: str = "lang") -> DataFrame:
+    """Rebalance the corpus to a target mixture over ``key``: find the
+    largest total size lambda the corpus can supply at the requested
+    proportions (lambda = min over weighted groups of count/weight), give
+    each group a quota of floor(lambda * weight), and admit that group's
+    quota lowest documents in the deterministic (Knuth-scramble, doc_id)
+    order — the domain/language reweighting step every training-mixture
+    spec (uniform, DoReMi-style weights, hand-tuned) compiles down to.
+    Groups absent from ``weights`` are dropped (weight 0).
+
+    Determinism matters more than raw sampling here: admission is a pure
+    function of (doc_id, weights), so reruns, retries and incremental
+    rebuilds admit the same set — same rationale as
+    :func:`cap_per_source_df`, whose scramble order this reuses verbatim.
+
+    Scale: counts are one map-side-combined aggregate to |groups| rows
+    (computed crash-safely inside the plan — no driver collect); quotas
+    derive from a broadcast of those rows; admission is a within-group
+    rank against the broadcast quota. The rank window partitions by
+    ``key`` — for the cap operator's giant-source regime the sub-bucketed
+    rank recomposition of :func:`cap_per_source_df` applies identically;
+    kept as the plain window here since |groups| is small and quotas,
+    unlike caps, already bound every group's output.
+    """
+    w_items = sorted(weights.items())
+    wdf_rows = ", ".join(f"('{k}', CAST({v!r} AS DOUBLE))" for k, v in w_items)
+    spark = docs.sparkSession
+    wdf = spark.sql(
+        f"SELECT col1 AS {key}, col2 AS w FROM (VALUES {wdf_rows})"
+    )
+    counts = docs.groupBy(key).agg(F.count("*").alias("cnt"))
+    lam = (
+        counts.join(wdf, key)
+        .agg(F.min(F.col("cnt") / F.col("w")).alias("lam"))
+    )
+    quotas = (
+        wdf.crossJoin(F.broadcast(lam))
+        .select(key, F.floor(F.col("lam") * F.col("w")).alias("quota"))
+    )
+    from pyspark.sql import Window
+
+    scramble = F.pmod(F.col("doc_id") * _KNUTH, F.lit(_ORDER_MOD))
+    w_rank = Window.partitionBy(key).orderBy("_scr", "doc_id")
+    return (
+        docs.withColumn("_scr", scramble)
+        .withColumn("_rn", F.row_number().over(w_rank))
+        .join(F.broadcast(quotas), key)
+        .where(F.col("_rn") <= F.col("quota"))
+        .select(*docs.columns)
+    )
+
+
+# Target mixture for the registry entry: deliberately non-uniform so the
+# binding group changes with the data (at sf0.01 'fr' binds: 64/0.2 = 320
+# = lambda, quotas en 128 / fr 64 / es 64 / de 32 / zh 32).
+MIXTURE_WEIGHTS = {"en": 0.4, "fr": 0.2, "es": 0.2, "de": 0.1, "zh": 0.1}
+
+
+def pipe_mixture_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture rebalancing (:func:`mixture_balance_df` with the
+    fixed :data:`MIXTURE_WEIGHTS` target): quota arithmetic + scramble-rank
+    admission must reproduce the oracle's window formulation exactly."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "lang")
+    return mixture_balance_df(docs, MIXTURE_WEIGHTS, key="lang")
+
+
+_MIX_W_SQL = ", ".join(
+    f"('{k}', CAST({v!r} AS DOUBLE))" for k, v in sorted(MIXTURE_WEIGHTS.items())
+)
+PIPE_MIXTURE_BALANCE_SQL = f"""
+WITH w(lang, wt) AS (VALUES {_MIX_W_SQL}),
+counts AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+lam AS (SELECT MIN(cnt / wt) AS lam FROM counts JOIN w USING (lang)),
+quotas AS (SELECT lang, CAST(floor(lam.lam * wt) AS BIGINT) AS quota FROM w, lam),
+ranked AS (
+  SELECT doc_id, source, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY (doc_id * {_KNUTH}) % {_ORDER_MOD}, doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT r.doc_id, r.source, r.lang
+FROM ranked r JOIN quotas q USING (lang)
+WHERE r.rn <= q.quota
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     "text_chunk_windows": (text_chunk_windows, TEXT_CHUNK_WINDOWS_SQL),
     "text_sample_stratified": (text_sample_stratified, TEXT_SAMPLE_STRATIFIED_SQL),
@@ -845,6 +933,8 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     # staged round-8 rotation stock (declared r07,
     # registry.STAGED_DECLARED_ROUND)
     "pipe_cdc_chunks": (pipe_cdc_chunks, PIPE_CDC_CHUNKS_SQL),
+    # staged round-9 addition (registry.STAGED_DECLARED_ROUND)
+    "pipe_mixture_balance": (pipe_mixture_balance, PIPE_MIXTURE_BALANCE_SQL),
 }
 
 

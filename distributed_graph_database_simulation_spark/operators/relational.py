@@ -1554,6 +1554,127 @@ FROM v JOIN p ON p.user_id = v.user_id
 """
 
 
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of ``part``: rows where no other part is
+    both cheaper-or-equal (``p_retailprice``) and larger-or-equal
+    (``p_size``) with a strict improvement in at least one — the classic
+    multi-criteria "best offers" operator (Börzsönyi et al., ICDE 2001).
+
+    Two-phase distributed plan: (1) a NARROW local-skyline prune inside an
+    Arrow kernel — per batch, sort by (price asc, size desc) and drop rows
+    dominated within the batch via one prefix-max sweep; pruning is safe
+    (a locally dominated row is globally dominated) and collapses each
+    partition to its own frontier, which for anti-correlated-at-worst data
+    is orders of magnitude smaller than the partition; then (2) the exact
+    global filter: a broadcast self anti-join of the survivors on the
+    dominance predicate. At 100 TB only step 1 touches the corpus; the
+    anti-join runs over local-frontier survivors (skyline of n uniform 2-d
+    points is O(log n) expected — broadcastable; a huge anti-correlated
+    frontier would surface loudly as a broadcast-threshold error, not a
+    silent wrong answer).
+
+    Ties: exact duplicates on both dimensions dominate neither way and are
+    all kept — same semantics as the oracle's NOT EXISTS with a strict
+    disjunct.
+    """
+    import pandas as pd
+
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_size", "p_retailprice")
+
+    def local_skyline(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(
+                ["p_retailprice", "p_size"], ascending=[True, False]
+            ).reset_index(drop=True)
+            group_max = pdf.groupby("p_retailprice")["p_size"].transform("max")
+            per_price_max = pdf.groupby("p_retailprice", sort=True)["p_size"].max()
+            lower_price_max = per_price_max.cummax().shift(1, fill_value=-1)
+            dominated = (pdf["p_size"] < group_max) | (
+                pdf["p_retailprice"].map(lower_price_max) >= pdf["p_size"]
+            )
+            yield pdf[~dominated]
+
+    local = part.mapInPandas(
+        local_skyline, "p_partkey bigint, p_size int, p_retailprice double"
+    )
+    a, b = local.alias("a"), local.alias("b")
+    dominates = (
+        (F.col("b.p_retailprice") <= F.col("a.p_retailprice"))
+        & (F.col("b.p_size") >= F.col("a.p_size"))
+        & (
+            (F.col("b.p_retailprice") < F.col("a.p_retailprice"))
+            | (F.col("b.p_size") > F.col("a.p_size"))
+        )
+    )
+    return a.join(F.broadcast(b), dominates, "left_anti").select(
+        "p_partkey", "p_size", "p_retailprice"
+    )
+
+
+SKYLINE_PARTS_SQL = """
+SELECT a.p_partkey, a.p_size, a.p_retailprice
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice <= a.p_retailprice
+    AND b.p_size >= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+)
+"""
+
+
+RETENTION_BUCKET_SECONDS = 24 * 3600  # daily cohorts (the data spans ~30 days)
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention over ``events``: cohort = each user's first
+    active epoch-day, and for every (cohort_day, offset_day) the count of
+    cohort users still active that many days later — the standard
+    product-analytics retention triangle.
+
+    Days are integer epoch-day indexes (floor(epoch_seconds / 86400)) —
+    engine-portable arithmetic, no calendar/session-timezone dependence.
+
+    Scale: the per-user distinct and the min-day aggregate both hash on
+    ``user_id``, so the cohort join reuses the same exchange (co-located,
+    no extra corpus shuffle); the final aggregate's cardinality is
+    O(days^2), driver-trivial. ``n_users`` uses count(*) over rows that
+    are already distinct per (user, day) — no distinct-agg expansion.
+    """
+    day = F.floor(F.col("ts").cast("double") / F.lit(float(RETENTION_BUCKET_SECONDS)))
+    active = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", day.cast("bigint").alias("day"))
+        .distinct()
+    )
+    cohorts = active.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        active.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("offset_day")
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+RETENTION_COHORTS_SQL = f"""
+WITH active AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / {RETENTION_BUCKET_SECONDS}) AS BIGINT) AS day
+  FROM events
+),
+cohorts AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM active GROUP BY user_id
+)
+SELECT c.cohort_day, a.day - c.cohort_day AS offset_day,
+       COUNT(*) AS n_users
+FROM active a JOIN cohorts c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "rel_pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "rel_top_revenue_orders": (top_revenue_orders, TOP_REVENUE_ORDERS_SQL),
@@ -1591,4 +1712,7 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "rel_rolling_zscore": (rel_rolling_zscore, REL_ROLLING_ZSCORE_SQL),
     # staged round-7 rotation stock (see registry.STAGED_NEXT_ROTATION)
     "rel_interval_overlap": (rel_interval_overlap, REL_INTERVAL_OVERLAP_SQL),
+    # staged round-9 additions (registry.STAGED_DECLARED_ROUND)
+    "rel_skyline": (skyline_parts, SKYLINE_PARTS_SQL),
+    "rel_retention_cohorts": (retention_cohorts, RETENTION_COHORTS_SQL),
 }

