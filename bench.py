@@ -76,6 +76,14 @@ HEADLINE = [
     "text_bigram_lm",
     "pipe_cdc_chunks",
     "sim_kmeans",
+    # round-9 continuation: the Arrow-vectorized ANN paths (19.6s -> 1.5s /
+    # 5.1s -> 1.8s warm at sf0.001 after the matmul-kernel rewrite) become
+    # regression-visible, plus the three new staged operators
+    "sim_topk_lsh",
+    "sim_topk_ivf",
+    "rel_skyline",
+    "rel_retention_cohorts",
+    "pipe_mixture_balance",
 ]
 
 

@@ -1637,21 +1637,25 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Days are integer epoch-day indexes (floor(epoch_seconds / 86400)) —
     engine-portable arithmetic, no calendar/session-timezone dependence.
 
-    Scale: the per-user distinct and the min-day aggregate both hash on
-    ``user_id``, so the cohort join reuses the same exchange (co-located,
-    no extra corpus shuffle); the final aggregate's cardinality is
-    O(days^2), driver-trivial. ``n_users`` uses count(*) over rows that
-    are already distinct per (user, day) — no distinct-agg expansion.
+    Scale: ONE corpus shuffle. Each user's active-day set is gathered with
+    a map-side-combined ``collect_set`` (state bounded by the day span, not
+    the event count), so dedup, cohort (= array_min) and offsets all fall
+    out of a single hash on ``user_id``; the only other exchange is the
+    final O(days^2)-cardinality aggregate. The naive
+    distinct + min-per-user + self-join formulation pays 4 corpus
+    exchanges for the same answer.
     """
     day = F.floor(F.col("ts").cast("double") / F.lit(float(RETENTION_BUCKET_SECONDS)))
-    active = (
+    per_user = (
         _t(spark, sf_dir, "events")
         .select("user_id", day.cast("bigint").alias("day"))
-        .distinct()
+        .groupBy("user_id")
+        .agg(F.collect_set("day").alias("days"))
     )
-    cohorts = active.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (
-        active.join(cohorts, "user_id")
+        per_user.select(
+            F.array_min("days").alias("cohort_day"), F.explode("days").alias("day")
+        )
         .groupBy(
             "cohort_day", (F.col("day") - F.col("cohort_day")).alias("offset_day")
         )
