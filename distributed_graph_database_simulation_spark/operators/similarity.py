@@ -142,46 +142,54 @@ def _signatures(df: DataFrame, tables: int = LSH_TABLES, bits: int = LSH_BITS) -
     ``F.aggregate(zip_with(...))`` expressions over literal plane arrays)
     produced the same buckets but paid seconds of analysis/codegen per
     call — higher-order-function lambdas are interpreted per element, so
-    it was slower per ROW too. The matmul kernel is the 100 TB plan:
-    narrow, Arrow-batched, memory-bandwidth bound. Bucket equality with a
-    Spark-expression md5 derivation is pinned in tests/test_pipeline_ops.py.
+    it was slower per ROW too.
+
+    The kernel is deliberately SKINNY on both sides: input is the
+    quantized vector as ``dim`` flat BIGINT columns (a clean 2-D Arrow
+    block — an array column materializes one ndarray object per cell,
+    which at 1M x 4 output rows dominated the first kernel attempt), and
+    output is only (vec_id, table_id, bucket) — vectors never ride
+    through, so consumers join candidates back to the vector table by
+    vec_id (a broadcast of the bounded candidate ids at scale). 1M x
+    64-dim, 80 planes: 69 s (Catalyst HOF) -> ~8 s. Bucket equality with
+    a Spark-expression md5 derivation is pinned in
+    tests/test_pipeline_ops.py.
     """
     import numpy as np
     import pandas as pd
 
-    q = F.transform("e", lambda x: F.round(x * LSH_QUANT_SCALE).cast("bigint"))
-    base = df.select("vec_id", "e", "norm", q.alias("q"))
+    first = df.select(F.size("e").alias("d")).first()
+    dim = int(first["d"]) if first is not None else 0
+    qcols = [
+        F.round(F.col("e")[i] * LSH_QUANT_SCALE).cast("bigint").alias(f"q{i}")
+        for i in range(dim)
+    ]
+    base = df.select("vec_id", *qcols)
     table_ids = np.arange(tables, dtype=np.int32)
     bit_weights = (1 << np.arange(bits, dtype=np.int64))
+    planes = np.asarray(_plane_weights(tables, bits, dim), dtype=np.int64).reshape(
+        tables * bits, dim
+    )
+    qnames = [f"q{i}" for i in range(dim)]
 
     def kernel(batches):
         for pdf in batches:
             n = len(pdf)
             if n == 0:
                 continue
-            dim = len(pdf["q"].iloc[0])
-            planes = np.asarray(
-                _plane_weights(tables, bits, dim), dtype=np.int64
-            ).reshape(tables * bits, dim)
-            qm = np.vstack(pdf["q"].to_numpy()).astype(np.int64)
+            qm = pdf[qnames].to_numpy(dtype=np.int64)
             proj = qm @ planes.T                       # exact int64
             signs = (proj >= 0).astype(np.int64).reshape(n, tables, bits)
             buckets = signs @ bit_weights              # n x tables
-            idx = np.repeat(np.arange(n), tables)
             yield pd.DataFrame(
                 {
-                    "vec_id": pdf["vec_id"].to_numpy()[idx],
-                    "e": pdf["e"].take(idx).reset_index(drop=True),
-                    "norm": pdf["norm"].to_numpy()[idx],
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), tables),
                     "table_id": np.tile(table_ids, n),
                     "bucket": buckets.reshape(-1),
                 }
             )
 
-    return base.mapInPandas(
-        kernel,
-        "vec_id bigint, e array<double>, norm double, table_id int, bucket long",
-    )
+    return base.mapInPandas(kernel, "vec_id bigint, table_id int, bucket long")
 
 
 def _plane_weights(tables: int, bits: int, dim: int) -> list:
@@ -216,26 +224,38 @@ def _plane_weights(tables: int, bits: int, dim: int) -> list:
 _PLANE_CACHE: dict[tuple[int, int, int], list] = {}
 
 
-def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-10 via random-hyperplane LSH: bucket-join then exact re-rank.
+def topk_lsh_df(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    tables: int = LSH_TABLES,
+    bits: int = LSH_BITS,
+) -> DataFrame:
+    """ANN top-``k`` via random-hyperplane LSH over arbitrary (vec_id, e)
+    frames: bucket-join then exact re-rank. Library entry point behind
+    :func:`sim_topk_lsh`; the scale probe drives it at 1M vectors.
 
-    The corpus is signed once (LSH_TABLES x LSH_BITS projections/vector,
-    one pass) and joined to query
-    signatures on (table_id, bucket) — at 100 TB this is the scale path: the
-    shuffle moves only (vec_id, bucket) pairs and candidate vectors, never
-    the full pairwise space. Recall < 1 by construction (unit tests pin
-    recall >= 0.5 against the brute-force baseline at sf0.01), but the
-    RESULT is deterministic: buckets are exact integer arithmetic on
-    md5-derived planes, so the DuckDB oracle replays the same candidate
-    set and the same re-rank — an exact driver check since r08.
+    The corpus is signed once (tables x bits projections/vector, one Arrow
+    matmul pass) and joined to query signatures on (table_id, bucket) — at
+    100 TB this is the scale path: the shuffle moves only (vec_id, bucket)
+    pairs and candidate vectors, never the full pairwise space. Recall < 1
+    by construction (unit tests pin recall >= 0.5 against the brute-force
+    baseline at sf0.01), but the RESULT is deterministic: buckets are
+    exact integer arithmetic on md5-derived planes, so the DuckDB oracle
+    replays the same candidate set and the same re-rank — an exact driver
+    check since r08.
     """
-    corpus = _with_norm(_emb(spark, sf_dir))
-    queries = corpus.filter(F.col("vec_id") < N_QUERIES)
-    csig = _signatures(corpus)
-    qsig = _signatures(queries)
+    corpus = _with_norm(corpus) if "norm" not in corpus.columns else corpus
+    queries = _with_norm(queries) if "norm" not in queries.columns else queries
+    csig = _signatures(corpus, tables=tables, bits=bits)
+    qsig = _signatures(queries, tables=tables, bits=bits)
     q = qsig.alias("q")
     c = csig.alias("c")
-    candidates = (
+    # Signatures are skinny (no vectors), so the bucket probe moves only id
+    # triples; candidate (query_id, neighbor_id) pairs are bounded
+    # (~tables * n / 2^bits per query) and BROADCAST back onto the vector
+    # table — the corpus is scanned, never shuffled.
+    cand_ids = (
         F.broadcast(q)
         .join(
             c,
@@ -245,22 +265,39 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("q.vec_id").alias("query_id"),
-            F.col("q.e").alias("qe"),
-            F.col("q.norm").alias("qnorm"),
             F.col("c.vec_id").alias("neighbor_id"),
-            F.col("c.e").alias("ce"),
-            F.col("c.norm").alias("cnorm"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    qvec = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    cvec = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ce"),
+        F.col("norm").alias("cnorm"),
+    )
+    candidates = (
+        cvec.join(F.broadcast(cand_ids), "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
     )
     cos = _dot(F.col("qe"), F.col("ce")) / (F.col("qnorm") * F.col("cnorm"))
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         candidates.withColumn("cosine", cos)
         .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
+        .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: :func:`topk_lsh_df` over the embeddings table with
+    the fixed query set (vec_id < N_QUERIES)."""
+    corpus = _with_norm(_emb(spark, sf_dir))
+    return topk_lsh_df(corpus, corpus.filter(F.col("vec_id") < N_QUERIES))
 
 
 # Exact differential oracle for sim_topk_lsh: DuckDB re-derives the SAME
@@ -424,8 +461,25 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus is never shuffled and query cost scales with
     corpus/IVF_LISTS * IVF_PROBES instead of the full corpus.
     """
-    vecs = _emb_quantized(spark, sf_dir)
-    cent = _kmeans_centroids_quantized(vecs, IVF_LISTS, IVF_KMEANS_ITERS)
+    return topk_ivf_df(
+        _emb_quantized(spark, sf_dir), query_filter=F.col("vec_id") < N_QUERIES
+    )
+
+
+def topk_ivf_df(
+    vecs: DataFrame,
+    query_filter: F.Column,
+    k: int = TOP_K,
+    lists: int = IVF_LISTS,
+    probes: int = IVF_PROBES,
+    iters: int = IVF_KMEANS_ITERS,
+) -> DataFrame:
+    """ANN top-``k`` via IVF over an arbitrary quantized (vec_id, q) frame
+    — library entry point behind :func:`sim_topk_ivf`; the scale probe
+    drives it at 1M vectors. ``query_filter`` selects the query subset as
+    a predicate (applied UNDER the ranking kernel so it pushes to the
+    scan)."""
+    cent = _kmeans_centroids_quantized(vecs, lists, iters)
     unshift = int(KMEANS_SHIFT * KMEANS_SCALE)
     raw = F.transform("q", lambda x: x - unshift)
     qnorm2 = F.aggregate(
@@ -441,12 +495,9 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(qnorm2.cast("double")).alias("cnorm"),
         F.col("cids")[0].alias("cluster_id"),
     )
-    # Queries: IVF_PROBES argmin-distance lists each ((dist, cid) order,
-    # matching the oracle's ROW_NUMBER order). The vec_id filter sits UNDER
-    # the kernel so it pushes to the scan — the kernel runs over 8 rows.
-    probed = _centroid_ranks(
-        vecs.filter(F.col("vec_id") < N_QUERIES), cent, IVF_PROBES
-    ).select(
+    # Queries: ``probes`` argmin-distance lists each ((dist, cid) order,
+    # matching the oracle's ROW_NUMBER order).
+    probed = _centroid_ranks(vecs.filter(query_filter), cent, probes).select(
         F.col("vec_id").alias("query_id"),
         raw.alias("qr"),
         F.sqrt(qnorm2.cast("double")).alias("qnorm"),
@@ -473,7 +524,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             cos.alias("cosine"),
         )
         .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
+        .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
 

@@ -873,6 +873,44 @@ def probe_densest(spark, n_edges: int, n_vertices: int, core_v: int = 2_000) -> 
     }
 
 
+def probe_ann_topk(spark, n_vectors: int = 1_000_000, dim: int = 64) -> dict:
+    """ANN top-10 (LSH and IVF library paths) at 1M x 64-dim — the query
+    serving shape, complementing probe_prefiltered_cosine's pair-finding
+    shape. Both ride the r09 Arrow matmul kernels (signatures / centroid
+    ranks); what this measures at scale is the bucket-probe candidate
+    volume (LSH) and the k-means training passes (IVF), the two costs that
+    grow with the corpus."""
+    from distributed_graph_database_simulation_spark.operators.similarity import (
+        _quantized_view,
+        _with_norm,
+        topk_ivf_df,
+        topk_lsh_df,
+    )
+
+    emb = spark.range(n_vectors).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: F.pmod(F.xxhash64("id", i), F.lit(1000)) / 500.0 - 1.0,
+        ).alias("e"),
+    )
+    corpus = _with_norm(emb)
+    queries = corpus.filter(F.col("vec_id") < 8)
+    t0 = time.perf_counter()
+    # 16-bit buckets at 1M: expected probe-side candidates/query ~
+    # tables * n / 2^bits ~ 8 * 1M / 65536 ~ 122 — bounded re-rank work.
+    lsh = topk_lsh_df(corpus, queries, bits=16).count()
+    lsh_sec = round(time.perf_counter() - t0, 2)
+    t1 = time.perf_counter()
+    ivf = topk_ivf_df(_quantized_view(emb), query_filter=F.col("vec_id") < 8).count()
+    ivf_sec = round(time.perf_counter() - t1, 2)
+    return {
+        "probe": "ann_topk", "vectors": n_vectors, "dim": dim,
+        "lsh_rows": lsh, "lsh_sec": lsh_sec,
+        "ivf_rows": ivf, "ivf_sec": ivf_sec,
+    }
+
+
 def probe_contraction_cc_path(spark, n_vertices: int) -> dict:
     """Contraction CC on a PATH of n vertices — diameter n, the regime
     where min-label propagation needs n supersteps and contraction needs
@@ -940,6 +978,7 @@ def main() -> int:
         ("hyperball", lambda: probe_hyperball(spark, int(args.edges) // 5, int(args.vertices) // 5)),
         ("random_walks_hub", lambda: probe_random_walks_hub(spark, int(args.vertices) // 5)),
         ("contraction_cc_path", lambda: probe_contraction_cc_path(spark, int(args.vertices) // 2)),
+        ("ann_topk", lambda: probe_ann_topk(spark)),
         ("matching", lambda: probe_matching(spark, int(args.edges) // 2, int(args.vertices) // 2)),
         ("densest", lambda: probe_densest(spark, int(args.edges) // 2, int(args.vertices) // 2)),
     )
