@@ -553,3 +553,60 @@ def test_gopher_rules_single_keyed_aggregate(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_count" in plan or "partial_max" in plan
+
+
+def test_skyline_is_local_prune_plus_broadcast_anti_join(spark, sf_dir):
+    """rel_skyline's 100 TB shape: the corpus passes through the narrow
+    local-skyline kernel (no shuffle before it), and the global phase is a
+    broadcast nested-loop LEFT ANTI over local-frontier survivors — never a
+    corpus self-join or sort-merge."""
+    plan = _formatted_plan(relational.skyline_parts(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 2  # one per side
+    assert "BroadcastNestedLoopJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    # nothing shuffles: the only exchanges are the broadcast for the anti-join
+    assert "hashpartitioning(" not in plan
+    # column pruning reaches the part scan (3 of 6 columns)
+    m = re.search(r"ReadSchema: struct<(p_[^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) == 3, m and m.group(1)
+
+
+def test_retention_cohorts_is_single_corpus_shuffle(spark, sf_dir):
+    """One hash exchange on user_id (collect_set with map-side partial)
+    plus the tiny final (cohort, offset) aggregate — the naive
+    distinct+join formulation pays four corpus exchanges."""
+    plan = _formatted_plan(relational.retention_cohorts(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert "partial_collect_set" in plan or "objHashAggregate" in plan.lower() or "collect_set" in plan
+    assert "Join" not in plan
+    # events scan reads only user_id + ts
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"user_id", "ts"}
+
+
+def test_mixture_balance_quota_join_broadcasts(spark, sf_dir):
+    """Quotas (|groups| rows) broadcast onto the ranked corpus; the corpus
+    pays exactly one hash exchange for the per-lang rank window. The
+    counts aggregate is a second scan but column-pruned to lang only."""
+    from distributed_graph_database_simulation_spark.operators import pipeline
+
+    plan = _formatted_plan(pipeline.pipe_mixture_balance(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the rank window partitions the corpus by lang (formatted mode lists
+    # exchange arguments on their own lines)
+    assert re.search(r"hashpartitioning\(lang", plan)
+
+
+def test_lsh_signatures_are_skinny_and_topk_joins_back_broadcast(spark, sf_dir):
+    """The r09 ANN shape: signatures carry no vectors (id-only kernel
+    output), and the re-rank joins candidate ids back onto the vector
+    table via broadcast — the corpus is scanned, never shuffled, and no
+    sort-merge join appears anywhere."""
+    from distributed_graph_database_simulation_spark.operators import similarity
+
+    plan = _formatted_plan(similarity.sim_topk_lsh(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # candidate-id + query join-back
