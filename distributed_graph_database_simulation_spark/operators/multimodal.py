@@ -926,6 +926,99 @@ FROM frames
 """
 
 
+RESIZE_T = 4  # fixed thumbnail side (T x T RGB output)
+
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("src_width", IntegerType()),
+        StructField("src_height", IntegerType()),
+        StructField("thumb_bytes", LongType()),
+        StructField("thumb_checksum", LongType()),
+    ]
+)
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Decode a real BMP (full codec round trip) then nearest-neighbor
+    resize to RESIZE_T x RESIZE_T RGB via numpy index gather —
+    out[y, x, c] = src[y*h // T, x*w // T, c] — and emit the same
+    order-sensitive position-weighted checksum as the decode probes, so a
+    wrong gather index, stride, or channel order is a value mismatch, not
+    a silent pass. This is the thumbnail/preprocess step of an image
+    training pipeline with the Spark-side contract (Arrow batches in,
+    fixed-shape features out) fully real."""
+    import numpy as np
+
+    T = RESIZE_T
+    for pdf in batches:
+        widths = np.zeros(len(pdf), dtype="int32")
+        heights = np.zeros(len(pdf), dtype="int32")
+        checks = np.zeros(len(pdf), dtype="int64")
+        for i, (media_id, payload) in enumerate(zip(pdf["media_id"], pdf["payload"])):
+            mid = int(media_id)
+            w = 4 + mid % 5
+            h = 4 + (mid * 3) % 5
+            npx = w * h * 3
+            pixels = bytes(payload)[:npx].ljust(npx, b"\x00")
+            meta, decoded = parse_bmp(encode_bmp_rgb24(pixels, w, h))
+            if meta["width"] != w or meta["height"] != h or decoded != pixels:
+                raise ValueError("BMP round-trip drift before resize")
+            arr = np.frombuffer(decoded, dtype=np.uint8).reshape(h, w, 3)
+            sy = (np.arange(T) * h) // T
+            sx = (np.arange(T) * w) // T
+            thumb = arr[sy][:, sx, :].astype(np.int64).reshape(-1)
+            widths[i], heights[i] = w, h
+            checks[i] = int((np.arange(thumb.size, dtype=np.int64) * thumb).sum())
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "src_width": widths,
+                "src_height": heights,
+                "thumb_bytes": np.full(len(pdf), T * T * 3, dtype="int64"),
+                "thumb_checksum": checks,
+            }
+        )
+
+
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-codec decode + nearest-neighbor thumbnail resize
+    (:func:`_resize_batches`): the resize step of the multimodal menu with
+    an exact oracle — DuckDB replays the gather-index arithmetic over the
+    same text-derived pixel stream."""
+    return media_table(spark, sf_dir).mapInPandas(
+        _resize_batches, schema=_RESIZE_SCHEMA
+    )
+
+
+# Thumbnail pixel k (0-based, row-major y,x,c over a T x T RGB image) reads
+# source byte (((y*h)//T)*w + (x*w)//T)*3 + c of the pixel stream — which
+# is text byte idx+1 (1-based) or the zero pad beyond the text.
+MM_IMAGE_RESIZE_SQL = f"""
+WITH t AS (
+  SELECT doc_id AS media_id, text,
+         4 + doc_id % 5 AS w, 4 + (doc_id * 3) % 5 AS h
+  FROM documents
+)
+SELECT media_id,
+       CAST(w AS INT) AS src_width,
+       CAST(h AS INT) AS src_height,
+       CAST({RESIZE_T * RESIZE_T * 3} AS BIGINT) AS thumb_bytes,
+       CAST(COALESCE(list_sum(list_transform(
+              range(0, {RESIZE_T * RESIZE_T * 3}),
+              k -> k * (CASE
+                WHEN ((((k // {RESIZE_T * 3}) * h) // {RESIZE_T}) * w
+                      + (((k % {RESIZE_T * 3}) // 3) * w) // {RESIZE_T}) * 3
+                     + k % 3 < least(length(text), w * h * 3)
+                THEN ord(text[((((k // {RESIZE_T * 3}) * h) // {RESIZE_T}) * w
+                      + (((k % {RESIZE_T * 3}) // 3) * w) // {RESIZE_T}) * 3
+                     + k % 3 + 1])
+                ELSE 0 END))), 0) AS BIGINT) AS thumb_checksum
+FROM t
+"""
+
+
 MULTIMODAL_QUERIES: dict[str, tuple] = {
     "mm_image_features": (mm_image_features, MM_IMAGE_FEATURES_SQL),
     "mm_frame_sample": (mm_frame_sample, MM_FRAME_SAMPLE_SQL),
@@ -933,4 +1026,6 @@ MULTIMODAL_QUERIES: dict[str, tuple] = {
     "mm_wav_decode": (mm_wav_decode, MM_WAV_DECODE_SQL),
     "mm_bmp_decode": (mm_bmp_decode, MM_BMP_DECODE_SQL),
     "mm_png_decode": (mm_png_decode, MM_PNG_DECODE_SQL),
+    # staged round-9 addition (registry.STAGED_DECLARED_ROUND)
+    "mm_image_resize": (mm_image_resize, MM_IMAGE_RESIZE_SQL),
 }

@@ -182,6 +182,7 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     "rel_skyline": 9,
     "rel_retention_cohorts": 9,
     "pipe_mixture_balance": 9,
+    "mm_image_resize": 9,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

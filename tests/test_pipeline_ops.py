@@ -2385,3 +2385,31 @@ def test_mixture_balance_hits_quotas_and_is_deterministic(spark, sf_dir):
     assert admitted == want
     rerun = {r.doc_id for r in pipeline.pipe_mixture_balance(spark, sf_dir).collect()}
     assert rerun == admitted
+
+
+def test_image_resize_matches_plain_python_gather(spark, sf_dir):
+    """mm_image_resize vs an index-by-index Python loop (no numpy): the
+    nearest-neighbor gather, channel order, and padding must agree."""
+    from distributed_graph_database_simulation_spark.operators import multimodal as M
+    from distributed_graph_database_simulation_spark.sources.tables import load_table
+
+    docs = {r.doc_id: r.text for r in load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text").limit(50).collect()}
+    T = M.RESIZE_T
+    got = {
+        r.media_id: (r.src_width, r.src_height, r.thumb_checksum)
+        for r in M.mm_image_resize(spark, sf_dir).filter(F.col("media_id") < 50).collect()
+    }
+    assert set(got) == set(docs)
+    for mid, text in docs.items():
+        w, h = 4 + mid % 5, 4 + (mid * 3) % 5
+        raw = text.encode("utf-8")[: w * h * 3].ljust(w * h * 3, b"\x00")
+        check = 0
+        k = 0
+        for y in range(T):
+            for x in range(T):
+                for c in range(3):
+                    sy, sx = (y * h) // T, (x * w) // T
+                    check += k * raw[(sy * w + sx) * 3 + c]
+                    k += 1
+        assert got[mid] == (w, h, check), mid
