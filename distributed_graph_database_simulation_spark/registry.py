@@ -183,6 +183,7 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     "rel_retention_cohorts": 9,
     "pipe_mixture_balance": 9,
     "mm_image_resize": 9,
+    "sim_topk_pq": 9,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

@@ -2413,3 +2413,75 @@ def test_image_resize_matches_plain_python_gather(spark, sf_dir):
                     check += k * raw[(sy * w + sx) * 3 + c]
                     k += 1
         assert got[mid] == (w, h, check), mid
+
+
+def test_pq_adc_matches_plain_python_lloyd(spark, sf_dir):
+    """sim_topk_pq vs an independent pure-Python PQ (no numpy): per-subspace
+    Lloyd with the same seed/tie/update rules, ADC scoring, (dist, id)
+    ranking. Catches subspace slicing, codebook drift, and table lookup
+    errors the SQL oracle shares with the kernel only if both are right."""
+    from distributed_graph_database_simulation_spark.operators import similarity as S
+    from distributed_graph_database_simulation_spark.sources.tables import load_table
+
+    emb = {
+        r.vec_id: [round((x + S.KMEANS_SHIFT) * S.KMEANS_SCALE) for x in r.embedding]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .collect()
+    }
+    M, SD, K, IT = S.PQ_M, S.PQ_SUBDIM, S.PQ_K, S.PQ_ITERS
+
+    def sub(v, s):
+        return v[s * SD:(s + 1) * SD]
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    seeds = sorted(emb)[:K]
+    cents = [{i: sub(emb[vid], s) for i, vid in enumerate(seeds)} for s in range(M)]
+    for _ in range(IT - 1):
+        new = []
+        for s in range(M):
+            assign = {}
+            for vid, v in emb.items():
+                best = min(cents[s].items(), key=lambda kv: (d2(sub(v, s), kv[1]), kv[0]))
+                assign.setdefault(best[0], []).append(sub(v, s))
+            new.append({
+                cid: [sum(col) // len(vs) for col in zip(*vs)]
+                for cid, vs in assign.items()
+            })
+        cents = new
+    codes = {
+        vid: [min(cents[s].items(), key=lambda kv: (d2(sub(v, s), kv[1]), kv[0]))[0]
+              for s in range(M)]
+        for vid, v in emb.items()
+    }
+    want = {}
+    for qid in range(S.N_QUERIES):
+        qv = emb[qid]
+        scored = sorted(
+            (sum(d2(sub(qv, s), cents[s][codes[vid][s]]) for s in range(M)), vid)
+        for vid in emb if vid != qid)
+        for rank, (dist, vid) in enumerate(scored[: S.TOP_K], 1):
+            want[(qid, rank)] = (vid, dist)
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.adc_dist2)
+        for r in S.sim_topk_pq(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_pq_recall_against_bruteforce(spark, sf_dir):
+    """PQ is approximate; pin that its top-10 overlaps the exact cosine
+    top-10 meaningfully (>= 30% average recall on this corpus) so a
+    degenerate all-ties codebook can't silently pass the exactness test."""
+    from distributed_graph_database_simulation_spark.operators import similarity as S
+
+    exact = {}
+    for r in S.sim_topk_bruteforce(spark, sf_dir).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in S.sim_topk_pq(spark, sf_dir).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(exact[q] & approx[q]) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
