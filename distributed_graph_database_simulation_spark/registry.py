@@ -106,7 +106,6 @@ _WINDOW_ORDER = [
     "stream_hourly_file_sink",
     "stream_outer_click_purchase",
     # -- LLM-pipeline surface ----------------------------------------------
-    "dedup_exact",
     "dedup_scrub_spans",
     "text_unigram_lm",
     "pipe_split",
@@ -114,13 +113,19 @@ _WINDOW_ORDER = [
     "pipe_token_budget",
     "pipe_select_quality",
     "pipe_pack_sequences",
-    "mm_image_features",
-    "stream_dedup_events",
     # -- events + relational library --------------------------------------
-    "rel_scalar_events",
-    "rel_event_sessions",
     "rel_resample_ffill",
     "rel_interval_overlap",
+    # -- r09-continuation first-timers: five new operators, each
+    # pre-verified hash-exact at sf0.001 + sf0.01 before this swap; the
+    # five pushed out (dedup_exact, mm_image_features, stream_dedup_events,
+    # rel_scalar_events, rel_event_sessions) carry 6-7 green driver rows
+    # each and leave their family represented in the window ----------------
+    "rel_skyline",
+    "rel_retention_cohorts",
+    "pipe_mixture_balance",
+    "mm_image_resize",
+    "sim_topk_pq",
 ]
 
 _SUITES = (
@@ -175,16 +180,12 @@ ALL_QUERIES.update({name: spec for name, spec in _POOL.items() if name not in AL
 # guard (tests/test_registry_window.py) asserts every staged entry gains a
 # driver row within 2 rounds of its declaration — staging is a queue for
 # the next rotation, not a parking lot where an entry can dodge the gate.
-STAGED_DECLARED_ROUND: dict[str, int] = {
-    # round-9 additions, each pre-verified hash-exact at sf0.001 + sf0.01
-    # before declaration (the playbook bar): Pareto skyline, cohort
-    # retention, and training-mixture rebalancing.
-    "rel_skyline": 9,
-    "rel_retention_cohorts": 9,
-    "pipe_mixture_balance": 9,
-    "mm_image_resize": 9,
-    "sim_topk_pq": 9,
-}
+# The five r09-continuation operators (skyline, retention cohorts,
+# mixture balance, image resize, PQ top-k) were briefly staged here, then
+# rotated straight into the r09 gate window once both-sf pre-verification
+# passed — staging is for entries awaiting a FUTURE rotation, and the r09
+# window still had its rotation pending.
+STAGED_DECLARED_ROUND: dict[str, int] = {}
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)
 

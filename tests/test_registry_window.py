@@ -102,6 +102,11 @@ R08_ROTATED_OUT = (
 # sf0.001 + sf0.01 this session, then rotated straight into the gate.
 R09_NEW_ENTRIES = (
     "sim_topk_lsh", "sim_topk_ivf",
+    # r09-continuation first-timers: five operators built this round, each
+    # pre-verified hash-exact at sf0.001 + sf0.01, rotated straight in
+    # since the r09 gate had not yet run.
+    "rel_skyline", "rel_retention_cohorts", "pipe_mixture_balance",
+    "mm_image_resize", "sim_topk_pq",
 )
 
 # r09 re-audit slots (r08 verdict #6): sixteen veterans last driver-green
@@ -126,6 +131,10 @@ R09_ROTATED_OUT = (
     "g_pagerank_weighted_scale", "g_harmonic_sampled_scale",
     "g_diameter_double_sweep_scale", "g_edge_diff_scale", "g_wl_fingerprint",
     "g_edge_jaccard",
+    # five 6-7x-certified entries traded for the r09-continuation
+    # first-timers; each family stays represented in the window
+    "dedup_exact", "mm_image_features", "stream_dedup_events",
+    "rel_scalar_events", "rel_event_sessions",
 )
 
 # Rotation ledger, newest first: (round, rotated-in, rotated-out). Window
@@ -168,8 +177,9 @@ def test_rotation_ledger_is_consistent():
 
 
 def test_r09_rotation_swaps_balance():
-    """r09 swaps 18 in for 18 out, window stays exactly CHECK_WINDOW."""
-    assert len(R09_NEW_ENTRIES) + len(R09_REAUDIT) == len(R09_ROTATED_OUT) == 18
+    """r09 swaps 23 in for 23 out (18 at round start + 5 continuation
+    first-timers), window stays exactly CHECK_WINDOW."""
+    assert len(R09_NEW_ENTRIES) + len(R09_REAUDIT) == len(R09_ROTATED_OUT) == 23
     w = set(window_names())
     assert set(R09_NEW_ENTRIES + R09_REAUDIT) <= w
     assert not set(R09_ROTATED_OUT) & w
