@@ -991,26 +991,41 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF-PQ composition — prune with IVF lists, then ADC — is exactly
     :func:`topk_ivf_df` feeding this kernel's scoring).
     """
+    return topk_pq_df(
+        _emb_quantized(spark, sf_dir), query_filter=F.col("vec_id") < N_QUERIES
+    )
+
+
+def topk_pq_df(
+    vecs: DataFrame,
+    query_filter: F.Column,
+    k: int = TOP_K,
+    m: int = PQ_M,
+    subdim: int = PQ_SUBDIM,
+    codes: int = PQ_K,
+    iters: int = PQ_ITERS,
+) -> DataFrame:
+    """PQ/ADC top-``k`` over an arbitrary quantized (vec_id, q) frame —
+    library entry point behind :func:`sim_topk_pq`; the scale probe drives
+    it at 1M vectors."""
     import numpy as np
     import pandas as pd
 
-    vecs = _emb_quantized(spark, sf_dir)
-    cents = _pq_train(vecs, PQ_M, PQ_SUBDIM, PQ_K, PQ_ITERS)
-    dim = PQ_M * PQ_SUBDIM
+    PQ_M_, PQ_SUBDIM_, top_k = m, subdim, k
+    cents = _pq_train(vecs, m, subdim, codes, iters)
+    dim = m * subdim
     mats = [
         (np.asarray(sorted(c), dtype=np.int32),
          np.asarray([c[cid] for cid in sorted(c)], dtype=np.int64))
         for c in cents
     ]
-    qrows = sorted(
-        vecs.filter(F.col("vec_id") < N_QUERIES).collect(), key=lambda r: r.vec_id
-    )
+    qrows = sorted(vecs.filter(query_filter).collect(), key=lambda r: r.vec_id)
     qids = np.asarray([int(r.vec_id) for r in qrows], dtype=np.int64)
     qmat = np.asarray([[int(x) for x in r.q] for r in qrows], dtype=np.int64)
     # dtab[s][qi, j] = ||query_qi sub_s - codebook_s[j]||^2, exact int64
     dtabs = []
     for s, (cids, cmat) in enumerate(mats):
-        sub = qmat[:, s * PQ_SUBDIM:(s + 1) * PQ_SUBDIM]
+        sub = qmat[:, s * PQ_SUBDIM_:(s + 1) * PQ_SUBDIM_]
         dtabs.append(
             np.einsum("ij,ij->i", sub, sub)[:, None]
             - 2 * (sub @ cmat.T)
@@ -1018,7 +1033,6 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     qnames = [f"q{i}" for i in range(dim)]
     flat = vecs.select("vec_id", *[F.col("q")[i].alias(f"q{i}") for i in range(dim)])
-    top_k = TOP_K
 
     def score_kernel(batches):
         for pdf in batches:
@@ -1029,7 +1043,7 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             scores = np.zeros((n, len(qids)), dtype=np.int64)
             for s, (cids, cmat) in enumerate(mats):
-                sub = qm[:, s * PQ_SUBDIM:(s + 1) * PQ_SUBDIM]
+                sub = qm[:, s * PQ_SUBDIM_:(s + 1) * PQ_SUBDIM_]
                 d2 = (
                     np.einsum("ij,ij->i", sub, sub)[:, None]
                     - 2 * (sub @ cmat.T)

@@ -885,6 +885,7 @@ def probe_ann_topk(spark, n_vectors: int = 1_000_000, dim: int = 64) -> dict:
         _with_norm,
         topk_ivf_df,
         topk_lsh_df,
+        topk_pq_df,
     )
 
     emb = spark.range(n_vectors).select(
@@ -904,10 +905,14 @@ def probe_ann_topk(spark, n_vectors: int = 1_000_000, dim: int = 64) -> dict:
     t1 = time.perf_counter()
     ivf = topk_ivf_df(_quantized_view(emb), query_filter=F.col("vec_id") < 8).count()
     ivf_sec = round(time.perf_counter() - t1, 2)
+    t2 = time.perf_counter()
+    pq = topk_pq_df(_quantized_view(emb), query_filter=F.col("vec_id") < 8).count()
+    pq_sec = round(time.perf_counter() - t2, 2)
     return {
         "probe": "ann_topk", "vectors": n_vectors, "dim": dim,
         "lsh_rows": lsh, "lsh_sec": lsh_sec,
         "ivf_rows": ivf, "ivf_sec": ivf_sec,
+        "pq_rows": pq, "pq_sec": pq_sec,
     }
 
 
