@@ -84,6 +84,8 @@ HEADLINE = [
     "rel_skyline",
     "rel_retention_cohorts",
     "pipe_mixture_balance",
+    "sim_topk_pq",
+    "mm_image_resize",
 ]
 
 

@@ -1082,18 +1082,11 @@ def topk_pq_df(
     )
 
 
-def _pq_sql(m: int, subdim: int, k: int, iters: int, n_queries: int, top_k: int) -> str:
-    """Unrolled PQ oracle: per-subspace Lloyd CTE chains (same shape as
-    :func:`_kmeans_ctes` over sub-slices), long-form codes + per-query
-    distance tables joined on (m, cid), summed, ranked."""
-    parts = [
-        f"""WITH kv AS MATERIALIZED (
-  SELECT vec_id,
-         list_transform(CAST(embedding AS DOUBLE[]),
-                        x -> CAST(round((x + {KMEANS_SHIFT!r}) * {KMEANS_SCALE}) AS BIGINT)) AS q
-  FROM embeddings
-)"""
-    ]
+def _pq_ctes(m: int, subdim: int, k: int, iters: int, n_queries: int) -> str:
+    """Per-subspace Lloyd CTE chains + long-form ``codes`` / per-query
+    distance-table ``qt`` CTEs, all referencing a shared ``kv`` base —
+    reused by both the pure-PQ and the IVF-PQ oracles."""
+    parts = []
     for s in range(m):
         lo, hi = s * subdim + 1, (s + 1) * subdim
         parts.append(
@@ -1145,7 +1138,27 @@ qt{s} AS MATERIALIZED (
     parts.append(
         f""",
 codes AS (\n{codes_union}\n),
-qt AS (\n{qt_union}\n),
+qt AS (\n{qt_union}\n)"""
+    )
+    return "\n".join(parts)
+
+
+_KV_CTE = f"""WITH kv AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round((x + {KMEANS_SHIFT!r}) * {KMEANS_SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+)"""
+
+
+def _pq_sql(m: int, subdim: int, k: int, iters: int, n_queries: int, top_k: int) -> str:
+    """Unrolled PQ oracle: per-subspace Lloyd CTE chains (same shape as
+    :func:`_kmeans_ctes` over sub-slices), long-form codes + per-query
+    distance tables joined on (m, cid), summed, ranked."""
+    return (
+        _KV_CTE
+        + _pq_ctes(m, subdim, k, iters, n_queries)
+        + f""",
 scored AS (
   SELECT q.query_id, c.vec_id AS neighbor_id, CAST(SUM(q.dist) AS BIGINT) AS adc_dist2
   FROM codes c JOIN qt q USING (m, cid)
@@ -1159,10 +1172,176 @@ SELECT query_id, rank, neighbor_id, adc_dist2 FROM (
   FROM scored)
 WHERE rank <= {top_k}"""
     )
-    return "\n".join(parts)
 
 
 SIM_TOPK_PQ_SQL = _pq_sql(PQ_M, PQ_SUBDIM, PQ_K, PQ_ITERS, N_QUERIES, TOP_K)
+
+
+def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: :func:`topk_ivfpq_df` over the embeddings table."""
+    return topk_ivfpq_df(
+        _emb_quantized(spark, sf_dir), query_filter=F.col("vec_id") < N_QUERIES
+    )
+
+
+def topk_ivfpq_df(
+    vecs: DataFrame,
+    query_filter: F.Column,
+    k: int = TOP_K,
+    lists: int = IVF_LISTS,
+    probes: int = IVF_PROBES,
+    ivf_iters: int = IVF_KMEANS_ITERS,
+    m: int = PQ_M,
+    subdim: int = PQ_SUBDIM,
+    pq_codes: int = PQ_K,
+    pq_iters: int = PQ_ITERS,
+) -> DataFrame:
+    """IVF-PQ: coarse-list pruning + PQ/ADC scoring — the composition FAISS
+    ships as its default billion-scale index, assembled from this engine's
+    two already-oracle-verified trainings.
+
+    IVF restricts each query to its ``probes`` closest of ``lists``
+    inverted lists (full-vector quantized Lloyd, :func:`_centroid_ranks`);
+    only those candidates are then scored with the PQ codebooks'
+    asymmetric distance tables. Both trainings, the probe ranking, and the
+    ADC sums are exact integer arithmetic, so the DuckDB oracle replays
+    the entire composition bit-for-bit.
+
+    Scale posture: the corpus passes through two narrow kernels (list
+    assignment; encode+score+local-top-k) and is never shuffled — the
+    probed (query_id, cluster_id) pairs broadcast onto the assignment, and
+    scored candidates are cut to a per-batch local top-k before the one
+    bounded global top-k exchange. Query cost scales with
+    corpus/lists * probes, ADC-cheap per candidate — exactly the IVF
+    candidate bound composed with PQ's scan economics.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cent = _kmeans_centroids_quantized(vecs, lists, ivf_iters)
+    pq_cents = _pq_train(vecs, m, subdim, pq_codes, pq_iters)
+    dim = m * subdim
+    mats = [
+        (np.asarray(sorted(c), dtype=np.int32),
+         np.asarray([c[cid] for cid in sorted(c)], dtype=np.int64))
+        for c in pq_cents
+    ]
+    qrows = sorted(vecs.filter(query_filter).collect(), key=lambda r: r.vec_id)
+    qids = np.asarray([int(r.vec_id) for r in qrows], dtype=np.int64)
+    qmat = np.asarray([[int(x) for x in r.q] for r in qrows], dtype=np.int64)
+    dtabs = []
+    for s, (cids, cmat) in enumerate(mats):
+        sub = qmat[:, s * subdim:(s + 1) * subdim]
+        dtabs.append(
+            np.einsum("ij,ij->i", sub, sub)[:, None]
+            - 2 * (sub @ cmat.T)
+            + np.einsum("ij,ij->i", cmat, cmat)[None, :]
+        )
+    qnames = [f"q{i}" for i in range(dim)]
+    flat = _centroid_ranks(vecs, cent, 1).select(
+        "vec_id",
+        F.col("cids")[0].alias("cluster_id"),
+        *[F.col("q")[i].alias(f"q{i}") for i in range(dim)],
+    )
+    probed = _centroid_ranks(vecs.filter(query_filter), cent, probes).select(
+        F.col("vec_id").alias("query_id"), F.explode("cids").alias("cluster_id")
+    )
+    cand = flat.join(F.broadcast(probed), "cluster_id").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            qm = pdf[qnames].to_numpy(dtype=np.int64)
+            qidx = np.searchsorted(qids, pdf["query_id"].to_numpy(dtype=np.int64))
+            scores = np.zeros(n, dtype=np.int64)
+            for s, (cids, cmat) in enumerate(mats):
+                sub = qm[:, s * subdim:(s + 1) * subdim]
+                d2 = (
+                    np.einsum("ij,ij->i", sub, sub)[:, None]
+                    - 2 * (sub @ cmat.T)
+                    + np.einsum("ij,ij->i", cmat, cmat)[None, :]
+                )
+                pos = np.argmin(d2, axis=1)
+                scores += dtabs[s][qidx, pos]
+            out = pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
+                    "neighbor_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "adc_dist2": scores,
+                }
+            )
+            # local top-k mirrors the global (score, neighbor) order
+            yield (
+                out.sort_values(["query_id", "adc_dist2", "neighbor_id"])
+                .groupby("query_id", sort=False)
+                .head(k)
+            )
+
+    local = cand.mapInPandas(
+        kernel, "query_id bigint, neighbor_id bigint, adc_dist2 bigint"
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist2"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "adc_dist2")
+    )
+
+
+def _ivfpq_sql(
+    lists: int, ivf_iters: int, probes: int,
+    m: int, subdim: int, pq_codes: int, pq_iters: int,
+    n_queries: int, top_k: int,
+) -> str:
+    """IVF-PQ oracle: the IVF training/probe/candidate CTEs
+    (:func:`_kmeans_ctes` + the probe ranking from the IVF oracle) feeding
+    the PQ codes/qt CTEs' (m, cid) ADC join — both halves are the same
+    generators the standalone oracles use, composed over the shared ``kv``
+    quantized base."""
+    return (
+        _kmeans_ctes(lists, ivf_iters)
+        + _pq_ctes(m, subdim, pq_codes, pq_iters, n_queries)
+        + f""",
+qv AS (SELECT vec_id, q FROM kv WHERE vec_id < {n_queries}),
+probe AS (
+  SELECT vec_id AS query_id, cid AS cluster_id FROM (
+    SELECT v.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_sum(list_transform(range(1, len(v.q) + 1),
+                      i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i]))), c.cid) AS rk
+    FROM qv v CROSS JOIN kc{ivf_iters - 1} c)
+  WHERE rk <= {probes}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probe p JOIN ka{ivf_iters} a ON a.cluster_id = p.cluster_id
+  WHERE a.vec_id <> p.query_id
+),
+scored AS (
+  SELECT ca.query_id, ca.neighbor_id, CAST(SUM(q.dist) AS BIGINT) AS adc_dist2
+  FROM cand ca
+  JOIN codes c ON c.vec_id = ca.neighbor_id
+  JOIN qt q ON q.m = c.m AND q.cid = c.cid AND q.query_id = ca.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, neighbor_id, adc_dist2 FROM (
+  SELECT query_id, neighbor_id, adc_dist2,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc_dist2, neighbor_id) AS INT) AS rank
+  FROM scored)
+WHERE rank <= {top_k}"""
+    )
+
+
+SIM_TOPK_IVFPQ_SQL = _ivfpq_sql(
+    IVF_LISTS, IVF_KMEANS_ITERS, IVF_PROBES,
+    PQ_M, PQ_SUBDIM, PQ_K, PQ_ITERS, N_QUERIES, TOP_K,
+).replace("{dim}", "64")
 
 
 SIMILARITY_QUERIES: dict[str, tuple] = {
@@ -1174,8 +1353,10 @@ SIMILARITY_QUERIES: dict[str, tuple] = {
     # staged round-8 rotation stock (declared r07,
     # registry.STAGED_DECLARED_ROUND)
     "sim_kmeans": (sim_kmeans, SIM_KMEANS_SQL),
-    # staged round-9 addition (registry.STAGED_DECLARED_ROUND)
+    # r09-continuation rotation (see registry._WINDOW_ORDER)
     "sim_topk_pq": (sim_topk_pq, SIM_TOPK_PQ_SQL),
+    # staged round-9 addition (registry.STAGED_DECLARED_ROUND)
+    "sim_topk_ivfpq": (sim_topk_ivfpq, SIM_TOPK_IVFPQ_SQL),
 }
 
 

@@ -185,7 +185,11 @@ ALL_QUERIES.update({name: spec for name, spec in _POOL.items() if name not in AL
 # rotated straight into the r09 gate window once both-sf pre-verification
 # passed — staging is for entries awaiting a FUTURE rotation, and the r09
 # window still had its rotation pending.
-STAGED_DECLARED_ROUND: dict[str, int] = {}
+STAGED_DECLARED_ROUND: dict[str, int] = {
+    # IVF-PQ composition, built after the r09 window swap; pre-verified
+    # hash-exact at sf0.001 + sf0.01, queued for the r10 rotation.
+    "sim_topk_ivfpq": 9,
+}
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)
 

@@ -2485,3 +2485,65 @@ def test_pq_recall_against_bruteforce(spark, sf_dir):
         approx.setdefault(r.query_id, set()).add(r.neighbor_id)
     recalls = [len(exact[q] & approx[q]) / len(exact[q]) for q in exact]
     assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
+def test_ivfpq_equals_python_ivf_candidates_with_pq_scores(spark, sf_dir):
+    """sim_topk_ivfpq vs an independent pure-Python composition: full-vector
+    Lloyd lists + 4-list probing for candidates, PQ Lloyd + ADC for scores,
+    (score, id) ranking over the candidate set only."""
+    from distributed_graph_database_simulation_spark.operators import similarity as S
+    from distributed_graph_database_simulation_spark.sources.tables import load_table
+
+    emb = {
+        r.vec_id: [round((x + S.KMEANS_SHIFT) * S.KMEANS_SCALE) for x in r.embedding]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .collect()
+    }
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def lloyd(vecs_by_id, k, iters, sub=None):
+        def proj(v):
+            return v if sub is None else v[sub[0]:sub[1]]
+        seeds = sorted(vecs_by_id)[:k]
+        cents = {i: proj(vecs_by_id[vid]) for i, vid in enumerate(seeds)}
+        for _ in range(iters - 1):
+            assign = {}
+            for vid, v in vecs_by_id.items():
+                best = min(cents.items(), key=lambda kv: (d2(proj(v), kv[1]), kv[0]))
+                assign.setdefault(best[0], []).append(proj(v))
+            cents = {cid: [sum(col) // len(vs) for col in zip(*vs)]
+                     for cid, vs in assign.items()}
+        return cents
+
+    # IVF lists over full vectors
+    ivf = lloyd(emb, S.IVF_LISTS, S.IVF_KMEANS_ITERS)
+    member = {vid: min(ivf.items(), key=lambda kv: (d2(v, kv[1]), kv[0]))[0]
+              for vid, v in emb.items()}
+    # PQ codebooks per subspace
+    M, SD = S.PQ_M, S.PQ_SUBDIM
+    pq = [lloyd(emb, S.PQ_K, S.PQ_ITERS, sub=(s * SD, (s + 1) * SD)) for s in range(M)]
+    codes = {
+        vid: [min(pq[s].items(),
+                  key=lambda kv: (d2(v[s * SD:(s + 1) * SD], kv[1]), kv[0]))[0]
+              for s in range(M)]
+        for vid, v in emb.items()
+    }
+    want = {}
+    for qid in range(S.N_QUERIES):
+        qv = emb[qid]
+        probed = sorted(ivf.items(), key=lambda kv: (d2(qv, kv[1]), kv[0]))[: S.IVF_PROBES]
+        lists = {cid for cid, _ in probed}
+        scored = sorted(
+            (sum(d2(qv[s * SD:(s + 1) * SD], pq[s][codes[vid][s]]) for s in range(M)), vid)
+            for vid in emb if vid != qid and member[vid] in lists
+        )
+        for rank, (dist, vid) in enumerate(scored[: S.TOP_K], 1):
+            want[(qid, rank)] = (vid, dist)
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.adc_dist2)
+        for r in S.sim_topk_ivfpq(spark, sf_dir).collect()
+    }
+    assert got == want
