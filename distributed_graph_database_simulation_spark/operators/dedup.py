@@ -1371,3 +1371,152 @@ DEDUP_QUERIES.update(
         "dedup_scrub_spans": (dedup_scrub_spans, DEDUP_SCRUB_SPANS_SQL),
     }
 )
+
+# --- SemDeDup: cluster-then-dedup semantic near-duplicates ----------------
+
+SEMDEDUP_T = 0.42  # same cosine bar as the exact all-pairs dedup entries
+
+
+def semdedup_df(
+    spark: SparkSession,
+    vecs: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    threshold: float = SEMDEDUP_T,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding corpus,
+    then dedup ONLY within each cluster — the scale route for semantic
+    near-dup when exact all-pairs (O(n^2)) and LSH (angle-only recall) both
+    fall short. Semantic duplicates land in the same cluster by
+    construction, so the pair search drops from O(n^2) to O(sum c_i^2).
+
+    Pipeline, all exact-integer until the final cosine:
+
+    1. Train :func:`~..operators.similarity.kmeans_quantized` (deterministic
+       integer Lloyd, broadcast centroids, corpus never collected) and keep
+       the final assignment + exact BIGINT distance-to-centroid.
+    2. Self-join WITHIN cluster (shuffle keyed on ``cluster_id``): pair
+       (a, b) is a duplicate link when the unshifted-integer cosine — the
+       same bit-portable arithmetic as the IVF re-rank — reaches
+       ``threshold``.
+    3. Loser rule (deterministic): of a linked pair, the vector FARTHER
+       from its centroid loses (tie: larger ``vec_id``) — SemDeDup's
+       keep-the-representative-nearest-the-centroid policy. Survivors are
+       everything never marked a loser.
+
+    Returns one row per corpus vector:
+    ``(vec_id, cluster_id, dist_sq, kept)`` with ``kept`` as INT 1/0 (not
+    BOOLEAN: the driver hash normalizes ints engine-independently).
+
+    At 100 TB: the clustering is the same narrow-pass + k*dim-combiner
+    shape as the IVF index build; the pair join shuffles the corpus ONCE on
+    ``cluster_id`` and compares only within groups — never a global product.
+    ``k`` must scale with the corpus (the paper's regime is ~n/k constant,
+    e.g. 50k clusters for 5B images) so per-cluster quadratic work stays
+    bounded; uneven clusters are the usual AQE-skew-join case. With
+    pathological cluster sizes, swap step 2's exact join for the
+    LSH-prefiltered candidate generator restricted per cluster
+    (:func:`dedup_embedding_cosine_prefiltered`) — same verification
+    arithmetic, recall-only approximation.
+    """
+    from .similarity import KMEANS_SCALE, KMEANS_SHIFT, kmeans_quantized
+
+    unshift = int(KMEANS_SHIFT * KMEANS_SCALE)
+    assign = kmeans_quantized(spark, vecs, k, iterations)
+    raw = F.transform("q", lambda x: x - unshift)
+    norm2 = F.aggregate(
+        F.zip_with(raw, raw, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    v = vecs.join(assign, "vec_id").select(
+        "vec_id",
+        "cluster_id",
+        "dist_sq",
+        raw.alias("r"),
+        F.sqrt(norm2.cast("double")).alias("norm"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.r"), F.col("b.r"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    losers = (
+        a.join(b, F.col("a.cluster_id") == F.col("b.cluster_id"))
+        .where(F.col("a.vec_id") != F.col("b.vec_id"))
+        .where(
+            (F.col("b.dist_sq") < F.col("a.dist_sq"))
+            | (
+                (F.col("b.dist_sq") == F.col("a.dist_sq"))
+                & (F.col("b.vec_id") < F.col("a.vec_id"))
+            )
+        )
+        .where(
+            dot.cast("double") / (F.col("a.norm") * F.col("b.norm"))
+            >= F.lit(threshold)
+        )
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_loser", F.lit(1))
+    )
+    return v.join(losers, "vec_id", "left").select(
+        "vec_id",
+        "cluster_id",
+        "dist_sq",
+        F.when(F.col("is_loser").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("kept"),
+    )
+
+
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings corpus (k = 8 trained clusters, cosine
+    bar 0.42 — the registry's exact-dedup threshold, restricted within
+    cluster)."""
+    from .similarity import _emb_quantized
+
+    return semdedup_df(spark, _emb_quantized(spark, sf_dir))
+
+
+def _semdedup_sql(threshold: float) -> str:
+    """Exact oracle: replay the quantized Lloyd chain (shared CTEs with the
+    k-means/IVF oracles), the within-cluster unshifted-integer cosine, and
+    the farther-from-centroid loser rule. Every quantity is exact-integer
+    or a double derived from exact integers via the same IEEE ops on both
+    engines, so the comparison against ``threshold`` is bit-identical."""
+    from .similarity import KMEANS_SCALE, KMEANS_SHIFT, _kmeans_ctes
+
+    unshift = int(KMEANS_SHIFT * KMEANS_SCALE)
+    return (
+        _kmeans_ctes(8, 3).replace("{dim}", "64")
+        + f""",
+sdn AS MATERIALIZED (
+  SELECT vec_id, cluster_id, CAST(dist_sq AS BIGINT) AS dist_sq,
+         list_transform(q, x -> x - {unshift}) AS r,
+         sqrt(CAST(list_sum(list_transform(q, x -> (x - {unshift}) * (x - {unshift}))) AS DOUBLE)) AS norm
+  FROM ka3
+),
+sdl AS (
+  SELECT DISTINCT a.vec_id
+  FROM sdn a JOIN sdn b
+    ON a.cluster_id = b.cluster_id AND a.vec_id <> b.vec_id
+  WHERE (b.dist_sq < a.dist_sq
+         OR (b.dist_sq = a.dist_sq AND b.vec_id < a.vec_id))
+    AND CAST(list_sum(list_transform(range(1, len(a.r) + 1),
+                                     i -> a.r[i] * b.r[i])) AS DOUBLE)
+          / (a.norm * b.norm) >= {threshold!r}
+)
+SELECT v.vec_id, v.cluster_id, v.dist_sq,
+       CAST(CASE WHEN l.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+FROM sdn v LEFT JOIN sdl l ON v.vec_id = l.vec_id
+"""
+    )
+
+
+DEDUP_SEMDEDUP_SQL = _semdedup_sql(SEMDEDUP_T)
+
+DEDUP_QUERIES.update(
+    {
+        # staged r09-continuation: SemDeDup semantic near-dup (r10 rotation)
+        "dedup_semdedup": (dedup_semdedup, DEDUP_SEMDEDUP_SQL),
+    }
+)

@@ -189,6 +189,9 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # IVF-PQ composition, built after the r09 window swap; pre-verified
     # hash-exact at sf0.001 + sf0.01, queued for the r10 rotation.
     "sim_topk_ivfpq": 9,
+    # SemDeDup (cluster-then-dedup semantic near-dup, Abbas et al. 2023);
+    # pre-verified hash-exact at sf0.001 + sf0.01, queued for r10.
+    "dedup_semdedup": 9,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

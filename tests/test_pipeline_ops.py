@@ -2547,3 +2547,58 @@ def test_ivfpq_equals_python_ivf_candidates_with_pq_scores(spark, sf_dir):
         for r in S.sim_topk_ivfpq(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_semdedup_matches_python_reference(spark, sf_dir):
+    """SemDeDup vs an independent pure-Python pipeline: same integer Lloyd
+    clustering, within-cluster unshifted cosine, farther-from-centroid
+    loser rule. Exact match of (cluster, dist, kept) for every vector."""
+    import math
+
+    vecs = {
+        r.vec_id: [round((x + similarity.KMEANS_SHIFT) * similarity.KMEANS_SCALE)
+                   for x in r.e]
+        for r in similarity._emb(spark, sf_dir).collect()
+    }
+    k, iters = 8, 3
+    cents = {i: vecs[v] for i, v in enumerate(sorted(vecs)[:k])}
+    assign = {}
+    for _ in range(iters):
+        for vid, q in vecs.items():
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(q, c)), cid)
+                for cid, c in cents.items()
+            )
+            assign[vid] = (best[1], best[0])
+        new = {}
+        for cid in cents:
+            members = [vecs[v] for v, (c, _) in assign.items() if c == cid]
+            new[cid] = (
+                [sum(col) // len(members) for col in zip(*members)]
+                if members else cents[cid]
+            )
+        cents = new
+    unshift = int(similarity.KMEANS_SHIFT * similarity.KMEANS_SCALE)
+    raw = {v: [x - unshift for x in q] for v, q in vecs.items()}
+    norm = {v: math.sqrt(float(sum(x * x for x in r))) for v, r in raw.items()}
+    losers = set()
+    for a, (ca, da) in assign.items():
+        for b, (cb, db) in assign.items():
+            if a == b or ca != cb:
+                continue
+            if not (db < da or (db == da and b < a)):
+                continue
+            cos = float(sum(x * y for x, y in zip(raw[a], raw[b]))) / (
+                norm[a] * norm[b]
+            )
+            if cos >= dedup.SEMDEDUP_T:
+                losers.add(a)
+    expected = {
+        v: (c, d, 0 if v in losers else 1) for v, (c, d) in assign.items()
+    }
+    got = {
+        r.vec_id: (r.cluster_id, r.dist_sq, r.kept)
+        for r in dedup.dedup_semdedup(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert 0 < len(losers) < len(vecs)  # non-vacuous: some, not all, dropped
