@@ -2545,6 +2545,88 @@ FROM upd WHERE o_orderkey NOT IN (SELECT o_orderkey FROM base)
 """
 
 
+# --- deterministic random-walk corpus -----------------------------------
+
+def random_walks_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk corpus over every fixture graph: 2 walks per vertex, 8
+    steps, seed 1 (:func:`~.graph_ml.random_walks` — the r05 library
+    kernel, test-pinned since, now oracle-backed: its md5 hash-mod
+    neighbor choice replays exactly in a recursive CTE)."""
+    from .graph_ml import random_walks
+
+    return random_walks(
+        spark,
+        fixtures.fixture_graphs_df(spark),
+        fixtures.fixture_edges_df(spark),
+        walks_per_vertex=2,
+    )
+
+
+def random_walks_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk corpus on the orders-derived scale graph (101 starts x 1 walk,
+    8 steps)."""
+    from .graph_ml import random_walks
+
+    graphs, edges = _scale_graph(spark, sf_dir)
+    return random_walks(spark, graphs, edges)
+
+
+def _random_walks_sql(
+    edges_cte: str, graphs_cte: str, walks_per_vertex: int, length: int, seed: int
+) -> str:
+    """Recursive-CTE oracle for :func:`~.graph_ml.random_walks`: the same
+    neighbor-rank table (row_number over ascending dst — NO dedup, the
+    kernel ranks the raw edge rows), and the same 60-bit md5 choice hash
+    of ``graph_id|start|walk_no|step|seed`` (the
+    :func:`~.graph_queries._matching_sql` portability pattern). Hash and
+    degree are non-negative, so ``%`` agrees with Spark's ``pmod``."""
+    return f"""
+WITH RECURSIVE rw_graphs(graph_id, n) AS ({graphs_cte}),
+rw_nbr AS MATERIALIZED (
+  SELECT graph_id, src, dst,
+         CAST(row_number() OVER (PARTITION BY graph_id, src ORDER BY dst) - 1
+              AS BIGINT) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY graph_id, src) AS BIGINT) AS deg
+  FROM ({edges_cte}) rwe
+),
+rw_walk(graph_id, start, walk_no, step, vertex) AS (
+  SELECT graph_id, CAST(v AS INT), CAST(wn AS INT), CAST(0 AS INT), CAST(v AS INT)
+  FROM (SELECT graph_id, UNNEST(range(0, n)) AS v FROM rw_graphs) s
+  CROSS JOIN (SELECT UNNEST(range(0, {walks_per_vertex})) AS wn) w
+  UNION ALL
+  SELECT w.graph_id, w.start, w.walk_no, CAST(w.step + 1 AS INT), e.dst
+  FROM rw_walk w JOIN rw_nbr e
+    ON e.graph_id = w.graph_id AND e.src = w.vertex
+   AND e.rk = CAST('0x' || substr(md5(
+                CAST(w.graph_id AS VARCHAR) || '|' ||
+                CAST(w.start AS VARCHAR) || '|' ||
+                CAST(w.walk_no AS VARCHAR) || '|' ||
+                CAST(w.step + 1 AS VARCHAR) || '|' || '{seed}'),
+              1, 15) AS BIGINT) % e.deg
+  WHERE w.step < {length}
+)
+SELECT graph_id, start, walk_no, step, vertex FROM rw_walk
+"""
+
+
+RANDOM_WALKS_SQL = _random_walks_sql(
+    f"SELECT * FROM (VALUES {_EDGE_ROWS}) t(graph_id, src, dst)",
+    f"SELECT * FROM (VALUES {', '.join(f'({g},{n})' for g, n in fixtures.GRAPHS)}) t(graph_id, n)",
+    walks_per_vertex=2,
+    length=8,
+    seed=1,
+)
+
+RANDOM_WALKS_SCALE_SQL = _random_walks_sql(
+    f"SELECT CAST(1 AS INT) AS graph_id, src, dst "
+    f"FROM ({fixtures.SCALE_GRAPH_SQL}) se",
+    f"SELECT CAST(1 AS INT) AS graph_id, CAST({fixtures.SCALE_V} AS INT) AS n",
+    walks_per_vertex=1,
+    length=8,
+    seed=1,
+)
+
+
 GRAPH_QUERIES: dict[str, tuple] = {
     "g_bfs_levels": (bfs_levels_fixture, BFS_LEVELS_SQL),
     "g_bfs_levels_kernel": (bfs_levels_kernel_fixture, BFS_LEVELS_SQL),
@@ -2627,4 +2709,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "g_matching": (matching_fixture, MATCHING_SQL),
     "g_matching_scale": (matching_scale, MATCHING_SCALE_SQL),
     "g_densest_scale": (densest_scale, DENSEST_SCALE_SQL),
+    # staged r09-continuation: deterministic walk corpus (r10 rotation)
+    "g_random_walks": (random_walks_fixture, RANDOM_WALKS_SQL),
+    "g_random_walks_scale": (random_walks_scale, RANDOM_WALKS_SCALE_SQL),
 }

@@ -192,6 +192,10 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # SemDeDup (cluster-then-dedup semantic near-dup, Abbas et al. 2023);
     # pre-verified hash-exact at sf0.001 + sf0.01, queued for r10.
     "dedup_semdedup": 9,
+    # Deterministic random-walk corpus (DeepWalk-style embedding input);
+    # pre-verified hash-exact at sf0.001 + sf0.01, queued for r10.
+    "g_random_walks": 9,
+    "g_random_walks_scale": 9,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)
