@@ -86,6 +86,13 @@ HEADLINE = [
     "pipe_mixture_balance",
     "sim_topk_pq",
     "mm_image_resize",
+    # round-9 continuation: staged-for-r10 operators (PQ-pruned ANN, semantic
+    # dedup, deterministic walk corpora, GNN feature prep)
+    "sim_topk_ivfpq",
+    "dedup_semdedup",
+    "g_random_walks_scale",
+    "g_node2vec_walks_scale",
+    "g_neighbor_agg_scale",
 ]
 
 

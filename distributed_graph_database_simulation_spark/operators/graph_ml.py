@@ -168,6 +168,210 @@ def random_walks(
     return out
 
 
+# node2vec bias weights in half-units (exact integer arithmetic): p = 2 so
+# returning to the previous vertex weighs 1/p = 0.5 -> 1 unit; a common
+# neighbor (distance 1 from prev) weighs 1.0 -> 2 units; q = 0.5 so an
+# outward step (distance 2) weighs 1/q = 2.0 -> 4 units (DFS-leaning walk,
+# Grover & Leskovec 2016 defaults for exploratory embeddings).
+NODE2VEC_RETURN_W = 1
+NODE2VEC_COMMON_W = 2
+NODE2VEC_EXPLORE_W = 4
+
+
+def node2vec_transitions(edges: DataFrame) -> DataFrame:
+    """Second-order transition table for node2vec walks.
+
+    One row per (prev, cur, nxt) triple of the SIMPLE graph (multi-edges
+    deduped first — second-order bias is defined on adjacency, and raw
+    multi-edges would blow the table up quadratically in multiplicity).
+    ``w`` is the integer bias weight (return / common-neighbor / explore),
+    ``lo`` the exclusive running-sum offset over candidates in ascending
+    ``nxt`` order, ``total`` the per-(prev, cur) weight sum — the
+    alias-table layout a deterministic hash picks from in O(1) per step.
+
+    Scale posture: the table is the standard node2vec preprocessing cost,
+    O(sum_v indeg(v) * outdeg(v)). On power-law graphs cap hub degree or
+    switch to rejection sampling before materializing; for the fixture and
+    orders-derived scale graphs (<= 101 vertices) it is small. Built with
+    two keyed self-joins plus one windowed pass — all JVM-side.
+    """
+    e = edges.select("graph_id", "src", "dst").distinct()
+    tri = (
+        e.alias("a")
+        .join(
+            e.alias("b"),
+            on=(F.col("a.graph_id") == F.col("b.graph_id"))
+            & (F.col("a.dst") == F.col("b.src")),
+        )
+        .select(
+            F.col("a.graph_id").alias("graph_id"),
+            F.col("a.src").alias("prev"),
+            F.col("a.dst").alias("cur"),
+            F.col("b.dst").alias("nxt"),
+        )
+    )
+    common = e.select(
+        "graph_id",
+        F.col("src").alias("prev"),
+        F.col("dst").alias("nxt"),
+        F.lit(1).alias("is_common"),
+    )
+    tri = tri.join(common, ["graph_id", "prev", "nxt"], "left").withColumn(
+        "w",
+        F.when(F.col("nxt") == F.col("prev"), F.lit(NODE2VEC_RETURN_W))
+        .when(F.col("is_common") == 1, F.lit(NODE2VEC_COMMON_W))
+        .otherwise(F.lit(NODE2VEC_EXPLORE_W))
+        .cast("bigint"),
+    )
+    state = Window.partitionBy("graph_id", "prev", "cur")
+    run = state.orderBy("nxt").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return tri.select(
+        "graph_id",
+        "prev",
+        "cur",
+        "nxt",
+        "w",
+        (F.sum("w").over(run) - F.col("w")).alias("lo"),
+        F.sum("w").over(state).alias("total"),
+    )
+
+
+def node2vec_walks(
+    spark: SparkSession,
+    graphs: DataFrame,
+    edges: DataFrame,
+    walks_per_vertex: int = 1,
+    walk_length: int = 8,
+    seed: int = 2,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """node2vec biased second-order random walks from every vertex.
+
+    Same output layout and determinism contract as :func:`random_walks`
+    (graph_id, start, walk_no, step, vertex), but steps >= 2 are biased by
+    the previous vertex: candidates are weighted return/common/explore
+    (``NODE2VEC_*_W``) and the 60-bit md5 choice hash picks the candidate
+    whose cumulative-weight interval contains ``H mod total``. Step 1 has
+    no previous vertex and is uniform over the simple graph's neighbors,
+    the standard node2vec convention. Walks stop early at sinks.
+
+    The transition table is built ONCE (:func:`node2vec_transitions`) and
+    persisted; each step is then a single keyed join against it — no
+    per-step window, no Python in the loop.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    ck = checkpoint_dir(spark)
+    e = edges.select("graph_id", "src", "dst").distinct()
+    ranked = (
+        e.withColumn(
+            "rank",
+            F.row_number().over(Window.partitionBy("graph_id", "src").orderBy("dst"))
+            - 1,
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = (
+        e.groupBy("graph_id", "src")
+        .agg(F.count("*").alias("outdeg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    trans = node2vec_transitions(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    starts = graphs.select(
+        "graph_id", F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("start")
+    ).select(
+        "graph_id",
+        "start",
+        F.explode(F.sequence(F.lit(0), F.lit(walks_per_vertex - 1))).alias("walk_no"),
+    )
+    # frontier carries (prev, vertex); prev is NULL only at step 0
+    frontier = barrier(
+        starts.select(
+            "graph_id",
+            "start",
+            "walk_no",
+            F.lit(0).cast("int").alias("step"),
+            F.lit(None).cast("int").alias("prev"),
+            F.col("start").alias("vertex"),
+        ),
+        eager=True,
+        ckdir=ck,
+    )
+    segments = [frontier.drop("prev")]
+    for step in range(1, walk_length + 1):
+        cur = frontier.select(
+            "graph_id",
+            "start",
+            "walk_no",
+            "prev",
+            F.col("vertex").alias("at"),
+            _walk_hash(step, seed).alias("h"),
+        )
+        if step == 1:
+            stepped = (
+                cur.alias("c")
+                .join(
+                    deg.alias("d"),
+                    on=(F.col("c.graph_id") == F.col("d.graph_id"))
+                    & (F.col("c.at") == F.col("d.src")),
+                )
+                .join(
+                    ranked.alias("rk"),
+                    on=(F.col("c.graph_id") == F.col("rk.graph_id"))
+                    & (F.col("c.at") == F.col("rk.src"))
+                    & (
+                        F.pmod(F.col("c.h"), F.col("d.outdeg"))
+                        == F.col("rk.rank")
+                    ),
+                )
+                .select(
+                    F.col("c.graph_id").alias("graph_id"),
+                    F.col("c.start").alias("start"),
+                    F.col("c.walk_no").alias("walk_no"),
+                    F.col("c.at").alias("prev"),
+                    F.col("rk.dst").alias("vertex"),
+                )
+            )
+        else:
+            r = F.pmod(F.col("c.h"), F.col("t.total"))
+            stepped = (
+                cur.alias("c")
+                .join(
+                    trans.alias("t"),
+                    on=(F.col("c.graph_id") == F.col("t.graph_id"))
+                    & (F.col("c.prev") == F.col("t.prev"))
+                    & (F.col("c.at") == F.col("t.cur"))
+                    & (F.col("t.lo") <= r)
+                    & (r < F.col("t.lo") + F.col("t.w")),
+                )
+                .select(
+                    F.col("c.graph_id").alias("graph_id"),
+                    F.col("c.start").alias("start"),
+                    F.col("c.walk_no").alias("walk_no"),
+                    F.col("c.at").alias("prev"),
+                    F.col("t.nxt").alias("vertex"),
+                )
+            )
+        frontier = stepped.select(
+            "graph_id",
+            "start",
+            "walk_no",
+            F.lit(step).cast("int").alias("step"),
+            "prev",
+            "vertex",
+        )
+        eager = step % checkpoint_every == 0 or step == walk_length
+        frontier = barrier(frontier, eager=eager, ckdir=ck)
+        segments.append(frontier.drop("prev"))
+    out = segments[0]
+    for seg in segments[1:]:
+        out = out.unionByName(seg)
+    ranked.unpersist()
+    deg.unpersist()
+    trans.unpersist()
+    return out
+
+
 def walks_as_sentences(walks: DataFrame) -> DataFrame:
     """Collapse step rows into ordered vertex sequences — the "sentence"
     layout embedding trainers consume. One shuffle on the walk key;

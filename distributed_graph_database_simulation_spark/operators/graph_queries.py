@@ -2627,6 +2627,198 @@ RANDOM_WALKS_SCALE_SQL = _random_walks_sql(
 )
 
 
+# --- GraphSAGE-style neighborhood feature aggregation -------------------
+
+def neighbor_agg_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-hop neighbor mean/sum of (out-degree, in-degree) vertex
+    features on the scale graph (:func:`~.graph_ml.
+    aggregate_neighbor_features`, the GNN feature-prep kernel — hops=1
+    here so every aggregate is an exact integer sum with a single IEEE
+    division, bit-stable across engines; the chained hops>=2 path is
+    test-pinned against an independent Python reference in
+    tests/test_graph_ml.py). Degrees count raw multi-edge rows."""
+    from .graph_ml import aggregate_neighbor_features
+
+    graphs, edges = _scale_graph(spark, sf_dir)
+    verts = graphs.select(
+        "graph_id",
+        F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("vertex"),
+    )
+    outd = edges.groupBy("graph_id", F.col("src").alias("vertex")).agg(
+        F.count("*").alias("outdeg")
+    )
+    ind = edges.groupBy("graph_id", F.col("dst").alias("vertex")).agg(
+        F.count("*").alias("indeg")
+    )
+    feats = (
+        verts.join(outd, ["graph_id", "vertex"], "left")
+        .join(ind, ["graph_id", "vertex"], "left")
+        .select(
+            "graph_id",
+            "vertex",
+            F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
+            F.coalesce("indeg", F.lit(0)).alias("indeg"),
+        )
+    )
+    agg = aggregate_neighbor_features(feats, edges, ["outdeg", "indeg"], hops=1)
+    return agg.select(
+        "graph_id",
+        "vertex",
+        F.round(F.col("outdeg_mean") * 1e6).cast("bigint").alias("outdeg_mean_micro"),
+        F.col("outdeg_sum").cast("bigint").alias("outdeg_sum"),
+        F.round(F.col("indeg_mean") * 1e6).cast("bigint").alias("indeg_mean_micro"),
+        F.col("indeg_sum").cast("bigint").alias("indeg_sum"),
+        "n_neighbors",
+    )
+
+
+NEIGHBOR_AGG_SCALE_SQL = f"""
+WITH se AS ({fixtures.SCALE_GRAPH_SQL}),
+verts AS (SELECT CAST(UNNEST(range({fixtures.SCALE_V})) AS INT) AS vertex),
+feat AS (
+  SELECT v.vertex,
+         CAST(COALESCE(o.c, 0) AS DOUBLE) AS outdeg,
+         CAST(COALESCE(i.c, 0) AS DOUBLE) AS indeg
+  FROM verts v
+  LEFT JOIN (SELECT src, COUNT(*) AS c FROM se GROUP BY src) o ON o.src = v.vertex
+  LEFT JOIN (SELECT dst, COUNT(*) AS c FROM se GROUP BY dst) i ON i.dst = v.vertex
+),
+agg AS (
+  SELECT e.src AS vertex,
+         AVG(f.outdeg) AS outdeg_mean, SUM(f.outdeg) AS outdeg_sum,
+         AVG(f.indeg) AS indeg_mean, SUM(f.indeg) AS indeg_sum,
+         COUNT(*) AS n_neighbors
+  FROM se e JOIN feat f ON f.vertex = e.dst
+  GROUP BY e.src
+)
+SELECT CAST(1 AS INT) AS graph_id, v.vertex,
+       CAST(ROUND(a.outdeg_mean * 1000000.0) AS BIGINT) AS outdeg_mean_micro,
+       CAST(a.outdeg_sum AS BIGINT) AS outdeg_sum,
+       CAST(ROUND(a.indeg_mean * 1000000.0) AS BIGINT) AS indeg_mean_micro,
+       CAST(a.indeg_sum AS BIGINT) AS indeg_sum,
+       CAST(COALESCE(a.n_neighbors, 0) AS BIGINT) AS n_neighbors
+FROM verts v LEFT JOIN agg a ON a.vertex = v.vertex
+"""
+
+
+# --- node2vec biased walk corpus ----------------------------------------
+
+def node2vec_walks_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec second-order biased walks over every fixture graph: 2
+    walks per vertex, 8 steps, seed 2 (:func:`~.graph_ml.node2vec_walks`;
+    p=2 / q=0.5 encoded as integer half-unit weights). The md5 choice
+    hash and alias-table layout replay exactly in a recursive CTE."""
+    from .graph_ml import node2vec_walks
+
+    return node2vec_walks(
+        spark,
+        fixtures.fixture_graphs_df(spark),
+        fixtures.fixture_edges_df(spark),
+        walks_per_vertex=2,
+    )
+
+
+def node2vec_walks_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Biased walk corpus on the orders-derived scale graph (101 starts x
+    1 walk, 8 steps) — the simple-graph dedup inside the kernel bounds
+    the transition table at 101^3 regardless of sf."""
+    from .graph_ml import node2vec_walks
+
+    graphs, edges = _scale_graph(spark, sf_dir)
+    return node2vec_walks(spark, graphs, edges)
+
+
+def _node2vec_sql(
+    edges_cte: str, graphs_cte: str, walks_per_vertex: int, length: int, seed: int
+) -> str:
+    """Recursive-CTE oracle for :func:`~.graph_ml.node2vec_walks`: the
+    simple-graph dedup, the uniform first step (rank = H mod deg), and
+    the biased tail steps (candidate whose [lo, lo+w) interval contains
+    H mod total over the same return/common/explore integer weights).
+    One recursive term serves both regimes via prev-IS-NULL left joins."""
+    from .graph_ml import (
+        NODE2VEC_COMMON_W,
+        NODE2VEC_EXPLORE_W,
+        NODE2VEC_RETURN_W,
+    )
+
+    choice = (
+        "CAST('0x' || substr(md5("
+        "CAST(w.graph_id AS VARCHAR) || '|' || "
+        "CAST(w.start AS VARCHAR) || '|' || "
+        "CAST(w.walk_no AS VARCHAR) || '|' || "
+        f"CAST(w.step + 1 AS VARCHAR) || '|' || '{seed}'"
+        "), 1, 15) AS BIGINT)"
+    )
+    return f"""
+WITH RECURSIVE n2v_graphs(graph_id, n) AS ({graphs_cte}),
+n2v_edges AS MATERIALIZED (
+  SELECT DISTINCT graph_id, src, dst FROM ({edges_cte}) ne
+),
+n2v_rank AS MATERIALIZED (
+  SELECT graph_id, src, dst,
+         CAST(row_number() OVER (PARTITION BY graph_id, src ORDER BY dst) - 1
+              AS BIGINT) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY graph_id, src) AS BIGINT) AS deg
+  FROM n2v_edges
+),
+n2v_cum AS MATERIALIZED (
+  SELECT *,
+         SUM(w) OVER (PARTITION BY graph_id, prev, cur ORDER BY nxt
+                      ROWS UNBOUNDED PRECEDING) - w AS lo,
+         SUM(w) OVER (PARTITION BY graph_id, prev, cur) AS total
+  FROM (
+    SELECT a.graph_id, a.src AS prev, a.dst AS cur, b.dst AS nxt,
+           CAST(CASE WHEN b.dst = a.src THEN {NODE2VEC_RETURN_W}
+                     WHEN c.src IS NOT NULL THEN {NODE2VEC_COMMON_W}
+                     ELSE {NODE2VEC_EXPLORE_W} END AS BIGINT) AS w
+    FROM n2v_edges a
+    JOIN n2v_edges b ON b.graph_id = a.graph_id AND b.src = a.dst
+    LEFT JOIN n2v_edges c ON c.graph_id = a.graph_id AND c.src = a.src
+                         AND c.dst = b.dst
+  ) tri
+),
+n2v_walk(graph_id, start, walk_no, step, prev, vertex) AS (
+  SELECT graph_id, CAST(v AS INT), CAST(wn AS INT), CAST(0 AS INT),
+         CAST(NULL AS INT), CAST(v AS INT)
+  FROM (SELECT graph_id, UNNEST(range(0, n)) AS v FROM n2v_graphs) s
+  CROSS JOIN (SELECT UNNEST(range(0, {walks_per_vertex})) AS wn) wn
+  UNION ALL
+  SELECT w.graph_id, w.start, w.walk_no, CAST(w.step + 1 AS INT), w.vertex,
+         CAST(COALESCE(t.nxt, r.dst) AS INT)
+  FROM n2v_walk w
+  LEFT JOIN n2v_rank r
+    ON w.prev IS NULL AND r.graph_id = w.graph_id AND r.src = w.vertex
+   AND r.rk = {choice} % r.deg
+  LEFT JOIN n2v_cum t
+    ON w.prev IS NOT NULL AND t.graph_id = w.graph_id
+   AND t.prev = w.prev AND t.cur = w.vertex
+   AND t.lo <= {choice} % t.total
+   AND {choice} % t.total < t.lo + t.w
+  WHERE w.step < {length} AND COALESCE(t.nxt, r.dst) IS NOT NULL
+)
+SELECT graph_id, start, walk_no, step, vertex FROM n2v_walk
+"""
+
+
+NODE2VEC_WALKS_SQL = _node2vec_sql(
+    f"SELECT * FROM (VALUES {_EDGE_ROWS}) t(graph_id, src, dst)",
+    f"SELECT * FROM (VALUES {', '.join(f'({g},{n})' for g, n in fixtures.GRAPHS)}) t(graph_id, n)",
+    walks_per_vertex=2,
+    length=8,
+    seed=2,
+)
+
+NODE2VEC_WALKS_SCALE_SQL = _node2vec_sql(
+    f"SELECT CAST(1 AS INT) AS graph_id, src, dst "
+    f"FROM ({fixtures.SCALE_GRAPH_SQL}) se",
+    f"SELECT CAST(1 AS INT) AS graph_id, CAST({fixtures.SCALE_V} AS INT) AS n",
+    walks_per_vertex=1,
+    length=8,
+    seed=2,
+)
+
+
 GRAPH_QUERIES: dict[str, tuple] = {
     "g_bfs_levels": (bfs_levels_fixture, BFS_LEVELS_SQL),
     "g_bfs_levels_kernel": (bfs_levels_kernel_fixture, BFS_LEVELS_SQL),
@@ -2712,4 +2904,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     # staged r09-continuation: deterministic walk corpus (r10 rotation)
     "g_random_walks": (random_walks_fixture, RANDOM_WALKS_SQL),
     "g_random_walks_scale": (random_walks_scale, RANDOM_WALKS_SCALE_SQL),
+    "g_node2vec_walks": (node2vec_walks_fixture, NODE2VEC_WALKS_SQL),
+    "g_node2vec_walks_scale": (node2vec_walks_scale, NODE2VEC_WALKS_SCALE_SQL),
+    "g_neighbor_agg_scale": (neighbor_agg_scale, NEIGHBOR_AGG_SCALE_SQL),
 }

@@ -196,6 +196,14 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # pre-verified hash-exact at sf0.001 + sf0.01, queued for r10.
     "g_random_walks": 9,
     "g_random_walks_scale": 9,
+    # node2vec biased second-order walks (Grover & Leskovec 2016);
+    # pre-verified hash-exact at sf0.001 + sf0.01, queued for r10.
+    "g_node2vec_walks": 9,
+    "g_node2vec_walks_scale": 9,
+    # GraphSAGE-style neighbor feature aggregation (library kernel since
+    # r05, first registry entry); pre-verified hash-exact at sf0.001 +
+    # sf0.01, queued for r10.
+    "g_neighbor_agg_scale": 9,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

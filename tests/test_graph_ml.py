@@ -345,3 +345,112 @@ def test_graph_edge_jaccard_stop_edge_cap(spark):
         for r in graph_edge_jaccard(edges, min_jaccard=0.0, max_edge_graphs=3).collect()
     }
     assert out == {(1, 2): 1}
+
+
+def _py_node2vec(g, n, edge_rows, walks_per_vertex, walk_length, seed):
+    """Independent node2vec reference: simple-graph dedup, uniform first
+    step, then half-unit return/common/explore weights with the same
+    interval-pick rule, re-implemented from the documented contract."""
+    from distributed_graph_database_simulation_spark.operators.graph_ml import (
+        NODE2VEC_COMMON_W,
+        NODE2VEC_EXPLORE_W,
+        NODE2VEC_RETURN_W,
+    )
+
+    simple = sorted(set(edge_rows))
+    nbrs = {}
+    for s, d in simple:
+        nbrs.setdefault(s, []).append(d)
+    adj = set(simple)
+
+    def choice_hash(start, k, step):
+        return int(
+            hashlib.md5(f"{g}|{start}|{k}|{step}|{seed}".encode()).hexdigest()[:15],
+            16,
+        )
+
+    rows = set()
+    for start in range(n):
+        for k in range(walks_per_vertex):
+            prev, v = None, start
+            rows.add((g, start, k, 0, start))
+            for step in range(1, walk_length + 1):
+                out = nbrs.get(v)
+                if not out:
+                    break
+                h = choice_hash(start, k, step)
+                if prev is None:
+                    nxt = out[h % len(out)]
+                else:
+                    cands = []
+                    for d in out:
+                        if d == prev:
+                            w = NODE2VEC_RETURN_W
+                        elif (prev, d) in adj:
+                            w = NODE2VEC_COMMON_W
+                        else:
+                            w = NODE2VEC_EXPLORE_W
+                        cands.append((d, w))
+                    total = sum(w for _, w in cands)
+                    r, lo, nxt = h % total, 0, None
+                    for d, w in cands:
+                        if lo <= r < lo + w:
+                            nxt = d
+                            break
+                        lo += w
+                prev, v = v, nxt
+                rows.add((g, start, k, step, v))
+    return rows
+
+
+def test_node2vec_walks_match_python_reference(spark):
+    """Biased walk set must equal the independent reference exactly —
+    including on a multigraph input (the kernel dedups to the simple
+    graph before weighting)."""
+    from distributed_graph_database_simulation_spark.operators.graph_ml import (
+        node2vec_walks,
+    )
+
+    rng = random.Random(31)
+    n = 20
+    edge_rows = [
+        (s, d)
+        for s in range(n)
+        for d in range(n)
+        if s != d and rng.random() < 0.18
+    ]
+    edge_rows += edge_rows[:7]  # duplicate a few edges: multigraph input
+    edges = spark.createDataFrame(
+        [(13, s, d) for s, d in edge_rows], "graph_id INT, src INT, dst INT"
+    )
+    graphs = spark.createDataFrame([(13, n)], "graph_id INT, n INT")
+    got = {
+        (r.graph_id, r.start, r.walk_no, r.step, r.vertex)
+        for r in node2vec_walks(
+            spark, graphs, edges, walks_per_vertex=2, walk_length=5, seed=7
+        ).collect()
+    }
+    want = _py_node2vec(13, n, edge_rows, 2, 5, 7)
+    assert got == want
+    assert any(step > 1 for (_, _, _, step, _) in got)
+
+
+def test_node2vec_bias_prefers_exploration(spark):
+    """Star-plus-path control: from the center of 0<->1, 1->{0,2}, with
+    q=0.5 the walk at vertex 1 (prev=0) weighs returning to 0 at 1 unit
+    vs exploring to 2 at 4 units — intervals [0,1) and [1,5). Hash values
+    landing in [1,5) must step to 2; the transition table must say so."""
+    from distributed_graph_database_simulation_spark.operators.graph_ml import (
+        node2vec_transitions,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 0, 1), (1, 1, 0), (1, 1, 2)], "graph_id INT, src INT, dst INT"
+    )
+    t = {
+        (r.prev, r.cur, r.nxt): (r.w, r.lo, r.total)
+        for r in node2vec_transitions(edges).collect()
+    }
+    assert t[(0, 1, 0)] == (1, 0, 5)   # return: weight 1, first interval
+    assert t[(0, 1, 2)] == (4, 1, 5)   # explore: weight 4
+    assert t[(1, 0, 1)] == (1, 0, 1)   # only candidate is the return

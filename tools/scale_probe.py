@@ -812,6 +812,44 @@ def probe_random_walks_hub(spark, n_vertices: int, walk_length: int = 6) -> dict
             "walk_rows": n_rows, "sec": round(_t.perf_counter() - t0, 2)}
 
 
+def probe_node2vec(spark, n_vertices: int, degree: int = 8,
+                   walk_length: int = 6) -> dict:
+    """node2vec walks over a bounded-degree random digraph (outdeg ~= 8).
+
+    The kernel's one-time transition table costs O(sum indeg*outdeg) — the
+    standard node2vec alias-table preprocessing — so a degree-bounded graph
+    is the honest regime (the kernel's own docstring routes power-law hubs
+    to degree caps / rejection sampling). Expect table ~ |V|*degree^2 rows
+    and one keyed join per step afterwards."""
+    import time as _t
+
+    from distributed_graph_database_simulation_spark.operators.graph_ml import (
+        node2vec_walks,
+    )
+
+    t0 = _t.perf_counter()
+    edges = (
+        spark.range(0, n_vertices, 1, 32)
+        .select(
+            F.col("id").cast("int").alias("src"),
+            F.explode(F.sequence(F.lit(0), F.lit(degree - 1))).alias("k"),
+        )
+        .select(
+            F.lit(1).alias("graph_id"),
+            "src",
+            F.pmod(F.xxhash64("src", "k", F.lit(3)), F.lit(n_vertices))
+            .cast("int")
+            .alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    graphs = spark.createDataFrame([(1, n_vertices)], "graph_id INT, n INT")
+    out = node2vec_walks(spark, graphs, edges, walk_length=walk_length)
+    n_rows = out.count()
+    return {"probe": "node2vec", "vertices": n_vertices, "degree": degree,
+            "walk_rows": n_rows, "sec": round(_t.perf_counter() - t0, 2)}
+
+
 def probe_matching(spark, n_edges: int, n_vertices: int) -> dict:
     """Local-max maximal matching on a uniform random graph ~10-100x the
     testdata scale graph (r07 verdict #6: both priority-race loops need a
@@ -982,6 +1020,7 @@ def main() -> int:
         ("scc", lambda: probe_scc(spark)),
         ("hyperball", lambda: probe_hyperball(spark, int(args.edges) // 5, int(args.vertices) // 5)),
         ("random_walks_hub", lambda: probe_random_walks_hub(spark, int(args.vertices) // 5)),
+        ("node2vec", lambda: probe_node2vec(spark, int(args.vertices) // 5)),
         ("contraction_cc_path", lambda: probe_contraction_cc_path(spark, int(args.vertices) // 2)),
         ("ann_topk", lambda: probe_ann_topk(spark)),
         ("matching", lambda: probe_matching(spark, int(args.edges) // 2, int(args.vertices) // 2)),
