@@ -449,6 +449,30 @@ def test_random_walk_step_is_keyed_rank_lookup(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_node2vec_step_is_keyed_interval_join(spark):
+    """A node2vec step is one keyed equi-join against the precomputed
+    transition table (the interval pick rides the join as a post-filter on
+    the equi-keys) — no cartesian/BNLJ, and no per-step WindowExec: the
+    only windows belong to the one-time transition/rank tables (two
+    row_number/sum passes), independent of walk_length."""
+    from distributed_graph_database_simulation_spark.operators.graph_ml import (
+        node2vec_walks,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, v, (v + 1) % 50) for v in range(50)]
+        + [(1, v, (v + 7) % 50) for v in range(50)],
+        "graph_id INT, src INT, dst INT",
+    )
+    graphs = spark.createDataFrame([(1, 50)], "graph_id INT, n INT")
+    p2 = _formatted_plan(node2vec_walks(spark, graphs, edges, walk_length=2))
+    p5 = _formatted_plan(node2vec_walks(spark, graphs, edges, walk_length=5))
+    for plan in (p2, p5):
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    assert p2.count("Window") == p5.count("Window")
+
+
 def test_neighbor_feature_agg_is_partial_aggregated(spark):
     from distributed_graph_database_simulation_spark.operators.graph_ml import (
         aggregate_neighbor_features,
