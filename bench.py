@@ -93,6 +93,7 @@ HEADLINE = [
     "g_random_walks_scale",
     "g_node2vec_walks_scale",
     "g_neighbor_agg_scale",
+    "g_simrank_scale",
 ]
 
 

@@ -372,6 +372,144 @@ def node2vec_walks(
     return out
 
 
+# SimRank decay C = 0.8 as the exact rational SIMRANK_C_NUM/SIMRANK_C_DEN:
+# every update stays in BIGINT micro-units with half-up integer rounding,
+# so iterations are bit-reproducible across engines and partitionings.
+SIMRANK_C_NUM = 4
+SIMRANK_C_DEN = 5
+SIMRANK_MICRO = 1_000_000
+
+
+def simrank(
+    spark: SparkSession,
+    graphs: DataFrame,
+    edges: DataFrame,
+    iterations: int = 3,
+    in_cap: int = 10,
+) -> DataFrame:
+    """SimRank vertex similarity (Jeh & Widom 2002) in exact integer
+    micro-units.
+
+    s(a,a) = 1; s(a,b) = C / (|I(a)||I(b)|) * sum over in-neighbor pairs
+    of the previous iteration's scores, with C = 0.8 kept as the rational
+    4/5 and half-up integer rounding each iteration — both engines
+    compute identical BIGINTs, no float drift. In-neighbor lists are the
+    SIMPLE graph's, truncated to the first ``in_cap`` by ascending
+    neighbor id: the deterministic form of the neighbor-sampling that
+    published scalable SimRank uses (graphs whose in-degrees are below
+    the cap — e.g. every fixture graph — get textbook-exact SimRank).
+
+    State is the dense per-graph pair matrix (n^2 rows; SimRank's own
+    memory model — use the capped/sampled variant and small n, or a
+    single-source variant, beyond ~10^4 vertices). Each iteration is two
+    keyed joins against the capped in-neighbor table, a partial-aggregated
+    pair groupBy, and a universe left join — all JVM-side.
+
+    Returns (graph_id, a, b, sim_micro) for a < b with sim_micro > 0.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    ck = checkpoint_dir(spark)
+    ine = edges.select(
+        "graph_id", F.col("dst").alias("v"), F.col("src").alias("nbr")
+    ).distinct()
+    inc = (
+        ine.withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("graph_id", "v").orderBy("nbr")),
+        )
+        .where(F.col("rk") <= in_cap)
+        .drop("rk")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nd = inc.groupBy("graph_id", "v").agg(F.count("*").alias("d"))
+    verts = graphs.select(
+        "graph_id", F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("v")
+    )
+    pairs = (
+        verts.alias("x")
+        .join(verts.alias("y"), on=F.col("x.graph_id") == F.col("y.graph_id"))
+        .select(
+            F.col("x.graph_id").alias("graph_id"),
+            F.col("x.v").alias("a"),
+            F.col("y.v").alias("b"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    state = pairs.withColumn(
+        "s",
+        F.when(F.col("a") == F.col("b"), F.lit(SIMRANK_MICRO))
+        .otherwise(F.lit(0))
+        .cast("bigint"),
+    )
+    state = barrier(state, eager=True, ckdir=ck)
+    num2 = 2 * SIMRANK_C_NUM  # 8: doubled numerator for half-up rounding
+    den2 = 2 * SIMRANK_C_DEN  # 10
+    for _ in range(iterations):
+        ssum = (
+            state.where(F.col("s") > 0)
+            .alias("s")
+            .join(
+                inc.alias("ia"),
+                on=(F.col("s.graph_id") == F.col("ia.graph_id"))
+                & (F.col("s.a") == F.col("ia.nbr")),
+            )
+            .join(
+                inc.alias("jb"),
+                on=(F.col("s.graph_id") == F.col("jb.graph_id"))
+                & (F.col("s.b") == F.col("jb.nbr")),
+            )
+            .groupBy(
+                F.col("s.graph_id").alias("graph_id"),
+                F.col("ia.v").alias("a"),
+                F.col("jb.v").alias("b"),
+            )
+            .agg(F.sum("s.s").alias("ssum"))
+        )
+        upd = (
+            ssum.join(
+                nd.select(
+                    "graph_id", F.col("v").alias("a"), F.col("d").alias("da")
+                ),
+                ["graph_id", "a"],
+            )
+            .join(
+                nd.select(
+                    "graph_id", F.col("v").alias("b"), F.col("d").alias("db")
+                ),
+                ["graph_id", "b"],
+            )
+            .select(
+                "graph_id",
+                "a",
+                "b",
+                F.expr(
+                    f"({num2} * ssum + {SIMRANK_C_DEN} * da * db) "
+                    f"div ({den2} * da * db)"
+                ).alias("sp"),
+            )
+        )
+        state = (
+            pairs.join(upd, ["graph_id", "a", "b"], "left")
+            .select(
+                "graph_id",
+                "a",
+                "b",
+                F.when(F.col("a") == F.col("b"), F.lit(SIMRANK_MICRO))
+                .otherwise(F.coalesce("sp", F.lit(0)))
+                .cast("bigint")
+                .alias("s"),
+            )
+        )
+        state = barrier(state, eager=True, ckdir=ck)
+    out = state.where((F.col("a") < F.col("b")) & (F.col("s") > 0)).select(
+        "graph_id", "a", "b", F.col("s").alias("sim_micro")
+    )
+    inc.unpersist()
+    pairs.unpersist()
+    return out
+
+
 def walks_as_sentences(walks: DataFrame) -> DataFrame:
     """Collapse step rows into ordered vertex sequences — the "sentence"
     layout embedding trainers consume. One shuffle on the walk key;

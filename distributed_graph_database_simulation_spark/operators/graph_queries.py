@@ -2627,6 +2627,107 @@ RANDOM_WALKS_SCALE_SQL = _random_walks_sql(
 )
 
 
+# --- SimRank vertex similarity -------------------------------------------
+
+def simrank_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimRank over every fixture graph (:func:`~.graph_ml.simrank`, 3
+    iterations, C=0.8 as the exact rational 4/5 in BIGINT micro-units).
+    Fixture in-degrees are all below the cap, so this is textbook-exact
+    SimRank, bit-reproducible by construction."""
+    from .graph_ml import simrank
+
+    return simrank(
+        spark, fixtures.fixture_graphs_df(spark), fixtures.fixture_edges_df(spark)
+    )
+
+
+def simrank_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped SimRank on the orders-derived scale graph: in-neighbor lists
+    deterministically truncated to 10 (the neighbor-sampling scaling
+    device), dense 101^2 pair state."""
+    from .graph_ml import simrank
+
+    graphs, edges = _scale_graph(spark, sf_dir)
+    return simrank(spark, graphs, edges)
+
+
+def _simrank_sql(edges_cte: str, graphs_cte: str, iterations: int, in_cap: int) -> str:
+    """Unrolled-iteration oracle for :func:`~.graph_ml.simrank`: same
+    simple-graph in-neighbor dedup, same ascending-id cap, and the same
+    half-up integer update (8*ssum + 5*da*db) // (10*da*db) in BIGINT
+    micro-units — zero float operations on either engine."""
+    from .graph_ml import SIMRANK_MICRO
+
+    prev = "sr_s0"
+    its = []
+    for k in range(1, iterations + 1):
+        its.append(f"""
+sr_it{k} AS MATERIALIZED (
+  SELECT p.graph_id, p.a, p.b,
+         CASE WHEN p.a = p.b THEN {SIMRANK_MICRO}
+              ELSE COALESCE(u.sp, 0) END AS s
+  FROM sr_pairs p
+  LEFT JOIN (
+    SELECT c.graph_id, c.a, c.b,
+           (8 * c.ssum + 5 * da.d * db.d) // (10 * da.d * db.d) AS sp
+    FROM (
+      SELECT s.graph_id, ia.v AS a, jb.v AS b, SUM(s.s) AS ssum
+      FROM {prev} s
+      JOIN sr_inc ia ON ia.graph_id = s.graph_id AND ia.nbr = s.a
+      JOIN sr_inc jb ON jb.graph_id = s.graph_id AND jb.nbr = s.b
+      WHERE s.s > 0
+      GROUP BY s.graph_id, ia.v, jb.v
+    ) c
+    JOIN sr_nd da ON da.graph_id = c.graph_id AND da.v = c.a
+    JOIN sr_nd db ON db.graph_id = c.graph_id AND db.v = c.b
+  ) u ON u.graph_id = p.graph_id AND u.a = p.a AND u.b = p.b
+)""")
+        prev = f"sr_it{k}"
+    its_sql = ",".join(its)
+    return f"""
+WITH sr_graphs(graph_id, n) AS ({graphs_cte}),
+sr_edges AS (SELECT DISTINCT graph_id, src, dst FROM ({edges_cte}) sre),
+sr_inc AS MATERIALIZED (
+  SELECT graph_id, v, nbr FROM (
+    SELECT graph_id, dst AS v, src AS nbr,
+           row_number() OVER (PARTITION BY graph_id, dst ORDER BY src) AS rk
+    FROM sr_edges
+  ) r WHERE rk <= {in_cap}
+),
+sr_nd AS (SELECT graph_id, v, COUNT(*) AS d FROM sr_inc GROUP BY graph_id, v),
+sr_verts AS (
+  SELECT graph_id, CAST(UNNEST(range(0, n)) AS INT) AS v FROM sr_graphs
+),
+sr_pairs AS MATERIALIZED (
+  SELECT x.graph_id, x.v AS a, y.v AS b
+  FROM sr_verts x JOIN sr_verts y ON y.graph_id = x.graph_id
+),
+sr_s0 AS (
+  SELECT graph_id, a, b,
+         CAST(CASE WHEN a = b THEN {SIMRANK_MICRO} ELSE 0 END AS BIGINT) AS s
+  FROM sr_pairs
+),{its_sql}
+SELECT graph_id, a, b, CAST(s AS BIGINT) AS sim_micro
+FROM {prev} WHERE a < b AND s > 0
+"""
+
+
+SIMRANK_SQL = _simrank_sql(
+    f"SELECT * FROM (VALUES {_EDGE_ROWS}) t(graph_id, src, dst)",
+    f"SELECT * FROM (VALUES {', '.join(f'({g},{n})' for g, n in fixtures.GRAPHS)}) t(graph_id, n)",
+    iterations=3,
+    in_cap=10,
+)
+
+SIMRANK_SCALE_SQL = _simrank_sql(
+    f"SELECT CAST(1 AS INT) AS graph_id, src, dst "
+    f"FROM ({fixtures.SCALE_GRAPH_SQL}) se",
+    f"SELECT CAST(1 AS INT) AS graph_id, CAST({fixtures.SCALE_V} AS INT) AS n",
+    iterations=3,
+    in_cap=10,
+)
+
+
 # --- GraphSAGE-style neighborhood feature aggregation -------------------
 
 def neighbor_agg_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2907,4 +3008,6 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "g_node2vec_walks": (node2vec_walks_fixture, NODE2VEC_WALKS_SQL),
     "g_node2vec_walks_scale": (node2vec_walks_scale, NODE2VEC_WALKS_SCALE_SQL),
     "g_neighbor_agg_scale": (neighbor_agg_scale, NEIGHBOR_AGG_SCALE_SQL),
+    "g_simrank": (simrank_fixture, SIMRANK_SQL),
+    "g_simrank_scale": (simrank_scale, SIMRANK_SCALE_SQL),
 }

@@ -204,6 +204,11 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # r05, first registry entry); pre-verified hash-exact at sf0.001 +
     # sf0.01, queued for r10.
     "g_neighbor_agg_scale": 9,
+    # SimRank vertex similarity (Jeh & Widom 2002) in exact integer
+    # micro-units, capped in-neighbor variant for scale; pre-verified
+    # hash-exact at sf0.001 + sf0.01, queued for r10.
+    "g_simrank": 9,
+    "g_simrank_scale": 9,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

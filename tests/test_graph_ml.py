@@ -454,3 +454,81 @@ def test_node2vec_bias_prefers_exploration(spark):
     assert t[(0, 1, 0)] == (1, 0, 5)   # return: weight 1, first interval
     assert t[(0, 1, 2)] == (4, 1, 5)   # explore: weight 4
     assert t[(1, 0, 1)] == (1, 0, 1)   # only candidate is the return
+
+
+def _py_simrank(n, edge_rows, iterations, in_cap):
+    """Independent SimRank reference: same documented integer contract
+    (micro-units, C=4/5, half-up rounding, ascending-id in-neighbor cap),
+    dense matrix, plain Python."""
+    ine = {}
+    for s, d in sorted(set(edge_rows)):
+        ine.setdefault(d, []).append(s)
+    ine = {v: sorted(nbrs)[:in_cap] for v, nbrs in ine.items()}
+    s = [[1_000_000 if a == b else 0 for b in range(n)] for a in range(n)]
+    for _ in range(iterations):
+        nxt = [[1_000_000 if a == b else 0 for b in range(n)] for a in range(n)]
+        for a in range(n):
+            for b in range(n):
+                if a == b:
+                    continue
+                ia, ib = ine.get(a, []), ine.get(b, [])
+                if not ia or not ib:
+                    continue
+                ssum = sum(s[i][j] for i in ia for j in ib)
+                den = 5 * len(ia) * len(ib)
+                nxt[a][b] = (8 * ssum + den) // (2 * den)
+        s = nxt
+    return {
+        (a, b): s[a][b]
+        for a in range(n)
+        for b in range(n)
+        if a < b and s[a][b] > 0
+    }
+
+
+def test_simrank_matches_python_reference(spark):
+    """SimRank scores must equal the independent integer reference exactly
+    — on a multigraph input with in-degrees straddling the cap."""
+    from distributed_graph_database_simulation_spark.operators.graph_ml import simrank
+
+    rng = random.Random(47)
+    n = 15
+    edge_rows = [
+        (s, d)
+        for s in range(n)
+        for d in range(n)
+        if s != d and rng.random() < 0.3
+    ]
+    edge_rows += edge_rows[:5]  # duplicates: the kernel dedups first
+    edges = spark.createDataFrame(
+        [(9, s, d) for s, d in edge_rows], "graph_id INT, src INT, dst INT"
+    )
+    graphs = spark.createDataFrame([(9, n)], "graph_id INT, n INT")
+    got = {
+        (r.a, r.b): r.sim_micro
+        for r in simrank(spark, graphs, edges, iterations=3, in_cap=3).collect()
+    }
+    want = _py_simrank(n, edge_rows, iterations=3, in_cap=3)
+    assert got == want
+    assert len(got) > 0
+
+
+def test_simrank_known_values(spark):
+    """Hand-checked control: two vertices sharing their single in-neighbor
+    (0->1, 0->2) reach s(1,2) = C = 0.8 after one iteration and stay
+    there; vertices with disjoint in-neighborhoods score by the recursive
+    C*s(parents) rule."""
+    from distributed_graph_database_simulation_spark.operators.graph_ml import simrank
+
+    edges = spark.createDataFrame(
+        [(1, 0, 1), (1, 0, 2), (1, 1, 3), (1, 2, 4)],
+        "graph_id INT, src INT, dst INT",
+    )
+    graphs = spark.createDataFrame([(1, 5)], "graph_id INT, n INT")
+    got = {
+        (r.a, r.b): r.sim_micro for r in simrank(spark, graphs, edges).collect()
+    }
+    # s(1,2): common single parent 0 -> 0.8 exactly
+    assert got[(1, 2)] == 800_000
+    # s(3,4): parents {1},{2}; s(1,2)=0.8 from iter 1 -> 0.8*0.8 = 0.64
+    assert got[(3, 4)] == 640_000
