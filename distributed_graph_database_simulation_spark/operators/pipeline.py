@@ -919,6 +919,90 @@ WHERE r.rn <= q.quota
 """
 
 
+def dataset_card_df(docs: DataFrame) -> DataFrame:
+    """Per-(source, lang) dataset-card statistics for a training corpus.
+
+    One row per shard: doc count, exact-duplicate doc count (normalized
+    text recurring anywhere in the corpus — the same md5 key as exact
+    dedup), whitespace-token and char mass, mean tokens/doc in micro-units
+    and corpus share in ppm — all exact BIGINT arithmetic (half-up integer
+    division), so the card is bit-reproducible.
+
+    Plan: one hash aggregate on the content digest (uniform shuffle), one
+    digest-keyed join back, a broadcast of the single-row corpus total,
+    and one partial-aggregated groupBy on the shard key. Nothing is
+    collected; the card itself is |sources| x |langs| rows.
+    """
+    norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    base = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.md5(norm).alias("h"),
+        F.size(F.split(norm, " ")).cast("bigint").alias("tokens"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+    copies = base.groupBy("h").agg(F.count("*").alias("copies"))
+    total = F.broadcast(base.agg(F.count("*").cast("bigint").alias("total")))
+    return (
+        base.join(copies, "h")
+        .crossJoin(total)
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("copies") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_docs"),
+            F.sum("tokens").alias("tokens_sum"),
+            F.sum("n_chars").alias("chars_sum"),
+            F.first("total").alias("total"),
+        )
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_dup_docs",
+            "tokens_sum",
+            "chars_sum",
+            F.expr(
+                "(2 * 1000000 * tokens_sum + n_docs) div (2 * n_docs)"
+            ).alias("avg_tokens_micro"),
+            F.expr("(1000000 * n_docs) div total").alias("share_ppm"),
+        )
+    )
+
+
+def pipe_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card over the documents table (:func:`dataset_card_df`)."""
+    return dataset_card_df(_docs(spark, sf_dir))
+
+
+PIPE_DATASET_CARD_SQL = """
+WITH base AS (
+  SELECT doc_id, source, lang,
+         md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS h,
+         CAST(len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '))
+              AS BIGINT) AS tokens,
+         CAST(n_chars AS BIGINT) AS n_chars
+  FROM documents
+),
+copies AS (SELECT h, COUNT(*) AS copies FROM base GROUP BY h),
+agg AS (
+  SELECT b.source, b.lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN c.copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+         SUM(b.tokens) AS tokens_sum,
+         SUM(b.n_chars) AS chars_sum
+  FROM base b JOIN copies c USING (h)
+  GROUP BY b.source, b.lang
+)
+SELECT source, lang, n_docs, n_dup_docs, tokens_sum, chars_sum,
+       (2 * 1000000 * tokens_sum + n_docs) // (2 * n_docs) AS avg_tokens_micro,
+       (1000000 * n_docs) // (SELECT COUNT(*) FROM base) AS share_ppm
+FROM agg
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     "text_chunk_windows": (text_chunk_windows, TEXT_CHUNK_WINDOWS_SQL),
     "text_sample_stratified": (text_sample_stratified, TEXT_SAMPLE_STRATIFIED_SQL),
@@ -935,6 +1019,8 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "pipe_cdc_chunks": (pipe_cdc_chunks, PIPE_CDC_CHUNKS_SQL),
     # staged round-9 addition (registry.STAGED_DECLARED_ROUND)
     "pipe_mixture_balance": (pipe_mixture_balance, PIPE_MIXTURE_BALANCE_SQL),
+    # staged r09-continuation (registry.STAGED_DECLARED_ROUND)
+    "pipe_dataset_card": (pipe_dataset_card, PIPE_DATASET_CARD_SQL),
 }
 
 

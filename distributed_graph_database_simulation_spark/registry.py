@@ -209,6 +209,10 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # hash-exact at sf0.001 + sf0.01, queued for r10.
     "g_simrank": 9,
     "g_simrank_scale": 9,
+    # Per-shard dataset-card statistics (exact-integer composition of the
+    # dedup digest + token mass); pre-verified hash-exact at sf0.001 +
+    # sf0.01, queued for r10.
+    "pipe_dataset_card": 9,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

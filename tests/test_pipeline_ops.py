@@ -2602,3 +2602,36 @@ def test_semdedup_matches_python_reference(spark, sf_dir):
     }
     assert got == expected
     assert 0 < len(losers) < len(vecs)  # non-vacuous: some, not all, dropped
+
+
+def test_dataset_card_exact_counts(spark):
+    """Hand-built corpus: duplicate docs counted per shard (every copy of
+    a recurring text counts, in whichever shard it lives), token/char
+    mass exact, share in ppm of the whole corpus."""
+    from distributed_graph_database_simulation_spark.operators.pipeline import (
+        dataset_card_df,
+    )
+
+    rows = [
+        # (doc_id, text, lang, source, n_chars)
+        (0, "a b c", "en", "web", 5),
+        (1, "a  b c ", "en", "web", 7),   # normalizes equal to doc 0
+        (2, "a b c", "en", "books", 5),   # same text, other shard
+        (3, "x y", "de", "web", 3),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    )
+    card = {
+        (r.source, r.lang): r.asDict() for r in dataset_card_df(docs).collect()
+    }
+    web_en = card[("web", "en")]
+    assert web_en["n_docs"] == 2
+    assert web_en["n_dup_docs"] == 2        # both copies of the recurring text
+    assert web_en["tokens_sum"] == 6
+    assert web_en["chars_sum"] == 12
+    assert web_en["avg_tokens_micro"] == 3_000_000
+    assert web_en["share_ppm"] == 500_000   # 2 of 4 docs
+    assert card[("books", "en")]["n_dup_docs"] == 1
+    assert card[("web", "de")]["n_dup_docs"] == 0
+    assert card[("web", "de")]["share_ppm"] == 250_000
