@@ -257,11 +257,21 @@ def node2vec_walks(
 
     The transition table is built ONCE (:func:`node2vec_transitions`) and
     persisted; each step is then a single keyed join against it — no
-    per-step window, no Python in the loop.
+    per-step window, no Python in the loop. When the total walk count
+    (known up front from ``graphs``: sum(n) * walks_per_vertex — a single
+    aggregated row, the only collect here) is small, the frontier side is
+    broadcast-hinted so each step streams the persisted table through a
+    hash probe instead of re-sorting it under a merge join (the frontier
+    hides behind a checkpoint RDD whose size Catalyst can't estimate, so
+    it would plan SMJ forever otherwise). Past the threshold the hint is
+    withheld and the step is the plain keyed shuffle join — the correct
+    plan when walks outnumber transition rows.
     """
     from pyspark.storagelevel import StorageLevel
 
     ck = checkpoint_dir(spark)
+    total_walks = (graphs.agg(F.sum("n")).first()[0] or 0) * walks_per_vertex
+    broadcast_frontier = total_walks <= 2_000_000
     e = edges.select("graph_id", "src", "dst").distinct()
     ranked = (
         e.withColumn(
@@ -307,6 +317,8 @@ def node2vec_walks(
             F.col("vertex").alias("at"),
             _walk_hash(step, seed).alias("h"),
         )
+        if broadcast_frontier:
+            cur = F.broadcast(cur)
         if step == 1:
             stepped = (
                 cur.alias("c")
