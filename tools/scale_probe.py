@@ -850,6 +850,42 @@ def probe_node2vec(spark, n_vertices: int, degree: int = 8,
             "walk_rows": n_rows, "sec": round(_t.perf_counter() - t0, 2)}
 
 
+def probe_simrank(spark, n_vertices: int = 300, degree: int = 6,
+                  in_cap: int = 10) -> dict:
+    """Capped SimRank at the documented upper regime: dense n^2 pair state
+    (the algorithm's own memory model). Contribution volume per iteration
+    is (sum of capped in-list memberships)^2 — with n=300, cap=10 that is
+    ~9M joined rows per iteration, the honest cost the kernel docstring
+    bounds (beyond ~10^4 vertices use sampling/single-source variants)."""
+    import time as _t
+
+    from distributed_graph_database_simulation_spark.operators.graph_ml import (
+        simrank,
+    )
+
+    t0 = _t.perf_counter()
+    edges = (
+        spark.range(0, n_vertices, 1, 32)
+        .select(
+            F.col("id").cast("int").alias("src"),
+            F.explode(F.sequence(F.lit(0), F.lit(degree - 1))).alias("k"),
+        )
+        .select(
+            F.lit(1).alias("graph_id"),
+            "src",
+            F.pmod(F.xxhash64("src", "k", F.lit(11)), F.lit(n_vertices))
+            .cast("int")
+            .alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    graphs = spark.createDataFrame([(1, n_vertices)], "graph_id INT, n INT")
+    out = simrank(spark, graphs, edges, iterations=3, in_cap=in_cap)
+    n_rows = out.count()
+    return {"probe": "simrank", "vertices": n_vertices, "degree": degree,
+            "sim_pairs": n_rows, "sec": round(_t.perf_counter() - t0, 2)}
+
+
 def probe_matching(spark, n_edges: int, n_vertices: int) -> dict:
     """Local-max maximal matching on a uniform random graph ~10-100x the
     testdata scale graph (r07 verdict #6: both priority-race loops need a
@@ -1021,6 +1057,7 @@ def main() -> int:
         ("hyperball", lambda: probe_hyperball(spark, int(args.edges) // 5, int(args.vertices) // 5)),
         ("random_walks_hub", lambda: probe_random_walks_hub(spark, int(args.vertices) // 5)),
         ("node2vec", lambda: probe_node2vec(spark, int(args.vertices) // 5)),
+        ("simrank", lambda: probe_simrank(spark)),
         ("contraction_cc_path", lambda: probe_contraction_cc_path(spark, int(args.vertices) // 2)),
         ("ann_topk", lambda: probe_ann_topk(spark)),
         ("matching", lambda: probe_matching(spark, int(args.edges) // 2, int(args.vertices) // 2)),
