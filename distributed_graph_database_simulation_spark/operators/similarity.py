@@ -1344,6 +1344,57 @@ SIM_TOPK_IVFPQ_SQL = _ivfpq_sql(
 ).replace("{dim}", "64")
 
 
+def sim_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH top-k against the exact brute-force top-k —
+    the evaluation harness an ANN deployment needs, as an operator.
+
+    Per query: how many of the true top-{TOP_K} neighbors the bucketed
+    path recovered, and recall in exact integer micro-units. Both sides
+    are this module's own operators, so the plan is their union plus one
+    (query_id, neighbor_id) equi-join and a per-query count — evaluation
+    cost scales with k * |queries|, not corpus size.
+    """
+    lsh = sim_topk_lsh(spark, sf_dir).select("query_id", "neighbor_id")
+    bf = sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        bf.join(lsh, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        bf.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.expr(
+                f"(1000000 * coalesce(n_hits, 0)) div {TOP_K}"
+            ).alias("recall_micro"),
+        )
+    )
+
+
+# Differential oracle: both legs' full oracles as CTEs (DuckDB scopes each
+# leg's inner WITH to its own subquery), intersected and counted the same
+# way.
+SIM_RECALL_LSH_SQL = f"""
+WITH lsh_leg AS ({SIM_TOPK_LSH_SQL}),
+bf_leg AS ({SIM_TOPK_BRUTEFORCE_SQL}),
+hits AS (
+  SELECT b.query_id, COUNT(*) AS n_hits
+  FROM bf_leg b JOIN lsh_leg l
+    ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+  GROUP BY b.query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       (1000000 * COALESCE(h.n_hits, 0)) // {TOP_K} AS recall_micro
+FROM (SELECT DISTINCT query_id FROM bf_leg) q
+LEFT JOIN hits h ON h.query_id = q.query_id
+"""
+
+
 SIMILARITY_QUERIES: dict[str, tuple] = {
     "sim_topk_bruteforce": (sim_topk_bruteforce, SIM_TOPK_BRUTEFORCE_SQL),
     # Exact oracles since r08 (r07 verdict "missing" #3): bucketing/listing
@@ -1357,6 +1408,7 @@ SIMILARITY_QUERIES: dict[str, tuple] = {
     "sim_topk_pq": (sim_topk_pq, SIM_TOPK_PQ_SQL),
     # staged round-9 addition (registry.STAGED_DECLARED_ROUND)
     "sim_topk_ivfpq": (sim_topk_ivfpq, SIM_TOPK_IVFPQ_SQL),
+    "sim_recall_lsh": (sim_recall_lsh, SIM_RECALL_LSH_SQL),
 }
 
 

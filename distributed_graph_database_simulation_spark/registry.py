@@ -213,6 +213,10 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # dedup digest + token mass); pre-verified hash-exact at sf0.001 +
     # sf0.01, queued for r10.
     "pipe_dataset_card": 9,
+    # ANN recall@k evaluation (LSH vs exact brute force), composed
+    # differential oracle; pre-verified hash-exact at sf0.001 + sf0.01,
+    # queued for r10.
+    "sim_recall_lsh": 9,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)
