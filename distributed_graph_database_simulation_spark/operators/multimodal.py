@@ -1019,12 +1019,133 @@ FROM t
 """
 
 
+PHASH_T = 8  # aHash grid side: 64 bits, stored as two 32-bit halves
+
+
+_PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("phash_hi", LongType()),
+        StructField("phash_lo", LongType()),
+    ]
+)
+
+
+def _phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Average-hash (aHash) over a real BMP round trip: decode, gather a
+    PHASH_T x PHASH_T nearest-neighbor grid, integer grayscale
+    (r+g+b)//3, threshold at the floor mean, pack 64 bits row-major as
+    two 32-bit halves. All-integer, so the hash is bit-identical across
+    engines — the perceptual-dedup key an image training pipeline buckets
+    on (aHash is the cheap member of the aHash/dHash/pHash family; the
+    grid gather and thresholding here are the real thing, only the source
+    "image" is the synthesized payload)."""
+    import numpy as np
+
+    T = PHASH_T
+    for pdf in batches:
+        his = np.zeros(len(pdf), dtype="int64")
+        los = np.zeros(len(pdf), dtype="int64")
+        for i, (media_id, payload) in enumerate(zip(pdf["media_id"], pdf["payload"])):
+            mid = int(media_id)
+            w = 4 + mid % 5
+            h = 4 + (mid * 3) % 5
+            npx = w * h * 3
+            pixels = bytes(payload)[:npx].ljust(npx, b"\x00")
+            meta, decoded = parse_bmp(encode_bmp_rgb24(pixels, w, h))
+            if meta["width"] != w or meta["height"] != h or decoded != pixels:
+                raise ValueError("BMP round-trip drift before phash")
+            arr = np.frombuffer(decoded, dtype=np.uint8).reshape(h, w, 3)
+            sy = (np.arange(T) * h) // T
+            sx = (np.arange(T) * w) // T
+            gray = arr[sy][:, sx, :].astype(np.int64).sum(axis=2) // 3
+            mean = int(gray.sum()) // (T * T)
+            bits = (gray.reshape(-1) >= mean).astype(np.int64)
+            ks = np.arange(T * T)
+            los[i] = int((bits[ks < 32] << ks[ks < 32]).sum())
+            his[i] = int((bits[ks >= 32] << (ks[ks >= 32] - 32)).sum())
+        yield pd.DataFrame(
+            {"media_id": pdf["media_id"], "phash_hi": his, "phash_lo": los}
+        )
+
+
+def mm_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup (:func:`_phash_batches`): aHash every
+    payload through the real BMP codec, then one hash aggregate over the
+    64-bit key — the image-side mirror of exact text dedup. Returns each
+    image with its hash and how many images share it (n_same, survivor =
+    min media_id)."""
+    hashed = media_table(spark, sf_dir).mapInPandas(
+        _phash_batches, schema=_PHASH_SCHEMA
+    )
+    groups = hashed.groupBy("phash_hi", "phash_lo").agg(
+        F.count("*").alias("n_same"), F.min("media_id").alias("survivor_id")
+    )
+    return hashed.join(groups, ["phash_hi", "phash_lo"]).select(
+        "media_id", "phash_hi", "phash_lo", "n_same", "survivor_id"
+    )
+
+
+# Grid cell (y, x) reads source pixel ((y*h)//T, (x*w)//T) — byte base
+# (sy*w + sx)*3, 1-based in text — grayscale is the integer mean of its
+# three bytes (zero past the text, as in the resize oracle); the threshold
+# is the floor mean of all 64 grays.
+MM_IMAGE_PHASH_DEDUP_SQL = f"""
+WITH t AS (
+  SELECT doc_id AS media_id, text,
+         4 + doc_id % 5 AS w, 4 + (doc_id * 3) % 5 AS h
+  FROM documents
+),
+grays AS (
+  SELECT media_id,
+         list_transform(range(0, {PHASH_T * PHASH_T}), k ->
+           (CASE WHEN ((((k // {PHASH_T}) * h) // {PHASH_T}) * w
+                       + ((k % {PHASH_T}) * w) // {PHASH_T}) * 3
+                      < least(length(text), w * h * 3)
+                 THEN ord(text[((((k // {PHASH_T}) * h) // {PHASH_T}) * w
+                       + ((k % {PHASH_T}) * w) // {PHASH_T}) * 3 + 1]) ELSE 0 END
+          + CASE WHEN ((((k // {PHASH_T}) * h) // {PHASH_T}) * w
+                       + ((k % {PHASH_T}) * w) // {PHASH_T}) * 3 + 1
+                      < least(length(text), w * h * 3)
+                 THEN ord(text[((((k // {PHASH_T}) * h) // {PHASH_T}) * w
+                       + ((k % {PHASH_T}) * w) // {PHASH_T}) * 3 + 2]) ELSE 0 END
+          + CASE WHEN ((((k // {PHASH_T}) * h) // {PHASH_T}) * w
+                       + ((k % {PHASH_T}) * w) // {PHASH_T}) * 3 + 2
+                      < least(length(text), w * h * 3)
+                 THEN ord(text[((((k // {PHASH_T}) * h) // {PHASH_T}) * w
+                       + ((k % {PHASH_T}) * w) // {PHASH_T}) * 3 + 3]) ELSE 0 END
+           ) // 3) AS g
+  FROM t
+),
+hashed AS (
+  SELECT media_id,
+         CAST(list_sum(list_transform(range(0, 32), k ->
+           CASE WHEN g[k + 33] >= list_sum(g) // 64
+                THEN CAST(1 AS BIGINT) << k ELSE 0 END)) AS BIGINT) AS phash_hi,
+         CAST(list_sum(list_transform(range(0, 32), k ->
+           CASE WHEN g[k + 1] >= list_sum(g) // 64
+                THEN CAST(1 AS BIGINT) << k ELSE 0 END)) AS BIGINT) AS phash_lo
+  FROM grays
+)
+SELECT h.media_id, h.phash_hi, h.phash_lo,
+       g.n_same, g.survivor_id
+FROM hashed h
+JOIN (
+  SELECT phash_hi, phash_lo, CAST(COUNT(*) AS BIGINT) AS n_same,
+         MIN(media_id) AS survivor_id
+  FROM hashed GROUP BY phash_hi, phash_lo
+) g USING (phash_hi, phash_lo)
+"""
+
+
 MULTIMODAL_QUERIES: dict[str, tuple] = {
     "mm_image_features": (mm_image_features, MM_IMAGE_FEATURES_SQL),
     "mm_frame_sample": (mm_frame_sample, MM_FRAME_SAMPLE_SQL),
     "mm_audio_features": (mm_audio_features, MM_AUDIO_FEATURES_SQL),
     "mm_wav_decode": (mm_wav_decode, MM_WAV_DECODE_SQL),
     "mm_bmp_decode": (mm_bmp_decode, MM_BMP_DECODE_SQL),
+    # staged r09-continuation (registry.STAGED_DECLARED_ROUND)
+    "mm_image_phash_dedup": (mm_image_phash_dedup, MM_IMAGE_PHASH_DEDUP_SQL),
     "mm_png_decode": (mm_png_decode, MM_PNG_DECODE_SQL),
     # staged round-9 addition (registry.STAGED_DECLARED_ROUND)
     "mm_image_resize": (mm_image_resize, MM_IMAGE_RESIZE_SQL),

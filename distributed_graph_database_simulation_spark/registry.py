@@ -217,6 +217,9 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # differential oracle; pre-verified hash-exact at sf0.001 + sf0.01,
     # queued for r10.
     "sim_recall_lsh": 9,
+    # Perceptual-hash (aHash) image dedup through the real BMP codec;
+    # pre-verified hash-exact at sf0.001 + sf0.01, queued for r10.
+    "mm_image_phash_dedup": 9,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)
