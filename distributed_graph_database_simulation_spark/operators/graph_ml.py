@@ -522,6 +522,119 @@ def simrank(
     return out
 
 
+HITS_MICRO = 1_000_000
+
+
+def hits(
+    spark: SparkSession,
+    graphs: DataFrame,
+    edges: DataFrame,
+    iterations: int = 3,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) in exact integer
+    micro-units.
+
+    Per iteration: authority(u) = sum of hub over in-edges, hub(v) = sum
+    of authority over out-edges (simple graph), each renormalized so the
+    per-graph MAX is one million — half-up integer division, so both
+    engines produce identical BIGINTs (max-normalization replaces the
+    usual L2 norm, whose sqrt would reintroduce float drift; rankings are
+    unchanged). Iterations run on the full vertex universe; vertices with
+    no in-(out-)edges carry authority (hub) 0.
+
+    Each iteration is two keyed join+aggregate passes plus a tiny
+    per-graph max join (|graphs| rows, broadcastable) — all JVM-side,
+    shuffle keyed on the vertex, the PageRank cost shape.
+
+    Returns (graph_id, vertex, hub_micro, auth_micro).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    ck = checkpoint_dir(spark)
+    e = edges.select("graph_id", "src", "dst").distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    verts = graphs.select(
+        "graph_id", F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("vertex")
+    )
+    state = verts.select(
+        "graph_id",
+        "vertex",
+        F.lit(HITS_MICRO).cast("bigint").alias("hub"),
+        F.lit(HITS_MICRO).cast("bigint").alias("auth"),
+    )
+    state = barrier(state, eager=True, ckdir=ck)
+
+    def _normalize(raw: DataFrame, col: str) -> DataFrame:
+        mx = raw.groupBy("graph_id").agg(F.max(col).alias("mx"))
+        return (
+            raw.join(F.broadcast(mx), "graph_id")
+            .select(
+                "graph_id",
+                "vertex",
+                F.when(
+                    F.col("mx") > 0,
+                    F.expr(f"(2 * {HITS_MICRO} * {col} + mx) div (2 * mx)"),
+                )
+                .otherwise(F.lit(0))
+                .cast("bigint")
+                .alias(col),
+            )
+        )
+
+    for _ in range(iterations):
+        auth_raw = (
+            state.alias("s")
+            .join(
+                e.alias("e"),
+                on=(F.col("s.graph_id") == F.col("e.graph_id"))
+                & (F.col("s.vertex") == F.col("e.src")),
+            )
+            .groupBy(
+                F.col("s.graph_id").alias("graph_id"),
+                F.col("e.dst").alias("vertex"),
+            )
+            .agg(F.sum("s.hub").alias("auth"))
+        )
+        auth = _normalize(
+            verts.join(auth_raw, ["graph_id", "vertex"], "left").select(
+                "graph_id", "vertex", F.coalesce("auth", F.lit(0)).alias("auth")
+            ),
+            "auth",
+        )
+        hub_raw = (
+            auth.alias("a")
+            .join(
+                e.alias("e"),
+                on=(F.col("a.graph_id") == F.col("e.graph_id"))
+                & (F.col("a.vertex") == F.col("e.dst")),
+            )
+            .groupBy(
+                F.col("a.graph_id").alias("graph_id"),
+                F.col("e.src").alias("vertex"),
+            )
+            .agg(F.sum("a.auth").alias("hub"))
+        )
+        hub = _normalize(
+            verts.join(hub_raw, ["graph_id", "vertex"], "left").select(
+                "graph_id", "vertex", F.coalesce("hub", F.lit(0)).alias("hub")
+            ),
+            "hub",
+        )
+        state = hub.join(auth, ["graph_id", "vertex"]).select(
+            "graph_id", "vertex", "hub", "auth"
+        )
+        state = barrier(state, eager=True, ckdir=ck)
+    out = state.select(
+        "graph_id",
+        "vertex",
+        F.col("hub").alias("hub_micro"),
+        F.col("auth").alias("auth_micro"),
+    )
+    e.unpersist()
+    return out
+
+
 def walks_as_sentences(walks: DataFrame) -> DataFrame:
     """Collapse step rows into ordered vertex sequences — the "sentence"
     layout embedding trainers consume. One shuffle on the walk key;

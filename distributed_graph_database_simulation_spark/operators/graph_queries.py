@@ -2627,6 +2627,105 @@ RANDOM_WALKS_SCALE_SQL = _random_walks_sql(
 )
 
 
+# --- HITS hubs & authorities ----------------------------------------------
+
+def hits_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS over every fixture graph (:func:`~.graph_ml.hits`, 3
+    iterations, integer max-normalization in micro-units)."""
+    from .graph_ml import hits
+
+    return hits(
+        spark, fixtures.fixture_graphs_df(spark), fixtures.fixture_edges_df(spark)
+    )
+
+
+def hits_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS on the orders-derived scale graph."""
+    from .graph_ml import hits
+
+    graphs, edges = _scale_graph(spark, sf_dir)
+    return hits(spark, graphs, edges)
+
+
+def _hits_sql(edges_cte: str, graphs_cte: str, iterations: int) -> str:
+    """Unrolled-iteration oracle for :func:`~.graph_ml.hits`: same simple
+    graph, same sequential update (hub consumes the freshly normalized
+    authority), same half-up integer max-normalization — zero floats."""
+    from .graph_ml import HITS_MICRO
+
+    def norm(raw: str, col: str, out: str) -> str:
+        return f"""
+{out} AS MATERIALIZED (
+  SELECT u.graph_id, u.vertex,
+         CASE WHEN m.mx > 0
+              THEN (2 * {HITS_MICRO} * COALESCE(r.{col}, 0) + m.mx)
+                   // (2 * m.mx)
+              ELSE 0 END AS {col}
+  FROM hits_verts u
+  LEFT JOIN {raw} r ON r.graph_id = u.graph_id AND r.vertex = u.vertex
+  JOIN (
+    SELECT u2.graph_id, MAX(COALESCE(r2.{col}, 0)) AS mx
+    FROM hits_verts u2
+    LEFT JOIN {raw} r2 ON r2.graph_id = u2.graph_id AND r2.vertex = u2.vertex
+    GROUP BY u2.graph_id
+  ) m ON m.graph_id = u.graph_id
+)"""
+
+    parts = []
+    prev = "hits_s0"
+    for k in range(1, iterations + 1):
+        parts.append(f"""
+hits_araw{k} AS (
+  SELECT e.graph_id, e.dst AS vertex, SUM(s.hub) AS auth
+  FROM {prev} s JOIN hits_edges e
+    ON e.graph_id = s.graph_id AND e.src = s.vertex
+  GROUP BY e.graph_id, e.dst
+),{norm(f"hits_araw{k}", "auth", f"hits_a{k}")},
+hits_hraw{k} AS (
+  SELECT e.graph_id, e.src AS vertex, SUM(a.auth) AS hub
+  FROM hits_a{k} a JOIN hits_edges e
+    ON e.graph_id = a.graph_id AND e.dst = a.vertex
+  GROUP BY e.graph_id, e.src
+),{norm(f"hits_hraw{k}", "hub", f"hits_h{k}")},
+hits_s{k} AS MATERIALIZED (
+  SELECT h.graph_id, h.vertex, h.hub, a.auth
+  FROM hits_h{k} h JOIN hits_a{k} a
+    ON a.graph_id = h.graph_id AND a.vertex = h.vertex
+)""")
+        prev = f"hits_s{k}"
+    its_sql = ",".join(parts)
+    return f"""
+WITH hits_graphs(graph_id, n) AS ({graphs_cte}),
+hits_edges AS (SELECT DISTINCT graph_id, src, dst FROM ({edges_cte}) he),
+hits_verts AS (
+  SELECT graph_id, CAST(UNNEST(range(0, n)) AS INT) AS vertex FROM hits_graphs
+),
+hits_s0 AS (
+  SELECT graph_id, vertex,
+         CAST({HITS_MICRO} AS BIGINT) AS hub,
+         CAST({HITS_MICRO} AS BIGINT) AS auth
+  FROM hits_verts
+),{its_sql}
+SELECT graph_id, vertex, CAST(hub AS BIGINT) AS hub_micro,
+       CAST(auth AS BIGINT) AS auth_micro
+FROM {prev}
+"""
+
+
+HITS_QUERY_SQL = _hits_sql(
+    f"SELECT * FROM (VALUES {_EDGE_ROWS}) t(graph_id, src, dst)",
+    f"SELECT * FROM (VALUES {', '.join(f'({g},{n})' for g, n in fixtures.GRAPHS)}) t(graph_id, n)",
+    iterations=3,
+)
+
+HITS_SCALE_SQL = _hits_sql(
+    f"SELECT CAST(1 AS INT) AS graph_id, src, dst "
+    f"FROM ({fixtures.SCALE_GRAPH_SQL}) se",
+    f"SELECT CAST(1 AS INT) AS graph_id, CAST({fixtures.SCALE_V} AS INT) AS n",
+    iterations=3,
+)
+
+
 # --- SimRank vertex similarity -------------------------------------------
 
 def simrank_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3010,4 +3109,6 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "g_neighbor_agg_scale": (neighbor_agg_scale, NEIGHBOR_AGG_SCALE_SQL),
     "g_simrank": (simrank_fixture, SIMRANK_SQL),
     "g_simrank_scale": (simrank_scale, SIMRANK_SCALE_SQL),
+    "g_hits": (hits_fixture, HITS_QUERY_SQL),
+    "g_hits_scale": (hits_scale, HITS_SCALE_SQL),
 }

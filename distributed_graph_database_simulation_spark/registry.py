@@ -220,6 +220,10 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # Perceptual-hash (aHash) image dedup through the real BMP codec;
     # pre-verified hash-exact at sf0.001 + sf0.01, queued for r10.
     "mm_image_phash_dedup": 9,
+    # HITS hubs & authorities (Kleinberg 1999), integer max-normalization;
+    # pre-verified hash-exact at sf0.001 + sf0.01, queued for r10.
+    "g_hits": 9,
+    "g_hits_scale": 9,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

@@ -532,3 +532,71 @@ def test_simrank_known_values(spark):
     assert got[(1, 2)] == 800_000
     # s(3,4): parents {1},{2}; s(1,2)=0.8 from iter 1 -> 0.8*0.8 = 0.64
     assert got[(3, 4)] == 640_000
+
+
+def _py_hits(n, edge_rows, iterations):
+    """Independent HITS reference: same integer contract (micro-units,
+    per-graph max normalization, half-up division, hub consumes the fresh
+    authority), plain Python."""
+    simple = sorted(set(edge_rows))
+    hub = {v: 1_000_000 for v in range(n)}
+
+    def _norm(raw):
+        mx = max(raw.values()) if raw else 0
+        if mx <= 0:
+            return {v: 0 for v in range(n)}
+        return {v: (2_000_000 * raw.get(v, 0) + mx) // (2 * mx) for v in range(n)}
+
+    auth = dict(hub)
+    for _ in range(iterations):
+        araw = {}
+        for s, d in simple:
+            araw[d] = araw.get(d, 0) + hub[s]
+        auth = _norm(araw)
+        hraw = {}
+        for s, d in simple:
+            hraw[s] = hraw.get(s, 0) + auth[d]
+        hub = _norm(hraw)
+    return {v: (hub[v], auth[v]) for v in range(n)}
+
+
+def test_hits_matches_python_reference(spark):
+    from distributed_graph_database_simulation_spark.operators.graph_ml import hits
+
+    rng = random.Random(53)
+    n = 18
+    edge_rows = [
+        (s, d)
+        for s in range(n)
+        for d in range(n)
+        if s != d and rng.random() < 0.2
+    ]
+    edge_rows += edge_rows[:4]  # multigraph input: kernel dedups
+    edges = spark.createDataFrame(
+        [(3, s, d) for s, d in edge_rows], "graph_id INT, src INT, dst INT"
+    )
+    graphs = spark.createDataFrame([(3, n)], "graph_id INT, n INT")
+    got = {
+        r.vertex: (r.hub_micro, r.auth_micro)
+        for r in hits(spark, graphs, edges).collect()
+    }
+    assert got == _py_hits(n, edge_rows, 3)
+
+
+def test_hits_star_center_is_the_authority(spark):
+    """All spokes point at 0: vertex 0 is the unique max authority with
+    zero hub score; every spoke is a max hub with zero authority."""
+    from distributed_graph_database_simulation_spark.operators.graph_ml import hits
+
+    n = 6
+    edges = spark.createDataFrame(
+        [(1, v, 0) for v in range(1, n)], "graph_id INT, src INT, dst INT"
+    )
+    graphs = spark.createDataFrame([(1, n)], "graph_id INT, n INT")
+    got = {
+        r.vertex: (r.hub_micro, r.auth_micro)
+        for r in hits(spark, graphs, edges).collect()
+    }
+    assert got[0] == (0, 1_000_000)
+    for v in range(1, n):
+        assert got[v] == (1_000_000, 0)
