@@ -544,7 +544,9 @@ def hits(
 
     Each iteration is two keyed join+aggregate passes plus a tiny
     per-graph max join (|graphs| rows, broadcastable) — all JVM-side,
-    shuffle keyed on the vertex, the PageRank cost shape.
+    shuffle keyed on the vertex, the PageRank cost shape; the per-graph
+    max rides a window over the state (no separate aggregate job). One
+    eager barrier per iteration truncates lineage, as PageRank does.
 
     Returns (graph_id, vertex, hub_micro, auth_micro).
     """
@@ -566,20 +568,22 @@ def hits(
     state = barrier(state, eager=True, ckdir=ck)
 
     def _normalize(raw: DataFrame, col: str) -> DataFrame:
-        mx = raw.groupBy("graph_id").agg(F.max(col).alias("mx"))
-        return (
-            raw.join(F.broadcast(mx), "graph_id")
-            .select(
-                "graph_id",
-                "vertex",
-                F.when(
-                    F.col("mx") > 0,
-                    F.expr(f"(2 * {HITS_MICRO} * {col} + mx) div (2 * mx)"),
-                )
-                .otherwise(F.lit(0))
-                .cast("bigint")
-                .alias(col),
+        mx = F.max(col).over(Window.partitionBy("graph_id"))
+        return raw.select(
+            "graph_id",
+            "vertex",
+            F.col(col).alias("_raw"),
+            mx.alias("_mx"),
+        ).select(
+            "graph_id",
+            "vertex",
+            F.when(
+                F.col("_mx") > 0,
+                F.expr(f"(2 * {HITS_MICRO} * _raw + _mx) div (2 * _mx)"),
             )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias(col),
         )
 
     for _ in range(iterations):
