@@ -94,6 +94,7 @@ HEADLINE = [
     "g_node2vec_walks_scale",
     "g_neighbor_agg_scale",
     "g_simrank_scale",
+    "g_hits_scale",
 ]
 
 
