@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
 
 from ..session import barrier, checkpoint_dir
 
@@ -637,6 +638,121 @@ def hits(
     )
     e.unpersist()
     return out
+
+
+def articulation_points(
+    spark: SparkSession,
+    graphs: DataFrame,
+    edges: DataFrame,
+    max_nodes: int = 100,
+) -> DataFrame:
+    """Articulation points (cut vertices) of each graph's undirected
+    simple form — one iterative Tarjan lowlink pass per graph.
+
+    A vertex is an articulation point iff removing it increases the
+    number of weakly connected components. Directed input is symmetrized
+    and self-loops dropped (weak-connectivity semantics, as the CC
+    family). Per-graph sequential kernel in the reference's n <= 100
+    regime (`secondary_server.c:117-248`'s own cap) — parallelism is
+    ACROSS graphs, the dfs_leaves/WL posture; lowlink has no practical
+    distributed form, and the brute-force n-removal alternative is the
+    oracle's job, not the engine's. Explicit-stack DFS (no recursion —
+    a deep path would overflow the worker's C stack).
+
+    Returns (graph_id, vertex, is_articulation) for every vertex.
+    """
+    import pandas as pd
+
+    und = (
+        edges.select("graph_id", "src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            "graph_id",
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    # one marker row per vertex so empty/isolated-vertex graphs still form
+    # a group and appear in the output universe
+    markers = graphs.select(
+        "graph_id",
+        F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("a"),
+        F.lit(-1).alias("b"),
+    )
+    grouped = und.unionByName(markers)
+
+    out_schema = StructType(
+        [
+            StructField("graph_id", IntegerType()),
+            StructField("vertex", IntegerType()),
+            StructField("is_articulation", IntegerType()),
+        ]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        graph_id = int(pdf["graph_id"].iloc[0])
+        verts = sorted(int(a) for a, b in zip(pdf["a"], pdf["b"]) if b == -1)
+        adj: dict[int, list[int]] = {v: [] for v in verts}
+        for a, b in zip(pdf["a"], pdf["b"]):
+            if b == -1:
+                continue
+            adj[int(a)].append(int(b))
+            adj[int(b)].append(int(a))
+        if len(verts) > max_nodes:
+            raise ValueError(
+                f"graph {graph_id} has {len(verts)} vertices, over the "
+                f"kernel cap {max_nodes}; articulation points are a "
+                "per-graph kernel op (parallelism is across graphs)"
+            )
+        for v in adj:
+            adj[v].sort()
+        disc: dict[int, int] = {}
+        low: dict[int, int] = {}
+        art: set[int] = set()
+        t = 0
+        for root in verts:
+            if root in disc:
+                continue
+            disc[root] = low[root] = t
+            t += 1
+            root_children = 0
+            stack: list[tuple[int, int | None, object]] = [
+                (root, None, iter(adj[root]))
+            ]
+            while stack:
+                u, parent, it = stack[-1]
+                advanced = False
+                for v in it:
+                    if v == parent:
+                        continue
+                    if v not in disc:
+                        disc[v] = low[v] = t
+                        t += 1
+                        if u == root:
+                            root_children += 1
+                        stack.append((v, u, iter(adj[v])))
+                        advanced = True
+                        break
+                    low[u] = min(low[u], disc[v])
+                if not advanced:
+                    stack.pop()
+                    if stack:
+                        p = stack[-1][0]
+                        low[p] = min(low[p], low[u])
+                        if p != root and low[u] >= disc[p]:
+                            art.add(p)
+            if root_children >= 2:
+                art.add(root)
+        return pd.DataFrame(
+            {
+                "graph_id": graph_id,
+                "vertex": verts,
+                "is_articulation": [1 if v in art else 0 for v in verts],
+            }
+        )
+
+    return grouped.groupBy("graph_id").applyInPandas(kernel, out_schema)
 
 
 def walks_as_sentences(walks: DataFrame) -> DataFrame:

@@ -2627,6 +2627,71 @@ RANDOM_WALKS_SCALE_SQL = _random_walks_sql(
 )
 
 
+# --- articulation points ---------------------------------------------------
+
+def articulation_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Articulation points of every fixture graph
+    (:func:`~.graph_ml.articulation_points`: per-graph iterative Tarjan
+    kernel, weak-connectivity semantics). The oracle brute-forces the
+    definition — components(G−v) > components(G) via a reachability
+    fixpoint per removal scenario — which equals Tarjan's output by the
+    standard theorem, so kernel and oracle are genuinely independent."""
+    from .graph_ml import articulation_points
+
+    return articulation_points(
+        spark, fixtures.fixture_graphs_df(spark), fixtures.fixture_edges_df(spark)
+    )
+
+
+ARTICULATION_SQL = f"""
+WITH RECURSIVE ap_graphs(graph_id, n) AS (
+  SELECT * FROM (VALUES {', '.join(f'({g},{n})' for g, n in fixtures.GRAPHS)}) t(graph_id, n)
+),
+ap_raw AS (
+  SELECT graph_id, src, dst
+  FROM (VALUES {_EDGE_ROWS}) t(graph_id, src, dst)
+  WHERE src <> dst
+),
+ap_und AS (
+  SELECT DISTINCT graph_id, src, dst FROM (
+    SELECT graph_id, src, dst FROM ap_raw
+    UNION ALL
+    SELECT graph_id, dst, src FROM ap_raw
+  ) u
+),
+ap_verts AS (
+  SELECT graph_id, CAST(UNNEST(range(0, n)) AS INT) AS v FROM ap_graphs
+),
+ap_scen AS (
+  SELECT graph_id, -1 AS rm FROM ap_graphs
+  UNION ALL
+  SELECT graph_id, v AS rm FROM ap_verts
+),
+ap_reach(graph_id, rm, a, b) AS (
+  SELECT s.graph_id, s.rm, v.v, v.v
+  FROM ap_scen s JOIN ap_verts v ON v.graph_id = s.graph_id AND v.v <> s.rm
+  UNION
+  SELECT r.graph_id, r.rm, r.a, e.dst
+  FROM ap_reach r JOIN ap_und e
+    ON e.graph_id = r.graph_id AND e.src = r.b
+  WHERE e.dst <> r.rm
+),
+ap_ncomp AS (
+  SELECT graph_id, rm, COUNT(DISTINCT comp_min) AS nc
+  FROM (
+    SELECT graph_id, rm, b AS vertex, MIN(a) AS comp_min
+    FROM ap_reach GROUP BY graph_id, rm, b
+  ) c
+  GROUP BY graph_id, rm
+)
+SELECT v.graph_id, v.v AS vertex,
+       CAST(CASE WHEN r.nc > b.nc THEN 1 ELSE 0 END AS INT) AS is_articulation
+FROM ap_verts v
+JOIN ap_ncomp r ON r.graph_id = v.graph_id AND r.rm = v.v
+JOIN ap_ncomp b ON b.graph_id = v.graph_id AND b.rm = -1
+"""
+
+
 # --- HITS hubs & authorities ----------------------------------------------
 
 def hits_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3111,4 +3176,5 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "g_simrank_scale": (simrank_scale, SIMRANK_SCALE_SQL),
     "g_hits": (hits_fixture, HITS_QUERY_SQL),
     "g_hits_scale": (hits_scale, HITS_SCALE_SQL),
+    "g_articulation": (articulation_fixture, ARTICULATION_SQL),
 }

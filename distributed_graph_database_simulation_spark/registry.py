@@ -224,6 +224,9 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # pre-verified hash-exact at sf0.001 + sf0.01, queued for r10.
     "g_hits": 9,
     "g_hits_scale": 9,
+    # Articulation points (per-graph Tarjan kernel vs brute-force removal
+    # oracle); pre-verified hash-exact at sf0.001 + sf0.01, queued for r10.
+    "g_articulation": 9,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

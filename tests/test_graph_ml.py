@@ -600,3 +600,80 @@ def test_hits_star_center_is_the_authority(spark):
     assert got[0] == (0, 1_000_000)
     for v in range(1, n):
         assert got[v] == (1_000_000, 0)
+
+
+def _py_articulation(n, edge_rows):
+    """Independent brute-force reference: v is an articulation point iff
+    removing it increases the weak component count (BFS, no Tarjan)."""
+    und = {(min(s, d), max(s, d)) for s, d in edge_rows if s != d}
+
+    def ncomp(rm):
+        verts = [v for v in range(n) if v != rm]
+        adj = {v: [] for v in verts}
+        for a, b in und:
+            if a != rm and b != rm:
+                adj[a].append(b)
+                adj[b].append(a)
+        seen, comps = set(), 0
+        for v in verts:
+            if v in seen:
+                continue
+            comps += 1
+            q = [v]
+            seen.add(v)
+            while q:
+                u = q.pop()
+                for w in adj[u]:
+                    if w not in seen:
+                        seen.add(w)
+                        q.append(w)
+        return comps
+
+    base = ncomp(-1)
+    return {v: (1 if ncomp(v) > base else 0) for v in range(n)}
+
+
+def test_articulation_points_match_bruteforce(spark):
+    from distributed_graph_database_simulation_spark.operators.graph_ml import (
+        articulation_points,
+    )
+
+    rng = random.Random(61)
+    n = 20
+    edge_rows = [
+        (s, d)
+        for s in range(n)
+        for d in range(n)
+        if s != d and rng.random() < 0.08
+    ]
+    edge_rows += [(5, 5), (0, 1), (0, 1)]  # self-loop + duplicates
+    edges = spark.createDataFrame(
+        [(7, s, d) for s, d in edge_rows], "graph_id INT, src INT, dst INT"
+    )
+    graphs = spark.createDataFrame([(7, n)], "graph_id INT, n INT")
+    got = {
+        r.vertex: r.is_articulation
+        for r in articulation_points(spark, graphs, edges).collect()
+    }
+    assert got == _py_articulation(n, edge_rows)
+
+
+def test_articulation_path_and_cycle(spark):
+    """Controls: every interior vertex of a path is an articulation point;
+    no vertex of a cycle is."""
+    from distributed_graph_database_simulation_spark.operators.graph_ml import (
+        articulation_points,
+    )
+
+    n = 6
+    path = [(1, v, v + 1) for v in range(n - 1)]
+    cycle = [(2, v, (v + 1) % n) for v in range(n)]
+    edges = spark.createDataFrame(path + cycle, "graph_id INT, src INT, dst INT")
+    graphs = spark.createDataFrame([(1, n), (2, n)], "graph_id INT, n INT")
+    got = {
+        (r.graph_id, r.vertex): r.is_articulation
+        for r in articulation_points(spark, graphs, edges).collect()
+    }
+    for v in range(n):
+        assert got[(1, v)] == (1 if 0 < v < n - 1 else 0)
+        assert got[(2, v)] == 0
