@@ -755,6 +755,105 @@ def articulation_points(
     return grouped.groupBy("graph_id").applyInPandas(kernel, out_schema)
 
 
+def bridges(
+    spark: SparkSession,
+    graphs: DataFrame,
+    edges: DataFrame,
+    max_nodes: int = 100,
+) -> DataFrame:
+    """Bridge edges of each graph's undirected simple form — the edge
+    sibling of :func:`articulation_points`, from the same iterative
+    Tarjan pass (tree edge (u, v) is a bridge iff low(v) > disc(u)).
+
+    Same semantics and posture as articulation points: weak connectivity,
+    self-loops dropped, per-graph kernel in the n <= 100 regime with
+    parallelism across graphs. Returns (graph_id, a, b, is_bridge) for
+    every undirected edge, a < b.
+    """
+    import pandas as pd
+
+    und = (
+        edges.select("graph_id", "src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            "graph_id",
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+
+    out_schema = StructType(
+        [
+            StructField("graph_id", IntegerType()),
+            StructField("a", IntegerType()),
+            StructField("b", IntegerType()),
+            StructField("is_bridge", IntegerType()),
+        ]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        graph_id = int(pdf["graph_id"].iloc[0])
+        pairs = sorted((int(a), int(b)) for a, b in zip(pdf["a"], pdf["b"]))
+        verts = sorted({v for p in pairs for v in p})
+        if len(verts) > max_nodes:
+            raise ValueError(
+                f"graph {graph_id} has {len(verts)} vertices, over the "
+                f"kernel cap {max_nodes}; bridges are a per-graph kernel op"
+            )
+        adj: dict[int, list[int]] = {v: [] for v in verts}
+        for a, b in pairs:
+            adj[a].append(b)
+            adj[b].append(a)
+        for v in adj:
+            adj[v].sort()
+        disc: dict[int, int] = {}
+        low: dict[int, int] = {}
+        bridge_set: set[tuple[int, int]] = set()
+        t = 0
+        for root in verts:
+            if root in disc:
+                continue
+            disc[root] = low[root] = t
+            t += 1
+            stack: list[tuple[int, int | None, object]] = [
+                (root, None, iter(adj[root]))
+            ]
+            while stack:
+                u, parent, it = stack[-1]
+                advanced = False
+                for v in it:
+                    if v == parent:
+                        continue
+                    if v not in disc:
+                        disc[v] = low[v] = t
+                        t += 1
+                        stack.append((v, u, iter(adj[v])))
+                        advanced = True
+                        break
+                    low[u] = min(low[u], disc[v])
+                if not advanced:
+                    stack.pop()
+                    if stack:
+                        p = stack[-1][0]
+                        low[p] = min(low[p], low[u])
+                        if low[u] > disc[p]:
+                            bridge_set.add((min(p, u), max(p, u)))
+            # root needs no special case for bridges
+        return pd.DataFrame(
+            {
+                "graph_id": graph_id,
+                "a": [a for a, _ in pairs],
+                "b": [b for _, b in pairs],
+                "is_bridge": [
+                    1 if (a, b) in bridge_set else 0 for a, b in pairs
+                ],
+            }
+        )
+
+    return und.groupBy("graph_id").applyInPandas(kernel, out_schema)
+
+
 def walks_as_sentences(walks: DataFrame) -> DataFrame:
     """Collapse step rows into ordered vertex sequences — the "sentence"
     layout embedding trainers consume. One shuffle on the walk key;

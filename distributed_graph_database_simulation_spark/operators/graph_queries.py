@@ -2692,6 +2692,71 @@ JOIN ap_ncomp b ON b.graph_id = v.graph_id AND b.rm = -1
 """
 
 
+# --- bridges ---------------------------------------------------------------
+
+def bridges_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bridge edges of every fixture graph (:func:`~.graph_ml.bridges`,
+    the edge sibling of the articulation kernel). The oracle brute-forces
+    the definition — components increase when the edge is removed — via a
+    per-scenario reachability fixpoint, independent of Tarjan."""
+    from .graph_ml import bridges
+
+    return bridges(
+        spark, fixtures.fixture_graphs_df(spark), fixtures.fixture_edges_df(spark)
+    )
+
+
+BRIDGES_SQL = f"""
+WITH RECURSIVE br_raw AS (
+  SELECT graph_id, src, dst
+  FROM (VALUES {_EDGE_ROWS}) t(graph_id, src, dst)
+  WHERE src <> dst
+),
+br_und AS (
+  SELECT DISTINCT graph_id, LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM br_raw
+),
+br_verts AS (
+  SELECT DISTINCT graph_id, v FROM (
+    SELECT graph_id, a AS v FROM br_und
+    UNION ALL SELECT graph_id, b AS v FROM br_und
+  ) u
+),
+br_scen AS (
+  SELECT DISTINCT graph_id, -1 AS ra, -1 AS rb FROM br_und
+  UNION ALL
+  SELECT graph_id, a, b FROM br_und
+),
+br_dir AS (
+  SELECT graph_id, a AS src, b AS dst, a AS ca, b AS cb FROM br_und
+  UNION ALL
+  SELECT graph_id, b AS src, a AS dst, a AS ca, b AS cb FROM br_und
+),
+br_reach(graph_id, ra, rb, x, y) AS (
+  SELECT s.graph_id, s.ra, s.rb, v.v, v.v
+  FROM br_scen s JOIN br_verts v ON v.graph_id = s.graph_id
+  UNION
+  SELECT r.graph_id, r.ra, r.rb, r.x, e.dst
+  FROM br_reach r JOIN br_dir e
+    ON e.graph_id = r.graph_id AND e.src = r.y
+  WHERE NOT (e.ca = r.ra AND e.cb = r.rb)
+),
+br_ncomp AS (
+  SELECT graph_id, ra, rb, COUNT(DISTINCT comp_min) AS nc
+  FROM (
+    SELECT graph_id, ra, rb, y, MIN(x) AS comp_min
+    FROM br_reach GROUP BY graph_id, ra, rb, y
+  ) c
+  GROUP BY graph_id, ra, rb
+)
+SELECT e.graph_id, CAST(e.a AS INT) AS a, CAST(e.b AS INT) AS b,
+       CAST(CASE WHEN r.nc > bse.nc THEN 1 ELSE 0 END AS INT) AS is_bridge
+FROM br_und e
+JOIN br_ncomp r ON r.graph_id = e.graph_id AND r.ra = e.a AND r.rb = e.b
+JOIN br_ncomp bse ON bse.graph_id = e.graph_id AND bse.ra = -1 AND bse.rb = -1
+"""
+
+
 # --- HITS hubs & authorities ----------------------------------------------
 
 def hits_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3177,4 +3242,5 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "g_hits": (hits_fixture, HITS_QUERY_SQL),
     "g_hits_scale": (hits_scale, HITS_SCALE_SQL),
     "g_articulation": (articulation_fixture, ARTICULATION_SQL),
+    "g_bridges": (bridges_fixture, BRIDGES_SQL),
 }

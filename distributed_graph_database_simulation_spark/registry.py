@@ -227,6 +227,9 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # Articulation points (per-graph Tarjan kernel vs brute-force removal
     # oracle); pre-verified hash-exact at sf0.001 + sf0.01, queued for r10.
     "g_articulation": 9,
+    # Bridge edges (same Tarjan pass, edge-removal brute-force oracle);
+    # pre-verified hash-exact at sf0.001 + sf0.01, queued for r10.
+    "g_bridges": 9,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

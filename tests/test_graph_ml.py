@@ -677,3 +677,74 @@ def test_articulation_path_and_cycle(spark):
     for v in range(n):
         assert got[(1, v)] == (1 if 0 < v < n - 1 else 0)
         assert got[(2, v)] == 0
+
+
+def test_bridges_match_bruteforce(spark):
+    """Bridge flags must equal the brute-force edge-removal reference."""
+    from distributed_graph_database_simulation_spark.operators.graph_ml import bridges
+
+    rng = random.Random(71)
+    n = 16
+    edge_rows = [
+        (s, d)
+        for s in range(n)
+        for d in range(n)
+        if s != d and rng.random() < 0.09
+    ]
+    edge_rows += [(3, 3), (0, 1), (1, 0)]  # self-loop + both directions
+    und = {(min(s, d), max(s, d)) for s, d in edge_rows if s != d}
+
+    def ncomp(skip):
+        verts = sorted({v for p in und for v in p})
+        adj = {v: [] for v in verts}
+        for a, b in und:
+            if (a, b) == skip:
+                continue
+            adj[a].append(b)
+            adj[b].append(a)
+        seen, comps = set(), 0
+        for v in verts:
+            if v in seen:
+                continue
+            comps += 1
+            q = [v]
+            seen.add(v)
+            while q:
+                u = q.pop()
+                for w in adj[u]:
+                    if w not in seen:
+                        seen.add(w)
+                        q.append(w)
+        return comps
+
+    base = ncomp(None)
+    want = {(a, b): (1 if ncomp((a, b)) > base else 0) for a, b in und}
+    edges = spark.createDataFrame(
+        [(5, s, d) for s, d in edge_rows], "graph_id INT, src INT, dst INT"
+    )
+    graphs = spark.createDataFrame([(5, n)], "graph_id INT, n INT")
+    got = {
+        (r.a, r.b): r.is_bridge
+        for r in bridges(spark, graphs, edges).collect()
+    }
+    assert got == want
+    # every path edge is a bridge; no cycle edge is
+    assert any(v == 1 for v in got.values()) or all(v == 0 for v in got.values())
+
+
+def test_bridges_path_and_cycle(spark):
+    from distributed_graph_database_simulation_spark.operators.graph_ml import bridges
+
+    n = 5
+    path = [(1, v, v + 1) for v in range(n - 1)]
+    cycle = [(2, v, (v + 1) % n) for v in range(n)]
+    edges = spark.createDataFrame(path + cycle, "graph_id INT, src INT, dst INT")
+    graphs = spark.createDataFrame([(1, n), (2, n)], "graph_id INT, n INT")
+    got = {
+        (r.graph_id, r.a, r.b): r.is_bridge
+        for r in bridges(spark, graphs, edges).collect()
+    }
+    for v in range(n - 1):
+        assert got[(1, v, v + 1)] == 1          # every path edge
+    for v in range(n):
+        assert got[(2, min(v, (v + 1) % n), max(v, (v + 1) % n))] == 0
