@@ -211,6 +211,19 @@ def _ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Oracle computes the same sets with list ops; intersection size via
 # |A|+|B|-|A union B| so both engines use identical distinct semantics.
+#
+# r10: the candidate stage is PREFIX-FILTERED (same AllPairs/PPJoin lemma
+# as :func:`_ngram_jaccard_prefix`, here under the LEXICOGRAPHIC total
+# order on shingle strings — no hash involved, so no tie-order caveat):
+# J(A,B) >= 0.5 forces the globally-smallest common shingle into both
+# docs' first (n - ceil(0.5*n) + 1) sorted shingles, so joining prefixes
+# plus the size filter finds every qualifying pair, and the full-list
+# verification removes prefix false positives. Output is IDENTICAL to the
+# r01-r09 all-pairs formulation (checked side-by-side at sf0.01: 25 = 25
+# pairs, equal frames) but the oracle drops from quadratic to
+# candidate-proportional — 17s -> 1.0s at sf0.01, and sf0.1 becomes
+# tractable (~84s vs ~30min), retiring the standing sweep exemption
+# (r09 verdict #7).
 _NGRAM_ORACLE_CORE = """
 WITH docs AS (
   SELECT doc_id,
@@ -224,11 +237,22 @@ sh AS (
   FROM docs
   WHERE len(w) >= 3
 ),
+pre AS (
+  SELECT doc_id, len(s) AS n_sh,
+         unnest(list_sort(s)[1 : len(s) - CAST(ceil(len(s) * 0.5) AS BIGINT) + 1]) AS h
+  FROM sh
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pre a JOIN pre b
+    ON a.h = b.h AND a.doc_id < b.doc_id
+   AND b.n_sh >= a.n_sh * 0.5 AND a.n_sh >= b.n_sh * 0.5
+),
 pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  SELECT c.doc_a, c.doc_b,
          CAST(len(a.s) + len(b.s) - len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
            / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b
 )
 SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5
 """
@@ -870,6 +894,91 @@ def dedup_embedding_cosine_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     return _cosine_pairs_blocked(emb, 8)
+
+
+# Fixed LSH geometry for the registry entry (the library function derives
+# bits from the corpus size; an oracle needs ONE static SQL string valid at
+# every sf, so the entry pins the geometry instead). The testdata
+# embeddings carry only LOOSE pairs (max cosine ~0.51, theta ~59deg), so a
+# fine geometry would emit ZERO rows at every gate sf — a vacuous hash
+# match, the g_triangles lesson. 8 tables x 8 bits measured non-vacuous at
+# all shipped SFs (4 / 8 / 87 emitted pairs at sf0.001/0.01/0.1) with
+# candidates bounded ~n^2*8/256.
+PREFILTER_TABLES = 8
+PREFILTER_BITS = 8
+
+
+def dedup_embedding_cosine_prefiltered_entry(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry entry for :func:`dedup_embedding_cosine_prefiltered` — the
+    documented >1M-vector route (the path that matters at 100 TB) finally
+    under the driver's eye (r09 verdict #6).
+
+    The LSH candidate stage is recall-lossy for LOOSE pairs by design, so
+    this cannot share the exhaustive all-pairs oracle the exact routes use;
+    instead the oracle (below) REPLAYS the md5-derived hyperplane bucketing
+    with the same exact integer arithmetic as ``similarity._signatures``
+    (the SIM_TOPK_LSH_SQL playbook) and applies the same exact-cosine
+    verification to the same candidate set — equality is by construction,
+    certifying the candidate generation itself, not just the verification.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    return dedup_embedding_cosine_prefiltered(
+        spark, emb, tables=PREFILTER_TABLES, bits=PREFILTER_BITS
+    )
+
+
+def _prefiltered_oracle_sql() -> str:
+    from .similarity import LSH_PLANE_CENTER, LSH_PLANE_MOD, LSH_QUANT_SCALE
+
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+n AS (
+  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS norm,
+         list_transform(e, x -> CAST(round(x * {LSH_QUANT_SCALE}) AS BIGINT)) AS q
+  FROM v
+),
+planes AS (
+  SELECT t.t, b.b, i.i,
+         CAST('0x' || substr(md5(CAST(t.t AS VARCHAR) || '|' ||
+                                 CAST(b.b AS VARCHAR) || '|' ||
+                                 CAST(i.i AS VARCHAR)), 1, 8) AS BIGINT)
+           % {LSH_PLANE_MOD} - {LSH_PLANE_CENTER} AS w
+  FROM (SELECT UNNEST(range({PREFILTER_TABLES})) AS t) t,
+       (SELECT UNNEST(range({PREFILTER_BITS})) AS b) b,
+       (SELECT UNNEST(range(64)) AS i) i
+),
+proj AS (
+  SELECT n.vec_id, p.t, p.b, SUM(n.q[p.i + 1] * p.w) AS s
+  FROM n CROSS JOIN planes p
+  GROUP BY 1, 2, 3
+),
+sig AS (
+  SELECT vec_id, t,
+         SUM(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS bucket
+  FROM proj GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sig a JOIN sig b ON a.t = b.t AND a.bucket = b.bucket
+                       AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM (
+  SELECT c.vec_a, c.vec_b,
+         list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
+           / (a.norm * b.norm) AS cosine
+  FROM cand c JOIN n a ON a.vec_id = c.vec_a JOIN n b ON b.vec_id = c.vec_b
+)
+WHERE cosine >= {COSINE_T}
+"""
+
+
+DEDUP_EMBEDDING_COSINE_PREFILTERED_SQL = _prefiltered_oracle_sql()
 
 
 # --- dup-pair clustering (pairs -> connected components -> survivors) ----
@@ -1518,5 +1627,11 @@ DEDUP_QUERIES.update(
     {
         # staged r09-continuation: SemDeDup semantic near-dup (r10 rotation)
         "dedup_semdedup": (dedup_semdedup, DEDUP_SEMDEDUP_SQL),
+        # staged r10: the >1M-vector LSH-prefiltered route, oracle replays
+        # the md5-hyperplane bucketing exactly (r09 verdict #6)
+        "dedup_embedding_cosine_prefiltered": (
+            dedup_embedding_cosine_prefiltered_entry,
+            DEDUP_EMBEDDING_COSINE_PREFILTERED_SQL,
+        ),
     }
 )

@@ -230,6 +230,44 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return tri
 
 
+def triangle_count_per_vertex(edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle counts: (graph_id, vertex, triangles) for every
+    vertex participating in at least one triangle.
+
+    Same canonical ``src < dst`` two-join enumeration as
+    :func:`triangle_count`, but each found triangle (a, b, c) credits ALL
+    THREE corners — one narrow explode over the 3-row corner array (rows
+    proportional to 3x the triangle count, never to pairs), then a hash
+    aggregate with map-side combine per (graph_id, vertex). Unlike
+    :func:`clustering_coefficient` this does NOT zero-fill over the vertex
+    universe: the output is the triangle mass itself, so an empty result
+    means a triangle-free graph and a driver hash match on it would be
+    vacuous (the r09 g_triangles lesson).
+    """
+    canon = (
+        undirected(edges)
+        .filter(F.col("src") < F.col("dst"))
+        .select("graph_id", "src", "dst")
+    )
+    ab, bc, ac = canon.alias("ab"), canon.alias("bc"), canon.alias("ac")
+    corners = (
+        ab.join(bc, on=[F.col("ab.graph_id") == F.col("bc.graph_id"),
+                        F.col("ab.dst") == F.col("bc.src")])
+        .join(ac, on=[F.col("ab.graph_id") == F.col("ac.graph_id"),
+                      F.col("ab.src") == F.col("ac.src"),
+                      F.col("bc.dst") == F.col("ac.dst")])
+        .select(
+            F.col("ab.graph_id").alias("graph_id"),
+            F.explode(
+                F.array(F.col("ab.src"), F.col("ab.dst"), F.col("bc.dst"))
+            ).alias("vertex"),
+        )
+    )
+    return corners.groupBy("graph_id", "vertex").agg(
+        F.count("*").alias("triangles")
+    )
+
+
 def sssp(
     spark: SparkSession,
     edges: DataFrame,

@@ -27,6 +27,7 @@ from .graph_analytics import (
     pagerank,
     sssp,
     triangle_count,
+    triangle_count_per_vertex,
 )
 from .graph_traversal import bfs_levels, bfs_levels_small, dfs_leaves
 
@@ -230,23 +231,41 @@ LEFT JOIN (SELECT graph_id, dst AS vertex, COUNT(*) AS c FROM fixture_edges GROU
 """
 
 
-def triangles_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return triangle_count(fixtures.fixture_edges_df(spark))
+def triangles_per_vertex_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts over the orders-derived scale graph.
+
+    Replaces the r01 fixture-graph total (the reference graphs G1-G7 are
+    trees/2-cycles — zero triangles, so the old entry hash-matched an EMPTY
+    set at every gate sf: a vacuous certification, flagged `weak` by the r09
+    verdict). The scale graph carries real triangle mass at every shipped sf
+    (101 vertices, edge count tracking `orders`), so this row certifies the
+    corner-credit enumeration on non-empty, sf-tracking data.
+    """
+    _, edges = _scale_graph(spark, sf_dir)
+    return triangle_count_per_vertex(edges).select(
+        "graph_id", "vertex", "triangles"
+    )
 
 
 TRIANGLES_SQL = f"""
-WITH {_FIXTURE_CTE},
-ue(graph_id, src, dst) AS (
-  SELECT graph_id, src, dst FROM fixture_edges
+WITH scale_edges AS ({fixtures.SCALE_GRAPH_SQL}),
+ue(src, dst) AS (
+  SELECT src, dst FROM scale_edges
   UNION
-  SELECT graph_id, dst, src FROM fixture_edges
+  SELECT dst, src FROM scale_edges
 ),
-canon AS (SELECT graph_id, src, dst FROM ue WHERE src < dst)
-SELECT ab.graph_id, COUNT(*) AS triangles
-FROM canon ab
-JOIN canon bc ON bc.graph_id = ab.graph_id AND bc.src = ab.dst
-JOIN canon ac ON ac.graph_id = ab.graph_id AND ac.src = ab.src AND ac.dst = bc.dst
-GROUP BY ab.graph_id
+canon AS (SELECT src, dst FROM ue WHERE src < dst),
+tri AS (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM canon ab
+  JOIN canon bc ON bc.src = ab.dst
+  JOIN canon ac ON ac.src = ab.src AND ac.dst = bc.dst
+),
+corners(vertex) AS (
+  SELECT a FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+)
+SELECT CAST(1 AS INT) AS graph_id, vertex, COUNT(*) AS triangles
+FROM corners GROUP BY vertex
 """
 
 
@@ -3173,7 +3192,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "g_degrees": (degrees_fixture, DEGREES_SQL),
     "g_degrees_scale": (degrees_scale, DEGREES_SCALE_SQL),
     "g_kcore_scale": (kcore_scale, KCORE_SCALE_SQL),
-    "g_triangles": (triangles_fixture, TRIANGLES_SQL),
+    "g_triangles": (triangles_per_vertex_scale, TRIANGLES_SQL),
     "g_triangles_scale": (triangles_scale, TRIANGLES_SCALE_SQL),
     "g_sssp_scale": (sssp_scale, SSSP_SCALE_SQL),
     "g_pagerank": (pagerank_fixture, PAGERANK_SQL),

@@ -38,63 +38,61 @@ from .streaming.windowed import STREAMING_QUERIES
 # fixture variants (all hash-exact green in CORRECTNESS_r01) go in the tail.
 CHECK_WINDOW = 50
 
-# r09 rotation (two moves, both ordered by the r08 verdict):
+# r10 rotation (both moves ordered by the r09 verdict):
 #
-# 1. FIRST DRIVER ROWS for ``sim_topk_lsh`` / ``sim_topk_ivf`` (r08 verdict
-#    "missing" #1): they gained exact md5-portable oracles in the r08 LSH
-#    rewrite but errored `no_oracle` in r02-r05 and never re-gated. Both
-#    pre-verified hash-exact at sf0.001 AND sf0.01 this session (the
-#    playbook's staging bar), rotated straight into the gate rather than
-#    parked in STAGED_DECLARED_ROUND — staging is for entries awaiting a
-#    FUTURE rotation, and this IS their rotation.
-# 2. SIXTEEN RE-AUDIT VETERANS (r08 verdict #6): entries last driver-green
-#    in r01-r04 return for a fresh row — g_degrees/pagerank/
-#    label_propagation/reachable/connected_components/degrees_scale/
-#    bfs_levels_kernel, text_token_count/fingerprint/repetition,
-#    rel_pricing_summary/topk_orders/rollup_shipping/pivot_returnflag/
-#    quantiles/outer_join. All 16 re-verified hash-exact at sf0.001 +
-#    sf0.01 this session before the swap. (g_triangles was considered and
-#    rejected: 0 rows at both gate sfs — a vacuous hash match, the r04
-#    capped-link-prediction lesson.)
+# 1. THE SIXTEEN r09-STAGED ENTRIES rotate in for their FIRST driver rows
+#    (r09 verdict #1 — they were the only registry entries with zero driver
+#    history, and the staleness guard forces them into the r10/r11 gate):
+#    node2vec/random-walks/SimRank/HITS (fixture+scale each), neighbor-agg,
+#    SemDeDup, IVF-PQ, LSH recall, pHash dedup, dataset card, articulation,
+#    bridges. All sixteen were pre-verified hash-exact at sf0.001 + sf0.01
+#    when staged in r09 and re-verified this session before the swap.
+# 2. ``g_triangles`` returns REDEFINED (r09 verdict #2 — the old fixture
+#    total was vacuous: G1-G7 are triangle-free, so its r01 "hash-exact"
+#    certified an empty set). It is now the per-vertex triangle table over
+#    the orders-derived scale graph: 101 rows of real, sf-tracking triangle
+#    mass at every shipped sf, pre-verified hash-exact at sf0.001 + sf0.01.
 #
-# Rotated to the tail in exchange, all multiply-certified: the six r08
-# re-audit returnees (fresh r08 row on top of 1-5 historical rows) and
-# twelve r07-wave entries with 2 green rows each (r07+r08). Six r07-wave
-# iterative/scale entries stay for a 3rd row to keep the heavyweight graph
-# loops under the driver's eye. All eight canary names
-# (tests/test_registry_window.py::test_canary_smoke*) remain in the window.
+# Rotated to the tail in exchange (17): the sixteen r09 re-audit veterans —
+# each freshly re-certified by CORRECTNESS_r09 on top of their r01-r04
+# history — plus g_mis (3 green rows, r07/r08/r09). Family coverage after
+# the swap: g (BFS/DFS + 11 analytics), dedup (scrub_spans, semdedup,
+# mm_image_phash_dedup), sim (lsh/ivf/pq/ivfpq/kmeans/recall), text
+# (gopher/bigram/unigram), mm (resize, phash), rel (resample/interval/
+# skyline/retention), stream (file sink, outer join), pipe (6 entries).
 _WINDOW_ORDER = [
     # -- graph essentials (reference ops 1-5 + north-star analytics) --------
     "g_bfs_levels",
     "g_dfs_leaves",
-    # -- r09 first-timers: ANN top-k, oracle-backed since the r08 rewrite ---
+    # -- r09 first-timers, 2nd driver row: ANN top-k -------------------------
     "sim_topk_lsh",
     "sim_topk_ivf",
-    # -- r09 re-audit slots: r01-r04 veterans return for a fresh row --------
-    "g_bfs_levels_kernel",
-    "g_degrees",
-    "g_pagerank",
-    "g_label_propagation",
-    "g_reachable",
-    "g_connected_components",
-    "g_degrees_scale",
-    "text_token_count",
-    "text_fingerprint",
-    "text_repetition",
-    "rel_pricing_summary",
-    "rel_topk_orders",
-    "rel_rollup_shipping",
-    "rel_pivot_returnflag",
-    "rel_quantiles",
-    "rel_outer_join",
-    # -- r07 wave, 3rd driver row: heavyweight iterative graph loops --------
+    # -- r10 rotation: the sixteen r09-staged entries, first driver rows ----
+    "g_random_walks",
+    "g_random_walks_scale",
+    "g_node2vec_walks",
+    "g_node2vec_walks_scale",
+    "g_neighbor_agg_scale",
+    "g_simrank",
+    "g_simrank_scale",
+    "g_hits",
+    "g_hits_scale",
+    "g_articulation",
+    "g_bridges",
+    "dedup_semdedup",
+    "sim_topk_ivfpq",
+    "sim_recall_lsh",
+    "mm_image_phash_dedup",
+    "pipe_dataset_card",
+    # -- r10 re-audit: g_triangles redefined non-vacuous (per-vertex scale) -
+    "g_triangles",
+    # -- r07 wave, 4th driver row: heavyweight iterative graph loops --------
     "g_cc_contraction_scale",
     "g_ktruss_scale",
     "g_sssp_tree_scale",
-    "g_mis",
     "g_coloring",
     "g_betweenness_sampled_scale",
-    # -- r08 wave, 2nd driver row ------------------------------------------
+    # -- r08 wave, 3rd driver row ------------------------------------------
     "g_pagerank_personalized_scale",
     "g_matching",
     "g_matching_scale",
@@ -116,11 +114,7 @@ _WINDOW_ORDER = [
     # -- events + relational library --------------------------------------
     "rel_resample_ffill",
     "rel_interval_overlap",
-    # -- r09-continuation first-timers: five new operators, each
-    # pre-verified hash-exact at sf0.001 + sf0.01 before this swap; the
-    # five pushed out (dedup_exact, mm_image_features, stream_dedup_events,
-    # rel_scalar_events, rel_event_sessions) carry 6-7 green driver rows
-    # each and leave their family represented in the window ----------------
+    # -- r09-continuation first-timers, 2nd driver row ----------------------
     "rel_skyline",
     "rel_retention_cohorts",
     "pipe_mixture_balance",
@@ -186,50 +180,14 @@ ALL_QUERIES.update({name: spec for name, spec in _POOL.items() if name not in AL
 # passed — staging is for entries awaiting a FUTURE rotation, and the r09
 # window still had its rotation pending.
 STAGED_DECLARED_ROUND: dict[str, int] = {
-    # IVF-PQ composition, built after the r09 window swap; pre-verified
-    # hash-exact at sf0.001 + sf0.01, queued for the r10 rotation.
-    "sim_topk_ivfpq": 9,
-    # SemDeDup (cluster-then-dedup semantic near-dup, Abbas et al. 2023);
-    # pre-verified hash-exact at sf0.001 + sf0.01, queued for r10.
-    "dedup_semdedup": 9,
-    # Deterministic random-walk corpus (DeepWalk-style embedding input);
-    # pre-verified hash-exact at sf0.001 + sf0.01, queued for r10.
-    "g_random_walks": 9,
-    "g_random_walks_scale": 9,
-    # node2vec biased second-order walks (Grover & Leskovec 2016);
-    # pre-verified hash-exact at sf0.001 + sf0.01, queued for r10.
-    "g_node2vec_walks": 9,
-    "g_node2vec_walks_scale": 9,
-    # GraphSAGE-style neighbor feature aggregation (library kernel since
-    # r05, first registry entry); pre-verified hash-exact at sf0.001 +
-    # sf0.01, queued for r10.
-    "g_neighbor_agg_scale": 9,
-    # SimRank vertex similarity (Jeh & Widom 2002) in exact integer
-    # micro-units, capped in-neighbor variant for scale; pre-verified
-    # hash-exact at sf0.001 + sf0.01, queued for r10.
-    "g_simrank": 9,
-    "g_simrank_scale": 9,
-    # Per-shard dataset-card statistics (exact-integer composition of the
-    # dedup digest + token mass); pre-verified hash-exact at sf0.001 +
-    # sf0.01, queued for r10.
-    "pipe_dataset_card": 9,
-    # ANN recall@k evaluation (LSH vs exact brute force), composed
-    # differential oracle; pre-verified hash-exact at sf0.001 + sf0.01,
-    # queued for r10.
-    "sim_recall_lsh": 9,
-    # Perceptual-hash (aHash) image dedup through the real BMP codec;
-    # pre-verified hash-exact at sf0.001 + sf0.01, queued for r10.
-    "mm_image_phash_dedup": 9,
-    # HITS hubs & authorities (Kleinberg 1999), integer max-normalization;
-    # pre-verified hash-exact at sf0.001 + sf0.01, queued for r10.
-    "g_hits": 9,
-    "g_hits_scale": 9,
-    # Articulation points (per-graph Tarjan kernel vs brute-force removal
-    # oracle); pre-verified hash-exact at sf0.001 + sf0.01, queued for r10.
-    "g_articulation": 9,
-    # Bridge edges (same Tarjan pass, edge-removal brute-force oracle);
-    # pre-verified hash-exact at sf0.001 + sf0.01, queued for r10.
-    "g_bridges": 9,
+    # (The sixteen r09-staged entries rotated into the r10 gate window —
+    # see _WINDOW_ORDER. New-this-round operators are declared here as they
+    # are built and pre-verified, queued for the r11 rotation.)
+    #
+    # The >1M-vector LSH-prefiltered cosine dedup route (r09 verdict #6):
+    # oracle replays the md5-hyperplane bucketing exactly; pre-verified
+    # hash-exact AND non-vacuous (4 / 8 rows) at sf0.001 + sf0.01.
+    "dedup_embedding_cosine_prefiltered": 10,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

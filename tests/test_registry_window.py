@@ -137,11 +137,42 @@ R09_ROTATED_OUT = (
     "rel_scalar_events", "rel_event_sessions",
 )
 
+# r10 first-timers (r09 verdict #1): the sixteen entries staged in r09 —
+# the only registry entries with zero driver history — rotate in for their
+# first rows; all re-verified hash-exact at sf0.001 + sf0.01 before the
+# swap.
+R10_NEW_ENTRIES = (
+    "g_random_walks", "g_random_walks_scale", "g_node2vec_walks",
+    "g_node2vec_walks_scale", "g_neighbor_agg_scale", "g_simrank",
+    "g_simrank_scale", "g_hits", "g_hits_scale", "g_articulation",
+    "g_bridges", "dedup_semdedup", "sim_topk_ivfpq", "sim_recall_lsh",
+    "mm_image_phash_dedup", "pipe_dataset_card",
+)
+
+# r10 re-audit (r09 verdict #2): g_triangles returns REDEFINED — the old
+# fixture-graph total hash-matched an empty set (G1-G7 are triangle-free);
+# it is now the per-vertex triangle table over the scale graph, 101 rows of
+# sf-tracking mass, pre-verified hash-exact at sf0.001 + sf0.01.
+R10_REAUDIT = ("g_triangles",)
+
+R10_ROTATED_OUT = (
+    # the sixteen r09 re-audit veterans, freshly re-certified in r09 on top
+    # of their r01-r04 history
+    "g_bfs_levels_kernel", "g_degrees", "g_pagerank", "g_label_propagation",
+    "g_reachable", "g_connected_components", "g_degrees_scale",
+    "text_token_count", "text_fingerprint", "text_repetition",
+    "rel_pricing_summary", "rel_topk_orders", "rel_rollup_shipping",
+    "rel_pivot_returnflag", "rel_quantiles", "rel_outer_join",
+    # one r07-wave iterative entry with 3 green rows (r07/r08/r09)
+    "g_mis",
+)
+
 # Rotation ledger, newest first: (round, rotated-in, rotated-out). Window
 # membership for any name touched by a rotation is decided by the LATEST
 # rotation that mentions it — replaying this ledger replaces the
 # conditional chains the per-round tests used to carry.
 ROTATIONS = (
+    (10, R10_NEW_ENTRIES + R10_REAUDIT, R10_ROTATED_OUT),
     (9, R09_NEW_ENTRIES + R09_REAUDIT, R09_ROTATED_OUT),
     (8, R08_NEW_ENTRIES + R08_REAUDIT, R08_ROTATED_OUT),
     (7, R07_NEW_ENTRIES, R07_ROTATED_OUT),
@@ -176,13 +207,13 @@ def test_rotation_ledger_is_consistent():
         assert (name in w) == expected_in_window(name), name
 
 
-def test_r09_rotation_swaps_balance():
-    """r09 swaps 23 in for 23 out (18 at round start + 5 continuation
-    first-timers), window stays exactly CHECK_WINDOW."""
-    assert len(R09_NEW_ENTRIES) + len(R09_REAUDIT) == len(R09_ROTATED_OUT) == 23
+def test_r10_rotation_swaps_balance():
+    """r10 swaps 17 in for 17 out (16 staged first-timers + the redefined
+    g_triangles), window stays exactly CHECK_WINDOW."""
+    assert len(R10_NEW_ENTRIES) + len(R10_REAUDIT) == len(R10_ROTATED_OUT) == 17
     w = set(window_names())
-    assert set(R09_NEW_ENTRIES + R09_REAUDIT) <= w
-    assert not set(R09_ROTATED_OUT) & w
+    assert set(R10_NEW_ENTRIES + R10_REAUDIT) <= w
+    assert not set(R10_ROTATED_OUT) & w
 
 
 def _green_history():
@@ -254,9 +285,9 @@ def test_window_entries_without_history_are_this_rounds_rotation():
     pre-verification step the rotation playbook requires."""
     green = _green_history()
     awaiting = set(window_names()) - green
-    assert awaiting <= set(R09_NEW_ENTRIES), (
+    assert awaiting <= set(R10_NEW_ENTRIES), (
         f"window entries with no driver history outside this round's "
-        f"rotation: {sorted(awaiting - set(R09_NEW_ENTRIES))}"
+        f"rotation: {sorted(awaiting - set(R10_NEW_ENTRIES))}"
     )
 
 
@@ -288,11 +319,16 @@ def test_every_window_entry_has_oracle_or_documented_rows_only():
 
 
 def test_canary_smoke_representative_window_queries():
-    """End-to-end drift canary inside the suite: run one window entry per
+    """End-to-end drift canary inside the suite: run one entry per
     drift-prone family through the REAL vanilla-session gate at sf0.001.
     Round 3's regression (regenerated events.parquet -> TIMESTAMP_NTZ) broke
     exactly these query shapes while every repo check stayed green; this
-    test makes `pytest tests/` fail the moment the testdata moves again."""
+    test makes `pytest tests/` fail the moment the testdata moves again.
+
+    r10: the --window flag is gone — rotations had quietly moved five of
+    the eight canaries to the tail, where --window intersected them away to
+    nothing. The canaries are drift probes for testdata SHAPES, not window
+    members; they must run every time regardless of gate membership."""
     names = [
         "rel_scalar_events",       # ts scalar arithmetic (unix_micros)
         "rel_event_sessions",      # ts lag-window sessionization
@@ -305,11 +341,12 @@ def test_canary_smoke_representative_window_queries():
     ]
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "check_oracles.py"),
-         "--window", "--sf", "/root/testdata/sf0.001", "--keep-going", *names],
+         "--sf", "/root/testdata/sf0.001", "--keep-going", *names],
         capture_output=True, text=True, timeout=420, cwd=REPO,
     )
     assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-2000:]
     assert "0 fail" in out.stdout
+    assert out.stdout.count("PASS") == len(names)
 
 
 def test_canary_window_flag_selects_gate_prefix():
@@ -317,7 +354,7 @@ def test_canary_window_flag_selects_gate_prefix():
     # tail-only name under --window selects nothing (exit fast, no Spark job
     # beyond session startup is fine to pay once here). Pick the probe from
     # the CURRENT rotated-out set so it is tail-only by construction.
-    tail_name = R09_ROTATED_OUT[0]
+    tail_name = R10_ROTATED_OUT[0]
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "check_oracles.py"),
          "--window", tail_name],

@@ -10,10 +10,11 @@ against the same parquet tables, then compares row count, column names/order
     python tools/check_oracles.py --sf /root/testdata/sf0.001
     python tools/check_oracles.py --window             # the driver's exact gate
 
-Caveat for --sf sf0.1+: dedup_ngram_jaccard / dedup_minhash_lsh share an
-exhaustive all-pairs DuckDB oracle that is quadratic in corpus size — the
-Spark side stays fast (candidate-generation plans) but the oracle dominates;
-validate those two at sf0.01 and skip them in larger-SF sweeps.
+r10: the dedup_ngram_jaccard / dedup_minhash_lsh oracle is prefix-filtered
+(AllPairs lemma, lexicographic shingle order) — candidate-proportional, not
+quadratic — so the old "skip those two at sf0.1" exemption is retired; the
+full-registry sweep now runs every oracle at every shipped sf (the sf0.1
+oracle for those two runs ~84s, dominated by list verification in DuckDB).
 """
 
 from __future__ import annotations
