@@ -95,6 +95,16 @@ HEADLINE = [
     "g_neighbor_agg_scale",
     "g_simrank_scale",
     "g_hits_scale",
+    # round-10 wave: non-vacuous per-vertex triangles, the >1M-vector
+    # prefiltered cosine route, the HyperBall family (checksum-certified +
+    # harmonic), and the persisted-state ingestion paths
+    "g_triangles",
+    "dedup_embedding_cosine_prefiltered",
+    "g_hyperball_scale",
+    "g_hyperball_harmonic_scale",
+    "pipe_hll_store_merge",
+    "stream_sketch_ingest",
+    "stream_dedup_ingest",
 ]
 
 
@@ -111,15 +121,6 @@ def _scale_graph(spark, sf_dir):
     return graphs, edges
 
 
-def _bench_hyperball_harmonic(spark, sf_dir):
-    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
-        hyperball_harmonic,
-    )
-
-    graphs, edges = _scale_graph(spark, sf_dir)
-    return hyperball_harmonic(spark, graphs, edges)
-
-
 def _bench_ktruss(spark, sf_dir):
     from distributed_graph_database_simulation_spark.operators.graph_analytics import (
         ktruss,
@@ -129,10 +130,9 @@ def _bench_ktruss(spark, sf_dir):
     return ktruss(spark, edges, k=20)
 
 
-# Library operators benched directly (no registry entry: hyperball is
-# probabilistic-by-design, ktruss certification rides the property tests).
+# Library operators benched directly (no registry entry; the hyperball
+# family graduated to registry entries in r10 and is benched from HEADLINE).
 EXTRA_BENCH = {
-    "g_hyperball_harmonic": _bench_hyperball_harmonic,
     "g_ktruss": _bench_ktruss,
 }
 
@@ -202,30 +202,52 @@ def main() -> int:
         except Exception:
             pass  # warm-up must never fail the bench
 
+    # Per-query MEDIAN of `reps` runs (r09 verdict #5 — the r09 common-41
+    # subset drifted +21% uniformly at a LOWER load average: single-run
+    # numbers conflate the operator with transient session/host state;
+    # the median of 3 rejects one bad sample per query). Cache released
+    # between runs so every rep recomputes from parquet.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     times: dict[str, float] = {}
     for name in HEADLINE + list(EXTRA_BENCH):
         fn = queries.get(name) or EXTRA_BENCH.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        times[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {n} rows in {times[name]:.3f}s", file=sys.stderr)
-        # Release operator-persisted intermediates between queries (outside
-        # the timed region): queries never reuse each other's caches, and
-        # without this a full headline run accumulates every query's blocks.
-        spark.catalog.clearCache()
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            samples.append(time.perf_counter() - t0)
+            # Release operator-persisted intermediates between runs (outside
+            # the timed region): queries never reuse each other's caches, and
+            # without this a full headline run accumulates every query's
+            # blocks in one shared session.
+            spark.catalog.clearCache()
+        samples.sort()
+        times[name] = round(samples[len(samples) // 2], 3)
+        spread = (
+            f" (min {samples[0]:.3f} max {samples[-1]:.3f})" if reps > 1 else ""
+        )
+        print(f"# {name}: {n} rows, median {times[name]:.3f}s{spread}", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
-    # Host fingerprint (r05 verdict #8): cross-round comparisons kept
-    # tripping over cold-VM vs warm-cache runs; loadavg + uptime make the
-    # host state adjudicable from the recorded JSON alone.
+    # Host fingerprint (r05 verdict #8, extended r10 with the cpu model):
+    # cross-round comparisons kept tripping over cold-VM vs warm-cache runs
+    # and ~1.4x host-speed variation between VM instances; loadavg + uptime
+    # + cpu model make the host state adjudicable from the JSON alone.
     try:
+        cpu_model = ""
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.lower().startswith("model name"):
+                    cpu_model = line.split(":", 1)[1].strip()
+                    break
         host = {
             "loadavg_1m": round(os.getloadavg()[0], 2),
             "uptime_sec": int(float(open("/proc/uptime").read().split()[0])),
             "cpus": os.cpu_count(),
+            "cpu_model": cpu_model,
         }
     except OSError:
         host = {}
@@ -237,6 +259,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf_dir,
+                "reps": reps,
                 "host": host,
             }
         )

@@ -1435,7 +1435,11 @@ def hyperball(
     )
     state = barrier(_hb_init_state(graphs, log2m), eager=True, ckdir=ck)
     rows = _hb_estimates(state, log2m)
-    nf = [(int(r["graph_id"]), 0, float(r["nf_est"])) for r in rows]
+    # reg_checksum rides along (exact BIGINT: sum of rho + register count —
+    # a pure function of the register STATE, so a SQL oracle that rebuilds
+    # ball membership exactly can certify the whole trajectory without
+    # touching the float estimate; the r10 g_hyperball_scale entry).
+    nf = [(int(r["graph_id"]), 0, float(r["nf_est"]), int(r["checksum"])) for r in rows]
     delta = state
     for t in range(1, max_t + 1):
         d, e = delta.alias("d"), edges.alias("e")
@@ -1468,10 +1472,15 @@ def hyperball(
         state = state.join(improved, on=keys, how="left_anti").unionByName(improved)
         state = barrier(state, eager=(t % checkpoint_every == 0), ckdir=ck)
         rows = _hb_estimates(state, log2m)
-        nf.extend((int(r["graph_id"]), t, float(r["nf_est"])) for r in rows)
+        nf.extend(
+            (int(r["graph_id"]), t, float(r["nf_est"]), int(r["checksum"]))
+            for r in rows
+        )
         delta = improved
     edges.unpersist()
-    return spark.createDataFrame(nf, "graph_id int, t int, nf_est double")
+    return spark.createDataFrame(
+        nf, "graph_id int, t int, nf_est double, reg_checksum bigint"
+    )
 
 
 def effective_diameter(nf: DataFrame, alpha: float = 0.9) -> DataFrame:

@@ -20,8 +20,11 @@ from pyspark.sql import functions as F
 
 from .. import fixtures
 from .graph_analytics import (
+    _HB_LOG2M_DEFAULT,
     connected_components,
     degrees,
+    hyperball,
+    hyperball_harmonic,
     kcore,
     label_propagation,
     pagerank,
@@ -3168,6 +3171,84 @@ NODE2VEC_WALKS_SCALE_SQL = _node2vec_sql(
 )
 
 
+def hyperball_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall neighborhood-function trace over the scale graph,
+    certified through its EXACT integer register checksum.
+
+    The float ``nf_est`` column is an HLL estimate (envelope-pinned in
+    tests/test_graph_traversal.py); the driver row instead certifies
+    ``reg_checksum`` — sum over vertices of (sum of register rho values +
+    register count) — which is a pure function of the register STATE. The
+    oracle rebuilds ball membership exactly (recursive min-distance CTE on
+    the 101-vertex scale graph), replays the md5-derived (reg, rho)
+    assignment with the same integer arithmetic, and reproduces the
+    checksum at every emitted t — certifying the delta-propagation
+    superstep loop (graph_analytics.hyperball) is computing exactly the
+    balls it claims, without a float in sight. Emitted ts stop at
+    convergence (first t with no register improvement), which the oracle
+    replays as "checksum strictly increased" — lossless because an
+    improvement at t+1 implies one at t (ball(v,t) contains ball(u,t-1)
+    for every out-neighbor u, so a register that first improves some state
+    at depth t+1 must have improved the next hop's state at depth t).
+    """
+    graphs, edges = _scale_graph(spark, sf_dir)
+    return hyperball(spark, graphs, edges).select("graph_id", "t", "reg_checksum")
+
+
+_HB_M = 1 << _HB_LOG2M_DEFAULT
+_HB_RHO_MAX = 60 - _HB_LOG2M_DEFAULT + 1
+
+HYPERBALL_SCALE_SQL = f"""
+WITH RECURSIVE scale_edges AS ({fixtures.SCALE_GRAPH_SQL}),
+verts(v) AS (SELECT CAST(UNNEST(range({fixtures.SCALE_V})) AS INT)),
+walk(v, w, d) AS (
+  SELECT v, v, 0 FROM verts
+  UNION
+  SELECT wk.v, e.dst, wk.d + 1
+  FROM walk wk JOIN scale_edges e ON e.src = wk.w
+  WHERE wk.d < {fixtures.SCALE_V}
+),
+md AS (SELECT v, w, MIN(d) AS md FROM walk GROUP BY v, w),
+reg AS (
+  SELECT w,
+         CAST(h % {_HB_M} AS INT) AS reg,
+         CASE WHEN (h >> {_HB_LOG2M_DEFAULT}) = 0 THEN {_HB_RHO_MAX}
+              ELSE {_HB_RHO_MAX} - length(bin(h >> {_HB_LOG2M_DEFAULT}))
+         END AS rho
+  FROM (SELECT v AS w,
+               CAST('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        FROM verts)
+),
+arr AS (
+  SELECT m.v, r.reg, m.md, r.rho FROM md m JOIN reg r ON r.w = m.w
+),
+state AS (
+  SELECT ts.t, a.v, a.reg, MAX(a.rho) AS mx
+  FROM (SELECT UNNEST(range(0, {fixtures.SCALE_V + 1})) AS t) ts
+  JOIN arr a ON a.md <= ts.t
+  GROUP BY 1, 2, 3
+),
+cs AS (SELECT t, SUM(mx + 1) AS checksum FROM state GROUP BY t),
+trace AS (
+  SELECT t, checksum, lag(checksum) OVER (ORDER BY t) AS prev FROM cs
+)
+SELECT CAST(1 AS INT) AS graph_id, CAST(t AS INT) AS t,
+       CAST(checksum AS BIGINT) AS reg_checksum
+FROM trace WHERE prev IS NULL OR checksum > prev
+"""
+
+
+def hyperball_harmonic_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex harmonic-centrality estimates via HyperBall over the
+    scale graph — rows-only driver entry (the per-vertex output is an HLL
+    ESTIMATE with float accumulation; its accuracy envelope and the exact
+    path-graph closed form are pinned in tests/test_graph_traversal.py,
+    and the register-state trajectory of the same superstep loop is
+    exactly certified by g_hyperball_scale's checksum oracle)."""
+    graphs, edges = _scale_graph(spark, sf_dir)
+    return hyperball_harmonic(spark, graphs, edges)
+
+
 GRAPH_QUERIES: dict[str, tuple] = {
     "g_bfs_levels": (bfs_levels_fixture, BFS_LEVELS_SQL),
     "g_bfs_levels_kernel": (bfs_levels_kernel_fixture, BFS_LEVELS_SQL),
@@ -3262,4 +3343,8 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "g_hits_scale": (hits_scale, HITS_SCALE_SQL),
     "g_articulation": (articulation_fixture, ARTICULATION_SQL),
     "g_bridges": (bridges_fixture, BRIDGES_SQL),
+    # staged r10: HyperBall family — exact register-checksum trace + the
+    # rows-only harmonic estimate (r09 verdict #3)
+    "g_hyperball_scale": (hyperball_scale, HYPERBALL_SCALE_SQL),
+    "g_hyperball_harmonic_scale": (hyperball_harmonic_scale, None),
 }

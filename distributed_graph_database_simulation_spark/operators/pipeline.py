@@ -1206,6 +1206,71 @@ def read_quantile_estimates(
     )
 
 
+def pipe_hll_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry for the HLL sketch store (r09 verdict #4): the
+    two-batch merge-equals-one-shot differential, exact by construction.
+
+    Splits ``events`` into two batches (event_id parity), writes each
+    batch's per-event_type HLL sketches into a store via
+    :func:`write_distinct_sketch`, merges them back with
+    :func:`read_distinct_estimates`, and emits per group:
+
+    - ``n_exact`` — the exact distinct user count (value-matched against
+      the oracle's COUNT(DISTINCT)),
+    - ``merge_equals_oneshot`` — merged-store estimate == the one-shot
+      estimate over the unsplit table. HLL union is register-wise max, so
+      the union of the two batch sketches has EXACTLY the registers of the
+      one-shot sketch: any false here means the store roundtrip or the
+      merge broke, and the driver hash-mismatches.
+    - ``within_10pct`` — the estimate envelope vs exact (lgK=12 default
+      ~1.6% rel. error; 10% is the same generous pin the
+      rel_approx_distinct tests use).
+
+    The oracle emits TRUE for both flags, so the flags are real
+    assertions, not decoration. Store lives in a per-call temp dir,
+    removed after materialization (the stream_hourly_file_sink pattern).
+    """
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="dgds_hll_store_")
+    path = f"{base}/hll"
+    write_distinct_sketch(ev.where(F.col("event_id") % 2 == 0), "user_id", "event_type", path, 0)
+    write_distinct_sketch(ev.where(F.col("event_id") % 2 == 1), "user_id", "event_type", path, 1)
+    merged = read_distinct_estimates(spark, path)
+    oneshot = ev.groupBy(F.col("event_type").alias("group_key")).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("oneshot"),
+        F.count_distinct("user_id").alias("n_exact"),
+    )
+    out = (
+        merged.join(oneshot, "group_key")
+        .select(
+            "group_key",
+            "n_exact",
+            (F.col("n_distinct_estimate") == F.col("oneshot")).alias(
+                "merge_equals_oneshot"
+            ),
+            (
+                F.abs(F.col("n_distinct_estimate") - F.col("n_exact"))
+                <= F.lit(0.1) * F.col("n_exact")
+            ).alias("within_10pct"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+PIPE_HLL_STORE_MERGE_SQL = """
+SELECT event_type AS group_key,
+       COUNT(DISTINCT user_id) AS n_exact,
+       TRUE AS merge_equals_oneshot,
+       TRUE AS within_10pct
+FROM events GROUP BY event_type
+"""
+
+
 def write_theta_sketch(
     df: DataFrame, key_col: str, group_col: str, path: str, batch_id: int
 ) -> None:
@@ -1336,3 +1401,11 @@ def split_train_val_test(
         .otherwise(F.lit("train"))
     )
     return df.withColumn("split", split)
+
+
+PIPELINE_QUERIES.update(
+    {
+        # staged r10: HLL sketch-store merge differential (r09 verdict #4)
+        "pipe_hll_store_merge": (pipe_hll_store_merge, PIPE_HLL_STORE_MERGE_SQL),
+    }
+)

@@ -1625,6 +1625,148 @@ WHERE NOT EXISTS (
 """
 
 
+# Local-frontier survivor count above which the broadcast anti-join phase
+# must not run (anti-correlated data makes the TRUE frontier O(n): every
+# point survives the local prune and the broadcast would ship the corpus
+# to every executor). The routed entry point below switches to the exact
+# sort-based global pass instead of failing or melting.
+SKYLINE_BROADCAST_CAP = 500_000
+
+
+def _skyline_local_prune(part: DataFrame) -> DataFrame:
+    """Phase 1 of every skyline plan: the narrow per-batch prune (a locally
+    dominated row is globally dominated, so dropping it is always safe)."""
+    import pandas as pd  # noqa: F401 — Arrow kernel dependency
+
+    def local_skyline(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(
+                ["p_retailprice", "p_size"], ascending=[True, False]
+            ).reset_index(drop=True)
+            group_max = pdf.groupby("p_retailprice")["p_size"].transform("max")
+            per_price_max = pdf.groupby("p_retailprice", sort=True)["p_size"].max()
+            lower_price_max = per_price_max.cummax().shift(1, fill_value=-1)
+            dominated = (pdf["p_size"] < group_max) | (
+                pdf["p_retailprice"].map(lower_price_max) >= pdf["p_size"]
+            )
+            yield pdf[~dominated]
+
+    return part.mapInPandas(
+        local_skyline, "p_partkey bigint, p_size int, p_retailprice double"
+    )
+
+
+def _skyline_sorted_global(local: DataFrame, n_range_parts: int = 64) -> DataFrame:
+    """Exact global skyline WITHOUT a broadcast — the anti-correlated-data
+    fallback (r09 verdict #8): range-partition by price, sort within
+    partitions by (price asc, size desc), then one prefix-max sweep with
+    cross-partition carry.
+
+    Correctness: a row survives iff its size strictly exceeds the max size
+    over all STRICTLY cheaper rows AND it has the max size within its own
+    price group (ties on both dims all survive — same semantics as the
+    NOT-EXISTS oracle). ``repartitionByRange`` co-locates equal prices, so
+    the per-partition carry-in (max size over all earlier partitions,
+    computed from one tiny per-partition aggregate collected to the driver)
+    is exactly "max size over strictly cheaper rows in earlier partitions".
+    Within a partition the Arrow kernel carries (open price group, its max,
+    prefix max) ACROSS batches, so a price group spanning batch boundaries
+    is still judged against its true group max — sortedness guarantees the
+    group's max size arrives in its first batch.
+
+    Cost: one range exchange + in-partition sort over local-frontier
+    survivors + one driver-side N-row aggregate. Nothing is broadcast, so
+    a 10M-point anti-correlated frontier (output ~= input) streams through
+    instead of melting the driver.
+    """
+    import pandas as pd  # noqa: F401
+
+    ranged = (
+        local.repartitionByRange(n_range_parts, "p_retailprice")
+        .sortWithinPartitions("p_retailprice", F.desc("p_size"))
+        .withColumn("pid", F.spark_partition_id())
+    )
+    ranged = ranged.persist()
+    stats = ranged.groupBy("pid").agg(F.max("p_size").alias("pmax")).collect()
+    carry: dict[int, float] = {}
+    run = float("-inf")
+    for r in sorted(stats, key=lambda r: r["pid"]):
+        carry[int(r["pid"])] = run
+        run = max(run, float(r["pmax"]))
+
+    def sweep(batches):
+        started = False
+        lower_max = float("-inf")   # max size over fully-closed cheaper groups
+        cur_price = None            # open price group (may span batches)
+        cur_max = float("-inf")     # its group max (arrives in its first batch)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if not started:
+                lower_max = carry.get(int(pdf["pid"].iloc[0]), float("-inf"))
+                started = True
+            per_price = pdf.groupby("p_retailprice", sort=True)["p_size"].max()
+            first_price = per_price.index[0]
+            if cur_price is not None and first_price == cur_price:
+                # group continuation: its true max was seen in an earlier
+                # batch (sorted size desc), keep it
+                per_price.iloc[0] = max(per_price.iloc[0], cur_max)
+            elif cur_price is not None:
+                lower_max = max(lower_max, cur_max)
+            lpm = per_price.cummax().shift(1)
+            lpm.iloc[0] = float("-inf")
+            lpm = lpm.clip(lower=lower_max).fillna(lower_max)
+            gmax_row = pdf["p_retailprice"].map(per_price)
+            lpm_row = pdf["p_retailprice"].map(lpm)
+            keep = (pdf["p_size"] == gmax_row) & (pdf["p_size"] > lpm_row)
+            yield pdf[keep].drop(columns=["pid"])
+            cur_price = per_price.index[-1]
+            cur_max = float(per_price.iloc[-1])
+            if len(per_price) > 1:
+                lower_max = max(lower_max, float(per_price.cummax().iloc[-2]))
+
+    out = ranged.mapInPandas(
+        sweep, "p_partkey bigint, p_size int, p_retailprice double"
+    )
+    return out
+
+
+def skyline_routed_df(
+    spark: SparkSession,
+    part: DataFrame,
+    broadcast_cap: int = SKYLINE_BROADCAST_CAP,
+) -> DataFrame:
+    """Size-routed exact skyline over a (p_partkey, p_size, p_retailprice)
+    frame: local prune, then EITHER the broadcast anti-join (small
+    frontier — the common case; O(log n) expected survivors on independent
+    dims) OR the sort-based global sweep (anti-correlated data, where the
+    frontier is O(n) and broadcasting it would be a cluster-melter). The
+    router counts the local-frontier survivors — one cheap job over the
+    pruned frame — instead of guessing from the input size."""
+    from pyspark.storagelevel import StorageLevel
+
+    local = _skyline_local_prune(
+        part.select("p_partkey", "p_size", "p_retailprice")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n = local.count()
+    if n <= broadcast_cap:
+        a, b = local.alias("a"), local.alias("b")
+        dominates = (
+            (F.col("b.p_retailprice") <= F.col("a.p_retailprice"))
+            & (F.col("b.p_size") >= F.col("a.p_size"))
+            & (
+                (F.col("b.p_retailprice") < F.col("a.p_retailprice"))
+                | (F.col("b.p_size") > F.col("a.p_size"))
+            )
+        )
+        return a.join(F.broadcast(b), dominates, "left_anti").select(
+            "p_partkey", "p_size", "p_retailprice"
+        )
+    return _skyline_sorted_global(local)
+
+
 RETENTION_BUCKET_SECONDS = 24 * 3600  # daily cohorts (the data spans ~30 days)
 
 

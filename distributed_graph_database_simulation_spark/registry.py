@@ -188,6 +188,20 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # oracle replays the md5-hyperplane bucketing exactly; pre-verified
     # hash-exact AND non-vacuous (4 / 8 rows) at sf0.001 + sf0.01.
     "dedup_embedding_cosine_prefiltered": 10,
+    # HyperBall family (r09 verdict #3): exact register-checksum trace
+    # (oracle rebuilds ball membership + md5 registers), pre-verified
+    # hash-exact at sf0.001 + sf0.01; the harmonic estimate is the
+    # documented rows-only sibling (envelope-pinned in tests).
+    "g_hyperball_scale": 10,
+    "g_hyperball_harmonic_scale": 10,
+    # Persisted-state paths (r09 verdict #4): HLL sketch-store two-batch
+    # merge differential; foreachBatch sketch ingestion (KLL exact-n
+    # value-match + envelope flags); two-batch + replay dedup ingestion
+    # against the exhaustive pair oracle. All pre-verified hash-exact at
+    # sf0.001 + sf0.01.
+    "pipe_hll_store_merge": 10,
+    "stream_sketch_ingest": 10,
+    "stream_dedup_ingest": 10,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

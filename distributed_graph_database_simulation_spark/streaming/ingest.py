@@ -231,3 +231,123 @@ def stream_user_state_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_sketch_ingest_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry for the continuous sketch-store ingestion path (r09
+    verdict #4): run :func:`stream_sketch_ingest` over the bounded events
+    stream (availableNow — the same catch-up shape a production backfill
+    runs), then report over the stores it wrote and emit per event_type:
+
+    - ``n`` — the KLL sketch's merged row count, which KLL tracks EXACTLY
+      even though values are compacted; value-matched against the oracle's
+      COUNT(*), certifying that the foreachBatch sink saw every row
+      exactly once.
+    - ``hll_within_10pct`` — the HLL store's distinct-user estimate vs the
+      exact count (computed Spark-side), envelope flag.
+    - ``kll_median_in_envelope`` — the KLL q=0.5 estimate lies between the
+      exact 0.40 and 0.60 quantiles (k=200 worst-case rank error is 1.65%,
+      so +-10 percentile points is a loose, stable pin).
+
+    The oracle emits TRUE for both flags. Stores + checkpoint live in a
+    per-call temp dir, removed after materialization.
+    """
+    import shutil
+    import tempfile
+
+    from ..operators.pipeline import (
+        read_distinct_estimates,
+        read_quantile_estimates,
+    )
+    from ..sources.tables import load_table
+    from .windowed import _events_stream
+
+    base = tempfile.mkdtemp(prefix="dgds_sketch_ingest_")
+    q = stream_sketch_ingest(
+        spark,
+        _events_stream(spark, sf_dir),
+        key_col="user_id",
+        value_col="value",
+        group_col="event_type",
+        store_path=f"{base}/store",
+        checkpoint_path=f"{base}/ck",
+    )
+    q.awaitTermination()
+    hll = read_distinct_estimates(spark, f"{base}/store/hll")
+    kll = read_quantile_estimates(spark, f"{base}/store/kll", [0.5])
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("group_key"))
+        .agg(
+            F.count_distinct("user_id").alias("nd_exact"),
+            F.expr("percentile(value, 0.40)").alias("p40"),
+            F.expr("percentile(value, 0.60)").alias("p60"),
+        )
+    )
+    out = (
+        kll.join(hll, "group_key")
+        .join(exact, "group_key")
+        .select(
+            "group_key",
+            F.col("n").cast("bigint").alias("n"),
+            (
+                F.abs(F.col("n_distinct_estimate") - F.col("nd_exact"))
+                <= F.lit(0.1) * F.col("nd_exact")
+            ).alias("hll_within_10pct"),
+            (
+                (F.col("q_0_5") >= F.col("p40")) & (F.col("q_0_5") <= F.col("p60"))
+            ).alias("kll_median_in_envelope"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+STREAM_SKETCH_INGEST_SQL = """
+SELECT event_type AS group_key,
+       COUNT(*) AS n,
+       TRUE AS hll_within_10pct,
+       TRUE AS kll_median_in_envelope
+FROM events GROUP BY event_type
+"""
+
+
+def stream_dedup_ingest_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry for the continuous-dedup ingestion path (r09 verdict
+    #4): two micro-batches (doc_id parity) through
+    :func:`dedup_ingest_batch` — batch 0 cold (no store), batch 1 against
+    the store batch 0 wrote — then batch 1 REPLAYED (same batch_id, the
+    crash-recovery path: it must overwrite its own partitions, not extend
+    them). The union of emitted pair partitions is then exactly
+
+        pairs within batch0  +  pairs within batch1  +  cross-batch pairs
+        = ALL near-dup pairs of the corpus,
+
+    so the entry shares the exhaustive ngram-Jaccard oracle — and a replay
+    bug (duplicated pairs or store rows) doubles rows and hash-mismatches.
+    """
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import _docs
+
+    docs = _docs(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="dgds_dedup_ingest_")
+    store, pairs_path = f"{base}/store", f"{base}/pairs"
+    b0 = docs.where(F.col("doc_id") % 2 == 0)
+    b1 = docs.where(F.col("doc_id") % 2 == 1)
+    dedup_ingest_batch(spark, b0, 0, store, pairs_path)
+    dedup_ingest_batch(spark, b1, 1, store, pairs_path)
+    dedup_ingest_batch(spark, b1, 1, store, pairs_path)  # replay
+    out = (
+        spark.read.parquet(pairs_path)
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+            "jaccard",
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out

@@ -542,3 +542,24 @@ STREAMING_QUERIES: dict[str, tuple] = {
         STREAM_OUTER_CLICK_PURCHASE_SQL,
     ),
 }
+
+# staged r10: the foreachBatch sketch-store ingestion path (r09 verdict #4).
+# Imported at the bottom: ingest.py imports _events_stream from this module,
+# so a top-of-file import would be circular.
+from ..operators.dedup import _NGRAM_ORACLE_CORE  # noqa: E402
+from .ingest import (  # noqa: E402
+    STREAM_SKETCH_INGEST_SQL,
+    stream_dedup_ingest_entry,
+    stream_sketch_ingest_entry,
+)
+
+STREAMING_QUERIES["stream_sketch_ingest"] = (
+    stream_sketch_ingest_entry,
+    STREAM_SKETCH_INGEST_SQL,
+)
+# Union of per-batch pair partitions == all near-dup pairs, so the ingest
+# entry shares the exhaustive (prefix-filtered) ngram-Jaccard oracle.
+STREAMING_QUERIES["stream_dedup_ingest"] = (
+    stream_dedup_ingest_entry,
+    _NGRAM_ORACLE_CORE,
+)

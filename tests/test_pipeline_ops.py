@@ -2330,6 +2330,78 @@ def test_skyline_keeps_exact_ties(spark):
     assert got == {1, 2}  # the duplicate pair survives, dominated rows drop
 
 
+def test_skyline_routed_broadcast_path_matches_entry(spark, sf_dir):
+    """The routed library entry point on the small-frontier path must equal
+    the pinned two-phase entry exactly."""
+    from distributed_graph_database_simulation_spark.operators import relational
+    from distributed_graph_database_simulation_spark.sources.tables import load_table
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", "p_retailprice"
+    )
+    want = {
+        (r.p_partkey, r.p_size, r.p_retailprice)
+        for r in relational.skyline_parts(spark, sf_dir).collect()
+    }
+    got = {
+        (r.p_partkey, r.p_size, r.p_retailprice)
+        for r in relational.skyline_routed_df(spark, part).collect()
+    }
+    assert got == want and got
+    spark.catalog.clearCache()
+
+
+def test_skyline_sorted_global_fallback_on_anticorrelated(spark):
+    """The anti-correlated regime (r09 verdict #8): every point is on the
+    frontier, the local prune shrinks nothing, and the broadcast path must
+    NOT run. Force the fallback (broadcast_cap=0) on a mixed frame —
+    anti-correlated diagonal + dominated noise + boundary-straddling ties —
+    and check against the O(n^2) reference. n chosen so price groups span
+    multiple range partitions AND multiple Arrow batches (batch-carry
+    logic), via a tiny arrow batch size session conf."""
+    from distributed_graph_database_simulation_spark.operators import relational
+
+    rows = []
+    # anti-correlated diagonal: price = i, size = i — paying more always
+    # buys more, so no point dominates another: ALL n are on the frontier
+    n = 400
+    for i in range(n):
+        rows.append((i, i, float(i)))
+    # dominated noise under the diagonal (slightly pricier AND smaller)
+    for i in range(5, n, 3):
+        rows.append((10_000 + i, i - 5, float(i) + 0.5))
+    # exact-duplicate tie on the frontier (both copies must survive)
+    rows.append((20_000, 7, 7.0))
+    # a same-price loser (smaller size at an existing price must drop)
+    rows.append((20_001, 3, 7.0))
+
+    def dominated(a):
+        return any(
+            b[2] <= a[2] and b[1] >= a[1] and (b[2] < a[2] or b[1] > a[1])
+            for b in rows
+        )
+
+    want = {r for r in rows if not dominated(r)}
+    df = spark.createDataFrame(
+        rows, "p_partkey bigint, p_size int, p_retailprice double"
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
+    try:
+        got = {
+            (r.p_partkey, r.p_size, r.p_retailprice)
+            for r in relational.skyline_routed_df(spark, df, broadcast_cap=0).collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert got == want
+    assert len(got) >= n  # the whole diagonal survived
+    spark.catalog.clearCache()
+
+
 def test_retention_cohorts_matches_python_reference(spark, sf_dir):
     from distributed_graph_database_simulation_spark.operators import relational
     from distributed_graph_database_simulation_spark.sources.tables import load_table
