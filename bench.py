@@ -103,6 +103,9 @@ HEADLINE = [
     "g_hyperball_scale",
     "g_hyperball_harmonic_scale",
     "pipe_hll_store_merge",
+    "pipe_theta_overlap",
+    "pipe_zorder_layout",
+    "sim_random_project",
     "stream_sketch_ingest",
     "stream_dedup_ingest",
 ]

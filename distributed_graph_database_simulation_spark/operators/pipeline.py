@@ -1208,7 +1208,7 @@ def read_quantile_estimates(
 
 def pipe_hll_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver entry for the HLL sketch store (r09 verdict #4): the
-    two-batch merge-equals-one-shot differential, exact by construction.
+    two-batch store roundtrip against an inline merge of the same batches.
 
     Splits ``events`` into two batches (event_id parity), writes each
     batch's per-event_type HLL sketches into a store via
@@ -1217,13 +1217,19 @@ def pipe_hll_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     - ``n_exact`` — the exact distinct user count (value-matched against
       the oracle's COUNT(DISTINCT)),
-    - ``merge_equals_oneshot`` — merged-store estimate == the one-shot
-      estimate over the unsplit table. HLL union is register-wise max, so
-      the union of the two batch sketches has EXACTLY the registers of the
-      one-shot sketch: any false here means the store roundtrip or the
-      merge broke, and the driver hash-mismatches.
-    - ``within_10pct`` — the estimate envelope vs exact (lgK=12 default
-      ~1.6% rel. error; 10% is the same generous pin the
+    - ``store_equals_inline_merge`` — merged-store estimate == the same
+      two batch sketches unioned INLINE (no parquet roundtrip). Identical
+      inputs through the identical union gadget: any false means the
+      store write/read lost or corrupted sketch state, and the driver
+      hash-mismatches. (A merged-vs-ONE-SHOT equality would NOT hold at
+      every scale: Datasketches keeps a single sketch in exact sparse
+      mode until ~k entries, while the union of two sketches densifies
+      to HLL_8 earlier — measured at sf0.1: one-shot 1480-1499 exact vs
+      merged 1488 dense estimate. The r10 sf0.1 margin run caught
+      exactly this; the store-vs-inline form is representation-exact at
+      ANY scale.)
+    - ``within_10pct`` — the merged estimate's envelope vs exact (lgK=12
+      default ~1.6% rel. error; 10% is the same generous pin the
       rel_approx_distinct tests use).
 
     The oracle emits TRUE for both flags, so the flags are real
@@ -1239,17 +1245,26 @@ def pipe_hll_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_distinct_sketch(ev.where(F.col("event_id") % 2 == 0), "user_id", "event_type", path, 0)
     write_distinct_sketch(ev.where(F.col("event_id") % 2 == 1), "user_id", "event_type", path, 1)
     merged = read_distinct_estimates(spark, path)
-    oneshot = ev.groupBy(F.col("event_type").alias("group_key")).agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("oneshot"),
-        F.count_distinct("user_id").alias("n_exact"),
+    inline = (
+        ev.groupBy(
+            F.col("event_type").alias("group_key"),
+            (F.col("event_id") % 2).alias("b"),
+        )
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .groupBy("group_key")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("inline_est"))
+    )
+    exact = ev.groupBy(F.col("event_type").alias("group_key")).agg(
+        F.count_distinct("user_id").alias("n_exact")
     )
     out = (
-        merged.join(oneshot, "group_key")
+        merged.join(inline, "group_key")
+        .join(exact, "group_key")
         .select(
             "group_key",
             "n_exact",
-            (F.col("n_distinct_estimate") == F.col("oneshot")).alias(
-                "merge_equals_oneshot"
+            (F.col("n_distinct_estimate") == F.col("inline_est")).alias(
+                "store_equals_inline_merge"
             ),
             (
                 F.abs(F.col("n_distinct_estimate") - F.col("n_exact"))
@@ -1265,7 +1280,7 @@ def pipe_hll_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 PIPE_HLL_STORE_MERGE_SQL = """
 SELECT event_type AS group_key,
        COUNT(DISTINCT user_id) AS n_exact,
-       TRUE AS merge_equals_oneshot,
+       TRUE AS store_equals_inline_merge,
        TRUE AS within_10pct
 FROM events GROUP BY event_type
 """
@@ -1327,6 +1342,115 @@ def read_theta_set_estimates(spark: SparkSession, path: str) -> DataFrame:
             ).alias("n_diff"),
         )
     )
+
+
+def pipe_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry for :func:`zorder_layout_df` (the last library-only
+    layout operator, r09 verdict "missing" #2 tail): Morton-cluster
+    ``lineitem`` on (l_partkey, l_suppkey) and certify the interleaved
+    key itself — (l_orderkey, l_linenumber, zval) value-matched against an
+    oracle that replays the min/max scaling and the 32-term bit
+    interleave. The scaling divides/multiplies the same doubles in the
+    same order on both engines (IEEE-deterministic), and everything after
+    the floor is exact integer bit algebra, so the match is exact — the
+    range-exchange + in-partition sort the writer adds on top changes
+    file layout, not values, and its plan shape is pinned in tests.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    out = zorder_layout_df(li, ["l_partkey", "l_suppkey"])
+    return out.select("l_orderkey", "l_linenumber", "zval")
+
+
+def _zorder_oracle_sql(bits: int = ZORDER_BITS) -> str:
+    cols = ("l_partkey", "l_suppkey")
+    terms = []
+    for i in range(bits):
+        for j in range(len(cols)):
+            terms.append(f"(((r{j} >> {i}) & 1) << {i * len(cols) + j})")
+    zexpr = " + ".join(terms)
+    cap = (1 << bits) - 1
+    scale = float(1 << bits)
+    rank_exprs = ",\n         ".join(
+        f"LEAST({cap}, CAST(FLOOR((CAST({c} AS DOUBLE) - lo{j}) / "
+        f"(CASE WHEN hi{j} - lo{j} = 0 THEN 1.0 ELSE hi{j} - lo{j} END) "
+        f"* {scale!r}) AS BIGINT)) AS r{j}"
+        for j, c in enumerate(cols)
+    )
+    stat_exprs = ", ".join(
+        f"CAST(MIN({c}) AS DOUBLE) AS lo{j}, CAST(MAX({c}) AS DOUBLE) AS hi{j}"
+        for j, c in enumerate(cols)
+    )
+    return f"""
+WITH stats AS (SELECT {stat_exprs} FROM lineitem),
+ranked AS (
+  SELECT l_orderkey, l_linenumber,
+         {rank_exprs}
+  FROM lineitem, stats
+)
+SELECT l_orderkey, l_linenumber, CAST({zexpr} AS BIGINT) AS zval FROM ranked
+"""
+
+
+PIPE_ZORDER_LAYOUT_SQL = _zorder_oracle_sql()
+
+
+def pipe_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry for the Theta sketch store's SET ALGEBRA — the
+    capability HLL cannot give (intersection/difference across stored
+    slices without re-joining raw keys).
+
+    Two batches (event_id parity) of per-event_type theta sketches over
+    ``user_id`` go through :func:`write_theta_sketch`;
+    :func:`read_theta_set_estimates` merges the store and reports every
+    group pair's |A|, |B|, |A∪B|, |A∩B|, |A\\\\B|. The shipped testdata
+    keeps every group (and every pairwise union) under the sketch's
+    nominal 4096 entries, so the sketches never leave EXACT mode and the
+    rounded counts value-match the oracle's true set sizes — certifying
+    store write + batch merge + union/intersection/difference in one row.
+    A future corpus crossing 4096 distinct keys per pair would flip the
+    sketch into estimation mode and fail this hash loudly (the pin is on
+    exactness at gate scale, not on HLL-style envelopes).
+    """
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="dgds_theta_store_")
+    path = f"{base}/theta"
+    write_theta_sketch(ev.where(F.col("event_id") % 2 == 0), "user_id", "event_type", path, 0)
+    write_theta_sketch(ev.where(F.col("event_id") % 2 == 1), "user_id", "event_type", path, 1)
+    est = read_theta_set_estimates(spark, path)
+    out = est.select(
+        "group_a",
+        "group_b",
+        *[
+            F.round(F.col(c)).cast("bigint").alias(c)
+            for c in ("n_a", "n_b", "n_union", "n_intersection", "n_diff")
+        ],
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+PIPE_THETA_OVERLAP_SQL = """
+WITH per AS (SELECT DISTINCT event_type AS g, user_id AS u FROM events),
+sizes AS (SELECT g, COUNT(*) AS n FROM per GROUP BY g),
+inter AS (
+  SELECT a.g AS ga, b.g AS gb, COUNT(*) AS ni
+  FROM per a JOIN per b ON a.u = b.u AND a.g < b.g
+  GROUP BY 1, 2
+)
+SELECT s1.g AS group_a, s2.g AS group_b,
+       s1.n AS n_a, s2.n AS n_b,
+       s1.n + s2.n - COALESCE(i.ni, 0) AS n_union,
+       COALESCE(i.ni, 0) AS n_intersection,
+       s1.n - COALESCE(i.ni, 0) AS n_diff
+FROM sizes s1
+JOIN sizes s2 ON s1.g < s2.g
+LEFT JOIN inter i ON i.ga = s1.g AND i.gb = s2.g
+"""
 
 
 def winsorize_df(
@@ -1407,5 +1531,9 @@ PIPELINE_QUERIES.update(
     {
         # staged r10: HLL sketch-store merge differential (r09 verdict #4)
         "pipe_hll_store_merge": (pipe_hll_store_merge, PIPE_HLL_STORE_MERGE_SQL),
+        # staged r10: Theta store set algebra, exact-mode value match
+        "pipe_theta_overlap": (pipe_theta_overlap, PIPE_THETA_OVERLAP_SQL),
+        # staged r10: Morton clustering key, bit-interleave replay oracle
+        "pipe_zorder_layout": (pipe_zorder_layout, PIPE_ZORDER_LAYOUT_SQL),
     }
 )

@@ -1475,3 +1475,16 @@ def random_project(
         src.mapInPandas(_batches, out_schema)
         .select(F.col("_rp_id").alias(id_col), "projected")
     )
+
+
+def sim_random_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only driver entry for :func:`random_project` (JL projection):
+    64-dim embeddings -> 16 Gaussian-projected coordinates. The projection
+    matrix is numpy-RNG-derived (deterministic under the fixed seed but not
+    SQL-replayable), so the driver check is rows-only by design; the
+    distance-preservation envelope and seed determinism are pinned in
+    tests/test_pipeline_ops.py."""
+    return random_project(_emb(spark, sf_dir), "vec_id", "e", out_dim=16)
+
+
+SIMILARITY_QUERIES["sim_random_project"] = (sim_random_project, None)

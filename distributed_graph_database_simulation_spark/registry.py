@@ -202,6 +202,19 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     "pipe_hll_store_merge": 10,
     "stream_sketch_ingest": 10,
     "stream_dedup_ingest": 10,
+    # Theta store set algebra (union/intersection/difference across stored
+    # slices): gate-sf corpora keep every pair under the 4096-entry nominal,
+    # so the sketches stay in EXACT mode and the counts value-match the
+    # oracle's true set sizes. Pre-verified hash-exact at sf0.001 + sf0.01.
+    "pipe_theta_overlap": 10,
+    # Morton clustering key: the bit-interleave replayed term-for-term by
+    # the oracle (scaling is IEEE-deterministic double arithmetic, the
+    # rest exact integer bit algebra). Pre-verified hash-exact at
+    # sf0.001 + sf0.01 (6k / 60k rows).
+    "pipe_zorder_layout": 10,
+    # JL random projection: numpy-RNG planes — rows-only by design (seed
+    # determinism + distance envelope pinned in tests).
+    "sim_random_project": 10,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)
