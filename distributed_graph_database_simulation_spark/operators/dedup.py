@@ -1070,9 +1070,23 @@ sh AS MATERIALIZED (
   FROM docs
   WHERE len(w) >= 3
 ),
+pre AS MATERIALIZED (
+  -- r10: same lossless prefix filter as _NGRAM_ORACLE_CORE (AllPairs
+  -- lemma, lexicographic shingle order) so this oracle also leaves the
+  -- quadratic regime and joins the sf0.1 sweep
+  SELECT doc_id, len(s) AS n_sh,
+         unnest(list_sort(s)[1 : len(s) - CAST(ceil(len(s) * 0.5) AS BIGINT) + 1]) AS h
+  FROM sh
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pre a JOIN pre b
+    ON a.h = b.h AND a.doc_id < b.doc_id
+   AND b.n_sh >= a.n_sh * 0.5 AND a.n_sh >= b.n_sh * 0.5
+),
 pairs AS MATERIALIZED (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  SELECT c.doc_a, c.doc_b
+  FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b
   WHERE CAST(len(a.s) + len(b.s) - len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
           / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
 ),
@@ -1091,19 +1105,24 @@ FROM walk GROUP BY doc_id
 """
 
 
+# r10: the dot product is DuckDB's native list_dot_product — bit-identical
+# to the interpreted list_sum(list_transform(...)) fold (same sequential
+# accumulation; verified element-for-element at sf0.01) but ~27x faster,
+# which keeps this deliberately-exhaustive exact-route oracle inside the
+# sf0.1 sweep (~2 s for 12.5M pairs instead of ~1 min).
 DEDUP_EMBEDDING_COSINE_SQL = """
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
 ),
 n AS (
   SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS norm FROM v
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_dot_product(a.e, b.e) / (a.norm * b.norm) AS cosine
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
-         / (a.norm * b.norm) AS cosine
-FROM n a JOIN n b ON a.vec_id < b.vec_id
-WHERE list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
-        / (a.norm * b.norm) >= 0.42
+SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.42
 """
 
 
@@ -1316,24 +1335,51 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Same shingle CTE as the Jaccard oracle; intersection size via
 # |A| + |B| - |A union B| so both engines share distinct semantics.
+#
+# r10: the candidate stage is prefix-filtered for the CONTAINMENT
+# threshold. max(containment) >= 0.8 means n_common >= 0.8 * min(|A|,|B|),
+# so (integer count) n_common >= ceil(0.8 * s) for the SMALLER set S: its
+# suffix beyond the first s - ceil(0.8*s) + 1 sorted shingles holds only
+# ceil(0.8*s) - 1 elements — fewer than the intersection — forcing at
+# least one common shingle into S's prefix. Joining the smaller side's
+# PREFIX against the larger side's FULL posting list (size/tie-ordered so
+# each pair is probed exactly once) is therefore lossless; verification on
+# the full lists removes prefix false positives. Replaces the r06-r09
+# all-pairs formulation (identical output, checked at sf0.01) so this
+# oracle also joins the sf0.1 sweep.
 DEDUP_CONTAINMENT_SQL = """
 WITH docs AS (
   SELECT doc_id,
          string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
   FROM documents
 ),
-sh AS (
+sh AS MATERIALIZED (
   SELECT doc_id,
          list_distinct(list_transform(range(1, len(w) - 1),
                                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
   FROM docs
   WHERE len(w) >= 3
 ),
+pre AS (
+  SELECT doc_id, len(s) AS n_sh,
+         unnest(list_sort(s)[1 : len(s) - CAST(ceil(len(s) * 0.8) AS BIGINT) + 1]) AS h
+  FROM sh
+),
+fullpost AS (
+  SELECT doc_id, len(s) AS n_sh, unnest(s) AS h FROM sh
+),
+cand AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                  greatest(a.doc_id, b.doc_id) AS doc_b
+  FROM pre a JOIN fullpost b
+    ON a.h = b.h
+   AND (a.n_sh < b.n_sh OR (a.n_sh = b.n_sh AND a.doc_id < b.doc_id))
+),
 pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  SELECT c.doc_a, c.doc_b,
          len(a.s) + len(b.s) - len(list_distinct(list_concat(a.s, b.s))) AS n_common,
          len(a.s) AS n_a, len(b.s) AS n_b
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b
 )
 SELECT doc_a, doc_b,
        CAST(n_common AS BIGINT) AS n_common,

@@ -595,6 +595,41 @@ def test_skyline_is_local_prune_plus_broadcast_anti_join(spark, sf_dir):
     assert m and len(m.group(1).split(",")) == 3, m and m.group(1)
 
 
+def test_skyline_sorted_global_fallback_never_broadcasts(spark, sf_dir):
+    """The anti-correlated fallback's whole point is that NOTHING is
+    broadcast (the frontier can be O(n)): plan must be range exchange +
+    in-partition sort + narrow Arrow sweep — no broadcast of any kind, no
+    hash exchange, no sort-merge join."""
+    from distributed_graph_database_simulation_spark.operators.relational import (
+        _skyline_local_prune,
+        _skyline_sorted_global,
+    )
+    from distributed_graph_database_simulation_spark.sources.tables import load_table
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", "p_retailprice"
+    )
+    plan = _formatted_plan(_skyline_sorted_global(_skyline_local_prune(part)))
+    assert "BroadcastExchange" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan and "hashpartitioning(" not in plan
+    assert "rangepartitioning(" in plan
+    spark.catalog.clearCache()
+
+
+def test_zorder_layout_is_one_range_exchange(spark, sf_dir):
+    """pipe_zorder_layout's data path: Morton projection is narrow; the only
+    exchange on the returned frame is the range partitioner that clusters by
+    zval (the separate tiny min/max agg runs as its own driver-side job)."""
+    from distributed_graph_database_simulation_spark.operators.pipeline import (
+        pipe_zorder_layout,
+    )
+
+    plan = _formatted_plan(pipe_zorder_layout(spark, sf_dir))
+    assert "rangepartitioning(zval" in plan
+    assert "hashpartitioning(" not in plan
+    assert "BroadcastExchange" not in plan and "SortMergeJoin" not in plan
+
+
 def test_retention_cohorts_is_single_corpus_shuffle(spark, sf_dir):
     """One hash exchange on user_id (collect_set with map-side partial)
     plus the tiny final (cohort, offset) aggregate — the naive
