@@ -106,8 +106,12 @@ HEADLINE = [
     "pipe_theta_overlap",
     "pipe_zorder_layout",
     "sim_random_project",
+    "sim_topk_ivf_index",
     "stream_sketch_ingest",
     "stream_dedup_ingest",
+    "stream_user_state_ingest",
+    "g_effective_diameter_scale",
+    "g_triangles_sampled_scale",
 ]
 
 

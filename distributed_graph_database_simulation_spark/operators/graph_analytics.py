@@ -2198,13 +2198,21 @@ def triangle_count_sampled(edges: DataFrame, sample_ppm: int = 100_000) -> DataF
         .filter(F.col("src") < F.col("dst"))
         .select("graph_id", "src", "dst")
     )
-    # reduce before the Knuth multiply: |h mod M| * K < 2^51, ANSI-safe
+    # md5-derived 60-bit edge hash (portable: Spark F.md5 and DuckDB md5
+    # agree, so an oracle can replay the sampled edge set exactly — the
+    # same swap simhash made in r06; was xxhash64, Spark-only), reduced
+    # before the Knuth multiply: (M-1) * K < 2^52, ANSI-safe.
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("graph_id"), F.col("src"), F.col("dst"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
     coin = F.pmod(
-        F.pmod(
-            F.xxhash64(F.col("graph_id"), F.col("src"), F.col("dst")),
-            F.lit(_DOULION_MOD),
-        )
-        * F.lit(_DOULION_KNUTH),
+        F.pmod(h, F.lit(_DOULION_MOD)) * F.lit(_DOULION_KNUTH),
         F.lit(_DOULION_MOD),
     )
     p = sample_ppm / 1_000_000.0

@@ -3238,6 +3238,129 @@ FROM trace WHERE prev IS NULL OR checksum > prev
 """
 
 
+def effective_diameter_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90%-effective diameter of the scale graph from the EXACT
+    neighborhood function — the deterministic sibling of the HyperBall
+    estimate, and the driver entry for
+    :func:`graph_analytics.effective_diameter` (the ANF interpolation was
+    the last graph operator without one).
+
+    Exact N(t): one :func:`graph_analytics.multi_source_bfs` run with ALL
+    101 vertices as sources (one superstep loop, not 101 — state is
+    101x|reached| keyed rows), then a running-sum window over the per-level
+    pair counts. The interpolation arithmetic is the same double ops in
+    the same order on both engines, so the single output row matches
+    exactly. Gaps in the observed level set are harmless: N(t) is flat
+    through a gap, so the lag value at the first row reaching the target
+    is identical whether the t grid is dense (oracle) or sparse (Spark).
+    """
+    from pyspark.sql import Window
+
+    from .graph_analytics import effective_diameter, multi_source_bfs
+
+    graphs, edges = _scale_graph(spark, sf_dir)
+    sources = fixtures.scale_edges_df(spark, sf_dir).sparkSession.range(
+        fixtures.SCALE_V
+    ).select(F.lit(1).alias("graph_id"), F.col("id").cast("int").alias("source"))
+    levels = multi_source_bfs(spark, edges, sources)
+    per_t = levels.groupBy("graph_id", F.col("level").alias("t")).agg(
+        F.count("*").alias("c")
+    )
+    w = Window.partitionBy("graph_id").orderBy("t")
+    nf = per_t.select(
+        "graph_id", "t", F.sum("c").over(w).cast("double").alias("nf_est")
+    )
+    return effective_diameter(nf)
+
+
+EFFECTIVE_DIAMETER_SCALE_SQL = f"""
+WITH RECURSIVE scale_edges AS ({fixtures.SCALE_GRAPH_SQL}),
+verts(v) AS (SELECT CAST(UNNEST(range({fixtures.SCALE_V})) AS INT)),
+walk(v, w, d) AS (
+  SELECT v, v, 0 FROM verts
+  UNION
+  SELECT wk.v, e.dst, wk.d + 1
+  FROM walk wk JOIN scale_edges e ON e.src = wk.w
+  WHERE wk.d < {fixtures.SCALE_V}
+),
+md AS (SELECT v, w, MIN(d) AS md FROM walk GROUP BY v, w),
+nf AS (
+  SELECT ts.t, CAST(COUNT(*) AS DOUBLE) AS nf_est
+  FROM (SELECT UNNEST(range(0, {fixtures.SCALE_V + 1})) AS t) ts
+  JOIN md ON md.md <= ts.t
+  GROUP BY ts.t
+),
+annotated AS (
+  SELECT t, nf_est,
+         0.9 * MAX(nf_est) OVER () AS target,
+         lag(nf_est) OVER (ORDER BY t) AS prev_nf
+  FROM nf
+),
+hit AS (
+  SELECT t, nf_est, prev_nf, target
+  FROM annotated WHERE nf_est >= target
+  ORDER BY t LIMIT 1
+)
+SELECT CAST(1 AS INT) AS graph_id,
+       CASE WHEN t = 0 OR prev_nf IS NULL OR prev_nf >= target
+            THEN CAST(t AS DOUBLE)
+            ELSE t - 1 + (target - prev_nf) / (nf_est - prev_nf)
+       END AS effective_diameter
+FROM hit
+"""
+
+
+_DOULION_PPM = 500_000
+
+
+def triangles_sampled_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doulion sampled triangle count on the scale graph at p = 0.5 —
+    the accuracy/cost knob operator, EXACTLY certified: the coin is an
+    md5-derived Knuth hash (portable since r10), so the oracle replays the
+    sampled edge set, the triangle count on it, and the 1/p³ scale-up
+    verbatim. This certifies the sampling machinery itself (coin, canonical
+    orientation, scale-up arithmetic), not a statistical envelope —
+    ``triangles_est`` is a deterministic double both engines compute from
+    the same integers.
+    """
+    from .graph_analytics import triangle_count_sampled
+
+    _, edges = _scale_graph(spark, sf_dir)
+    return triangle_count_sampled(edges, sample_ppm=_DOULION_PPM).select(
+        "graph_id", "triangles_est"
+    )
+
+
+def _triangles_sampled_sql() -> str:
+    from .graph_analytics import _DOULION_KNUTH, _DOULION_MOD
+
+    threshold = int(_DOULION_PPM * _DOULION_MOD / 1_000_000)
+    p = _DOULION_PPM / 1_000_000.0
+    return f"""
+WITH scale_edges AS ({fixtures.SCALE_GRAPH_SQL}),
+ue(src, dst) AS (
+  SELECT src, dst FROM scale_edges
+  UNION
+  SELECT dst, src FROM scale_edges
+),
+canon AS (SELECT src, dst FROM ue WHERE src < dst),
+kept AS (
+  SELECT src, dst FROM canon
+  WHERE (CAST('0x' || substr(md5('1|' || CAST(src AS VARCHAR) || '|' ||
+                             CAST(dst AS VARCHAR)), 1, 15) AS BIGINT)
+         % {_DOULION_MOD}) * {_DOULION_KNUTH} % {_DOULION_MOD} < {threshold}
+)
+SELECT CAST(1 AS INT) AS graph_id,
+       COUNT(*) / {p ** 3!r} AS triangles_est
+FROM kept ab
+JOIN kept bc ON bc.src = ab.dst
+JOIN kept ac ON ac.src = ab.src AND ac.dst = bc.dst
+"""
+
+
+TRIANGLES_SAMPLED_SCALE_SQL = _triangles_sampled_sql()
+
+
 def hyperball_harmonic_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex harmonic-centrality estimates via HyperBall over the
     scale graph — rows-only driver entry (the per-vertex output is an HLL
@@ -3347,4 +3470,14 @@ GRAPH_QUERIES: dict[str, tuple] = {
     # rows-only harmonic estimate (r09 verdict #3)
     "g_hyperball_scale": (hyperball_scale, HYPERBALL_SCALE_SQL),
     "g_hyperball_harmonic_scale": (hyperball_harmonic_scale, None),
+    # staged r10: exact 90%-effective diameter (ANF interpolation entry)
+    "g_effective_diameter_scale": (
+        effective_diameter_scale,
+        EFFECTIVE_DIAMETER_SCALE_SQL,
+    ),
+    # staged r10: Doulion sampled triangles, coin-replay exact oracle
+    "g_triangles_sampled_scale": (
+        triangles_sampled_scale,
+        TRIANGLES_SAMPLED_SCALE_SQL,
+    ),
 }

@@ -1488,3 +1488,29 @@ def sim_random_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIMILARITY_QUERIES["sim_random_project"] = (sim_random_project, None)
+
+
+def sim_topk_ivf_index_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry for the PERSISTED IVF index (the last similarity
+    operator without one): :func:`build_ivf_index` into a per-call temp
+    dir — centroids parquet + corpus partitioned BY LIST, where the layout
+    IS the index — then :func:`sim_topk_ivf_index` probes it (the cent_id
+    predicate lands in PartitionFilters, plan-pinned in tests). Training
+    uses the same quantized integer Lloyd k-means as the in-memory
+    :func:`sim_topk_ivf`, so index search reproduces it bit-for-bit and
+    SHARES its exact DuckDB oracle — certifying build + layout + pruned
+    probe + re-rank in one row."""
+    import shutil
+    import tempfile
+
+    corpus = _emb(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="dgds_ivf_index_")
+    build_ivf_index(spark, corpus, base)
+    out = sim_topk_ivf_index(
+        spark, corpus.filter(F.col("vec_id") < N_QUERIES), base
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+SIMILARITY_QUERIES["sim_topk_ivf_index"] = (sim_topk_ivf_index_entry, SIM_TOPK_IVF_SQL)

@@ -215,6 +215,23 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # JL random projection: numpy-RNG planes — rows-only by design (seed
     # determinism + distance envelope pinned in tests).
     "sim_random_project": 10,
+    # Persisted IVF index: build + list-partitioned layout + pruned probe
+    # reproduce the in-memory IVF bit-for-bit, so the entry shares
+    # SIM_TOPK_IVF_SQL. Pre-verified hash-exact at sf0.001/0.01/0.1.
+    "sim_topk_ivf_index": 10,
+    # CDC keyed-state ingest (latest event per user through the
+    # foreachBatch MERGE sink, with a stale full-table replay applied in
+    # the entry itself). Exact latest-per-user oracle; hash-exact at
+    # sf0.001/0.01/0.1.
+    "stream_user_state_ingest": 10,
+    # Exact 90%-effective diameter: all-sources multi_source_bfs ->
+    # running-sum N(t) -> ANF interpolation; oracle replays via recursive
+    # min-distance CTE. Hash-exact at sf0.001/0.01/0.1.
+    "g_effective_diameter_scale": 10,
+    # Doulion sampled triangles at p=0.5: the coin became md5-portable
+    # this round, so the oracle replays the sampled edge set + 1/p^3
+    # scale-up exactly. Hash-exact at sf0.001/0.01/0.1.
+    "g_triangles_sampled_scale": 10,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

@@ -351,3 +351,55 @@ def stream_dedup_ingest_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+def stream_user_state_ingest_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry for the CDC keyed-state ingestion path (the
+    continuously-maintained latest-event-per-user materialized view): run
+    :func:`stream_user_state_ingest` over the bounded events stream
+    (availableNow), then STRESS the by-value replay contract by re-applying
+    the WHOLE table as a late batch — max-version-wins resolution must
+    leave the converged state unchanged — and return the store contents.
+
+    Exact oracle: latest event per user by (event-time, event_id) —
+    value-matched column for column, so a replay bug (duplicate user rows,
+    stale-version overwrite) or a MERGE bug (lost bucket, wrong tie-break)
+    hash-mismatches. Store + checkpoint live in a per-call temp dir.
+    """
+    import shutil
+    import tempfile
+
+    from ..sources.keyed_store import KeyedParquetStore
+    from ..sources.tables import load_table
+    from .windowed import _events_stream
+
+    base = tempfile.mkdtemp(prefix="dgds_user_state_")
+    store_path = f"{base}/store"
+    q = stream_user_state_ingest(
+        spark, _events_stream(spark, sf_dir), store_path, f"{base}/ck"
+    )
+    q.awaitTermination()
+    # by-value replay: the full table again, as a "stale" late batch
+    user_state_ingest_batch(spark, load_table(spark, sf_dir, "events"), 99, store_path)
+    store = KeyedParquetStore(
+        spark, store_path, "user_id", n_buckets=64, version_col="ts_us"
+    )
+    out = store.read().select(
+        "user_id", "ts_us", "last_event_id", "last_event_type", "last_value"
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+STREAM_USER_STATE_INGEST_SQL = """
+WITH ranked AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+         CAST(value AS DOUBLE) AS v,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, ts_us, event_id AS last_event_id,
+       event_type AS last_event_type, v AS last_value
+FROM ranked WHERE rn = 1
+"""

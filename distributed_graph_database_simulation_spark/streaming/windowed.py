@@ -549,8 +549,10 @@ STREAMING_QUERIES: dict[str, tuple] = {
 from ..operators.dedup import _NGRAM_ORACLE_CORE  # noqa: E402
 from .ingest import (  # noqa: E402
     STREAM_SKETCH_INGEST_SQL,
+    STREAM_USER_STATE_INGEST_SQL,
     stream_dedup_ingest_entry,
     stream_sketch_ingest_entry,
+    stream_user_state_ingest_entry,
 )
 
 STREAMING_QUERIES["stream_sketch_ingest"] = (
@@ -562,4 +564,10 @@ STREAMING_QUERIES["stream_sketch_ingest"] = (
 STREAMING_QUERIES["stream_dedup_ingest"] = (
     stream_dedup_ingest_entry,
     _NGRAM_ORACLE_CORE,
+)
+# CDC keyed-state materialized view: latest event per user, by-value
+# replay stressed in the entry itself.
+STREAMING_QUERIES["stream_user_state_ingest"] = (
+    stream_user_state_ingest_entry,
+    STREAM_USER_STATE_INGEST_SQL,
 )
