@@ -408,14 +408,25 @@ def dedup_against_store(
 
 
 def dedup_against_frames(
-    new_docs: DataFrame, bands_old: DataFrame, sh_old: DataFrame
+    new_docs: DataFrame,
+    bands_old: DataFrame,
+    sh_old: DataFrame,
+    sh_new: DataFrame | None = None,
+    bands_new: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`dedup_against_store` against already-loaded store frames —
     the streaming ingester uses this to exclude the replaying batch's own
     prior contribution from the store side (idempotent micro-batch retry).
+
+    ``sh_new`` / ``bands_new``: pass the batch's (possibly persisted)
+    shingle and band frames when the caller ALSO writes them to the store
+    — the ingest path otherwise re-runs the scan→split→ngram→signature
+    pipeline once for pair-finding and once for the store write.
     """
-    sh_new = _shingled(new_docs)
-    bands_new = _bands(_minhash_sigs(sh_new))
+    if sh_new is None:
+        sh_new = _shingled(new_docs)
+    if bands_new is None:
+        bands_new = _bands(_minhash_sigs(sh_new))
 
     a, b = bands_new.alias("a"), bands_old.alias("b")
     cand_cross = (

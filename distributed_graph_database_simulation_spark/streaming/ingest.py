@@ -50,14 +50,20 @@ def dedup_ingest_batch(
     """
     import os
 
+    from pyspark.storagelevel import StorageLevel
+
     from ..operators.dedup import (
         _bands,
         _minhash_sigs,
         _shingled,
         dedup_against_frames,
-        minhash_lsh_df,
     )
 
+    # One scan→split→ngram pass per batch: the shingle table feeds the
+    # pair-finder AND both store writes (r10 — previously the pipeline ran
+    # twice per ingest call). MEMORY_AND_DISK: spill, never recompute.
+    sh = _shingled(batch).persist(StorageLevel.MEMORY_AND_DISK)
+    bands = _bands(_minhash_sigs(sh))
     store_exists = os.path.isdir(f"{store_path}/bands")
     if store_exists:
         # Exclude this batch's OWN partition from the store side: on a
@@ -74,18 +80,23 @@ def dedup_ingest_batch(
             .where(F.col("batch_id") != int(batch_id))
             .select("doc_id", "shingles")
         )
-        pairs = dedup_against_frames(batch, bands_old, sh_old)
     else:
-        pairs = minhash_lsh_df(batch)
+        # cold start: empty store frames make dedup_against_frames reduce
+        # to exactly the within-batch pair set (minhash_lsh_df semantics)
+        bands_old = spark.createDataFrame(
+            [], "doc_id long, band_id int, band_hash long"
+        )
+        sh_old = spark.createDataFrame([], "doc_id long, shingles array<string>")
+    pairs = dedup_against_frames(batch, bands_old, sh_old, sh_new=sh, bands_new=bands)
     # Pairs first, store second: if the job dies between the two writes the
     # replay overwrites the same pair partition and re-extends the store —
     # both idempotent per batch_id. (Store-first would also be safe, but
     # pairs-first means a reader never sees store state whose pairs are
     # missing once the batch commits.)
     _write_partition(pairs, batch_id, pairs_path)
-    sh = _shingled(batch)
-    _write_partition(_bands(_minhash_sigs(sh)), batch_id, f"{store_path}/bands")
+    _write_partition(bands, batch_id, f"{store_path}/bands")
     _write_partition(sh, batch_id, f"{store_path}/shingles")
+    sh.unpersist()
 
 
 def stream_dedup_ingest(
