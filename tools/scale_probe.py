@@ -1118,6 +1118,47 @@ def probe_retention_cohorts(spark, n_events: int, n_users: int = 1_000_000,
             "sec": sec}
 
 
+def probe_dedup_ingest(spark, n_docs: int, n_batches: int = 4) -> dict:
+    """Incremental-ingest cost model: ingest ``n_batches`` equal batches
+    through dedup_ingest_batch and record per-batch wall time. The claim
+    under test: batch k costs batch-size + candidate work against the
+    store — NOT k× (the store is read, never re-hashed), so per-batch wall
+    should grow mildly (store-side candidate join grows), not linearly
+    rescan history. A planted near-dup pair straddles every adjacent batch
+    boundary so cross-batch pair emission is exercised."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from distributed_graph_database_simulation_spark.streaming.ingest import (
+        dedup_ingest_batch,
+    )
+
+    # 100k-word synthetic vocabulary: a tiny vocab degenerates minhash
+    # (few distinct shingles -> shared per-permutation minima -> giant LSH
+    # buckets), which would probe a pathology, not the ingest cost model.
+    # Adjacent even/odd ids share text => one planted near-dup pair per id
+    # pair, landing in different batches under the mod-n_batches split.
+    docs = spark.range(0, n_docs, 1, 32).selectExpr(
+        "id AS doc_id",
+        """concat_ws(' ', transform(sequence(1, 40),
+             i -> concat('w', pmod(xxhash64(CAST(id - pmod(id, 2) AS STRING), i), 100000))))
+           AS text""",
+    )
+    base = tempfile.mkdtemp(prefix="dgds_ingest_probe_")
+    walls = []
+    total_pairs = 0
+    for b in range(n_batches):
+        batch = docs.where(F.pmod(F.col("doc_id"), n_batches) == b)
+        t0 = _t.perf_counter()
+        dedup_ingest_batch(spark, batch, b, f"{base}/store", f"{base}/pairs")
+        walls.append(round(_t.perf_counter() - t0, 2))
+    total_pairs = spark.read.parquet(f"{base}/pairs").count()
+    shutil.rmtree(base, ignore_errors=True)
+    return {"probe": "dedup_ingest", "docs": n_docs, "batches": n_batches,
+            "per_batch_sec": walls, "pairs": total_pairs}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--edges", type=float, default=5e6)
@@ -1166,6 +1207,7 @@ def main() -> int:
         ("densest", lambda: probe_densest(spark, int(args.edges) // 2, int(args.vertices) // 2)),
         ("skyline", lambda: probe_skyline(spark, int(args.edges) * 2)),
         ("retention_cohorts", lambda: probe_retention_cohorts(spark, int(args.edges) * 2)),
+        ("dedup_ingest", lambda: probe_dedup_ingest(spark, int(args.docs) * 2)),
     )
     for name, probe in probes:
         if args.only is not None and not any(s in name for s in args.only):
