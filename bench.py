@@ -112,6 +112,7 @@ HEADLINE = [
     "stream_user_state_ingest",
     "g_effective_diameter_scale",
     "g_triangles_sampled_scale",
+    "pipe_temperature_mix",
 ]
 
 

@@ -1527,6 +1527,99 @@ def split_train_val_test(
     return df.withColumn("split", split)
 
 
+def temperature_mix_df(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    keep_ppm: int = 500_000,
+    seed: int = 7,
+) -> DataFrame:
+    """Temperature-balanced group resampling at alpha = 0.5 — the standard
+    multilingual rebalancing (sample languages proportionally to p^alpha so
+    head languages shrink and tail languages keep more of their data;
+    alpha=0.5 is the sqrt temperature mT5/XLM-R popularized), with EXACT
+    integer-rational plumbing so a DuckDB oracle replays membership:
+
+    - per-group budget share ∝ ``s_g = floor(sqrt(n_g))`` — IEEE sqrt is
+      correctly ROUNDED (unlike pow), so floor(sqrt(bigint)) is the same
+      integer on every engine; a float p^0.7 would differ by ulps and flip
+      threshold floors;
+    - per-group admission threshold (ppm) ``t_g = min(1e6,
+      (keep_ppm * N * s_g) div (S * n_g))`` — all BIGINT products and one
+      floor-div (operands positive: Spark's truncating div == DuckDB's
+      flooring //);
+    - admission: the same portable md5 ppm bucket as
+      :func:`split_train_val_test`, keyed (id, seed) — deterministic,
+      resumable, join-free on the data side.
+
+    One tiny group-count aggregate broadcast back as thresholds; the
+    corpus itself takes a narrow filter, never a shuffle. Returns the kept
+    rows plus their group's ``threshold_ppm``.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(group_col)).agg(F.count("*").alias("n_g"))
+    stats = counts.withColumn(
+        "s_g", F.floor(F.sqrt(F.col("n_g").cast("double"))).cast("bigint")
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    stats = stats.select(
+        group_col,
+        "n_g",
+        "s_g",
+        F.sum("n_g").over(w_all).alias("n_total"),
+        F.sum("s_g").over(w_all).alias("s_total"),
+    )
+    thresholds = stats.select(
+        group_col,
+        F.least(
+            F.lit(1_000_000).cast("bigint"),
+            F.expr(f"({keep_ppm} * n_total * s_g) div (s_total * n_g)"),
+        ).alias("threshold_ppm"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(str(seed)))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    bucket = F.pmod(h, F.lit(1_000_000))
+    return (
+        df.join(F.broadcast(thresholds), group_col)
+        .where(bucket < F.col("threshold_ppm"))
+    )
+
+
+def pipe_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: alpha=0.5 temperature mix over documents by lang,
+    keeping ~half the corpus rebalanced toward tail languages."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_mix_df(docs, "lang", "doc_id")
+
+
+PIPE_TEMPERATURE_MIX_SQL = """
+WITH counts AS (SELECT lang, COUNT(*) AS n_g FROM documents GROUP BY lang),
+stats AS (
+  SELECT lang, n_g,
+         CAST(floor(sqrt(CAST(n_g AS DOUBLE))) AS BIGINT) AS s_g
+  FROM counts
+),
+tot AS (SELECT SUM(n_g) AS n_total, SUM(s_g) AS s_total FROM stats),
+thr AS (
+  SELECT lang,
+         LEAST(1000000, (500000 * n_total * s_g) // (s_total * n_g)) AS threshold_ppm
+  FROM stats, tot
+)
+SELECT d.doc_id, d.lang, t.threshold_ppm
+FROM documents d JOIN thr t USING (lang)
+WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|7'), 1, 15)
+           AS BIGINT) % 1000000 < t.threshold_ppm
+"""
+
+
 PIPELINE_QUERIES.update(
     {
         # staged r10: HLL sketch-store merge differential (r09 verdict #4)
@@ -1535,5 +1628,7 @@ PIPELINE_QUERIES.update(
         "pipe_theta_overlap": (pipe_theta_overlap, PIPE_THETA_OVERLAP_SQL),
         # staged r10: Morton clustering key, bit-interleave replay oracle
         "pipe_zorder_layout": (pipe_zorder_layout, PIPE_ZORDER_LAYOUT_SQL),
+        # staged r10: sqrt-temperature multilingual rebalancing
+        "pipe_temperature_mix": (pipe_temperature_mix, PIPE_TEMPERATURE_MIX_SQL),
     }
 )

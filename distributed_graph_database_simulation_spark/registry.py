@@ -232,6 +232,12 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # this round, so the oracle replays the sampled edge set + 1/p^3
     # scale-up exactly. Hash-exact at sf0.001/0.01/0.1.
     "g_triangles_sampled_scale": 10,
+    # sqrt-temperature multilingual rebalancing (alpha=0.5 sampling, the
+    # mT5/XLM-R recipe) in exact integer-rational arithmetic
+    # (floor(sqrt()) is IEEE-correctly-rounded, thresholds are BIGINT
+    # floor-divs, admission is the portable md5 ppm bucket). Hash-exact
+    # at sf0.001/0.01/0.1; rebalancing semantics pinned in tests.
+    "pipe_temperature_mix": 10,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

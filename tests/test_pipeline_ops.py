@@ -2707,3 +2707,37 @@ def test_dataset_card_exact_counts(spark):
     assert card[("books", "en")]["n_dup_docs"] == 1
     assert card[("web", "de")]["n_dup_docs"] == 0
     assert card[("web", "de")]["share_ppm"] == 250_000
+
+
+def test_temperature_mix_rebalances_toward_tail(spark):
+    """alpha=0.5 temperature semantics: the keep RATE of a rare group must
+    exceed the keep rate of a common group (that is the whole point of
+    temperature sampling), total kept ~= keep_ppm of the corpus, and
+    membership is deterministic (two runs identical)."""
+    from distributed_graph_database_simulation_spark.operators.pipeline import (
+        temperature_mix_df,
+    )
+
+    rows = [(i, "big") for i in range(9000)] + [
+        (10_000 + i, "small") for i in range(250)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    kept = temperature_mix_df(df, "lang", "doc_id").collect()
+    by_lang = {}
+    for r in kept:
+        by_lang[r.lang] = by_lang.get(r.lang, 0) + 1
+    rate_big = by_lang.get("big", 0) / 9000
+    rate_small = by_lang.get("small", 0) / 250
+    assert rate_small > rate_big  # tail keeps a larger fraction
+    # expected keep rates: t_g = keep * N * s_g / (S * n_g); exact-in-
+    # expectation via the ppm hash, so allow sampling noise only
+    import math
+
+    s_big, s_small = math.isqrt(9000), math.isqrt(250)
+    S, N = s_big + s_small, 9250
+    exp_big = min(1.0, 0.5 * N * s_big / (S * 9000))
+    exp_small = min(1.0, 0.5 * N * s_small / (S * 250))
+    assert rate_big == pytest.approx(exp_big, rel=0.15)
+    assert rate_small == pytest.approx(exp_small, rel=0.15)
+    kept2 = temperature_mix_df(df, "lang", "doc_id").collect()
+    assert sorted(r.doc_id for r in kept) == sorted(r.doc_id for r in kept2)
