@@ -495,3 +495,123 @@ def test_cap_per_source_properties(spark, rows, cap):
     }
     got = {r.doc_id for r in pipeline.cap_per_source_df(docs, cap).collect()}
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# r10 oracle lemmas — pure-function properties the de-quadratized DuckDB
+# oracles rely on. No Spark session: these certify the MATH (losslessness
+# of the prefix filters, Morton key structure, temperature budget bounds),
+# independent of either engine, over hypothesis-random inputs far weirder
+# than the shipped corpora.
+# ---------------------------------------------------------------------------
+
+_doc_sets = st.lists(
+    st.sets(st.integers(0, 30), min_size=1, max_size=12),
+    min_size=2,
+    max_size=10,
+)
+
+_FAST = settings(max_examples=100, deadline=None)
+
+
+def _jaccard(a, b):
+    return len(a & b) / len(a | b)
+
+
+@given(docs=_doc_sets)
+@_FAST
+def test_jaccard_prefix_filter_is_lossless(docs):
+    """The AllPairs lemma behind _NGRAM_ORACLE_CORE / DEDUP_CLUSTERS_SQL:
+    joining only each set's first (n - ceil(t*n) + 1) sorted elements must
+    produce a candidate superset of every pair with J >= t."""
+    import math
+
+    t = 0.5
+    prefixes = [sorted(s)[: len(s) - math.ceil(t * len(s)) + 1] for s in docs]
+    cand = set()
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            # size filter + prefix intersection, as in the SQL
+            if (
+                len(docs[j]) >= t * len(docs[i])
+                and len(docs[i]) >= t * len(docs[j])
+                and set(prefixes[i]) & set(prefixes[j])
+            ):
+                cand.add((i, j))
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            if _jaccard(docs[i], docs[j]) >= t:
+                assert (i, j) in cand, (docs[i], docs[j])
+
+
+@given(docs=_doc_sets)
+@_FAST
+def test_containment_prefix_filter_is_lossless(docs):
+    """The DEDUP_CONTAINMENT_SQL lemma: for max-containment >= t the
+    SMALLER set's prefix (its own size bound) joined against the larger
+    set's FULL contents finds every qualifying pair."""
+    import math
+
+    t = 0.8
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = docs[i], docs[j]
+            n_common = len(a & b)
+            if n_common < t * min(len(a), len(b)):
+                continue  # not a qualifying pair
+            small = a if (len(a), i) <= (len(b), j) else b
+            large = b if small is a else a
+            prefix = set(
+                sorted(small)[: len(small) - math.ceil(t * len(small)) + 1]
+            )
+            assert prefix & large, (sorted(a), sorted(b))
+
+
+@given(
+    a=st.integers(0, (1 << 16) - 1),
+    b=st.integers(0, (1 << 16) - 1),
+    a2=st.integers(0, (1 << 16) - 1),
+    b2=st.integers(0, (1 << 16) - 1),
+)
+@_FAST
+def test_morton_key_is_bijective_and_axis_monotone(a, b, a2, b2):
+    """The PIPE_ZORDER_LAYOUT_SQL bit algebra: the 2-column interleave is
+    injective over rank pairs, and monotone along each axis with the other
+    held fixed (the property that makes min/max file envelopes narrow)."""
+
+    def z(x, y, bits=16):
+        v = 0
+        for i in range(bits):
+            v |= ((x >> i) & 1) << (2 * i)
+            v |= ((y >> i) & 1) << (2 * i + 1)
+        return v
+
+    if (a, b) != (a2, b2):
+        assert z(a, b) != z(a2, b2)
+    if a < a2:
+        assert z(a, b) < z(a2, b)
+    if b < b2:
+        assert z(a, b) < z(a, b2)
+
+
+@given(
+    sizes=st.lists(st.integers(1, 100_000), min_size=1, max_size=8),
+    keep_ppm=st.integers(1, 1_000_000),
+)
+@_FAST
+def test_temperature_thresholds_respect_budget_and_bounds(sizes, keep_ppm):
+    """pipe_temperature_mix's integer thresholds: every t_g lands in
+    [0, 1e6], and the EXPECTED admitted volume sum(n_g * t_g / 1e6) never
+    exceeds the budget keep_ppm/1e6 * N (floor-div rounds down, min-cap
+    only reduces)."""
+    import math
+
+    N = sum(sizes)
+    s = [math.isqrt(n) for n in sizes]
+    S = sum(s)
+    expected = 0.0
+    for n_g, s_g in zip(sizes, s):
+        t = min(1_000_000, (keep_ppm * N * s_g) // (S * n_g))
+        assert 0 <= t <= 1_000_000
+        expected += n_g * t / 1_000_000
+    assert expected <= keep_ppm / 1_000_000 * N + 1e-9
