@@ -113,6 +113,7 @@ HEADLINE = [
     "g_effective_diameter_scale",
     "g_triangles_sampled_scale",
     "pipe_temperature_mix",
+    "g_four_cliques_scale",
 ]
 
 

@@ -295,6 +295,58 @@ JOIN canon ac ON ac.src = ab.src AND ac.dst = bc.dst
 """
 
 
+def four_cliques_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-clique count on the scale graph — one join deeper than triangles:
+    enumerate a<b<c<d with all SIX canonical edges present. The plan shape
+    is the triangle enumeration extended by three more keyed joins against
+    the same canonical edge set; at cluster scale every join is a shuffle
+    on small int keys and AQE's skew split applies per hub key exactly as
+    in the triangle query. Non-vacuous at every shipped sf (the scale
+    graph is dense enough to carry 4-clique mass).
+    """
+    from .graph_analytics import undirected
+
+    _, edges = _scale_graph(spark, sf_dir)
+    canon = (
+        undirected(edges)
+        .filter(F.col("src") < F.col("dst"))
+        .select("graph_id", "src", "dst")
+    )
+    ab, ac, ad, bc, bd, cd = (canon.alias(x) for x in ("ab", "ac", "ad", "bc", "bd", "cd"))
+    g = lambda x: F.col(f"{x}.graph_id")  # noqa: E731
+    quads = (
+        ab.join(bc, on=[g("ab") == g("bc"), F.col("ab.dst") == F.col("bc.src")])
+        .join(cd, on=[g("ab") == g("cd"), F.col("bc.dst") == F.col("cd.src")])
+        .join(ac, on=[g("ab") == g("ac"), F.col("ab.src") == F.col("ac.src"),
+                      F.col("bc.dst") == F.col("ac.dst")])
+        .join(ad, on=[g("ab") == g("ad"), F.col("ab.src") == F.col("ad.src"),
+                      F.col("cd.dst") == F.col("ad.dst")])
+        .join(bd, on=[g("ab") == g("bd"), F.col("ab.dst") == F.col("bd.src"),
+                      F.col("cd.dst") == F.col("bd.dst")])
+    )
+    return quads.groupBy(F.col("ab.graph_id").alias("graph_id")).agg(
+        F.count("*").alias("four_cliques")
+    )
+
+
+FOUR_CLIQUES_SCALE_SQL = f"""
+WITH scale_edges AS ({fixtures.SCALE_GRAPH_SQL}),
+ue(src, dst) AS (
+  SELECT src, dst FROM scale_edges
+  UNION
+  SELECT dst, src FROM scale_edges
+),
+canon AS (SELECT src, dst FROM ue WHERE src < dst)
+SELECT CAST(1 AS INT) AS graph_id, COUNT(*) AS four_cliques
+FROM canon ab
+JOIN canon bc ON bc.src = ab.dst
+JOIN canon cd ON cd.src = bc.dst
+JOIN canon ac ON ac.src = ab.src AND ac.dst = bc.dst
+JOIN canon ad ON ad.src = ab.src AND ad.dst = cd.dst
+JOIN canon bd ON bd.src = ab.dst AND bd.dst = cd.dst
+"""
+
+
 def _micro_ranks(pr: DataFrame) -> DataFrame:
     """Integer-scaled rank view for the differential check.
 
@@ -3480,4 +3532,6 @@ GRAPH_QUERIES: dict[str, tuple] = {
         triangles_sampled_scale,
         TRIANGLES_SAMPLED_SCALE_SQL,
     ),
+    # staged r10: 4-clique count (triangle enumeration one join deeper)
+    "g_four_cliques_scale": (four_cliques_scale, FOUR_CLIQUES_SCALE_SQL),
 }

@@ -238,6 +238,10 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # floor-divs, admission is the portable md5 ppm bucket). Hash-exact
     # at sf0.001/0.01/0.1; rebalancing semantics pinned in tests.
     "pipe_temperature_mix": 10,
+    # 4-clique count: the triangle enumeration one keyed join deeper
+    # (926 cliques at sf0.001 — non-vacuous mass). Hash-exact at
+    # sf0.001/0.01/0.1.
+    "g_four_cliques_scale": 10,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)
