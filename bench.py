@@ -215,8 +215,13 @@ def main() -> int:
     # subset drifted +21% uniformly at a LOWER load average: single-run
     # numbers conflate the operator with transient session/host state;
     # the median of 3 rejects one bad sample per query). Cache released
-    # between runs so every rep recomputes from parquet.
+    # between runs so every rep recomputes from parquet. Queries whose
+    # FIRST pass exceeds SPARK_GRAFT_BENCH_REP_SKIP seconds run once:
+    # multi-second queries are plan-dominated (scheduler jitter is a small
+    # fraction), the median matters most for sub-second noise, and the cap
+    # keeps the 70-query headline's wall bounded.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    rep_skip = float(os.environ.get("SPARK_GRAFT_BENCH_REP_SKIP", "8"))
     times: dict[str, float] = {}
     for name in HEADLINE + list(EXTRA_BENCH):
         fn = queries.get(name) or EXTRA_BENCH.get(name)
@@ -233,10 +238,14 @@ def main() -> int:
             # without this a full headline run accumulates every query's
             # blocks in one shared session.
             spark.catalog.clearCache()
+            if samples[0] > rep_skip:
+                break
         samples.sort()
         times[name] = round(samples[len(samples) // 2], 3)
         spread = (
-            f" (min {samples[0]:.3f} max {samples[-1]:.3f})" if reps > 1 else ""
+            f" (min {samples[0]:.3f} max {samples[-1]:.3f})"
+            if len(samples) > 1
+            else ""
         )
         print(f"# {name}: {n} rows, median {times[name]:.3f}s{spread}", file=sys.stderr)
 
