@@ -114,6 +114,8 @@ HEADLINE = [
     "g_triangles_sampled_scale",
     "pipe_temperature_mix",
     "g_four_cliques_scale",
+    "text_novelty",
+    "rel_approx_distinct_checked",
 ]
 
 

@@ -423,6 +423,37 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_distinct_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-assertable sibling of :func:`approx_distinct_parts` —
+    the last rows-only-by-design family gains a driver-checkable row
+    (the pipe_hll_store_merge flag playbook): per return flag, the EXACT
+    distinct part count (value-matched against the oracle) plus a boolean
+    asserting the HLL++ estimate landed within 5x its configured 2% rsd.
+    A broken estimator (or a sketch regression) flips the flag and
+    hash-mismatches; the raw estimate itself stays on the rows-only entry
+    where engine-specific sketch internals belong.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_exact"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", rsd=0.02)
+                - F.count_distinct("l_partkey")
+            )
+            <= F.lit(0.10) * F.count_distinct("l_partkey")
+        ).alias("within_10pct"),
+    )
+
+
+APPROX_DISTINCT_CHECKED_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_exact,
+       TRUE AS within_10pct
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # --- pivot ---------------------------------------------------------------
 
 def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1861,4 +1892,9 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     # staged round-9 additions (registry.STAGED_DECLARED_ROUND)
     "rel_skyline": (skyline_parts, SKYLINE_PARTS_SQL),
     "rel_retention_cohorts": (retention_cohorts, RETENTION_COHORTS_SQL),
+    # staged r10: the oracle-assertable sibling of rel_approx_distinct
+    "rel_approx_distinct_checked": (
+        approx_distinct_checked,
+        APPROX_DISTINCT_CHECKED_SQL,
+    ),
 }

@@ -1055,3 +1055,86 @@ TEXT_QUERIES.update(
         "text_bigram_lm": (text_bigram_lm, TEXT_BIGRAM_LM_SQL),
     }
 )
+
+
+def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-novelty score per document: the fraction of the doc's
+    distinct word-3-grams that occur in NO other document — a
+    data-quality/duplication signal between exact dedup (novelty 0 for
+    byte-dups) and near-dup pairs (boilerplate-heavy docs score low while
+    never pairing above the Jaccard threshold). Ratio is an exact integer
+    division of two counts, so the doubles compare bit-for-bit.
+
+    Plan: one shingle explode -> corpus-wide document-frequency hash
+    aggregate (map-side combine, grouped on the shingle STRING so the
+    oracle shares semantics without hashing caveats) -> per-doc count of
+    df==1 shingles. Two shuffles, both on near-uniform keys; no pairs
+    anywhere. Shingling reuses dedup._shingled (Scala NGram sliding
+    window) — a hand-rolled F.transform gram builder re-measured the
+    pathologies that function's docstring records (interpreted per-gram
+    HOF ~17 s at sf0.1 vs ~2 s).
+    """
+    from .dedup import _shingled
+
+    sh = _shingled(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("shingles").alias("s")
+    )
+    posting = sh.select("doc_id", F.explode("s").alias("g"))
+    df_counts = posting.groupBy("g").agg(F.count("*").alias("df"))
+    uniq = (
+        posting.join(df_counts, "g")
+        .where(F.col("df") == 1)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_unique"))
+    )
+    return (
+        sh.select("doc_id", F.size("s").alias("n_sh"))
+        .where(F.col("n_sh") > 0)
+        .join(uniq, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_sh",
+            F.coalesce("n_unique", F.lit(0)).cast("bigint").alias("n_unique"),
+            (
+                F.coalesce("n_unique", F.lit(0)).cast("double")
+                / F.col("n_sh").cast("double")
+            ).alias("novelty"),
+        )
+    )
+
+
+TEXT_NOVELTY_SQL = """
+WITH docs AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct(list_transform(range(1, len(w) - 1),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+              ELSE [] END AS s
+  FROM docs
+),
+posting AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+dfc AS (SELECT g, COUNT(*) AS df FROM posting GROUP BY g),
+uniq AS (
+  SELECT p.doc_id, COUNT(*) AS n_unique
+  FROM posting p JOIN dfc ON dfc.g = p.g
+  WHERE dfc.df = 1 GROUP BY p.doc_id
+)
+SELECT sh.doc_id, CAST(len(sh.s) AS INT) AS n_sh,
+       CAST(COALESCE(u.n_unique, 0) AS BIGINT) AS n_unique,
+       CAST(COALESCE(u.n_unique, 0) AS DOUBLE) / len(sh.s) AS novelty
+FROM sh LEFT JOIN uniq u USING (doc_id)
+WHERE len(sh.s) > 0
+"""
+
+
+TEXT_QUERIES.update(
+    {
+        # staged r10: corpus-novelty quality signal
+        "text_novelty": (text_novelty, TEXT_NOVELTY_SQL),
+    }
+)

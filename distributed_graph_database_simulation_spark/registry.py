@@ -242,6 +242,14 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # (926 cliques at sf0.001 — non-vacuous mass). Hash-exact at
     # sf0.001/0.01/0.1.
     "g_four_cliques_scale": 10,
+    # Corpus-novelty quality signal (fraction of a doc's 3-grams with
+    # corpus df == 1): NGram shingles -> df aggregate -> per-doc count;
+    # exact integer-ratio doubles. Hash-exact at sf0.001/0.01/0.1.
+    "text_novelty": 10,
+    # Oracle-assertable sibling of the rows-only HLL estimate: exact
+    # distinct value-match + estimate-envelope flag the oracle asserts
+    # TRUE. Hash-exact at sf0.001/0.01/0.1.
+    "rel_approx_distinct_checked": 10,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)
