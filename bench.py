@@ -141,10 +141,56 @@ def _bench_ktruss(spark, sf_dir):
     return ktruss(spark, edges, k=20)
 
 
+# Persisted IVF index, build/query SPLIT (r10 verdict #4): the registry
+# entry rebuilds the index per call by design (self-contained correctness
+# probe), which double-charges the bench — the operator's claim is
+# train-once / query-many. `_build` times k-means + the list-partitioned
+# write; `_query` times a probe against the index `_build` left behind
+# (listed after it in EXTRA_BENCH, same process). The combined entry stays
+# in HEADLINE for cross-round continuity.
+_IVF_INDEX_DIRS: dict[str, str] = {}
+
+
+def _ivf_index_dir(sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    if sf_dir not in _IVF_INDEX_DIRS:
+        d = tempfile.mkdtemp(prefix="dgds_bench_ivf_")
+        _IVF_INDEX_DIRS[sf_dir] = d
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return _IVF_INDEX_DIRS[sf_dir]
+
+
+def _bench_ivf_index_build(spark, sf_dir):
+    from distributed_graph_database_simulation_spark.operators import similarity as S
+
+    base = _ivf_index_dir(sf_dir)
+    S.build_ivf_index(spark, S._emb(spark, sf_dir), base)
+    return spark.read.parquet(f"{base}/centroids")
+
+
+def _bench_ivf_index_query(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from distributed_graph_database_simulation_spark.operators import similarity as S
+
+    base = _ivf_index_dir(sf_dir)
+    import os as _os
+
+    if not _os.path.isdir(f"{base}/centroids"):  # robust to HEADLINE edits
+        S.build_ivf_index(spark, S._emb(spark, sf_dir), base)
+    queries = S._emb(spark, sf_dir).filter(F.col("vec_id") < S.N_QUERIES)
+    return S.sim_topk_ivf_index(spark, queries, base)
+
+
 # Library operators benched directly (no registry entry; the hyperball
 # family graduated to registry entries in r10 and is benched from HEADLINE).
 EXTRA_BENCH = {
     "g_ktruss": _bench_ktruss,
+    "sim_topk_ivf_index_build": _bench_ivf_index_build,
+    "sim_topk_ivf_index_query": _bench_ivf_index_query,
 }
 
 

@@ -3413,15 +3413,101 @@ JOIN kept ac ON ac.src = ab.src AND ac.dst = bc.dst
 TRIANGLES_SAMPLED_SCALE_SQL = _triangles_sampled_sql()
 
 
+# HyperBall-vs-exact harmonic envelope: m = 64 registers gives ~13% HLL
+# std error per ball size; the harmonic accumulator sums signed per-level
+# deltas of those estimates, so per-vertex error can run a few sigma. The
+# bound below is measured headroom over the actual max deviation at
+# sf0.001/0.01/0.1 (deterministic md5 registers — the deviation is a fixed
+# number per sf, not a random variable), wide enough to survive a testdata
+# regeneration with the same generator.
+HB_HARMONIC_REL = 0.5
+HB_HARMONIC_ABS_MICRO = 2_000_000  # 2.0 harmonic units, floors tiny exacts
+
+
 def hyperball_harmonic_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-vertex harmonic-centrality estimates via HyperBall over the
-    scale graph — rows-only driver entry (the per-vertex output is an HLL
-    ESTIMATE with float accumulation; its accuracy envelope and the exact
-    path-graph closed form are pinned in tests/test_graph_traversal.py,
-    and the register-state trajectory of the same superstep loop is
-    exactly certified by g_hyperball_scale's checksum oracle)."""
+    """Per-vertex harmonic centrality on the scale graph — CHECKED form
+    (the ``rel_approx_distinct_checked`` pattern, r10 verdict #5; formerly
+    the registry's rows-only HyperBall-estimate entry).
+
+    ``harmonic_micro`` is the EXACT value: one
+    :func:`~.graph_analytics.multi_source_bfs` run with all SCALE_V
+    vertices as sources (same all-sources trick as
+    :func:`effective_diameter_scale` — one superstep loop, not SCALE_V),
+    reciprocal distances summed as integer micro-units (BIGINT, order
+    independent), which the oracle replays with a recursive min-distance
+    CTE. ``hb_within_envelope`` is computed Spark-side: the HyperBall
+    estimate (:func:`~.graph_analytics.hyperball_harmonic`, m = 64
+    deterministic md5 registers — float-accumulated and deliberately NOT
+    SQL-replayable) must land within HB_HARMONIC_REL x exact +
+    HB_HARMONIC_ABS_MICRO; the oracle asserts the flag TRUE. One entry
+    therefore certifies the exact harmonic kernel by value AND the
+    estimator's accuracy claim."""
     graphs, edges = _scale_graph(spark, sf_dir)
-    return hyperball_harmonic(spark, graphs, edges)
+    est = hyperball_harmonic(spark, graphs, edges)
+    sources = spark.range(fixtures.SCALE_V).select(
+        F.lit(1).cast("int").alias("graph_id"),
+        F.col("id").cast("int").alias("source"),
+    )
+    from .graph_analytics import multi_source_bfs
+
+    levels = multi_source_bfs(spark, edges, sources)
+    exact = (
+        levels.filter(F.col("level") > 0)
+        .groupBy("graph_id", F.col("source").alias("vertex"))
+        .agg(
+            F.sum(
+                F.round(F.lit(1_000_000.0) / F.col("level")).cast("bigint")
+            ).alias("harmonic_micro")
+        )
+    )
+    verts = spark.range(fixtures.SCALE_V).select(
+        F.lit(1).cast("int").alias("graph_id"),
+        F.col("id").cast("int").alias("vertex"),
+    )
+    tol = (
+        F.lit(HB_HARMONIC_REL) * F.col("harmonic_micro").cast("double")
+        + F.lit(float(HB_HARMONIC_ABS_MICRO))
+    )
+    return (
+        verts.join(exact, ["graph_id", "vertex"], "left")
+        .join(est, ["graph_id", "vertex"], "left")
+        .select(
+            "graph_id",
+            "vertex",
+            F.coalesce("harmonic_micro", F.lit(0)).cast("bigint").alias(
+                "harmonic_micro"
+            ),
+            (
+                F.abs(
+                    F.coalesce("harmonic_est", F.lit(0.0)) * 1_000_000.0
+                    - F.coalesce("harmonic_micro", F.lit(0)).cast("double")
+                )
+                <= tol
+            ).alias("hb_within_envelope"),
+        )
+    )
+
+
+HYPERBALL_HARMONIC_SCALE_SQL = f"""
+WITH RECURSIVE scale_edges AS ({fixtures.SCALE_GRAPH_SQL}),
+verts(v) AS (SELECT CAST(UNNEST(range({fixtures.SCALE_V})) AS INT)),
+walk(v, w, d) AS (
+  SELECT v, v, 0 FROM verts
+  UNION
+  SELECT wk.v, e.dst, wk.d + 1
+  FROM walk wk JOIN scale_edges e ON e.src = wk.w
+  WHERE wk.d < {fixtures.SCALE_V}
+),
+md AS (SELECT v, w, MIN(d) AS md FROM walk GROUP BY v, w),
+hc AS (
+  SELECT v, SUM(CAST(round(1000000.0 / md) AS BIGINT)) AS harmonic_micro
+  FROM md WHERE md > 0 GROUP BY v
+)
+SELECT CAST(1 AS INT) AS graph_id, verts.v AS vertex,
+       CAST(COALESCE(hc.harmonic_micro, 0) AS BIGINT) AS harmonic_micro,
+       TRUE AS hb_within_envelope
+FROM verts LEFT JOIN hc ON hc.v = verts.v
+"""
 
 
 GRAPH_QUERIES: dict[str, tuple] = {
@@ -3521,7 +3607,10 @@ GRAPH_QUERIES: dict[str, tuple] = {
     # staged r10: HyperBall family — exact register-checksum trace + the
     # rows-only harmonic estimate (r09 verdict #3)
     "g_hyperball_scale": (hyperball_scale, HYPERBALL_SCALE_SQL),
-    "g_hyperball_harmonic_scale": (hyperball_harmonic_scale, None),
+    "g_hyperball_harmonic_scale": (
+        hyperball_harmonic_scale,
+        HYPERBALL_HARMONIC_SCALE_SQL,
+    ),
     # staged r10: exact 90%-effective diameter (ANF interpolation entry)
     "g_effective_diameter_scale": (
         effective_diameter_scale,

@@ -991,13 +991,14 @@ agg AS (
   SELECT b.source, b.lang,
          CAST(COUNT(*) AS BIGINT) AS n_docs,
          CAST(SUM(CASE WHEN c.copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
-         SUM(b.tokens) AS tokens_sum,
-         SUM(b.n_chars) AS chars_sum
+         CAST(SUM(b.tokens) AS BIGINT) AS tokens_sum,
+         CAST(SUM(b.n_chars) AS BIGINT) AS chars_sum
   FROM base b JOIN copies c USING (h)
   GROUP BY b.source, b.lang
 )
 SELECT source, lang, n_docs, n_dup_docs, tokens_sum, chars_sum,
-       (2 * 1000000 * tokens_sum + n_docs) // (2 * n_docs) AS avg_tokens_micro,
+       CAST((2 * 1000000 * tokens_sum + n_docs) // (2 * n_docs) AS BIGINT)
+         AS avg_tokens_micro,
        (1000000 * n_docs) // (SELECT COUNT(*) FROM base) AS share_ppm
 FROM agg
 """
@@ -1610,7 +1611,8 @@ stats AS (
 tot AS (SELECT SUM(n_g) AS n_total, SUM(s_g) AS s_total FROM stats),
 thr AS (
   SELECT lang,
-         LEAST(1000000, (500000 * n_total * s_g) // (s_total * n_g)) AS threshold_ppm
+         CAST(LEAST(1000000, (500000 * n_total * s_g) // (s_total * n_g))
+              AS BIGINT) AS threshold_ppm
   FROM stats, tot
 )
 SELECT d.doc_id, d.lang, t.threshold_ppm

@@ -38,36 +38,43 @@ from .streaming.windowed import STREAMING_QUERIES
 # fixture variants (all hash-exact green in CORRECTNESS_r01) go in the tail.
 CHECK_WINDOW = 50
 
-# r10 rotation (both moves ordered by the r09 verdict):
+# r11 rotation (ordered by the r10 verdict):
 #
-# 1. THE SIXTEEN r09-STAGED ENTRIES rotate in for their FIRST driver rows
-#    (r09 verdict #1 — they were the only registry entries with zero driver
-#    history, and the staleness guard forces them into the r10/r11 gate):
-#    node2vec/random-walks/SimRank/HITS (fixture+scale each), neighbor-agg,
-#    SemDeDup, IVF-PQ, LSH recall, pHash dedup, dataset card, articulation,
-#    bridges. All sixteen were pre-verified hash-exact at sf0.001 + sf0.01
-#    when staged in r09 and re-verified this session before the swap.
-# 2. ``g_triangles`` returns REDEFINED (r09 verdict #2 — the old fixture
-#    total was vacuous: G1-G7 are triangle-free, so its r01 "hash-exact"
-#    certified an empty set). It is now the per-vertex triangle table over
-#    the orders-derived scale graph: 101 rows of real, sf-tracking triangle
-#    mass at every shipped sf, pre-verified hash-exact at sf0.001 + sf0.01.
+# 1. THE SEVENTEEN r10-STAGED ENTRIES rotate in for their FIRST driver rows
+#    (r10 verdict #3 — the staleness guard forces them into the r11/r12
+#    gate): the >1M prefiltered cosine-dedup route, the HyperBall pair,
+#    HLL/Theta sketch stores, the three foreachBatch ingesters
+#    (sketch/dedup/CDC user-state), Z-order layout, JL projection,
+#    persisted IVF index, exact effective diameter, Doulion sampled
+#    triangles, sqrt-temperature mix (HUGEINT oracle cast fixed this round,
+#    r10 verdict #1), 4-cliques, corpus novelty, checked approx-distinct.
+#    The two formerly rows-only entries (g_hyperball_harmonic_scale,
+#    sim_random_project) were converted to the checked exact-value +
+#    envelope-flag form this round (r10 verdict #5), so every window entry
+#    gates with an exact oracle. All seventeen re-verified hash-exact at
+#    sf0.001 + sf0.01 before the swap.
+# 2. ``pipe_dataset_card`` STAYS for its re-gate: its r10 red row was an
+#    oracle typing bug (un-cast DuckDB SUM -> HUGEINT -> float64 hash),
+#    fixed this round with CAST AS BIGINT (r10 verdict #1) and guarded
+#    repo-wide by tests/test_oracle_types.py's DESCRIBE sweep.
 #
-# Rotated to the tail in exchange (17): the sixteen r09 re-audit veterans —
-# each freshly re-certified by CORRECTNESS_r09 on top of their r01-r04
-# history — plus g_mis (3 green rows, r07/r08/r09). Family coverage after
-# the swap: g (BFS/DFS + 11 analytics), dedup (scrub_spans, semdedup,
-# mm_image_phash_dedup), sim (lsh/ivf/pq/ivfpq/kmeans/recall), text
-# (gopher/bigram/unigram), mm (resize, phash), rel (resample/interval/
-# skyline/retention), stream (file sink, outer join), pipe (6 entries).
+# Rotated to the tail in exchange (17): the five r07-wave iterative-loop
+# veterans (4 green rows each, r07-r10), the ten r08-wave entries (3 green
+# rows each), and dedup_scrub_spans + text_unigram_lm (4 green rows each).
+# Family coverage after the swap: g (BFS/DFS + walks/node2vec/SimRank/HITS/
+# articulation/bridges/triangles + HyperBall/diameter/Doulion/4-cliques),
+# dedup (semdedup, phash, prefiltered-cosine), sim (lsh/ivf/pq/ivfpq/
+# recall/random-project/ivf-index), text (novelty), mm (resize, phash),
+# rel (resample/interval/skyline/retention/approx-distinct-checked),
+# stream (sketch/dedup/user-state ingest), pipe (9 entries).
 _WINDOW_ORDER = [
     # -- graph essentials (reference ops 1-5 + north-star analytics) --------
     "g_bfs_levels",
     "g_dfs_leaves",
-    # -- r09 first-timers, 2nd driver row: ANN top-k -------------------------
+    # -- r09 first-timers, 3rd driver row: ANN top-k -------------------------
     "sim_topk_lsh",
     "sim_topk_ivf",
-    # -- r10 rotation: the sixteen r09-staged entries, first driver rows ----
+    # -- r10 first-timers, 2nd driver row -----------------------------------
     "g_random_walks",
     "g_random_walks_scale",
     "g_node2vec_walks",
@@ -83,29 +90,28 @@ _WINDOW_ORDER = [
     "sim_topk_ivfpq",
     "sim_recall_lsh",
     "mm_image_phash_dedup",
+    # -- r11 re-gate: oracle HUGEINT cast fixed (r10 verdict #1) ------------
     "pipe_dataset_card",
-    # -- r10 re-audit: g_triangles redefined non-vacuous (per-vertex scale) -
     "g_triangles",
-    # -- r07 wave, 4th driver row: heavyweight iterative graph loops --------
-    "g_cc_contraction_scale",
-    "g_ktruss_scale",
-    "g_sssp_tree_scale",
-    "g_coloring",
-    "g_betweenness_sampled_scale",
-    # -- r08 wave, 3rd driver row ------------------------------------------
-    "g_pagerank_personalized_scale",
-    "g_matching",
-    "g_matching_scale",
-    "g_densest_scale",
-    "sim_kmeans",
-    "text_gopher_rules",
-    "text_bigram_lm",
-    "pipe_cdc_chunks",
-    "stream_hourly_file_sink",
-    "stream_outer_click_purchase",
+    # -- r11 rotation: the seventeen r10-staged entries, first driver rows --
+    "dedup_embedding_cosine_prefiltered",
+    "g_hyperball_scale",
+    "g_hyperball_harmonic_scale",
+    "pipe_hll_store_merge",
+    "stream_sketch_ingest",
+    "stream_dedup_ingest",
+    "stream_user_state_ingest",
+    "pipe_theta_overlap",
+    "pipe_zorder_layout",
+    "sim_random_project",
+    "sim_topk_ivf_index",
+    "g_effective_diameter_scale",
+    "g_triangles_sampled_scale",
+    "pipe_temperature_mix",
+    "g_four_cliques_scale",
+    "text_novelty",
+    "rel_approx_distinct_checked",
     # -- LLM-pipeline surface ----------------------------------------------
-    "dedup_scrub_spans",
-    "text_unigram_lm",
     "pipe_split",
     "pipe_cap_per_source",
     "pipe_token_budget",
@@ -114,7 +120,7 @@ _WINDOW_ORDER = [
     # -- events + relational library --------------------------------------
     "rel_resample_ffill",
     "rel_interval_overlap",
-    # -- r09-continuation first-timers, 2nd driver row ----------------------
+    # -- r09-continuation first-timers, 3rd driver row ----------------------
     "rel_skyline",
     "rel_retention_cohorts",
     "pipe_mixture_balance",
@@ -180,76 +186,9 @@ ALL_QUERIES.update({name: spec for name, spec in _POOL.items() if name not in AL
 # passed — staging is for entries awaiting a FUTURE rotation, and the r09
 # window still had its rotation pending.
 STAGED_DECLARED_ROUND: dict[str, int] = {
-    # (The sixteen r09-staged entries rotated into the r10 gate window —
+    # (The seventeen r10-staged entries rotated into the r11 gate window —
     # see _WINDOW_ORDER. New-this-round operators are declared here as they
-    # are built and pre-verified, queued for the r11 rotation.)
-    #
-    # The >1M-vector LSH-prefiltered cosine dedup route (r09 verdict #6):
-    # oracle replays the md5-hyperplane bucketing exactly; pre-verified
-    # hash-exact AND non-vacuous (4 / 8 rows) at sf0.001 + sf0.01.
-    "dedup_embedding_cosine_prefiltered": 10,
-    # HyperBall family (r09 verdict #3): exact register-checksum trace
-    # (oracle rebuilds ball membership + md5 registers), pre-verified
-    # hash-exact at sf0.001 + sf0.01; the harmonic estimate is the
-    # documented rows-only sibling (envelope-pinned in tests).
-    "g_hyperball_scale": 10,
-    "g_hyperball_harmonic_scale": 10,
-    # Persisted-state paths (r09 verdict #4): HLL sketch-store two-batch
-    # merge differential; foreachBatch sketch ingestion (KLL exact-n
-    # value-match + envelope flags); two-batch + replay dedup ingestion
-    # against the exhaustive pair oracle. All pre-verified hash-exact at
-    # sf0.001 + sf0.01.
-    "pipe_hll_store_merge": 10,
-    "stream_sketch_ingest": 10,
-    "stream_dedup_ingest": 10,
-    # Theta store set algebra (union/intersection/difference across stored
-    # slices): gate-sf corpora keep every pair under the 4096-entry nominal,
-    # so the sketches stay in EXACT mode and the counts value-match the
-    # oracle's true set sizes. Pre-verified hash-exact at sf0.001 + sf0.01.
-    "pipe_theta_overlap": 10,
-    # Morton clustering key: the bit-interleave replayed term-for-term by
-    # the oracle (scaling is IEEE-deterministic double arithmetic, the
-    # rest exact integer bit algebra). Pre-verified hash-exact at
-    # sf0.001 + sf0.01 (6k / 60k rows).
-    "pipe_zorder_layout": 10,
-    # JL random projection: numpy-RNG planes — rows-only by design (seed
-    # determinism + distance envelope pinned in tests).
-    "sim_random_project": 10,
-    # Persisted IVF index: build + list-partitioned layout + pruned probe
-    # reproduce the in-memory IVF bit-for-bit, so the entry shares
-    # SIM_TOPK_IVF_SQL. Pre-verified hash-exact at sf0.001/0.01/0.1.
-    "sim_topk_ivf_index": 10,
-    # CDC keyed-state ingest (latest event per user through the
-    # foreachBatch MERGE sink, with a stale full-table replay applied in
-    # the entry itself). Exact latest-per-user oracle; hash-exact at
-    # sf0.001/0.01/0.1.
-    "stream_user_state_ingest": 10,
-    # Exact 90%-effective diameter: all-sources multi_source_bfs ->
-    # running-sum N(t) -> ANF interpolation; oracle replays via recursive
-    # min-distance CTE. Hash-exact at sf0.001/0.01/0.1.
-    "g_effective_diameter_scale": 10,
-    # Doulion sampled triangles at p=0.5: the coin became md5-portable
-    # this round, so the oracle replays the sampled edge set + 1/p^3
-    # scale-up exactly. Hash-exact at sf0.001/0.01/0.1.
-    "g_triangles_sampled_scale": 10,
-    # sqrt-temperature multilingual rebalancing (alpha=0.5 sampling, the
-    # mT5/XLM-R recipe) in exact integer-rational arithmetic
-    # (floor(sqrt()) is IEEE-correctly-rounded, thresholds are BIGINT
-    # floor-divs, admission is the portable md5 ppm bucket). Hash-exact
-    # at sf0.001/0.01/0.1; rebalancing semantics pinned in tests.
-    "pipe_temperature_mix": 10,
-    # 4-clique count: the triangle enumeration one keyed join deeper
-    # (926 cliques at sf0.001 — non-vacuous mass). Hash-exact at
-    # sf0.001/0.01/0.1.
-    "g_four_cliques_scale": 10,
-    # Corpus-novelty quality signal (fraction of a doc's 3-grams with
-    # corpus df == 1): NGram shingles -> df aggregate -> per-doc count;
-    # exact integer-ratio doubles. Hash-exact at sf0.001/0.01/0.1.
-    "text_novelty": 10,
-    # Oracle-assertable sibling of the rows-only HLL estimate: exact
-    # distinct value-match + estimate-envelope flag the oracle asserts
-    # TRUE. Hash-exact at sf0.001/0.01/0.1.
-    "rel_approx_distinct_checked": 10,
+    # are built and pre-verified, queued for the r12 rotation.)
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

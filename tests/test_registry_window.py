@@ -167,11 +167,47 @@ R10_ROTATED_OUT = (
     "g_mis",
 )
 
+# r11 first-timers (r10 verdict #3): the seventeen entries staged in r10
+# rotate in for their first driver rows. The two formerly rows-only
+# entries (g_hyperball_harmonic_scale, sim_random_project) were converted
+# to checked exact-value + envelope-flag form first (r10 verdict #5), so
+# all seventeen gate with exact oracles; all re-verified hash-exact at
+# sf0.001 + sf0.01 before the swap.
+R11_NEW_ENTRIES = (
+    "dedup_embedding_cosine_prefiltered", "g_hyperball_scale",
+    "g_hyperball_harmonic_scale", "pipe_hll_store_merge",
+    "stream_sketch_ingest", "stream_dedup_ingest", "stream_user_state_ingest",
+    "pipe_theta_overlap", "pipe_zorder_layout", "sim_random_project",
+    "sim_topk_ivf_index", "g_effective_diameter_scale",
+    "g_triangles_sampled_scale", "pipe_temperature_mix",
+    "g_four_cliques_scale", "text_novelty", "rel_approx_distinct_checked",
+)
+
+# r11 re-gate (r10 verdict #1): pipe_dataset_card's r10 red row was an
+# oracle typing bug (un-cast SUM -> HUGEINT -> float64 under the driver's
+# hasher); the CAST fix landed this round and the entry stays in the
+# window until it earns a green row.
+R11_REGATE = ("pipe_dataset_card",)
+
+R11_ROTATED_OUT = (
+    # the five r07-wave iterative-loop veterans, 4 green rows each (r07-r10)
+    "g_cc_contraction_scale", "g_ktruss_scale", "g_sssp_tree_scale",
+    "g_coloring", "g_betweenness_sampled_scale",
+    # the ten r08-wave entries, 3 green rows each (r08-r10)
+    "g_pagerank_personalized_scale", "g_matching", "g_matching_scale",
+    "g_densest_scale", "sim_kmeans", "text_gopher_rules", "text_bigram_lm",
+    "pipe_cdc_chunks", "stream_hourly_file_sink",
+    "stream_outer_click_purchase",
+    # two LLM-pipeline veterans, 4 green rows each (r07-r10)
+    "dedup_scrub_spans", "text_unigram_lm",
+)
+
 # Rotation ledger, newest first: (round, rotated-in, rotated-out). Window
 # membership for any name touched by a rotation is decided by the LATEST
 # rotation that mentions it — replaying this ledger replaces the
 # conditional chains the per-round tests used to carry.
 ROTATIONS = (
+    (11, R11_NEW_ENTRIES + R11_REGATE, R11_ROTATED_OUT),
     (10, R10_NEW_ENTRIES + R10_REAUDIT, R10_ROTATED_OUT),
     (9, R09_NEW_ENTRIES + R09_REAUDIT, R09_ROTATED_OUT),
     (8, R08_NEW_ENTRIES + R08_REAUDIT, R08_ROTATED_OUT),
@@ -207,13 +243,14 @@ def test_rotation_ledger_is_consistent():
         assert (name in w) == expected_in_window(name), name
 
 
-def test_r10_rotation_swaps_balance():
-    """r10 swaps 17 in for 17 out (16 staged first-timers + the redefined
-    g_triangles), window stays exactly CHECK_WINDOW."""
-    assert len(R10_NEW_ENTRIES) + len(R10_REAUDIT) == len(R10_ROTATED_OUT) == 17
+def test_r11_rotation_swaps_balance():
+    """r11 swaps the 17 r10-staged first-timers in for 17 multi-green
+    veterans; the re-gated pipe_dataset_card stays put; window stays
+    exactly CHECK_WINDOW."""
+    assert len(R11_NEW_ENTRIES) == len(R11_ROTATED_OUT) == 17
     w = set(window_names())
-    assert set(R10_NEW_ENTRIES + R10_REAUDIT) <= w
-    assert not set(R10_ROTATED_OUT) & w
+    assert set(R11_NEW_ENTRIES + R11_REGATE) <= w
+    assert not set(R11_ROTATED_OUT) & w
 
 
 def _green_history():
@@ -285,9 +322,10 @@ def test_window_entries_without_history_are_this_rounds_rotation():
     pre-verification step the rotation playbook requires."""
     green = _green_history()
     awaiting = set(window_names()) - green
-    assert awaiting <= set(R10_NEW_ENTRIES), (
+    allowed = set(R11_NEW_ENTRIES) | set(R11_REGATE)
+    assert awaiting <= allowed, (
         f"window entries with no driver history outside this round's "
-        f"rotation: {sorted(awaiting - set(R10_NEW_ENTRIES))}"
+        f"rotation: {sorted(awaiting - allowed)}"
     )
 
 

@@ -36,6 +36,44 @@ TABLES = (
 ).split()
 
 
+def dtype_class(dtype) -> str:
+    """Coarse dtype family used to catch cross-engine numeric-type drift.
+
+    The r10 gate shipped a red row (pipe_dataset_card) that this mimic
+    called green: DuckDB typed three SUM(BIGINT) columns HUGEINT, pandas
+    rendered them float64, and the %.10g hash made 12345.0 == 12345
+    locally while the driver's hasher did not. Same value, different dtype
+    class => must FAIL here.
+    """
+    s = str(dtype)
+    if s.startswith(("int", "uint", "Int", "UInt")):
+        return "int"
+    if s.startswith(("float", "Float")):
+        return "float"
+    if s.startswith("bool"):
+        return "bool"
+    if "datetime" in s:
+        return "datetime"
+    return "object"
+
+
+def dtype_problems(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    out = []
+    for c in sorted(set(sdf.columns) & set(odf.columns)):
+        cs, co = dtype_class(sdf[c].dtype), dtype_class(odf[c].dtype)
+        if cs == co:
+            continue
+        # pandas promotes nullable ints to float64/object on EITHER side;
+        # only flag when both columns are null-free (a null-driven promotion
+        # is a pandas artifact, not an engine type divergence).
+        if {cs, co} <= {"int", "float", "object"} and (
+            sdf[c].isna().any() or odf[c].isna().any()
+        ):
+            continue
+        out.append(f"dtype[{c}] spark={sdf[c].dtype} != oracle={odf[c].dtype}")
+    return out
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
@@ -158,6 +196,8 @@ def main() -> int:
             problems.append(f"rows {len(sdf)} != {len(odf)}")
         if sorted(sdf.columns) != sorted(odf.columns):
             problems.append(f"cols {sorted(sdf.columns)} != {sorted(odf.columns)}")
+        else:
+            problems.extend(dtype_problems(sdf, odf))
         if not problems and args.bitexact:
             import numpy as np
 
