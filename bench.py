@@ -116,6 +116,18 @@ HEADLINE = [
     "g_four_cliques_scale",
     "text_novelty",
     "rel_approx_distinct_checked",
+    # round-11 wave: multi-grain GROUPING SETS, radius cosine search,
+    # bipartite co-occurrence projection, CMS frequency store (batch +
+    # streaming ingest with replay stress)
+    "rel_grouping_sets",
+    "sim_range_search",
+    "g_bipartite_project",
+    "pipe_cms_heavy_hitters",
+    "stream_cms_ingest",
+    "g_walk_skipgram_pairs",
+    "rel_unpivot",
+    "rel_rank_family",
+    "rel_approx_quantile_checked",
 ]
 
 

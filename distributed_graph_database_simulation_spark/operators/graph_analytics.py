@@ -2687,3 +2687,53 @@ def graph_summary(graphs: DataFrame, edges: DataFrame) -> DataFrame:
             F.coalesce("n_isolated", F.col("n_vertices")).alias("n_isolated"),
         )
     )
+
+
+def bipartite_project(
+    edges: DataFrame,
+    left_col: str,
+    right_col: str,
+    degree_cap: int,
+    min_weight: int = 1,
+) -> DataFrame:
+    """Weighted one-mode projection of a bipartite graph: connect two
+    ``right_col`` entities with weight = how many ``left_col`` entities
+    they co-occur under — the construction behind co-purchase /
+    co-citation / user-item similarity graphs (the graph-building step a
+    training pipeline runs before any of the vertex analytics above).
+
+    The quadratic hazard is hub LEFT entities: a left vertex of degree d
+    emits d^2/2 pairs, so one 10^6-degree hub alone would emit 5*10^11
+    rows. ``degree_cap`` bounds that by keeping only each left entity's
+    ``degree_cap`` smallest right neighbors (deterministic rank — the
+    standard truncated-projection compromise; the cap is a semantic knob,
+    not a sample): pair volume is then <= |left| * cap^2, linear in the
+    input. Plan: distinct -> one window rank partitioned by left ->
+    self-equi-join on left (both sides already hash-partitioned by the
+    join key from the window exchange) -> pair count. No broadcast of the
+    big side, no driver collection; skew is bounded by the cap itself.
+
+    Returns (``{right}_a``, ``{right}_b``, weight) with a < b and
+    weight >= ``min_weight``.
+    """
+    from pyspark.sql.window import Window
+
+    lr = edges.select(
+        F.col(left_col).alias("_l"), F.col(right_col).alias("_r")
+    ).distinct()
+    w = Window.partitionBy("_l").orderBy(F.asc("_r"))
+    capped = (
+        lr.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= degree_cap)
+        .select("_l", "_r")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    return (
+        a.join(b, (F.col("a._l") == F.col("b._l")) & (F.col("a._r") < F.col("b._r")))
+        .groupBy(
+            F.col("a._r").alias(f"{right_col}_a"),
+            F.col("b._r").alias(f"{right_col}_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("weight"))
+        .filter(F.col("weight") >= min_weight)
+    )

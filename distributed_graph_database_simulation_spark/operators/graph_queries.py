@@ -3624,3 +3624,94 @@ GRAPH_QUERIES: dict[str, tuple] = {
     # staged r10: 4-clique count (triangle enumeration one join deeper)
     "g_four_cliques_scale": (four_cliques_scale, FOUR_CLIQUES_SCALE_SQL),
 }
+
+
+def bipartite_project_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-supplier graph: one-mode projection of the bipartite
+    order-supplier incidence in ``lineitem`` (:func:`~.graph_analytics.
+    bipartite_project`) — two suppliers connect with weight = number of
+    orders both ship into, the co-occurrence-graph construction (think
+    co-purchase / co-citation) that precedes the vertex analytics above
+    in a real pipeline. degree_cap=4 exercises the deterministic hub
+    truncation (orders carry up to 7 line items); min_weight=5 keeps the
+    gate result compact at every SF (45 / 4.6k / 8.9k rows)."""
+    from .graph_analytics import bipartite_project
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return bipartite_project(
+        li, "l_orderkey", "l_suppkey", degree_cap=4, min_weight=5
+    )
+
+
+BIPARTITE_PROJECT_SQL = """
+WITH lr AS (SELECT DISTINCT l_orderkey AS l, l_suppkey AS r FROM lineitem),
+capped AS (
+  SELECT l, r FROM (
+    SELECT l, r, ROW_NUMBER() OVER (PARTITION BY l ORDER BY r) AS rn FROM lr
+  ) WHERE rn <= 4
+)
+SELECT a.r AS l_suppkey_a, b.r AS l_suppkey_b,
+       CAST(COUNT(*) AS BIGINT) AS weight
+FROM capped a JOIN capped b ON a.l = b.l AND a.r < b.r
+GROUP BY 1, 2
+HAVING COUNT(*) >= 5
+"""
+
+
+GRAPH_QUERIES["g_bipartite_project"] = (
+    bipartite_project_suppliers,
+    BIPARTITE_PROJECT_SQL,
+)
+
+
+def walk_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram training pairs from the deterministic walk corpus — the
+    stage AFTER random walks in a DeepWalk/node2vec embedding pipeline
+    (Perozzi et al., KDD 2014): every unordered vertex pair co-occurring
+    within a +-2-step window of the same walk, with its corpus frequency.
+    Composes :func:`~.graph_ml.random_walks` (md5-deterministic, so the
+    oracle replays the walks bit-for-bit) with ONE window pass: lead(1)/
+    lead(2) over each walk's step order emit both window partners without
+    any self-join — pair volume is walks x length x window, linear in the
+    walk corpus however large the graph, and the only exchange is the
+    walk-id window partition followed by the map-side-combined pair count.
+    The per-walk state never materializes a vertex x vertex matrix."""
+    from pyspark.sql.window import Window
+
+    from .graph_ml import random_walks
+
+    graphs, edges = _scale_graph(spark, sf_dir)
+    walks = random_walks(spark, graphs, edges)
+    w = Window.partitionBy("graph_id", "start", "walk_no").orderBy("step")
+    return (
+        walks.select(
+            "vertex",
+            F.lead("vertex", 1).over(w).alias("n1"),
+            F.lead("vertex", 2).over(w).alias("n2"),
+        )
+        .select("vertex", F.explode(F.array("n1", "n2")).alias("other"))
+        .where(F.col("other").isNotNull())
+        .groupBy(
+            F.least("vertex", "other").alias("vertex_a"),
+            F.greatest("vertex", "other").alias("vertex_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    )
+
+
+WALK_SKIPGRAM_SQL = f"""
+WITH walks AS MATERIALIZED (
+  {RANDOM_WALKS_SCALE_SQL}
+)
+SELECT LEAST(a.vertex, b.vertex) AS vertex_a,
+       GREATEST(a.vertex, b.vertex) AS vertex_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM walks a JOIN walks b
+  ON a.graph_id = b.graph_id AND a.start = b.start
+ AND a.walk_no = b.walk_no
+ AND b.step BETWEEN a.step + 1 AND a.step + 2
+GROUP BY 1, 2
+"""
+
+
+GRAPH_QUERIES["g_walk_skipgram_pairs"] = (walk_skipgram_pairs, WALK_SKIPGRAM_SQL)

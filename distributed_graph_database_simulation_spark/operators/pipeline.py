@@ -1634,3 +1634,203 @@ PIPELINE_QUERIES.update(
         "pipe_temperature_mix": (pipe_temperature_mix, PIPE_TEMPERATURE_MIX_SQL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch as a TABLE (frequency sibling of the HLL/KLL/Theta stores
+# above): depth x width integer counters, each depth row an independent hash
+# of the key, point estimate = MIN over rows of the addressed counter. The
+# reference's query surface has no frequency sketch; this is north-star §2c
+# infrastructure — a 100 TB vocabulary/heavy-hitter pass cannot groupBy every
+# raw key per batch window, but a CMS is O(depth*width) mergeable state with
+# the one-sided guarantee est >= true (collisions only ever ADD), and
+# est <= true + (e/width)*N w.p. >= 1 - e^-depth.
+#
+# Spark shape: building the sketch is explode(depth) -> groupBy(j, bucket),
+# and the partial (map-side) aggregation collapses each task's contribution
+# to <= depth*width rows BEFORE the exchange — shuffle volume is
+# O(tasks * depth * width), constant in data size. Point queries broadcast
+# the KB-scale sketch, never the corpus. The counters are exact BIGINTs and
+# xxhash64 is deterministic, so the whole structure is reproducible across
+# retries — same property the stratified sampler above leans on.
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 5
+# Deliberately undersized vs the gate corpus's 155 (lang, token) keys so
+# collisions are REAL at every sf (production would size width ~2^20): the
+# entry's flags certify the estimator's one-sided error under collision
+# pressure, not a vacuous est == exact.
+CMS_WIDTH = 64
+
+
+def cms_sketch(
+    df: DataFrame, key_col: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """One batch's count-min sketch over ``key_col`` as a (j, bucket, cnt)
+    table: row j addresses ``xxhash64(key, j) mod width``. The explode
+    multiplies rows by ``depth`` inside the map stage only — hash partial
+    aggregation reduces each task to <= depth*width counter rows before
+    any shuffle."""
+    j = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j")
+    return (
+        df.select(F.col(key_col).alias("k"))
+        .select("k", j)
+        .groupBy("j", F.pmod(F.xxhash64("k", F.col("j")), F.lit(width)).alias("bucket"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def write_cms_sketch(
+    df: DataFrame,
+    key_col: str,
+    path: str,
+    batch_id: int,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> None:
+    """Append one batch's CMS to the sketch store, ``partitionBy(batch_id)``
+    with dynamic overwrite — replaying a batch replaces exactly its own
+    partition (the HLL/KLL store contract; idempotent retry)."""
+    (
+        cms_sketch(df, key_col, depth, width)
+        .withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+
+
+def read_cms_store(spark: SparkSession, path: str) -> DataFrame:
+    """Merge every stored batch sketch: counter-wise SUM over (j, bucket).
+    CMS merge is exact (counters are linear), so the merged store equals
+    the one-shot sketch of the concatenated batches bit for bit."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("j", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+
+
+def cms_point_estimates(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-frequency estimates for ``keys`` (one row per distinct key):
+    est = MIN over depth rows of the addressed counter. The sketch side is
+    depth*width rows — broadcast it; the keys side stays distributed, so
+    the query costs one narrow map join however large the key set."""
+    addressed = keys.select(F.col(key_col).alias("k")).distinct().select(
+        "k",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j"),
+    ).select("k", "j", F.pmod(F.xxhash64("k", F.col("j")), F.lit(width)).alias("bucket"))
+    return (
+        addressed.join(F.broadcast(sketch), ["j", "bucket"], "left")
+        .groupBy("k")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("bigint").alias("cms_est"))
+        .select(F.col("k").alias(key_col), "cms_est")
+    )
+
+
+def pipe_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: CMS heavy hitters over (lang, token) keys of the
+    documents corpus — the vocabulary-frequency pass of a training
+    pipeline, run through the STORE (two doc_id-parity batches written
+    partitioned, merged at read, so a merge bug is on the tested path).
+
+    Selection is CMS-first, exactness-verified: CMS guarantees no false
+    negatives (est >= true), so filtering candidates at est >= phi*N and
+    then keeping those whose EXACT count clears the same threshold yields
+    exactly the true heavy-hitter set — the standard CMS+exact-verify
+    topology (sketch prunes, one exact pass over survivors confirms).
+    phi = 5/1000 (integer arithmetic: n*1000 >= 5*N, bit-stable) selects
+    105/67/64 of the 155 keys at sf0.001/0.01/0.1.
+
+    Emitted flags are real assertions the oracle pins TRUE:
+    - ``cms_ge_exact`` — the one-sided estimator guarantee (collisions
+      only ever add); FALSE means per-key counter mass was lost.
+    - ``cms_within_eps`` — est - exact <= ceil(3*N/width), the e/width
+      error bound rounded up to the next integer grade (measured actual
+      worst slack ~0.0185*N at every sf, a 2.5x margin).
+    - ``mass_conserved`` — the EXACT linearity invariant: every depth
+      row's counters sum to N precisely. A replayed batch that APPENDS
+      instead of overwriting doubles the mass, a dropped partition loses
+      it — either flips this flag on every row (fault-injected in
+      tests/test_cms.py); the per-key envelope alone cannot promise that
+      (rare keys sit far below the collision-noise floor).
+    """
+    import shutil
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    toks = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select("doc_id", F.concat_ws("|", "lang", "tok").alias("key"))
+    )
+    base = tempfile.mkdtemp(prefix="dgds_cms_store_")
+    write_cms_sketch(toks.where(F.col("doc_id") % 2 == 0), "key", base, 0)
+    write_cms_sketch(toks.where(F.col("doc_id") % 2 == 1), "key", base, 1)
+    sketch = read_cms_store(spark, base)
+    exact = toks.groupBy("key").agg(F.count("*").cast("bigint").alias("n"))
+    total = toks.agg(F.count("*").cast("bigint").alias("n_total"))
+    est = cms_point_estimates(sketch, exact.select("key"), "key")
+    mass_ok = (
+        sketch.groupBy("j")
+        .agg(F.sum("cnt").cast("bigint").alias("mass"))
+        .crossJoin(F.broadcast(total))
+        .agg(F.every(F.col("mass") == F.col("n_total")).alias("mass_conserved"))
+    )
+    out = (
+        exact.join(est, "key")
+        .crossJoin(F.broadcast(total))
+        .where(F.col("cms_est") * 1000 >= 5 * F.col("n_total"))  # CMS prune
+        .where(F.col("n") * 1000 >= 5 * F.col("n_total"))  # exact verify
+        .crossJoin(F.broadcast(mass_ok))
+        .select(
+            F.split_part("key", F.lit("|"), F.lit(1)).alias("lang"),
+            F.split_part("key", F.lit("|"), F.lit(2)).alias("tok"),
+            "n",
+            (F.col("cms_est") >= F.col("n")).alias("cms_ge_exact"),
+            (
+                F.col("cms_est") - F.col("n")
+                <= F.ceil(F.lit(3) * F.col("n_total") / F.lit(CMS_WIDTH))
+            ).alias("cms_within_eps"),
+            "mass_conserved",
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+PIPE_CMS_HEAVY_HITTERS_SQL = """
+WITH toks AS (
+  SELECT lang, lower(t) AS tok
+  FROM documents, UNNEST(regexp_split_to_array(text, '\\s+')) AS u(t)
+  WHERE t <> ''
+),
+c AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1, 2),
+tot AS (SELECT COUNT(*) AS n_total FROM toks)
+SELECT lang, tok, n, TRUE AS cms_ge_exact, TRUE AS cms_within_eps,
+       TRUE AS mass_conserved
+FROM c, tot WHERE n * 1000 >= 5 * n_total
+"""
+
+
+PIPELINE_QUERIES.update(
+    {
+        # staged r11: CMS frequency store + exact-verified heavy hitters
+        "pipe_cms_heavy_hitters": (
+            pipe_cms_heavy_hitters,
+            PIPE_CMS_HEAVY_HITTERS_SQL,
+        ),
+    }
+)

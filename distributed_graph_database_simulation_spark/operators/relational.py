@@ -1898,3 +1898,192 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
         APPROX_DISTINCT_CHECKED_SQL,
     ),
 }
+
+
+def grouping_sets_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — the multi-grain aggregation surface
+    rollup/cube can't express: ((flag, status), (status), ()) skips the
+    (flag) grain a ROLLUP would force, the shape of a report that wants
+    per-cell detail, per-status totals, and a grand total in ONE corpus
+    pass (Spark rewrites it as a single Expand + hash aggregate — three
+    separate groupBys would each rescan the table). Uses the native
+    ``DataFrame.groupingSets`` API; decimal-exact sums via dsum; GROUPING()
+    flags disambiguate aggregated-away NULLs from data NULLs."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            F.count("*").alias("n_rows"),
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+        )
+    )
+
+
+GROUPING_SETS_SHIPPING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+"""
+
+
+RELATIONAL_QUERIES["rel_grouping_sets"] = (
+    grouping_sets_shipping,
+    GROUPING_SETS_SHIPPING_SQL,
+)
+
+
+def unpivot_region_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native UNPIVOT (wide -> long melt): per-region entity counts as
+    three wide BIGINT columns, melted to (region, metric, value) rows via
+    ``DataFrame.unpivot`` — the inverse of the pivot entry and the
+    standard reshape before a generic per-metric aggregation/plotting
+    stage. Spark compiles unpivot to an Expand (each input row emitted
+    once per value column, constant-width) — no shuffle at all beyond the
+    count aggregates feeding it."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    nat = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "r_name", "n_nationkey"
+    )
+    cust = (
+        c.join(F.broadcast(nat), c.c_nationkey == nat.n_nationkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+    supp = (
+        s.join(F.broadcast(nat), s.s_nationkey == nat.n_nationkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    # The three per-region aggregates are |region| rows each — broadcast
+    # explicitly (left SMJ-planned without the hint: the agg output hides
+    # the size estimate from the static planner until AQE kicks in).
+    wide = (
+        nat.groupBy("r_name")
+        .agg(F.count("*").alias("n_nations"))
+        .join(F.broadcast(cust), "r_name")
+        .join(F.broadcast(supp), "r_name")
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_nations").cast("bigint").alias("n_nations"),
+            F.col("n_customers").cast("bigint").alias("n_customers"),
+            F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
+        )
+    )
+    return wide.unpivot(
+        ids=["region"],
+        values=["n_nations", "n_customers", "n_suppliers"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+UNPIVOT_REGION_COUNTS_SQL = """
+WITH wide AS (
+  SELECT r.r_name AS region,
+         CAST(COUNT(DISTINCT n.n_nationkey) AS BIGINT) AS n_nations,
+         CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+         CAST(COUNT(DISTINCT s.s_suppkey) AS BIGINT) AS n_suppliers
+  FROM region r
+  JOIN nation n ON n.n_regionkey = r.r_regionkey
+  LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+  LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+  GROUP BY 1
+)
+SELECT region, metric, value
+FROM wide UNPIVOT (value FOR metric IN (n_nations, n_customers, n_suppliers))
+"""
+
+
+RELATIONAL_QUERIES["rel_unpivot"] = (
+    unpivot_region_counts,
+    UNPIVOT_REGION_COUNTS_SQL,
+)
+
+
+def rank_family_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution-rank window family in one pass: ntile(4) quartile
+    bucket, percent_rank, and cume_dist per order within its priority
+    class, ordered by (o_totalprice, o_orderkey) — the tie-break on the
+    unique key makes ntile deterministic (ntile depends on ROW order, not
+    rank, so an ambiguous order would be engine-dependent; percent_rank /
+    cume_dist are single IEEE divisions of exact integer ranks, bit-stable
+    across engines). One window exchange on the priority key serves all
+    three functions."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+RANK_FAMILY_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(NTILE(4) OVER w AS INT) AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+RELATIONAL_QUERIES["rel_rank_family"] = (rank_family_orders, RANK_FAMILY_SQL)
+
+
+def approx_quantile_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``percentile_approx`` (Spark's native Greenwald-Khanna variant)
+    certified with the checked pattern (`rel_approx_distinct_checked`):
+    per return flag, emit the EXACT p50 in micro-units (value-matched
+    against DuckDB ``quantile_cont`` — same (n-1)*p interpolation as
+    Spark ``percentile``) plus a flag the oracle pins TRUE: the approx
+    answer lies between the exact 0.48 and 0.52 quantiles (accuracy
+    10000 bounds rank error at 1/10000 = 0.01%; +-2 percentile points is
+    a ~200x envelope, stable at every sf). At 100 TB the approx path is
+    the only viable one — GK state is O(1/accuracy * log n) per group vs
+    a full sort for exact percentile — and this entry pins that the fast
+    path stays inside the envelope of the slow one."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.expr("percentile(l_extendedprice, 0.5)") * 1e6
+        ).cast("bigint").alias("p50_exact_micro"),
+        (
+            F.expr("percentile_approx(l_extendedprice, 0.5, 10000)").between(
+                F.expr("percentile(l_extendedprice, 0.48)"),
+                F.expr("percentile(l_extendedprice, 0.52)"),
+            )
+        ).alias("approx_in_envelope"),
+    )
+
+
+APPROX_QUANTILE_CHECKED_SQL = """
+SELECT l_returnflag,
+       CAST(ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) * 1e6)
+            AS BIGINT) AS p50_exact_micro,
+       TRUE AS approx_in_envelope
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+RELATIONAL_QUERIES["rel_approx_quantile_checked"] = (
+    approx_quantile_checked,
+    APPROX_QUANTILE_CHECKED_SQL,
+)

@@ -1596,3 +1596,89 @@ def sim_topk_ivf_index_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIMILARITY_QUERIES["sim_topk_ivf_index"] = (sim_topk_ivf_index_entry, SIM_TOPK_IVF_SQL)
+
+
+RANGE_SEARCH_TAU = 0.25  # 86 / 90 / 366 result rows at sf0.001/0.01/0.1
+
+
+def range_search_df(
+    vecs: DataFrame, query_filter: F.Column, tau: float = RANGE_SEARCH_TAU
+) -> DataFrame:
+    """Radius (range) similarity search: ALL neighbors with cosine >= tau
+    per query — the other query shape next to top-k (dedup thresholds,
+    "anything this similar is a duplicate/citation" semantics), where the
+    result size is data- not k-determined.
+
+    Exact integer arithmetic end to end on the shared shifted
+    micro-quantization: the int64 dot and norms are < 2^53, so the double
+    cosine is bit-identical across engines and the tau cut can never flip
+    on a ulp. Plan shape: the filtered query side broadcasts
+    (queries x corpus nested loop evaluated in whole-stage codegen, corpus
+    never shuffled); at 100 TB the same call composes with the LSH/IVF
+    candidate generators upstream — range-filter the candidate set instead
+    of the full cross product, exactly as the top-k re-rankers do.
+    """
+    vq = _quantized_view(vecs)
+    unshift = int(KMEANS_SHIFT * KMEANS_SCALE)
+    raw = F.transform("q", lambda x: x - unshift)
+    norm2 = F.aggregate(
+        F.zip_with(raw, raw, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    side = vq.select(
+        "vec_id", raw.alias("r"), F.sqrt(norm2.cast("double")).alias("nrm")
+    )
+    q = side.filter(query_filter)
+    idot = F.aggregate(
+        F.zip_with(F.col("q.r"), F.col("c.r"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    cos = idot.cast("double") / (F.col("q.nrm") * F.col("c.nrm"))
+    return (
+        F.broadcast(q.alias("q"))
+        .join(side.alias("c"), F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= tau)
+    )
+
+
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: radius search at tau=0.25 for the first N_QUERIES
+    vectors (same query subset as the top-k family)."""
+    return range_search_df(
+        _emb(spark, sf_dir), query_filter=F.col("vec_id") < N_QUERIES
+    )
+
+
+SIM_RANGE_SEARCH_SQL = f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round((x + {KMEANS_SHIFT!r}) * {KMEANS_SCALE})
+                                  AS BIGINT) - {int(KMEANS_SHIFT * KMEANS_SCALE)})
+           AS r
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, r,
+         sqrt(CAST(list_sum(list_transform(r, x -> x * x)) AS DOUBLE)) AS nrm
+  FROM v
+)
+SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       CAST(list_sum(list_transform(range(1, len(q.r) + 1),
+                                    i -> q.r[i] * c.r[i])) AS DOUBLE)
+         / (q.nrm * c.nrm) AS cosine
+FROM n q JOIN n c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+WHERE CAST(list_sum(list_transform(range(1, len(q.r) + 1),
+                                   i -> q.r[i] * c.r[i])) AS DOUBLE)
+        / (q.nrm * c.nrm) >= {RANGE_SEARCH_TAU!r}
+"""
+
+
+SIMILARITY_QUERIES["sim_range_search"] = (sim_range_search, SIM_RANGE_SEARCH_SQL)

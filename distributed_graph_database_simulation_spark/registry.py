@@ -189,6 +189,30 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # (The seventeen r10-staged entries rotated into the r11 gate window —
     # see _WINDOW_ORDER. New-this-round operators are declared here as they
     # are built and pre-verified, queued for the r12 rotation.)
+    # r11 wave — each pre-verified hash-exact at sf0.001 AND sf0.01:
+    # GROUPING SETS multi-grain aggregation (native groupingSets API)
+    "rel_grouping_sets": 11,
+    # radius (range) cosine search — the data-sized query shape next to
+    # top-k, exact integer kernel on the shared micro-quantization
+    "sim_range_search": 11,
+    # weighted one-mode bipartite projection (co-occurrence graph build)
+    # with deterministic hub truncation
+    "g_bipartite_project": 11,
+    # count-min sketch store + exact-verified heavy hitters (also verified
+    # at sf0.1; fault-injection for the mass invariant in tests/test_cms.py)
+    "pipe_cms_heavy_hitters": 11,
+    # streaming CMS ingest with batch-0 replay stress
+    "stream_cms_ingest": 11,
+    # skip-gram pair generation over the deterministic walk corpus (the
+    # DeepWalk stage after random_walks; oracle wraps the walk-replay CTE)
+    "g_walk_skipgram_pairs": 11,
+    # native UNPIVOT wide->long melt (inverse of the pivot entry)
+    "rel_unpivot": 11,
+    # ntile/percent_rank/cume_dist in one window pass, tie-broken unique
+    "rel_rank_family": 11,
+    # percentile_approx certified by the checked pattern (exact p50 value
+    # match + envelope flag)
+    "rel_approx_quantile_checked": 11,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

@@ -23,6 +23,8 @@ pattern), never duplicating store rows or pair rows.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -413,4 +415,146 @@ WITH ranked AS (
 SELECT user_id, ts_us, event_id AS last_event_id,
        event_type AS last_event_type, v AS last_value
 FROM ranked WHERE rn = 1
+"""
+
+
+def stream_cms_ingest(
+    spark: SparkSession,
+    stream: DataFrame,
+    key_col: str,
+    store_path: str,
+    checkpoint_path: str,
+):
+    """Continuous frequency-sketch ingestion: per micro-batch, write the
+    batch's count-min sketch into the mergeable store under ``store_path``
+    — the streaming face of ``pipeline.write_cms_sketch`` and the frequency
+    sibling of :func:`stream_sketch_ingest` (HLL/KLL). Vocabulary /
+    heavy-hitter tracking over an unbounded stream keeps O(depth*width)
+    counters per batch instead of raw keys; reports merge the store and
+    never re-read history. Replay safety is the store contract: per-batch
+    dynamic partition overwrite, so a replayed batch replaces exactly its
+    own counters (CMS merge is linear, so an appended duplicate would
+    double mass — the entry's flags catch exactly that). Returns the
+    started StreamingQuery (availableNow trigger)."""
+    from ..operators.pipeline import write_cms_sketch
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        write_cms_sketch(batch, key_col, store_path, int(batch_id))
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_cms_ingest_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry for the streaming CMS store: tokenize a bounded
+    documents stream to (lang|token) keys, run :func:`stream_cms_ingest`
+    over it (availableNow — the catch-up backfill shape), then STRESS the
+    replay contract by re-writing batch 0 directly (the crash-recovery
+    path: it must overwrite its own partition, not extend it), and report
+    every distinct key against the merged store:
+
+    - ``n`` — the exact per-key count (oracle value-matched),
+    - ``cms_ge_exact`` — the CMS one-sided guarantee; FALSE means counter
+      mass was lost (dropped partition, broken merge),
+    - ``cms_within_eps`` — est - exact <= ceil(3*N/width), the e/width
+      estimator envelope (measured worst actual slack ~0.0185*N, 2.5x
+      margin),
+    - ``mass_conserved`` — the EXACT linearity invariant: every depth
+      row's counters sum to N precisely. If the batch-0 replay APPENDS
+      instead of overwriting, mass doubles and this flips FALSE on every
+      row (fault-injected in tests/test_cms.py); a dropped partition
+      flips it the other way.
+
+    The oracle pins all three flags TRUE. Store + checkpoint live in a
+    per-call temp dir, removed after materialization."""
+    import shutil
+    import tempfile
+
+    from ..operators.pipeline import (
+        CMS_WIDTH,
+        cms_point_estimates,
+        read_cms_store,
+        write_cms_sketch,
+    )
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        docs_stream = spark.readStream.schema(schema).parquet(path)
+    else:
+        docs_stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+
+    def keyed(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                "lang",
+                F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+            )
+            .filter(F.col("tok") != "")
+            .select(F.concat_ws("|", "lang", "tok").alias("key"))
+        )
+
+    base = tempfile.mkdtemp(prefix="dgds_cms_ingest_")
+    q = stream_cms_ingest(
+        spark, keyed(docs_stream), "key", f"{base}/store", f"{base}/ck"
+    )
+    q.awaitTermination()
+    # Replay stress: batch 0 again, same batch_id — dynamic overwrite must
+    # replace its partition, leaving merged counter mass unchanged.
+    from ..sources.tables import load_table
+
+    toks = keyed(load_table(spark, sf_dir, "documents"))
+    write_cms_sketch(toks, "key", f"{base}/store", 0)
+    sketch = read_cms_store(spark, f"{base}/store")
+    exact = toks.groupBy("key").agg(F.count("*").cast("bigint").alias("n"))
+    total = toks.agg(F.count("*").cast("bigint").alias("n_total"))
+    est = cms_point_estimates(sketch, exact.select("key"), "key")
+    mass_ok = (
+        sketch.groupBy("j")
+        .agg(F.sum("cnt").cast("bigint").alias("mass"))
+        .crossJoin(F.broadcast(total))
+        .agg(F.every(F.col("mass") == F.col("n_total")).alias("mass_conserved"))
+    )
+    out = (
+        exact.join(est, "key")
+        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(mass_ok))
+        .select(
+            F.split_part("key", F.lit("|"), F.lit(1)).alias("lang"),
+            F.split_part("key", F.lit("|"), F.lit(2)).alias("tok"),
+            "n",
+            (F.col("cms_est") >= F.col("n")).alias("cms_ge_exact"),
+            (
+                F.col("cms_est") - F.col("n")
+                <= F.ceil(F.lit(3) * F.col("n_total") / F.lit(CMS_WIDTH))
+            ).alias("cms_within_eps"),
+            "mass_conserved",
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+STREAM_CMS_INGEST_SQL = """
+WITH toks AS (
+  SELECT lang, lower(t) AS tok
+  FROM documents, UNNEST(regexp_split_to_array(text, '\\s+')) AS u(t)
+  WHERE t <> ''
+),
+tot AS (SELECT COUNT(*) AS n_total FROM toks)
+SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS n,
+       TRUE AS cms_ge_exact, TRUE AS cms_within_eps,
+       TRUE AS mass_conserved
+FROM toks, tot GROUP BY 1, 2, n_total
 """

@@ -548,8 +548,10 @@ STREAMING_QUERIES: dict[str, tuple] = {
 # so a top-of-file import would be circular.
 from ..operators.dedup import _NGRAM_ORACLE_CORE  # noqa: E402
 from .ingest import (  # noqa: E402
+    STREAM_CMS_INGEST_SQL,
     STREAM_SKETCH_INGEST_SQL,
     STREAM_USER_STATE_INGEST_SQL,
+    stream_cms_ingest_entry,
     stream_dedup_ingest_entry,
     stream_sketch_ingest_entry,
     stream_user_state_ingest_entry,
@@ -570,4 +572,9 @@ STREAMING_QUERIES["stream_dedup_ingest"] = (
 STREAMING_QUERIES["stream_user_state_ingest"] = (
     stream_user_state_ingest_entry,
     STREAM_USER_STATE_INGEST_SQL,
+)
+# staged r11: streaming CMS frequency store with batch-0 replay stress.
+STREAMING_QUERIES["stream_cms_ingest"] = (
+    stream_cms_ingest_entry,
+    STREAM_CMS_INGEST_SQL,
 )

@@ -1,0 +1,114 @@
+"""Unit pins for the r11-new operators: bipartite projection (hub
+truncation + weight semantics), cosine range search (threshold semantics vs
+a brute-force reference), and GROUPING SETS (grain coverage)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+    bipartite_project,
+)
+
+
+@pytest.fixture(scope="module")
+def incidence(spark):
+    # users u0..u3 x items: u0 hub touching 6 items, others touch 2-3.
+    rows = [
+        ("u0", f"i{k}") for k in range(6)
+    ] + [
+        ("u1", "i0"), ("u1", "i1"),
+        ("u2", "i0"), ("u2", "i1"), ("u2", "i2"),
+        ("u3", "i4"), ("u3", "i5"),
+        ("u3", "i4"),  # duplicate edge: projection must distinct() it away
+    ]
+    return spark.createDataFrame(rows, "user string, item string")
+
+
+def test_bipartite_weights_exact(spark, incidence):
+    out = bipartite_project(incidence, "user", "item", degree_cap=10)
+    w = {(r.item_a, r.item_b): r.weight for r in out.collect()}
+    # i0-i1 co-occurs under u0, u1, u2 -> weight 3
+    assert w[("i0", "i1")] == 3
+    # i4-i5 under u0 and u3 (duplicate edge counted once) -> weight 2
+    assert w[("i4", "i5")] == 2
+    # pairs are canonical a < b, no self-pairs
+    assert all(a < b for a, b in w)
+
+
+def test_bipartite_degree_cap_truncates_hub(spark, incidence):
+    # cap=2 keeps each user's 2 lexicographically-smallest items:
+    # u0 -> {i0,i1}, u2 -> {i0,i1}, u3 -> {i4,i5}
+    out = bipartite_project(incidence, "user", "item", degree_cap=2)
+    w = {(r.item_a, r.item_b): r.weight for r in out.collect()}
+    assert w == {("i0", "i1"): 3, ("i4", "i5"): 1}
+    # deterministic: same result on re-run (rank is orderBy item, no ties)
+    again = {
+        (r.item_a, r.item_b): r.weight
+        for r in bipartite_project(incidence, "user", "item", degree_cap=2).collect()
+    }
+    assert again == w
+
+
+def test_bipartite_min_weight(spark, incidence):
+    out = bipartite_project(incidence, "user", "item", degree_cap=10, min_weight=3)
+    assert {(r.item_a, r.item_b) for r in out.collect()} == {("i0", "i1")}
+
+
+def test_range_search_matches_bruteforce(spark, sf_dir):
+    """Every returned pair clears tau; no pair under tau is returned —
+    cross-checked against an independent brute-force cosine on the same
+    quantized grid."""
+    from distributed_graph_database_simulation_spark.operators.similarity import (
+        RANGE_SEARCH_TAU,
+        _emb,
+        range_search_df,
+    )
+
+    vecs = _emb(spark, sf_dir)
+    out = range_search_df(vecs, query_filter=F.col("vec_id") < 4)
+    rows = out.collect()
+    assert rows and all(r.cosine >= RANGE_SEARCH_TAU for r in rows)
+    assert all(r.query_id < 4 and r.neighbor_id != r.query_id for r in rows)
+    # brute-force reference for query 0 via the exact integer kernel,
+    # replaying the shared micro-quantization (HALF_UP like Spark's round,
+    # not Python's banker rounding)
+    import math
+
+    from distributed_graph_database_simulation_spark.operators.similarity import (
+        KMEANS_SCALE,
+        KMEANS_SHIFT,
+    )
+
+    def quant(x):
+        v = (x + KMEANS_SHIFT) * KMEANS_SCALE
+        r = math.floor(v + 0.5) if v >= 0 else -math.floor(-v + 0.5)
+        return int(r) - int(KMEANS_SHIFT * KMEANS_SCALE)
+
+    data = {r.vec_id: r.e for r in vecs.where("vec_id < 200").collect()}
+    q = [quant(x) for x in data[0]]
+    expect = set()
+    for vid, emb in data.items():
+        if vid == 0:
+            continue
+        c = [quant(x) for x in emb]
+        dot = sum(a * b for a, b in zip(q, c))
+        den = math.sqrt(sum(a * a for a in q)) * math.sqrt(sum(a * a for a in c))
+        if den and dot / den >= RANGE_SEARCH_TAU:
+            expect.add(vid)
+    got = {r.neighbor_id for r in rows if r.query_id == 0 and r.neighbor_id < 200}
+    assert got == expect
+
+
+def test_grouping_sets_grains(spark, sf_dir):
+    from distributed_graph_database_simulation_spark.operators.relational import (
+        grouping_sets_shipping,
+    )
+
+    rows = grouping_sets_shipping(spark, sf_dir).collect()
+    grains = {(r.g_flag, r.g_status) for r in rows}
+    # exactly the three requested grains: (flag,status), (status), ()
+    assert grains == {(0, 0), (1, 0), (1, 1)}
+    # the grand total row aggregates everything
+    total = [r for r in rows if r.g_flag == 1 and r.g_status == 1]
+    assert len(total) == 1
+    assert total[0].n_rows == sum(r.n_rows for r in rows if r.g_flag == 0)

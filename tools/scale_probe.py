@@ -1147,16 +1147,104 @@ def probe_dedup_ingest(spark, n_docs: int, n_batches: int = 4) -> dict:
     )
     base = tempfile.mkdtemp(prefix="dgds_ingest_probe_")
     walls = []
+    store_docs = []  # store size (docs) each batch ran AGAINST (pre-extend)
     total_pairs = 0
     for b in range(n_batches):
         batch = docs.where(F.pmod(F.col("doc_id"), n_batches) == b)
+        store_docs.append(b * (n_docs // n_batches))
         t0 = _t.perf_counter()
         dedup_ingest_batch(spark, batch, b, f"{base}/store", f"{base}/pairs")
         walls.append(round(_t.perf_counter() - t0, 2))
     total_pairs = spark.read.parquet(f"{base}/pairs").count()
     shutil.rmtree(base, ignore_errors=True)
     return {"probe": "dedup_ingest", "docs": n_docs, "batches": n_batches,
-            "per_batch_sec": walls, "pairs": total_pairs}
+            "per_batch_sec": walls, "store_docs_at_batch": store_docs,
+            "pairs": total_pairs}
+
+
+def probe_bipartite(spark, n_edges: int, hub_deg: int = 100_000) -> dict:
+    """Bipartite-projection probe: the d^2 hub hazard is THE scale claim
+    (graph_analytics.bipartite_project) — a degree-100k left hub alone
+    would emit C(100k, 2) = 5e9 pairs uncapped. 10M incidence edges over
+    1M left / 100k right entities plus one such hub; with degree_cap=10
+    the hub contributes at most C(10,2) = 45 pairs and total pair volume
+    stays <= |left| * 45."""
+    import time as _t
+
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        bipartite_project,
+    )
+
+    base = spark.range(0, n_edges, 1, 32).select(
+        F.pmod(F.xxhash64("id", F.lit(11)), F.lit(1_000_000)).alias("l"),
+        F.pmod(F.xxhash64("id", F.lit(12)), F.lit(100_000)).alias("r"),
+    )
+    hub = spark.range(0, hub_deg, 1, 32).select(
+        F.lit(9_999_999).alias("l"), F.col("id").alias("r")
+    )
+    inc = base.unionByName(hub)
+    t0 = _t.perf_counter()
+    proj = bipartite_project(inc, "l", "r", degree_cap=10, min_weight=2)
+    n_pairs = proj.count()
+    hub_pairs = proj.where(
+        (F.col("r_a") < 10) & (F.col("r_b") < 10)
+    ).count()  # hub keeps its 10 smallest rights: 0..9
+    sec = round(_t.perf_counter() - t0, 2)
+    if n_pairs > 1_000_001 * 45:
+        raise AssertionError(f"pair volume blew the |left|*C(cap,2) bound: {n_pairs}")
+    return {"probe": "bipartite", "edges": n_edges + hub_deg,
+            "pairs_w2": n_pairs, "hub_region_pairs": hub_pairs, "sec": sec}
+
+
+def probe_cms(spark, n_rows: int, n_keys: int = 1_000_000,
+              width: int = 65_536) -> dict:
+    """CMS probe at production sizing: 10M rows over 1M distinct keys into
+    a depth-5 x 64Ki counter grid (pipeline.cms_sketch). Checks the two
+    exact invariants at scale — per-depth-row mass == n_rows precisely
+    (linearity) and est >= exact on a 1k-key sample (one-sided error) —
+    and that the sketch stays <= depth*width rows however large the
+    input (the map-side-combine claim: shuffle volume is counter-grid-
+    sized, not data-sized)."""
+    import time as _t
+
+    from distributed_graph_database_simulation_spark.operators.pipeline import (
+        CMS_DEPTH,
+        cms_point_estimates,
+        cms_sketch,
+    )
+
+    # zipf-ish: key j with frequency ~ 1/(j+1) via integer harmonic trick
+    rows = spark.range(0, n_rows, 1, 32).select(
+        F.concat(
+            F.lit("k"),
+            F.pmod(
+                F.pmod(F.xxhash64("id"), F.lit(n_keys))
+                * F.pmod(F.xxhash64("id", F.lit(7)), F.lit(1000)),
+                F.lit(n_keys),
+            ),
+        ).alias("key")
+    )
+    t0 = _t.perf_counter()
+    sk = cms_sketch(rows, "key", width=width).localCheckpoint(eager=True)
+    n_counters = sk.count()
+    build_sec = round(_t.perf_counter() - t0, 2)
+    masses = [r.m for r in sk.groupBy("j").agg(F.sum("cnt").alias("m")).collect()]
+    if len(masses) != CMS_DEPTH or any(m != n_rows for m in masses):
+        raise AssertionError(f"CMS mass not conserved: {masses} != {n_rows}")
+    if n_counters > CMS_DEPTH * width:
+        raise AssertionError(f"sketch blew the counter grid: {n_counters}")
+    sample = rows.where(F.pmod(F.xxhash64("key"), F.lit(997)) == 0)
+    exact = sample.groupBy("key").agg(F.count("*").cast("bigint").alias("n"))
+    t0 = _t.perf_counter()
+    est = cms_point_estimates(sk, exact.select("key"), "key", width=width)
+    n_under = (
+        exact.join(est, "key").where(F.col("cms_est") < F.col("n")).count()
+    )
+    query_sec = round(_t.perf_counter() - t0, 2)
+    if n_under:
+        raise AssertionError(f"{n_under} keys estimated UNDER exact")
+    return {"probe": "cms", "rows": n_rows, "counters": n_counters,
+            "build_sec": build_sec, "query_sec": query_sec}
 
 
 def main() -> int:
@@ -1164,6 +1252,8 @@ def main() -> int:
     ap.add_argument("--edges", type=float, default=5e6)
     ap.add_argument("--vertices", type=float, default=1e6)
     ap.add_argument("--docs", type=float, default=5e4)
+    ap.add_argument("--batches", type=int, default=4,
+                    help="micro-batch count for the dedup_ingest probe")
     ap.add_argument(
         "--only",
         nargs="*",
@@ -1207,7 +1297,11 @@ def main() -> int:
         ("densest", lambda: probe_densest(spark, int(args.edges) // 2, int(args.vertices) // 2)),
         ("skyline", lambda: probe_skyline(spark, int(args.edges) * 2)),
         ("retention_cohorts", lambda: probe_retention_cohorts(spark, int(args.edges) * 2)),
-        ("dedup_ingest", lambda: probe_dedup_ingest(spark, int(args.docs) * 2)),
+        ("dedup_ingest", lambda: probe_dedup_ingest(
+            spark, int(args.docs) * 2, n_batches=args.batches
+        )),
+        ("bipartite", lambda: probe_bipartite(spark, int(args.edges) * 2)),
+        ("cms", lambda: probe_cms(spark, int(args.edges) * 2)),
     )
     for name, probe in probes:
         if args.only is not None and not any(s in name for s in args.only):
