@@ -128,6 +128,8 @@ HEADLINE = [
     "rel_unpivot",
     "rel_rank_family",
     "rel_approx_quantile_checked",
+    "pipe_end_to_end",
+    "sim_ivf_index_append",
 ]
 
 

@@ -1834,3 +1834,157 @@ PIPELINE_QUERIES.update(
         ),
     }
 )
+
+
+def pipe_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline in ONE DAG — the run a user of
+    this engine actually executes, stage outputs feeding stage inputs
+    rather than each stage reading the raw corpus:
+
+        near-dup clusters -> survivors        (dedup.dedup_clusters_df)
+        -> per-lang quality-quantile filter   (select_top_quality_df)
+        -> per-lang token-budget admission    (sample_token_budget_df)
+
+    Composition changes the semantics vs the standalone entries, and the
+    oracle certifies exactly that: quality thresholds are quantiles OF THE
+    DEDUPED corpus, and budget keep-rates are computed from the
+    QUALITY-KEPT token totals — so a stage wired to the wrong input (the
+    classic pipeline bug this entry exists to catch) shifts thresholds and
+    hash-mismatches even when each stage is individually correct.
+
+    Scale shape is the sum of its parts, all certified individually:
+    banded LSH pairs + tiny CC loop over paired docs only, one |langs|-row
+    threshold aggregate per stage, Knuth-hash admission. Emits the final
+    admitted docs with per-stage evidence columns."""
+    from .dedup import dedup_clusters_df
+
+    docs = _docs(spark, sf_dir)
+    losers = (
+        dedup_clusters_df(spark, docs)
+        .where(~F.col("is_survivor"))
+        .select("doc_id")
+    )
+    surv = docs.join(losers, "doc_id", "left_anti")
+    kept = select_top_quality_df(
+        spark, surv.select("doc_id", "lang", "text"), keep_fraction=0.5
+    ).select(
+        "doc_id",
+        "lang",
+        "text",
+        F.round(F.col("quality") * 1e6).cast("bigint").alias("quality_micro"),
+    )
+    admitted = sample_token_budget_df(kept, TOKEN_BUDGETS)
+    return admitted.join(kept.select("doc_id", "quality_micro"), "doc_id").select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "keep_ppm",
+        "quality_micro",
+    )
+
+
+def _end_to_end_sql() -> str:
+    rate_cases = " ".join(
+        f"WHEN '{lang}' THEN LEAST({_BUCKETS}, (CAST({budget} AS BIGINT) * {_BUCKETS}) // t.tok)"
+        for lang, budget in sorted(TOKEN_BUDGETS.items())
+    )
+    return f"""
+WITH RECURSIVE docs0 AS (
+  SELECT doc_id, lang,
+         regexp_replace(trim(text), '\\s+', ' ', 'g') AS t,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+),
+sh AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM docs0
+  WHERE len(w) >= 3
+),
+pre AS MATERIALIZED (
+  SELECT doc_id, len(s) AS n_sh,
+         unnest(list_sort(s)[1 : len(s) - CAST(ceil(len(s) * 0.5) AS BIGINT) + 1]) AS h
+  FROM sh
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pre a JOIN pre b
+    ON a.h = b.h AND a.doc_id < b.doc_id
+   AND b.n_sh >= a.n_sh * 0.5 AND a.n_sh >= b.n_sh * 0.5
+),
+pairs AS MATERIALIZED (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b
+  WHERE CAST(len(a.s) + len(b.s) - len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
+),
+edges AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(doc_id, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.doc_id
+),
+losers AS (
+  SELECT doc_id FROM walk GROUP BY doc_id HAVING doc_id <> MIN(lbl)
+),
+surv AS MATERIALIZED (
+  SELECT d.doc_id, d.lang, d.t, d.w FROM docs0 d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+),
+m AS (
+  SELECT doc_id, lang,
+         CAST(len(w) AS DOUBLE) AS n_words,
+         CAST(len(list_filter(w, x -> x IN ('the','a','of','is','and','to','in'))) AS DOUBLE) AS n_stop,
+         CAST(length(t) AS DOUBLE) AS n_chars,
+         CAST(length(t) - length(regexp_replace(t, '[a-z]', '', 'g')) AS DOUBLE) AS n_alpha
+  FROM surv
+),
+scored AS (
+  SELECT doc_id, lang,
+         0.25 * least(n_words / 100.0, 1.0)
+       + 0.25 * (1.0 - abs(n_stop / n_words - 0.4))
+       + 0.25 * (n_alpha / n_chars)
+       + 0.25 * least(((n_chars - (n_words - 1)) / n_words) / 8.0, 1.0) AS quality
+  FROM m
+),
+thr AS (
+  SELECT lang, quantile_cont(quality, 0.5) AS q_threshold
+  FROM scored GROUP BY 1
+),
+kept AS MATERIALIZED (
+  SELECT s.doc_id, s.lang,
+         CAST(round(s.quality * 1e6) AS BIGINT) AS quality_micro
+  FROM scored s JOIN thr ON thr.lang = s.lang
+  WHERE s.quality >= thr.q_threshold
+),
+toks AS (
+  SELECT k.doc_id, k.lang, k.quality_micro, len(v.w) AS n_tokens
+  FROM kept k JOIN surv v ON v.doc_id = k.doc_id
+),
+tot AS (SELECT lang, SUM(n_tokens) AS tok FROM toks GROUP BY 1),
+rated AS (
+  SELECT k.doc_id, k.lang, k.n_tokens, k.quality_micro,
+         CAST(CASE k.lang {rate_cases} ELSE {_BUCKETS} END AS INT) AS keep_ppm
+  FROM toks k JOIN tot t ON t.lang = k.lang
+)
+SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens, keep_ppm, quality_micro
+FROM rated
+WHERE (doc_id * {_KNUTH}) % {_BUCKETS} < keep_ppm
+"""
+
+
+PIPE_END_TO_END_SQL = _end_to_end_sql()
+
+
+PIPELINE_QUERIES.update(
+    {
+        # staged r11: the composed dedup->quality->budget pipeline (stage
+        # outputs feed stage inputs; thresholds move with the composition)
+        "pipe_end_to_end": (pipe_end_to_end, PIPE_END_TO_END_SQL),
+    }
+)

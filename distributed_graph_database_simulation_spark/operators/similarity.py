@@ -760,21 +760,34 @@ def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_quantized(spark, _emb_quantized(spark, sf_dir))
 
 
-def _kmeans_ctes(k: int, iterations: int) -> str:
+def _kmeans_ctes(k: int, iterations: int, train_where: str | None = None) -> str:
     """Unrolled Lloyd CTE chain (shared by the k-means and IVF oracles).
     Every per-iteration CTE is MATERIALIZED — each is referenced by both
     the next assignment and the next centroid update, so plain inlining
-    would double the chain per iteration."""
+    would double the chain per iteration. ``train_where`` restricts the
+    TRAINING population (seeds + per-iteration assignments) to a subset of
+    kv — the build/append split's oracle knob; with the default None the
+    emitted text is byte-identical to the pre-append form the k-means and
+    IVF oracles were certified against."""
+    src = "kv" if train_where is None else "kvt"
+    kvt = (
+        ""
+        if train_where is None
+        else f""",
+kvt AS MATERIALIZED (
+  SELECT vec_id, q FROM kv WHERE {train_where}
+)"""
+    )
     parts = [
         f"""WITH kv AS MATERIALIZED (
   SELECT vec_id,
          list_transform(CAST(embedding AS DOUBLE[]),
                         x -> CAST(round((x + {KMEANS_SHIFT!r}) * {KMEANS_SCALE}) AS BIGINT)) AS q
   FROM embeddings
-),
+){kvt},
 kc0 AS MATERIALIZED (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, q AS c
-  FROM (SELECT vec_id, q FROM kv ORDER BY vec_id LIMIT {k})
+  FROM (SELECT vec_id, q FROM {src} ORDER BY vec_id LIMIT {k})
 )"""
     ]
     for t in range(1, iterations + 1):
@@ -789,7 +802,7 @@ ka{t} AS MATERIALIZED (
              PARTITION BY v.vec_id
              ORDER BY list_sum(list_transform(range(1, len(v.q) + 1),
                       i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i]))), c.cid) AS rk
-    FROM kv v CROSS JOIN kc{t - 1} c)
+    FROM {src} v CROSS JOIN kc{t - 1} c)
   WHERE rk = 1
 ),
 kc{t} AS MATERIALIZED (
@@ -1682,3 +1695,120 @@ WHERE CAST(list_sum(list_transform(range(1, len(q.r) + 1),
 
 
 SIMILARITY_QUERIES["sim_range_search"] = (sim_range_search, SIM_RANGE_SEARCH_SQL)
+
+
+def append_ivf_index(spark: SparkSession, new_vecs: DataFrame, path: str) -> None:
+    """Incremental IVF index maintenance: assign NEW vectors against the
+    index's FROZEN centroids and append them into the list partitions —
+    the deployment reality of a 100 TB ANN index (retraining k-means per
+    ingest batch would re-shuffle the whole corpus; the standard practice
+    is frozen coarse quantizers with periodic rebuilds). Cost is one
+    narrow literal-centroid map over the new batch plus appends into only
+    the touched ``cent_id=K`` directories; existing lists are never
+    rewritten or even read."""
+    vecs = _quantized_view(new_vecs)
+    cent = {
+        int(r.cent_id): [int(x) for x in r.c]
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    }
+    assigned = _centroid_ranks(vecs, cent, 1).select(
+        "vec_id", "q", F.col("cids")[0].alias("cent_id")
+    )
+    assigned.write.mode("append").partitionBy("cent_id").parquet(f"{path}/lists")
+
+
+def sim_ivf_index_append_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry for incremental index growth: build the index on the
+    EVEN vec_ids only (:func:`build_ivf_index` — centroids train on that
+    half), :func:`append_ivf_index` the odd half against the frozen
+    centroids, then probe with the standard query set over the combined
+    index. The oracle replays Lloyd ON THE EVEN HALF (the
+    ``_kmeans_ctes(train_where=...)`` knob) and assigns the FULL corpus
+    against those centroids — so a bug anywhere in the append path (odds
+    re-training centroids, appended rows landing in the wrong list,
+    append rewriting existing partitions) shifts assignments or
+    candidates and hash-mismatches."""
+    import shutil
+    import tempfile
+
+    corpus = _emb(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="dgds_ivf_append_")
+    build_ivf_index(spark, corpus.filter(F.col("vec_id") % 2 == 0), base)
+    append_ivf_index(spark, corpus.filter(F.col("vec_id") % 2 == 1), base)
+    out = sim_topk_ivf_index(
+        spark, corpus.filter(F.col("vec_id") < N_QUERIES), base
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+def _ivf_append_sql(
+    k: int, iterations: int, probes: int, n_queries: int, top_k: int
+) -> str:
+    """Exact oracle for the build-on-half / append-the-rest index: Lloyd
+    trains on the even half only, the FULL corpus is assigned against the
+    trained centroid set (``kc{iterations - 1}`` — the set
+    :func:`_kmeans_centroids_quantized` hands both the builder and the
+    appender), probes rank against the same set, re-rank as usual."""
+    unshift = int(KMEANS_SHIFT * KMEANS_SCALE)
+    return (
+        _kmeans_ctes(k, iterations - 1, train_where="vec_id % 2 = 0")
+        + f""",
+kall AS MATERIALIZED (
+  SELECT vec_id, q, cid AS cluster_id FROM (
+    SELECT v.vec_id, v.q, c.cid,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_sum(list_transform(range(1, len(v.q) + 1),
+                      i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i]))), c.cid) AS rk
+    FROM kv v CROSS JOIN kc{iterations - 1} c)
+  WHERE rk = 1
+),
+qv AS (SELECT vec_id, q FROM kv WHERE vec_id < {n_queries}),
+probe AS (
+  SELECT vec_id AS query_id, cid AS cluster_id FROM (
+    SELECT v.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_sum(list_transform(range(1, len(v.q) + 1),
+                      i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i]))), c.cid) AS rk
+    FROM qv v CROSS JOIN kc{iterations - 1} c)
+  WHERE rk <= {probes}
+),
+nrm AS MATERIALIZED (
+  SELECT vec_id, r,
+         sqrt(CAST(list_sum(list_transform(r, x -> x * x)) AS DOUBLE)) AS norm
+  FROM (SELECT vec_id, list_transform(q, x -> x - {unshift}) AS r FROM kv)
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probe p JOIN kall a ON a.cluster_id = p.cluster_id
+  WHERE a.vec_id <> p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         CAST(list_sum(list_transform(range(1, len(q.r) + 1),
+              i -> q.r[i] * w.r[i])) AS DOUBLE) / (q.norm * w.norm) AS cosine
+  FROM cand c JOIN nrm q ON q.vec_id = c.query_id
+              JOIN nrm w ON w.vec_id = c.neighbor_id
+)
+SELECT query_id, rank, neighbor_id, cosine
+FROM (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+WHERE rank <= {top_k}"""
+    )
+
+
+SIM_IVF_APPEND_SQL = _ivf_append_sql(
+    IVF_LISTS, IVF_KMEANS_ITERS, IVF_PROBES, N_QUERIES, TOP_K
+).replace("{dim}", "64")
+
+
+SIMILARITY_QUERIES["sim_ivf_index_append"] = (
+    sim_ivf_index_append_entry,
+    SIM_IVF_APPEND_SQL,
+)

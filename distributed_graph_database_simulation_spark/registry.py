@@ -213,6 +213,14 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # percentile_approx certified by the checked pattern (exact p50 value
     # match + envelope flag)
     "rel_approx_quantile_checked": 11,
+    # the composed dedup->quality->budget pipeline in one DAG (stage
+    # outputs feed stage inputs; oracle certifies the composition-shifted
+    # thresholds, not just each stage) — also verified at sf0.1
+    "pipe_end_to_end": 11,
+    # incremental IVF index growth: build on half, append the rest against
+    # frozen centroids (oracle trains Lloyd on the half via the
+    # train_where knob) — also verified at sf0.1
+    "sim_ivf_index_append": 11,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

@@ -112,3 +112,67 @@ def test_grouping_sets_grains(spark, sf_dir):
     total = [r for r in rows if r.g_flag == 1 and r.g_status == 1]
     assert len(total) == 1
     assert total[0].n_rows == sum(r.n_rows for r in rows if r.g_flag == 0)
+
+
+def test_ivf_append_preserves_existing_lists(spark, sf_dir):
+    """append_ivf_index must only ADD rows for the new batch: every even
+    (built) vector's row survives byte-identically, every odd (appended)
+    vector appears exactly once, and the combined index holds the full
+    corpus with no duplicates."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from distributed_graph_database_simulation_spark.operators.similarity import (
+        _emb,
+        append_ivf_index,
+        build_ivf_index,
+    )
+
+    corpus = _emb(spark, sf_dir)
+    n = corpus.count()
+    base = tempfile.mkdtemp(prefix="dgds_ivf_append_test_")
+    try:
+        build_ivf_index(spark, corpus.filter(F.col("vec_id") % 2 == 0), base)
+        before = {
+            r.vec_id: r.cent_id
+            for r in spark.read.parquet(f"{base}/lists").select("vec_id", "cent_id").collect()
+        }
+        append_ivf_index(spark, corpus.filter(F.col("vec_id") % 2 == 1), base)
+        after_rows = spark.read.parquet(f"{base}/lists").select("vec_id", "cent_id").collect()
+        after = {r.vec_id: r.cent_id for r in after_rows}
+        assert len(after_rows) == n == len(after)  # full corpus, no dups
+        for vid, cid in before.items():
+            assert after[vid] == cid  # existing assignments untouched
+        assert all(vid % 2 == 1 for vid in set(after) - set(before))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_end_to_end_composition_invariants(spark, sf_dir):
+    """Every admitted doc survived dedup and cleared its language's
+    quality threshold — the two upstream gates, checked against the
+    standalone stage operators."""
+    from pyspark.sql import functions as F
+
+    from distributed_graph_database_simulation_spark.operators.dedup import (
+        _docs,
+        dedup_clusters_df,
+    )
+    from distributed_graph_database_simulation_spark.operators.pipeline import (
+        pipe_end_to_end,
+    )
+
+    out = pipe_end_to_end(spark, sf_dir)
+    losers = {
+        r.doc_id
+        for r in dedup_clusters_df(spark, _docs(spark, sf_dir))
+        .where(~F.col("is_survivor"))
+        .collect()
+    }
+    rows = out.collect()
+    assert rows
+    assert not losers.intersection({r.doc_id for r in rows})
+    # quality evidence present and budget ppm within [0, 1e6]
+    assert all(0 <= r.keep_ppm <= 1_000_000 and r.quality_micro > 0 for r in rows)
