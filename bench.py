@@ -130,6 +130,7 @@ HEADLINE = [
     "rel_approx_quantile_checked",
     "pipe_end_to_end",
     "sim_ivf_index_append",
+    "g_butterflies",
 ]
 
 

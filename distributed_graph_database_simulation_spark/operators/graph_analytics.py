@@ -2693,7 +2693,7 @@ def bipartite_project(
     edges: DataFrame,
     left_col: str,
     right_col: str,
-    degree_cap: int,
+    degree_cap: int | None,
     min_weight: int = 1,
 ) -> DataFrame:
     """Weighted one-mode projection of a bipartite graph: connect two
@@ -2713,6 +2713,10 @@ def bipartite_project(
     join key from the window exchange) -> pair count. No broadcast of the
     big side, no driver collection; skew is bounded by the cap itself.
 
+    ``degree_cap=None`` skips the truncation entirely (exact weights) —
+    only safe when the left degree is structurally bounded (e.g. an
+    order's line-item count); on open-ended incidence data always cap.
+
     Returns (``{right}_a``, ``{right}_b``, weight) with a < b and
     weight >= ``min_weight``.
     """
@@ -2721,12 +2725,15 @@ def bipartite_project(
     lr = edges.select(
         F.col(left_col).alias("_l"), F.col(right_col).alias("_r")
     ).distinct()
-    w = Window.partitionBy("_l").orderBy(F.asc("_r"))
-    capped = (
-        lr.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= degree_cap)
-        .select("_l", "_r")
-    )
+    if degree_cap is None:
+        capped = lr
+    else:
+        w = Window.partitionBy("_l").orderBy(F.asc("_r"))
+        capped = (
+            lr.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= degree_cap)
+            .select("_l", "_r")
+        )
     a, b = capped.alias("a"), capped.alias("b")
     return (
         a.join(b, (F.col("a._l") == F.col("b._l")) & (F.col("a._r") < F.col("b._r")))

@@ -221,6 +221,9 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # frozen centroids (oracle trains Lloyd on the half via the
     # train_where knob) — also verified at sf0.1
     "sim_ivf_index_append": 11,
+    # per-vertex butterfly (2x2 biclique) counting via the uncapped exact
+    # projection — also verified at sf0.1
+    "g_butterflies": 11,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)
