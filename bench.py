@@ -131,6 +131,8 @@ HEADLINE = [
     "pipe_end_to_end",
     "sim_ivf_index_append",
     "g_butterflies",
+    "pipe_epoch_shuffle",
+    "pipe_curriculum_buckets",
 ]
 
 

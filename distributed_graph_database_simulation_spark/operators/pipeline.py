@@ -1988,3 +1988,165 @@ PIPELINE_QUERIES.update(
         "pipe_end_to_end": (pipe_end_to_end, PIPE_END_TO_END_SQL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Training-order operators: the two corpus-ordering passes between data
+# selection and the dataloader — a reproducible per-epoch shuffle and
+# difficulty (curriculum) bucketing. Both deterministic by construction
+# (hash keys / integer thresholds, no rand()): a 100 TB training run that
+# crashes at step N must resume with the SAME order, and an eval re-run
+# must see the batch the loss spike came from.
+# ---------------------------------------------------------------------------
+
+SHUFFLE_EPOCHS = 2
+SHUFFLE_SHARDS = 64
+
+
+def epoch_shuffle_df(
+    docs: DataFrame, epochs: int = SHUFFLE_EPOCHS, shards: int = SHUFFLE_SHARDS
+) -> DataFrame:
+    """Deterministic per-epoch corpus shuffle: epoch e orders docs by the
+    engine-portable md5 integer of ``doc_id|e`` — a different pseudorandom
+    permutation per epoch, bit-reproducible across engines and retries.
+    The order is materialized two-level, (epoch, shard, pos): shard = top
+    hash bits, pos = rank within shard — so the ranking window is
+    per-(epoch, shard), never a global single-partition sort (the naive
+    global row_number would serialize 100 TB through one task; the
+    dataloader consumes shards in shard order, positions within). Returns
+    (epoch, shard, pos, doc_id)."""
+    e = F.explode(F.sequence(F.lit(0), F.lit(epochs - 1))).alias("epoch")
+    keyed = docs.select("doc_id").select("doc_id", e).select(
+        "doc_id",
+        "epoch",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("doc_id"), F.col("epoch"))), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("k"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("epoch", F.pmod("k", F.lit(shards))).orderBy(
+        "k", "doc_id"
+    )
+    return keyed.select(
+        "epoch",
+        F.pmod("k", F.lit(shards)).cast("int").alias("shard"),
+        (F.row_number().over(w) - 1).cast("int").alias("pos"),
+        "doc_id",
+    )
+
+
+def pipe_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: the 2-epoch 64-shard deterministic shuffle of the
+    documents corpus. The oracle replays the md5 keys and the per-shard
+    ranks exactly, so a nondeterministic order (rand(), unstable
+    tie-break) or a single-partition global sort rewrite both
+    hash-mismatch."""
+    return epoch_shuffle_df(_docs(spark, sf_dir))
+
+
+PIPE_EPOCH_SHUFFLE_SQL = f"""
+WITH keyed AS (
+  SELECT d.doc_id, e.epoch,
+         CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|' ||
+                                 CAST(e.epoch AS VARCHAR)), 1, 15) AS BIGINT) AS k
+  FROM documents d
+  CROSS JOIN (SELECT CAST(UNNEST(range({SHUFFLE_EPOCHS})) AS INT) AS epoch) e
+)
+SELECT epoch, CAST(k % {SHUFFLE_SHARDS} AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY epoch, k % {SHUFFLE_SHARDS}
+                               ORDER BY k, doc_id) - 1 AS INT) AS pos,
+       doc_id
+FROM keyed
+"""
+
+
+CURRICULUM_BUCKETS = 8
+
+
+def pipe_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum (difficulty) bucketing: equi-width integer buckets over
+    the quality score — the ordering pass that feeds easy-to-hard training
+    schedules. Exact integer arithmetic end to end: quality in micro-units,
+    bucket = (q - lo) * n // (hi - lo + 1) against the corpus min/max (a
+    two-scalar aggregate, broadcast back) — no global sort, no ntile (a
+    rank-based split would need a corpus-wide window; equi-width is the
+    documented trade and the right one for bounded scores). Emits per-doc
+    (doc_id, lang, quality_micro, bucket)."""
+    from .text_analysis import quality_score_df
+
+    docs = _docs(spark, sf_dir)
+    scored = docs.select("doc_id", "lang").join(
+        quality_score_df(docs).select(
+            "doc_id", F.round(F.col("quality") * 1e6).cast("bigint").alias("q")
+        ),
+        "doc_id",
+    )
+    bounds = scored.agg(
+        F.min("q").alias("lo"), F.max("q").alias("hi")
+    )
+    nb = F.lit(CURRICULUM_BUCKETS)
+    return (
+        scored.crossJoin(F.broadcast(bounds))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("q").alias("quality_micro"),
+            (
+                (F.col("q") - F.col("lo")) * nb / (F.col("hi") - F.col("lo") + 1)
+            )
+            .cast("bigint")
+            .cast("int")
+            .alias("bucket"),
+        )
+    )
+
+
+PIPE_CURRICULUM_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         regexp_replace(trim(text), '\\s+', ' ', 'g') AS t,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+),
+m AS (
+  SELECT doc_id, lang,
+         CAST(len(w) AS DOUBLE) AS n_words,
+         CAST(len(list_filter(w, x -> x IN ('the','a','of','is','and','to','in'))) AS DOUBLE) AS n_stop,
+         CAST(length(t) AS DOUBLE) AS n_chars,
+         CAST(length(t) - length(regexp_replace(t, '[a-z]', '', 'g')) AS DOUBLE) AS n_alpha
+  FROM d
+),
+scored AS (
+  SELECT doc_id, lang,
+         CAST(round((0.25 * least(n_words / 100.0, 1.0)
+       + 0.25 * (1.0 - abs(n_stop / n_words - 0.4))
+       + 0.25 * (n_alpha / n_chars)
+       + 0.25 * least(((n_chars - (n_words - 1)) / n_words) / 8.0, 1.0)) * 1e6)
+              AS BIGINT) AS q
+  FROM m
+),
+bounds AS (SELECT MIN(q) AS lo, MAX(q) AS hi FROM scored)
+SELECT doc_id, lang, q AS quality_micro,
+       CAST((q - lo) * {CURRICULUM_BUCKETS} // (hi - lo + 1) AS INT) AS bucket
+FROM scored, bounds
+"""
+
+
+PIPELINE_QUERIES.update(
+    {
+        # staged r11: deterministic resumable per-epoch shuffle
+        "pipe_epoch_shuffle": (pipe_epoch_shuffle, PIPE_EPOCH_SHUFFLE_SQL),
+        # staged r11: curriculum difficulty bucketing, integer-exact
+        "pipe_curriculum_buckets": (
+            pipe_curriculum_buckets,
+            PIPE_CURRICULUM_SQL,
+        ),
+    }
+)

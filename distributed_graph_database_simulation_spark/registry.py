@@ -224,6 +224,12 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # per-vertex butterfly (2x2 biclique) counting via the uncapped exact
     # projection — also verified at sf0.1
     "g_butterflies": 11,
+    # deterministic resumable per-epoch shuffle, (epoch, shard, pos) order
+    # — also verified at sf0.1
+    "pipe_epoch_shuffle": 11,
+    # curriculum difficulty bucketing, integer-exact equi-width buckets
+    # — also verified at sf0.1
+    "pipe_curriculum_buckets": 11,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)
