@@ -133,6 +133,7 @@ HEADLINE = [
     "g_butterflies",
     "pipe_epoch_shuffle",
     "pipe_curriculum_buckets",
+    "pipe_weighted_sample",
 ]
 
 

@@ -2150,3 +2150,61 @@ PIPELINE_QUERIES.update(
         ),
     }
 )
+
+
+WEIGHTED_SAMPLE_K = 100
+
+
+def pipe_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted bottom-k sampling: keep the K docs with the
+    smallest ``md5int(doc_id) // n_tokens`` priority — a longer doc gets a
+    proportionally smaller priority, so inclusion probability scales with
+    token weight (the bottom-k / priority-sampling family, mergeable by
+    construction: the bottom-k of a union is computable from per-partition
+    bottom-ks, which is exactly how Spark executes ORDER BY + LIMIT as
+    TakeOrderedAndProject — per-partition top-k then a k-row driver merge,
+    never a global sort). Integer arithmetic end to end (floor division of
+    the 60-bit md5 integer by the token count, doc_id tie-break), so the
+    oracle replays the exact sample — no rand(), resumable, and the same
+    K rows come back on any retry or engine."""
+    words = F.split(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "), " ")
+    # integer `div`, not `/`: double division truncates off the exact
+    # quotient by a ulp for 60-bit numerators (caught by the canary —
+    # priority 1176842702324858 vs DuckDB's exact ...857). Both operands
+    # are non-negative, so div == DuckDB's floor //.
+    pri = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+        " div size(split(regexp_replace(trim(text), '\\\\s+', ' '), ' '))"
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            "lang",
+            F.size(words).cast("int").alias("n_tokens"),
+            pri.alias("priority"),
+        )
+        .orderBy("priority", "doc_id")
+        .limit(WEIGHTED_SAMPLE_K)
+    )
+
+
+PIPE_WEIGHTED_SAMPLE_SQL = f"""
+SELECT doc_id, lang,
+       CAST(len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS INT)
+         AS n_tokens,
+       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+         // len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '))
+         AS priority
+FROM documents
+ORDER BY priority, doc_id
+LIMIT {WEIGHTED_SAMPLE_K}
+"""
+
+
+PIPELINE_QUERIES.update(
+    {
+        # staged r11: deterministic weighted bottom-k sample
+        "pipe_weighted_sample": (pipe_weighted_sample, PIPE_WEIGHTED_SAMPLE_SQL),
+    }
+)

@@ -230,6 +230,9 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # curriculum difficulty bucketing, integer-exact equi-width buckets
     # — also verified at sf0.1
     "pipe_curriculum_buckets": 11,
+    # deterministic weighted bottom-k sample (TakeOrderedAndProject,
+    # integer-div priorities) — also verified at sf0.1
+    "pipe_weighted_sample": 11,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)
