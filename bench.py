@@ -134,6 +134,7 @@ HEADLINE = [
     "pipe_epoch_shuffle",
     "pipe_curriculum_buckets",
     "pipe_weighted_sample",
+    "mm_image_patches",
 ]
 
 

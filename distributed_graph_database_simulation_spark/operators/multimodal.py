@@ -1150,3 +1150,119 @@ MULTIMODAL_QUERIES: dict[str, tuple] = {
     # staged round-9 addition (registry.STAGED_DECLARED_ROUND)
     "mm_image_resize": (mm_image_resize, MM_IMAGE_RESIZE_SQL),
 }
+
+
+PATCH_P = 2  # patch side (pixels): each patch is P x P x 3 bytes
+
+
+_PATCHES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("patch_y", IntegerType()),
+        StructField("patch_x", IntegerType()),
+        StructField("byte_sum", LongType()),
+        StructField("checksum", LongType()),
+    ]
+)
+
+
+def _patch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Decode a real BMP (full codec round trip), then cut the pixel array
+    into the non-overlapping P x P patch grid — the ViT tokenization step
+    (image -> patch sequence) with the Spark contract real: Arrow batches
+    in, one row per patch out (a 1 -> (h//P)*(w//P) explode inside the
+    kernel). Per patch we emit the exact byte sum and the position-weighted
+    checksum of the row-major patch bytes, so a wrong stride, offset, or
+    patch-boundary bug is a value mismatch. numpy's stride-free reshape
+    gather does the cutting (arr[py*P:(py+1)*P, px*P:(px+1)*P, :]) —
+    vectorized per image, no per-byte Python."""
+    import numpy as np
+
+    P = PATCH_P
+    for pdf in batches:
+        out: dict[str, list] = {
+            "media_id": [], "patch_y": [], "patch_x": [],
+            "byte_sum": [], "checksum": [],
+        }
+        for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+            mid = int(media_id)
+            w = 4 + mid % 5
+            h = 4 + (mid * 3) % 5
+            npx = w * h * 3
+            pixels = bytes(payload)[:npx].ljust(npx, b"\x00")
+            meta, decoded = parse_bmp(encode_bmp_rgb24(pixels, w, h))
+            if meta["width"] != w or meta["height"] != h or decoded != pixels:
+                raise ValueError("BMP round-trip drift before patching")
+            arr = np.frombuffer(decoded, dtype=np.uint8).reshape(h, w, 3)
+            for py in range(h // P):
+                for px in range(w // P):
+                    patch = arr[py * P:(py + 1) * P, px * P:(px + 1) * P, :]
+                    flat = patch.astype(np.int64).reshape(-1)
+                    out["media_id"].append(mid)
+                    out["patch_y"].append(py)
+                    out["patch_x"].append(px)
+                    out["byte_sum"].append(int(flat.sum()))
+                    out["checksum"].append(
+                        int((np.arange(flat.size, dtype=np.int64) * flat).sum())
+                    )
+        yield pd.DataFrame(
+            {
+                "media_id": pd.Series(out["media_id"], dtype="int64"),
+                "patch_y": pd.Series(out["patch_y"], dtype="int32"),
+                "patch_x": pd.Series(out["patch_x"], dtype="int32"),
+                "byte_sum": pd.Series(out["byte_sum"], dtype="int64"),
+                "checksum": pd.Series(out["checksum"], dtype="int64"),
+            }
+        )
+
+
+def mm_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-codec decode + ViT patch-grid extraction
+    (:func:`_patch_batches`): one row per P x P patch with exact byte-sum
+    and position-weighted checksum; DuckDB replays the patch index
+    arithmetic over the same text-derived pixel stream."""
+    return media_table(spark, sf_dir).mapInPandas(
+        _patch_batches, schema=_PATCHES_SCHEMA
+    )
+
+
+# Patch byte k (0-based, row-major dy,dx,c over a P x P x 3 patch) reads
+# source byte ((py*P + k // (P*3))*w + px*P + (k % (P*3)) // 3)*3 + k % 3
+# of the pixel stream = text byte idx+1 (1-based) or zero pad beyond.
+MM_IMAGE_PATCHES_SQL = f"""
+WITH t AS (
+  SELECT doc_id AS media_id, text,
+         4 + doc_id % 5 AS w, 4 + (doc_id * 3) % 5 AS h
+  FROM documents
+),
+grid AS (
+  SELECT media_id, text, w, h,
+         CAST(UNNEST(range(h // {PATCH_P})) AS INT) AS patch_y
+  FROM t
+),
+cells AS (
+  SELECT media_id, text, w, h, patch_y,
+         CAST(UNNEST(range(w // {PATCH_P})) AS INT) AS patch_x
+  FROM grid
+),
+vals AS (
+  SELECT media_id, patch_y, patch_x,
+         list_transform(range(0, {PATCH_P * PATCH_P * 3}), k ->
+           CASE WHEN ((patch_y * {PATCH_P} + k // {PATCH_P * 3}) * w
+                      + patch_x * {PATCH_P} + (k % {PATCH_P * 3}) // 3) * 3
+                     + k % 3 < least(length(text), w * h * 3)
+                THEN ord(text[((patch_y * {PATCH_P} + k // {PATCH_P * 3}) * w
+                      + patch_x * {PATCH_P} + (k % {PATCH_P * 3}) // 3) * 3
+                     + k % 3 + 1])
+                ELSE 0 END) AS v
+  FROM cells
+)
+SELECT media_id, patch_y, patch_x,
+       CAST(list_sum(v) AS BIGINT) AS byte_sum,
+       CAST(list_sum(list_transform(range(0, {PATCH_P * PATCH_P * 3}),
+                                    k -> k * v[k + 1])) AS BIGINT) AS checksum
+FROM vals
+"""
+
+
+MULTIMODAL_QUERIES["mm_image_patches"] = (mm_image_patches, MM_IMAGE_PATCHES_SQL)

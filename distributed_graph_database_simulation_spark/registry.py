@@ -233,6 +233,9 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # deterministic weighted bottom-k sample (TakeOrderedAndProject,
     # integer-div priorities) — also verified at sf0.1
     "pipe_weighted_sample": 11,
+    # ViT patch-grid extraction through the real BMP codec (1 -> n_patches
+    # explode in the Arrow kernel) — also verified at sf0.1
+    "mm_image_patches": 11,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)
