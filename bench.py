@@ -135,6 +135,7 @@ HEADLINE = [
     "pipe_curriculum_buckets",
     "pipe_weighted_sample",
     "mm_image_patches",
+    "mm_audio_windows",
 ]
 
 

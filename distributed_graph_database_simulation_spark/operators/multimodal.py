@@ -1266,3 +1266,98 @@ FROM vals
 
 
 MULTIMODAL_QUERIES["mm_image_patches"] = (mm_image_patches, MM_IMAGE_PATCHES_SQL)
+
+
+AUDIO_WIN = 64   # samples per analysis window
+AUDIO_HOP = 48   # samples between window starts (WIN - HOP = 16 overlap)
+
+
+_AUDIO_WINDOWS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("win_id", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("peak", IntegerType()),
+        StructField("sq_sum", LongType()),
+    ]
+)
+
+
+def _audio_window_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Frame the PCM stream into overlapping fixed-width analysis windows
+    (WIN=64, HOP=48) and emit per-window peak + integer square-sum — the
+    audio tokenization step (framing precedes any STFT/feature stack) and
+    the audio sibling of :func:`_patch_batches`: one payload row explodes
+    to ceil(max(n - WIN, 0)/HOP) + 1 window rows inside the Arrow kernel.
+    Each payload goes through the real WAV codec round trip first, so the
+    RIFF chunk walk is on the tested path. Stats are exact integers; the
+    window index arithmetic is replayed by the oracle, so an off-by-one in
+    hop, tail handling, or the roundtrip is a value mismatch."""
+    import numpy as np
+
+    for pdf in batches:
+        out: dict[str, list] = {
+            "media_id": [], "win_id": [], "n_samples": [], "peak": [], "sq_sum": [],
+        }
+        for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+            mid = int(media_id)
+            samples = bytes(payload)
+            meta, decoded = parse_wav(encode_wav_pcm8(samples, 8000))
+            if not np.array_equal(
+                decoded, np.frombuffer(samples, dtype=np.uint8)
+            ):
+                raise ValueError("WAV round-trip drift before framing")
+            arr = decoded.astype(np.int64)
+            n = arr.size
+            n_wins = max(n - AUDIO_WIN + AUDIO_HOP - 1, 0) // AUDIO_HOP + 1
+            for wi in range(n_wins):
+                seg = arr[wi * AUDIO_HOP : wi * AUDIO_HOP + AUDIO_WIN]
+                out["media_id"].append(mid)
+                out["win_id"].append(wi)
+                out["n_samples"].append(int(seg.size))
+                out["peak"].append(int(seg.max()) if seg.size else -1)
+                out["sq_sum"].append(int((seg * seg).sum()))
+        yield pd.DataFrame(
+            {
+                "media_id": pd.Series(out["media_id"], dtype="int64"),
+                "win_id": pd.Series(out["win_id"], dtype="int32"),
+                "n_samples": pd.Series(out["n_samples"], dtype="int32"),
+                "peak": pd.Series(out["peak"], dtype="int32"),
+                "sq_sum": pd.Series(out["sq_sum"], dtype="int64"),
+            }
+        )
+
+
+def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-codec WAV round trip + overlapping analysis-window framing
+    (:func:`_audio_window_batches`); DuckDB replays the hop/window index
+    arithmetic over the same text-derived sample stream."""
+    return media_table(spark, sf_dir).mapInPandas(
+        _audio_window_batches, schema=_AUDIO_WINDOWS_SCHEMA
+    )
+
+
+MM_AUDIO_WINDOWS_SQL = f"""
+WITH t AS (SELECT doc_id AS media_id, length(text) AS n, text FROM documents),
+wins AS (
+  SELECT media_id, n, text,
+         CAST(UNNEST(range(GREATEST(n - {AUDIO_WIN} + {AUDIO_HOP} - 1, 0) // {AUDIO_HOP} + 1))
+              AS INT) AS win_id
+  FROM t
+),
+seg AS (
+  SELECT media_id, win_id,
+         list_transform(range(win_id * {AUDIO_HOP} + 1,
+                              LEAST(win_id * {AUDIO_HOP} + {AUDIO_WIN}, n) + 1),
+                        i -> ord(text[i])) AS s
+  FROM wins
+)
+SELECT media_id, win_id,
+       CAST(len(s) AS INT) AS n_samples,
+       CAST(CASE WHEN len(s) > 0 THEN list_max(s) ELSE -1 END AS INT) AS peak,
+       CAST(COALESCE(list_sum(list_transform(s, x -> x * x)), 0) AS BIGINT) AS sq_sum
+FROM seg
+"""
+
+
+MULTIMODAL_QUERIES["mm_audio_windows"] = (mm_audio_windows, MM_AUDIO_WINDOWS_SQL)

@@ -236,6 +236,9 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # ViT patch-grid extraction through the real BMP codec (1 -> n_patches
     # explode in the Arrow kernel) — also verified at sf0.1
     "mm_image_patches": 11,
+    # overlapping PCM analysis-window framing through the real WAV codec
+    # (audio tokenization; 1 -> n_windows explode) — also verified at sf0.1
+    "mm_audio_windows": 11,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)
