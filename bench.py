@@ -136,6 +136,7 @@ HEADLINE = [
     "pipe_weighted_sample",
     "mm_image_patches",
     "mm_audio_windows",
+    "pipe_compact_files",
 ]
 
 

@@ -2208,3 +2208,81 @@ PIPELINE_QUERIES.update(
         "pipe_weighted_sample": (pipe_weighted_sample, PIPE_WEIGHTED_SAMPLE_SQL),
     }
 )
+
+
+COMPACT_TARGET_ROWS = 200  # rows per output file for the gate corpus
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_rows_per_file: int,
+    sort_col: str | None = None,
+) -> int:
+    """Small-files compaction (the OPTIMIZE table-maintenance pass): read a
+    fragmented parquet directory and rewrite it as ceil(n/target) files —
+    a 100 TB lake ingested by streaming micro-batches accretes thousands
+    of KB-sized files per partition, and every downstream scan then pays
+    per-file open/footer costs that dwarf the data read. With ``sort_col``
+    the rewrite is repartitionByRange + sortWithinPartitions (preserves /
+    establishes clustering, so min-max file pruning works after the
+    compaction — rewriting WITHOUT re-sorting destroys any zorder/sort
+    layout, the classic compaction mistake); without it a plain
+    repartition round-robins for even sizes. Returns the output file
+    count. One count job + one full rewrite — both linear, no driver
+    collection."""
+    df = spark.read.parquet(src_path)
+    n = df.count()
+    n_files = max(1, -(-n // target_rows_per_file))
+    out = (
+        df.repartitionByRange(n_files, sort_col).sortWithinPartitions(sort_col)
+        if sort_col is not None
+        else df.repartition(n_files)
+    )
+    out.write.mode("overwrite").parquet(dst_path)
+    import os as _os
+
+    return sum(
+        1
+        for f in _os.listdir(dst_path)
+        if f.endswith(".parquet") and not f.startswith("_")
+    )
+
+
+def pipe_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: fragment the documents table into 64 tiny files,
+    compact with a doc_id range-sort, and return the compacted CONTENT —
+    value-matched against the original table, so a compaction that drops,
+    duplicates, or corrupts rows hash-mismatches (the invariant that
+    matters: compaction must be a pure layout change). File-count
+    effectiveness (64 -> 3 at the gate corpus) is pinned in
+    tests/test_r11_ops.py; the content is the oracle's job."""
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="dgds_compact_")
+    frag, compacted = f"{base}/frag", f"{base}/compacted"
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    docs.repartition(64).write.mode("overwrite").parquet(frag)
+    compact_parquet(spark, frag, compacted, COMPACT_TARGET_ROWS, sort_col="doc_id")
+    out = (
+        spark.read.parquet(compacted)
+        .select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"))
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+PIPE_COMPACT_FILES_SQL = """
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+"""
+
+
+PIPELINE_QUERIES.update(
+    {
+        # staged r11: small-files compaction (layout-only rewrite)
+        "pipe_compact_files": (pipe_compact_files, PIPE_COMPACT_FILES_SQL),
+    }
+)

@@ -239,6 +239,9 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # overlapping PCM analysis-window framing through the real WAV codec
     # (audio tokenization; 1 -> n_windows explode) — also verified at sf0.1
     "mm_audio_windows": 11,
+    # small-files compaction: layout-only range-sorted rewrite, content
+    # value-matched vs the original table — also verified at sf0.1
+    "pipe_compact_files": 11,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

@@ -176,3 +176,49 @@ def test_end_to_end_composition_invariants(spark, sf_dir):
     assert not losers.intersection({r.doc_id for r in rows})
     # quality evidence present and budget ppm within [0, 1e6]
     assert all(0 <= r.keep_ppm <= 1_000_000 and r.quality_micro > 0 for r in rows)
+
+
+def test_compaction_reduces_files_and_sorts(spark, sf_dir):
+    """Compaction is a layout-only rewrite: 64 fragments -> ceil(n/target)
+    range-sorted files, content identical, and each output file's doc_id
+    range is disjoint (the min-max pruning property the sort_col exists
+    for)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from distributed_graph_database_simulation_spark.operators.pipeline import (
+        COMPACT_TARGET_ROWS,
+        _docs,
+        compact_parquet,
+    )
+
+    base = tempfile.mkdtemp(prefix="dgds_compact_test_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "lang")
+        n = docs.count()
+        docs.repartition(64).write.mode("overwrite").parquet(f"{base}/frag")
+        n_frag = sum(
+            1 for f in os.listdir(f"{base}/frag") if f.endswith(".parquet")
+        )
+        n_out = compact_parquet(
+            spark, f"{base}/frag", f"{base}/out", COMPACT_TARGET_ROWS, "doc_id"
+        )
+        assert n_frag == 64 and n_out == max(1, -(-n // COMPACT_TARGET_ROWS))
+        got = spark.read.parquet(f"{base}/out")
+        assert got.count() == n
+        assert got.select("doc_id").distinct().count() == n  # no dups/drops
+        # disjoint doc_id ranges across files -> min-max pruning works
+        ranges = []
+        for f in sorted(os.listdir(f"{base}/out")):
+            if f.endswith(".parquet") and not f.startswith("_"):
+                t = pq.read_table(f"{base}/out/{f}", columns=["doc_id"])
+                ids = t["doc_id"].to_pylist()
+                if ids:
+                    ranges.append((min(ids), max(ids)))
+        ranges.sort()
+        assert all(ranges[i][1] < ranges[i + 1][0] for i in range(len(ranges) - 1))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
