@@ -1247,6 +1247,54 @@ def probe_cms(spark, n_rows: int, n_keys: int = 1_000_000,
             "build_sec": build_sec, "query_sec": query_sec}
 
 
+def probe_mm_tokenize(spark, n_media: int) -> dict:
+    """Multimodal tokenization throughput: n synthetic payloads through
+    the real-codec Arrow kernels — BMP round trip + ViT patch grid
+    (multimodal._patch_batches) and WAV round trip + analysis-window
+    framing (_audio_window_batches). The claim under test is that the
+    1 -> n_tokens explode inside mapInPandas keeps the cost linear in
+    payload bytes with no shuffle at all (narrow map, partition-parallel);
+    row counts are checked against the closed-form grid/window formulas."""
+    import time as _t
+
+    from distributed_graph_database_simulation_spark.operators.multimodal import (
+        AUDIO_HOP,
+        AUDIO_WIN,
+        PATCH_P,
+        _audio_window_batches,
+        _patch_batches,
+        _AUDIO_WINDOWS_SCHEMA,
+        _PATCHES_SCHEMA,
+    )
+
+    media = spark.range(0, n_media, 1, 32).select(
+        F.col("id").alias("media_id"),
+        F.encode(
+            F.concat(F.lit("payload "), F.col("id").cast("string"),
+                     F.lit(" lorem ipsum dolor sit amet " * 8)),
+            "UTF-8",
+        ).alias("payload"),
+    )
+    t0 = _t.perf_counter()
+    n_patches = media.mapInPandas(_patch_batches, schema=_PATCHES_SCHEMA).count()
+    patch_sec = round(_t.perf_counter() - t0, 2)
+    # closed form: (h//P)*(w//P) per media with w=4+id%5, h=4+3*id%5
+    expect_patches = sum(
+        ((4 + (i * 3) % 5) // PATCH_P) * ((4 + i % 5) // PATCH_P)
+        for i in range(n_media)
+    )
+    if n_patches != expect_patches:
+        raise AssertionError(f"patch grid drifted: {n_patches} != {expect_patches}")
+    t0 = _t.perf_counter()
+    n_wins = media.mapInPandas(
+        _audio_window_batches, schema=_AUDIO_WINDOWS_SCHEMA
+    ).count()
+    audio_sec = round(_t.perf_counter() - t0, 2)
+    return {"probe": "mm_tokenize", "media": n_media,
+            "patches": n_patches, "patch_sec": patch_sec,
+            "audio_windows": n_wins, "audio_sec": audio_sec}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--edges", type=float, default=5e6)
@@ -1302,6 +1350,7 @@ def main() -> int:
         )),
         ("bipartite", lambda: probe_bipartite(spark, int(args.edges) * 2)),
         ("cms", lambda: probe_cms(spark, int(args.edges) * 2)),
+        ("mm_tokenize", lambda: probe_mm_tokenize(spark, int(args.docs) * 4)),
     )
     for name, probe in probes:
         if args.only is not None and not any(s in name for s in args.only):
