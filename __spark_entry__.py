@@ -8,10 +8,11 @@ deterministic operator carries an exact DuckDB oracle — including the
 unrolled-CTE family (fixed-iteration plain/weighted/personalized
 PageRank, k-core and k-truss peeling, coreness, Luby MIS and
 iterated-MIS coloring, two-pass Brandes betweenness) and the
-watermark-gated streaming file sink — while the genuinely probabilistic
-rest (DFS-leaf
-order-dependent traversal, ANN bucketing, HLL sketches) use the
-rows-only check as documented in their modules. The first CHECK_WINDOW
+watermark-gated streaming file sink — The single remaining
+rows-only entry is the HLL estimate (``rel_approx_distinct``); its
+checked sibling ``rel_approx_distinct_checked`` value-matches exactly,
+and the formerly rows-only HyperBall-harmonic and JL-projection entries
+were converted to the same checked form in round 11. The first CHECK_WINDOW
 registry entries form the driver's gate; ``registry.STAGED_NEXT_ROTATION``
 lists pre-verified tail entries queued for the next rotation.
 """

@@ -3,8 +3,9 @@
 Every implemented operator from SURVEY.md §2 appears here as
 ``name -> (spark_fn, oracle_sql | None)``. ``spark_fn(spark, sf_dir)`` returns
 a DataFrame; ``oracle_sql`` is ANSI SQL DuckDB runs on the same parquet views.
-``None`` marks genuinely non-SQL-expressible ops — as of r09 only the HLL
-sketch (``rel_approx_distinct``, envelope-pinned in tests); everything else,
+``None`` marks genuinely non-SQL-expressible ops — as of r11 only the HLL
+sketch (``rel_approx_distinct``, envelope-pinned in tests and value-checked
+via its ``rel_approx_distinct_checked`` sibling); everything else,
 including the traversal-order-dependent DFS entries, carries an exact oracle
 (golden VALUES for the DFS fixture / per-sf goldens for the scale DFS).
 
