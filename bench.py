@@ -137,6 +137,7 @@ HEADLINE = [
     "mm_image_patches",
     "mm_audio_windows",
     "pipe_compact_files",
+    "stream_scd2_ingest",
 ]
 
 

@@ -243,6 +243,9 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # small-files compaction: layout-only range-sorted rewrite, content
     # value-matched vs the original table — also verified at sf0.1
     "pipe_compact_files": 11,
+    # incremental SCD2 history maintenance from the event stream, by-value
+    # replay stressed — also verified at sf0.1
+    "stream_scd2_ingest": 11,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

@@ -549,10 +549,12 @@ STREAMING_QUERIES: dict[str, tuple] = {
 from ..operators.dedup import _NGRAM_ORACLE_CORE  # noqa: E402
 from .ingest import (  # noqa: E402
     STREAM_CMS_INGEST_SQL,
+    STREAM_SCD2_INGEST_SQL,
     STREAM_SKETCH_INGEST_SQL,
     STREAM_USER_STATE_INGEST_SQL,
     stream_cms_ingest_entry,
     stream_dedup_ingest_entry,
+    stream_scd2_ingest_entry,
     stream_sketch_ingest_entry,
     stream_user_state_ingest_entry,
 )
@@ -577,4 +579,9 @@ STREAMING_QUERIES["stream_user_state_ingest"] = (
 STREAMING_QUERIES["stream_cms_ingest"] = (
     stream_cms_ingest_entry,
     STREAM_CMS_INGEST_SQL,
+)
+# staged r11: incremental SCD2 history maintenance with by-value replay.
+STREAMING_QUERIES["stream_scd2_ingest"] = (
+    stream_scd2_ingest_entry,
+    STREAM_SCD2_INGEST_SQL,
 )
