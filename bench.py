@@ -138,6 +138,8 @@ HEADLINE = [
     "mm_audio_windows",
     "pipe_compact_files",
     "stream_scd2_ingest",
+    "g_bipartite_clustering",
+    "text_hashed_features",
 ]
 
 

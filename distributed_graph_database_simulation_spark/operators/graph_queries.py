@@ -3765,3 +3765,76 @@ SELECT suppkey, CAST(SUM(bf) AS BIGINT) AS n_butterflies FROM (
 
 
 GRAPH_QUERIES["g_butterflies"] = (butterflies_per_supplier, BUTTERFLIES_SQL)
+
+
+def bipartite_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite local clustering (Latapy-Magnien-Del Vecchio): for each
+    right vertex v, the mean pairwise-neighborhood overlap
+    cc(u,v) = |N(u) ∩ N(v)| / |N(u) ∪ N(v)| over v's distance-2 neighbors
+    u — the bipartite analogue of the triangle clustering coefficient
+    (no triangles exist in a bipartite graph, so overlap of co-occurrence
+    neighborhoods replaces them).
+
+    Exactness across engines: each cc term is ONE IEEE division + round
+    to integer micro-units (bit-stable), and the per-vertex aggregate is
+    an integer SUM — order-independent — emitted as (n2_neighbors,
+    cc_sum_micro) instead of a float mean whose accumulation order would
+    differ between engines (the harmonic-centrality idiom). Plan: one
+    distinct, one degree aggregate, one shared-left self-join (pair
+    volume bounded by left degrees — same hazard and same cap answer as
+    bipartite_project, unneeded on the structurally bounded orders), one
+    broadcast-joined degree lookup, one final groupBy."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    lr = li.select(
+        F.col("l_orderkey").alias("l"), F.col("l_suppkey").alias("r")
+    ).distinct()
+    deg = lr.groupBy("r").agg(F.count("*").alias("d"))
+    a, b = lr.alias("a"), lr.alias("b")
+    inter = (
+        a.join(b, (F.col("a.l") == F.col("b.l")) & (F.col("a.r") != F.col("b.r")))
+        .groupBy(F.col("a.r").alias("ra"), F.col("b.r").alias("rb"))
+        .agg(F.count("*").alias("ov"))
+    )
+    da = deg.select(F.col("r").alias("ra"), F.col("d").alias("da"))
+    db = deg.select(F.col("r").alias("rb"), F.col("d").alias("db"))
+    terms = (
+        inter.join(F.broadcast(da), "ra")
+        .join(F.broadcast(db), "rb")
+        .select(
+            F.col("ra").alias("suppkey"),
+            F.round(
+                F.lit(1e6) * F.col("ov") / (F.col("da") + F.col("db") - F.col("ov"))
+            )
+            .cast("bigint")
+            .alias("t_micro"),
+        )
+    )
+    return terms.groupBy("suppkey").agg(
+        F.count("*").cast("bigint").alias("n2_neighbors"),
+        F.sum("t_micro").cast("bigint").alias("cc_sum_micro"),
+    )
+
+
+BIPARTITE_CLUSTERING_SQL = """
+WITH lr AS (SELECT DISTINCT l_orderkey AS l, l_suppkey AS r FROM lineitem),
+deg AS (SELECT r, COUNT(*) AS d FROM lr GROUP BY 1),
+inter AS (
+  SELECT a.r AS ra, b.r AS rb, COUNT(*) AS ov
+  FROM lr a JOIN lr b ON a.l = b.l AND a.r <> b.r
+  GROUP BY 1, 2
+),
+terms AS (
+  SELECT i.ra AS suppkey,
+         CAST(round(1e6 * i.ov / (da.d + db.d - i.ov)) AS BIGINT) AS t_micro
+  FROM inter i JOIN deg da ON da.r = i.ra JOIN deg db ON db.r = i.rb
+)
+SELECT suppkey, CAST(COUNT(*) AS BIGINT) AS n2_neighbors,
+       CAST(SUM(t_micro) AS BIGINT) AS cc_sum_micro
+FROM terms GROUP BY suppkey
+"""
+
+
+GRAPH_QUERIES["g_bipartite_clustering"] = (
+    bipartite_clustering,
+    BIPARTITE_CLUSTERING_SQL,
+)

@@ -1138,3 +1138,66 @@ TEXT_QUERIES.update(
         "text_novelty": (text_novelty, TEXT_NOVELTY_SQL),
     }
 )
+
+
+HASH_DIM = 16  # feature-hashing buckets
+
+
+def hashed_features_df(docs: DataFrame, dim: int = HASH_DIM) -> DataFrame:
+    """The hashing trick (Weinberger et al., ICML 2009): featurize text
+    into a fixed ``dim``-bucket sparse count vector without any vocabulary
+    — bucket = md5int(token) mod dim, signed by one extra hash bit so
+    collisions cancel in expectation. The vocabulary-free property is the
+    100 TB point: a dictionary-based vectorizer needs a fitted vocab
+    broadcast (and a corpus pass to build it); the hashing featurizer is
+    one stateless narrow pass, embarrassingly parallel, identical on any
+    corpus split. Emits sparse rows (doc_id, bucket, signed_count) —
+    map-side combined per doc, never a dense dim-wide array through the
+    shuffle. md5 (not xxhash64) so DuckDB replays the bucketing exactly."""
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("t"),
+    ).filter(F.col("t") != "")
+    h = F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
+    return (
+        tok.select(
+            "doc_id",
+            F.pmod(h, F.lit(dim)).cast("int").alias("bucket"),
+            F.when(F.pmod(h, F.lit(2 * dim)) < dim, 1).otherwise(-1).alias("sign"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sign").cast("bigint").alias("signed_count"))
+    )
+
+
+def text_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: 16-bucket signed hashing-trick features per doc."""
+    return hashed_features_df(_docs(spark, sf_dir))
+
+
+TEXT_HASHED_FEATURES_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lower(t) AS t
+  FROM documents, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS u(t)
+  WHERE t <> ''
+),
+hashed AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % {HASH_DIM} AS bucket,
+         CASE WHEN CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)
+                   % {2 * HASH_DIM} < {HASH_DIM}
+              THEN 1 ELSE -1 END AS sign
+  FROM tok
+)
+SELECT doc_id, CAST(bucket AS INT) AS bucket,
+       CAST(SUM(sign) AS BIGINT) AS signed_count
+FROM hashed GROUP BY doc_id, bucket
+"""
+
+
+TEXT_QUERIES.update(
+    {
+        # staged r11: vocabulary-free hashing-trick featurizer
+        "text_hashed_features": (text_hashed_features, TEXT_HASHED_FEATURES_SQL),
+    }
+)

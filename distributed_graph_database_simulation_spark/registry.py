@@ -246,6 +246,12 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # incremental SCD2 history maintenance from the event stream, by-value
     # replay stressed — also verified at sf0.1
     "stream_scd2_ingest": 11,
+    # bipartite local clustering (Latapy pairwise overlap), micro-unit
+    # integer terms — also verified at sf0.1
+    "g_bipartite_clustering": 11,
+    # vocabulary-free hashing-trick featurizer (signed md5 buckets) —
+    # also verified at sf0.1
+    "text_hashed_features": 11,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)
