@@ -140,6 +140,7 @@ HEADLINE = [
     "stream_scd2_ingest",
     "g_bipartite_clustering",
     "text_hashed_features",
+    "g_assortativity",
 ]
 
 

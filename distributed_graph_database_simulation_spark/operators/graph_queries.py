@@ -3838,3 +3838,86 @@ GRAPH_QUERIES["g_bipartite_clustering"] = (
     bipartite_clustering,
     BIPARTITE_CLUSTERING_SQL,
 )
+
+
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity (the edge-level degree-degree Pearson
+    correlation, Newman 2002): do high-degree vertices attach to other
+    high-degree vertices? Emitted as the five EXACT integer edge moments
+    (m, Σ ja·jb, Σ(ja+jb), Σ(ja²+jb²) over edges, with ja/jb = out/in
+    excess degrees of the endpoints) plus the coefficient in micro-units
+    derived from them with a single division — every cross-engine hazard
+    lives in the integer domain, the one float op is shared bit-for-bit.
+    One degree aggregate + two broadcast joins + one edge aggregate; no
+    state beyond |V| degree rows, the same plan at any edge count."""
+    graphs, edges = _scale_graph(spark, sf_dir)
+    outd = edges.groupBy(F.col("src").alias("v")).agg(
+        F.count("*").cast("bigint").alias("od")
+    )
+    ind = edges.groupBy(F.col("dst").alias("v")).agg(
+        F.count("*").cast("bigint").alias("id_")
+    )
+    e = (
+        edges.join(
+            F.broadcast(outd.select(F.col("v").alias("src"), (F.col("od") - 1).alias("ja"))),
+            "src",
+        )
+        .join(
+            F.broadcast(ind.select(F.col("v").alias("dst"), (F.col("id_") - 1).alias("jb"))),
+            "dst",
+        )
+    )
+    agg = e.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum(F.col("ja") * F.col("jb")).cast("bigint").alias("s_jajb"),
+        F.sum(F.col("ja") + F.col("jb")).cast("bigint").alias("s_sum"),
+        F.sum(F.col("ja") * F.col("ja") + F.col("jb") * F.col("jb"))
+        .cast("bigint")
+        .alias("s_sq"),
+    )
+    num = F.col("s_jajb") / F.col("m") - F.pow(F.col("s_sum") / (2 * F.col("m")), 2)
+    den = F.col("s_sq") / (2 * F.col("m")) - F.pow(F.col("s_sum") / (2 * F.col("m")), 2)
+    # Degree-regular graphs have zero excess-degree variance and the
+    # coefficient is undefined — guard with the INTEGER-domain identity
+    # den == 0 <=> 2*m*s_sq == s_sum^2 (bit-exact in both engines, where
+    # a float-domain == 0 test could disagree on a ulp).
+    defined = 2 * F.col("m") * F.col("s_sq") != F.col("s_sum") * F.col("s_sum")
+    return agg.select(
+        "m",
+        "s_jajb",
+        "s_sum",
+        "s_sq",
+        F.when(defined, F.round(F.lit(1e6) * num / den).cast("bigint"))
+        .otherwise(F.lit(None).cast("bigint"))
+        .alias("assortativity_micro"),
+    )
+
+
+ASSORTATIVITY_SQL = f"""
+WITH se AS ({fixtures.SCALE_GRAPH_SQL}),
+outd AS (SELECT src AS v, COUNT(*) AS od FROM se GROUP BY 1),
+ind AS (SELECT dst AS v, COUNT(*) AS id_ FROM se GROUP BY 1),
+e AS (
+  SELECT o.od - 1 AS ja, i.id_ - 1 AS jb
+  FROM se JOIN outd o ON o.v = se.src JOIN ind i ON i.v = se.dst
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(ja * jb) AS BIGINT) AS s_jajb,
+         CAST(SUM(ja + jb) AS BIGINT) AS s_sum,
+         CAST(SUM(ja * ja + jb * jb) AS BIGINT) AS s_sq
+  FROM e
+)
+SELECT m, s_jajb, s_sum, s_sq,
+       CASE WHEN 2 * m * s_sq <> s_sum * s_sum
+            THEN CAST(round(1e6 * (CAST(s_jajb AS DOUBLE) / m
+                            - pow(CAST(s_sum AS DOUBLE) / (2 * m), 2))
+                         / (CAST(s_sq AS DOUBLE) / (2 * m)
+                            - pow(CAST(s_sum AS DOUBLE) / (2 * m), 2)))
+                 AS BIGINT)
+            ELSE NULL END AS assortativity_micro
+FROM agg
+"""
+
+
+GRAPH_QUERIES["g_assortativity"] = (degree_assortativity, ASSORTATIVITY_SQL)

@@ -252,6 +252,9 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # vocabulary-free hashing-trick featurizer (signed md5 buckets) —
     # also verified at sf0.1
     "text_hashed_features": 11,
+    # Newman degree assortativity via exact integer edge moments, with an
+    # integer-domain zero-variance guard — also verified at sf0.1
+    "g_assortativity": 11,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)
