@@ -1766,6 +1766,11 @@ def pipe_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     docs = _docs(spark, sf_dir)
+    # The key is a STRUCT, not a separator-joined string: xxhash64 hashes
+    # struct fields directly, so a token containing any would-be separator
+    # char can never be truncated or aliased on decode (r11 ADVICE — the
+    # old concat_ws('|')/split_part round trip diverged from the oracle
+    # for tokens containing '|').
     toks = (
         docs.select(
             "doc_id",
@@ -1773,7 +1778,7 @@ def pipe_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
         )
         .filter(F.col("tok") != "")
-        .select("doc_id", F.concat_ws("|", "lang", "tok").alias("key"))
+        .select("doc_id", F.struct("lang", "tok").alias("key"))
     )
     base = tempfile.mkdtemp(prefix="dgds_cms_store_")
     write_cms_sketch(toks.where(F.col("doc_id") % 2 == 0), "key", base, 0)
@@ -1795,8 +1800,8 @@ def pipe_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n") * 1000 >= 5 * F.col("n_total"))  # exact verify
         .crossJoin(F.broadcast(mass_ok))
         .select(
-            F.split_part("key", F.lit("|"), F.lit(1)).alias("lang"),
-            F.split_part("key", F.lit("|"), F.lit(2)).alias("tok"),
+            F.col("key.lang").alias("lang"),
+            F.col("key.tok").alias("tok"),
             "n",
             (F.col("cms_est") >= F.col("n")).alias("cms_ge_exact"),
             (
@@ -2009,8 +2014,9 @@ def epoch_shuffle_df(
     """Deterministic per-epoch corpus shuffle: epoch e orders docs by the
     engine-portable md5 integer of ``doc_id|e`` — a different pseudorandom
     permutation per epoch, bit-reproducible across engines and retries.
-    The order is materialized two-level, (epoch, shard, pos): shard = top
-    hash bits, pos = rank within shard — so the ranking window is
+    The order is materialized two-level, (epoch, shard, pos): shard =
+    k mod shards (the hash's low bits), pos = rank by (k, doc_id) within
+    the shard — so the ranking window is
     per-(epoch, shard), never a global single-partition sort (the naive
     global row_number would serialize 100 TB through one task; the
     dataloader consumes shards in shard order, positions within). Returns
@@ -2091,19 +2097,20 @@ def pipe_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = scored.agg(
         F.min("q").alias("lo"), F.max("q").alias("hi")
     )
-    nb = F.lit(CURRICULUM_BUCKETS)
+    # Integer DIV, not double `/` + cast: keeps the "integer arithmetic
+    # end to end" contract literal (a double quotient can truncate a ulp
+    # low at large magnitudes — the hazard pipe_weighted_sample documents)
+    # and matches the oracle's `//` exactly (numerator >= 0, so floor ==
+    # trunc) (r11 ADVICE).
     return (
         scored.crossJoin(F.broadcast(bounds))
         .select(
             "doc_id",
             "lang",
             F.col("q").alias("quality_micro"),
-            (
-                (F.col("q") - F.col("lo")) * nb / (F.col("hi") - F.col("lo") + 1)
-            )
-            .cast("bigint")
-            .cast("int")
-            .alias("bucket"),
+            F.expr(
+                f"CAST((q - lo) * {CURRICULUM_BUCKETS} DIV (hi - lo + 1) AS INT)"
+            ).alias("bucket"),
         )
     )
 

@@ -1970,16 +1970,19 @@ def unpivot_region_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The three per-region aggregates are |region| rows each — broadcast
     # explicitly (left SMJ-planned without the hint: the agg output hides
     # the size estimate from the static planner until AQE kicks in).
+    # LEFT joins + coalesce(…, 0), matching the oracle's LEFT JOIN: a
+    # region with nations but zero customers or suppliers must surface as
+    # a 0-count row in BOTH engines, not vanish from one (r11 ADVICE).
     wide = (
         nat.groupBy("r_name")
         .agg(F.count("*").alias("n_nations"))
-        .join(F.broadcast(cust), "r_name")
-        .join(F.broadcast(supp), "r_name")
+        .join(F.broadcast(cust), "r_name", "left")
+        .join(F.broadcast(supp), "r_name", "left")
         .select(
             F.col("r_name").alias("region"),
             F.col("n_nations").cast("bigint").alias("n_nations"),
-            F.col("n_customers").cast("bigint").alias("n_customers"),
-            F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
+            F.coalesce("n_customers", F.lit(0)).cast("bigint").alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).cast("bigint").alias("n_suppliers"),
         )
     )
     return wide.unpivot(

@@ -424,6 +424,7 @@ def stream_cms_ingest(
     key_col: str,
     store_path: str,
     checkpoint_path: str,
+    payload_archive_path: str | None = None,
 ):
     """Continuous frequency-sketch ingestion: per micro-batch, write the
     batch's count-min sketch into the mergeable store under ``store_path``
@@ -435,12 +436,28 @@ def stream_cms_ingest(
     dynamic partition overwrite, so a replayed batch replaces exactly its
     own counters (CMS merge is linear, so an appended duplicate would
     double mass — the entry's flags catch exactly that). Returns the
-    started StreamingQuery (availableNow trigger)."""
+    started StreamingQuery (availableNow trigger).
+
+    ``payload_archive_path``, when set, lands each batch's RAW keyed rows
+    as a batch_id-partitioned parquet archive next to the sketch — the
+    lambda-architecture companion (sketch serves, archive rebuilds) and
+    the ground truth a replay test needs: "replay batch 0" must mean the
+    rows batch 0 ACTUALLY carried, not whatever the caller assumes the
+    batch split was (r11 ADVICE — availableNow may split a multi-file
+    source into several batches)."""
     from ..operators.pipeline import write_cms_sketch
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        if payload_archive_path is not None:
+            (
+                batch.withColumn("batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(payload_archive_path)
+            )
         write_cms_sketch(batch, key_col, store_path, int(batch_id))
 
     return (
@@ -453,11 +470,12 @@ def stream_cms_ingest(
 
 def stream_cms_ingest_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver entry for the streaming CMS store: tokenize a bounded
-    documents stream to (lang|token) keys, run :func:`stream_cms_ingest`
-    over it (availableNow — the catch-up backfill shape), then STRESS the
-    replay contract by re-writing batch 0 directly (the crash-recovery
-    path: it must overwrite its own partition, not extend it), and report
-    every distinct key against the merged store:
+    documents stream to struct (lang, token) keys, run
+    :func:`stream_cms_ingest` over it (availableNow — the catch-up
+    backfill shape), then STRESS the replay contract by re-writing batch
+    0 from the sink's payload archive (the crash-recovery path: the
+    replayed batch must overwrite its own partition, not extend it), and
+    report every distinct key against the merged store:
 
     - ``n`` — the exact per-key count (oracle value-matched),
     - ``cms_ge_exact`` — the CMS one-sided guarantee; FALSE means counter
@@ -495,26 +513,43 @@ def stream_cms_ingest_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def keyed(df: DataFrame) -> DataFrame:
+        # Struct key, not concat_ws('|'): tokens containing the separator
+        # would decode truncated and diverge from the oracle (r11 ADVICE).
         return (
             df.select(
                 "lang",
                 F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
             )
             .filter(F.col("tok") != "")
-            .select(F.concat_ws("|", "lang", "tok").alias("key"))
+            .select(F.struct("lang", "tok").alias("key"))
         )
 
     base = tempfile.mkdtemp(prefix="dgds_cms_ingest_")
     q = stream_cms_ingest(
-        spark, keyed(docs_stream), "key", f"{base}/store", f"{base}/ck"
+        spark,
+        keyed(docs_stream),
+        "key",
+        f"{base}/store",
+        f"{base}/ck",
+        payload_archive_path=f"{base}/payload",
     )
     q.awaitTermination()
     # Replay stress: batch 0 again, same batch_id — dynamic overwrite must
-    # replace its partition, leaving merged counter mass unchanged.
+    # replace its partition, leaving merged counter mass unchanged. The
+    # replayed payload is what batch 0 ACTUALLY contained (read back from
+    # the sink's archive), not the full corpus — availableNow is free to
+    # split a multi-file source into several batches, and assuming
+    # one-batch-equals-corpus would double-count every later batch's mass
+    # on replay (r11 ADVICE).
     from ..sources.tables import load_table
 
     toks = keyed(load_table(spark, sf_dir, "documents"))
-    write_cms_sketch(toks, "key", f"{base}/store", 0)
+    batch0 = (
+        spark.read.parquet(f"{base}/payload")
+        .where(F.col("batch_id") == 0)
+        .select("key")
+    )
+    write_cms_sketch(batch0, "key", f"{base}/store", 0)
     sketch = read_cms_store(spark, f"{base}/store")
     exact = toks.groupBy("key").agg(F.count("*").cast("bigint").alias("n"))
     total = toks.agg(F.count("*").cast("bigint").alias("n_total"))
@@ -530,8 +565,8 @@ def stream_cms_ingest_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(total))
         .crossJoin(F.broadcast(mass_ok))
         .select(
-            F.split_part("key", F.lit("|"), F.lit(1)).alias("lang"),
-            F.split_part("key", F.lit("|"), F.lit(2)).alias("tok"),
+            F.col("key.lang").alias("lang"),
+            F.col("key.tok").alias("tok"),
             "n",
             (F.col("cms_est") >= F.col("n")).alias("cms_ge_exact"),
             (
