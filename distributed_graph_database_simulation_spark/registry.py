@@ -39,62 +39,44 @@ from .streaming.windowed import STREAMING_QUERIES
 # fixture variants (all hash-exact green in CORRECTNESS_r01) go in the tail.
 CHECK_WINDOW = 50
 
-# r11 rotation (ordered by the r10 verdict):
+# r12 rotation (ordered by the r11 verdict #2):
 #
-# 1. THE SEVENTEEN r10-STAGED ENTRIES rotate in for their FIRST driver rows
-#    (r10 verdict #3 — the staleness guard forces them into the r11/r12
-#    gate): the >1M prefiltered cosine-dedup route, the HyperBall pair,
-#    HLL/Theta sketch stores, the three foreachBatch ingesters
-#    (sketch/dedup/CDC user-state), Z-order layout, JL projection,
-#    persisted IVF index, exact effective diameter, Doulion sampled
-#    triangles, sqrt-temperature mix (HUGEINT oracle cast fixed this round,
-#    r10 verdict #1), 4-cliques, corpus novelty, checked approx-distinct.
-#    The two formerly rows-only entries (g_hyperball_harmonic_scale,
-#    sim_random_project) were converted to the checked exact-value +
-#    envelope-flag form this round (r10 verdict #5), so every window entry
-#    gates with an exact oracle. All seventeen re-verified hash-exact at
-#    sf0.001 + sf0.01 before the swap.
-# 2. ``pipe_dataset_card`` STAYS for its re-gate: its r10 red row was an
-#    oracle typing bug (un-cast DuckDB SUM -> HUGEINT -> float64 hash),
-#    fixed this round with CAST AS BIGINT (r10 verdict #1) and guarded
-#    repo-wide by tests/test_oracle_types.py's DESCRIBE sweep.
+# THE TWENTY-TWO r11-STAGED ENTRIES rotate in for their FIRST driver rows
+# (the staleness guard requires driver rows within two rounds of staging):
+# multi-grain GROUPING SETS, radius cosine search, bipartite projection +
+# clustering + butterflies, CMS heavy hitters (batch + streaming ingest
+# with payload-archive replay stress), DeepWalk skip-gram pairs, native
+# UNPIVOT, the rank window family, checked approx-quantile, the composed
+# end-to-end pipeline, incremental IVF append, epoch shuffle, curriculum
+# buckets, weighted bottom-k sample, ViT patches, audio analysis windows,
+# small-files compaction, streaming SCD2, hashing-trick features, and
+# degree assortativity. All 22 were pre-verified hash-exact at sf0.001 +
+# sf0.01 when staged (r11) and the five touched by r11-ADVICE fixes
+# (unpivot, curriculum, both CMS entries, epoch shuffle) re-verified at
+# both sfs this round after the fixes.
 #
-# Rotated to the tail in exchange (17): the five r07-wave iterative-loop
-# veterans (4 green rows each, r07-r10), the ten r08-wave entries (3 green
-# rows each), and dedup_scrub_spans + text_unigram_lm (4 green rows each).
-# Family coverage after the swap: g (BFS/DFS + walks/node2vec/SimRank/HITS/
-# articulation/bridges/triangles + HyperBall/diameter/Doulion/4-cliques),
-# dedup (semdedup, phash, prefiltered-cosine), sim (lsh/ivf/pq/ivfpq/
-# recall/random-project/ivf-index), text (novelty), mm (resize, phash),
-# rel (resample/interval/skyline/retention/approx-distinct-checked),
-# stream (sketch/dedup/user-state ingest), pipe (9 entries).
+# Rotated to the tail in exchange (22): the fifteen r10-wave first-timers
+# with 2 green rows each (r10+r11: walks/node2vec x2, neighbor-agg,
+# SimRank x2, HITS x2, articulation, bridges, semdedup, ivfpq, recall-lsh,
+# phash-dedup), sim_topk_lsh / sim_topk_ivf (3 rows), g_triangles (2 rows
+# post-redefinition), pipe_split / pipe_cap_per_source (5 rows each), and
+# rel_skyline / sim_topk_pq (3 rows each).
+#
+# The seventeen r11 first-timers STAY for their second rows. Family
+# coverage after the swap: g (BFS/DFS + HyperBall pair/diameter/Doulion/
+# 4-cliques + bipartite project/clustering/butterflies/assortativity/
+# skip-gram pairs), dedup (prefiltered-cosine), sim (random-project/
+# ivf-index/range-search/ivf-append), text (novelty, hashed-features),
+# mm (resize, patches, audio-windows), rel (resample/interval/retention/
+# approx-distinct-checked/grouping-sets/unpivot/rank-family/
+# approx-quantile-checked), stream (sketch/dedup/user-state/cms/scd2
+# ingest), pipe (11 entries).
 _WINDOW_ORDER = [
     # -- graph essentials (reference ops 1-5 + north-star analytics) --------
     "g_bfs_levels",
     "g_dfs_leaves",
-    # -- r09 first-timers, 3rd driver row: ANN top-k -------------------------
-    "sim_topk_lsh",
-    "sim_topk_ivf",
-    # -- r10 first-timers, 2nd driver row -----------------------------------
-    "g_random_walks",
-    "g_random_walks_scale",
-    "g_node2vec_walks",
-    "g_node2vec_walks_scale",
-    "g_neighbor_agg_scale",
-    "g_simrank",
-    "g_simrank_scale",
-    "g_hits",
-    "g_hits_scale",
-    "g_articulation",
-    "g_bridges",
-    "dedup_semdedup",
-    "sim_topk_ivfpq",
-    "sim_recall_lsh",
-    "mm_image_phash_dedup",
-    # -- r11 re-gate: oracle HUGEINT cast fixed (r10 verdict #1) ------------
+    # -- r11 first-timers, 2nd driver row -----------------------------------
     "pipe_dataset_card",
-    "g_triangles",
-    # -- r11 rotation: the seventeen r10-staged entries, first driver rows --
     "dedup_embedding_cosine_prefiltered",
     "g_hyperball_scale",
     "g_hyperball_harmonic_scale",
@@ -112,21 +94,39 @@ _WINDOW_ORDER = [
     "g_four_cliques_scale",
     "text_novelty",
     "rel_approx_distinct_checked",
-    # -- LLM-pipeline surface ----------------------------------------------
-    "pipe_split",
-    "pipe_cap_per_source",
+    # -- r12 rotation: the twenty-two r11-staged entries, first driver rows -
+    "rel_grouping_sets",
+    "sim_range_search",
+    "g_bipartite_project",
+    "pipe_cms_heavy_hitters",
+    "stream_cms_ingest",
+    "g_walk_skipgram_pairs",
+    "rel_unpivot",
+    "rel_rank_family",
+    "rel_approx_quantile_checked",
+    "pipe_end_to_end",
+    "sim_ivf_index_append",
+    "g_butterflies",
+    "pipe_epoch_shuffle",
+    "pipe_curriculum_buckets",
+    "pipe_weighted_sample",
+    "mm_image_patches",
+    "mm_audio_windows",
+    "pipe_compact_files",
+    "stream_scd2_ingest",
+    "g_bipartite_clustering",
+    "text_hashed_features",
+    "g_assortativity",
+    # -- LLM-pipeline surface veterans --------------------------------------
     "pipe_token_budget",
     "pipe_select_quality",
     "pipe_pack_sequences",
-    # -- events + relational library --------------------------------------
+    # -- events + relational library ----------------------------------------
     "rel_resample_ffill",
     "rel_interval_overlap",
-    # -- r09-continuation first-timers, 3rd driver row ----------------------
-    "rel_skyline",
     "rel_retention_cohorts",
     "pipe_mixture_balance",
     "mm_image_resize",
-    "sim_topk_pq",
 ]
 
 _SUITES = (
@@ -187,74 +187,9 @@ ALL_QUERIES.update({name: spec for name, spec in _POOL.items() if name not in AL
 # passed — staging is for entries awaiting a FUTURE rotation, and the r09
 # window still had its rotation pending.
 STAGED_DECLARED_ROUND: dict[str, int] = {
-    # (The seventeen r10-staged entries rotated into the r11 gate window —
+    # (The twenty-two r11-staged entries rotated into the r12 gate window —
     # see _WINDOW_ORDER. New-this-round operators are declared here as they
-    # are built and pre-verified, queued for the r12 rotation.)
-    # r11 wave — each pre-verified hash-exact at sf0.001 AND sf0.01:
-    # GROUPING SETS multi-grain aggregation (native groupingSets API)
-    "rel_grouping_sets": 11,
-    # radius (range) cosine search — the data-sized query shape next to
-    # top-k, exact integer kernel on the shared micro-quantization
-    "sim_range_search": 11,
-    # weighted one-mode bipartite projection (co-occurrence graph build)
-    # with deterministic hub truncation
-    "g_bipartite_project": 11,
-    # count-min sketch store + exact-verified heavy hitters (also verified
-    # at sf0.1; fault-injection for the mass invariant in tests/test_cms.py)
-    "pipe_cms_heavy_hitters": 11,
-    # streaming CMS ingest with batch-0 replay stress
-    "stream_cms_ingest": 11,
-    # skip-gram pair generation over the deterministic walk corpus (the
-    # DeepWalk stage after random_walks; oracle wraps the walk-replay CTE)
-    "g_walk_skipgram_pairs": 11,
-    # native UNPIVOT wide->long melt (inverse of the pivot entry)
-    "rel_unpivot": 11,
-    # ntile/percent_rank/cume_dist in one window pass, tie-broken unique
-    "rel_rank_family": 11,
-    # percentile_approx certified by the checked pattern (exact p50 value
-    # match + envelope flag)
-    "rel_approx_quantile_checked": 11,
-    # the composed dedup->quality->budget pipeline in one DAG (stage
-    # outputs feed stage inputs; oracle certifies the composition-shifted
-    # thresholds, not just each stage) — also verified at sf0.1
-    "pipe_end_to_end": 11,
-    # incremental IVF index growth: build on half, append the rest against
-    # frozen centroids (oracle trains Lloyd on the half via the
-    # train_where knob) — also verified at sf0.1
-    "sim_ivf_index_append": 11,
-    # per-vertex butterfly (2x2 biclique) counting via the uncapped exact
-    # projection — also verified at sf0.1
-    "g_butterflies": 11,
-    # deterministic resumable per-epoch shuffle, (epoch, shard, pos) order
-    # — also verified at sf0.1
-    "pipe_epoch_shuffle": 11,
-    # curriculum difficulty bucketing, integer-exact equi-width buckets
-    # — also verified at sf0.1
-    "pipe_curriculum_buckets": 11,
-    # deterministic weighted bottom-k sample (TakeOrderedAndProject,
-    # integer-div priorities) — also verified at sf0.1
-    "pipe_weighted_sample": 11,
-    # ViT patch-grid extraction through the real BMP codec (1 -> n_patches
-    # explode in the Arrow kernel) — also verified at sf0.1
-    "mm_image_patches": 11,
-    # overlapping PCM analysis-window framing through the real WAV codec
-    # (audio tokenization; 1 -> n_windows explode) — also verified at sf0.1
-    "mm_audio_windows": 11,
-    # small-files compaction: layout-only range-sorted rewrite, content
-    # value-matched vs the original table — also verified at sf0.1
-    "pipe_compact_files": 11,
-    # incremental SCD2 history maintenance from the event stream, by-value
-    # replay stressed — also verified at sf0.1
-    "stream_scd2_ingest": 11,
-    # bipartite local clustering (Latapy pairwise overlap), micro-unit
-    # integer terms — also verified at sf0.1
-    "g_bipartite_clustering": 11,
-    # vocabulary-free hashing-trick featurizer (signed md5 buckets) —
-    # also verified at sf0.1
-    "text_hashed_features": 11,
-    # Newman degree assortativity via exact integer edge moments, with an
-    # integer-domain zero-variance guard — also verified at sf0.1
-    "g_assortativity": 11,
+    # are built and pre-verified, queued for the r13 rotation.)
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

@@ -202,11 +202,45 @@ R11_ROTATED_OUT = (
     "dedup_scrub_spans", "text_unigram_lm",
 )
 
+# r12 first-timers (r11 verdict #2): the twenty-two entries staged in r11
+# rotate in for their first driver rows — the staleness guard requires a
+# driver row within two rounds of staging. All 22 were pre-verified
+# hash-exact at sf0.001 + sf0.01 when staged; the five touched by
+# r11-ADVICE fixes (rel_unpivot, pipe_curriculum_buckets,
+# pipe_cms_heavy_hitters, stream_cms_ingest, pipe_epoch_shuffle) were
+# re-verified at both sfs after the fixes, before this swap.
+R12_NEW_ENTRIES = (
+    "rel_grouping_sets", "sim_range_search", "g_bipartite_project",
+    "pipe_cms_heavy_hitters", "stream_cms_ingest", "g_walk_skipgram_pairs",
+    "rel_unpivot", "rel_rank_family", "rel_approx_quantile_checked",
+    "pipe_end_to_end", "sim_ivf_index_append", "g_butterflies",
+    "pipe_epoch_shuffle", "pipe_curriculum_buckets", "pipe_weighted_sample",
+    "mm_image_patches", "mm_audio_windows", "pipe_compact_files",
+    "stream_scd2_ingest", "g_bipartite_clustering", "text_hashed_features",
+    "g_assortativity",
+)
+
+R12_ROTATED_OUT = (
+    # the fifteen r10-wave first-timers, 2 green rows each (r10 + r11)
+    "g_random_walks", "g_random_walks_scale", "g_node2vec_walks",
+    "g_node2vec_walks_scale", "g_neighbor_agg_scale", "g_simrank",
+    "g_simrank_scale", "g_hits", "g_hits_scale", "g_articulation",
+    "g_bridges", "dedup_semdedup", "sim_topk_ivfpq", "sim_recall_lsh",
+    "mm_image_phash_dedup",
+    # the redefined per-vertex triangles entry, 2 green rows (r10 + r11)
+    "g_triangles",
+    # ANN top-k pair (3 rows: r09-r11) and two more 3-row r09 entries
+    "sim_topk_lsh", "sim_topk_ivf", "rel_skyline", "sim_topk_pq",
+    # two 5-row LLM-pipeline veterans (r07-r11)
+    "pipe_split", "pipe_cap_per_source",
+)
+
 # Rotation ledger, newest first: (round, rotated-in, rotated-out). Window
 # membership for any name touched by a rotation is decided by the LATEST
 # rotation that mentions it — replaying this ledger replaces the
 # conditional chains the per-round tests used to carry.
 ROTATIONS = (
+    (12, R12_NEW_ENTRIES, R12_ROTATED_OUT),
     (11, R11_NEW_ENTRIES + R11_REGATE, R11_ROTATED_OUT),
     (10, R10_NEW_ENTRIES + R10_REAUDIT, R10_ROTATED_OUT),
     (9, R09_NEW_ENTRIES + R09_REAUDIT, R09_ROTATED_OUT),
@@ -243,14 +277,16 @@ def test_rotation_ledger_is_consistent():
         assert (name in w) == expected_in_window(name), name
 
 
-def test_r11_rotation_swaps_balance():
-    """r11 swaps the 17 r10-staged first-timers in for 17 multi-green
-    veterans; the re-gated pipe_dataset_card stays put; window stays
-    exactly CHECK_WINDOW."""
-    assert len(R11_NEW_ENTRIES) == len(R11_ROTATED_OUT) == 17
+def test_r12_rotation_swaps_balance():
+    """r12 swaps the 22 r11-staged first-timers in for 22 multi-green
+    veterans; the r11 first-timers stay for their second rows; window
+    stays exactly CHECK_WINDOW."""
+    assert len(R12_NEW_ENTRIES) == len(R12_ROTATED_OUT) == 22
     w = set(window_names())
+    assert set(R12_NEW_ENTRIES) <= w
+    assert not set(R12_ROTATED_OUT) & w
+    # the seventeen r11 first-timers + the re-gated dataset card stay
     assert set(R11_NEW_ENTRIES + R11_REGATE) <= w
-    assert not set(R11_ROTATED_OUT) & w
 
 
 def _green_history():
@@ -322,7 +358,7 @@ def test_window_entries_without_history_are_this_rounds_rotation():
     pre-verification step the rotation playbook requires."""
     green = _green_history()
     awaiting = set(window_names()) - green
-    allowed = set(R11_NEW_ENTRIES) | set(R11_REGATE)
+    allowed = set(R12_NEW_ENTRIES)
     assert awaiting <= allowed, (
         f"window entries with no driver history outside this round's "
         f"rotation: {sorted(awaiting - allowed)}"
