@@ -141,6 +141,12 @@ HEADLINE = [
     "g_bipartite_clustering",
     "text_hashed_features",
     "g_assortativity",
+    # round-12 wave: deterministic BPE tokenizer (Arrow replace-chain
+    # kernel), the suffix-array exact-substring dedup contract, and
+    # BPE-counted sequence packing
+    "text_bpe_encode",
+    "dedup_exact_substring",
+    "pipe_pack_bpe",
 ]
 
 

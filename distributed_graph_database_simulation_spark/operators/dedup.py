@@ -1144,7 +1144,10 @@ DUP_SPAN_MIN_OCC = 2      # corpus-wide occurrences that make a gram "dup"
 
 
 def dup_spans_df(
-    docs: DataFrame, k: int = DUP_SPAN_K, min_occurrences: int = DUP_SPAN_MIN_OCC
+    docs: DataFrame,
+    k: int = DUP_SPAN_K,
+    min_occurrences: int = DUP_SPAN_MIN_OCC,
+    cross_doc: bool = False,
 ) -> DataFrame:
     """Maximal duplicated word spans per document (substring-level dedup).
 
@@ -1190,9 +1193,16 @@ def dup_spans_df(
     ).select("doc_id", "pos", F.xxhash64("gram").alias("gh")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # cross_doc counts DISTINCT documents per gram (the suffix-array
+    # contract of Lee et al. 2022: a run is duplicated only if it appears
+    # in ANOTHER document), default counts raw occurrences (within-doc
+    # repeats also count). Both are one hash aggregate with map-side
+    # combine; count-distinct adds a (gh, doc_id) pre-dedup, still keyed
+    # on the near-uniform gram hash.
+    occ = F.countDistinct("doc_id") if cross_doc else F.count("*")
     dup_keys = (
         pos.groupBy("gh")
-        .agg(F.count("*").alias("occ"))
+        .agg(occ.alias("occ"))
         .where(F.col("occ") >= min_occurrences)
         .select("gh")
     )
@@ -1456,6 +1466,99 @@ DEDUP_QUERIES.update(
     {
         "dedup_containment": (dedup_containment, DEDUP_CONTAINMENT_SQL),
         "dedup_dup_spans": (dedup_dup_spans, DEDUP_DUP_SPANS_SQL),
+    }
+)
+
+
+# --- exact-substring dedup (the suffix-array contract) --------------------
+
+EXACT_SUBSTR_TOKENS = 50  # Lee et al. 2022 drop threshold: >= 50-token runs
+
+
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, the suffix-array contract of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"): find
+    every maximal run of >= 50 tokens that also appears in ANOTHER
+    document — the spans a training pipeline drops before tokenization.
+
+    The suffix-array algorithm is replaced by its relational equivalent
+    (:func:`dup_spans_df` with ``cross_doc=True``): a run of length >= 50
+    is repeated across documents iff each of its 50-token windows is — a
+    position p whose 50-gram occurs in >= 2 distinct docs marks tokens
+    [p, p+49] as covered — so 50-gram anchors + the keyed semi-join +
+    per-doc interval merge reconstruct exactly the maximal drop spans
+    without ever materializing a suffix array. Cost is
+    candidate-proportional: one hash aggregate over gram keys (map-side
+    combined), fan-out of the join = true duplicate mass, and the island
+    merge is windowed per doc — nothing quadratic in corpus size, which
+    is what lets the same plan run at 100 TB where a monolithic suffix
+    array cannot be built.
+
+    The oracle reproduces the pipeline on raw gram TEXT (no hashing), so
+    an xxhash64 gram collision on the Spark side — the one
+    engine-specific ingredient, probability ~|grams|^2/2^64 — would
+    surface as a driver mismatch. Returns
+    ``(doc_id, span_start, span_end, span_tokens)``, word coordinates,
+    inclusive; span_tokens >= 50 by construction."""
+    spans = dup_spans_df(
+        _docs(spark, sf_dir),
+        k=EXACT_SUBSTR_TOKENS,
+        min_occurrences=2,
+        cross_doc=True,
+    )
+    return spans.select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+    )
+
+
+DEDUP_EXACT_SUBSTRING_SQL = f"""
+WITH docs AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         array_to_string(list_slice(w, i, i + {EXACT_SUBSTR_TOKENS - 1}), ' ') AS gram
+  FROM docs, LATERAL (SELECT unnest(range(1, len(w) - {EXACT_SUBSTR_TOKENS - 2})) AS i)
+  WHERE len(w) >= {EXACT_SUBSTR_TOKENS}
+),
+dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+),
+dp AS (
+  SELECT g.doc_id, g.pos, g.pos + {EXACT_SUBSTR_TOKENS - 1} AS e
+  FROM grams g JOIN dup USING (gram)
+),
+pm AS (
+  SELECT doc_id, pos, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM dp
+),
+isl AS (
+  SELECT doc_id, pos, e,
+         sum(CASE WHEN prev_max IS NULL OR pos > prev_max + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM pm
+)
+SELECT doc_id,
+       CAST(min(pos) AS INT) AS span_start,
+       CAST(max(e) AS INT) AS span_end,
+       CAST(max(e) - min(pos) + 1 AS INT) AS span_tokens
+FROM isl GROUP BY doc_id, island
+"""
+
+
+DEDUP_QUERIES.update(
+    {
+        "dedup_exact_substring": (
+            dedup_exact_substring,
+            DEDUP_EXACT_SUBSTRING_SQL,
+        ),
     }
 )
 

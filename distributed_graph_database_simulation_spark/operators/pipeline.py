@@ -2293,3 +2293,77 @@ PIPELINE_QUERIES.update(
         "pipe_compact_files": (pipe_compact_files, PIPE_COMPACT_FILES_SQL),
     }
 )
+
+
+# --- BPE-counted packing (the real-tokenizer composition) ------------------
+
+
+def pipe_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing driven by REAL subword token counts: every doc's
+    BPE length (``text_analysis.text_bpe_encode`` — the checked-in merge
+    table, not the regex approximation) becomes its packing weight, then
+    :func:`pack_sequences_df` lays docs end-to-end and cuts every
+    ``SEQ_LEN`` tokens. This is the production dataloader composition —
+    token budgets and cut points computed from the tokenizer the model
+    will actually see — and the oracle recomputes the BPE length with the
+    generated replace-chain expression inside the same packing CTE, so
+    the certified artifact is the COMPOSITION (tokenize -> pack), not the
+    stages in isolation."""
+    from .text_analysis import text_bpe_encode
+
+    enc = text_bpe_encode(spark, sf_dir).select(
+        "doc_id",
+        F.lit(0).cast("int").alias("chunk_id"),
+        F.col("n_bpe").cast("int").alias("n_tokens"),
+    )
+    return pack_sequences_df(enc)
+
+
+def _pack_bpe_sql() -> str:
+    from ..functions.bpe import SEP, bpe_oracle_expr
+
+    return f"""
+WITH enc AS (
+  SELECT doc_id,
+         regexp_replace(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                        '[^a-z0-9 ]', '', 'g') AS norm,
+         {bpe_oracle_expr("text")} AS s
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, CAST(0 AS INT) AS chunk_id,
+         CAST(CASE WHEN norm = '' THEN 0
+              ELSE length(s) - length(replace(s, '{SEP}', '')) END AS INT)
+           AS n_tokens
+  FROM enc
+),
+keyed AS (
+  SELECT doc_id, chunk_id, n_tokens,
+         CAST((doc_id * {_XXPRIME}) % {N_SHARDS} AS INT) AS shard,
+         (doc_id * {_KNUTH}) % {_ORDER_MOD} AS scr
+  FROM chunks
+),
+cum AS (
+  SELECT doc_id, chunk_id, n_tokens, shard,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY scr, doc_id, chunk_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+  FROM keyed
+)
+SELECT doc_id, chunk_id, shard,
+       CAST(c // {SEQ_LEN} AS BIGINT) AS seq_id,
+       CAST(c % {SEQ_LEN} AS INT) AS seq_offset,
+       n_tokens
+FROM cum
+"""
+
+
+PIPE_PACK_BPE_SQL = _pack_bpe_sql()
+
+
+PIPELINE_QUERIES.update(
+    {
+        # r12: packing weighted by the real BPE tokenizer's counts
+        "pipe_pack_bpe": (pipe_pack_bpe, PIPE_PACK_BPE_SQL),
+    }
+)

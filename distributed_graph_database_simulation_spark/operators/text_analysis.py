@@ -1201,3 +1201,102 @@ TEXT_QUERIES.update(
         "text_hashed_features": (text_hashed_features, TEXT_HASHED_FEATURES_SQL),
     }
 )
+
+
+# --- BPE subword tokenizer (functions/bpe.py) ------------------------------
+
+
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic BPE subword encoding of every document — the real
+    tokenizer behind packing / budget admission, replacing the regex
+    count's approximation (see :mod:`..functions.bpe` for the algorithm
+    and the checked-in merge table learned by ``tools/learn_bpe.py``).
+
+    Arrow kernel (mapInPandas): the merge loop is a chain of VECTORIZED
+    non-regex ``Series.str.replace`` passes — O(len * n_merges) per doc,
+    no shuffle, no per-row Python in the inner loop. Emits
+    ``(doc_id, n_bpe, enc_md5, head_tokens)``: the token count, the md5 of
+    the full encoded symbol string (pins the exact byte output without
+    hauling the token stream through the gate), and the first 8 tokens.
+    The oracle is GENERATED from the same merge table
+    (:func:`..functions.bpe.bpe_oracle_expr`) — both engines run the same
+    leftmost-non-overlapping replace chain, so the match certifies every
+    merge step, not just counts."""
+    from ..functions.bpe import BPE_MERGES, END_OF_WORD, SEP
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def kernel(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            norm = (
+                pdf["text"]
+                .str.strip()
+                .str.replace(r"\s+", " ", regex=True)
+                .str.lower()
+                .str.replace("[^a-z0-9 ]", "", regex=True)
+            )
+            s = (norm + " ").str.replace(" ", END_OF_WORD, regex=False)
+            s = SEP + s.map(lambda x: SEP.join(x))
+            for a, b in BPE_MERGES:
+                s = s.str.replace(f"{SEP}{a}{SEP}{b}", f"{SEP}{a}{b}", regex=False)
+            empty = norm.str.len() == 0
+            n = (s.str.len() - s.str.replace(SEP, "", regex=False).str.len()).where(
+                ~empty, 0
+            )
+            enc = s.map(lambda x: hashlib.md5(x.encode()).hexdigest()).where(
+                ~empty, ""
+            )
+            head = s.str.split(SEP, regex=False).map(
+                lambda parts: " ".join(parts[1:9])
+            ).where(~empty, "")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bpe": n.astype("int64"),
+                    "enc_md5": enc,
+                    "head_tokens": head,
+                }
+            )
+
+    return docs.mapInPandas(
+        kernel, "doc_id long, n_bpe long, enc_md5 string, head_tokens string"
+    )
+
+
+def _bpe_sql() -> str:
+    from ..functions.bpe import SEP, bpe_oracle_expr
+
+    return f"""
+WITH enc AS (
+  SELECT doc_id,
+         regexp_replace(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                        '[^a-z0-9 ]', '', 'g') AS norm,
+         {bpe_oracle_expr("text")} AS s
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CASE WHEN norm = '' THEN 0
+            ELSE length(s) - length(replace(s, '{SEP}', '')) END AS BIGINT)
+         AS n_bpe,
+       CASE WHEN norm = '' THEN '' ELSE md5(s) END AS enc_md5,
+       CASE WHEN norm = '' THEN ''
+            ELSE array_to_string(list_slice(string_split(s, '{SEP}'), 2, 9), ' ')
+       END AS head_tokens
+FROM enc
+"""
+
+
+TEXT_BPE_ENCODE_SQL = _bpe_sql()
+
+
+TEXT_QUERIES.update(
+    {
+        # r12: deterministic BPE subword tokenizer (Arrow replace-chain
+        # kernel; oracle generated from the same checked-in merge table)
+        "text_bpe_encode": (text_bpe_encode, TEXT_BPE_ENCODE_SQL),
+    }
+)

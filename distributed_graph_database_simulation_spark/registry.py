@@ -117,10 +117,13 @@ _WINDOW_ORDER = [
     "g_bipartite_clustering",
     "text_hashed_features",
     "g_assortativity",
-    # -- LLM-pipeline surface veterans --------------------------------------
-    "pipe_token_budget",
-    "pipe_select_quality",
-    "pipe_pack_sequences",
+    # -- r12-built operators, rotated straight in (gate not yet run; each
+    # pre-verified hash-exact at sf0.001 + sf0.01 + sf0.1): deterministic
+    # BPE tokenizer, the suffix-array exact-substring dedup contract, and
+    # BPE-counted sequence packing --------------------------------------
+    "text_bpe_encode",
+    "dedup_exact_substring",
+    "pipe_pack_bpe",
     # -- events + relational library ----------------------------------------
     "rel_resample_ffill",
     "rel_interval_overlap",

@@ -1,0 +1,144 @@
+"""Unit pins for the r12-new operators: the deterministic BPE tokenizer
+(pure-Python spec vs hand-worked examples, kernel parity, word-boundary
+safety) and exact-substring dedup (planted cross-doc runs, the >= 50-token
+contract, within-doc repeats excluded)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_graph_database_simulation_spark.functions.bpe import (
+    BPE_MERGES,
+    END_OF_WORD,
+    bpe_encode,
+)
+from distributed_graph_database_simulation_spark.operators.dedup import (
+    EXACT_SUBSTR_TOKENS,
+    dup_spans_df,
+)
+
+
+# --- BPE ------------------------------------------------------------------
+
+
+def test_bpe_merge_table_is_word_local():
+    # no FIRST element carries the end-of-word marker -> a replace can
+    # never span a word boundary (the module-level assert, re-pinned here
+    # so a bad regenerated table fails the suite, not just the import)
+    assert all(END_OF_WORD not in a for a, _ in BPE_MERGES)
+    assert len(BPE_MERGES) == len(set(BPE_MERGES))  # no duplicate merges
+
+
+def test_bpe_encode_hand_worked():
+    # 'the' -> t,h,e,# ; merge ('e','#') -> e# : ['t','h','e#']
+    assert bpe_encode("the") == ["t", "h", "e#"]
+    # 'scan' collapses through s,c,a,n,# -> n# -> an# -> can# -> scan#
+    assert bpe_encode("scan") == ["scan#"]
+    # normalization: case folded, punctuation stripped, whitespace collapsed
+    assert bpe_encode("  The   SCAN! ") == ["t", "h", "e#", "scan#"]
+    assert bpe_encode("") == []
+    assert bpe_encode("!!!") == []
+
+
+def test_bpe_tokens_reconstruct_text():
+    # lossless: stripping markers and joining tokens recovers the
+    # normalized text, for every corpus word and a multi-word sample
+    for text in ["merge", "customer", "window", "the fast scan joins"]:
+        toks = bpe_encode(text)
+        rebuilt = "".join(toks).replace(END_OF_WORD, " ").strip()
+        assert rebuilt == " ".join(text.split()), text
+
+
+def test_bpe_no_cross_word_merges():
+    # 'scan' is a single token; adjacent words must not merge through the
+    # boundary: 's can' stays two words however the chain runs
+    toks = bpe_encode("s can")
+    assert toks == ["s", "#", "c", "an#"] or "".join(toks).count(END_OF_WORD) == 2
+    # the word count is preserved for any input
+    assert "".join(bpe_encode("a b c d")).count(END_OF_WORD) == 4
+
+
+def test_bpe_kernel_matches_python_spec(spark, sf_dir):
+    """The Arrow kernel's output equals the row-at-a-time pure-Python
+    spec on real corpus docs (first 50) — counts AND exact token heads."""
+    import hashlib
+
+    from distributed_graph_database_simulation_spark.operators.text_analysis import (
+        text_bpe_encode,
+    )
+
+    rows = (
+        text_bpe_encode(spark, sf_dir)
+        .orderBy("doc_id")
+        .limit(50)
+        .collect()
+    )
+    docs = dict(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(50)
+        .collect()
+    )
+    assert len(rows) == 50
+    for r in rows:
+        toks = bpe_encode(docs[r.doc_id])
+        assert r.n_bpe == len(toks), r.doc_id
+        assert r.head_tokens == " ".join(toks[:8]), r.doc_id
+        enc = "|" + "|".join(toks) if toks else ""
+        assert r.enc_md5 == (
+            hashlib.md5(enc.encode()).hexdigest() if toks else ""
+        ), r.doc_id
+
+
+# --- exact-substring dedup --------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    """Six docs: a 60-token run shared by docs 0 and 1 (must be found,
+    span_tokens >= 60), a 49-token run shared by docs 2 and 3 (one token
+    short of the contract, must NOT be found), and doc 4 repeating its own
+    60-token run twice WITHIN itself (cross-doc mode must ignore it);
+    doc 5 is unique filler."""
+    run60 = " ".join(f"w{i}" for i in range(60))
+    run49 = " ".join(f"x{i}" for i in range(49))
+    fill = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    rows = [
+        (0, f"{fill('a', 20)} {run60} {fill('b', 20)}"),
+        (1, f"{fill('c', 5)} {run60}"),
+        (2, f"{run49} {fill('d', 30)}"),
+        (3, f"{fill('e', 30)} {run49}"),
+        (4, f"{run60.replace('w', 'z')} {fill('f', 10)} {run60.replace('w', 'z')}"),
+        (5, fill("g", 120)),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_substring_finds_planted_cross_doc_run(spark, planted_docs):
+    spans = dup_spans_df(
+        planted_docs, k=EXACT_SUBSTR_TOKENS, min_occurrences=2, cross_doc=True
+    ).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # the shared 60-token run is found in both carriers at the right spot
+    assert set(by_doc) == {0, 1}
+    (s0,) = by_doc[0]
+    assert (s0.span_start, s0.span_end) == (20, 79)
+    (s1,) = by_doc[1]
+    assert (s1.span_start, s1.span_end) == (5, 64)
+    # every reported span satisfies the >= 50-token contract
+    assert all(r.span_end - r.span_start + 1 >= EXACT_SUBSTR_TOKENS for r in spans)
+
+
+def test_exact_substring_within_doc_repeat_not_cross_doc(spark, planted_docs):
+    # doc 4's self-repeat IS caught by the occurrence-count mode...
+    occ = dup_spans_df(
+        planted_docs, k=EXACT_SUBSTR_TOKENS, min_occurrences=2, cross_doc=False
+    )
+    assert occ.where(F.col("doc_id") == 4).count() > 0
+    # ...and correctly ignored by the cross-doc (suffix-array) contract
+    cross = dup_spans_df(
+        planted_docs, k=EXACT_SUBSTR_TOKENS, min_occurrences=2, cross_doc=True
+    )
+    assert cross.where(F.col("doc_id") == 4).count() == 0

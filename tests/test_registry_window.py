@@ -218,6 +218,11 @@ R12_NEW_ENTRIES = (
     "mm_image_patches", "mm_audio_windows", "pipe_compact_files",
     "stream_scd2_ingest", "g_bipartite_clustering", "text_hashed_features",
     "g_assortativity",
+    # r12-built operators rotated straight in (the r12 gate had not yet
+    # run — the same move as the r09-continuation five): deterministic
+    # BPE tokenizer, exact-substring dedup, BPE-counted packing, each
+    # pre-verified hash-exact at sf0.001 + sf0.01 + sf0.1.
+    "text_bpe_encode", "dedup_exact_substring", "pipe_pack_bpe",
 )
 
 R12_ROTATED_OUT = (
@@ -231,8 +236,9 @@ R12_ROTATED_OUT = (
     "g_triangles",
     # ANN top-k pair (3 rows: r09-r11) and two more 3-row r09 entries
     "sim_topk_lsh", "sim_topk_ivf", "rel_skyline", "sim_topk_pq",
-    # two 5-row LLM-pipeline veterans (r07-r11)
-    "pipe_split", "pipe_cap_per_source",
+    # five 5-row LLM-pipeline veterans (r07-r11)
+    "pipe_split", "pipe_cap_per_source", "pipe_token_budget",
+    "pipe_select_quality", "pipe_pack_sequences",
 )
 
 # Rotation ledger, newest first: (round, rotated-in, rotated-out). Window
@@ -278,10 +284,10 @@ def test_rotation_ledger_is_consistent():
 
 
 def test_r12_rotation_swaps_balance():
-    """r12 swaps the 22 r11-staged first-timers in for 22 multi-green
-    veterans; the r11 first-timers stay for their second rows; window
-    stays exactly CHECK_WINDOW."""
-    assert len(R12_NEW_ENTRIES) == len(R12_ROTATED_OUT) == 22
+    """r12 swaps the 22 r11-staged first-timers + 3 r12-built operators
+    in for 25 multi-green veterans; the r11 first-timers stay for their
+    second rows; window stays exactly CHECK_WINDOW."""
+    assert len(R12_NEW_ENTRIES) == len(R12_ROTATED_OUT) == 25
     w = set(window_names())
     assert set(R12_NEW_ENTRIES) <= w
     assert not set(R12_ROTATED_OUT) & w
