@@ -172,6 +172,21 @@ def _bench_ktruss(spark, sf_dir):
     return ktruss(spark, edges, k=20)
 
 
+# HyperBall harmonic, estimator-only split (r11 verdict #3): the registry
+# entry's r11 checked-form conversion folded the EXACT all-sources
+# multi-source-BFS companion (the oracle's ground truth) into the timed
+# entry, which is the whole 1.50 -> 2.48 s r10->r11 move. This row times
+# the estimator alone — the operator a user actually runs — while the
+# combined entry stays in HEADLINE for cross-round continuity.
+def _bench_hyperball_harmonic_est(spark, sf_dir):
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        hyperball_harmonic,
+    )
+
+    graphs, edges = _scale_graph(spark, sf_dir)
+    return hyperball_harmonic(spark, graphs, edges)
+
+
 # Persisted IVF index, build/query SPLIT (r10 verdict #4): the registry
 # entry rebuilds the index per call by design (self-contained correctness
 # probe), which double-charges the bench — the operator's claim is
@@ -222,6 +237,7 @@ EXTRA_BENCH = {
     "g_ktruss": _bench_ktruss,
     "sim_topk_ivf_index_build": _bench_ivf_index_build,
     "sim_topk_ivf_index_query": _bench_ivf_index_query,
+    "g_hyperball_harmonic_est": _bench_hyperball_harmonic_est,
 }
 
 

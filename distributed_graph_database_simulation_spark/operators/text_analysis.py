@@ -1206,25 +1206,22 @@ TEXT_QUERIES.update(
 # --- BPE subword tokenizer (functions/bpe.py) ------------------------------
 
 
-def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic BPE subword encoding of every document — the real
-    tokenizer behind packing / budget admission, replacing the regex
-    count's approximation (see :mod:`..functions.bpe` for the algorithm
-    and the checked-in merge table learned by ``tools/learn_bpe.py``).
+def bpe_encode_df(docs: DataFrame) -> DataFrame:
+    """Deterministic BPE subword encoding of a ``(doc_id, text)`` frame —
+    the real tokenizer behind packing / budget admission, replacing the
+    regex count's approximation (see :mod:`..functions.bpe` for the
+    algorithm and the checked-in merge table learned by
+    ``tools/learn_bpe.py``).
 
     Arrow kernel (mapInPandas): the merge loop is a chain of VECTORIZED
     non-regex ``Series.str.replace`` passes — O(len * n_merges) per doc,
     no shuffle, no per-row Python in the inner loop. Emits
     ``(doc_id, n_bpe, enc_md5, head_tokens)``: the token count, the md5 of
     the full encoded symbol string (pins the exact byte output without
-    hauling the token stream through the gate), and the first 8 tokens.
-    The oracle is GENERATED from the same merge table
-    (:func:`..functions.bpe.bpe_oracle_expr`) — both engines run the same
-    leftmost-non-overlapping replace chain, so the match certifies every
-    merge step, not just counts."""
+    hauling the token stream through the gate), and the first 8 tokens."""
     from ..functions.bpe import BPE_MERGES, END_OF_WORD, SEP
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = docs.select("doc_id", "text")
 
     def kernel(batches):
         import hashlib
@@ -1265,6 +1262,15 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         kernel, "doc_id long, n_bpe long, enc_md5 string, head_tokens string"
     )
+
+
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: :func:`bpe_encode_df` over the documents table. The
+    oracle is GENERATED from the same merge table
+    (:func:`..functions.bpe.bpe_oracle_expr`) — both engines run the same
+    leftmost-non-overlapping replace chain, so the match certifies every
+    merge step, not just counts."""
+    return bpe_encode_df(_docs(spark, sf_dir))
 
 
 def _bpe_sql() -> str:

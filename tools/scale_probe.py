@@ -541,6 +541,109 @@ def probe_dup_spans(spark, n_docs: int, boiler_every: int = 10) -> dict:
             "sec": round(_t.perf_counter() - t0, 2)}
 
 
+def probe_exact_substring(spark, n_docs: int, planted_every: int = 10) -> dict:
+    """Exact-substring dedup (the >=50-token suffix-array contract) on a
+    synthetic corpus: every ``planted_every``-th doc opens with the SAME
+    60-token run (cross-doc duplicated), the rest of every doc is unique
+    filler. Verifies the 50-gram anchor -> distinct-doc count -> semi-join
+    -> interval-merge pipeline recovers EXACTLY one 60-token span per
+    planted doc, and that cost is candidate-proportional: the semi-join
+    fan-out is 11 anchor positions per planted doc (positions 0..10 of the
+    run), never corpus-quadratic. Corpus generated distributively."""
+    import time as _t
+
+    from distributed_graph_database_simulation_spark.operators.dedup import (
+        EXACT_SUBSTR_TOKENS,
+        dup_spans_df,
+    )
+
+    t0 = _t.perf_counter()
+    run = " ".join(f"boiler{i}" for i in range(60))
+    # 70 unique filler words per doc (u<doc*37+i>, same uniqueness argument
+    # as probe_dup_spans: a shared 50-gram needs 50 consecutive collisions)
+    filler = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(69)),
+            lambda i: F.concat(
+                F.lit("u"), ((F.col("id") * 37 + i) % F.lit(10_000_000_000)).cast("string")
+            ),
+        ),
+        " ",
+    )
+    docs = spark.range(0, n_docs, 1, 32).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % planted_every == 0,
+            F.concat(F.lit(run + " "), filler),
+        )
+        .otherwise(filler)
+        .alias("text"),
+    )
+    spans = dup_spans_df(
+        docs, k=EXACT_SUBSTR_TOKENS, min_occurrences=2, cross_doc=True
+    )
+    got = spans.agg(
+        F.count("*").alias("n"),
+        F.min(F.col("span_end") - F.col("span_start") + 1).alias("lo"),
+        F.max(F.col("span_end") - F.col("span_start") + 1).alias("hi"),
+    ).collect()[0]
+    planted = -(-n_docs // planted_every)
+    if got.n != planted or got.lo != 60 or got.hi != 60:
+        raise AssertionError(
+            f"expected {planted} spans of exactly 60 tokens, got "
+            f"n={got.n} lo={got.lo} hi={got.hi}"
+        )
+    return {"probe": "exact_substring", "docs": n_docs, "spans": got.n,
+            "candidate_positions": planted * 11,
+            "sec": round(_t.perf_counter() - t0, 2)}
+
+
+def probe_bpe(spark, n_docs: int, words_per_doc: int = 60) -> dict:
+    """BPE tokenizer throughput: encode a distributively-generated corpus
+    (words drawn from the real 31-word vocabulary, so the checked-in
+    merges actually fire) through the Arrow replace-chain kernel. The
+    invariant is structural: every word contributes exactly one
+    end-of-word-marked token, so sum over docs of words == total '#'
+    tokens; and n_bpe >= words_per_doc for every doc."""
+    import time as _t
+
+    from distributed_graph_database_simulation_spark.operators.text_analysis import (
+        bpe_encode_df,
+    )
+
+    t0 = _t.perf_counter()
+    vocab = [
+        "scan", "column", "window", "order", "sort", "part", "agg", "value",
+        "line", "key", "join", "merge", "query", "group", "a", "vector",
+        "hash", "slow", "stream", "filter", "fast", "the", "spark", "batch",
+        "table", "small", "data", "big", "customer", "row", "dup",
+    ]
+    varr = F.array(*[F.lit(w) for w in vocab])
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(words_per_doc - 1)),
+            lambda i: F.element_at(
+                varr, ((F.col("id") * 7919 + i * 104729) % len(vocab) + 1).cast("int")
+            ),
+        ),
+        " ",
+    )
+    docs = spark.range(0, n_docs, 1, 32).select(
+        F.col("id").alias("doc_id"), text.alias("text")
+    )
+    enc = bpe_encode_df(docs)
+    got = enc.agg(
+        F.count("*").alias("n"),
+        F.sum("n_bpe").alias("toks"),
+        F.min("n_bpe").alias("lo"),
+    ).collect()[0]
+    if got.n != n_docs or got.lo < words_per_doc:
+        raise AssertionError(f"bad encode: n={got.n} lo={got.lo}")
+    sec = _t.perf_counter() - t0
+    return {"probe": "bpe", "docs": n_docs, "bpe_tokens": int(got.toks),
+            "tokens_per_sec": int(got.toks / sec), "sec": round(sec, 2)}
+
+
 def probe_cdc_chunks(spark, n_docs: int, words_per_doc: int = 40) -> dict:
     """Content-defined chunking at 100x-bench corpus size, generated
     distributively. Invariants: chunk token mass equals corpus token mass
@@ -1329,6 +1432,8 @@ def main() -> int:
         ("keyed_store_merge", lambda: probe_keyed_store_merge(spark)),
         ("temporal_reachability", lambda: probe_temporal_reachability(spark)),
         ("dup_spans", lambda: probe_dup_spans(spark, int(args.docs) * 10)),
+        ("exact_substring", lambda: probe_exact_substring(spark, int(args.docs) * 10)),
+        ("bpe", lambda: probe_bpe(spark, int(args.docs) * 20)),
         ("cdc_chunks", lambda: probe_cdc_chunks(spark, int(args.docs) * 10)),
         ("bigram_lm", lambda: probe_bigram_lm(spark, int(args.docs) * 10)),
         ("pack_sequences", lambda: probe_pack_sequences(spark, int(args.docs) * 100)),
