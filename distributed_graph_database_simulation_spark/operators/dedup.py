@@ -1231,7 +1231,10 @@ def dup_spans_df(
 
 
 def scrub_dup_spans_df(
-    docs: DataFrame, k: int = DUP_SPAN_K, min_occurrences: int = DUP_SPAN_MIN_OCC
+    docs: DataFrame,
+    k: int = DUP_SPAN_K,
+    min_occurrences: int = DUP_SPAN_MIN_OCC,
+    cross_doc: bool = False,
 ) -> DataFrame:
     """Rewrite each document with its duplicated spans removed.
 
@@ -1247,7 +1250,7 @@ def scrub_dup_spans_df(
     through with their normalized text and 0 removed.
     """
     spans_arr = (
-        dup_spans_df(docs, k=k, min_occurrences=min_occurrences)
+        dup_spans_df(docs, k=k, min_occurrences=min_occurrences, cross_doc=cross_doc)
         .groupBy("doc_id")
         .agg(
             F.collect_list(F.struct("span_start", "span_end")).alias("spans")
@@ -1553,11 +1556,89 @@ FROM isl GROUP BY doc_id, island
 """
 
 
+def dedup_scrub_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scrub half of the suffix-array contract: rewrite each document
+    with its >= 50-token cross-doc repeated runs REMOVED — what a training
+    pipeline actually ships downstream after
+    :func:`dedup_exact_substring` finds the spans. Same HOF rewrite chain
+    as :func:`dedup_scrub_spans` (transform/filter/exists/concat_ws, no
+    Python in the rewrite), md5-pinned text so the gate certifies the
+    exact byte output."""
+    out = scrub_dup_spans_df(
+        _docs(spark, sf_dir),
+        k=EXACT_SUBSTR_TOKENS,
+        min_occurrences=2,
+        cross_doc=True,
+    )
+    return out.select(
+        "doc_id", F.md5("text").alias("scrubbed_md5"), "n_words_removed"
+    )
+
+
+DEDUP_SCRUB_SUBSTRING_SQL = f"""
+WITH docs AS (
+  SELECT doc_id,
+         regexp_replace(trim(text), '\\s+', ' ', 'g') AS t,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         array_to_string(list_slice(w, i, i + {EXACT_SUBSTR_TOKENS - 1}), ' ') AS gram
+  FROM docs, LATERAL (SELECT unnest(range(1, len(w) - {EXACT_SUBSTR_TOKENS - 2})) AS i)
+  WHERE len(w) >= {EXACT_SUBSTR_TOKENS}
+),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+dp AS (
+  SELECT g.doc_id, g.pos, g.pos + {EXACT_SUBSTR_TOKENS - 1} AS e
+  FROM grams g JOIN dup USING (gram)
+),
+pm AS (
+  SELECT doc_id, pos, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM dp
+),
+isl AS (
+  SELECT doc_id, pos, e,
+         sum(CASE WHEN prev_max IS NULL OR pos > prev_max + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM pm
+),
+spans AS (
+  SELECT doc_id, min(pos) AS a, max(e) AS b
+  FROM isl GROUP BY doc_id, island
+),
+sp AS (
+  SELECT doc_id, list(struct_pack(a := a, b := b)) AS spans
+  FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id,
+       md5(CASE WHEN s.spans IS NULL THEN d.t
+                ELSE COALESCE(array_to_string(
+                       list_filter(d.w, (x, i) ->
+                         len(list_filter(s.spans,
+                             v -> (i - 1) >= v.a AND (i - 1) <= v.b)) = 0),
+                       ' '), '')
+           END) AS scrubbed_md5,
+       CAST(CASE WHEN s.spans IS NULL THEN 0
+                 ELSE len(d.w) - len(list_filter(d.w, (x, i) ->
+                        len(list_filter(s.spans,
+                            v -> (i - 1) >= v.a AND (i - 1) <= v.b)) = 0))
+            END AS INT) AS n_words_removed
+FROM docs d LEFT JOIN sp s USING (doc_id)
+"""
+
+
 DEDUP_QUERIES.update(
     {
         "dedup_exact_substring": (
             dedup_exact_substring,
             DEDUP_EXACT_SUBSTRING_SQL,
+        ),
+        "dedup_scrub_substring": (
+            dedup_scrub_substring,
+            DEDUP_SCRUB_SUBSTRING_SQL,
         ),
     }
 )

@@ -588,6 +588,16 @@ def sample_token_budget_df(
     """
     words = F.split(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "), " ")
     toks = docs.select("doc_id", "lang", F.size(words).alias("n_tokens"))
+    return sample_token_budget_counts_df(toks, budgets)
+
+
+def sample_token_budget_counts_df(
+    toks: DataFrame, budgets: dict[str, int]
+) -> DataFrame:
+    """Budget admission over PROVIDED per-doc token counts
+    ``(doc_id, lang, n_tokens)`` — the core of
+    :func:`sample_token_budget_df`, factored out so any tokenizer's
+    counts (whitespace, BPE) drive the same ppm arithmetic."""
     totals = {
         r["lang"]: r["tok"]
         for r in toks.groupBy("lang").agg(F.sum("n_tokens").alias("tok")).collect()
@@ -726,6 +736,67 @@ WHERE (doc_id * {_KNUTH}) % {_BUCKETS} < keep_ppm
 
 
 PIPE_TOKEN_BUDGET_SQL = _token_budget_sql()
+
+
+# BPE token budgets, binding at every shipped sf (en totals 37k+ / fr 13k+
+# at the gate SFs, growing with sf — keep_ppm < 1e6 everywhere).
+BPE_TOKEN_BUDGETS = {"en": 20_000, "fr": 8_000}
+
+
+def pipe_token_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget admission driven by the REAL tokenizer: per-doc BPE
+    counts (``text_analysis.bpe_encode_df``) feed the same ppm arithmetic
+    as :func:`pipe_token_budget` — the composition a production mixture
+    spec actually means by "N tokens of language L" (budgets are consumed
+    in model tokens, not whitespace words). The oracle recomputes the BPE
+    length with the generated replace-chain expression inside the same
+    budget CTE, certifying tokenize -> budget end to end."""
+    from .text_analysis import bpe_encode_df
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", "lang").join(
+        bpe_encode_df(docs).select(
+            "doc_id", F.col("n_bpe").cast("int").alias("n_tokens")
+        ),
+        "doc_id",
+    )
+    return sample_token_budget_counts_df(toks, BPE_TOKEN_BUDGETS)
+
+
+def _token_budget_bpe_sql() -> str:
+    from ..functions.bpe import SEP, bpe_oracle_expr
+
+    rate_cases = " ".join(
+        f"WHEN '{lang}' THEN LEAST({_BUCKETS}, (CAST({budget} AS BIGINT) * {_BUCKETS}) // t.tok)"
+        for lang, budget in sorted(BPE_TOKEN_BUDGETS.items())
+    )
+    return f"""
+WITH enc AS (
+  SELECT doc_id, lang,
+         regexp_replace(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                        '[^a-z0-9 ]', '', 'g') AS norm,
+         {bpe_oracle_expr("text")} AS s
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, lang,
+         CASE WHEN norm = '' THEN 0
+              ELSE length(s) - length(replace(s, '{SEP}', '')) END AS n_tokens
+  FROM enc
+),
+tot AS (SELECT lang, SUM(n_tokens) AS tok FROM toks GROUP BY 1),
+rated AS (
+  SELECT k.doc_id, k.lang, k.n_tokens,
+         CAST(CASE k.lang {rate_cases} ELSE {_BUCKETS} END AS INT) AS keep_ppm
+  FROM toks k JOIN tot t ON t.lang = k.lang
+)
+SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens, keep_ppm
+FROM rated
+WHERE (doc_id * {_KNUTH}) % {_BUCKETS} < keep_ppm
+"""
+
+
+PIPE_TOKEN_BUDGET_BPE_SQL = _token_budget_bpe_sql()
 
 
 def pipe_select_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2365,5 +2436,10 @@ PIPELINE_QUERIES.update(
     {
         # r12: packing weighted by the real BPE tokenizer's counts
         "pipe_pack_bpe": (pipe_pack_bpe, PIPE_PACK_BPE_SQL),
+        # r12 (staged r13): budget admission in real BPE tokens
+        "pipe_token_budget_bpe": (
+            pipe_token_budget_bpe,
+            PIPE_TOKEN_BUDGET_BPE_SQL,
+        ),
     }
 )

@@ -193,6 +193,13 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # (The twenty-two r11-staged entries rotated into the r12 gate window —
     # see _WINDOW_ORDER. New-this-round operators are declared here as they
     # are built and pre-verified, queued for the r13 rotation.)
+    # r12 wave — each pre-verified hash-exact at sf0.001 AND sf0.01:
+    # the scrub half of the >=50-token suffix-array contract (rewrite docs
+    # with cross-doc repeated runs removed, md5-pinned text)
+    "dedup_scrub_substring": 12,
+    # budget admission in REAL BPE tokens (tokenize -> budget composition,
+    # oracle recomputes the replace-chain length inside the budget CTE)
+    "pipe_token_budget_bpe": 12,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

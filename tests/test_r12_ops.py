@@ -142,3 +142,25 @@ def test_exact_substring_within_doc_repeat_not_cross_doc(spark, planted_docs):
         planted_docs, k=EXACT_SUBSTR_TOKENS, min_occurrences=2, cross_doc=True
     )
     assert cross.where(F.col("doc_id") == 4).count() == 0
+
+
+def test_scrub_substring_removes_planted_run(spark, planted_docs):
+    from distributed_graph_database_simulation_spark.operators.dedup import (
+        scrub_dup_spans_df,
+    )
+
+    out = {
+        r.doc_id: r
+        for r in scrub_dup_spans_df(
+            planted_docs,
+            k=EXACT_SUBSTR_TOKENS,
+            min_occurrences=2,
+            cross_doc=True,
+        ).collect()
+    }
+    # carriers lose exactly the 60-token run; everyone else is untouched
+    assert out[0].n_words_removed == 60
+    assert out[1].n_words_removed == 60
+    assert all(out[d].n_words_removed == 0 for d in (2, 3, 4, 5))
+    # the scrubbed text is the doc minus the run, order preserved
+    assert out[1].text == " ".join(f"c{i}" for i in range(5))
