@@ -669,3 +669,31 @@ def test_lsh_signatures_are_skinny_and_topk_joins_back_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "Exchange hashpartitioning" not in plan
     assert plan.count("BroadcastHashJoin") >= 2  # candidate-id + query join-back
+
+
+def test_bpe_encode_is_shuffle_free(spark, sf_dir):
+    """The BPE tokenizer is one Arrow mapInPandas over the corpus scan —
+    SCALE.md's embarrassingly-parallel claim. Pin: zero Exchange, exactly
+    one Python-worker stage (the replace-chain kernel)."""
+    from distributed_graph_database_simulation_spark.operators import text_analysis
+
+    plan = _formatted_plan(text_analysis.text_bpe_encode(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    # exactly one Python-worker stage in the tree (the node renders once
+    # in the tree and once in the detail section)
+    assert plan.count("MapInPandas (") == 1, plan
+
+
+def test_exact_substring_plan_is_aggregate_plus_keyed_semi_join(spark, sf_dir):
+    """The suffix-array contract's relational plan: ONE hash aggregate
+    over gram keys (map-side combined — partial_count present), ONE keyed
+    LEFT SEMI join back to positions, and the per-doc island window — no
+    cartesian/broadcast-nested-loop anywhere (the plan must stay
+    candidate-proportional, never corpus-quadratic)."""
+    from distributed_graph_database_simulation_spark.operators import dedup
+
+    plan = _formatted_plan(dedup.dedup_exact_substring(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert "partial_count" in plan, plan  # map-side combine on gram keys
