@@ -1306,3 +1306,90 @@ TEXT_QUERIES.update(
         "text_bpe_encode": (text_bpe_encode, TEXT_BPE_ENCODE_SQL),
     }
 )
+
+
+def bpe_tokens_df(docs: DataFrame) -> DataFrame:
+    """Exploded BPE token stream ``(doc_id, tok)`` — the 1 -> n_tokens
+    explode happens INSIDE the Arrow kernel (the mm_image_patches shape),
+    so the plan stays a single shuffle-free MapInPandas however long the
+    documents are."""
+    from ..functions.bpe import BPE_MERGES, END_OF_WORD, SEP
+
+    docs = docs.select("doc_id", "text")
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            norm = (
+                pdf["text"]
+                .str.strip()
+                .str.replace(r"\s+", " ", regex=True)
+                .str.lower()
+                .str.replace("[^a-z0-9 ]", "", regex=True)
+            )
+            s = (norm + " ").str.replace(" ", END_OF_WORD, regex=False)
+            s = SEP + s.map(lambda x: SEP.join(x))
+            for a, b in BPE_MERGES:
+                s = s.str.replace(f"{SEP}{a}{SEP}{b}", f"{SEP}{a}{b}", regex=False)
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "tok": s.str.split(SEP, regex=False).map(lambda p: p[1:]),
+                    "_nonempty": norm.str.len() > 0,
+                }
+            )
+            out = out[out["_nonempty"]].drop(columns="_nonempty").explode("tok")
+            yield out[out["tok"].notna()]
+
+    return docs.mapInPandas(kernel, "doc_id long, tok string")
+
+
+def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer's vocabulary report: per BPE token, corpus occurrence
+    count and document frequency — what a tokenizer-coverage audit reads
+    (which merges earn their slot, what the OOV tail looks like) and the
+    frequency table a unigram-LM-over-subwords would consume. One
+    map-side-combined aggregate over the kernel's exploded token stream;
+    the shuffle carries <= |vocab| rows per task, constant in corpus
+    size. The oracle unnests the generated replace-chain's split — same
+    table, same split, so token identity certifies exactly."""
+    toks = bpe_tokens_df(_docs(spark, sf_dir))
+    return toks.groupBy("tok").agg(
+        F.count("*").cast("bigint").alias("n_occ"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    )
+
+
+def _bpe_vocab_sql() -> str:
+    from ..functions.bpe import SEP, bpe_oracle_expr
+
+    return f"""
+WITH enc AS (
+  SELECT doc_id,
+         regexp_replace(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                        '[^a-z0-9 ]', '', 'g') AS norm,
+         {bpe_oracle_expr("text")} AS s
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, t AS tok
+  FROM enc, UNNEST(list_slice(string_split(s, '{SEP}'), 2,
+                              length(s) + 1)) AS u(t)
+  WHERE norm <> ''
+)
+SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_occ,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM toks GROUP BY tok
+"""
+
+
+TEXT_BPE_VOCAB_SQL = _bpe_vocab_sql()
+
+
+TEXT_QUERIES.update(
+    {
+        # r12 (staged r13): BPE vocabulary report (occurrence + doc freq)
+        "text_bpe_vocab": (text_bpe_vocab, TEXT_BPE_VOCAB_SQL),
+    }
+)

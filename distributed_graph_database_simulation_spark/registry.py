@@ -200,6 +200,9 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # budget admission in REAL BPE tokens (tokenize -> budget composition,
     # oracle recomputes the replace-chain length inside the budget CTE)
     "pipe_token_budget_bpe": 12,
+    # BPE vocabulary report (occurrence + doc frequency per token; the
+    # 1 -> n explode happens inside the Arrow kernel)
+    "text_bpe_vocab": 12,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)
