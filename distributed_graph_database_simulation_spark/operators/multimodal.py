@@ -1361,3 +1361,112 @@ FROM seg
 
 
 MULTIMODAL_QUERIES["mm_audio_windows"] = (mm_audio_windows, MM_AUDIO_WINDOWS_SQL)
+
+
+# --- corpus channel statistics (normalization constants) -------------------
+
+_CHANNEL_SUMS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_per_channel", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def _channel_sums_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-image per-channel pixel sums through the REAL BMP round trip —
+    the map half of the corpus mean/std pass. Sums are exact int64 of
+    uint8 pixels, so the downstream reduction is order-independent."""
+    import numpy as np
+
+    for pdf in batches:
+        n = len(pdf)
+        npc = np.zeros(n, dtype="int64")
+        sums = np.zeros((n, 3), dtype="int64")
+        for i, (media_id, payload) in enumerate(zip(pdf["media_id"], pdf["payload"])):
+            mid = int(media_id)
+            w = 2 + mid % 4
+            h = 2 + (mid * 3) % 4
+            npx = w * h * 3
+            pixels = bytes(payload)[:npx].ljust(npx, b"\x00")
+            _, decoded = parse_bmp(encode_bmp_rgb24(pixels, w, h))
+            if decoded != pixels:
+                raise ValueError("BMP round-trip pixel drift")
+            arr = np.frombuffer(decoded, dtype=np.uint8).astype(np.int64)
+            npc[i] = w * h
+            for c in range(3):
+                sums[i, c] = int(arr[c::3].sum())
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "n_per_channel": npc,
+                "sum_r": sums[:, 0],
+                "sum_g": sums[:, 1],
+                "sum_b": sums[:, 2],
+            }
+        )
+
+
+def mm_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide per-channel pixel statistics — the normalization
+    constants (mean per RGB channel) a vision preprocessing pipeline
+    computes ONCE over the training corpus before any model run. The map
+    side decodes every image through the real BMP codec and emits exact
+    int64 channel sums (Arrow kernel, shuffle-free); the reduce side is
+    one 3-row aggregate with map-side combine — at 100 TB of images the
+    shuffle carries 3 longs per task. Mean is integer micro-units
+    (value_sum * 1e6 div n — order-independent, engine-exact)."""
+    per = media_table(spark, sf_dir).mapInPandas(
+        _channel_sums_batches, schema=_CHANNEL_SUMS_SCHEMA
+    )
+    stacked = per.selectExpr(
+        "n_per_channel",
+        "stack(3, 0, sum_r, 1, sum_g, 2, sum_b) AS (channel, s)",
+    )
+    return (
+        stacked.groupBy("channel")
+        .agg(
+            F.sum("n_per_channel").cast("bigint").alias("n_values"),
+            F.sum("s").cast("bigint").alias("value_sum"),
+        )
+        .select(
+            F.col("channel").cast("int").alias("channel"),
+            "n_values",
+            "value_sum",
+            F.expr("value_sum * 1000000 div n_values").cast("bigint").alias(
+                "mean_micro"
+            ),
+        )
+    )
+
+
+# Pixels are the first w*h*3 text bytes zero-padded; channel of stream
+# index i (1-based) is (i-1) % 3, padded zeros count toward n but add 0.
+MM_IMAGE_CHANNEL_STATS_SQL = """
+WITH t AS (
+  SELECT doc_id AS media_id, text,
+         2 + doc_id % 4 AS w, 2 + (doc_id * 3) % 4 AS h
+  FROM documents
+),
+per AS (
+  SELECT media_id, w * h AS npc, c.c AS channel,
+         COALESCE(list_sum(list_transform(
+           range(1, least(length(text), w * h * 3) + 1),
+           i -> CASE WHEN (i - 1) % 3 = c.c THEN ord(text[i]) ELSE 0 END)), 0) AS s
+  FROM t, (SELECT unnest(range(3)) AS c) c
+)
+SELECT CAST(channel AS INT) AS channel,
+       CAST(SUM(npc) AS BIGINT) AS n_values,
+       CAST(SUM(s) AS BIGINT) AS value_sum,
+       CAST(SUM(s) * 1000000 // SUM(npc) AS BIGINT) AS mean_micro
+FROM per GROUP BY channel
+"""
+
+
+MULTIMODAL_QUERIES["mm_image_channel_stats"] = (
+    mm_image_channel_stats,
+    MM_IMAGE_CHANNEL_STATS_SQL,
+)

@@ -203,6 +203,9 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # BPE vocabulary report (occurrence + doc frequency per token; the
     # 1 -> n explode happens inside the Arrow kernel)
     "text_bpe_vocab": 12,
+    # corpus per-channel pixel statistics through the real BMP codec
+    # (the normalization-constants pass; 3-row map-side-combined reduce)
+    "mm_image_channel_stats": 12,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)
