@@ -147,6 +147,12 @@ HEADLINE = [
     "text_bpe_encode",
     "dedup_exact_substring",
     "pipe_pack_bpe",
+    # round-12 staged-for-r13 entries (regression-visible from day one)
+    "dedup_scrub_substring",
+    "pipe_token_budget_bpe",
+    "text_bpe_vocab",
+    "mm_image_channel_stats",
+    "pipe_interleave_sources",
 ]
 
 

@@ -2443,3 +2443,114 @@ PIPELINE_QUERIES.update(
         ),
     }
 )
+
+
+# --- weight-proportional source interleaving --------------------------------
+
+INTERLEAVE_WEIGHTS = {"de": 1, "en": 4, "es": 2, "fr": 2, "zh": 1}
+INTERLEAVE_SCALE = 1_000_000
+
+
+def interleave_sources_df(
+    docs: DataFrame, weights: dict[str, int], key: str = "lang"
+) -> DataFrame:
+    """Deterministic weight-proportional interleaving of sources — the
+    training-order pass AFTER mixture selection: a weight-4 group must
+    appear 4x as often as a weight-1 group THROUGHOUT the stream, not
+    just in total (gradient stability wants locally-balanced mixing, the
+    same virtual-time scheme as weighted fair queueing). The doc with
+    within-group rank r (1-based, deterministic Knuth-scramble order)
+    gets ``vt_micro = r * SCALE // w``; the global order is
+    (vt_micro, key, doc_id) ascending.
+
+    Scale: vt is a pure function of (within-group rank, weight), so the
+    operator never materializes a global sort — the dataloader consumes
+    the order as a k-way merge of per-group rank-ordered streams. The
+    rank itself reuses the (key, sub) range-bucketed recomposition of
+    :func:`cap_per_source_df` (giant groups never serialize through one
+    window task). Groups absent from ``weights`` are dropped (weight 0).
+
+    Returns ``(doc_id, <key>, rank, vt_micro)`` — rank 0-based within
+    group."""
+    from pyspark.sql import Window
+
+    w_items = sorted(weights.items())
+    wcol = F.lit(None).cast("long")
+    for g, wt in w_items:
+        wcol = F.when(F.col(key) == g, F.lit(int(wt))).otherwise(wcol)
+    scramble = F.pmod(F.col("doc_id") * _KNUTH, F.lit(_ORDER_MOD))
+    keyed = (
+        docs.select("doc_id", key)
+        .withColumn("_w", wcol)
+        .where(F.col("_w").isNotNull())
+        .withColumn("_scr", scramble)
+        .withColumn("_sub", F.expr(f"_scr div {_SUB_WIDTH}").cast("int"))
+    )
+    w_rank = Window.partitionBy(key, "_sub").orderBy("_scr", "doc_id")
+    ranked = keyed.withColumn("_rn", F.row_number().over(w_rank))
+    w_off = (
+        Window.partitionBy(key)
+        .orderBy("_sub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        keyed.groupBy(key, "_sub")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("_off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)))
+        .select(key, "_sub", "_off")
+    )
+    rn = F.col("_off") + F.col("_rn")  # 1-based recomposed within-group rank
+    return (
+        ranked.join(F.broadcast(offsets), [key, "_sub"])
+        .select(
+            "doc_id",
+            key,
+            (rn - 1).cast("bigint").alias("rank"),
+            F.expr(f"(_off + _rn) * {INTERLEAVE_SCALE} div _w")
+            .cast("bigint")
+            .alias("vt_micro"),
+        )
+    )
+
+
+def pipe_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional language interleaving over documents
+    (:func:`interleave_sources_df`, en:4 fr:2 es:2 de:1 zh:1). The oracle
+    recomputes the recomposed within-group rank as a plain per-group
+    window over the same (scramble, doc_id) order — certifying the
+    sub-bucket offset algebra — and the virtual-time integer division."""
+    return interleave_sources_df(_docs(spark, sf_dir), INTERLEAVE_WEIGHTS)
+
+
+def _interleave_sql() -> str:
+    vals = ", ".join(f"('{g}', {wt})" for g, wt in sorted(INTERLEAVE_WEIGHTS.items()))
+    return f"""
+WITH w(lang, wt) AS (VALUES {vals}),
+scr AS (
+  SELECT doc_id, lang, (doc_id * {_KNUTH}) % {_ORDER_MOD} AS s
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY s, doc_id) AS rn
+  FROM scr
+)
+SELECT r.doc_id, r.lang,
+       CAST(r.rn - 1 AS BIGINT) AS rank,
+       CAST(r.rn * {INTERLEAVE_SCALE} // w.wt AS BIGINT) AS vt_micro
+FROM ranked r JOIN w USING (lang)
+"""
+
+
+PIPE_INTERLEAVE_SOURCES_SQL = _interleave_sql()
+
+
+PIPELINE_QUERIES.update(
+    {
+        # r12 (staged r13): weight-proportional source interleaving
+        "pipe_interleave_sources": (
+            pipe_interleave_sources,
+            PIPE_INTERLEAVE_SOURCES_SQL,
+        ),
+    }
+)

@@ -206,6 +206,9 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # corpus per-channel pixel statistics through the real BMP codec
     # (the normalization-constants pass; 3-row map-side-combined reduce)
     "mm_image_channel_stats": 12,
+    # weight-proportional source interleaving (WFQ virtual time over the
+    # sub-bucketed within-group rank; k-way-merge order, no global sort)
+    "pipe_interleave_sources": 12,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

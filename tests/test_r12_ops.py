@@ -164,3 +164,43 @@ def test_scrub_substring_removes_planted_run(spark, planted_docs):
     assert all(out[d].n_words_removed == 0 for d in (2, 3, 4, 5))
     # the scrubbed text is the doc minus the run, order preserved
     assert out[1].text == " ".join(f"c{i}" for i in range(5))
+
+
+def test_interleave_is_locally_weight_proportional(spark, sf_dir):
+    """The WFQ property the operator exists for: in (vt, key, doc_id)
+    order, every prefix carries each group in weight proportion, within
+    one 'round' of slack — and per-group vt gaps are exactly SCALE // w."""
+    from distributed_graph_database_simulation_spark.operators.pipeline import (
+        INTERLEAVE_SCALE,
+        INTERLEAVE_WEIGHTS,
+        pipe_interleave_sources,
+    )
+
+    rows = (
+        pipe_interleave_sources(spark, sf_dir)
+        .orderBy("vt_micro", "lang", "doc_id")
+        .collect()
+    )
+    # per-group: rank is dense 0..n-1 and vt = (rank+1)*SCALE//w
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        ranks = sorted(x.rank for x in rs)
+        assert ranks == list(range(len(rs))), lang
+        w = INTERLEAVE_WEIGHTS[lang]
+        assert all(
+            x.vt_micro == (x.rank + 1) * INTERLEAVE_SCALE // w for x in rs
+        ), lang
+    # local balance: within any prefix ending at a round boundary, group
+    # counts track weight share with at most one round of slack (until a
+    # group is exhausted)
+    total_w = sum(INTERLEAVE_WEIGHTS.values())
+    seen = {la: 0 for la in by_lang}
+    smallest = min(len(rs) for rs in by_lang.values())
+    horizon = smallest * total_w // max(INTERLEAVE_WEIGHTS.values())
+    for i, r in enumerate(rows[:horizon], start=1):
+        seen[r.lang] += 1
+        for lang, cnt in seen.items():
+            share = INTERLEAVE_WEIGHTS[lang] / total_w
+            assert abs(cnt - i * share) <= total_w, (i, lang, cnt)
