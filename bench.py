@@ -153,6 +153,7 @@ HEADLINE = [
     "text_bpe_vocab",
     "mm_image_channel_stats",
     "pipe_interleave_sources",
+    "pipe_pack_segments",
 ]
 
 

@@ -2554,3 +2554,113 @@ PIPELINE_QUERIES.update(
         ),
     }
 )
+
+
+# --- packed-sequence segment boundaries (attention segmentation) ------------
+
+
+def pack_segments_df(packed: DataFrame, seq_len: int = SEQ_LEN) -> DataFrame:
+    """Per-sequence SEGMENT table from a packed layout — the structure a
+    packed dataloader feeds the model: which (doc, chunk) occupies which
+    token range of each fixed-length sequence, so attention can be
+    block-diagonal per document and position ids reset at segment starts.
+
+    A chunk starting at global token g = seq_id*L + seq_offset with n
+    tokens overlaps sequences seq_id .. (g+n-1) div L; its slice of
+    sequence s covers in-sequence tokens
+    [max(g, s*L) - s*L, min(g+n-1, (s+1)*L - 1) - s*L]. The explode is
+    bounded by ceil(n/L)+1 rows per chunk — output-proportional, pure
+    narrow map over the packed table (integer arithmetic only, no extra
+    shuffle beyond what packing already did)."""
+    L = F.lit(seq_len)
+    g = F.col("seq_id") * L + F.col("seq_offset")
+    g_end = g + F.col("n_tokens") - 1
+    seqs = F.sequence(F.col("seq_id"), F.expr(f"(seq_id * {seq_len} + seq_offset + n_tokens - 1) div {seq_len}"))
+    return (
+        packed.where(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "chunk_id",
+            "shard",
+            g.alias("_g"),
+            g_end.alias("_ge"),
+            F.explode(seqs).alias("seq_id"),
+        )
+        .select(
+            "shard",
+            "seq_id",
+            "doc_id",
+            "chunk_id",
+            (F.greatest(F.col("_g"), F.col("seq_id") * L) - F.col("seq_id") * L)
+            .cast("int")
+            .alias("seg_start"),
+            (F.least(F.col("_ge"), F.col("seq_id") * L + (seq_len - 1)) - F.col("seq_id") * L)
+            .cast("int")
+            .alias("seg_end"),
+        )
+    )
+
+
+def pipe_pack_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment boundaries over the packed chunk layout
+    (:func:`pack_segments_df` on :func:`pipe_pack_sequences`'s output).
+    The oracle replays the packing CTE and derives the same overlap
+    algebra with a range() explode — every boundary integer certifies."""
+    return pack_segments_df(pack_sequences_df(chunk_windows_df(_docs(spark, sf_dir))))
+
+
+PIPE_PACK_SEGMENTS_SQL = f"""
+WITH docs AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+),
+dims AS (
+  SELECT doc_id, w,
+         CASE WHEN len(w) <= {CHUNK} THEN 1
+              ELSE CAST((len(w) - {CHUNK} + {STRIDE - 1}) // {STRIDE} AS INT) + 1
+         END AS n_chunks
+  FROM docs
+),
+exploded AS (
+  SELECT doc_id, w, CAST(UNNEST(range(n_chunks)) AS INT) AS chunk_id FROM dims
+),
+chunks AS (
+  SELECT doc_id, chunk_id,
+         CAST(len(w[chunk_id * {STRIDE} + 1 : chunk_id * {STRIDE} + {CHUNK}]) AS INT) AS n_tokens
+  FROM exploded
+),
+keyed AS (
+  SELECT doc_id, chunk_id, n_tokens,
+         CAST((doc_id * {_XXPRIME}) % {N_SHARDS} AS INT) AS shard,
+         (doc_id * {_KNUTH}) % {_ORDER_MOD} AS scr
+  FROM chunks
+),
+cum AS (
+  SELECT doc_id, chunk_id, n_tokens, shard,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY scr, doc_id, chunk_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS g
+  FROM keyed
+),
+seg AS (
+  SELECT shard, CAST(s AS BIGINT) AS seq_id, doc_id, chunk_id,
+         greatest(g, s * {SEQ_LEN}) - s * {SEQ_LEN} AS seg_start,
+         least(g + n_tokens - 1, s * {SEQ_LEN} + {SEQ_LEN - 1}) - s * {SEQ_LEN} AS seg_end
+  FROM cum, UNNEST(range(CAST(g // {SEQ_LEN} AS BIGINT),
+                         CAST((g + n_tokens - 1) // {SEQ_LEN} + 1 AS BIGINT))) AS u(s)
+  WHERE n_tokens > 0
+)
+SELECT shard, seq_id, doc_id, chunk_id,
+       CAST(seg_start AS INT) AS seg_start,
+       CAST(seg_end AS INT) AS seg_end
+FROM seg
+"""
+
+
+PIPELINE_QUERIES.update(
+    {
+        # r12 (staged r13): packed-sequence segment boundaries
+        "pipe_pack_segments": (pipe_pack_segments, PIPE_PACK_SEGMENTS_SQL),
+    }
+)

@@ -209,6 +209,9 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # weight-proportional source interleaving (WFQ virtual time over the
     # sub-bucketed within-group rank; k-way-merge order, no global sort)
     "pipe_interleave_sources": 12,
+    # packed-sequence segment boundaries (block-diagonal attention /
+    # position-id resets; output-proportional overlap explode)
+    "pipe_pack_segments": 12,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)
