@@ -204,3 +204,31 @@ def test_interleave_is_locally_weight_proportional(spark, sf_dir):
         for lang, cnt in seen.items():
             share = INTERLEAVE_WEIGHTS[lang] / total_w
             assert abs(cnt - i * share) <= total_w, (i, lang, cnt)
+
+
+def test_pack_segments_tile_each_sequence(spark, sf_dir):
+    """Packing lays chunks end-to-end, so the segment table must TILE
+    every sequence: within (shard, seq_id), segments are disjoint,
+    contiguous from token 0, and every sequence except the final ragged
+    one per shard ends at SEQ_LEN - 1."""
+    from distributed_graph_database_simulation_spark.operators.pipeline import (
+        SEQ_LEN,
+        pipe_pack_segments,
+    )
+
+    rows = pipe_pack_segments(spark, sf_dir).collect()
+    by_seq = {}
+    last_seq = {}
+    for r in rows:
+        by_seq.setdefault((r.shard, r.seq_id), []).append((r.seg_start, r.seg_end))
+        last_seq[r.shard] = max(last_seq.get(r.shard, -1), r.seq_id)
+    assert by_seq
+    for (shard, seq_id), segs in by_seq.items():
+        segs.sort()
+        assert segs[0][0] == 0, (shard, seq_id, segs[0])
+        for (a1, b1), (a2, b2) in zip(segs, segs[1:]):
+            assert a2 == b1 + 1, (shard, seq_id, (a1, b1), (a2, b2))  # no gap/overlap
+        if seq_id < last_seq[shard]:  # full sequences end exactly at L-1
+            assert segs[-1][1] == SEQ_LEN - 1, (shard, seq_id, segs[-1])
+        else:
+            assert segs[-1][1] <= SEQ_LEN - 1
