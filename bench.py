@@ -154,6 +154,7 @@ HEADLINE = [
     "mm_image_channel_stats",
     "pipe_interleave_sources",
     "pipe_pack_segments",
+    "sim_recall_ivf",
 ]
 
 

@@ -1812,3 +1812,52 @@ SIMILARITY_QUERIES["sim_ivf_index_append"] = (
     sim_ivf_index_append_entry,
     SIM_IVF_APPEND_SQL,
 )
+
+
+def sim_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF top-k against the exact brute-force top-k —
+    the partition-pruned path's evaluation harness, completing the recall
+    family next to :func:`sim_recall_lsh` (an ANN deployment certifies
+    EVERY approximate route it serves, not just one). Same shape: both
+    legs are this module's own operators, joined on
+    (query_id, neighbor_id) and counted per query — evaluation cost is
+    k * |queries|, independent of corpus size."""
+    ivf = sim_topk_ivf(spark, sf_dir).select("query_id", "neighbor_id")
+    bf = sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        bf.join(ivf, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        bf.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.expr(
+                f"(1000000 * coalesce(n_hits, 0)) div {TOP_K}"
+            ).alias("recall_micro"),
+        )
+    )
+
+
+SIM_RECALL_IVF_SQL = f"""
+WITH ivf_leg AS ({SIM_TOPK_IVF_SQL}),
+bf_leg AS ({SIM_TOPK_BRUTEFORCE_SQL}),
+hits AS (
+  SELECT b.query_id, COUNT(*) AS n_hits
+  FROM bf_leg b JOIN ivf_leg l
+    ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+  GROUP BY b.query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       (1000000 * COALESCE(h.n_hits, 0)) // {TOP_K} AS recall_micro
+FROM (SELECT DISTINCT query_id FROM bf_leg) q
+LEFT JOIN hits h ON h.query_id = q.query_id
+"""
+
+
+SIMILARITY_QUERIES["sim_recall_ivf"] = (sim_recall_ivf, SIM_RECALL_IVF_SQL)

@@ -212,6 +212,9 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # packed-sequence segment boundaries (block-diagonal attention /
     # position-id resets; output-proportional overlap explode)
     "pipe_pack_segments": 12,
+    # recall@k certification for the IVF route (completes the recall
+    # family next to sim_recall_lsh; cost k * |queries|)
+    "sim_recall_ivf": 12,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

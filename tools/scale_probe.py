@@ -749,9 +749,37 @@ def probe_pack_sequences(spark, n_chunks: int) -> dict:
     bad = per_shard.where(F.col("max_seq") > F.col("tok") / SEQ_LEN).count()
     if bad:
         raise AssertionError("seq_id exceeded token mass bound")
+    # Segment stage (r12): the attention-segmentation table must TILE
+    # every sequence — per (shard, seq_id), segment lengths sum to SEQ_LEN
+    # for all but the final ragged sequence per shard, and the global
+    # segment token mass equals the chunk token mass exactly.
+    from distributed_graph_database_simulation_spark.operators.pipeline import (
+        pack_segments_df,
+    )
+
+    t1 = _t.perf_counter()
+    segs = pack_segments_df(packed)
+    seg_stats = segs.agg(
+        F.count("*").alias("n_segs"),
+        F.sum(F.col("seg_end") - F.col("seg_start") + 1).alias("seg_tok"),
+    ).first()
+    if seg_stats["seg_tok"] != stats["tok"]:
+        raise AssertionError(
+            f"segment mass {seg_stats['seg_tok']} != chunk mass {stats['tok']}"
+        )
+    full_bad = (
+        segs.groupBy("shard", "seq_id")
+        .agg(F.sum(F.col("seg_end") - F.col("seg_start") + 1).alias("cov"))
+        .join(per_shard.select("shard", "max_seq"), "shard")
+        .where((F.col("seq_id") < F.col("max_seq")) & (F.col("cov") != SEQ_LEN))
+        .count()
+    )
+    if full_bad:
+        raise AssertionError(f"{full_bad} non-final sequences not fully tiled")
     return {"probe": "pack_sequences", "chunks": n_chunks,
-            "tokens": int(stats["tok"]),
-            "sec": round(_t.perf_counter() - t0, 2)}
+            "tokens": int(stats["tok"]), "segments": int(seg_stats["n_segs"]),
+            "sec": round(t1 - t0, 2),
+            "segments_sec": round(_t.perf_counter() - t1, 2)}
 
 
 def probe_cap_per_source(spark, n_docs: int, n_hot: int = 3) -> dict:
