@@ -155,6 +155,7 @@ HEADLINE = [
     "pipe_interleave_sources",
     "pipe_pack_segments",
     "sim_recall_ivf",
+    "mm_audio_level_stats",
 ]
 
 

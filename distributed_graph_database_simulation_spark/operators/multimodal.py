@@ -1470,3 +1470,118 @@ MULTIMODAL_QUERIES["mm_image_channel_stats"] = (
     mm_image_channel_stats,
     MM_IMAGE_CHANNEL_STATS_SQL,
 )
+
+
+# --- corpus audio level statistics (gain constants) -------------------------
+
+_AUDIO_LEVEL_SUMS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("sample_sum", LongType()),
+        StructField("sq_sum", LongType()),
+    ]
+)
+
+
+def _audio_level_sums_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Per-clip exact sample sums through the REAL WAV round trip — the
+    map half of the corpus gain/DC-offset pass (int64-exact, so the
+    reduction is order-independent)."""
+    import numpy as np
+
+    for pdf in batches:
+        n = len(pdf)
+        rates = np.zeros(n, dtype="int32")
+        lens = np.zeros(n, dtype="int64")
+        sums = np.zeros(n, dtype="int64")
+        sqs = np.zeros(n, dtype="int64")
+        for i, (media_id, payload) in enumerate(zip(pdf["media_id"], pdf["payload"])):
+            rate = 8000 + (int(media_id) % 8) * 1000
+            meta, samples = parse_wav(encode_wav_pcm8(bytes(payload), rate))
+            if meta["sample_rate"] != rate or meta["n_samples"] != len(payload):
+                raise ValueError(f"WAV round-trip drift: {meta}")
+            arr = np.asarray(samples, dtype=np.int64)
+            rates[i], lens[i] = rate, arr.size
+            sums[i] = int(arr.sum())
+            sqs[i] = int((arr * arr).sum())
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "sample_rate": rates,
+                "n_samples": lens,
+                "sample_sum": sums,
+                "sq_sum": sqs,
+            }
+        )
+
+
+def mm_audio_level_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide audio level statistics per sample rate — the gain /
+    DC-offset constants an audio preprocessing pipeline computes once
+    over the training corpus (the audio sibling of
+    :func:`mm_image_channel_stats`). Map side decodes every clip through
+    the real WAV codec and emits exact int64 sample sums; reduce side is
+    one |rates|-row aggregate with map-side combine. Mean and energy are
+    integer micro-units (sum * 1e6 div n — order-independent)."""
+    per = media_table(spark, sf_dir).mapInPandas(
+        _audio_level_sums_batches, schema=_AUDIO_LEVEL_SUMS_SCHEMA
+    )
+    return (
+        per.groupBy("sample_rate")
+        .agg(
+            F.count("*").cast("bigint").alias("n_clips"),
+            F.sum("n_samples").cast("bigint").alias("n_samples"),
+            F.sum("sample_sum").cast("bigint").alias("sample_sum"),
+            F.sum("sq_sum").cast("bigint").alias("sq_sum"),
+        )
+        .select(
+            "sample_rate",
+            "n_clips",
+            "n_samples",
+            "sample_sum",
+            "sq_sum",
+            F.expr("sample_sum * 1000000 div n_samples").cast("bigint").alias(
+                "mean_micro"
+            ),
+            F.expr("sq_sum * 1000000 div n_samples").cast("bigint").alias(
+                "energy_micro"
+            ),
+        )
+    )
+
+
+MM_AUDIO_LEVEL_STATS_SQL = """
+WITH t AS (
+  SELECT doc_id AS media_id, text,
+         CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate
+  FROM documents
+),
+per AS (
+  SELECT media_id, sample_rate,
+         CAST(length(text) AS BIGINT) AS n,
+         CAST(COALESCE(list_sum(list_transform(
+           range(1, length(text) + 1), i -> ord(text[i]))), 0) AS BIGINT) AS s,
+         CAST(COALESCE(list_sum(list_transform(
+           range(1, length(text) + 1), i -> ord(text[i]) * ord(text[i]))), 0)
+           AS BIGINT) AS sq
+  FROM t
+)
+SELECT sample_rate,
+       CAST(COUNT(*) AS BIGINT) AS n_clips,
+       CAST(SUM(n) AS BIGINT) AS n_samples,
+       CAST(SUM(s) AS BIGINT) AS sample_sum,
+       CAST(SUM(sq) AS BIGINT) AS sq_sum,
+       CAST(SUM(s) * 1000000 // SUM(n) AS BIGINT) AS mean_micro,
+       CAST(SUM(sq) * 1000000 // SUM(n) AS BIGINT) AS energy_micro
+FROM per GROUP BY sample_rate
+"""
+
+
+MULTIMODAL_QUERIES["mm_audio_level_stats"] = (
+    mm_audio_level_stats,
+    MM_AUDIO_LEVEL_STATS_SQL,
+)

@@ -215,6 +215,9 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # recall@k certification for the IVF route (completes the recall
     # family next to sim_recall_lsh; cost k * |queries|)
     "sim_recall_ivf": 12,
+    # corpus audio gain/DC-offset constants through the real WAV codec
+    # (audio sibling of the image channel-stats pass)
+    "mm_audio_level_stats": 12,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)
