@@ -156,6 +156,7 @@ HEADLINE = [
     "pipe_pack_segments",
     "sim_recall_ivf",
     "mm_audio_level_stats",
+    "stream_token_count_ingest",
 ]
 
 

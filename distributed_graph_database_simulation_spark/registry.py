@@ -218,6 +218,9 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # corpus audio gain/DC-offset constants through the real WAV codec
     # (audio sibling of the image channel-stats pass)
     "mm_audio_level_stats": 12,
+    # continuous BPE token accounting (linear per-lang counts store,
+    # archive-derived batch-0 replay stress)
+    "stream_token_count_ingest": 12,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

@@ -711,3 +711,137 @@ SELECT user_id, epoch_us(ts) AS ts_us, event_id,
                                 ORDER BY epoch_us(ts), event_id) AS valid_to_us
 FROM events
 """
+
+
+def stream_token_count_ingest(
+    spark: SparkSession,
+    stream: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    payload_archive_path: str | None = None,
+):
+    """Continuous token accounting: per micro-batch, BPE-tokenize the
+    batch through the Arrow kernel (``text_analysis.bpe_encode_df``) and
+    write its per-language (n_docs, n_tokens) PARTIAL to the
+    batch_id-partitioned store — the bookkeeping a streaming training-data
+    pipeline runs so budget/mixture decisions read a tiny store instead
+    of re-tokenizing history. Token counts are linear, so the merged
+    store equals the one-shot count exactly; replay safety is the store
+    contract (dynamic partition overwrite — a replayed batch replaces its
+    own partial). ``payload_archive_path`` as in :func:`stream_cms_ingest`.
+    Returns the started StreamingQuery (availableNow trigger)."""
+    from ..operators.text_analysis import bpe_encode_df
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        if payload_archive_path is not None:
+            _write_partition(
+                batch.select("doc_id", "lang", "text"),
+                batch_id,
+                payload_archive_path,
+            )
+        counts = (
+            batch.select("doc_id", "lang")
+            .join(bpe_encode_df(batch).select("doc_id", "n_bpe"), "doc_id")
+            .groupBy("lang")
+            .agg(
+                F.count("*").cast("bigint").alias("n_docs"),
+                F.sum("n_bpe").cast("bigint").alias("n_tokens"),
+            )
+        )
+        _write_partition(counts, batch_id, store_path)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_token_count_ingest_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry for the streaming token-count store: ingest a bounded
+    documents stream (availableNow backfill), STRESS the replay contract
+    by recomputing and re-writing batch 0's partial from the sink's
+    payload archive (must overwrite, not extend), and report the merged
+    per-language totals. The oracle computes the same totals directly
+    with the generated BPE replace-chain expression — token counts are
+    linear, so store-merge == one-shot is the certified claim, and an
+    append-on-replay would double batch 0's mass and hash-mismatch."""
+    import shutil
+    import tempfile
+
+    from ..operators.text_analysis import bpe_encode_df
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        docs_stream = spark.readStream.schema(schema).parquet(path)
+    else:
+        docs_stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+
+    base = tempfile.mkdtemp(prefix="dgds_tokcount_ingest_")
+    q = stream_token_count_ingest(
+        spark,
+        docs_stream,
+        f"{base}/store",
+        f"{base}/ck",
+        payload_archive_path=f"{base}/payload",
+    )
+    q.awaitTermination()
+    # Replay stress: batch 0's partial, recomputed from its archived
+    # payload and re-written under the same batch_id.
+    batch0 = (
+        spark.read.parquet(f"{base}/payload")
+        .where(F.col("batch_id") == 0)
+        .select("doc_id", "lang", "text")
+    )
+    replay_counts = (
+        batch0.select("doc_id", "lang")
+        .join(bpe_encode_df(batch0).select("doc_id", "n_bpe"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_bpe").cast("bigint").alias("n_tokens"),
+        )
+    )
+    _write_partition(replay_counts, 0, f"{base}/store")
+    out = (
+        spark.read.parquet(f"{base}/store")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+def _token_count_ingest_sql() -> str:
+    from ..functions.bpe import SEP, bpe_oracle_expr
+
+    return f"""
+WITH enc AS (
+  SELECT doc_id, lang,
+         regexp_replace(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                        '[^a-z0-9 ]', '', 'g') AS norm,
+         {bpe_oracle_expr("text")} AS s
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN norm = '' THEN 0
+                ELSE length(s) - length(replace(s, '{SEP}', '')) END)
+            AS BIGINT) AS n_tokens
+FROM enc GROUP BY lang
+"""
+
+
+STREAM_TOKEN_COUNT_INGEST_SQL = _token_count_ingest_sql()

@@ -549,6 +549,7 @@ STREAMING_QUERIES: dict[str, tuple] = {
 from ..operators.dedup import _NGRAM_ORACLE_CORE  # noqa: E402
 from .ingest import (  # noqa: E402
     STREAM_CMS_INGEST_SQL,
+    STREAM_TOKEN_COUNT_INGEST_SQL,
     STREAM_SCD2_INGEST_SQL,
     STREAM_SKETCH_INGEST_SQL,
     STREAM_USER_STATE_INGEST_SQL,
@@ -556,6 +557,7 @@ from .ingest import (  # noqa: E402
     stream_dedup_ingest_entry,
     stream_scd2_ingest_entry,
     stream_sketch_ingest_entry,
+    stream_token_count_ingest_entry,
     stream_user_state_ingest_entry,
 )
 
@@ -584,4 +586,10 @@ STREAMING_QUERIES["stream_cms_ingest"] = (
 STREAMING_QUERIES["stream_scd2_ingest"] = (
     stream_scd2_ingest_entry,
     STREAM_SCD2_INGEST_SQL,
+)
+# staged r12: continuous BPE token accounting (linear counts store with
+# archive-derived batch-0 replay stress).
+STREAMING_QUERIES["stream_token_count_ingest"] = (
+    stream_token_count_ingest_entry,
+    STREAM_TOKEN_COUNT_INGEST_SQL,
 )
