@@ -157,6 +157,7 @@ HEADLINE = [
     "sim_recall_ivf",
     "mm_audio_level_stats",
     "stream_token_count_ingest",
+    "rel_mad",
 ]
 
 

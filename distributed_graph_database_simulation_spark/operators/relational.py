@@ -2090,3 +2090,45 @@ RELATIONAL_QUERIES["rel_approx_quantile_checked"] = (
     approx_quantile_checked,
     APPROX_QUANTILE_CHECKED_SQL,
 )
+
+
+def mad_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per return flag — the robust
+    location/scale pair (median, MAD) an outlier-tolerant quality monitor
+    uses where mean/stddev would chase tails. Two sort-based aggregate
+    passes: per-group exact median (tiny result, broadcast back), then
+    the median of absolute deviations. Same cross-engine guarantee as
+    the quantiles entry: Spark ``percentile`` and DuckDB ``quantile_cont``
+    share the (n-1)*p interpolation, and on values that are multiples of
+    0.5 (integral quantities, dyadic midpoints) the arithmetic is
+    IEEE-identical — exact differential check, no rounding slop."""
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5D)").alias("med")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("med").alias("median_qty"),
+            F.expr("percentile(abs(l_quantity - med), 0.5D)").alias("mad_qty"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
+
+
+REL_MAD_SQL = """
+WITH med AS (
+  SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med
+  FROM lineitem GROUP BY 1
+)
+SELECT l.l_returnflag,
+       MIN(m.med) AS median_qty,
+       quantile_cont(abs(l.l_quantity - m.med), 0.5) AS mad_qty,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem l JOIN med m USING (l_returnflag)
+GROUP BY l.l_returnflag
+"""
+
+
+RELATIONAL_QUERIES["rel_mad"] = (mad_per_flag, REL_MAD_SQL)

@@ -221,6 +221,9 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # continuous BPE token accounting (linear per-lang counts store,
     # archive-derived batch-0 replay stress)
     "stream_token_count_ingest": 12,
+    # robust location/scale (median + MAD) per group, exact interpolated
+    # percentiles both engines compute IEEE-identically
+    "rel_mad": 12,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)
