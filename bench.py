@@ -158,6 +158,7 @@ HEADLINE = [
     "mm_audio_level_stats",
     "stream_token_count_ingest",
     "rel_mad",
+    "g_katz_scale",
 ]
 
 

@@ -2744,3 +2744,60 @@ def bipartite_project(
         .agg(F.count("*").cast("bigint").alias("weight"))
         .filter(F.col("weight") >= min_weight)
     )
+
+
+def katz_centrality(
+    spark: SparkSession,
+    graphs: DataFrame,
+    edges: DataFrame,
+    iterations: int = 8,
+    alpha: float = 0.05,
+    beta: float = 1.0,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Fixed-iteration Katz centrality: x_{t+1}(v) = beta + alpha *
+    sum over in-neighbors u of x_t(u), x_0 = beta — the attenuated
+    all-walks centrality (counts walks of every length, damped alpha^len)
+    that PageRank's degree normalization deliberately is not. Same
+    superstep shape as :func:`pagerank` minus the degree division and
+    dangling redistribution: one keyed join + map-side-combined sum per
+    iteration, loop invariants materialized once, lineage cut by the
+    shared barrier. Returns (graph_id, vertex, score)."""
+    from pyspark.storagelevel import StorageLevel
+
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    ck = checkpoint_dir(spark)
+    base = vertices(graphs).transform(barrier_t(eager=True, ckdir=ck))
+    x = barrier(
+        base.select("graph_id", "vertex", F.lit(float(beta)).alias("score")),
+        eager=True,
+        ckdir=ck,
+    )
+    for it in range(1, iterations + 1):
+        r, e = x.alias("r"), edges.alias("e")
+        recv = (
+            r.join(
+                e,
+                on=(F.col("r.graph_id") == F.col("e.graph_id"))
+                & (F.col("r.vertex") == F.col("e.src")),
+            )
+            .select(
+                F.col("e.graph_id").alias("graph_id"),
+                F.col("e.dst").alias("vertex"),
+                F.col("r.score").alias("score"),
+            )
+            .groupBy("graph_id", "vertex")
+            .agg(F.sum("score").alias("received"))
+        )
+        x = base.join(recv, ["graph_id", "vertex"], "left").select(
+            "graph_id",
+            "vertex",
+            (
+                F.lit(float(beta))
+                + F.lit(float(alpha)) * F.coalesce(F.col("received"), F.lit(0.0))
+            ).alias("score"),
+        )
+        if it % checkpoint_every == 0 or it == iterations:
+            x = barrier(x, eager=True, ckdir=ck)
+    edges.unpersist()
+    return x

@@ -3921,3 +3921,80 @@ FROM agg
 
 
 GRAPH_QUERIES["g_assortativity"] = (degree_assortativity, ASSORTATIVITY_SQL)
+
+
+# --- Katz centrality (attenuated all-walks) ---------------------------------
+
+KATZ_ITERS = 8
+KATZ_ALPHA = 0.05
+KATZ_BETA = 1.0
+
+
+def katz_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration Katz centrality on the scale graph
+    (:func:`~.graph_analytics.katz_centrality`, 8 iterations, alpha 0.05,
+    beta 1). Micro-rounded like the PageRank family: the unrolled-CTE
+    oracle replays the recurrence step for step, and integer micro-units
+    absorb the engines' float-summation-order ulps."""
+    from .graph_analytics import katz_centrality
+
+    graphs, edges = _scale_graph(spark, sf_dir)
+    x = katz_centrality(
+        spark, graphs, edges,
+        iterations=KATZ_ITERS, alpha=KATZ_ALPHA, beta=KATZ_BETA,
+    )
+    return x.select(
+        "graph_id",
+        "vertex",
+        F.round(F.col("score") * F.lit(1_000_000.0)).cast("bigint").alias(
+            "score_micro"
+        ),
+    )
+
+
+def _katz_sql(edges_cte: str, graphs_cte: str, iterations: int,
+              alpha: float, beta: float) -> str:
+    """Unrolled Katz oracle: chained CTEs replaying x_{t+1} = beta +
+    alpha * sum(in-neighbor x_t), x_0 = beta; float literals via repr()
+    so both engines see the same doubles."""
+    parts = [
+        f"WITH kz_edges AS ({edges_cte}),",
+        f"kz_graphs(graph_id, n) AS ({graphs_cte}),",
+        """kz_base AS (
+  SELECT graph_id, CAST(UNNEST(range(n)) AS INT) AS vertex FROM kz_graphs
+),
+it0 AS (SELECT graph_id, vertex, """ + repr(float(beta)) + """ AS score FROM kz_base)""",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f""",
+it{k} AS (
+  SELECT b.graph_id, b.vertex,
+         {float(beta)!r} + {float(alpha)!r} * COALESCE(c.received, 0.0) AS score
+  FROM kz_base b
+  LEFT JOIN (
+    SELECT e.graph_id, e.dst AS vertex, SUM(r.score) AS received
+    FROM it{k - 1} r
+    JOIN kz_edges e ON e.graph_id = r.graph_id AND e.src = r.vertex
+    GROUP BY e.graph_id, e.dst
+  ) c ON c.graph_id = b.graph_id AND c.vertex = b.vertex
+)"""
+        )
+    parts.append(
+        f"""
+SELECT graph_id, vertex, CAST(ROUND(score * 1000000.0) AS BIGINT) AS score_micro
+FROM it{iterations}"""
+    )
+    return "\n".join(parts)
+
+
+KATZ_SCALE_SQL = _katz_sql(
+    f"SELECT CAST(1 AS INT) AS graph_id, src, dst FROM ({fixtures.SCALE_GRAPH_SQL}) se",
+    f"VALUES (1, {fixtures.SCALE_V})",
+    iterations=KATZ_ITERS,
+    alpha=KATZ_ALPHA,
+    beta=KATZ_BETA,
+)
+
+
+GRAPH_QUERIES["g_katz_scale"] = (katz_scale, KATZ_SCALE_SQL)

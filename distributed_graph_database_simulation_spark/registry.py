@@ -224,6 +224,9 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # robust location/scale (median + MAD) per group, exact interpolated
     # percentiles both engines compute IEEE-identically
     "rel_mad": 12,
+    # fixed-iteration Katz centrality (attenuated all-walks; unrolled-CTE
+    # oracle, micro-rounded like the PageRank family)
+    "g_katz_scale": 12,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)
