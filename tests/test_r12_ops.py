@@ -232,3 +232,41 @@ def test_pack_segments_tile_each_sequence(spark, sf_dir):
             assert segs[-1][1] == SEQ_LEN - 1, (shard, seq_id, segs[-1])
         else:
             assert segs[-1][1] <= SEQ_LEN - 1
+
+
+def test_katz_hand_worked_path_graph(spark):
+    """Katz on the path 0 -> 1 -> 2 (alpha .5, beta 1, 2 iterations):
+    x2 = [1, 1.5, 1.75] — walks of length <= 2 attenuated by alpha^len."""
+    from distributed_graph_database_simulation_spark.operators.graph_analytics import (
+        katz_centrality,
+    )
+
+    graphs = spark.createDataFrame([(1, 3)], "graph_id int, n int")
+    edges = spark.createDataFrame(
+        [(1, 0, 1), (1, 1, 2)], "graph_id int, src int, dst int"
+    )
+    got = {
+        r.vertex: r.score
+        for r in katz_centrality(
+            spark, graphs, edges, iterations=2, alpha=0.5, beta=1.0
+        ).collect()
+    }
+    assert got == {0: 1.0, 1: 1.5, 2: 1.75}
+
+
+def test_mad_hand_worked(spark, tmp_path):
+    """MAD of [1,2,3,4,100]: median 3, deviations [2,1,0,1,97] -> MAD 1 —
+    the 100 outlier moves mean/stddev but not (median, MAD)."""
+    import pyspark.sql.functions as F
+
+    from distributed_graph_database_simulation_spark.operators.relational import (
+        mad_per_flag,
+    )
+
+    sf = str(tmp_path)
+    rows = [("A", float(v)) for v in (1, 2, 3, 4, 100)]
+    spark.createDataFrame(
+        rows, "l_returnflag string, l_quantity double"
+    ).write.parquet(f"{sf}/lineitem.parquet")
+    (r,) = mad_per_flag(spark, sf).collect()
+    assert (r.median_qty, r.mad_qty, r.n) == (3.0, 1.0, 5)
