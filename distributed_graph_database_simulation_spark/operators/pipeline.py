@@ -738,9 +738,10 @@ WHERE (doc_id * {_KNUTH}) % {_BUCKETS} < keep_ppm
 PIPE_TOKEN_BUDGET_SQL = _token_budget_sql()
 
 
-# BPE token budgets, binding at every shipped sf (en totals 37k+ / fr 13k+
-# at the gate SFs, growing with sf — keep_ppm < 1e6 everywhere).
-BPE_TOKEN_BUDGETS = {"en": 20_000, "fr": 8_000}
+# BPE token budgets, binding at every shipped sf (with the r13 1,024-merge
+# table, en totals 10.3k+ / fr 3.7k+ at the gate SFs, growing with sf —
+# keep_ppm < 1e6 everywhere).
+BPE_TOKEN_BUDGETS = {"en": 6_000, "fr": 2_500}
 
 
 def pipe_token_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -764,20 +765,14 @@ def pipe_token_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _token_budget_bpe_sql() -> str:
-    from ..functions.bpe import SEP, bpe_oracle_expr
+    from ..functions.bpe import SEP, bpe_enc_ctes
 
     rate_cases = " ".join(
         f"WHEN '{lang}' THEN LEAST({_BUCKETS}, (CAST({budget} AS BIGINT) * {_BUCKETS}) // t.tok)"
         for lang, budget in sorted(BPE_TOKEN_BUDGETS.items())
     )
     return f"""
-WITH enc AS (
-  SELECT doc_id, lang,
-         regexp_replace(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
-                        '[^a-z0-9 ]', '', 'g') AS norm,
-         {bpe_oracle_expr("text")} AS s
-  FROM documents
-),
+WITH {bpe_enc_ctes(cols="lang")},
 toks AS (
   SELECT doc_id, lang,
          CASE WHEN norm = '' THEN 0
@@ -2391,16 +2386,10 @@ def pipe_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pack_bpe_sql() -> str:
-    from ..functions.bpe import SEP, bpe_oracle_expr
+    from ..functions.bpe import SEP, bpe_enc_ctes
 
     return f"""
-WITH enc AS (
-  SELECT doc_id,
-         regexp_replace(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
-                        '[^a-z0-9 ]', '', 'g') AS norm,
-         {bpe_oracle_expr("text")} AS s
-  FROM documents
-),
+WITH {bpe_enc_ctes()},
 chunks AS (
   SELECT doc_id, CAST(0 AS INT) AS chunk_id,
          CAST(CASE WHEN norm = '' THEN 0

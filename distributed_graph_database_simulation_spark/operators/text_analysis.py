@@ -1210,16 +1210,20 @@ def bpe_encode_df(docs: DataFrame) -> DataFrame:
     """Deterministic BPE subword encoding of a ``(doc_id, text)`` frame —
     the real tokenizer behind packing / budget admission, replacing the
     regex count's approximation (see :mod:`..functions.bpe` for the
-    algorithm and the checked-in merge table learned by
+    algorithm and the 1,024-merge checked-in table learned by
     ``tools/learn_bpe.py``).
 
-    Arrow kernel (mapInPandas): the merge loop is a chain of VECTORIZED
-    non-regex ``Series.str.replace`` passes — O(len * n_merges) per doc,
-    no shuffle, no per-row Python in the inner loop. Emits
+    Arrow kernel (mapInPandas): normalization is vectorized pandas string
+    ops; the merge loop is WORD-LOCAL with a process-wide per-word cache
+    (``functions.bpe.bpe_encode_word``) — per batch O(#words) dict lookups
+    plus a one-time O(wordlen^2) encode per new vocabulary word,
+    independent of merge-table size per document (the r12 replace-chain
+    kernel was O(len * n_merges), untenable at a realistic vocab). No
+    shuffle; null text encodes to the empty token list. Emits
     ``(doc_id, n_bpe, enc_md5, head_tokens)``: the token count, the md5 of
     the full encoded symbol string (pins the exact byte output without
     hauling the token stream through the gate), and the first 8 tokens."""
-    from ..functions.bpe import BPE_MERGES, END_OF_WORD, SEP
+    from ..functions.bpe import SEP, bpe_encode_word, bpe_normalize_series
 
     docs = docs.select("doc_id", "text")
 
@@ -1229,33 +1233,21 @@ def bpe_encode_df(docs: DataFrame) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            norm = (
-                pdf["text"]
-                .str.strip()
-                .str.replace(r"\s+", " ", regex=True)
-                .str.lower()
-                .str.replace("[^a-z0-9 ]", "", regex=True)
+            norm = bpe_normalize_series(pdf["text"])
+            toks = norm.map(
+                lambda nm: [t for w in nm.split(" ") for t in bpe_encode_word(w)]
+                if nm
+                else []
             )
-            s = (norm + " ").str.replace(" ", END_OF_WORD, regex=False)
-            s = SEP + s.map(lambda x: SEP.join(x))
-            for a, b in BPE_MERGES:
-                s = s.str.replace(f"{SEP}{a}{SEP}{b}", f"{SEP}{a}{b}", regex=False)
-            empty = norm.str.len() == 0
-            n = (s.str.len() - s.str.replace(SEP, "", regex=False).str.len()).where(
-                ~empty, 0
-            )
-            enc = s.map(lambda x: hashlib.md5(x.encode()).hexdigest()).where(
-                ~empty, ""
-            )
-            head = s.str.split(SEP, regex=False).map(
-                lambda parts: " ".join(parts[1:9])
-            ).where(~empty, "")
+            s = toks.map(lambda ts: SEP + SEP.join(ts) if ts else "")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bpe": n.astype("int64"),
-                    "enc_md5": enc,
-                    "head_tokens": head,
+                    "n_bpe": toks.map(len).astype("int64"),
+                    "enc_md5": s.map(
+                        lambda x: hashlib.md5(x.encode()).hexdigest() if x else ""
+                    ),
+                    "head_tokens": toks.map(lambda ts: " ".join(ts[:8])),
                 }
             )
 
@@ -1267,23 +1259,18 @@ def bpe_encode_df(docs: DataFrame) -> DataFrame:
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver entry: :func:`bpe_encode_df` over the documents table. The
     oracle is GENERATED from the same merge table
-    (:func:`..functions.bpe.bpe_oracle_expr`) — both engines run the same
-    leftmost-non-overlapping replace chain, so the match certifies every
+    (:func:`..functions.bpe.bpe_enc_ctes`) — the oracle reconstructs every
+    document's full symbol string from a golden word -> symbols table
+    produced by the same executable spec, so the md5 match certifies every
     merge step, not just counts."""
     return bpe_encode_df(_docs(spark, sf_dir))
 
 
 def _bpe_sql() -> str:
-    from ..functions.bpe import SEP, bpe_oracle_expr
+    from ..functions.bpe import SEP, bpe_enc_ctes
 
     return f"""
-WITH enc AS (
-  SELECT doc_id,
-         regexp_replace(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
-                        '[^a-z0-9 ]', '', 'g') AS norm,
-         {bpe_oracle_expr("text")} AS s
-  FROM documents
-)
+WITH {bpe_enc_ctes()}
 SELECT doc_id,
        CAST(CASE WHEN norm = '' THEN 0
             ELSE length(s) - length(replace(s, '{SEP}', '')) END AS BIGINT)
@@ -1313,7 +1300,7 @@ def bpe_tokens_df(docs: DataFrame) -> DataFrame:
     explode happens INSIDE the Arrow kernel (the mm_image_patches shape),
     so the plan stays a single shuffle-free MapInPandas however long the
     documents are."""
-    from ..functions.bpe import BPE_MERGES, END_OF_WORD, SEP
+    from ..functions.bpe import bpe_encode_word, bpe_normalize_series
 
     docs = docs.select("doc_id", "text")
 
@@ -1321,25 +1308,19 @@ def bpe_tokens_df(docs: DataFrame) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            norm = (
-                pdf["text"]
-                .str.strip()
-                .str.replace(r"\s+", " ", regex=True)
-                .str.lower()
-                .str.replace("[^a-z0-9 ]", "", regex=True)
-            )
-            s = (norm + " ").str.replace(" ", END_OF_WORD, regex=False)
-            s = SEP + s.map(lambda x: SEP.join(x))
-            for a, b in BPE_MERGES:
-                s = s.str.replace(f"{SEP}{a}{SEP}{b}", f"{SEP}{a}{b}", regex=False)
+            norm = bpe_normalize_series(pdf["text"])
             out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "tok": s.str.split(SEP, regex=False).map(lambda p: p[1:]),
-                    "_nonempty": norm.str.len() > 0,
+                    "tok": norm.map(
+                        lambda nm: [
+                            t for w in nm.split(" ") for t in bpe_encode_word(w)
+                        ]
+                        if nm
+                        else []
+                    ),
                 }
-            )
-            out = out[out["_nonempty"]].drop(columns="_nonempty").explode("tok")
+            ).explode("tok")
             yield out[out["tok"].notna()]
 
     return docs.mapInPandas(kernel, "doc_id long, tok string")
@@ -1362,16 +1343,10 @@ def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_vocab_sql() -> str:
-    from ..functions.bpe import SEP, bpe_oracle_expr
+    from ..functions.bpe import SEP, bpe_enc_ctes
 
     return f"""
-WITH enc AS (
-  SELECT doc_id,
-         regexp_replace(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
-                        '[^a-z0-9 ]', '', 'g') AS norm,
-         {bpe_oracle_expr("text")} AS s
-  FROM documents
-),
+WITH {bpe_enc_ctes()},
 toks AS (
   SELECT doc_id, t AS tok
   FROM enc, UNNEST(list_slice(string_split(s, '{SEP}'), 2,

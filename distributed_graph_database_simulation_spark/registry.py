@@ -39,97 +39,91 @@ from .streaming.windowed import STREAMING_QUERIES
 # fixture variants (all hash-exact green in CORRECTNESS_r01) go in the tail.
 CHECK_WINDOW = 50
 
-# r12 rotation (ordered by the r11 verdict #2):
+# r13 rotation (r12 verdict #2 + #8):
 #
-# THE TWENTY-TWO r11-STAGED ENTRIES rotate in for their FIRST driver rows
+# THE ELEVEN r12-STAGED ENTRIES rotate in for their FIRST driver rows
 # (the staleness guard requires driver rows within two rounds of staging):
-# multi-grain GROUPING SETS, radius cosine search, bipartite projection +
-# clustering + butterflies, CMS heavy hitters (batch + streaming ingest
-# with payload-archive replay stress), DeepWalk skip-gram pairs, native
-# UNPIVOT, the rank window family, checked approx-quantile, the composed
-# end-to-end pipeline, incremental IVF append, epoch shuffle, curriculum
-# buckets, weighted bottom-k sample, ViT patches, audio analysis windows,
-# small-files compaction, streaming SCD2, hashing-trick features, and
-# degree assortativity. All 22 were pre-verified hash-exact at sf0.001 +
-# sf0.01 when staged (r11) and the five touched by r11-ADVICE fixes
-# (unpivot, curriculum, both CMS entries, epoch shuffle) re-verified at
-# both sfs this round after the fixes.
+# exact-substring scrub, BPE token-budget admission, BPE vocabulary
+# report, image channel stats, WFQ source interleaving, packed-sequence
+# segments, IVF recall certification, audio level stats, streaming BPE
+# token accounting, median+MAD, and Katz centrality. The three
+# BPE-dependent ones were re-verified hash-exact at sf0.001 + sf0.01 +
+# sf0.1 AFTER the r13 tokenizer rewrite (1,024-merge table, word-local
+# pair-merge kernel, golden-table oracle); the other eight re-swept
+# unchanged.
 #
-# Rotated to the tail in exchange (22): the fifteen r10-wave first-timers
-# with 2 green rows each (r10+r11: walks/node2vec x2, neighbor-agg,
-# SimRank x2, HITS x2, articulation, bridges, semdedup, ivfpq, recall-lsh,
-# phash-dedup), sim_topk_lsh / sim_topk_ivf (3 rows), g_triangles (2 rows
-# post-redefinition), pipe_split / pipe_cap_per_source (5 rows each), and
-# rel_skyline / sim_topk_pq (3 rows each).
+# text_bpe_encode / pipe_pack_bpe / dedup_exact_substring STAY because the
+# r13 tokenizer rewrite changed BPE semantics and the gate must
+# re-certify them (each re-verified at all three sfs after the rewrite).
 #
-# The seventeen r11 first-timers STAY for their second rows. Family
-# coverage after the swap: g (BFS/DFS + HyperBall pair/diameter/Doulion/
-# 4-cliques + bipartite project/clustering/butterflies/assortativity/
-# skip-gram pairs), dedup (prefiltered-cosine), sim (random-project/
-# ivf-index/range-search/ivf-append), text (novelty, hashed-features),
-# mm (resize, patches, audio-windows), rel (resample/interval/retention/
-# approx-distinct-checked/grouping-sets/unpivot/rank-family/
-# approx-quantile-checked), stream (sketch/dedup/user-state/cms/scd2
-# ingest), pipe (11 entries).
+# THE REGISTRY-WIDE STALENESS BOUND (r12 verdict #8) arms this round:
+# COVERAGE.md now guarantees every entry a green driver row within
+# MAX_GATE_STALENESS = 8 rounds, enforced by tests/test_registry_window.py.
+# To satisfy it, the 34 oldest tail entries re-enter the gate: all 21
+# r1-vintage relational/fixture entries (last gated round 1), all 10
+# r5-vintage entries, and 3 r6-vintage picks (the graph-store roundtrip +
+# text scan reference ops and the prefix-filtered n-gram Jaccard). The
+# cost is this round's "second rows" convention — the 25 r12 first-timers
+# (1 green row each, r12) and 12 r11 first-timers (2-3 rows) wait in the
+# tail; the staleness bound now guarantees their return by r20.
 _WINDOW_ORDER = [
-    # -- graph essentials (reference ops 1-5 + north-star analytics) --------
+    # -- graph essentials (reference ops 3-4, gate every round) -------------
     "g_bfs_levels",
     "g_dfs_leaves",
-    # -- r11 first-timers, 2nd driver row -----------------------------------
-    "pipe_dataset_card",
-    "dedup_embedding_cosine_prefiltered",
-    "g_hyperball_scale",
-    "g_hyperball_harmonic_scale",
-    "pipe_hll_store_merge",
-    "stream_sketch_ingest",
-    "stream_dedup_ingest",
-    "stream_user_state_ingest",
-    "pipe_theta_overlap",
-    "pipe_zorder_layout",
-    "sim_random_project",
-    "sim_topk_ivf_index",
-    "g_effective_diameter_scale",
-    "g_triangles_sampled_scale",
-    "pipe_temperature_mix",
-    "g_four_cliques_scale",
-    "text_novelty",
-    "rel_approx_distinct_checked",
-    # -- r12 rotation: the twenty-two r11-staged entries, first driver rows -
-    "rel_grouping_sets",
-    "sim_range_search",
-    "g_bipartite_project",
-    "pipe_cms_heavy_hitters",
-    "stream_cms_ingest",
-    "g_walk_skipgram_pairs",
-    "rel_unpivot",
-    "rel_rank_family",
-    "rel_approx_quantile_checked",
-    "pipe_end_to_end",
-    "sim_ivf_index_append",
-    "g_butterflies",
-    "pipe_epoch_shuffle",
-    "pipe_curriculum_buckets",
-    "pipe_weighted_sample",
-    "mm_image_patches",
-    "mm_audio_windows",
-    "pipe_compact_files",
-    "stream_scd2_ingest",
-    "g_bipartite_clustering",
-    "text_hashed_features",
-    "g_assortativity",
-    # -- r12-built operators, rotated straight in (gate not yet run; each
-    # pre-verified hash-exact at sf0.001 + sf0.01 + sf0.1): deterministic
-    # BPE tokenizer, the suffix-array exact-substring dedup contract, and
-    # BPE-counted sequence packing --------------------------------------
+    # -- r12-built BPE/substring operators, semantics changed by the r13
+    # tokenizer rewrite: re-certify -----------------------------------------
     "text_bpe_encode",
     "dedup_exact_substring",
     "pipe_pack_bpe",
-    # -- events + relational library ----------------------------------------
-    "rel_resample_ffill",
-    "rel_interval_overlap",
-    "rel_retention_cohorts",
-    "pipe_mixture_balance",
-    "mm_image_resize",
+    # -- r13 rotation: the eleven r12-staged entries, first driver rows -----
+    "dedup_scrub_substring",
+    "pipe_token_budget_bpe",
+    "text_bpe_vocab",
+    "mm_image_channel_stats",
+    "pipe_interleave_sources",
+    "pipe_pack_segments",
+    "sim_recall_ivf",
+    "mm_audio_level_stats",
+    "stream_token_count_ingest",
+    "rel_mad",
+    "g_katz_scale",
+    # -- staleness-bound re-gates: r1 vintage (21, last gated round 1) ------
+    "g_bfs_levels_alt",
+    "g_dfs_leaves_scale",
+    "rel_approx_distinct",
+    "rel_array_map_funcs",
+    "rel_bucketed_join",
+    "rel_correlated_exists",
+    "rel_correlated_scalar",
+    "rel_cube_order_priority",
+    "rel_customers_without_orders",
+    "rel_distinct_parts_per_flag",
+    "rel_multiformat_sources",
+    "rel_range_frame_window",
+    "rel_range_join",
+    "rel_region_revenue",
+    "rel_running_supplier_qty",
+    "rel_scalar_orders",
+    "rel_segment_stats",
+    "rel_setops_customers",
+    "rel_sql_forecast_revenue",
+    "rel_top_parts_per_brand",
+    "rel_top_revenue_orders",
+    # -- staleness-bound re-gates: r5 vintage (10) ---------------------------
+    "dedup_embedding_cosine_tiled",
+    "g_kcore_scale",
+    "g_label_propagation_scale",
+    "g_pagerank_scale",
+    "g_sssp_scale",
+    "mm_bmp_decode",
+    "stream_events_sliding",
+    "stream_static_enrichment",
+    "stream_user_sessions",
+    "text_shard_assign",
+    # -- staleness-bound re-gates: r6 vintage picks (3) ----------------------
+    "g_store_roundtrip",
+    "g_text_scan",
+    "dedup_ngram_jaccard",
 ]
 
 _SUITES = (
@@ -190,43 +184,9 @@ ALL_QUERIES.update({name: spec for name, spec in _POOL.items() if name not in AL
 # passed — staging is for entries awaiting a FUTURE rotation, and the r09
 # window still had its rotation pending.
 STAGED_DECLARED_ROUND: dict[str, int] = {
-    # (The twenty-two r11-staged entries rotated into the r12 gate window —
+    # (The eleven r12-staged entries rotated into the r13 gate window —
     # see _WINDOW_ORDER. New-this-round operators are declared here as they
-    # are built and pre-verified, queued for the r13 rotation.)
-    # r12 wave — each pre-verified hash-exact at sf0.001 AND sf0.01:
-    # the scrub half of the >=50-token suffix-array contract (rewrite docs
-    # with cross-doc repeated runs removed, md5-pinned text)
-    "dedup_scrub_substring": 12,
-    # budget admission in REAL BPE tokens (tokenize -> budget composition,
-    # oracle recomputes the replace-chain length inside the budget CTE)
-    "pipe_token_budget_bpe": 12,
-    # BPE vocabulary report (occurrence + doc frequency per token; the
-    # 1 -> n explode happens inside the Arrow kernel)
-    "text_bpe_vocab": 12,
-    # corpus per-channel pixel statistics through the real BMP codec
-    # (the normalization-constants pass; 3-row map-side-combined reduce)
-    "mm_image_channel_stats": 12,
-    # weight-proportional source interleaving (WFQ virtual time over the
-    # sub-bucketed within-group rank; k-way-merge order, no global sort)
-    "pipe_interleave_sources": 12,
-    # packed-sequence segment boundaries (block-diagonal attention /
-    # position-id resets; output-proportional overlap explode)
-    "pipe_pack_segments": 12,
-    # recall@k certification for the IVF route (completes the recall
-    # family next to sim_recall_lsh; cost k * |queries|)
-    "sim_recall_ivf": 12,
-    # corpus audio gain/DC-offset constants through the real WAV codec
-    # (audio sibling of the image channel-stats pass)
-    "mm_audio_level_stats": 12,
-    # continuous BPE token accounting (linear per-lang counts store,
-    # archive-derived batch-0 replay stress)
-    "stream_token_count_ingest": 12,
-    # robust location/scale (median + MAD) per group, exact interpolated
-    # percentiles both engines compute IEEE-identically
-    "rel_mad": 12,
-    # fixed-iteration Katz centrality (attenuated all-walks; unrolled-CTE
-    # oracle, micro-rounded like the PageRank family)
-    "g_katz_scale": 12,
+    # are built and pre-verified, queued for the r14 rotation.)
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

@@ -825,16 +825,10 @@ def stream_token_count_ingest_entry(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 def _token_count_ingest_sql() -> str:
-    from ..functions.bpe import SEP, bpe_oracle_expr
+    from ..functions.bpe import SEP, bpe_enc_ctes
 
     return f"""
-WITH enc AS (
-  SELECT doc_id, lang,
-         regexp_replace(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
-                        '[^a-z0-9 ]', '', 'g') AS norm,
-         {bpe_oracle_expr("text")} AS s
-  FROM documents
-)
+WITH {bpe_enc_ctes(cols="lang")}
 SELECT lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(CASE WHEN norm = '' THEN 0

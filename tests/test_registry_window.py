@@ -241,11 +241,71 @@ R12_ROTATED_OUT = (
     "pipe_select_quality", "pipe_pack_sequences",
 )
 
+# r13 rotation (r12 verdict #2 + #8): the eleven r12-staged entries rotate
+# in for their first driver rows (the three BPE-dependent ones re-verified
+# hash-exact at all three shipped sfs AFTER the r13 tokenizer rewrite —
+# 1,024-merge table, word-local pair-merge kernel, golden-table oracle —
+# the other eight re-swept unchanged), PLUS the 34 oldest tail entries
+# (21 r1-vintage, 10 r5-vintage, 3 r6-vintage picks) to arm the
+# registry-wide MAX_GATE_STALENESS bound. Out: everything else — this
+# round trades the "second rows" convention for retiring an 11-round
+# staleness debt in one pass.
+R13_NEW_ENTRIES = (
+    # r12-staged, first driver rows
+    "dedup_scrub_substring", "pipe_token_budget_bpe", "text_bpe_vocab",
+    "mm_image_channel_stats", "pipe_interleave_sources",
+    "pipe_pack_segments", "sim_recall_ivf", "mm_audio_level_stats",
+    "stream_token_count_ingest", "rel_mad", "g_katz_scale",
+    # staleness re-gates: r1 vintage (last gated round 1)
+    "g_bfs_levels_alt", "g_dfs_leaves_scale", "rel_approx_distinct",
+    "rel_array_map_funcs", "rel_bucketed_join", "rel_correlated_exists",
+    "rel_correlated_scalar", "rel_cube_order_priority",
+    "rel_customers_without_orders", "rel_distinct_parts_per_flag",
+    "rel_multiformat_sources", "rel_range_frame_window", "rel_range_join",
+    "rel_region_revenue", "rel_running_supplier_qty", "rel_scalar_orders",
+    "rel_segment_stats", "rel_setops_customers", "rel_sql_forecast_revenue",
+    "rel_top_parts_per_brand", "rel_top_revenue_orders",
+    # staleness re-gates: r5 vintage
+    "dedup_embedding_cosine_tiled", "g_kcore_scale",
+    "g_label_propagation_scale", "g_pagerank_scale", "g_sssp_scale",
+    "mm_bmp_decode", "stream_events_sliding", "stream_static_enrichment",
+    "stream_user_sessions", "text_shard_assign",
+    # staleness re-gates: r6 vintage picks (reference store/scan ops +
+    # the prefix-filtered n-gram Jaccard)
+    "g_store_roundtrip", "g_text_scan", "dedup_ngram_jaccard",
+)
+
+R13_ROTATED_OUT = (
+    # r11 first-timers leaving with 2-3 green rows each
+    "pipe_dataset_card", "dedup_embedding_cosine_prefiltered",
+    "g_hyperball_scale", "g_hyperball_harmonic_scale",
+    "pipe_hll_store_merge", "stream_sketch_ingest", "stream_dedup_ingest",
+    "stream_user_state_ingest", "pipe_theta_overlap", "pipe_zorder_layout",
+    "sim_random_project", "sim_topk_ivf_index",
+    "g_effective_diameter_scale", "g_triangles_sampled_scale",
+    "pipe_temperature_mix", "g_four_cliques_scale", "text_novelty",
+    "rel_approx_distinct_checked",
+    # r12 first-timers leaving with 1 green row each (r12) — their return
+    # is now guaranteed by the staleness bound, not by convention
+    "rel_grouping_sets", "sim_range_search", "g_bipartite_project",
+    "pipe_cms_heavy_hitters", "stream_cms_ingest", "g_walk_skipgram_pairs",
+    "rel_unpivot", "rel_rank_family", "rel_approx_quantile_checked",
+    "pipe_end_to_end", "sim_ivf_index_append", "g_butterflies",
+    "pipe_epoch_shuffle", "pipe_curriculum_buckets", "pipe_weighted_sample",
+    "mm_image_patches", "mm_audio_windows", "pipe_compact_files",
+    "stream_scd2_ingest", "g_bipartite_clustering", "text_hashed_features",
+    "g_assortativity",
+    # multi-round veterans (7 / 6 / 4 / 4 / 4 green rows)
+    "rel_resample_ffill", "rel_interval_overlap", "rel_retention_cohorts",
+    "pipe_mixture_balance", "mm_image_resize",
+)
+
 # Rotation ledger, newest first: (round, rotated-in, rotated-out). Window
 # membership for any name touched by a rotation is decided by the LATEST
 # rotation that mentions it — replaying this ledger replaces the
 # conditional chains the per-round tests used to carry.
 ROTATIONS = (
+    (13, R13_NEW_ENTRIES, R13_ROTATED_OUT),
     (12, R12_NEW_ENTRIES, R12_ROTATED_OUT),
     (11, R11_NEW_ENTRIES + R11_REGATE, R11_ROTATED_OUT),
     (10, R10_NEW_ENTRIES + R10_REAUDIT, R10_ROTATED_OUT),
@@ -283,16 +343,56 @@ def test_rotation_ledger_is_consistent():
         assert (name in w) == expected_in_window(name), name
 
 
-def test_r12_rotation_swaps_balance():
-    """r12 swaps the 22 r11-staged first-timers + 3 r12-built operators
-    in for 25 multi-green veterans; the r11 first-timers stay for their
-    second rows; window stays exactly CHECK_WINDOW."""
-    assert len(R12_NEW_ENTRIES) == len(R12_ROTATED_OUT) == 25
+def test_r13_rotation_swaps_balance():
+    """r13 swaps the 11 r12-staged entries + 34 staleness re-gates in for
+    45 recently-certified entries; the three BPE/substring entries whose
+    semantics the r13 tokenizer rewrite changed stay to re-certify;
+    window stays CHECK_WINDOW."""
+    assert len(R13_NEW_ENTRIES) == len(R13_ROTATED_OUT) == 45
     w = set(window_names())
-    assert set(R12_NEW_ENTRIES) <= w
-    assert not set(R12_ROTATED_OUT) & w
-    # the seventeen r11 first-timers + the re-gated dataset card stay
-    assert set(R11_NEW_ENTRIES + R11_REGATE) <= w
+    assert set(R13_NEW_ENTRIES) <= w
+    assert not set(R13_ROTATED_OUT) & w
+    # BPE-semantics-changed r12 entries stay to re-certify
+    assert {"text_bpe_encode", "dedup_exact_substring", "pipe_pack_bpe"} <= w
+
+
+# The registry-wide rotation cadence guarantee (r12 verdict #8; documented
+# in COVERAGE.md §rotation-cadence): after each round's gate runs, every
+# registry entry has a green driver row within the last MAX_GATE_STALENESS
+# rounds. Enforced ex ante: any entry whose most recent green row would be
+# older than the bound after the NEXT gate run must be IN the current
+# window. Never-gated entries are covered by the staged-entry guard
+# (test_staged_entries_gate_within_two_rounds).
+MAX_GATE_STALENESS = 8
+
+
+def test_registry_wide_staleness_bound():
+    import glob
+    import json
+    import re
+
+    last: dict[str, int] = {}
+    rounds = [0]
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json$", path).group(1))
+        rounds.append(rnd)
+        with open(path) as f:
+            for name, row in json.load(f).items():
+                if row.get("hash_match") or row.get("err") == "no_oracle":
+                    last[name] = max(last.get(name, 0), rnd)
+    next_round = max(rounds) + 1
+    w = set(window_names())
+    must_gate = {
+        name
+        for name in registry.queries()
+        if name in last and last[name] <= next_round - MAX_GATE_STALENESS
+    }
+    missing = must_gate - w
+    assert not missing, (
+        f"entries whose staleness would exceed {MAX_GATE_STALENESS} rounds "
+        f"after round {next_round}'s gate, yet absent from the window: "
+        f"{sorted(missing)}"
+    )
 
 
 def _green_history():
@@ -364,7 +464,7 @@ def test_window_entries_without_history_are_this_rounds_rotation():
     pre-verification step the rotation playbook requires."""
     green = _green_history()
     awaiting = set(window_names()) - green
-    allowed = set(R12_NEW_ENTRIES)
+    allowed = set(R13_NEW_ENTRIES)
     assert awaiting <= allowed, (
         f"window entries with no driver history outside this round's "
         f"rotation: {sorted(awaiting - allowed)}"
@@ -391,11 +491,12 @@ def test_capped_link_prediction_is_non_vacuous_at_gate_sf(spark):
 
 def test_every_window_entry_has_oracle_or_documented_rows_only():
     oracles = registry.oracle_sql()
-    # r08: the window is fully oracle-backed for the first time —
-    # g_dfs_leaves gained a golden VALUES oracle generated from the
-    # hand-verified fixtures.DFS_LEAF_PINS (r07 verdict "missing" #2).
+    # r08-r12: the window was fully oracle-backed. r13: the staleness
+    # re-gates bring back rel_approx_distinct — the registry's ONE
+    # rows-only-by-design entry (raw HLL estimate; envelope-pinned in
+    # tests, value-certified via its rel_approx_distinct_checked sibling).
     rows_only = {n for n in window_names() if n not in oracles}
-    assert rows_only == set()
+    assert rows_only <= {"rel_approx_distinct"}
 
 
 def test_canary_smoke_representative_window_queries():
