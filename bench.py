@@ -261,6 +261,15 @@ def main() -> int:
     # headline set so the driver's wall-clock budget is unchanged; a full
     # run is recorded per-round as a committed FULLBENCH artifact.
     full = "--full" in sys.argv[1:]
+    # --names-from BENCH_rN.json: bench EXACTLY the query names recorded in a
+    # prior round's bench artifact (r12 verdict #1b — like-for-like reruns:
+    # the headline set keeps growing, so cross-round totals compare different
+    # sets; this flag replays an old set verbatim in a fresh session).
+    names_from: list[str] | None = None
+    argv = sys.argv[1:]
+    if "--names-from" in argv:
+        with open(argv[argv.index("--names-from") + 1]) as f:
+            names_from = list(json.load(f)["queries"])
     from distributed_graph_database_simulation_spark import registry
     from distributed_graph_database_simulation_spark.session import get_spark
 
@@ -335,11 +344,18 @@ def main() -> int:
     # keeps the 70-query headline's wall bounded.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     rep_skip = float(os.environ.get("SPARK_GRAFT_BENCH_REP_SKIP", "8"))
-    plan: list[tuple[str, int]] = [(n, reps) for n in HEADLINE + list(EXTRA_BENCH)]
-    if full:
-        headline = set(HEADLINE) | set(EXTRA_BENCH)
-        plan += [(n, 1) for n in queries if n not in headline]
+    if names_from is not None:
+        plan: list[tuple[str, int]] = [(n, reps) for n in names_from]
+    else:
+        plan = [(n, reps) for n in HEADLINE + list(EXTRA_BENCH)]
+        if full:
+            headline = set(HEADLINE) | set(EXTRA_BENCH)
+            plan += [(n, 1) for n in queries if n not in headline]
     times: dict[str, float] = {}
+    # Per-query [min, max, n_samples] across reps (r12 verdict #1a): a
+    # cross-round move within a query's own rep spread is scheduler noise
+    # by the artifact alone — no like-for-like rerun needed to dismiss it.
+    spreads: dict[str, list[float]] = {}
     for name, q_reps in plan:
         fn = queries.get(name) or EXTRA_BENCH.get(name)
         if fn is None:
@@ -359,6 +375,7 @@ def main() -> int:
                 break
         samples.sort()
         times[name] = round(samples[len(samples) // 2], 3)
+        spreads[name] = [round(samples[0], 3), round(samples[-1], 3), len(samples)]
         spread = (
             f" (min {samples[0]:.3f} max {samples[-1]:.3f})"
             if len(samples) > 1
@@ -402,10 +419,11 @@ def main() -> int:
     # Durable per-query record: the stdout capture window can clip the big
     # line, so every run also lands the full payload on disk next to the
     # harness (committed per-round as FULLBENCH_r{N}.json for --full runs).
+    # "spread" carries per-query [min, max, n_samples] (r12 verdict #1a).
     payload = {
         "metric": "headline_total", "value": total, "unit": "sec",
-        "queries": times, "sf": sf_dir, "reps": reps, "host": host,
-        "full": full,
+        "queries": times, "spread": spreads, "sf": sf_dir, "reps": reps,
+        "host": host, "full": full,
     }
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_last.json"
