@@ -159,6 +159,8 @@ HEADLINE = [
     "stream_token_count_ingest",
     "rel_mad",
     "g_katz_scale",
+    # round-13 wave: the interleave -> BPE-pack -> segments composition
+    "pipe_interleave_pack",
 ]
 
 

@@ -2653,3 +2653,180 @@ PIPELINE_QUERIES.update(
         "pipe_pack_segments": (pipe_pack_segments, PIPE_PACK_SEGMENTS_SQL),
     }
 )
+
+
+# --- interleave -> pack -> segments (the consumed composition) --------------
+
+# vt_micro sub-bucket width for the interleaved-stream cumsum recomposition:
+# vt is monotone in the global WFQ order, so bucketing by `vt div WIDTH`
+# parallelizes the running token total exactly like the scramble-bucketed
+# packing cumsum. Bucket count grows with the corpus (vt_max ~ rank * SCALE
+# / w), so the stage's parallelism scales with data instead of capping.
+_VT_SUB_WIDTH = 50_000_000
+
+
+def interleave_pack_segments_df(
+    docs: DataFrame, weights: dict[str, int], seq_len: int = SEQ_LEN
+) -> DataFrame:
+    """The composition a training job actually consumes (r12 verdict #6):
+    weight-proportional WFQ interleaving (:func:`interleave_sources_df`)
+    fixes the GLOBAL training order; documents are laid end-to-end IN THAT
+    ORDER weighted by their REAL BPE token counts
+    (:func:`text_analysis.bpe_encode_df`), cut every ``seq_len`` tokens,
+    and emitted as the per-sequence segment table
+    (:func:`pack_segments_df` algebra, with the interleave key and virtual
+    time carried through) — certifying that the WFQ order SURVIVES the
+    pack: a doc's sequence position is monotone in its virtual time.
+
+    Unlike :func:`pack_sequences_df` (per-shard streams), the interleaved
+    stream is ONE global order, so the running token total uses vt-bucket
+    recomposition: cumsum per ``vt_micro div _VT_SUB_WIDTH`` bucket (vt is
+    monotone in the global order), plus a broadcast per-bucket offset —
+    no global sort, no single-task window over the corpus; the only
+    corpus-wide single-task window runs over <= #buckets aggregate rows.
+
+    Returns ``(seq_id, doc_id, lang, vt_micro, seg_start, seg_end)``."""
+    from pyspark.sql import Window
+
+    from .text_analysis import bpe_encode_df
+
+    inter = interleave_sources_df(docs, weights)  # doc_id, lang, rank, vt_micro
+    toks = bpe_encode_df(docs).select(
+        "doc_id", F.col("n_bpe").cast("int").alias("n_tokens")
+    )
+    keyed = (
+        inter.join(toks, "doc_id")
+        .withColumn("_sub", F.expr(f"vt_micro div {_VT_SUB_WIDTH}").cast("int"))
+    )
+    order = ["vt_micro", "lang", "doc_id"]
+    w_cum = (
+        Window.partitionBy("_sub")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    in_sub = keyed.withColumn(
+        "_cin", F.coalesce(F.sum("n_tokens").over(w_cum), F.lit(0))
+    )
+    # per-bucket totals -> cumulative start offsets; <= #buckets rows, so
+    # the unpartitioned window is a deliberate tiny single task
+    w_off = Window.orderBy("_sub").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        keyed.groupBy("_sub")
+        .agg(F.sum("n_tokens").alias("_tok"))
+        .withColumn("_off", F.coalesce(F.sum("_tok").over(w_off), F.lit(0)))
+        .select("_sub", "_off")
+    )
+    g = F.col("_off") + F.col("_cin")
+    packed = in_sub.join(F.broadcast(offsets), "_sub").select(
+        "doc_id",
+        "lang",
+        "vt_micro",
+        "n_tokens",
+        g.alias("_g"),
+    )
+    # segment explode: same overlap algebra as pack_segments_df, with the
+    # interleave columns carried through (output-proportional, narrow)
+    L = F.lit(seq_len)
+    seqs = F.sequence(
+        F.expr(f"_g div {seq_len}"),
+        F.expr(f"(_g + n_tokens - 1) div {seq_len}"),
+    )
+    return (
+        packed.where(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "vt_micro",
+            F.col("_g"),
+            (F.col("_g") + F.col("n_tokens") - 1).alias("_ge"),
+            F.explode(seqs).alias("seq_id"),
+        )
+        .select(
+            F.col("seq_id").cast("bigint").alias("seq_id"),
+            "doc_id",
+            "lang",
+            "vt_micro",
+            (F.greatest(F.col("_g"), F.col("seq_id") * L) - F.col("seq_id") * L)
+            .cast("int")
+            .alias("seg_start"),
+            (
+                F.least(F.col("_ge"), F.col("seq_id") * L + (seq_len - 1))
+                - F.col("seq_id") * L
+            )
+            .cast("int")
+            .alias("seg_end"),
+        )
+    )
+
+
+def pipe_interleave_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: the interleave -> BPE-pack -> segments composition
+    over documents. The oracle replays all three stages in one query —
+    WFQ rank/virtual-time algebra, the golden-table BPE token counts, the
+    global running total, and the segment overlap integers — so the hash
+    certifies the COMPOSITION (stable order surviving the pack), which is
+    what the dataloader consumes."""
+    return interleave_pack_segments_df(_docs(spark, sf_dir), INTERLEAVE_WEIGHTS)
+
+
+def _interleave_pack_sql() -> str:
+    from ..functions.bpe import SEP, bpe_enc_ctes
+
+    vals = ", ".join(f"('{g}', {wt})" for g, wt in sorted(INTERLEAVE_WEIGHTS.items()))
+    return f"""
+WITH {bpe_enc_ctes(cols="lang")},
+tok AS (
+  SELECT doc_id, lang,
+         CAST(CASE WHEN norm = '' THEN 0
+              ELSE length(s) - length(replace(s, '{SEP}', '')) END AS INT)
+           AS n_tokens
+  FROM enc
+),
+w(lang, wt) AS (VALUES {vals}),
+scr AS (
+  SELECT doc_id, lang, n_tokens, (doc_id * {_KNUTH}) % {_ORDER_MOD} AS sc
+  FROM tok
+),
+ranked AS (
+  SELECT doc_id, lang, n_tokens,
+         row_number() OVER (PARTITION BY lang ORDER BY sc, doc_id) AS rn
+  FROM scr
+),
+vt AS (
+  SELECT r.doc_id, r.lang, r.n_tokens,
+         CAST(r.rn * {INTERLEAVE_SCALE} // w.wt AS BIGINT) AS vt_micro
+  FROM ranked r JOIN w USING (lang)
+),
+cum AS (
+  SELECT doc_id, lang, vt_micro, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           ORDER BY vt_micro, lang, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS g
+  FROM vt
+),
+seg AS (
+  SELECT CAST(u.s AS BIGINT) AS seq_id, doc_id, lang, vt_micro,
+         greatest(g, u.s * {SEQ_LEN}) - u.s * {SEQ_LEN} AS seg_start,
+         least(g + n_tokens - 1, u.s * {SEQ_LEN} + {SEQ_LEN - 1})
+           - u.s * {SEQ_LEN} AS seg_end
+  FROM cum, UNNEST(range(CAST(g // {SEQ_LEN} AS BIGINT),
+                         CAST((g + n_tokens - 1) // {SEQ_LEN} + 1 AS BIGINT))) AS u(s)
+  WHERE n_tokens > 0
+)
+SELECT seq_id, doc_id, lang, vt_micro,
+       CAST(seg_start AS INT) AS seg_start,
+       CAST(seg_end AS INT) AS seg_end
+FROM seg
+"""
+
+
+PIPE_INTERLEAVE_PACK_SQL = _interleave_pack_sql()
+
+
+PIPELINE_QUERIES.update(
+    {
+        # r13 (staged r14): the interleave -> BPE-pack -> segments
+        # composition (WFQ order surviving the pack, certified end to end)
+        "pipe_interleave_pack": (pipe_interleave_pack, PIPE_INTERLEAVE_PACK_SQL),
+    }
+)

@@ -187,6 +187,11 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # (The eleven r12-staged entries rotated into the r13 gate window —
     # see _WINDOW_ORDER. New-this-round operators are declared here as they
     # are built and pre-verified, queued for the r14 rotation.)
+    # r13 wave — each pre-verified hash-exact at sf0.001 AND sf0.01:
+    # the interleave -> BPE-pack -> segments composition (r12 verdict #6:
+    # the WFQ order surviving the pack is what a training job consumes;
+    # one oracle replays all three stages)
+    "pipe_interleave_pack": 13,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)
