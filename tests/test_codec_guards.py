@@ -81,3 +81,61 @@ def test_audio_guard_upgrades_with_soundfile():
     )
     samples, rate = decode_audio_real(buf.getvalue())
     assert rate == 8000 and len(samples) == 16
+
+
+# --- upgrade-contract exercise WITHOUT the real libraries (r12 verdict #5)
+#
+# The two skipif tests above never run in this container (no PIL /
+# soundfile), so the upgrade path had never executed anywhere. These tests
+# inject a minimal module satisfying the guard's exact import contract
+# (`from PIL import Image` + `Image.open(BytesIO)`; `import soundfile` +
+# `soundfile.read(BytesIO)`) and prove (a) a lossy payload reaches the
+# injected library with the right bytes, (b) its return value propagates
+# out unchanged, and (c) the stdlib BMP/WAV fast paths still route AROUND
+# the library. The real-library tests stay as skipif pins for environments
+# that have the codecs.
+
+
+def test_image_guard_upgrade_contract_via_injected_module(monkeypatch):
+    import sys
+    import types
+
+    seen = {}
+
+    class _FakeImage:
+        @staticmethod
+        def open(buf):
+            seen["payload"] = buf.read()
+            return "decoded-by-injected-pil"
+
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = _FakeImage
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+
+    assert decode_image_real(FAKE_JPEG) == "decoded-by-injected-pil"
+    assert seen["payload"] == FAKE_JPEG
+    # BMP still takes the stdlib parser, not the injected library
+    img = decode_image_real(encode_bmp_rgb24(b"\x01\x02\x03" * 4, 2, 2))
+    assert img != "decoded-by-injected-pil"
+
+
+def test_audio_guard_upgrade_contract_via_injected_module(monkeypatch):
+    import sys
+    import types
+
+    seen = {}
+    fake_sf = types.ModuleType("soundfile")
+
+    def _read(buf):
+        seen["payload"] = buf.read()
+        return ([0.0, 0.5, -0.5], 4321)
+
+    fake_sf.read = _read
+    monkeypatch.setitem(sys.modules, "soundfile", fake_sf)
+
+    samples, rate = decode_audio_real(FAKE_OGG)
+    assert rate == 4321 and len(samples) == 3
+    assert seen["payload"] == FAKE_OGG
+    # WAV still takes the stdlib parser, not the injected library
+    samples, rate = decode_audio_real(encode_wav_pcm8(b"\x00\x80\xff", 8000))
+    assert rate == 8000 and len(samples) == 3
