@@ -2687,6 +2687,7 @@ def interleave_pack_segments_df(
 
     Returns ``(seq_id, doc_id, lang, vt_micro, seg_start, seg_end)``."""
     from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
 
     from .text_analysis import bpe_encode_df
 
@@ -2694,9 +2695,16 @@ def interleave_pack_segments_df(
     toks = bpe_encode_df(docs).select(
         "doc_id", F.col("n_bpe").cast("int").alias("n_tokens")
     )
+    # Persist the keyed projection: BOTH the in-bucket cumsum and the
+    # per-bucket offsets consume it, and without this the whole upstream —
+    # including the BPE tokenizer's MapInPandas — executes twice (caught
+    # in the r13 plan audit). Five narrow columns per doc (~40 bytes), so
+    # the materialization is corpus-row- not corpus-byte-proportional;
+    # MEMORY_AND_DISK spills instead of recomputing.
     keyed = (
         inter.join(toks, "doc_id")
         .withColumn("_sub", F.expr(f"vt_micro div {_VT_SUB_WIDTH}").cast("int"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     order = ["vt_micro", "lang", "doc_id"]
     w_cum = (
