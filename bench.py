@@ -160,7 +160,9 @@ HEADLINE = [
     "rel_mad",
     "g_katz_scale",
     # round-13 wave: the interleave -> BPE-pack -> segments composition
+    # and quality-argmax cluster representatives
     "pipe_interleave_pack",
+    "dedup_cluster_representatives",
 ]
 
 

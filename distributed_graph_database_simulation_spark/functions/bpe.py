@@ -23,11 +23,15 @@ the generated DuckDB oracle):
 2. per word — symbols start as the word's characters plus the end-of-word
    marker ``#``; repeatedly merge the LOWEST-RANK adjacent pair present in
    the merge table (all leftmost non-overlapping occurrences per step)
-   until no adjacent pair is in the table. This is the standard BPE
-   encoder; because BPE learning only ever builds a merge's elements from
-   earlier-ranked merges, lowest-rank-first is equivalent to applying the
-   table in learned order. Word-local by construction — each word is
-   encoded independently, so no merge can span a word boundary.
+   until no adjacent pair is in the table. This is the STANDARD BPE
+   encoder (Sennrich's apply_bpe / GPT-2 shape) and is the normative
+   specification here — kernel and oracle both derive from it. (It is NOT
+   always equal to the r12 one-pass-per-merge replace chain: a later
+   merge can recreate an earlier merge's pair via a duplicate-formation
+   symbol, which lowest-rank-first re-merges and a sequential chain
+   misses — the r13 semantics change, re-certified through the gate.)
+   Word-local by construction — each word is encoded independently, so no
+   merge can span a word boundary.
 3. document tokens — concatenation of the per-word token lists in word
    order. The canonical symbol STRING (what ``enc_md5`` pins) prefixes
    every token with the separator ``|``: doc "the cat" with words

@@ -1876,3 +1876,104 @@ DEDUP_QUERIES.update(
         ),
     }
 )
+
+
+# --- cluster representative selection (quality-argmax survivors) -------------
+
+
+def dedup_cluster_representatives_df(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The production survivor rule: per near-dup cluster
+    (:func:`dedup_clusters_df` — transitive closure of the MinHash-LSH
+    pair graph) keep the HIGHEST-QUALITY member
+    (:func:`text_analysis.quality_score_df`), doc_id ascending as the
+    deterministic tie-break — what a training pipeline actually retains,
+    vs the min-doc_id placeholder ``dedup_clusters`` emits.
+
+    One aggregate, no window: ``max(struct(quality, -doc_id))`` per
+    cluster picks (quality DESC, doc_id ASC) in a single map-side-combined
+    pass over the (tiny) cluster membership table; quality arithmetic is
+    integer-derived and IEEE-identical cross-engine (the
+    ``text_quality_score`` contract), and the emitted score is
+    floor-micro-quantized so the hash never rides a formatting edge.
+
+    Returns ``(cluster_id, rep_doc_id, n_members, rep_quality_micro)``."""
+    from .text_analysis import quality_score_df
+
+    clusters = dedup_clusters_df(spark, docs).select("doc_id", "cluster_id")
+    q = quality_score_df(docs).select("doc_id", "quality")
+    members = clusters.join(q, "doc_id")
+    return (
+        members.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(F.col("quality"), (-F.col("doc_id")).alias("neg_id"))
+            ).alias("b"),
+            F.count("*").cast("bigint").alias("n_members"),
+        )
+        .select(
+            "cluster_id",
+            (-F.col("b.neg_id")).cast("bigint").alias("rep_doc_id"),
+            "n_members",
+            F.floor(F.col("b.quality") * 1e6).cast("bigint").alias("rep_quality_micro"),
+        )
+    )
+
+
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: quality-argmax representatives over the documents
+    table's near-dup clusters. The oracle replays the full clusters
+    recursive-CTE AND the quality formula, then takes the same
+    (quality DESC, doc_id ASC) argmax per cluster — certifying the
+    composition end to end."""
+    return dedup_cluster_representatives_df(spark, _docs(spark, sf_dir))
+
+
+DEDUP_CLUSTER_REPRESENTATIVES_SQL = f"""
+WITH clusters AS (
+  SELECT doc_id, cluster_id FROM ({DEDUP_CLUSTERS_SQL.strip()})
+),
+qd AS (
+  SELECT doc_id,
+         regexp_replace(trim(text), '\\s+', ' ', 'g') AS t,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+),
+qm AS (
+  SELECT doc_id,
+         CAST(len(w) AS DOUBLE) AS n_words,
+         CAST(len(list_filter(w, x -> x IN ('the','a','of','is','and','to','in'))) AS DOUBLE) AS n_stop,
+         CAST(length(t) AS DOUBLE) AS n_chars,
+         CAST(length(t) - length(regexp_replace(t, '[a-z]', '', 'g')) AS DOUBLE) AS n_alpha
+  FROM qd
+),
+quality AS (
+  SELECT doc_id,
+         0.25 * least(n_words / 100.0, 1.0)
+       + 0.25 * (1.0 - abs(n_stop / n_words - 0.4))
+       + 0.25 * (n_alpha / n_chars)
+       + 0.25 * least(((n_chars - (n_words - 1)) / n_words) / 8.0, 1.0) AS quality
+  FROM qm
+),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, q.quality,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.quality DESC, c.doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+  FROM clusters c JOIN quality q USING (doc_id)
+)
+SELECT cluster_id, doc_id AS rep_doc_id,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(floor(quality * 1000000) AS BIGINT) AS rep_quality_micro
+FROM ranked WHERE rn = 1
+"""
+
+
+DEDUP_QUERIES.update(
+    {
+        # r13 (staged r14): quality-argmax cluster representatives
+        "dedup_cluster_representatives": (
+            dedup_cluster_representatives,
+            DEDUP_CLUSTER_REPRESENTATIVES_SQL,
+        ),
+    }
+)

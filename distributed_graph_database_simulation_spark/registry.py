@@ -192,6 +192,9 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # the WFQ order surviving the pack is what a training job consumes;
     # one oracle replays all three stages)
     "pipe_interleave_pack": 13,
+    # quality-argmax cluster representatives (the production survivor
+    # rule: clusters x quality composition, single max-struct aggregate)
+    "dedup_cluster_representatives": 13,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

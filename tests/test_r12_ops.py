@@ -29,8 +29,8 @@ def test_bpe_merge_table_is_word_local():
     # r13: a realistic vocabulary, not a contract demo (VERDICT r12 #3)
     assert len(BPE_MERGES) >= 1000
     # every merge's elements are buildable from earlier merges or single
-    # chars — the property that makes lowest-rank-first encoding equal to
-    # in-learned-order application
+    # chars — a well-formedness property of a genuinely-learned table (a
+    # hand-edited table with an orphan composite symbol would dead-slot)
     known = {c for m in BPE_MERGES for c in (m[0] + m[1])}
     built: set[str] = {c for c in known if len(c) == 1} | {END_OF_WORD}
     for a, b in BPE_MERGES:
