@@ -377,9 +377,15 @@ def write_signature_store(docs: DataFrame, path: str) -> None:
     write-side union. Band hashes are engine-deterministic (xxhash64), so
     stores written by different runs/sessions are compatible.
     """
-    sh = _shingled(docs)
+    from pyspark.storagelevel import StorageLevel
+
+    # Both writes consume the shingle table; persist so the scan→split→
+    # ngram pipeline runs once per store write (same r13 fix as the
+    # streaming ingester's band-table persist).
+    sh = _shingled(docs).persist(StorageLevel.MEMORY_AND_DISK)
     _bands(_minhash_sigs(sh)).write.mode("overwrite").parquet(f"{path}/bands")
     sh.write.mode("overwrite").parquet(f"{path}/shingles")
+    sh.unpersist()
 
 
 def dedup_against_store(

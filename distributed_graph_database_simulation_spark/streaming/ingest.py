@@ -65,7 +65,11 @@ def dedup_ingest_batch(
     # pair-finder AND both store writes (r10 — previously the pipeline ran
     # twice per ingest call). MEMORY_AND_DISK: spill, never recompute.
     sh = _shingled(batch).persist(StorageLevel.MEMORY_AND_DISK)
-    bands = _bands(_minhash_sigs(sh))
+    # The banding table is ALSO consumed twice (pair-finder + store write),
+    # and the 128-permutation minhash aggregate feeding it is the batch's
+    # single most expensive stage — persisting sh alone still re-ran that
+    # aggregate per consumer (r13 profile: ~1.7-3.8 s per extra pass).
+    bands = _bands(_minhash_sigs(sh)).persist(StorageLevel.MEMORY_AND_DISK)
     store_exists = os.path.isdir(f"{store_path}/bands")
     if store_exists:
         # Exclude this batch's OWN partition from the store side: on a
@@ -98,6 +102,7 @@ def dedup_ingest_batch(
     _write_partition(pairs, batch_id, pairs_path)
     _write_partition(bands, batch_id, f"{store_path}/bands")
     _write_partition(sh, batch_id, f"{store_path}/shingles")
+    bands.unpersist()
     sh.unpersist()
 
 
