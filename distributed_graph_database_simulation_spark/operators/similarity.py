@@ -418,25 +418,40 @@ def _kmeans_centroids_quantized(
     a NARROW literal map over the corpus: zero shuffle of the big side, vs
     the corpus-wide shuffle per iteration the groupBy formulation pays.
     ``vecs``: (vec_id, q array<bigint>).
+
+    The quantized corpus is persisted FOR THE TRAINING SCOPE (seed collect
+    + iterations-1 assignment passes are all actions over the same
+    lineage; without the cache each re-ran the scan + quantization —
+    caught by the r13 double-execute audit) and unpersisted before
+    returning, so callers' later passes hold no lingering blocks.
     """
-    rows = sorted(vecs.orderBy("vec_id").limit(k).collect(), key=lambda r: r.vec_id)
-    cent = {i: [int(x) for x in r.q] for i, r in enumerate(rows)}
-    for _ in range(iterations - 1):
-        means = (
-            _centroid_ranks(vecs, cent, 1)
-            .select(F.col("cids")[0].alias("cluster_id"), "q")
-            .select("cluster_id", F.posexplode("q").alias("dim", "val"))
-            .groupBy("cluster_id", "dim")
-            .agg(F.expr("sum(val) div count(*)").alias("m"))
-            .collect()
+    from pyspark.storagelevel import StorageLevel
+
+    vecs = vecs.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        rows = sorted(
+            vecs.orderBy("vec_id").limit(k).collect(), key=lambda r: r.vec_id
         )
-        by_cid: dict[int, dict[int, int]] = {}
-        for r in means:
-            by_cid.setdefault(int(r.cluster_id), {})[int(r.dim)] = int(r.m)
-        cent = {
-            cid: [dims[i] for i in range(len(dims))] for cid, dims in by_cid.items()
-        }
-    return cent
+        cent = {i: [int(x) for x in r.q] for i, r in enumerate(rows)}
+        for _ in range(iterations - 1):
+            means = (
+                _centroid_ranks(vecs, cent, 1)
+                .select(F.col("cids")[0].alias("cluster_id"), "q")
+                .select("cluster_id", F.posexplode("q").alias("dim", "val"))
+                .groupBy("cluster_id", "dim")
+                .agg(F.expr("sum(val) div count(*)").alias("m"))
+                .collect()
+            )
+            by_cid: dict[int, dict[int, int]] = {}
+            for r in means:
+                by_cid.setdefault(int(r.cluster_id), {})[int(r.dim)] = int(r.m)
+            cent = {
+                cid: [dims[i] for i in range(len(dims))]
+                for cid, dims in by_cid.items()
+            }
+        return cent
+    finally:
+        vecs.unpersist()
 
 
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
