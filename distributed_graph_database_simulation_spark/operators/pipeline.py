@@ -1110,11 +1110,17 @@ def select_top_quality_df(
     (bounded); the filter join broadcasts |langs| rows. No corpus shuffle
     at all — pinned shuffle-free but for the tiny threshold aggregate.
     """
+    from pyspark.storagelevel import StorageLevel
+
     from .text_analysis import quality_score_df
 
+    # Consumed by the threshold aggregate AND the filter join — without
+    # the cache the scoring pipeline (and everything upstream of ``docs``)
+    # executes once per consumer (r13 double-execute audit). Bounded:
+    # corpus rows x a handful of narrow columns; spills, never recomputes.
     scored = docs.join(
         quality_score_df(docs).select("doc_id", "quality"), "doc_id"
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     thresholds = (
         scored.groupBy("lang")
         .agg(
@@ -1936,6 +1942,11 @@ def pipe_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     surv = docs.join(losers, "doc_id", "left_anti")
+    from pyspark.storagelevel import StorageLevel
+
+    # Three consumers (budget totals collect, admission filter, evidence
+    # join) — persist so the dedup-anti-join + quality-quantile subtree
+    # runs once, not per consumer (r13 double-execute audit).
     kept = select_top_quality_df(
         spark, surv.select("doc_id", "lang", "text"), keep_fraction=0.5
     ).select(
@@ -1943,7 +1954,7 @@ def pipe_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "text",
         F.round(F.col("quality") * 1e6).cast("bigint").alias("quality_micro"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     admitted = sample_token_budget_df(kept, TOKEN_BUDGETS)
     return admitted.join(kept.select("doc_id", "quality_micro"), "doc_id").select(
         "doc_id",
