@@ -141,8 +141,8 @@ HEADLINE = [
     "g_bipartite_clustering",
     "text_hashed_features",
     "g_assortativity",
-    # round-12 wave: deterministic BPE tokenizer (Arrow replace-chain
-    # kernel), the suffix-array exact-substring dedup contract, and
+    # round-12 wave (kernel rebuilt word-local in r13): deterministic BPE
+    # tokenizer, the suffix-array exact-substring dedup contract, and
     # BPE-counted sequence packing
     "text_bpe_encode",
     "dedup_exact_substring",

@@ -750,7 +750,7 @@ def pipe_token_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     as :func:`pipe_token_budget` — the composition a production mixture
     spec actually means by "N tokens of language L" (budgets are consumed
     in model tokens, not whitespace words). The oracle recomputes the BPE
-    length with the generated replace-chain expression inside the same
+    length with the generated golden-table encoding inside the same
     budget CTE, certifying tokenize -> budget end to end."""
     from .text_analysis import bpe_encode_df
 
@@ -2383,7 +2383,7 @@ def pipe_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``SEQ_LEN`` tokens. This is the production dataloader composition —
     token budgets and cut points computed from the tokenizer the model
     will actually see — and the oracle recomputes the BPE length with the
-    generated replace-chain expression inside the same packing CTE, so
+    generated golden-table encoding inside the same packing CTE, so
     the certified artifact is the COMPOSITION (tokenize -> pack), not the
     stages in isolation."""
     from .text_analysis import text_bpe_encode

@@ -1333,7 +1333,7 @@ def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency table a unigram-LM-over-subwords would consume. One
     map-side-combined aggregate over the kernel's exploded token stream;
     the shuffle carries <= |vocab| rows per task, constant in corpus
-    size. The oracle unnests the generated replace-chain's split — same
+    size. The oracle unnests the golden-table reconstruction's split — same
     table, same split, so token identity certifies exactly."""
     toks = bpe_tokens_df(_docs(spark, sf_dir))
     return toks.groupBy("tok").agg(

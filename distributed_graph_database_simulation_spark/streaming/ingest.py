@@ -771,7 +771,7 @@ def stream_token_count_ingest_entry(spark: SparkSession, sf_dir: str) -> DataFra
     by recomputing and re-writing batch 0's partial from the sink's
     payload archive (must overwrite, not extend), and report the merged
     per-language totals. The oracle computes the same totals directly
-    with the generated BPE replace-chain expression — token counts are
+    with the generated golden-table BPE encoding — token counts are
     linear, so store-merge == one-shot is the certified claim, and an
     append-on-replay would double batch 0's mass and hash-mismatch."""
     import shutil

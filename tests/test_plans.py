@@ -674,7 +674,7 @@ def test_lsh_signatures_are_skinny_and_topk_joins_back_broadcast(spark, sf_dir):
 def test_bpe_encode_is_shuffle_free(spark, sf_dir):
     """The BPE tokenizer is one Arrow mapInPandas over the corpus scan —
     SCALE.md's embarrassingly-parallel claim. Pin: zero Exchange, exactly
-    one Python-worker stage (the replace-chain kernel)."""
+    one Python-worker stage (the word-local pair-merge kernel)."""
     from distributed_graph_database_simulation_spark.operators import text_analysis
 
     plan = _formatted_plan(text_analysis.text_bpe_encode(spark, sf_dir))

@@ -601,7 +601,7 @@ def probe_exact_substring(spark, n_docs: int, planted_every: int = 10) -> dict:
 def probe_bpe(spark, n_docs: int, words_per_doc: int = 60) -> dict:
     """BPE tokenizer throughput: encode a distributively-generated corpus
     (words drawn from the real 31-word vocabulary, so the checked-in
-    merges actually fire) through the Arrow replace-chain kernel. The
+    merges actually fire) through the word-local pair-merge kernel. The
     invariant is structural: every word contributes exactly one
     end-of-word-marked token, so sum over docs of words == total '#'
     tokens; and n_bpe >= words_per_doc for every doc."""
