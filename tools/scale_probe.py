@@ -644,6 +644,62 @@ def probe_bpe(spark, n_docs: int, words_per_doc: int = 60) -> dict:
             "tokens_per_sec": int(got.toks / sec), "sec": round(sec, 2)}
 
 
+def probe_interleave_pack(spark, n_docs: int, words_per_doc: int = 60) -> dict:
+    """The interleave -> BPE-pack -> segments composition at 10-100x bench
+    corpus size (distributively generated, real-vocab words so the merges
+    fire). Invariants: packed token mass equals the encoder's corpus total
+    (nothing lost/duplicated by the vt-bucketed cumsum recomposition), and
+    the per-lang doc counts survive the interleave (weights only reorder,
+    never drop, for langs present in the weight table)."""
+    import time as _t
+
+    from distributed_graph_database_simulation_spark.operators.pipeline import (
+        INTERLEAVE_WEIGHTS,
+        interleave_pack_segments_df,
+    )
+    from distributed_graph_database_simulation_spark.operators.text_analysis import (
+        bpe_encode_df,
+    )
+
+    t0 = _t.perf_counter()
+    vocab = [
+        "scan", "column", "window", "order", "sort", "part", "agg", "value",
+        "line", "key", "join", "merge", "query", "group", "a", "vector",
+        "hash", "slow", "stream", "filter", "fast", "the", "spark", "batch",
+        "table", "small", "data", "big", "customer", "row", "dup",
+    ]
+    varr = F.array(*[F.lit(w) for w in vocab])
+    langs = sorted(INTERLEAVE_WEIGHTS)
+    larr = F.array(*[F.lit(la) for la in langs])
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(words_per_doc - 1)),
+            lambda i: F.element_at(
+                varr, ((F.col("id") * 7919 + i * 104729) % len(vocab) + 1).cast("int")
+            ),
+        ),
+        " ",
+    )
+    docs = spark.range(0, n_docs, 1, 32).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(larr, (F.col("id") % len(langs) + 1).cast("int")).alias("lang"),
+        text.alias("text"),
+    )
+    segs = interleave_pack_segments_df(docs, INTERLEAVE_WEIGHTS)
+    got = segs.agg(
+        F.sum(F.col("seg_end") - F.col("seg_start") + 1).alias("mass"),
+        F.countDistinct("doc_id").alias("docs"),
+        F.max("seq_id").alias("max_seq"),
+    ).collect()[0]
+    want = bpe_encode_df(docs).agg(F.sum("n_bpe")).collect()[0][0]
+    if int(got.mass) != int(want) or int(got.docs) != n_docs:
+        raise AssertionError(f"mass {got.mass} != {want} or docs {got.docs}")
+    sec = _t.perf_counter() - t0
+    return {"probe": "interleave_pack", "docs": n_docs,
+            "packed_tokens": int(got.mass), "sequences": int(got.max_seq) + 1,
+            "sec": round(sec, 2)}
+
+
 def probe_cdc_chunks(spark, n_docs: int, words_per_doc: int = 40) -> dict:
     """Content-defined chunking at 100x-bench corpus size, generated
     distributively. Invariants: chunk token mass equals corpus token mass
@@ -1462,6 +1518,7 @@ def main() -> int:
         ("dup_spans", lambda: probe_dup_spans(spark, int(args.docs) * 10)),
         ("exact_substring", lambda: probe_exact_substring(spark, int(args.docs) * 10)),
         ("bpe", lambda: probe_bpe(spark, int(args.docs) * 20)),
+        ("interleave_pack", lambda: probe_interleave_pack(spark, int(args.docs) * 10)),
         ("cdc_chunks", lambda: probe_cdc_chunks(spark, int(args.docs) * 10)),
         ("bigram_lm", lambda: probe_bigram_lm(spark, int(args.docs) * 10)),
         ("pack_sequences", lambda: probe_pack_sequences(spark, int(args.docs) * 100)),
