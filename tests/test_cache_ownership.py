@@ -26,6 +26,14 @@ PERSISTING_QUERIES = [
     "dedup_containment",     # dedup.py shingle persist (asymmetric)
     "text_tfidf",            # text_analysis.py tf table persist
     "text_pmi",              # text_analysis.py window/top persist
+    # r13 double-execute-audit persists (lazy-plan class, harness-owned).
+    # pipe_end_to_end / dedup_cluster_representatives are NOT pinned here:
+    # they route through dedup_clusters_df, whose eager localCheckpoint
+    # barriers register block-manager RDDs that survive clearCache by
+    # design (the same unsatisfiability the reliable-checkpoint test below
+    # documents for the graph loops).
+    "pipe_select_quality",   # pipeline.py scored persist
+    "pipe_interleave_pack",  # pipeline.py keyed projection persist
 ]
 
 
