@@ -159,10 +159,11 @@ HEADLINE = [
     "stream_token_count_ingest",
     "rel_mad",
     "g_katz_scale",
-    # round-13 wave: the interleave -> BPE-pack -> segments composition
-    # and quality-argmax cluster representatives
+    # round-13 wave: the interleave -> BPE-pack -> segments composition,
+    # quality-argmax cluster representatives, tokenizer compression audit
     "pipe_interleave_pack",
     "dedup_cluster_representatives",
+    "text_bpe_compression",
 ]
 
 

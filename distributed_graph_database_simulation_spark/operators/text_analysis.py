@@ -1368,3 +1368,90 @@ TEXT_QUERIES.update(
         "text_bpe_vocab": (text_bpe_vocab, TEXT_BPE_VOCAB_SQL),
     }
 )
+
+
+def text_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer compression audit per language: document/word/token
+    counts plus the two ratios a vocabulary decision actually reads —
+    normalized chars per BPE token and BPE tokens per word — in exact
+    integer micro-units (``(sum_a * 1e6) div sum_b``), so the hash rides
+    pure BIGINT arithmetic, never a float format edge.
+
+    One Arrow kernel pass (same per-word cache as
+    :func:`bpe_encode_df`) emitting three longs per doc, then a
+    map-side-combined |langs|-row aggregate — shuffle carries ~5 rows.
+    The oracle recomputes all three counts from the golden-table
+    reconstruction (chars from ``norm``, words from its split, tokens
+    from the symbol string), certifying the normalization, the split,
+    and the merge output in one row per language."""
+    from ..functions.bpe import bpe_encode_word, bpe_normalize_series
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            norm = bpe_normalize_series(pdf["text"])
+            yield pd.DataFrame(
+                {
+                    "lang": pdf["lang"],
+                    "n_chars": norm.str.len().astype("int64"),
+                    "n_words": norm.map(
+                        lambda nm: len(nm.split(" ")) if nm else 0
+                    ).astype("int64"),
+                    "n_bpe": norm.map(
+                        lambda nm: sum(
+                            len(bpe_encode_word(w)) for w in nm.split(" ")
+                        )
+                        if nm
+                        else 0
+                    ).astype("int64"),
+                }
+            )
+
+    per = docs.mapInPandas(
+        kernel, "lang string, n_chars long, n_words long, n_bpe long"
+    )
+    return per.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.sum("n_bpe").cast("bigint").alias("n_bpe"),
+        F.expr("(sum(n_chars) * 1000000) div sum(n_bpe)")
+        .cast("bigint")
+        .alias("chars_per_token_micro"),
+        F.expr("(sum(n_bpe) * 1000000) div sum(n_words)")
+        .cast("bigint")
+        .alias("tokens_per_word_micro"),
+    )
+
+
+def _bpe_compression_sql() -> str:
+    from ..functions.bpe import SEP, bpe_enc_ctes
+
+    tok = f"CASE WHEN norm = '' THEN 0 ELSE length(s) - length(replace(s, '{SEP}', '')) END"
+    wrd = "CASE WHEN norm = '' THEN 0 ELSE len(string_split(norm, ' ')) END"
+    return f"""
+WITH {bpe_enc_ctes(cols="lang")}
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM({wrd}) AS BIGINT) AS n_words,
+       CAST(SUM({tok}) AS BIGINT) AS n_bpe,
+       CAST((SUM(length(norm)) * 1000000) // SUM({tok}) AS BIGINT)
+         AS chars_per_token_micro,
+       CAST((SUM({tok}) * 1000000) // SUM({wrd}) AS BIGINT)
+         AS tokens_per_word_micro
+FROM enc GROUP BY lang
+"""
+
+
+TEXT_BPE_COMPRESSION_SQL = _bpe_compression_sql()
+
+
+TEXT_QUERIES.update(
+    {
+        # r13 (staged r14): tokenizer compression audit (chars/token,
+        # tokens/word per language in exact integer micro-units)
+        "text_bpe_compression": (text_bpe_compression, TEXT_BPE_COMPRESSION_SQL),
+    }
+)

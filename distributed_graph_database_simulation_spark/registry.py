@@ -195,6 +195,9 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # quality-argmax cluster representatives (the production survivor
     # rule: clusters x quality composition, single max-struct aggregate)
     "dedup_cluster_representatives": 13,
+    # tokenizer compression audit (chars/token + tokens/word per lang in
+    # exact integer micro-units; one Arrow pass + |langs|-row aggregate)
+    "text_bpe_compression": 13,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)
