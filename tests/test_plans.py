@@ -697,3 +697,24 @@ def test_exact_substring_plan_is_aggregate_plus_keyed_semi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "LeftSemi" in plan, plan
     assert "partial_count" in plan, plan  # map-side combine on gram keys
+
+
+def test_interleave_pack_tokenizes_once(spark, sf_dir):
+    """The r13 composition's plan pin: the BPE tokenizer's MapInPandas
+    appears exactly ONCE in the physical tree (the keyed projection is
+    persisted — without it the in-bucket cumsum and the bucket-offset
+    branches each re-ran the whole tokenize pipeline), and there is no
+    corpus-wide global sort (the only SinglePartition exchange feeds the
+    <= #buckets offsets window, and the plan's Sorts are the documented
+    per-bucket window sorts)."""
+    from distributed_graph_database_simulation_spark.operators import pipeline
+
+    import re
+
+    df = pipeline.pipe_interleave_pack(spark, sf_dir)
+    plan = _formatted_plan(df)
+    # one distinct tokenizer stage (the cached-plan detail renders the
+    # same node id under each InMemoryTableScan consumer)
+    assert len(set(re.findall(r"MapInPandas \((\d+)\)", plan))) == 1, plan
+    # BOTH cumsum branches read the persisted keyed projection
+    assert plan.count("InMemoryTableScan") >= 2, plan
