@@ -164,6 +164,11 @@ HEADLINE = [
     "pipe_interleave_pack",
     "dedup_cluster_representatives",
     "text_bpe_compression",
+    # round-13 second wave: norm-augmented MIPS top-k, exact trailing-7-day
+    # distinct users, crawl-over-crawl snapshot diff
+    "sim_topk_mips",
+    "rel_sliding_distinct_users",
+    "pipe_snapshot_diff",
 ]
 
 

@@ -2849,3 +2849,119 @@ PIPELINE_QUERIES.update(
         "pipe_interleave_pack": (pipe_interleave_pack, PIPE_INTERLEAVE_PACK_SQL),
     }
 )
+
+
+def snapshot_diff_df(v1: DataFrame, v2: DataFrame) -> DataFrame:
+    """Crawl-over-crawl dataset diff — the version-control primitive an
+    incremental training pipeline runs before anything else: which
+    documents are added / removed / changed / unchanged since the last
+    snapshot, per source, so downstream stages (dedup, tokenize, pack)
+    touch only the changed partitions instead of recrawling 100 TB.
+
+    Scale shape: both sides are projected to (doc_id, source,
+    md5(text), length) BEFORE the join — the full-outer hash join on the
+    uniform doc_id key ships 3 narrow columns, never the text. The
+    content compare is digest equality (the same engine-portable md5
+    convention as :func:`cdc_chunks_df`), so a changed 1 MB document
+    costs the same as a changed 1-byte one. Output is a
+    |sources| x 4-status aggregate — constant egress at any corpus size.
+
+    Returns (source, status, n_docs, chars_delta) where ``chars_delta``
+    is the net character growth this status contributes (added counts
+    full length, removed counts negative full length, changed counts the
+    length difference).
+    """
+    def _digest(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            "source",
+            F.md5("text").alias("h"),
+            F.length("text").cast("bigint").alias("len"),
+        )
+
+    a = _digest(v1).alias("a")
+    b = _digest(v2).alias("b")
+    joined = a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer")
+    status = (
+        F.when(F.col("a.doc_id").isNull(), F.lit("added"))
+        .when(F.col("b.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("a.h") != F.col("b.h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("b.source"), F.col("a.source")).alias("source"),
+            status.alias("status"),
+            (
+                F.coalesce(F.col("b.len"), F.lit(0))
+                - F.coalesce(F.col("a.len"), F.lit(0))
+            ).alias("delta"),
+        )
+        .groupBy("source", "status")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("delta").cast("bigint").alias("chars_delta"),
+        )
+    )
+
+
+def _snapshot_v2(docs: DataFrame) -> DataFrame:
+    """The deterministic 'next crawl' both engines reconstruct: docs with
+    doc_id % 17 == 0 dropped (removed), % 13 == 0 get a revision suffix
+    (changed), % 19 == 0 reappear re-keyed +10_000_000 (added)."""
+    base = docs.where(F.col("doc_id") % 17 != 0).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat("text", F.lit(" [rev2]"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = docs.where(F.col("doc_id") % 19 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "source", "text"
+    )
+    return base.unionByName(added)
+
+
+def pipe_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between the documents corpus and its deterministic
+    'next crawl' (:func:`snapshot_diff_df` over :func:`_snapshot_v2`)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    return snapshot_diff_df(docs, _snapshot_v2(docs))
+
+
+PIPE_SNAPSHOT_DIFF_SQL = """
+WITH v1 AS (SELECT doc_id, source, text FROM documents),
+v2 AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]' ELSE text END AS text
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, source, text
+  FROM documents WHERE doc_id % 19 = 0
+),
+a AS (SELECT doc_id, source, md5(text) AS h, CAST(length(text) AS BIGINT) AS len FROM v1),
+b AS (SELECT doc_id, source, md5(text) AS h, CAST(length(text) AS BIGINT) AS len FROM v2),
+j AS (
+  SELECT COALESCE(b.source, a.source) AS source,
+         CASE WHEN a.doc_id IS NULL THEN 'added'
+              WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN a.h <> b.h THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         COALESCE(b.len, 0) - COALESCE(a.len, 0) AS delta
+  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+)
+SELECT source, status,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(delta) AS BIGINT) AS chars_delta
+FROM j GROUP BY source, status
+"""
+
+
+PIPELINE_QUERIES.update(
+    {
+        # r13 (staged r14): crawl-over-crawl dataset version diff
+        "pipe_snapshot_diff": (pipe_snapshot_diff, PIPE_SNAPSHOT_DIFF_SQL),
+    }
+)

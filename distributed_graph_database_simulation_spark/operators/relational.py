@@ -2132,3 +2132,81 @@ GROUP BY l.l_returnflag
 
 
 RELATIONAL_QUERIES["rel_mad"] = (mad_per_flag, REL_MAD_SQL)
+
+
+def sliding_distinct_users_df(ev: DataFrame, days_back: int = 6) -> DataFrame:
+    """Exact trailing-(days_back+1)-day distinct users per active day —
+    the DAU/WAU engagement pair every analytics stack reports, and the
+    textbook op a window function CANNOT express
+    (``COUNT(DISTINCT) OVER (RANGE ...)`` is unsupported in both engines
+    because distinct state doesn't compose across frame slides).
+
+    The scale-out shape: dedupe to (day, user) pairs FIRST (one shuffle,
+    collapses the raw event volume to at most |users| x |days| rows),
+    then map-side explode each pair to the 7 trailing windows it
+    contributes to, dedupe (window_day, user) and count. Every stage is
+    a hash aggregate on near-uniform keys; the 7x expansion happens
+    AFTER the heavy dedupe, so at 100 TB the cost is bounded by active
+    pairs, not events — vs the naive per-day self-join that rescans 7
+    days of raw events for each output row. A 30/90-day variant only
+    changes the explode constant.
+
+    Emits one row per ACTIVE day: exact 1-day and trailing-7-day
+    distinct user counts (windows that run past the last active day are
+    not emitted; leading days keep their partial-history semantics, as
+    in every production WAU definition).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    # Three consumers (active-day list, 7-window explode, 1-day counts) —
+    # without the cache the raw-events distinct runs once per consumer
+    # (r13 double-execute audit). Bounded: at most |users| x |days| narrow
+    # rows; spills, never recomputes.
+    pairs = (
+        ev.select(F.date_trunc("day", "ts").alias("d"), "user_id")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    days = pairs.select("d").distinct()
+    contrib = pairs.select(
+        F.explode(
+            F.sequence(
+                F.col("d"),
+                F.col("d") + F.expr(f"INTERVAL {days_back} DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d"),
+        "user_id",
+    ).distinct()
+    wau = contrib.join(days, "d").groupBy("d").agg(
+        F.count("*").cast("bigint").alias("users_7d")
+    )
+    dau = pairs.groupBy("d").agg(F.count("*").cast("bigint").alias("users_1d"))
+    return dau.join(wau, "d").select("d", "users_1d", "users_7d")
+
+
+def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day exact distinct users over the events table
+    (:func:`sliding_distinct_users_df`)."""
+    return sliding_distinct_users_df(_t(spark, sf_dir, "events"))
+
+
+SLIDING_DISTINCT_USERS_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+),
+days AS (SELECT DISTINCT d FROM pairs)
+SELECT days.d,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs p WHERE p.d = days.d)
+         AS users_1d,
+       (SELECT CAST(COUNT(DISTINCT p.user_id) AS BIGINT) FROM pairs p
+        WHERE p.d BETWEEN days.d - INTERVAL 6 DAY AND days.d)
+         AS users_7d
+FROM days
+"""
+
+
+RELATIONAL_QUERIES["rel_sliding_distinct_users"] = (
+    sliding_distinct_users,
+    SLIDING_DISTINCT_USERS_SQL,
+)

@@ -1885,3 +1885,102 @@ LEFT JOIN hits h ON h.query_id = q.query_id
 
 
 SIMILARITY_QUERIES["sim_recall_ivf"] = (sim_recall_ivf, SIM_RECALL_IVF_SQL)
+
+
+def mips_topk_df(corpus: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Maximum-inner-product top-k via the norm-augmentation reduction
+    (Bachrach et al., RecSys 2014): append one coordinate to every corpus
+    vector — ``sqrt(M^2 - ||x||^2)`` with ``M = max ||x||`` — and a zero
+    to every query. Every augmented corpus vector then has norm exactly
+    M, so cosine order against an augmented query IS inner-product order,
+    and the whole existing cosine-ANN stack (LSH signatures, IVF
+    partition-pruned probes) serves MIPS unchanged. That reduction is the
+    100 TB story: recommendation-style scoring (user . item, un-normalized)
+    rides the same bucketed indexes as cosine search instead of needing a
+    dedicated engine.
+
+    This operator executes the reduction end-to-end — builds the augmented
+    arrays, ranks by augmented dot — and emits the RAW inner product, so
+    the oracle (a plain brute-force MIPS top-k that never hears about the
+    augmentation) certifies order-equivalence: any error in the reduction
+    reorders the top-k and hash-mismatches. The query's augmented
+    coordinate is 0.0, so the augmented dot equals the raw dot
+    bit-for-bit (x*0 contributes +0.0 under IEEE) — ranking stays exact,
+    no epsilon anywhere.
+
+    Plan shape: one tiny agg for M (broadcast scalar), map-side array
+    append, then the brute-force shape — broadcast query side against the
+    partitioned corpus, per-query window top-k. The corpus is never
+    shuffled.
+    """
+    m = corpus.agg(F.max(F.sqrt(_dot(F.col("e"), F.col("e")))).alias("m"))
+    aug_c = (
+        corpus.join(F.broadcast(m))
+        .select(
+            "vec_id",
+            F.concat(
+                "e",
+                F.array(
+                    F.sqrt(
+                        F.greatest(
+                            F.col("m") * F.col("m") - _dot(F.col("e"), F.col("e")),
+                            F.lit(0.0),
+                        )
+                    )
+                ),
+            ).alias("ae"),
+        )
+    )
+    aug_q = queries.select("vec_id", F.concat("e", F.array(F.lit(0.0))).alias("ae"))
+    q = aug_q.alias("q")
+    c = aug_c.alias("c")
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            _dot(F.col("q.ae"), F.col("c.ae")).alias("dot"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "dot")
+    )
+
+
+def sim_topk_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MIPS top-10 for each query vector (vec_id < N_QUERIES) over
+    the embeddings corpus, served through the norm-augmentation reduction
+    (see :func:`mips_topk_df`)."""
+    corpus = _emb(spark, sf_dir)
+    queries = _emb(spark, sf_dir).filter(F.col("vec_id") < N_QUERIES)
+    return mips_topk_df(corpus, queries, TOP_K)
+
+
+# The oracle is brute-force raw inner product — it certifies the Spark
+# side's augmented ranking by never performing the augmentation itself.
+SIM_TOPK_MIPS_SQL = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i]))
+           AS dot
+  FROM v q JOIN v c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+)
+SELECT query_id, rank, neighbor_id, dot
+FROM (
+  SELECT query_id, neighbor_id, dot,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY dot DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+SIMILARITY_QUERIES["sim_topk_mips"] = (sim_topk_mips, SIM_TOPK_MIPS_SQL)

@@ -198,6 +198,17 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # tokenizer compression audit (chars/token + tokens/word per lang in
     # exact integer micro-units; one Arrow pass + |langs|-row aggregate)
     "text_bpe_compression": 13,
+    # MIPS top-k via the norm-augmentation reduction (Bachrach 2014):
+    # inner-product search rides the cosine-ANN stack; the oracle is raw
+    # brute-force MIPS that never hears about the augmentation
+    "sim_topk_mips": 13,
+    # exact trailing-7-day distinct users (DAU/WAU) — the COUNT(DISTINCT)
+    # OVER RANGE neither engine's window can express; dedupe-then-explode
+    # shape bounded by active pairs, not events
+    "rel_sliding_distinct_users": 13,
+    # crawl-over-crawl dataset version diff: digest-projected full-outer
+    # join, |sources| x 4-status egress at any corpus size
+    "pipe_snapshot_diff": 13,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

@@ -34,6 +34,7 @@ PERSISTING_QUERIES = [
     # documents for the graph loops).
     "pipe_select_quality",   # pipeline.py scored persist
     "pipe_interleave_pack",  # pipeline.py keyed projection persist
+    "rel_sliding_distinct_users",  # relational.py (day,user) pairs persist
 ]
 
 

@@ -93,3 +93,121 @@ def test_bpe_budgets_binding_at_every_sf():
         )
         for lang, budget in BPE_TOKEN_BUDGETS.items():
             assert budget < totals[lang], (sf, lang, budget, totals[lang])
+
+
+# --- r13 second wave: MIPS reduction, sliding distinct, snapshot diff ----
+
+
+def test_mips_ranks_by_inner_product_not_cosine(spark):
+    """The reduction's defining property: with q=[2,0], c1=[3,0] wins on
+    cosine (1.0 vs 0.707) but c2=[10,10] wins on inner product (20 vs 6)
+    — mips_topk_df must return c2 first, and the emitted dot must be the
+    RAW inner product bit-for-bit (the augmented query coord is 0)."""
+    from distributed_graph_database_simulation_spark.operators.similarity import mips_topk_df
+
+    rows = [(0, [2.0, 0.0]), (1, [3.0, 0.0]), (2, [10.0, 10.0])]
+    df = spark.createDataFrame(rows, "vec_id long, e array<double>")
+    out = mips_topk_df(df, df.filter(F.col("vec_id") == 0), k=2).collect()
+    assert [(r.rank, r.neighbor_id, r.dot) for r in out] == [
+        (1, 2, 20.0),
+        (2, 1, 6.0),
+    ]
+
+
+def test_mips_augmented_corpus_norm_is_constant(spark):
+    """Every augmented corpus vector has norm M = max raw norm (the fact
+    that makes cosine order equal inner-product order)."""
+    from distributed_graph_database_simulation_spark.operators.similarity import _dot
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .limit(200)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    )
+    m = emb.agg(F.max(F.sqrt(_dot(F.col("e"), F.col("e"))))).first()[0]
+    aug = emb.select(
+        F.sqrt(
+            _dot(F.col("e"), F.col("e"))
+            + (F.lit(m) * F.lit(m) - _dot(F.col("e"), F.col("e")))
+        ).alias("an")
+    )
+    lo, hi = aug.agg(F.min("an"), F.max("an")).first()
+    assert abs(lo - m) < 1e-9 and abs(hi - m) < 1e-9
+
+
+def test_sliding_distinct_users_hand_worked(spark):
+    """3 users across 10 days: WAU on day d counts users active in
+    [d-6, d]; only active days are emitted."""
+    from distributed_graph_database_simulation_spark.operators.relational import (
+        sliding_distinct_users_df,
+    )
+
+    rows = [
+        # (ts, user): u1 on day 1 twice (dedup), u2 on day 1, u2 on day 5,
+        # u3 on day 9 (u1/u2's day-1 visits age out of day 9's window;
+        # u2's day-5 visit is still inside it)
+        ("2024-01-01 03:00:00", 1),
+        ("2024-01-01 17:00:00", 1),
+        ("2024-01-01 09:00:00", 2),
+        ("2024-01-05 12:00:00", 2),
+        ("2024-01-09 23:00:00", 3),
+    ]
+    ev = spark.createDataFrame(rows, "ts string, user_id long").select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    )
+    got = {
+        str(r.d)[:10]: (r.users_1d, r.users_7d)
+        for r in sliding_distinct_users_df(ev).collect()
+    }
+    assert got == {
+        "2024-01-01": (2, 2),  # u1, u2
+        "2024-01-05": (1, 2),  # u2 active; window [12-30..01-05] holds u1,u2
+        "2024-01-09": (1, 2),  # u3 active; u2 (day 5) in window, day-1 aged out
+    }
+
+
+def test_snapshot_diff_hand_worked(spark):
+    """Added / removed / changed / unchanged classification and exact
+    character deltas on a 4-doc corpus."""
+    from distributed_graph_database_simulation_spark.operators.pipeline import (
+        snapshot_diff_df,
+    )
+
+    v1 = spark.createDataFrame(
+        [(1, "web", "aaaa"), (2, "web", "bb"), (3, "books", "cc")],
+        "doc_id long, source string, text string",
+    )
+    v2 = spark.createDataFrame(
+        [(1, "web", "aaaa"), (2, "web", "bbbbbb"), (4, "books", "dddd")],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        (r.source, r.status): (r.n_docs, r.chars_delta)
+        for r in snapshot_diff_df(v1, v2).collect()
+    }
+    assert got == {
+        ("web", "unchanged"): (1, 0),
+        ("web", "changed"): (1, 4),       # bb -> bbbbbb
+        ("books", "removed"): (1, -2),    # cc gone
+        ("books", "added"): (1, 4),       # dddd new
+    }
+
+
+def test_snapshot_v2_synthesis_invariants(spark):
+    """The deterministic 'next crawl': %17 ids dropped, %13 ids carry the
+    rev suffix, %19 ids reappear re-keyed +10M with identical text."""
+    from distributed_graph_database_simulation_spark.operators.pipeline import _snapshot_v2
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "source", "text")
+    )
+    v2 = _snapshot_v2(docs).persist()
+    assert v2.filter((F.col("doc_id") % 17 == 0) & (F.col("doc_id") < 10_000_000)).count() == 0
+    n19 = docs.filter(F.col("doc_id") % 19 == 0).count()
+    assert v2.filter(F.col("doc_id") >= 10_000_000).count() == n19
+    changed = v2.filter(
+        (F.col("doc_id") % 13 == 0) & (F.col("doc_id") < 10_000_000)
+    )
+    assert changed.filter(~F.col("text").endswith(" [rev2]")).count() == 0
+    v2.unpersist()
