@@ -1887,6 +1887,44 @@ LEFT JOIN hits h ON h.query_id = q.query_id
 SIMILARITY_QUERIES["sim_recall_ivf"] = (sim_recall_ivf, SIM_RECALL_IVF_SQL)
 
 
+def mips_augment(corpus: DataFrame, queries: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The norm-augmentation transform shared by every MIPS route: corpus
+    vectors gain a ``sqrt(M^2 - ||x||^2)`` coordinate (M = max corpus
+    norm, one tiny broadcast agg), queries gain a literal 0.0 — after
+    which cosine order IS inner-product order and any cosine operator
+    (brute force, LSH buckets, IVF probes) serves MIPS unchanged. Returns
+    (augmented_corpus, augmented_queries) as (vec_id, e) frames."""
+    m = corpus.agg(F.max(F.sqrt(_dot(F.col("e"), F.col("e")))).alias("m"))
+    aug_c = corpus.join(F.broadcast(m)).select(
+        "vec_id",
+        F.concat(
+            "e",
+            F.array(
+                F.sqrt(
+                    F.greatest(
+                        F.col("m") * F.col("m") - _dot(F.col("e"), F.col("e")),
+                        F.lit(0.0),
+                    )
+                )
+            ),
+        ).alias("e"),
+    )
+    aug_q = queries.select("vec_id", F.concat("e", F.array(F.lit(0.0))).alias("e"))
+    return aug_c, aug_q
+
+
+def mips_topk_lsh_df(
+    corpus: DataFrame, queries: DataFrame, k: int = TOP_K
+) -> DataFrame:
+    """Approximate MIPS top-k served by the random-hyperplane LSH stack
+    over norm-augmented vectors (:func:`mips_augment` then
+    :func:`topk_lsh_df`) — the 100 TB route: the bucket probe moves id
+    triples, the corpus is never shuffled, and recall against exact MIPS
+    is pinned in unit tests. Returns (query_id, rank, neighbor_id)."""
+    aug_c, aug_q = mips_augment(corpus, queries)
+    return topk_lsh_df(aug_c, aug_q, k=k).select("query_id", "rank", "neighbor_id")
+
+
 def mips_topk_df(corpus: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFrame:
     """Maximum-inner-product top-k via the norm-augmentation reduction
     (Bachrach et al., RecSys 2014): append one coordinate to every corpus
@@ -1913,25 +1951,7 @@ def mips_topk_df(corpus: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataF
     partitioned corpus, per-query window top-k. The corpus is never
     shuffled.
     """
-    m = corpus.agg(F.max(F.sqrt(_dot(F.col("e"), F.col("e")))).alias("m"))
-    aug_c = (
-        corpus.join(F.broadcast(m))
-        .select(
-            "vec_id",
-            F.concat(
-                "e",
-                F.array(
-                    F.sqrt(
-                        F.greatest(
-                            F.col("m") * F.col("m") - _dot(F.col("e"), F.col("e")),
-                            F.lit(0.0),
-                        )
-                    )
-                ),
-            ).alias("ae"),
-        )
-    )
-    aug_q = queries.select("vec_id", F.concat("e", F.array(F.lit(0.0))).alias("ae"))
+    aug_c, aug_q = mips_augment(corpus, queries)
     q = aug_q.alias("q")
     c = aug_c.alias("c")
     scored = (
@@ -1940,7 +1960,7 @@ def mips_topk_df(corpus: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataF
         .select(
             F.col("q.vec_id").alias("query_id"),
             F.col("c.vec_id").alias("neighbor_id"),
-            _dot(F.col("q.ae"), F.col("c.ae")).alias("dot"),
+            _dot(F.col("q.e"), F.col("c.e")).alias("dot"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))

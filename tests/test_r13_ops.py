@@ -211,3 +211,30 @@ def test_snapshot_v2_synthesis_invariants(spark):
     )
     assert changed.filter(~F.col("text").endswith(" [rev2]")).count() == 0
     v2.unpersist()
+
+
+def test_mips_rides_the_lsh_stack_with_recall(spark):
+    """The reduction's 100 TB claim: norm-augmented vectors flow through
+    the UNCHANGED cosine-LSH route and recover most of the exact MIPS
+    top-k (recall@10 >= 0.5 averaged over the query set, the same bar
+    sim_recall_lsh pins for cosine)."""
+    from distributed_graph_database_simulation_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        mips_topk_df,
+        mips_topk_lsh_df,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in mips_topk_df(emb, queries).collect()
+    }
+    ann = {
+        (r.query_id, r.neighbor_id)
+        for r in mips_topk_lsh_df(emb, queries).collect()
+    }
+    recall = len(exact & ann) / (N_QUERIES * TOP_K)
+    assert recall >= 0.5, recall
