@@ -169,6 +169,7 @@ HEADLINE = [
     "sim_topk_mips",
     "rel_sliding_distinct_users",
     "pipe_snapshot_diff",
+    "stream_crawl_diff_ingest",
 ]
 
 

@@ -209,6 +209,9 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # crawl-over-crawl dataset version diff: digest-projected full-outer
     # join, |sources| x 4-status egress at any corpus size
     "pipe_snapshot_diff": 13,
+    # continuous crawl digest store: streaming MERGE backfill + idempotent
+    # delta (upsert/delete) with crash-replay stress; bucket-pruned writes
+    "stream_crawl_diff_ingest": 13,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

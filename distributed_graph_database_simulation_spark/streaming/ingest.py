@@ -844,3 +844,166 @@ FROM enc GROUP BY lang
 
 
 STREAM_TOKEN_COUNT_INGEST_SQL = _token_count_ingest_sql()
+
+
+# Per-row content checksum: 60-bit md5 prefix folded mod a prime so
+# per-source SUMs stay far from int64 range at any corpus size the gate
+# ships (1e6 * 1e6 < 2^63 with 1e12 headroom). Same conv()/'0x' hex
+# convention as text_analysis.hashed_features_df.
+CRAWL_CSUM_MOD = 1_000_003
+
+
+def _doc_digest(batch: DataFrame) -> DataFrame:
+    csum = F.pmod(
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long"),
+        F.lit(CRAWL_CSUM_MOD),
+    )
+    return batch.select(
+        "doc_id",
+        "source",
+        F.length("text").cast("bigint").alias("len"),
+        csum.cast("bigint").alias("csum"),
+    )
+
+
+def crawl_ingest_batch(spark: SparkSession, batch: DataFrame, store_path: str) -> None:
+    """MERGE one micro-batch of crawled documents into the digest store:
+    one (source, len, csum) row per doc_id, bucket-partitioned by the
+    keyed store so each batch rewrites only the buckets it touches. The
+    store holds digests, never text — the content-addressed shape a
+    100 TB crawl index needs (the text lives in the lake; the store
+    answers "do I have this doc, and has it changed" in one pruned read).
+    Replay safety is by value: an upsert carrying identical digest rows
+    rewrites identical bucket contents."""
+    from ..sources.keyed_store import KeyedParquetStore
+
+    if batch.isEmpty():
+        return
+    store = KeyedParquetStore(spark, store_path, "doc_id", n_buckets=64)
+    store.upsert(_doc_digest(batch))
+
+
+def crawl_apply_delta(
+    spark: SparkSession,
+    upserts: DataFrame,
+    delete_ids: DataFrame,
+    store_path: str,
+) -> None:
+    """Apply one crawl delta to the digest store: changed + added docs as
+    a value-replacing MERGE, removed docs as a bucket-pruned row delete.
+    Both operations are idempotent (re-applying the same delta rewrites
+    identical buckets / deletes already-absent keys), so crash-replay of
+    a delta converges."""
+    from ..sources.keyed_store import KeyedParquetStore
+
+    store = KeyedParquetStore(spark, store_path, "doc_id", n_buckets=64)
+    store.upsert(_doc_digest(upserts))
+    store.delete(delete_ids)
+
+
+def stream_crawl_ingest(
+    spark: SparkSession,
+    stream: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+):
+    """Attach the crawl digest-store MERGE sink to a streaming documents
+    frame (doc_id, source, text). Returns the started StreamingQuery
+    (availableNow trigger — doubles as the backfill ingester)."""
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        crawl_ingest_batch(spark, batch, store_path)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_crawl_diff_ingest_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry for continuous crawl maintenance: backfill the v1
+    documents corpus through the streaming MERGE sink, apply the
+    deterministic next-crawl delta (``pipeline._snapshot_v2`` semantics:
+    %13 ids changed, %19 ids re-keyed +10M as added, %17 ids deleted),
+    then RE-APPLY the same delta as the crash-replay stress — value-wise
+    MERGE and idempotent delete must leave the store unchanged — and
+    report the final per-source (n_docs, chars_total, content_sum).
+
+    Exact oracle: the same aggregate over the v2 corpus reconstructed in
+    SQL — a replayed delta that double-applied, a lost delete, or a
+    clobbered unchanged bucket all shift a count or the folded md5 sum
+    and hash-mismatch."""
+    import shutil
+    import tempfile
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        docs_stream = spark.readStream.schema(schema).parquet(path)
+    else:
+        docs_stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+
+    base = tempfile.mkdtemp(prefix="dgds_crawl_ingest_")
+    store = f"{base}/store"
+    q = stream_crawl_ingest(
+        spark,
+        docs_stream.select("doc_id", "source", "text"),
+        store,
+        f"{base}/ck",
+    )
+    q.awaitTermination()
+
+    from ..operators.pipeline import _snapshot_v2
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    v2 = _snapshot_v2(docs)
+    upserts = v2.where(
+        ((F.col("doc_id") % 13 == 0) & (F.col("doc_id") < 10_000_000))
+        | (F.col("doc_id") >= 10_000_000)
+    )
+    deletes = docs.where(F.col("doc_id") % 17 == 0).select("doc_id")
+    crawl_apply_delta(spark, upserts, deletes, store)
+    # Crash-replay stress: the same delta again must be a no-op.
+    crawl_apply_delta(spark, upserts, deletes, store)
+
+    out = (
+        spark.read.parquet(store)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("len").cast("bigint").alias("chars_total"),
+            F.sum("csum").cast("bigint").alias("content_sum"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+STREAM_CRAWL_DIFF_INGEST_SQL = f"""
+WITH v2 AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]' ELSE text END AS text
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, source, text
+  FROM documents WHERE doc_id % 19 = 0
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS chars_total,
+       CAST(SUM(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)
+                % {CRAWL_CSUM_MOD}) AS BIGINT) AS content_sum
+FROM v2 GROUP BY source
+"""
+
+
+# Registered in windowed.STREAMING_QUERIES (the suite's single registry
+# surface), like every other ingest entry.

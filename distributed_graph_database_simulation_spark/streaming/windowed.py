@@ -549,11 +549,13 @@ STREAMING_QUERIES: dict[str, tuple] = {
 from ..operators.dedup import _NGRAM_ORACLE_CORE  # noqa: E402
 from .ingest import (  # noqa: E402
     STREAM_CMS_INGEST_SQL,
+    STREAM_CRAWL_DIFF_INGEST_SQL,
     STREAM_TOKEN_COUNT_INGEST_SQL,
     STREAM_SCD2_INGEST_SQL,
     STREAM_SKETCH_INGEST_SQL,
     STREAM_USER_STATE_INGEST_SQL,
     stream_cms_ingest_entry,
+    stream_crawl_diff_ingest_entry,
     stream_dedup_ingest_entry,
     stream_scd2_ingest_entry,
     stream_sketch_ingest_entry,
@@ -592,4 +594,10 @@ STREAMING_QUERIES["stream_scd2_ingest"] = (
 STREAMING_QUERIES["stream_token_count_ingest"] = (
     stream_token_count_ingest_entry,
     STREAM_TOKEN_COUNT_INGEST_SQL,
+)
+# staged r14 (r13 build): continuous crawl digest store — streaming MERGE
+# backfill, idempotent delta application (upsert + delete), delta replayed.
+STREAMING_QUERIES["stream_crawl_diff_ingest"] = (
+    stream_crawl_diff_ingest_entry,
+    STREAM_CRAWL_DIFF_INGEST_SQL,
 )

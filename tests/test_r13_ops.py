@@ -238,3 +238,34 @@ def test_mips_rides_the_lsh_stack_with_recall(spark):
     }
     recall = len(exact & ann) / (N_QUERIES * TOP_K)
     assert recall >= 0.5, recall
+
+
+def test_crawl_store_delta_idempotent_and_deletes(spark, tmp_path):
+    """The crawl digest store's contract: applying a delta twice leaves
+    byte-identical state (value-wise MERGE + idempotent delete), and
+    deleted ids are gone while changed ids carry the new digest."""
+    from distributed_graph_database_simulation_spark.streaming.ingest import (
+        crawl_apply_delta,
+        crawl_ingest_batch,
+        _doc_digest,
+    )
+
+    store = str(tmp_path / "store")
+    v1 = spark.createDataFrame(
+        [(1, "web", "one"), (2, "web", "two"), (3, "books", "three")],
+        "doc_id long, source string, text string",
+    )
+    crawl_ingest_batch(spark, v1, store)
+    ups = spark.createDataFrame(
+        [(2, "web", "two-revised"), (9, "books", "nine")],
+        "doc_id long, source string, text string",
+    )
+    dels = spark.createDataFrame([(3,)], "doc_id long")
+    crawl_apply_delta(spark, ups, dels, store)
+    first = {r.doc_id: (r.source, r.len, r.csum) for r in spark.read.parquet(store).collect()}
+    crawl_apply_delta(spark, ups, dels, store)  # replay
+    second = {r.doc_id: (r.source, r.len, r.csum) for r in spark.read.parquet(store).collect()}
+    assert first == second
+    assert set(first) == {1, 2, 9}
+    want2 = _doc_digest(ups.where("doc_id = 2")).first()
+    assert first[2] == (want2.source, want2.len, want2.csum)
