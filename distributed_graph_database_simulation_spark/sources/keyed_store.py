@@ -212,3 +212,66 @@ class KeyedParquetStore:
             if b not in written:
                 self._remove_partition_dir(b)
         return {"buckets_touched": len(buckets), "rows_written": n}
+
+    def merge_delta(self, updates: DataFrame, delete_keys: DataFrame) -> dict:
+        """Upserts + deletes in ONE bucket surgery — a CDC delta applied
+        with a single read and a single dynamic-overwrite write over the
+        union of both sides' touched buckets, instead of upsert() then
+        delete() each re-reading and re-writing its own bucket set.
+        Deletes win over upserts on key overlap (a delta that both
+        rewrites and tombstones a key means the tombstone is later).
+        Same empty-bucket surgery and replay idempotence as delete()."""
+        key_df = delete_keys.select(
+            F.col(delete_keys.columns[0]).alias(self.key_col)
+        ).distinct()
+        if not self._table_exists():
+            self.write_full(updates.join(key_df, self.key_col, "left_anti"))
+            return {"buckets_touched": self.n_buckets, "initial_load": True}
+        # Both sides are consumed by the bucket collect AND the merge plan
+        # (and key_df by the survivor anti-join too) — without the scoped
+        # persists the delta's upstream (often a full digest scan) executes
+        # once per consumer. Bounded by the delta size, never the table.
+        batch = (
+            self._latest_wins(updates)
+            .join(key_df, self.key_col, "left_anti")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        key_df = key_df.persist(StorageLevel.MEMORY_AND_DISK)
+        buckets = sorted(
+            set(self._affected_buckets(batch)) | set(self._affected_buckets(key_df))
+        )
+        existing = (
+            self.spark.read.parquet(self.path)
+            .where(F.col("key_bucket").isin(buckets))
+            .drop("key_bucket")
+        )
+        survivors = existing.join(
+            batch.select(self.key_col).unionByName(key_df),
+            self.key_col,
+            "left_anti",
+        )
+        merged = survivors.unionByName(batch).withColumn(
+            "key_bucket", self._bucket()
+        )
+        merged = merged.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            written = {
+                r["key_bucket"]
+                for r in merged.select("key_bucket").distinct().collect()
+            }
+            n = merged.count()
+            if n > 0:
+                (
+                    merged.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("key_bucket")
+                    .parquet(self.path)
+                )
+        finally:
+            merged.unpersist()
+            batch.unpersist()
+            key_df.unpersist()
+        for b in buckets:
+            if b not in written:
+                self._remove_partition_dir(b)
+        return {"buckets_touched": len(buckets), "rows_written": n}

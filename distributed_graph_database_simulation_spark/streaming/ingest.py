@@ -890,15 +890,15 @@ def crawl_apply_delta(
     store_path: str,
 ) -> None:
     """Apply one crawl delta to the digest store: changed + added docs as
-    a value-replacing MERGE, removed docs as a bucket-pruned row delete.
-    Both operations are idempotent (re-applying the same delta rewrites
-    identical buckets / deletes already-absent keys), so crash-replay of
-    a delta converges."""
+    a value-replacing MERGE and removed docs as tombstones, in ONE
+    bucket-pruned read+write (``KeyedParquetStore.merge_delta`` — an
+    upsert() + delete() pair would re-read and re-write the touched
+    buckets twice). Idempotent by value, so crash-replay of a delta
+    converges."""
     from ..sources.keyed_store import KeyedParquetStore
 
     store = KeyedParquetStore(spark, store_path, "doc_id", n_buckets=64)
-    store.upsert(_doc_digest(upserts))
-    store.delete(delete_ids)
+    store.merge_delta(_doc_digest(upserts), delete_ids)
 
 
 def stream_crawl_ingest(

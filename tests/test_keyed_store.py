@@ -324,3 +324,40 @@ def test_randomized_operation_sequence_matches_dict_model(spark, tmp_path):
 
     got = {r["k"]: (r["val"], r["ver"]) for r in s.read().collect()}
     assert got == model
+
+
+def test_merge_delta_single_surgery_semantics(spark, store):
+    """merge_delta = upsert + delete in one read/write: upserted keys carry
+    new values, deleted keys are gone, delete wins on overlap, untouched
+    keys survive, and a replay is a no-op."""
+    ups = spark.createDataFrame(
+        [(5, "new5", 2), (200, "new200", 2), (7, "ghost7", 2)],
+        "k long, val string, ver int",
+    )
+    dels = spark.createDataFrame([(3,), (7,)], "k long")  # 7 overlaps ups
+    store.merge_delta(ups, dels)
+    got = _rows(store)
+    assert (5, "new5", 2) in got and (200, "new200", 2) in got
+    assert not any(k in (3, 7) for k, _, _ in got)  # delete wins overlap
+    assert (4, "v4", 1) in got  # untouched survives
+    store.merge_delta(ups, dels)  # replay
+    assert _rows(store) == got
+
+
+def test_merge_delta_clears_emptied_buckets(spark, tmp_path):
+    """A bucket whose every key is tombstoned by the delta loses its
+    partition directory (same surgery as delete())."""
+    s = KeyedParquetStore(spark, str(tmp_path / "s2"), "k", n_buckets=4)
+    s.write_full(spark.createDataFrame([(i, i * 10) for i in range(40)], "k long, v long"))
+    # Tombstone every key but one: the survivor's bucket must be the only
+    # partition directory left on disk.
+    dels = spark.createDataFrame([(i,) for i in range(1, 40)], "k long")
+    empty_ups = spark.createDataFrame([], "k long, v long")
+    s.merge_delta(empty_ups, dels)
+    assert {tuple(r) for r in s.read().collect()} == {(0, 0)}
+    survivor_bucket = s._affected_buckets(
+        spark.createDataFrame([(0,)], "k long")
+    )[0]
+    assert set(_part_files(str(tmp_path / "s2"))) == {
+        f"key_bucket={survivor_bucket}"
+    }
