@@ -2143,13 +2143,17 @@ def sliding_distinct_users_df(ev: DataFrame, days_back: int = 6) -> DataFrame:
 
     The scale-out shape: dedupe to (day, user) pairs FIRST (one shuffle,
     collapses the raw event volume to at most |users| x |days| rows),
-    then map-side explode each pair to the 7 trailing windows it
-    contributes to, dedupe (window_day, user) and count. Every stage is
-    a hash aggregate on near-uniform keys; the 7x expansion happens
-    AFTER the heavy dedupe, so at 100 TB the cost is bounded by active
-    pairs, not events — vs the naive per-day self-join that rescans 7
-    days of raw events for each output row. A 30/90-day variant only
-    changes the explode constant.
+    then count each user ONCE per window via the first-in-window trick:
+    with ``prev_d`` = the user's previous active day (one lag() over the
+    pairs), the pair (u, day) is u's FIRST activity inside window d
+    exactly for d in [max(day, prev_d + 7), day + 6] — so exploding only
+    that (possibly empty) range yields each (window, user) exactly once
+    and the count is a plain map-side-combinable COUNT(*), no second
+    corpus-wide distinct. At 100 TB the cost is bounded by active pairs
+    (one distinct + one per-user window + one partial-agg count), never
+    raw events — vs the naive per-day self-join that rescans 7 days of
+    raw events per output row. A 30/90-day variant only changes the
+    explode constant.
 
     Emits one row per ACTIVE day: exact 1-day and trailing-7-day
     distinct user counts (windows that run past the last active day are
@@ -2158,26 +2162,30 @@ def sliding_distinct_users_df(ev: DataFrame, days_back: int = 6) -> DataFrame:
     """
     from pyspark.storagelevel import StorageLevel
 
-    # Three consumers (active-day list, 7-window explode, 1-day counts) —
-    # without the cache the raw-events distinct runs once per consumer
-    # (r13 double-execute audit). Bounded: at most |users| x |days| narrow
-    # rows; spills, never recomputes.
+    # Three consumers (active-day list, first-in-window explode, 1-day
+    # counts) — without the cache the raw-events distinct runs once per
+    # consumer (r13 double-execute audit). Bounded: at most
+    # |users| x |days| narrow rows; spills, never recomputes.
     pairs = (
         ev.select(F.date_trunc("day", "ts").alias("d"), "user_id")
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     days = pairs.select("d").distinct()
-    contrib = pairs.select(
+    w_user = W.partitionBy("user_id").orderBy("d")
+    gaps = pairs.select("d", F.lag("d").over(w_user).alias("prev_d"))
+    # greatest() skips the null prev_d of each user's first pair.
+    start = F.greatest(
+        F.col("d"), F.col("prev_d") + F.expr(f"INTERVAL {days_back + 1} DAYS")
+    )
+    end = F.col("d") + F.expr(f"INTERVAL {days_back} DAYS")
+    contrib = gaps.select(
         F.explode(
-            F.sequence(
-                F.col("d"),
-                F.col("d") + F.expr(f"INTERVAL {days_back} DAYS"),
-                F.expr("INTERVAL 1 DAY"),
+            F.when(
+                start <= end, F.sequence(start, end, F.expr("INTERVAL 1 DAY"))
             )
-        ).alias("d"),
-        "user_id",
-    ).distinct()
+        ).alias("d")
+    )
     wau = contrib.join(days, "d").groupBy("d").agg(
         F.count("*").cast("bigint").alias("users_7d")
     )

@@ -1482,6 +1482,128 @@ def probe_mm_tokenize(spark, n_media: int) -> dict:
             "audio_windows": n_wins, "audio_sec": audio_sec}
 
 
+
+
+def probe_sliding_distinct(spark, n_events: int = 2_000_000,
+                           n_users: int = 100_000, n_days: int = 90) -> dict:
+    """Trailing-7-day exact distinct users at scale: n_events raw events
+    over n_users x n_days. The claim under test is the dedupe-then-explode
+    cost model — after the (day, user) distinct, every later stage is
+    bounded by active pairs x 7, independent of raw event volume (rerun
+    with 10x events per pair to see the flat tail)."""
+    import time as _t
+
+    from distributed_graph_database_simulation_spark.operators.relational import (
+        sliding_distinct_users_df,
+    )
+
+    ev = spark.range(n_events).select(
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.make_interval(days=F.pmod(F.xxhash64("id"), F.lit(n_days)).cast("int"),
+                           mins=F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1440)).cast("int"))
+         ).alias("ts"),
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(n_users)).alias("user_id"),
+    )
+    t0 = _t.perf_counter()
+    out = sliding_distinct_users_df(ev)
+    n_rows = out.count()
+    sec = round(_t.perf_counter() - t0, 2)
+    mx = out.agg(F.max("users_7d")).first()[0]
+    return {"probe": "sliding_distinct", "events": n_events, "users": n_users,
+            "days": n_days, "out_rows": n_rows, "max_wau": mx, "sec": sec}
+
+
+def probe_mips(spark, n_vectors: int = 1_000_000, dim: int = 64) -> dict:
+    """Norm-augmented MIPS through the cosine-LSH stack at 1M vectors:
+    the reduction's scale claim is that inner-product search needs NO new
+    infrastructure — augment (one broadcast agg + map-side array append)
+    and the existing bucket-join serves it, corpus never shuffled. Recall
+    is measured against exact brute-force MIPS over the same corpus."""
+    import time as _t
+
+    from distributed_graph_database_simulation_spark.operators.similarity import (
+        TOP_K,
+        mips_topk_df,
+        mips_topk_lsh_df,
+    )
+
+    vecs = spark.range(n_vectors).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: (F.pmod(F.xxhash64(F.col("id"), i), F.lit(2001)) - 1000)
+            / 1000.0,
+        ).alias("e"),
+    )
+    queries = vecs.where(F.col("vec_id") < 8)
+    t0 = _t.perf_counter()
+    ann = {(r.query_id, r.neighbor_id)
+           for r in mips_topk_lsh_df(vecs, queries).collect()}
+    ann_sec = round(_t.perf_counter() - t0, 2)
+    t1 = _t.perf_counter()
+    exact = {(r.query_id, r.neighbor_id)
+             for r in mips_topk_df(vecs, queries).collect()}
+    exact_sec = round(_t.perf_counter() - t1, 2)
+    return {"probe": "mips", "vectors": n_vectors, "dim": dim,
+            "recall_at_10": round(len(ann & exact) / (8 * TOP_K), 3),
+            "lsh_sec": ann_sec, "exact_sec": exact_sec}
+
+
+def probe_crawl_delta(spark, n_rows: int = 2_000_000,
+                      n_delta_keys: int = 10_000, n_buckets: int = 256) -> dict:
+    """merge_delta cost model at scale: load an n_rows digest store, then
+    apply a delta (half upserts, half tombstones) whose keys cluster into
+    few buckets. The claim under test is single-surgery
+    bucket-proportionality — one read + one write over ONLY the touched
+    partition directories, a fraction of the full-load cost."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from distributed_graph_database_simulation_spark.sources.keyed_store import (
+        KeyedParquetStore,
+    )
+
+    base = tempfile.mkdtemp(prefix="probe_crawl_delta_")
+    try:
+        store = KeyedParquetStore(spark, f"{base}/t", "doc_id", n_buckets=n_buckets)
+        rows = spark.range(n_rows).select(
+            F.col("id").alias("doc_id"),
+            F.lit("web").alias("source"),
+            (F.pmod(F.xxhash64("id"), F.lit(9000)) + 100).alias("len"),
+            F.pmod(F.xxhash64("id", F.lit(7)), F.lit(1_000_003)).alias("csum"),
+        )
+        t0 = _t.perf_counter()
+        store.write_full(rows)
+        load_sec = round(_t.perf_counter() - t0, 2)
+        clustered = (
+            spark.range(n_rows)
+            .select(F.col("id").alias("doc_id"))
+            .where(F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)) < 8)
+            .limit(n_delta_keys)
+        )
+        ups = clustered.where(F.col("doc_id") % 2 == 0).select(
+            "doc_id", F.lit("web").alias("source"),
+            F.lit(123).cast("long").alias("len"),
+            F.lit(456).cast("long").alias("csum"),
+        )
+        dels = clustered.where(F.col("doc_id") % 2 == 1)
+        t1 = _t.perf_counter()
+        stats = store.merge_delta(ups, dels)
+        delta_sec = round(_t.perf_counter() - t1, 2)
+        if stats["buckets_touched"] > 8:
+            raise AssertionError(
+                f"expected <= 8 touched buckets, got {stats['buckets_touched']}"
+            )
+        return {"probe": "crawl_delta", "rows": n_rows,
+                "delta_keys": n_delta_keys, "n_buckets": n_buckets,
+                "buckets_touched": stats["buckets_touched"],
+                "rows_written": stats["rows_written"],
+                "full_load_sec": load_sec, "delta_sec": delta_sec}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--edges", type=float, default=5e6)
@@ -1541,6 +1663,9 @@ def main() -> int:
         ("bipartite", lambda: probe_bipartite(spark, int(args.edges) * 2)),
         ("cms", lambda: probe_cms(spark, int(args.edges) * 2)),
         ("mm_tokenize", lambda: probe_mm_tokenize(spark, int(args.docs) * 4)),
+        ("sliding_distinct", lambda: probe_sliding_distinct(spark, int(args.edges))),
+        ("mips", lambda: probe_mips(spark)),
+        ("crawl_delta", lambda: probe_crawl_delta(spark)),
     )
     for name, probe in probes:
         if args.only is not None and not any(s in name for s in args.only):
