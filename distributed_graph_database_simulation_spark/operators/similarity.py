@@ -1914,15 +1914,93 @@ def mips_augment(corpus: DataFrame, queries: DataFrame) -> tuple[DataFrame, Data
 
 
 def mips_topk_lsh_df(
-    corpus: DataFrame, queries: DataFrame, k: int = TOP_K
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    tables: int = LSH_TABLES,
+    bits: int = LSH_BITS,
+    n_bands: int = 16,
 ) -> DataFrame:
     """Approximate MIPS top-k served by the random-hyperplane LSH stack
-    over norm-augmented vectors (:func:`mips_augment` then
-    :func:`topk_lsh_df`) — the 100 TB route: the bucket probe moves id
-    triples, the corpus is never shuffled, and recall against exact MIPS
-    is pinned in unit tests. Returns (query_id, rank, neighbor_id)."""
-    aug_c, aug_q = mips_augment(corpus, queries)
-    return topk_lsh_df(aug_c, aug_q, k=k).select("query_id", "rank", "neighbor_id")
+    over NORM-BANDED augmented vectors — the 100 TB route: the bucket
+    probe moves id triples, the corpus is never shuffled, and recall
+    against exact MIPS is pinned in unit tests.
+
+    Why banding (the RANGE-LSH refinement, Yan et al., NeurIPS 2018): a
+    single global M makes every small-norm vector's augmented coordinate
+    ~ M, so all of them point down the augmented axis and angular LSH
+    loses its signal exactly where most of the corpus lives. Banding by
+    norm (geometric bands, quarter-octave wide, so in-band norms are
+    within 2^(1/4) ~ 1.19 of the band max) keeps the augmented coordinate
+    small relative to the vector, bounding the angular distortion
+    (cos' >= cos / 1.19 for the in-band worst case). The query's
+    augmented coordinate is 0, so ONE query signature probes all bands at
+    once; candidates from all bands are re-ranked by the RAW inner
+    product (band-local cosine is not comparable across bands, raw dot
+    is), making the result exact over the candidate set.
+
+    Returns (query_id, rank, neighbor_id, dot)."""
+    c = _with_norm(corpus).where(F.col("norm") > 0.0)
+    m = c.agg(F.max("norm").alias("m"))
+    banded = c.join(F.broadcast(m)).withColumn(
+        "band",
+        F.least(
+            F.lit(n_bands - 1),
+            F.floor(F.log2(F.col("m") / F.col("norm")) * 4),
+        ).cast("int"),
+    )
+    mb = banded.groupBy("band").agg(F.max("norm").alias("mb"))
+    aug_c = banded.join(F.broadcast(mb), "band").select(
+        "vec_id",
+        F.concat(
+            "e",
+            F.array(
+                F.sqrt(
+                    F.greatest(
+                        F.col("mb") * F.col("mb") - F.col("norm") * F.col("norm"),
+                        F.lit(0.0),
+                    )
+                )
+            ),
+        ).alias("e"),
+    )
+    aug_q = queries.select("vec_id", F.concat("e", F.array(F.lit(0.0))).alias("e"))
+    csig = _signatures(_with_norm(aug_c), tables=tables, bits=bits)
+    qsig = _signatures(_with_norm(aug_q), tables=tables, bits=bits)
+    cand_ids = (
+        F.broadcast(qsig.alias("q"))
+        .join(
+            csig.alias("c"),
+            (F.col("q.table_id") == F.col("c.table_id"))
+            & (F.col("q.bucket") == F.col("c.bucket"))
+            & (F.col("q.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    # Exact-on-candidates re-rank by RAW inner product on the original
+    # vectors (the corpus is scanned, never shuffled; candidate ids and
+    # the query vectors broadcast).
+    cvec = corpus.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"))
+    qvec = queries.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    scored = (
+        cvec.join(F.broadcast(cand_ids), "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _dot(F.col("qe"), F.col("ce")).alias("dot"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "dot")
+    )
 
 
 def mips_topk_df(corpus: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFrame:
