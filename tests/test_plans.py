@@ -718,3 +718,49 @@ def test_interleave_pack_tokenizes_once(spark, sf_dir):
     assert len(set(re.findall(r"MapInPandas \((\d+)\)", plan))) == 1, plan
     # BOTH cumsum branches read the persisted keyed projection
     assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_mips_corpus_never_shuffled_and_queries_broadcast(spark, sf_dir):
+    """Exact MIPS: the query side (and the M scalar) broadcast; the only
+    exchange is the final per-query top-k window over k x |queries| rows —
+    the corpus itself is scanned in place, never hash-repartitioned."""
+    from distributed_graph_database_simulation_spark.operators import similarity
+
+    plan = _formatted_plan(similarity.sim_topk_mips(spark, sf_dir))
+    assert plan.count("BroadcastNestedLoopJoin") >= 2  # M scalar + query set
+    assert "SortMergeJoin" not in plan
+    # query-side pushdown reaches the scan
+    assert re.search(r"PushedFilters:.*LessThan\(vec_id,8\)", plan)
+    # the sole hash exchange is the window's query_id partitioning
+    hash_exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert all(k.startswith("query_id") for k in hash_exchanges), hash_exchanges
+    # per-partition top-k prune before the exchange (WindowGroupLimit)
+    assert "WindowGroupLimit" in plan
+
+
+def test_sliding_distinct_explode_after_dedupe(spark, sf_dir):
+    """The first-in-window explode runs over the DEDUPED pairs cache, and
+    the final count is a partial (map-side-combinable) aggregate — no
+    second corpus-wide distinct anywhere after the explode."""
+    from distributed_graph_database_simulation_spark.operators import relational as R
+
+    df = R.sliding_distinct_users(spark, sf_dir)
+    plan = _formatted_plan(df)
+    assert "partial_count" in plan
+    # the generator feeds from the cached pairs, not a raw events rescan
+    assert plan.count("Scan parquet") <= 1 or "InMemoryTableScan" in plan
+    spark.catalog.clearCache()
+
+
+def test_snapshot_diff_ships_digests_not_text(spark, sf_dir):
+    """The full-outer join's exchanges carry md5 digests and lengths —
+    the text column is consumed map-side by the digest projection and
+    never crosses the shuffle."""
+    from distributed_graph_database_simulation_spark.operators import pipeline as P
+
+    plan = _formatted_plan(P.pipe_snapshot_diff(spark, sf_dir))
+    # every hash exchange's output is digest-narrow: no raw `text` column
+    for m in re.finditer(r"Exchange hashpartitioning[^\n]*", plan):
+        assert "text" not in m.group(0), m.group(0)
+    # deletions/additions filters reach the v2 scans
+    assert re.search(r"PushedFilters:.*IsNotNull\(doc_id\)", plan)
