@@ -170,6 +170,7 @@ HEADLINE = [
     "rel_sliding_distinct_users",
     "pipe_snapshot_diff",
     "stream_crawl_diff_ingest",
+    "stream_wau_ingest",
 ]
 
 

@@ -212,6 +212,9 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # continuous crawl digest store: streaming MERGE backfill + idempotent
     # delta (upsert/delete) with crash-replay stress; bucket-pruned writes
     "stream_crawl_diff_ingest": 13,
+    # continuous engagement accounting: (day,user) pair store with
+    # batch-partition replay stress, served by the first-in-window DAU/WAU
+    "stream_wau_ingest": 13,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

@@ -1005,5 +1005,99 @@ FROM v2 GROUP BY source
 """
 
 
+
+
+def wau_ingest_batch(batch: DataFrame, batch_id: int, store_path: str) -> None:
+    """Process one micro-batch into the engagement pair store: collapse
+    the batch to DISTINCT (day, user) activity pairs and write them under
+    the batch's own partition (dynamic overwrite — a replayed batch
+    replaces its own partial, never extends it). The store holds activity
+    pairs, not events: per batch the write is bounded by active pairs,
+    and cross-batch duplicates (a user active in several batches on the
+    same day) are collapsed by the reader's dedupe, keeping the sink a
+    blind append-shaped write with no read-modify-write cycle."""
+    if batch.isEmpty():
+        return
+    pairs = batch.select(
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("d"), "user_id"
+    ).distinct()
+    _write_partition(pairs, batch_id, store_path)
+
+
+def stream_wau_ingest(
+    spark: SparkSession,
+    stream: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+):
+    """Attach the engagement pair-store sink to a streaming events frame.
+    Returns the started StreamingQuery (availableNow trigger)."""
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        wau_ingest_batch(batch, int(batch_id), store_path)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_wau_ingest_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry for continuous engagement accounting: backfill the
+    bounded events stream into the (day, user) pair store, STRESS replay
+    by re-writing batch 0's partial from the raw events (dynamic partition
+    overwrite must replace, not extend), then compute the exact DAU /
+    trailing-7-day WAU series from the STORE via the same first-in-window
+    operator the batch entry uses (`relational.sliding_distinct_users_df`).
+
+    Exact oracle: the correlated COUNT(DISTINCT) over raw events — so a
+    replay that double-counted a batch, a lost pair partition, or a
+    dedupe miss in the store reader all shift a count and hash-mismatch.
+    This is the streaming sibling of ``rel_sliding_distinct_users``: the
+    serving layer reads a pairs store bounded by |users| x |days| instead
+    of replaying raw event history."""
+    import shutil
+    import tempfile
+
+    from ..operators.relational import sliding_distinct_users_df
+    from ..sources.tables import load_table
+    from .windowed import _events_stream
+
+    base = tempfile.mkdtemp(prefix="dgds_wau_ingest_")
+    store = f"{base}/store"
+    q = stream_wau_ingest(spark, _events_stream(spark, sf_dir), store, f"{base}/ck")
+    q.awaitTermination()
+    # Replay stress: recompute batch 0's partial from raw events limited
+    # to its actual payload (the first micro-batch of an availableNow
+    # backfill over one file is the whole table unless split; replay the
+    # DERIVED pairs for whatever landed under batch_id=0).
+    b0 = spark.read.parquet(store).where(F.col("batch_id") == 0)
+    _write_partition(b0.select("d", "user_id").distinct(), 0, store)
+    pairs_as_events = spark.read.parquet(store).select(
+        F.col("d").alias("ts"), "user_id"
+    )
+    out = sliding_distinct_users_df(pairs_as_events).localCheckpoint(eager=True)
+    spark.catalog.clearCache()  # the operator's pairs persist, harness-owned
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+STREAM_WAU_INGEST_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+),
+days AS (SELECT DISTINCT d FROM pairs)
+SELECT days.d,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs p WHERE p.d = days.d)
+         AS users_1d,
+       (SELECT CAST(COUNT(DISTINCT p.user_id) AS BIGINT) FROM pairs p
+        WHERE p.d BETWEEN days.d - INTERVAL 6 DAY AND days.d)
+         AS users_7d
+FROM days
+"""
+
+
 # Registered in windowed.STREAMING_QUERIES (the suite's single registry
 # surface), like every other ingest entry.

@@ -550,12 +550,14 @@ from ..operators.dedup import _NGRAM_ORACLE_CORE  # noqa: E402
 from .ingest import (  # noqa: E402
     STREAM_CMS_INGEST_SQL,
     STREAM_CRAWL_DIFF_INGEST_SQL,
+    STREAM_WAU_INGEST_SQL,
     STREAM_TOKEN_COUNT_INGEST_SQL,
     STREAM_SCD2_INGEST_SQL,
     STREAM_SKETCH_INGEST_SQL,
     STREAM_USER_STATE_INGEST_SQL,
     stream_cms_ingest_entry,
     stream_crawl_diff_ingest_entry,
+    stream_wau_ingest_entry,
     stream_dedup_ingest_entry,
     stream_scd2_ingest_entry,
     stream_sketch_ingest_entry,
@@ -600,4 +602,11 @@ STREAMING_QUERIES["stream_token_count_ingest"] = (
 STREAMING_QUERIES["stream_crawl_diff_ingest"] = (
     stream_crawl_diff_ingest_entry,
     STREAM_CRAWL_DIFF_INGEST_SQL,
+)
+# staged r14 (r13 build): continuous engagement accounting — (day, user)
+# pair store with batch-partition replay stress, served by the
+# first-in-window DAU/WAU operator.
+STREAMING_QUERIES["stream_wau_ingest"] = (
+    stream_wau_ingest_entry,
+    STREAM_WAU_INGEST_SQL,
 )

@@ -319,3 +319,26 @@ def test_outer_join_extends_inner_with_watermark_gated_nulls(spark, sf_dir):
     }
     for r in nulls:
         assert p_ts[r.purchase_id] <= wm, (r.purchase_id, p_ts[r.purchase_id], wm)
+
+
+def test_wau_ingest_batch_writes_distinct_pairs_and_replay_overwrites(spark, tmp_path):
+    """The engagement sink's two claims: a batch's partial holds DISTINCT
+    (day, user) pairs, and re-writing the same batch_id replaces (never
+    extends) its partition."""
+    from pyspark.sql import functions as F
+
+    from distributed_graph_database_simulation_spark.streaming.ingest import (
+        wau_ingest_batch,
+    )
+
+    store = str(tmp_path / "wau")
+    batch = spark.createDataFrame(
+        [("2024-03-01 10:00:00", 1), ("2024-03-01 11:00:00", 1),
+         ("2024-03-02 09:00:00", 2)],
+        "ts string, user_id long",
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "user_id")
+    wau_ingest_batch(batch, 0, store)
+    rows = {(str(r.d)[:10], r.user_id) for r in spark.read.parquet(store).collect()}
+    assert rows == {("2024-03-01", 1), ("2024-03-02", 2)}  # same-day dedup
+    wau_ingest_batch(batch, 0, store)  # replay
+    assert spark.read.parquet(store).count() == 2  # replaced, not extended
