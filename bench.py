@@ -171,6 +171,7 @@ HEADLINE = [
     "pipe_snapshot_diff",
     "stream_crawl_diff_ingest",
     "stream_wau_ingest",
+    "mm_frame_deltas",
 ]
 
 

@@ -1585,3 +1585,110 @@ MULTIMODAL_QUERIES["mm_audio_level_stats"] = (
     mm_audio_level_stats,
     MM_AUDIO_LEVEL_STATS_SQL,
 )
+
+
+# Scene-cut threshold: a transition is a cut when its mean absolute
+# per-byte delta exceeds this (payload bytes are printable ASCII, so
+# typical adjacent-frame deltas average ~20-35; 40 marks genuine content
+# breaks). Integer arithmetic on both engines.
+FRAME_CUT_MEAN_DELTA = 40
+
+
+_FRAME_DELTA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("frame_bytes", LongType()),
+        StructField("total_delta", LongType()),
+        StructField("max_delta", LongType()),
+        StructField("n_cuts", IntegerType()),
+    ]
+)
+
+
+def _frame_delta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per video: L1 distance between consecutive frames (numpy reshape +
+    diff over the contiguous byte matrix — one vectorized pass per
+    payload, no per-byte Python)."""
+    import numpy as np
+
+    for pdf in batches:
+        n_media = len(pdf)
+        nf = np.zeros(n_media, dtype="int32")
+        per = np.zeros(n_media, dtype="int64")
+        tot = np.zeros(n_media, dtype="int64")
+        mx = np.zeros(n_media, dtype="int64")
+        cuts = np.zeros(n_media, dtype="int32")
+        for i, (payload, n_frames) in enumerate(zip(pdf["payload"], pdf["n_frames"])):
+            k = int(n_frames)
+            p = len(payload) // k if k else 0
+            nf[i], per[i] = k, p
+            if k < 2:
+                continue
+            arr = (
+                np.frombuffer(payload, dtype=np.uint8, count=k * p)
+                .reshape(k, p)
+                .astype(np.int64)
+            )
+            d = np.abs(np.diff(arr, axis=0)).sum(axis=1)
+            tot[i] = d.sum()
+            mx[i] = d.max()
+            cuts[i] = int((d > FRAME_CUT_MEAN_DELTA * p).sum())
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "n_frames": nf,
+                "frame_bytes": per,
+                "total_delta": tot,
+                "max_delta": mx,
+                "n_cuts": cuts,
+            }
+        )
+
+
+def mm_frame_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection: per video, the L1 delta between every pair of
+    consecutive frames, its total/max, and the count of transitions whose
+    mean per-byte delta exceeds the cut threshold — the shot-boundary
+    pass a video curation pipeline runs to pick representative frames
+    (sample AROUND cuts, not blindly every Nth frame; compare
+    ``mm_frame_sample``). Map-side only: one vectorized numpy pass per
+    payload inside mapInPandas, constant rows out per video, no shuffle
+    at all. The oracle replays the same integer arithmetic from the
+    payload's source text, so a wrong frame stride, a missed transition,
+    or an off-by-one slice all shift a sum."""
+    return media_table(spark, sf_dir).mapInPandas(
+        _frame_delta_batches, schema=_FRAME_DELTA_SCHEMA
+    )
+
+
+MM_FRAME_DELTAS_SQL = f"""
+WITH t AS (
+  SELECT doc_id AS media_id, text,
+         4 + doc_id % 8 AS nf,
+         length(text) // (4 + doc_id % 8) AS per
+  FROM documents
+),
+d AS (
+  SELECT media_id, nf, per,
+         list_transform(
+           range(1, nf),
+           k -> CAST(COALESCE(list_sum(list_transform(
+                  range(1, per + 1),
+                  i -> abs(ord(text[(k - 1) * per + i])
+                           - ord(text[k * per + i])))), 0) AS BIGINT)
+         ) AS deltas
+  FROM t
+)
+SELECT media_id,
+       CAST(nf AS INT) AS n_frames,
+       CAST(per AS BIGINT) AS frame_bytes,
+       CAST(COALESCE(list_sum(deltas), 0) AS BIGINT) AS total_delta,
+       CAST(COALESCE(list_max(deltas), 0) AS BIGINT) AS max_delta,
+       CAST(len(list_filter(deltas, x -> x > {FRAME_CUT_MEAN_DELTA} * per))
+            AS INT) AS n_cuts
+FROM d
+"""
+
+
+MULTIMODAL_QUERIES["mm_frame_deltas"] = (mm_frame_deltas, MM_FRAME_DELTAS_SQL)

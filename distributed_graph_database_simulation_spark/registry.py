@@ -215,6 +215,9 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # continuous engagement accounting: (day,user) pair store with
     # batch-partition replay stress, served by the first-in-window DAU/WAU
     "stream_wau_ingest": 13,
+    # scene-cut detection: consecutive-frame L1 deltas in one vectorized
+    # numpy pass per payload, map-side only, constant rows per video
+    "mm_frame_deltas": 13,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

@@ -269,3 +269,44 @@ def test_crawl_store_delta_idempotent_and_deletes(spark, tmp_path):
     assert set(first) == {1, 2, 9}
     want2 = _doc_digest(ups.where("doc_id = 2")).first()
     assert first[2] == (want2.source, want2.len, want2.csum)
+
+
+def test_frame_deltas_hand_worked(spark):
+    """One synthetic 3-frame video with known byte deltas: frame slices
+    'aaaa'|'cccc'|'cccd' give transition L1s of 8 (4 x |c-a|=2... no:
+    |'c'-'a'|=2 per byte x 4 = 8) and 1, so total=9, max=8, and with the
+    cut threshold at mean-delta > 40 neither transition is a cut."""
+    import pandas as pd
+
+    from distributed_graph_database_simulation_spark.operators.multimodal import (
+        _frame_delta_batches,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "media_id": [1],
+            "payload": [b"aaaaccccccccd"],  # 13 bytes, 3 frames -> per=4
+            "n_frames": [3],
+        }
+    )
+    out = next(_frame_delta_batches(iter([pdf])))
+    r = out.iloc[0]
+    assert (r.n_frames, r.frame_bytes) == (3, 4)
+    # frames: 'aaaa', 'cccc', 'cccc' (13th byte 'd' truncated)
+    assert (r.total_delta, r.max_delta, r.n_cuts) == (8, 8, 0)
+
+
+def test_frame_deltas_detects_planted_cut(spark):
+    """A transition whose mean per-byte delta exceeds the threshold is
+    counted as a cut: ' '*4 (0x20) -> 'zzzz' (0x7a) has delta 90/byte."""
+    import pandas as pd
+
+    from distributed_graph_database_simulation_spark.operators.multimodal import (
+        _frame_delta_batches,
+    )
+
+    pdf = pd.DataFrame(
+        {"media_id": [7], "payload": [b"    zzzz"], "n_frames": [2]}
+    )
+    r = next(_frame_delta_batches(iter([pdf]))).iloc[0]
+    assert (r.total_delta, r.max_delta, r.n_cuts) == (360, 360, 1)
