@@ -172,6 +172,7 @@ HEADLINE = [
     "stream_crawl_diff_ingest",
     "stream_wau_ingest",
     "mm_frame_deltas",
+    "text_keywords",
 ]
 
 

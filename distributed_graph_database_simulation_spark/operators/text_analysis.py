@@ -1455,3 +1455,59 @@ TEXT_QUERIES.update(
         "text_bpe_compression": (text_bpe_compression, TEXT_BPE_COMPRESSION_SQL),
     }
 )
+
+
+KEYWORDS_PER_DOC = 3
+
+
+def keywords_df(docs: DataFrame, k: int = KEYWORDS_PER_DOC) -> DataFrame:
+    """Top-k salient terms per document by TF-IDF — the keyword/tag
+    extraction pass a corpus index or dataset card builds per doc. Ranks
+    on the MICRO-ROUNDED integer weight (ties by token), not the raw
+    double: ln() may differ in the last ulp across libm implementations,
+    and an integer rank key inherits the same cross-engine stability the
+    tfidf entry's micro compare relies on. Plan adds one doc_id-keyed
+    window over the inverted-index-sized tfidf rows — partitioned on the
+    near-uniform doc key, never on token."""
+    from pyspark.sql.window import Window
+
+    weighted = tfidf_df(docs, min_df=2).select(
+        "doc_id",
+        "token",
+        F.round(F.col("tfidf") * 1e6).cast("bigint").alias("tfidf_micro"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf_micro"), F.asc("token")
+    )
+    return (
+        weighted.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "rank", "token", "tfidf_micro")
+    )
+
+
+def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: top-3 TF-IDF keywords per document."""
+    return keywords_df(_docs(spark, sf_dir))
+
+
+TEXT_KEYWORDS_SQL = f"""
+WITH tfidf AS ({TEXT_TFIDF_SQL}),
+ranked AS (
+  SELECT doc_id, token, tfidf_micro,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf_micro DESC, token ASC) AS INT)
+           AS rank
+  FROM tfidf
+)
+SELECT doc_id, rank, token, tfidf_micro
+FROM ranked WHERE rank <= {KEYWORDS_PER_DOC}
+"""
+
+
+TEXT_QUERIES.update(
+    {
+        # r13 (staged r14): top-k TF-IDF keyword extraction per document
+        "text_keywords": (text_keywords, TEXT_KEYWORDS_SQL),
+    }
+)

@@ -218,6 +218,9 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # scene-cut detection: consecutive-frame L1 deltas in one vectorized
     # numpy pass per payload, map-side only, constant rows per video
     "mm_frame_deltas": 13,
+    # top-k TF-IDF keyword extraction per doc: integer micro rank key
+    # (libm-ln ulp-stable), doc-keyed window over inverted-index rows
+    "text_keywords": 13,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

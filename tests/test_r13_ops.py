@@ -310,3 +310,36 @@ def test_frame_deltas_detects_planted_cut(spark):
     )
     r = next(_frame_delta_batches(iter([pdf]))).iloc[0]
     assert (r.total_delta, r.max_delta, r.n_cuts) == (360, 360, 1)
+
+
+def test_keywords_hand_worked(spark):
+    """4-doc corpus where doc 1's distinguishing term must outrank its
+    stopword-ish shared terms: 'zebra' appears twice in doc 1 and in only
+    2 docs overall, while 'the' is in every doc (idf ln(5/5)=0 -> weight
+    0); min_df=2 drops hapaxes entirely."""
+    from distributed_graph_database_simulation_spark.operators.text_analysis import (
+        keywords_df,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the zebra zebra apple"),
+            (2, "the zebra banana"),
+            (3, "the apple banana"),
+            (4, "the orange unique"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = keywords_df(docs).collect()
+    d1 = sorted((r.rank, r.token) for r in rows if r.doc_id == 1)
+    # doc 1 terms passing min_df=2: the(0), zebra(tf2·ln(5/3)), apple(ln(5/3))
+    assert d1 == [(1, "zebra"), (2, "apple"), (3, "the")]
+    # 'unique' (df=1) never appears anywhere
+    assert not [r for r in rows if r.token == "unique"]
+    # every doc emits at most 3 rows, ranks contiguous from 1
+    from collections import defaultdict
+
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_doc[r.doc_id].append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_doc.values())
