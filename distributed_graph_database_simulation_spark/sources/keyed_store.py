@@ -213,6 +213,77 @@ class KeyedParquetStore:
                 self._remove_partition_dir(b)
         return {"buckets_touched": len(buckets), "rows_written": n}
 
+
+    def compact(self, max_files_per_bucket: int = 1) -> dict:
+        """Small-file compaction — the OPTIMIZE-style maintenance pass a
+        continuously-upserted store needs: every streaming micro-batch's
+        dynamic overwrite leaves one file per touched bucket per write,
+        and bucket directories accumulate files until scans pay per-file
+        open cost. Rewrites ONLY the buckets whose parquet file count
+        exceeds ``max_files_per_bucket``, one file per bucket afterwards
+        (the repartition keys each target bucket into exactly one task).
+        Content is byte-for-byte preserved (pinned in tests); untouched
+        buckets' files are not rewritten. Scheme-aware file listing, so
+        the file census works on any Hadoop-supported store."""
+        fs, root = self._fs_and_path(self.path)
+        if not fs.exists(root):
+            return {"buckets_compacted": 0, "files_before": 0, "files_after": 0}
+        targets: list[int] = []
+        files_before = 0
+        it = fs.listStatus(root)
+        for st in it:
+            name = st.getPath().getName()
+            if not name.startswith("key_bucket="):
+                continue
+            n_files = sum(
+                1
+                for f in fs.listStatus(st.getPath())
+                if f.getPath().getName().endswith(".parquet")
+            )
+            files_before += n_files
+            if n_files > max_files_per_bucket:
+                targets.append(int(name.split("=", 1)[1]))
+        if not targets:
+            return {
+                "buckets_compacted": 0,
+                "files_before": files_before,
+                "files_after": files_before,
+            }
+        rows = self.spark.read.parquet(self.path).where(
+            F.col("key_bucket").isin(targets)
+        )
+        rows = rows.repartition(len(targets), "key_bucket").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        try:
+            # Materialize BEFORE the overwrite: the write replaces the very
+            # files this lineage reads (same discipline as delete()).
+            rows.count()
+            (
+                rows.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("key_bucket")
+                .parquet(self.path)
+            )
+        finally:
+            rows.unpersist()
+        # After-census over the whole store (targets now hold one file
+        # each; untouched buckets unchanged).
+        files_after = 0
+        for st in fs.listStatus(root):
+            if not st.getPath().getName().startswith("key_bucket="):
+                continue
+            files_after += sum(
+                1
+                for f in fs.listStatus(st.getPath())
+                if f.getPath().getName().endswith(".parquet")
+            )
+        return {
+            "buckets_compacted": len(targets),
+            "files_before": files_before,
+            "files_after": files_after,
+        }
+
     def merge_delta(self, updates: DataFrame, delete_keys: DataFrame) -> dict:
         """Upserts + deletes in ONE bucket surgery — a CDC delta applied
         with a single read and a single dynamic-overwrite write over the

@@ -361,3 +361,29 @@ def test_merge_delta_clears_emptied_buckets(spark, tmp_path):
     assert set(_part_files(str(tmp_path / "s2"))) == {
         f"key_bucket={survivor_bucket}"
     }
+
+
+def test_compact_preserves_content_and_reduces_files(spark, tmp_path):
+    """After several upsert batches a bucket holds one file per touched
+    write; compact() rewrites ONLY over-threshold buckets down to one
+    file each, preserves content exactly, and leaves compliant buckets'
+    files untouched (mtime-stable)."""
+    s = KeyedParquetStore(spark, str(tmp_path / "c"), "k", n_buckets=4)
+    s.write_full(spark.createDataFrame([(i, i) for i in range(40)], "k long, v long"))
+    for wave in range(1, 4):  # three more waves touching every bucket
+        s.upsert(spark.createDataFrame(
+            [(i, i + wave * 100) for i in range(0, 40, 2)], "k long, v long"
+        ))
+    before_rows = {tuple(r) for r in s.read().collect()}
+    before_files = _part_files(str(tmp_path / "c"))
+    assert any(len(v) > 1 for v in before_files.values())
+    stats = s.compact(max_files_per_bucket=1)
+    assert stats["buckets_compacted"] >= 1
+    assert stats["files_after"] < stats["files_before"]
+    after_files = _part_files(str(tmp_path / "c"))
+    assert all(len(v) == 1 for v in after_files.values())
+    assert {tuple(r) for r in s.read().collect()} == before_rows
+    # a second compact is a no-op: census already compliant
+    stats2 = s.compact(max_files_per_bucket=1)
+    assert stats2["buckets_compacted"] == 0
+    assert _part_files(str(tmp_path / "c")) == after_files  # mtimes stable
