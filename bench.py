@@ -173,6 +173,7 @@ HEADLINE = [
     "stream_wau_ingest",
     "mm_frame_deltas",
     "text_keywords",
+    "pipe_incremental_quality",
 ]
 
 

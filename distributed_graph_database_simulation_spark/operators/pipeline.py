@@ -2965,3 +2965,97 @@ PIPELINE_QUERIES.update(
         "pipe_snapshot_diff": (pipe_snapshot_diff, PIPE_SNAPSHOT_DIFF_SQL),
     }
 )
+
+
+def incremental_quality_df(v1: DataFrame, v2: DataFrame) -> DataFrame:
+    """The incremental-pipeline equivalence certificate: score ONLY the
+    docs the new snapshot changed or added (digest-routed, same md5
+    compare as :func:`snapshot_diff_df`), carry forward the previous
+    snapshot's scores for digest-identical docs, drop removed docs — and
+    the merged result must equal full reprocessing of v2. That equality
+    is the contract every incremental 100 TB pipeline stands on (process
+    the delta, not the corpus); per-doc pure stages make it hold
+    mathematically, and this operator certifies the ROUTING bookkeeping
+    (a misrouted doc flips its status, a lost tombstone resurrects a row,
+    a stale carry ships the old text's score).
+
+    Returns (doc_id, status, n_words, quality_micro) for every v2 doc,
+    status in {'carried', 'recomputed'}."""
+    from .text_analysis import quality_score_df
+
+    a = v1.select("doc_id", F.md5("text").alias("h1"))
+    b = v2.select("doc_id", "text", F.md5("text").alias("h2"))
+    routed = b.join(a, "doc_id", "left")
+    recompute = routed.where(
+        F.col("h1").isNull() | (F.col("h1") != F.col("h2"))
+    ).select("doc_id", "text")
+    carried_ids = routed.where(F.col("h1") == F.col("h2")).select("doc_id")
+    # Carried scores come from the V1 side (the cached score store of a
+    # real pipeline); digest equality guarantees they equal v2's.
+    carried = quality_score_df(
+        v1.join(carried_ids, "doc_id").select("doc_id", "text")
+    ).withColumn("status", F.lit("carried"))
+    fresh = quality_score_df(recompute).withColumn("status", F.lit("recomputed"))
+    return carried.unionByName(fresh).select(
+        "doc_id",
+        "status",
+        "n_words",
+        F.round(F.col("quality") * 1e6).cast("bigint").alias("quality_micro"),
+    )
+
+
+def pipe_incremental_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental quality scoring across the deterministic next-crawl
+    snapshot (:func:`incremental_quality_df` over :func:`_snapshot_v2`)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    return incremental_quality_df(docs, _snapshot_v2(docs))
+
+
+# The oracle reprocesses v2 IN FULL — the incremental path must match it
+# doc-for-doc — and derives each doc's expected route from the snapshot
+# construction rules the Spark side never consults (it routes by digest).
+PIPE_INCREMENTAL_QUALITY_SQL = """
+WITH v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]' ELSE text END AS text,
+         CASE WHEN doc_id % 13 = 0 THEN 'recomputed' ELSE 'carried' END AS status
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text, 'recomputed' AS status
+  FROM documents WHERE doc_id % 19 = 0
+),
+d AS (
+  SELECT doc_id, status,
+         regexp_replace(trim(text), '\\s+', ' ', 'g') AS t,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
+  FROM v2
+),
+m AS (
+  SELECT doc_id, status,
+         CAST(len(w) AS DOUBLE) AS n_words,
+         CAST(len(list_filter(w, x -> x IN ('the','a','of','is','and','to','in'))) AS DOUBLE) AS n_stop,
+         CAST(length(t) AS DOUBLE) AS n_chars,
+         CAST(length(t) - length(regexp_replace(t, '[a-z]', '', 'g')) AS DOUBLE) AS n_alpha
+  FROM d
+)
+SELECT doc_id, status,
+       CAST(n_words AS INT) AS n_words,
+       CAST(round(1e6 * (
+         0.25 * least(n_words / 100.0, 1.0)
+       + 0.25 * (1.0 - abs(n_stop / n_words - 0.4))
+       + 0.25 * (n_alpha / n_chars)
+       + 0.25 * least(((n_chars - (n_words - 1)) / n_words) / 8.0, 1.0)
+       )) AS BIGINT) AS quality_micro
+FROM m
+"""
+
+
+PIPELINE_QUERIES.update(
+    {
+        # r13 (staged r14): incremental == full reprocessing certificate
+        "pipe_incremental_quality": (
+            pipe_incremental_quality,
+            PIPE_INCREMENTAL_QUALITY_SQL,
+        ),
+    }
+)

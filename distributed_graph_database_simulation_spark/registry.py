@@ -221,6 +221,9 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # top-k TF-IDF keyword extraction per doc: integer micro rank key
     # (libm-ln ulp-stable), doc-keyed window over inverted-index rows
     "text_keywords": 13,
+    # incremental == full reprocessing certificate: digest-routed delta
+    # scoring + carried scores must equal the oracle's full v2 recompute
+    "pipe_incremental_quality": 13,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

@@ -343,3 +343,35 @@ def test_keywords_hand_worked(spark):
     for r in rows:
         by_doc[r.doc_id].append(r.rank)
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_doc.values())
+
+
+def test_incremental_quality_routing_hand_worked(spark):
+    """Digest routing on a 4-doc snapshot pair: unchanged carries, changed
+    and added recompute from v2 text, removed vanishes — and the carried
+    score equals what full reprocessing would produce."""
+    from distributed_graph_database_simulation_spark.operators.pipeline import (
+        incremental_quality_df,
+    )
+    from distributed_graph_database_simulation_spark.operators.text_analysis import (
+        quality_score_df,
+    )
+
+    v1 = spark.createDataFrame(
+        [(1, "w", "the cat sat on the mat"), (2, "w", "old text here"),
+         (3, "w", "doomed document")],
+        "doc_id long, source string, text string",
+    )
+    v2 = spark.createDataFrame(
+        [(1, "w", "the cat sat on the mat"),          # unchanged
+         (2, "w", "completely new text body"),        # changed
+         (9, "w", "a brand new arrival")],            # added
+        "doc_id long, source string, text string",
+    )
+    got = {r.doc_id: (r.status, r.quality_micro)
+           for r in incremental_quality_df(v1, v2).collect()}
+    assert set(got) == {1, 2, 9}  # removed id 3 absent
+    assert got[1][0] == "carried"
+    assert got[2][0] == "recomputed" and got[9][0] == "recomputed"
+    full = {r.doc_id: round(r.quality * 1e6)
+            for r in quality_score_df(v2.select("doc_id", "text")).collect()}
+    assert {k: v[1] for k, v in got.items()} == full  # incremental == full
