@@ -372,6 +372,10 @@ def test_incremental_quality_routing_hand_worked(spark):
     assert set(got) == {1, 2, 9}  # removed id 3 absent
     assert got[1][0] == "carried"
     assert got[2][0] == "recomputed" and got[9][0] == "recomputed"
-    full = {r.doc_id: round(r.quality * 1e6)
+    import math
+
+    # HALF_UP like Spark's F.round, not Python's banker's round (a doc
+    # landing exactly on .5 micro differs between the two).
+    full = {r.doc_id: math.floor(r.quality * 1e6 + 0.5)
             for r in quality_score_df(v2.select("doc_id", "text")).collect()}
     assert {k: v[1] for k, v in got.items()} == full  # incremental == full
