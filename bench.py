@@ -174,6 +174,7 @@ HEADLINE = [
     "mm_frame_deltas",
     "text_keywords",
     "pipe_incremental_quality",
+    "rel_mode",
 ]
 
 

@@ -2218,3 +2218,50 @@ RELATIONAL_QUERIES["rel_sliding_distinct_users"] = (
     sliding_distinct_users,
     SLIDING_DISTINCT_USERS_SQL,
 )
+
+
+def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE per group — the most frequent order priority per
+    order status, ties broken by the lexicographically smallest value.
+    Native ``mode()`` leaves ties implementation-chosen in BOTH engines,
+    so both sides compute the explicit argmax instead: one
+    partial-aggregated count per (group, value) — map-side combine
+    crushes hot values before the exchange — then a row_number over the
+    |groups x values|-sized count table. Nothing corpus-sized crosses
+    the second exchange; at 100 TB the cost is one combiner-backed
+    aggregate, the argmax input being bounded by value cardinality."""
+    o = _t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.desc("n"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_n"),
+        )
+    )
+
+
+REL_MODE_SQL = """
+WITH counts AS (
+  SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+),
+ranked AS (
+  SELECT o_orderstatus, o_orderpriority, n,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY n DESC, o_orderpriority ASC) AS rk
+  FROM counts
+)
+SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS mode_n
+FROM ranked WHERE rk = 1
+"""
+
+
+RELATIONAL_QUERIES["rel_mode"] = (mode_per_group, REL_MODE_SQL)

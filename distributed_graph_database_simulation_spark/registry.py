@@ -224,6 +224,9 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # incremental == full reprocessing certificate: digest-routed delta
     # scoring + carried scores must equal the oracle's full v2 recompute
     "pipe_incremental_quality": 13,
+    # deterministic MODE per group (explicit argmax — native mode() leaves
+    # ties implementation-chosen in both engines)
+    "rel_mode": 13,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

@@ -379,3 +379,22 @@ def test_incremental_quality_routing_hand_worked(spark):
     full = {r.doc_id: math.floor(r.quality * 1e6 + 0.5)
             for r in quality_score_df(v2.select("doc_id", "text")).collect()}
     assert {k: v[1] for k, v in got.items()} == full  # incremental == full
+
+
+def test_mode_tie_breaks_lexicographically(spark):
+    """On an exact count tie the smallest value wins — the determinism
+    native mode() doesn't promise."""
+    from distributed_graph_database_simulation_spark.operators.relational import (
+        RELATIONAL_QUERIES,
+    )
+    import tempfile, os
+
+    d = tempfile.mkdtemp(prefix="mode_pin_")
+    spark.createDataFrame(
+        [("O", "3-MEDIUM"), ("O", "1-URGENT"), ("O", "1-URGENT"),
+         ("O", "3-MEDIUM"), ("F", "5-LOW")],
+        "o_orderstatus string, o_orderpriority string",
+    ).write.parquet(os.path.join(d, "orders.parquet"))
+    fn = RELATIONAL_QUERIES["rel_mode"][0]
+    got = {r.o_orderstatus: (r.mode_priority, r.mode_n) for r in fn(spark, d).collect()}
+    assert got == {"O": ("1-URGENT", 2), "F": ("5-LOW", 1)}  # tie -> smallest
