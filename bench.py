@@ -285,7 +285,21 @@ def main() -> int:
     argv = sys.argv[1:]
     if "--names-from" in argv:
         with open(argv[argv.index("--names-from") + 1]) as f:
-            names_from = list(json.load(f)["queries"])
+            _prior = json.load(f)
+        # EXECUTION ORDER MATTERS for like-for-like comparisons: artifacts
+        # are written sort_keys=True, so the "queries" dict is ALPHABETICAL,
+        # not the order the prior run executed (HEADLINE order). Replaying
+        # alphabetically reorders session effects (JIT, GC pressure,
+        # localCheckpoint block accumulation) and measured up to 13x
+        # phantom per-query regressions on identical code. Prefer the
+        # explicit "order" list newer artifacts carry; else reconstruct
+        # HEADLINE order for the named set (leftovers appended sorted).
+        _names = set(_prior["queries"])
+        if "order" in _prior:
+            names_from = [n for n in _prior["order"] if n in _names]
+        else:
+            names_from = [n for n in HEADLINE + list(EXTRA_BENCH) if n in _names]
+        names_from += sorted(_names - set(names_from))
     from distributed_graph_database_simulation_spark import registry
     from distributed_graph_database_simulation_spark.session import get_spark
 
@@ -440,6 +454,9 @@ def main() -> int:
         "metric": "headline_total", "value": total, "unit": "sec",
         "queries": times, "spread": spreads, "sf": sf_dir, "reps": reps,
         "host": host, "full": full,
+        # Execution order (sort_keys=True alphabetizes "queries"): required
+        # for faithful --names-from replays — see the order note there.
+        "order": [n for n, _ in plan],
     }
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_last.json"
