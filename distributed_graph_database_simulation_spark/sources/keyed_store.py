@@ -219,7 +219,11 @@ class KeyedParquetStore:
         continuously-upserted store needs: every streaming micro-batch's
         dynamic overwrite leaves one file per touched bucket per write,
         and bucket directories accumulate files until scans pay per-file
-        open cost. Rewrites ONLY the buckets whose parquet file count
+        open cost. The bucket-store sibling of
+        ``pipeline.compact_parquet`` (which rewrites a whole directory):
+        this one is census-driven and SELECTIVE, preserving the
+        key_bucket partition layout. Rewrites ONLY the buckets whose
+        parquet file count
         exceeds ``max_files_per_bucket``, one file per bucket afterwards
         (the repartition keys each target bucket into exactly one task).
         Content is byte-for-byte preserved (pinned in tests); untouched
