@@ -299,6 +299,13 @@ def main() -> int:
             names_from = [n for n in _prior["order"] if n in _names]
         else:
             names_from = [n for n in HEADLINE + list(EXTRA_BENCH) if n in _names]
+        # leftovers (e.g. a --full artifact's certified tail) follow the
+        # registry's iteration order — the order the original full run
+        # executed them in — not alphabetical (see the order note above)
+        from distributed_graph_database_simulation_spark import registry as _reg
+
+        _seen = set(names_from)
+        names_from += [n for n in _reg.queries() if n in _names and n not in _seen]
         names_from += sorted(_names - set(names_from))
     from distributed_graph_database_simulation_spark import registry
     from distributed_graph_database_simulation_spark.session import get_spark

@@ -2908,7 +2908,13 @@ def snapshot_diff_df(v1: DataFrame, v2: DataFrame) -> DataFrame:
 def _snapshot_v2(docs: DataFrame) -> DataFrame:
     """The deterministic 'next crawl' both engines reconstruct: docs with
     doc_id % 17 == 0 dropped (removed), % 13 == 0 get a revision suffix
-    (changed), % 19 == 0 reappear re-keyed +10_000_000 (added)."""
+    (changed), % 19 == 0 reappear re-keyed as ``-doc_id - 1`` (added) —
+    the negative mirror can never collide with a real id at ANY corpus
+    size, unlike an additive offset (the +10M re-key this replaced would
+    alias real ids on a >10M-doc corpus and silently corrupt every
+    certificate built on the snapshot). Keep in sync with
+    :data:`SNAPSHOT_V2_SQL`, the single SQL fragment every oracle that
+    reconstructs v2 embeds."""
     base = docs.where(F.col("doc_id") % 17 != 0).select(
         "doc_id",
         "source",
@@ -2919,9 +2925,24 @@ def _snapshot_v2(docs: DataFrame) -> DataFrame:
         .alias("text"),
     )
     added = docs.where(F.col("doc_id") % 19 == 0).select(
-        (F.col("doc_id") + 10_000_000).alias("doc_id"), "source", "text"
+        (-F.col("doc_id") - 1).alias("doc_id"), "source", "text"
     )
     return base.unionByName(added)
+
+
+# The ONE SQL reconstruction of _snapshot_v2 (doc_id, source, text, status)
+# — embedded by every oracle that compares against the next crawl
+# (snapshot diff, incremental quality, streaming crawl ingest), so the
+# synthesis rule cannot drift between certificates.
+SNAPSHOT_V2_SQL = """
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]' ELSE text END AS text,
+         CASE WHEN doc_id % 13 = 0 THEN 'recomputed' ELSE 'carried' END AS status
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT -doc_id - 1 AS doc_id, source, text, 'recomputed' AS status
+  FROM documents WHERE doc_id % 19 = 0
+"""
 
 
 def pipe_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2931,16 +2952,9 @@ def pipe_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff_df(docs, _snapshot_v2(docs))
 
 
-PIPE_SNAPSHOT_DIFF_SQL = """
+PIPE_SNAPSHOT_DIFF_SQL = f"""
 WITH v1 AS (SELECT doc_id, source, text FROM documents),
-v2 AS (
-  SELECT doc_id, source,
-         CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]' ELSE text END AS text
-  FROM documents WHERE doc_id % 17 <> 0
-  UNION ALL
-  SELECT doc_id + 10000000 AS doc_id, source, text
-  FROM documents WHERE doc_id % 19 = 0
-),
+v2 AS ({SNAPSHOT_V2_SQL}),
 a AS (SELECT doc_id, source, md5(text) AS h, CAST(length(text) AS BIGINT) AS len FROM v1),
 b AS (SELECT doc_id, source, md5(text) AS h, CAST(length(text) AS BIGINT) AS len FROM v2),
 j AS (
@@ -2983,9 +2997,15 @@ def incremental_quality_df(v1: DataFrame, v2: DataFrame) -> DataFrame:
     status in {'carried', 'recomputed'}."""
     from .text_analysis import quality_score_df
 
+    from pyspark.storagelevel import StorageLevel
+
     a = v1.select("doc_id", F.md5("text").alias("h1"))
     b = v2.select("doc_id", "text", F.md5("text").alias("h2"))
-    routed = b.join(a, "doc_id", "left")
+    # Two consumers (recompute branch, carried-ids branch) — without the
+    # cache the digest join and both full-corpus md5 scans beneath it run
+    # once per consumer (r13 double-execute audit). Corpus-row bounded,
+    # narrow columns + text; spills, never recomputes.
+    routed = b.join(a, "doc_id", "left").persist(StorageLevel.MEMORY_AND_DISK)
     recompute = routed.where(
         F.col("h1").isNull() | (F.col("h1") != F.col("h2"))
     ).select("doc_id", "text")
@@ -3014,40 +3034,28 @@ def pipe_incremental_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The oracle reprocesses v2 IN FULL — the incremental path must match it
 # doc-for-doc — and derives each doc's expected route from the snapshot
 # construction rules the Spark side never consults (it routes by digest).
-PIPE_INCREMENTAL_QUALITY_SQL = """
-WITH v2 AS (
-  SELECT doc_id,
-         CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]' ELSE text END AS text,
-         CASE WHEN doc_id % 13 = 0 THEN 'recomputed' ELSE 'carried' END AS status
-  FROM documents WHERE doc_id % 17 <> 0
-  UNION ALL
-  SELECT doc_id + 10000000 AS doc_id, text, 'recomputed' AS status
-  FROM documents WHERE doc_id % 19 = 0
-),
-d AS (
-  SELECT doc_id, status,
-         regexp_replace(trim(text), '\\s+', ' ', 'g') AS t,
-         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
-  FROM v2
-),
-m AS (
-  SELECT doc_id, status,
-         CAST(len(w) AS DOUBLE) AS n_words,
-         CAST(len(list_filter(w, x -> x IN ('the','a','of','is','and','to','in'))) AS DOUBLE) AS n_stop,
-         CAST(length(t) AS DOUBLE) AS n_chars,
-         CAST(length(t) - length(regexp_replace(t, '[a-z]', '', 'g')) AS DOUBLE) AS n_alpha
-  FROM d
-)
+def _incremental_quality_sql() -> str:
+    """Oracle assembled from the TWO single-source fragments: the
+    snapshot reconstruction (:data:`SNAPSHOT_V2_SQL` — which also
+    derives each doc's expected route from the synthesis rules the Spark
+    side never consults) and the quality definition
+    (``text_analysis.quality_measures_ctes`` + score expression), so a
+    change to either is certified here automatically instead of drifting
+    past a copy."""
+    from .text_analysis import QUALITY_SCORE_EXPR_SQL, quality_measures_ctes
+
+    return f"""
+WITH v2 AS ({SNAPSHOT_V2_SQL}),
+{quality_measures_ctes("v2", carry="status")}
 SELECT doc_id, status,
        CAST(n_words AS INT) AS n_words,
-       CAST(round(1e6 * (
-         0.25 * least(n_words / 100.0, 1.0)
-       + 0.25 * (1.0 - abs(n_stop / n_words - 0.4))
-       + 0.25 * (n_alpha / n_chars)
-       + 0.25 * least(((n_chars - (n_words - 1)) / n_words) / 8.0, 1.0)
+       CAST(round(1e6 * ({QUALITY_SCORE_EXPR_SQL}
        )) AS BIGINT) AS quality_micro
 FROM m
 """
+
+
+PIPE_INCREMENTAL_QUALITY_SQL = _incremental_quality_sql()
 
 
 PIPELINE_QUERIES.update(

@@ -1887,6 +1887,27 @@ LEFT JOIN hits h ON h.query_id = q.query_id
 SIMILARITY_QUERIES["sim_recall_ivf"] = (sim_recall_ivf, SIM_RECALL_IVF_SQL)
 
 
+def _augment_corpus_select(max_col: str) -> F.Column:
+    """The correctness-critical augmentation arithmetic, ONE copy for
+    every MIPS route: append ``sqrt(max^2 - ||e||^2)`` (clamped at 0 for
+    the max-norm vector's float residue) to the ``e`` array, with the
+    reference norm read from ``max_col`` (the global M for the exact
+    route, the band-local max for the banded-LSH route)."""
+    mc = F.col(max_col)
+    return F.concat(
+        "e",
+        F.array(
+            F.sqrt(F.greatest(mc * mc - _dot(F.col("e"), F.col("e")), F.lit(0.0)))
+        ),
+    ).alias("e")
+
+
+def _augment_queries(queries: DataFrame) -> DataFrame:
+    """Query side of the reduction: a literal 0.0 coordinate, so the
+    augmented dot equals the raw dot bit-for-bit."""
+    return queries.select("vec_id", F.concat("e", F.array(F.lit(0.0))).alias("e"))
+
+
 def mips_augment(corpus: DataFrame, queries: DataFrame) -> tuple[DataFrame, DataFrame]:
     """The norm-augmentation transform shared by every MIPS route: corpus
     vectors gain a ``sqrt(M^2 - ||x||^2)`` coordinate (M = max corpus
@@ -1896,21 +1917,9 @@ def mips_augment(corpus: DataFrame, queries: DataFrame) -> tuple[DataFrame, Data
     (augmented_corpus, augmented_queries) as (vec_id, e) frames."""
     m = corpus.agg(F.max(F.sqrt(_dot(F.col("e"), F.col("e")))).alias("m"))
     aug_c = corpus.join(F.broadcast(m)).select(
-        "vec_id",
-        F.concat(
-            "e",
-            F.array(
-                F.sqrt(
-                    F.greatest(
-                        F.col("m") * F.col("m") - _dot(F.col("e"), F.col("e")),
-                        F.lit(0.0),
-                    )
-                )
-            ),
-        ).alias("e"),
+        "vec_id", _augment_corpus_select("m")
     )
-    aug_q = queries.select("vec_id", F.concat("e", F.array(F.lit(0.0))).alias("e"))
-    return aug_c, aug_q
+    return aug_c, _augment_queries(queries)
 
 
 def mips_topk_lsh_df(
@@ -1951,20 +1960,9 @@ def mips_topk_lsh_df(
     )
     mb = banded.groupBy("band").agg(F.max("norm").alias("mb"))
     aug_c = banded.join(F.broadcast(mb), "band").select(
-        "vec_id",
-        F.concat(
-            "e",
-            F.array(
-                F.sqrt(
-                    F.greatest(
-                        F.col("mb") * F.col("mb") - F.col("norm") * F.col("norm"),
-                        F.lit(0.0),
-                    )
-                )
-            ),
-        ).alias("e"),
+        "vec_id", _augment_corpus_select("mb")
     )
-    aug_q = queries.select("vec_id", F.concat("e", F.array(F.lit(0.0))).alias("e"))
+    aug_q = _augment_queries(queries)
     csig = _signatures(_with_norm(aug_c), tables=tables, bits=bits)
     qsig = _signatures(_with_norm(aug_q), tables=tables, bits=bits)
     cand_ids = (

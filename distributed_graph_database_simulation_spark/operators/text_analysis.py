@@ -153,30 +153,51 @@ def quality_score_df(docs: DataFrame) -> DataFrame:
     )
 
 
-TEXT_QUALITY_SCORE_SQL = """
-WITH d AS (
-  SELECT doc_id,
-         regexp_replace(trim(text), '\\s+', ' ', 'g') AS t,
-         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
-  FROM documents
-),
-m AS (
-  SELECT doc_id,
-         CAST(len(w) AS DOUBLE) AS n_words,
-         CAST(len(list_filter(w, x -> x IN ('the','a','of','is','and','to','in'))) AS DOUBLE) AS n_stop,
-         CAST(length(t) AS DOUBLE) AS n_chars,
-         CAST(length(t) - length(regexp_replace(t, '[a-z]', '', 'g')) AS DOUBLE) AS n_alpha
-  FROM d
+def quality_measures_ctes(src: str, carry: str = "") -> str:
+    """The quality formula's measurement CTEs (d -> m), parameterized by
+    the source relation so composed oracles (e.g. incremental quality
+    over a reconstructed snapshot) derive from THIS definition instead of
+    copying it — one stopword list, one normalization, one formula.
+    ``carry`` names extra columns to thread through both CTEs."""
+    cc = ", " + carry if carry else ""
+    return (
+        "d AS (\n"
+        "  SELECT doc_id" + cc + ",\n"
+        "         regexp_replace(trim(text), '\\s+', ' ', 'g') AS t,\n"
+        "         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w\n"
+        "  FROM " + src + "\n"
+        "),\n"
+        "m AS (\n"
+        "  SELECT doc_id" + cc + ",\n"
+        "         CAST(len(w) AS DOUBLE) AS n_words,\n"
+        "         CAST(len(list_filter(w, x -> x IN "
+        "('the','a','of','is','and','to','in'))) AS DOUBLE) AS n_stop,\n"
+        "         CAST(length(t) AS DOUBLE) AS n_chars,\n"
+        "         CAST(length(t) - length(regexp_replace(t, '[a-z]', '', 'g')) "
+        "AS DOUBLE) AS n_alpha\n"
+        "  FROM d\n"
+        ")"
+    )
+
+
+# The score expression over the m CTE's measures — the other half of the
+# single-source-of-truth quality definition.
+QUALITY_SCORE_EXPR_SQL = (
+    "0.25 * least(n_words / 100.0, 1.0)\n"
+    "     + 0.25 * (1.0 - abs(n_stop / n_words - 0.4))\n"
+    "     + 0.25 * (n_alpha / n_chars)\n"
+    "     + 0.25 * least(((n_chars - (n_words - 1)) / n_words) / 8.0, 1.0)"
 )
+
+
+TEXT_QUALITY_SCORE_SQL = f"""
+WITH {quality_measures_ctes("documents")}
 SELECT doc_id,
        CAST(n_words AS INT) AS n_words,
        n_stop / n_words AS stop_ratio,
        n_alpha / n_chars AS alpha_ratio,
        (n_chars - (n_words - 1)) / n_words AS avg_word_len,
-       0.25 * least(n_words / 100.0, 1.0)
-     + 0.25 * (1.0 - abs(n_stop / n_words - 0.4))
-     + 0.25 * (n_alpha / n_chars)
-     + 0.25 * least(((n_chars - (n_words - 1)) / n_words) / 8.0, 1.0) AS quality
+       {QUALITY_SCORE_EXPR_SQL} AS quality
 FROM m
 """
 

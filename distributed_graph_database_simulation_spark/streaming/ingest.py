@@ -965,8 +965,8 @@ def stream_crawl_diff_ingest_entry(spark: SparkSession, sf_dir: str) -> DataFram
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     v2 = _snapshot_v2(docs)
     upserts = v2.where(
-        ((F.col("doc_id") % 13 == 0) & (F.col("doc_id") < 10_000_000))
-        | (F.col("doc_id") >= 10_000_000)
+        ((F.col("doc_id") % 13 == 0) & (F.col("doc_id") >= 0))
+        | (F.col("doc_id") < 0)  # negative mirror ids = added docs
     )
     deletes = docs.where(F.col("doc_id") % 17 == 0).select("doc_id")
     crawl_apply_delta(spark, upserts, deletes, store)
@@ -987,15 +987,10 @@ def stream_crawl_diff_ingest_entry(spark: SparkSession, sf_dir: str) -> DataFram
     return out
 
 
+from ..operators.pipeline import SNAPSHOT_V2_SQL as _V2_SQL  # noqa: E402
+
 STREAM_CRAWL_DIFF_INGEST_SQL = f"""
-WITH v2 AS (
-  SELECT doc_id, source,
-         CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]' ELSE text END AS text
-  FROM documents WHERE doc_id % 17 <> 0
-  UNION ALL
-  SELECT doc_id + 10000000 AS doc_id, source, text
-  FROM documents WHERE doc_id % 19 = 0
-)
+WITH v2 AS ({_V2_SQL})
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(length(text)) AS BIGINT) AS chars_total,
@@ -1069,12 +1064,18 @@ def stream_wau_ingest_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = f"{base}/store"
     q = stream_wau_ingest(spark, _events_stream(spark, sf_dir), store, f"{base}/ck")
     q.awaitTermination()
-    # Replay stress: recompute batch 0's partial from raw events limited
-    # to its actual payload (the first micro-batch of an availableNow
-    # backfill over one file is the whole table unless split; replay the
-    # DERIVED pairs for whatever landed under batch_id=0).
-    b0 = spark.read.parquet(store).where(F.col("batch_id") == 0)
-    _write_partition(b0.select("d", "user_id").distinct(), 0, store)
+    # Replay stress: re-write batch 0's partial (replace-not-extend is
+    # the contract under test). MATERIALIZE before the overwrite — the
+    # write replaces the very files this lineage reads (the same
+    # overwrite-what-you-read discipline as KeyedParquetStore.delete).
+    b0 = (
+        spark.read.parquet(store)
+        .where(F.col("batch_id") == 0)
+        .select("d", "user_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    _write_partition(b0, 0, store)
     pairs_as_events = spark.read.parquet(store).select(
         F.col("d").alias("ts"), "user_id"
     )
@@ -1084,19 +1085,11 @@ def stream_wau_ingest_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-STREAM_WAU_INGEST_SQL = """
-WITH pairs AS (
-  SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
-),
-days AS (SELECT DISTINCT d FROM pairs)
-SELECT days.d,
-       (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs p WHERE p.d = days.d)
-         AS users_1d,
-       (SELECT CAST(COUNT(DISTINCT p.user_id) AS BIGINT) FROM pairs p
-        WHERE p.d BETWEEN days.d - INTERVAL 6 DAY AND days.d)
-         AS users_7d
-FROM days
-"""
+# The streaming sibling MUST stay oracle-identical to the batch operator
+# by construction — alias its constant, never copy it.
+from ..operators.relational import (  # noqa: E402
+    SLIDING_DISTINCT_USERS_SQL as STREAM_WAU_INGEST_SQL,
+)
 
 
 # Registered in windowed.STREAMING_QUERIES (the suite's single registry

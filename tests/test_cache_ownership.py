@@ -35,6 +35,7 @@ PERSISTING_QUERIES = [
     "pipe_select_quality",   # pipeline.py scored persist
     "pipe_interleave_pack",  # pipeline.py keyed projection persist
     "rel_sliding_distinct_users",  # relational.py (day,user) pairs persist
+    "pipe_incremental_quality",    # pipeline.py digest-routed join persist
 ]
 
 

@@ -203,11 +203,13 @@ def test_snapshot_v2_synthesis_invariants(spark):
         .select("doc_id", "source", "text")
     )
     v2 = _snapshot_v2(docs).persist()
-    assert v2.filter((F.col("doc_id") % 17 == 0) & (F.col("doc_id") < 10_000_000)).count() == 0
+    assert v2.filter((F.col("doc_id") % 17 == 0) & (F.col("doc_id") >= 0)).count() == 0
     n19 = docs.filter(F.col("doc_id") % 19 == 0).count()
-    assert v2.filter(F.col("doc_id") >= 10_000_000).count() == n19
+    # added docs are re-keyed as the NEGATIVE mirror -doc_id-1: collision-
+    # free against real ids at any corpus size (a +10M offset would alias)
+    assert v2.filter(F.col("doc_id") < 0).count() == n19
     changed = v2.filter(
-        (F.col("doc_id") % 13 == 0) & (F.col("doc_id") < 10_000_000)
+        (F.col("doc_id") % 13 == 0) & (F.col("doc_id") >= 0)
     )
     assert changed.filter(~F.col("text").endswith(" [rev2]")).count() == 0
     v2.unpersist()

@@ -1509,6 +1509,9 @@ def probe_sliding_distinct(spark, n_events: int = 2_000_000,
     n_rows = out.count()
     sec = round(_t.perf_counter() - t0, 2)
     mx = out.agg(F.max("users_7d")).first()[0]
+    # the operator's pairs persist is harness-owned (cache-ownership
+    # policy) — release it so it doesn't leak into the next probe
+    spark.catalog.clearCache()
     return {"probe": "sliding_distinct", "events": n_events, "users": n_users,
             "days": n_days, "out_rows": n_rows, "max_wau": mx, "sec": sec}
 
