@@ -175,6 +175,7 @@ HEADLINE = [
     "text_keywords",
     "pipe_incremental_quality",
     "rel_mode",
+    "dedup_boilerplate_sentences",
 ]
 
 

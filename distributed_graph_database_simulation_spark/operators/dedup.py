@@ -1983,3 +1983,137 @@ DEDUP_QUERIES.update(
         ),
     }
 )
+
+
+# A sentence is boilerplate when its normalized form appears in at least
+# this many DISTINCT documents (the C4-style cross-document rule: nav
+# bars, cookie banners, license footers repeat across a crawl; real prose
+# doesn't).
+BOILER_MIN_DOCS = 3
+
+
+def boilerplate_sentences_df(docs: DataFrame, min_docs: int = BOILER_MIN_DOCS) -> DataFrame:
+    """Cross-document boilerplate-sentence removal (the C4/CCNet cleanup
+    pass): split each document into sentences, count each NORMALIZED
+    sentence's distinct-document frequency, drop sentences shared by
+    >= min_docs docs, and emit per doc the kept-text digest — certifying
+    the RECONSTRUCTION (original sentence order, boilerplate excised),
+    not just the counts.
+
+    Scale shape: one posexplode to sentence granularity (rows ~ corpus
+    sentences), a partial-aggregated distinct-doc count per normalized
+    sentence (map-side combine crushes the hot boilerplate keys — the
+    same discipline as the tfidf df marginal: never a window over the
+    sentence key), a broadcast-sized boilerplate set joined back
+    LEFT ANTI, and one per-doc sort_array(collect_list(struct(pos, s)))
+    regroup. Nothing quadratic; the regroup key is the uniform doc_id.
+
+    Returns (doc_id, n_sents, n_boiler, kept_md5).
+    """
+    sents = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", r"[.!?]+")).alias("pos", "raw"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.trim("raw").alias("s"),
+        F.regexp_replace(F.trim(F.lower(F.col("raw"))), r"\s+", " ").alias("norm"),
+    ).where(F.col("s") != "")
+    from pyspark.storagelevel import StorageLevel
+
+    # Consumed by the df count AND the anti-join (r13 double-execute
+    # audit): sentence-granularity rows, narrow; spills, never recomputes.
+    sents = sents.persist(StorageLevel.MEMORY_AND_DISK)
+    boiler = (
+        sents.select("norm", "doc_id")
+        .distinct()
+        .groupBy("norm")
+        .agg(F.count("*").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("norm")
+    )
+    kept = sents.join(boiler, "norm", "left_anti")
+    per_doc_kept = kept.groupBy("doc_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "s"))),
+                    lambda x: x["s"],
+                ),
+                "\n",
+            )
+        ).alias("kept_md5"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = sents.groupBy("doc_id").agg(F.count("*").alias("n_sents"))
+    return (
+        totals.join(per_doc_kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_sents").cast("int").alias("n_sents"),
+            (F.col("n_sents") - F.coalesce("n_kept", F.lit(0)))
+            .cast("int")
+            .alias("n_boiler"),
+            # a fully-boilerplate doc keeps the empty text's digest
+            F.coalesce("kept_md5", F.lit(F.expr("md5('')"))).alias("kept_md5"),
+        )
+    )
+
+
+def dedup_boilerplate_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: cross-document boilerplate-sentence removal over the
+    documents corpus (:func:`boilerplate_sentences_df`)."""
+    return boilerplate_sentences_df(_docs(spark, sf_dir))
+
+
+DEDUP_BOILERPLATE_SQL = f"""
+WITH raw AS (
+  SELECT doc_id,
+         list_transform(regexp_split_to_array(text, '[.!?]+'),
+                        x -> trim(x)) AS parts
+  FROM documents
+),
+idx AS (
+  SELECT doc_id,
+         list_filter(list_transform(range(1, len(parts) + 1),
+                     i -> struct_pack(pos := i, s := parts[i])),
+                     x -> x.s <> '') AS sents
+  FROM raw
+),
+flat AS (
+  SELECT doc_id, u.pos AS pos, u.s AS s,
+         regexp_replace(trim(lower(u.s)), '\\s+', ' ', 'g') AS norm
+  FROM idx, UNNEST(sents) AS t(u)
+),
+boiler AS (
+  SELECT norm FROM (SELECT DISTINCT norm, doc_id FROM flat)
+  GROUP BY norm HAVING COUNT(*) >= {BOILER_MIN_DOCS}
+),
+kept AS (
+  SELECT f.doc_id, f.pos, f.s FROM flat f
+  ANTI JOIN boiler b ON f.norm = b.norm
+),
+per_doc AS (
+  SELECT doc_id, md5(string_agg(s, chr(10) ORDER BY pos)) AS kept_md5,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_sents FROM flat GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(t.n_sents AS INT) AS n_sents,
+       CAST(t.n_sents - COALESCE(p.n_kept, 0) AS INT) AS n_boiler,
+       COALESCE(p.kept_md5, md5('')) AS kept_md5
+FROM totals t LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+DEDUP_QUERIES.update(
+    {
+        # r13 (staged r14): C4-style cross-document boilerplate-sentence
+        # removal with order-certified reconstruction
+        "dedup_boilerplate_sentences": (
+            dedup_boilerplate_sentences,
+            DEDUP_BOILERPLATE_SQL,
+        ),
+    }
+)

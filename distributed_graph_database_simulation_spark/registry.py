@@ -227,6 +227,10 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # deterministic MODE per group (explicit argmax — native mode() leaves
     # ties implementation-chosen in both engines)
     "rel_mode": 13,
+    # C4-style cross-document boilerplate-sentence removal with
+    # order-certified reconstruction (distinct-doc counted sentence set,
+    # anti-join, per-doc positional regroup)
+    "dedup_boilerplate_sentences": 13,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

@@ -36,6 +36,7 @@ PERSISTING_QUERIES = [
     "pipe_interleave_pack",  # pipeline.py keyed projection persist
     "rel_sliding_distinct_users",  # relational.py (day,user) pairs persist
     "pipe_incremental_quality",    # pipeline.py digest-routed join persist
+    "dedup_boilerplate_sentences",  # dedup.py sentence-table persist
 ]
 
 

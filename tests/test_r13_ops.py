@@ -400,3 +400,51 @@ def test_mode_tie_breaks_lexicographically(spark):
     fn = RELATIONAL_QUERIES["rel_mode"][0]
     got = {r.o_orderstatus: (r.mode_priority, r.mode_n) for r in fn(spark, d).collect()}
     assert got == {"O": ("1-URGENT", 2), "F": ("5-LOW", 1)}  # tie -> smallest
+
+
+def test_boilerplate_sentences_hand_worked(spark):
+    """A cookie banner shared by 3 docs is removed (threshold met), a
+    2-doc sentence survives, order and digests reconstruct exactly."""
+    import hashlib
+
+    from distributed_graph_database_simulation_spark.operators.dedup import (
+        boilerplate_sentences_df,
+    )
+
+    banner = "Accept all cookies"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{banner}. Real prose one. Shared twice."),
+            (2, f"{banner}! Totally different text."),
+            (3, f"{banner}? Shared twice. More prose."),
+            (4, "Unrelated document entirely."),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_sents, r.n_boiler, r.kept_md5)
+           for r in boilerplate_sentences_df(docs, min_docs=3).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    # the [.!?]+ split consumes the punctuation, so kept text joins the
+    # bare sentences
+    assert got[1] == (3, 1, md5("Real prose one\nShared twice"))
+    assert got[2] == (2, 1, md5("Totally different text"))
+    assert got[3] == (3, 1, md5("Shared twice\nMore prose"))
+    assert got[4] == (1, 0, md5("Unrelated document entirely"))
+
+
+def test_boilerplate_fully_boiler_doc_keeps_empty_digest(spark):
+    """A doc that is ONLY boilerplate keeps md5('') and n_boiler == n_sents."""
+    import hashlib
+
+    from distributed_graph_database_simulation_spark.operators.dedup import (
+        boilerplate_sentences_df,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "Same banner.") for i in range(1, 5)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_sents, r.n_boiler, r.kept_md5)
+           for r in boilerplate_sentences_df(docs, min_docs=3).collect()}
+    empty = hashlib.md5(b"").hexdigest()
+    assert all(v == (1, 1, empty) for v in got.values())
