@@ -1643,6 +1643,48 @@ def probe_crawl_delta(spark, n_rows: int = 2_000_000,
         shutil.rmtree(base, ignore_errors=True)
 
 
+
+
+def probe_boilerplate(spark, n_docs: int = 500_000, banner_every: int = 3) -> dict:
+    """Cross-document boilerplate removal at scale: n_docs synthetic docs,
+    every ``banner_every``-th carrying a shared cookie-banner sentence.
+    The claim under test is the aggregate-then-anti-join shape — the
+    distinct-doc count is a partial-aggregated groupBy (map-side combine
+    crushes the banner key, which appears in n/banner_every docs), never
+    a sentence-keyed window — and the banner is gone from every doc."""
+    import time as _t
+
+    from distributed_graph_database_simulation_spark.operators.dedup import (
+        boilerplate_sentences_df,
+    )
+
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.when(F.col("id") % banner_every == 0,
+                   F.lit("Accept all cookies. ")).otherwise(F.lit("")),
+            F.lit("Unique prose "), F.col("id").cast("string"),
+            F.lit(" body. Tail sentence "), (F.col("id") * 7).cast("string"),
+            F.lit("."),
+        ).alias("text"),
+    )
+    t0 = _t.perf_counter()
+    out = boilerplate_sentences_df(docs)
+    agg = out.agg(
+        F.count("*"), F.sum("n_boiler"),
+        F.sum((F.col("n_boiler") > 0).cast("int")),
+    ).first()
+    sec = round(_t.perf_counter() - t0, 2)
+    spark.catalog.clearCache()  # harness-owned sentence-table persist
+    n_rows, total_boiler, docs_touched = agg
+    want_touched = (n_docs + banner_every - 1) // banner_every
+    if docs_touched != want_touched:
+        raise AssertionError(f"banner removal touched {docs_touched}, want {want_touched}")
+    return {"probe": "boilerplate", "docs": n_docs,
+            "banner_every": banner_every, "docs_touched": int(docs_touched),
+            "boiler_sentences_removed": int(total_boiler), "sec": sec}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--edges", type=float, default=5e6)
@@ -1705,6 +1747,7 @@ def main() -> int:
         ("sliding_distinct", lambda: probe_sliding_distinct(spark, int(args.edges))),
         ("mips", lambda: probe_mips(spark)),
         ("crawl_delta", lambda: probe_crawl_delta(spark)),
+        ("boilerplate", lambda: probe_boilerplate(spark)),
     )
     for name, probe in probes:
         if args.only is not None and not any(s in name for s in args.only):
