@@ -176,6 +176,7 @@ HEADLINE = [
     "pipe_incremental_quality",
     "rel_mode",
     "dedup_boilerplate_sentences",
+    "mm_audio_downsample",
 ]
 
 

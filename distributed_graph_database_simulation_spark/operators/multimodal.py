@@ -38,6 +38,7 @@ from pyspark.sql.types import (
     DoubleType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -1692,3 +1693,95 @@ FROM d
 
 
 MULTIMODAL_QUERIES["mm_frame_deltas"] = (mm_frame_deltas, MM_FRAME_DELTAS_SQL)
+
+
+_DOWNSAMPLE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_in", LongType()),
+        StructField("n_out", LongType()),
+        StructField("out_sum", LongType()),
+        StructField("out_md5", StringType()),
+    ]
+)
+
+
+def _audio_downsample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """2x decimation through the REAL codec: encode->parse WAV (PCM8),
+    then average adjacent sample pairs with integer floor — one vectorized
+    numpy pass per clip, a trailing odd sample dropped. The md5 runs over
+    the downsampled byte stream itself, so a wrong pair grouping, a
+    rounding drift, or an off-by-one tail all change the digest."""
+    import hashlib
+
+    import numpy as np
+
+    for pdf in batches:
+        n = len(pdf)
+        n_in = np.zeros(n, dtype="int64")
+        n_out = np.zeros(n, dtype="int64")
+        out_sum = np.zeros(n, dtype="int64")
+        digests = []
+        for i, (media_id, payload) in enumerate(zip(pdf["media_id"], pdf["payload"])):
+            rate = 8000 + (int(media_id) % 8) * 1000
+            meta, samples = parse_wav(encode_wav_pcm8(bytes(payload), rate))
+            if meta["n_samples"] != len(payload):
+                raise ValueError(f"WAV round-trip size drift: {meta}")
+            s = np.frombuffer(samples, dtype=np.uint8).astype(np.int64)
+            k = s.size // 2
+            d = (s[0 : 2 * k : 2] + s[1 : 2 * k : 2]) // 2
+            n_in[i], n_out[i] = s.size, k
+            out_sum[i] = int(d.sum())
+            digests.append(hashlib.md5(d.astype(np.uint8).tobytes()).hexdigest())
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "n_in": n_in,
+                "n_out": n_out,
+                "out_sum": out_sum,
+                "out_md5": digests,
+            }
+        )
+
+
+def mm_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x audio decimation (the resample step an audio training pipeline
+    runs before feature extraction), executed through the real WAV codec
+    inside mapInPandas — map-side only, constant rows per clip, no
+    shuffle. The oracle reconstructs the decimated byte stream from the
+    payload's source text with the same integer-floor pair averaging and
+    digests it, certifying the full downsampled CONTENT, not just the
+    counts. (PCM8 text-derived samples are printable ASCII, so every
+    averaged byte is chr-representable in the oracle's string build.)"""
+    return media_table(spark, sf_dir).mapInPandas(
+        _audio_downsample_batches, schema=_DOWNSAMPLE_SCHEMA
+    )
+
+
+MM_AUDIO_DOWNSAMPLE_SQL = """
+WITH t AS (
+  SELECT doc_id AS media_id, text,
+         CAST(length(text) AS BIGINT) AS n,
+         length(text) // 2 AS k
+  FROM documents
+),
+d AS (
+  SELECT media_id, n, k,
+         list_transform(range(1, k + 1),
+           j -> (ord(text[2*j - 1]) + ord(text[2*j])) // 2) AS ds
+  FROM t
+)
+SELECT media_id,
+       n AS n_in,
+       CAST(k AS BIGINT) AS n_out,
+       CAST(COALESCE(list_sum(ds), 0) AS BIGINT) AS out_sum,
+       md5(array_to_string(list_transform(ds, x -> chr(CAST(x AS INT))), ''))
+         AS out_md5
+FROM d
+"""
+
+
+MULTIMODAL_QUERIES["mm_audio_downsample"] = (
+    mm_audio_downsample,
+    MM_AUDIO_DOWNSAMPLE_SQL,
+)

@@ -231,6 +231,9 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # order-certified reconstruction (distinct-doc counted sentence set,
     # anti-join, per-doc positional regroup)
     "dedup_boilerplate_sentences": 13,
+    # 2x audio decimation through the real WAV codec, full downsampled
+    # content digest-certified (integer floor pair averaging)
+    "mm_audio_downsample": 13,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

@@ -448,3 +448,21 @@ def test_boilerplate_fully_boiler_doc_keeps_empty_digest(spark):
            for r in boilerplate_sentences_df(docs, min_docs=3).collect()}
     empty = hashlib.md5(b"").hexdigest()
     assert all(v == (1, 1, empty) for v in got.values())
+
+
+def test_audio_downsample_hand_worked():
+    """Pair-floor decimation on a known byte string: 'ABCDE' (65,66,67,
+    68,69) -> [(65+66)//2, (67+68)//2] = [65, 67] = 'AC'; trailing 'E'
+    dropped."""
+    import hashlib
+
+    import pandas as pd
+
+    from distributed_graph_database_simulation_spark.operators.multimodal import (
+        _audio_downsample_batches,
+    )
+
+    pdf = pd.DataFrame({"media_id": [0], "payload": [b"ABCDE"]})
+    r = next(_audio_downsample_batches(iter([pdf]))).iloc[0]
+    assert (r.n_in, r.n_out, r.out_sum) == (5, 2, 65 + 67)
+    assert r.out_md5 == hashlib.md5(b"AC").hexdigest()
