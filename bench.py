@@ -177,6 +177,7 @@ HEADLINE = [
     "rel_mode",
     "dedup_boilerplate_sentences",
     "mm_audio_downsample",
+    "rel_attribution_last_touch",
 ]
 
 

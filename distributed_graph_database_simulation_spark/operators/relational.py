@@ -2265,3 +2265,94 @@ FROM ranked WHERE rk = 1
 
 
 RELATIONAL_QUERIES["rel_mode"] = (mode_per_group, REL_MODE_SQL)
+
+
+ATTRIBUTION_HORIZON_DAYS = 3
+
+
+def attribution_last_touch_df(
+    ev: DataFrame, horizon_days: int = ATTRIBUTION_HORIZON_DAYS
+) -> DataFrame:
+    """Last-touch revenue attribution — the conversion-credit query every
+    marketing warehouse runs: each purchase is credited to the SAME
+    user's most recent preceding non-purchase event within the horizon
+    (purchases with no touch in range credit 'unattributed').
+
+    One pass, no self-join: events are ordered per user and the carried
+    last-touch arrives via ``last(..., ignorenulls=True)`` over an
+    unbounded-preceding frame — the classic carry-forward window, so the
+    cost is one user-keyed sort shuffle over events, not the
+    purchases x touches range join the naive formulation pays (at 100 TB
+    a user's history is contiguous in one partition and the frame is
+    streaming-evaluable). Ties at identical timestamps break by event_id,
+    pinned identically in the oracle.
+
+    Returns one row per touch channel: (touch_type, n_purchases,
+    value_sum) with value_sum in exact micro-units.
+    """
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type") != "purchase",
+        F.struct(F.col("ts").alias("t_ts"), F.col("event_type").alias("t_type")),
+    )
+    carried = ev.select(
+        "user_id", "ts", "event_id", "event_type", "value", touch.alias("touch")
+    ).withColumn("last_touch", F.last("touch", ignorenulls=True).over(w))
+    purchases = carried.where(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("last_touch").isNotNull()
+            & (
+                F.col("last_touch.t_ts")
+                >= F.col("ts") - F.expr(f"INTERVAL {horizon_days} DAYS")
+            ),
+            F.col("last_touch.t_type"),
+        )
+        .otherwise(F.lit("unattributed"))
+        .alias("touch_type"),
+        "value",
+    )
+    return purchases.groupBy("touch_type").agg(
+        F.count("*").cast("bigint").alias("n_purchases"),
+        F.sum(F.round(F.col("value") * 1e6).cast("bigint")).alias("value_sum_micro"),
+    )
+
+
+def rel_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution over the events table
+    (:func:`attribution_last_touch_df`)."""
+    return attribution_last_touch_df(_t(spark, sf_dir, "events"))
+
+
+ATTRIBUTION_LAST_TOUCH_SQL = f"""
+WITH carried AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         last_value(CASE WHEN event_type <> 'purchase' THEN ts END IGNORE NULLS)
+           OVER w AS t_ts,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+           OVER w AS t_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+purchases AS (
+  SELECT CASE WHEN t_ts IS NOT NULL
+               AND t_ts >= ts - INTERVAL {ATTRIBUTION_HORIZON_DAYS} DAY
+              THEN t_type ELSE 'unattributed' END AS touch_type,
+         value
+  FROM carried WHERE event_type = 'purchase'
+)
+SELECT touch_type,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_sum_micro
+FROM purchases GROUP BY touch_type
+"""
+
+
+RELATIONAL_QUERIES["rel_attribution_last_touch"] = (
+    rel_attribution_last_touch,
+    ATTRIBUTION_LAST_TOUCH_SQL,
+)

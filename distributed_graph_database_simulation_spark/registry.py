@@ -234,6 +234,9 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # 2x audio decimation through the real WAV codec, full downsampled
     # content digest-certified (integer floor pair averaging)
     "mm_audio_downsample": 13,
+    # last-touch revenue attribution via the carry-forward window (one
+    # user-keyed sort, no purchases x touches range join)
+    "rel_attribution_last_touch": 13,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

@@ -466,3 +466,32 @@ def test_audio_downsample_hand_worked():
     r = next(_audio_downsample_batches(iter([pdf]))).iloc[0]
     assert (r.n_in, r.n_out, r.out_sum) == (5, 2, 65 + 67)
     assert r.out_md5 == hashlib.md5(b"AC").hexdigest()
+
+
+def test_attribution_last_touch_hand_worked(spark):
+    """Purchase credits the most recent preceding touch within horizon:
+    u1's click (1h before) wins over the older view; u2's only touch is
+    outside the 3-day horizon -> unattributed; a purchase is never its
+    own touch."""
+    from distributed_graph_database_simulation_spark.operators.relational import (
+        attribution_last_touch_df,
+    )
+
+    rows = [
+        (1, "2024-01-01 08:00:00", 1, "view", 0.0),
+        (2, "2024-01-01 11:00:00", 1, "click", 0.0),
+        (3, "2024-01-01 12:00:00", 1, "purchase", 10.0),
+        (4, "2024-01-01 00:00:00", 2, "view", 0.0),
+        (5, "2024-01-05 00:00:01", 2, "purchase", 7.5),  # 4d later: out of range
+        (6, "2024-01-02 09:00:00", 3, "purchase", 2.0),  # no touch at all
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+             "user_id", "event_type", "value")
+    got = {r.touch_type: (r.n_purchases, r.value_sum_micro)
+           for r in attribution_last_touch_df(ev).collect()}
+    assert got == {
+        "click": (1, 10_000_000),
+        "unattributed": (2, 9_500_000),
+    }
