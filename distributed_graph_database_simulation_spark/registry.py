@@ -39,91 +39,84 @@ from .streaming.windowed import STREAMING_QUERIES
 # fixture variants (all hash-exact green in CORRECTNESS_r01) go in the tail.
 CHECK_WINDOW = 50
 
-# r13 rotation (r12 verdict #2 + #8):
+# The round whose driver gate this committed window is FOR. Bumped in the
+# same commit that rotates _WINDOW_ORDER; the staleness guard
+# (tests/test_registry_window.py) asserts the window against THIS round, so
+# the suite is green both before and after the round's CORRECTNESS file
+# lands (the r13 guard derived the round from max(CORRECTNESS_r*) + 1 and
+# went structurally red the instant the driver row arrived — r13 verdict
+# "What's wrong #1").
+GATE_ROUND = 14
+
+# r14 rotation (r13 verdict #1):
 #
-# THE ELEVEN r12-STAGED ENTRIES rotate in for their FIRST driver rows
-# (the staleness guard requires driver rows within two rounds of staging):
-# exact-substring scrub, BPE token-budget admission, BPE vocabulary
-# report, image channel stats, WFQ source interleaving, packed-sequence
-# segments, IVF recall certification, audio level stats, streaming BPE
-# token accounting, median+MAD, and Katz centrality. The three
-# BPE-dependent ones were re-verified hash-exact at sf0.001 + sf0.01 +
-# sf0.1 AFTER the r13 tokenizer rewrite (1,024-merge table, word-local
-# pair-merge kernel, golden-table oracle); the other eight re-swept
-# unchanged.
+# THE FIFTEEN r13-STAGED ENTRIES rotate in for their FIRST driver rows
+# (staging bound: a green row within 2 rounds of declaration).
 #
-# text_bpe_encode / pipe_pack_bpe / dedup_exact_substring STAY because the
-# r13 tokenizer rewrite changed BPE semantics and the gate must
-# re-certify them (each re-verified at all three sfs after the rewrite).
+# THE NINETEEN STALENESS-DUE ENTRIES (last green row round 6; the
+# MAX_GATE_STALENESS=8 bound makes them due in the r14 window) re-enter —
+# exactly the set the r13 guard named.
 #
-# THE REGISTRY-WIDE STALENESS BOUND (r12 verdict #8) arms this round:
-# COVERAGE.md now guarantees every entry a green driver row within
-# MAX_GATE_STALENESS = 8 rounds, enforced by tests/test_registry_window.py.
-# To satisfy it, the 34 oldest tail entries re-enter the gate: all 21
-# r1-vintage relational/fixture entries (last gated round 1), all 10
-# r5-vintage entries, and 3 r6-vintage picks (the graph-store roundtrip +
-# text scan reference ops and the prefix-filtered n-gram Jaccard). The
-# cost is this round's "second rows" convention — the 25 r12 first-timers
-# (1 green row each, r12) and 12 r11 first-timers (2-3 rows) wait in the
-# tail; the staleness bound now guarantees their return by r20.
+# FOURTEEN PRE-GATES from the sixteen round-7-vintage entries (due in the
+# r15 window) smooth the rotation budget: gating them one round early
+# leaves r15 only 2 carried re-gates + the r14 staged wave. The two left
+# for r15 (text_pmi, text_tfidf) keep that round's must-include list
+# non-empty and testable.
 _WINDOW_ORDER = [
     # -- graph essentials (reference ops 3-4, gate every round) -------------
     "g_bfs_levels",
     "g_dfs_leaves",
-    # -- r12-built BPE/substring operators, semantics changed by the r13
-    # tokenizer rewrite: re-certify -----------------------------------------
-    "text_bpe_encode",
-    "dedup_exact_substring",
-    "pipe_pack_bpe",
-    # -- r13 rotation: the eleven r12-staged entries, first driver rows -----
-    "dedup_scrub_substring",
-    "pipe_token_budget_bpe",
-    "text_bpe_vocab",
-    "mm_image_channel_stats",
-    "pipe_interleave_sources",
-    "pipe_pack_segments",
-    "sim_recall_ivf",
-    "mm_audio_level_stats",
-    "stream_token_count_ingest",
-    "rel_mad",
-    "g_katz_scale",
-    # -- staleness-bound re-gates: r1 vintage (21, last gated round 1) ------
-    "g_bfs_levels_alt",
-    "g_dfs_leaves_scale",
-    "rel_approx_distinct",
-    "rel_array_map_funcs",
-    "rel_bucketed_join",
-    "rel_correlated_exists",
-    "rel_correlated_scalar",
-    "rel_cube_order_priority",
-    "rel_customers_without_orders",
-    "rel_distinct_parts_per_flag",
-    "rel_multiformat_sources",
-    "rel_range_frame_window",
-    "rel_range_join",
-    "rel_region_revenue",
-    "rel_running_supplier_qty",
-    "rel_scalar_orders",
-    "rel_segment_stats",
-    "rel_setops_customers",
-    "rel_sql_forecast_revenue",
-    "rel_top_parts_per_brand",
-    "rel_top_revenue_orders",
-    # -- staleness-bound re-gates: r5 vintage (10) ---------------------------
-    "dedup_embedding_cosine_tiled",
-    "g_kcore_scale",
-    "g_label_propagation_scale",
-    "g_pagerank_scale",
-    "g_sssp_scale",
-    "mm_bmp_decode",
-    "stream_events_sliding",
-    "stream_static_enrichment",
-    "stream_user_sessions",
-    "text_shard_assign",
-    # -- staleness-bound re-gates: r6 vintage picks (3) ----------------------
-    "g_store_roundtrip",
-    "g_text_scan",
-    "dedup_ngram_jaccard",
+    # -- r13-staged entries, first driver rows (15) --------------------------
+    "pipe_interleave_pack",
+    "dedup_cluster_representatives",
+    "text_bpe_compression",
+    "sim_topk_mips",
+    "rel_sliding_distinct_users",
+    "pipe_snapshot_diff",
+    "stream_crawl_diff_ingest",
+    "stream_wau_ingest",
+    "mm_frame_deltas",
+    "text_keywords",
+    "pipe_incremental_quality",
+    "rel_mode",
+    "dedup_boilerplate_sentences",
+    "mm_audio_downsample",
+    "rel_attribution_last_touch",
+    # -- staleness-due re-gates: round-6 vintage (19) ------------------------
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_simhash",
+    "g_adamic_adar_capped_scale",
+    "g_bfs_scale",
+    "g_common_neighbors_capped_scale",
+    "g_common_neighbors_scale",
+    "mm_audio_features",
+    "mm_frame_sample",
+    "rel_events_hourly",
+    "rel_salted_heavy_hitters",
+    "rel_udaf_weighted_discount",
+    "rel_udtf_heavy_tokens",
+    "stream_events_hourly",
+    "text_chunk_windows",
+    "text_contamination",
+    "text_pii_scrub",
+    "text_quality_score",
+    "text_sample_stratified",
+    # -- pre-gates: round-7 vintage, due r15, gated one round early (14) -----
+    "dedup_containment",
+    "dedup_dup_spans",
+    "g_core_numbers",
+    "g_landmark_distances_scale",
+    "g_modularity_scale",
+    "g_temporal_reach_scale",
+    "mm_png_decode",
+    "pipe_winsorize",
+    "rel_funnel",
+    "rel_rolling_zscore",
+    "rel_scd2",
+    "sim_topk_bruteforce",
+    "stream_stateful_user_totals",
+    "stream_stream_click_purchase",
 ]
 
 _SUITES = (
@@ -184,59 +177,9 @@ ALL_QUERIES.update({name: spec for name, spec in _POOL.items() if name not in AL
 # passed — staging is for entries awaiting a FUTURE rotation, and the r09
 # window still had its rotation pending.
 STAGED_DECLARED_ROUND: dict[str, int] = {
-    # (The eleven r12-staged entries rotated into the r13 gate window —
+    # (The fifteen r13-staged entries rotated into the r14 gate window —
     # see _WINDOW_ORDER. New-this-round operators are declared here as they
-    # are built and pre-verified, queued for the r14 rotation.)
-    # r13 wave — each pre-verified hash-exact at sf0.001 AND sf0.01:
-    # the interleave -> BPE-pack -> segments composition (r12 verdict #6:
-    # the WFQ order surviving the pack is what a training job consumes;
-    # one oracle replays all three stages)
-    "pipe_interleave_pack": 13,
-    # quality-argmax cluster representatives (the production survivor
-    # rule: clusters x quality composition, single max-struct aggregate)
-    "dedup_cluster_representatives": 13,
-    # tokenizer compression audit (chars/token + tokens/word per lang in
-    # exact integer micro-units; one Arrow pass + |langs|-row aggregate)
-    "text_bpe_compression": 13,
-    # MIPS top-k via the norm-augmentation reduction (Bachrach 2014):
-    # inner-product search rides the cosine-ANN stack; the oracle is raw
-    # brute-force MIPS that never hears about the augmentation
-    "sim_topk_mips": 13,
-    # exact trailing-7-day distinct users (DAU/WAU) — the COUNT(DISTINCT)
-    # OVER RANGE neither engine's window can express; dedupe-then-explode
-    # shape bounded by active pairs, not events
-    "rel_sliding_distinct_users": 13,
-    # crawl-over-crawl dataset version diff: digest-projected full-outer
-    # join, |sources| x 4-status egress at any corpus size
-    "pipe_snapshot_diff": 13,
-    # continuous crawl digest store: streaming MERGE backfill + idempotent
-    # delta (upsert/delete) with crash-replay stress; bucket-pruned writes
-    "stream_crawl_diff_ingest": 13,
-    # continuous engagement accounting: (day,user) pair store with
-    # batch-partition replay stress, served by the first-in-window DAU/WAU
-    "stream_wau_ingest": 13,
-    # scene-cut detection: consecutive-frame L1 deltas in one vectorized
-    # numpy pass per payload, map-side only, constant rows per video
-    "mm_frame_deltas": 13,
-    # top-k TF-IDF keyword extraction per doc: integer micro rank key
-    # (libm-ln ulp-stable), doc-keyed window over inverted-index rows
-    "text_keywords": 13,
-    # incremental == full reprocessing certificate: digest-routed delta
-    # scoring + carried scores must equal the oracle's full v2 recompute
-    "pipe_incremental_quality": 13,
-    # deterministic MODE per group (explicit argmax — native mode() leaves
-    # ties implementation-chosen in both engines)
-    "rel_mode": 13,
-    # C4-style cross-document boilerplate-sentence removal with
-    # order-certified reconstruction (distinct-doc counted sentence set,
-    # anti-join, per-doc positional regroup)
-    "dedup_boilerplate_sentences": 13,
-    # 2x audio decimation through the real WAV codec, full downsampled
-    # content digest-certified (integer floor pair averaging)
-    "mm_audio_downsample": 13,
-    # last-touch revenue attribution via the carry-forward window (one
-    # user-keyed sort, no purchases x touches range join)
-    "rel_attribution_last_touch": 13,
+    # are built and pre-verified, queued for the r15 rotation.)
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

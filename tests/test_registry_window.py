@@ -300,11 +300,74 @@ R13_ROTATED_OUT = (
     "pipe_mixture_balance", "mm_image_resize",
 )
 
+# r14 rotation (r13 verdict #1): the fifteen r13-staged entries rotate in
+# for their first driver rows, the nineteen round-6-vintage entries the
+# armed staleness bound names re-enter, and fourteen of the sixteen
+# round-7-vintage entries (due r15) pre-gate one round early to smooth the
+# rotation budget. Out: the 48 non-essential r13 window members, all
+# freshly green in CORRECTNESS_r13.
+R14_NEW_ENTRIES = (
+    # r13-staged, first driver rows (15)
+    "pipe_interleave_pack", "dedup_cluster_representatives",
+    "text_bpe_compression", "sim_topk_mips", "rel_sliding_distinct_users",
+    "pipe_snapshot_diff", "stream_crawl_diff_ingest", "stream_wau_ingest",
+    "mm_frame_deltas", "text_keywords", "pipe_incremental_quality",
+    "rel_mode", "dedup_boilerplate_sentences", "mm_audio_downsample",
+    "rel_attribution_last_touch",
+    # staleness-due re-gates: round-6 vintage (19)
+    "dedup_clusters", "dedup_embedding_cosine", "dedup_simhash",
+    "g_adamic_adar_capped_scale", "g_bfs_scale",
+    "g_common_neighbors_capped_scale", "g_common_neighbors_scale",
+    "mm_audio_features", "mm_frame_sample", "rel_events_hourly",
+    "rel_salted_heavy_hitters", "rel_udaf_weighted_discount",
+    "rel_udtf_heavy_tokens", "stream_events_hourly", "text_chunk_windows",
+    "text_contamination", "text_pii_scrub", "text_quality_score",
+    "text_sample_stratified",
+    # pre-gates: round-7 vintage, due r15, gated one round early (14)
+    "dedup_containment", "dedup_dup_spans", "g_core_numbers",
+    "g_landmark_distances_scale", "g_modularity_scale",
+    "g_temporal_reach_scale", "mm_png_decode", "pipe_winsorize",
+    "rel_funnel", "rel_rolling_zscore", "rel_scd2", "sim_topk_bruteforce",
+    "stream_stateful_user_totals", "stream_stream_click_purchase",
+)
+
+R14_ROTATED_OUT = (
+    # r12-built BPE/substring trio, re-certified green in r13 after the
+    # tokenizer rewrite
+    "text_bpe_encode", "dedup_exact_substring", "pipe_pack_bpe",
+    # the eleven r12-staged entries, first green rows in r13
+    "dedup_scrub_substring", "pipe_token_budget_bpe", "text_bpe_vocab",
+    "mm_image_channel_stats", "pipe_interleave_sources",
+    "pipe_pack_segments", "sim_recall_ivf", "mm_audio_level_stats",
+    "stream_token_count_ingest", "rel_mad", "g_katz_scale",
+    # the 34 r13 staleness re-gates, all freshly green in r13
+    "g_bfs_levels_alt", "g_dfs_leaves_scale", "rel_approx_distinct",
+    "rel_array_map_funcs", "rel_bucketed_join", "rel_correlated_exists",
+    "rel_correlated_scalar", "rel_cube_order_priority",
+    "rel_customers_without_orders", "rel_distinct_parts_per_flag",
+    "rel_multiformat_sources", "rel_range_frame_window", "rel_range_join",
+    "rel_region_revenue", "rel_running_supplier_qty", "rel_scalar_orders",
+    "rel_segment_stats", "rel_setops_customers", "rel_sql_forecast_revenue",
+    "rel_top_parts_per_brand", "rel_top_revenue_orders",
+    "dedup_embedding_cosine_tiled", "g_kcore_scale",
+    "g_label_propagation_scale", "g_pagerank_scale", "g_sssp_scale",
+    "mm_bmp_decode", "stream_events_sliding", "stream_static_enrichment",
+    "stream_user_sessions", "text_shard_assign",
+    "g_store_roundtrip", "g_text_scan", "dedup_ngram_jaccard",
+)
+
+# The two round-7-vintage entries deliberately LEFT for the r15 window —
+# the next rotation's must-include list (alongside whatever
+# STAGED_DECLARED_ROUND accumulates this round). Checked by
+# test_next_rotation_obligation_is_satisfiable.
+R15_MUST_INCLUDE = ("text_pmi", "text_tfidf")
+
 # Rotation ledger, newest first: (round, rotated-in, rotated-out). Window
 # membership for any name touched by a rotation is decided by the LATEST
 # rotation that mentions it — replaying this ledger replaces the
 # conditional chains the per-round tests used to carry.
 ROTATIONS = (
+    (14, R14_NEW_ENTRIES, R14_ROTATED_OUT),
     (13, R13_NEW_ENTRIES, R13_ROTATED_OUT),
     (12, R12_NEW_ENTRIES, R12_ROTATED_OUT),
     (11, R11_NEW_ENTRIES + R11_REGATE, R11_ROTATED_OUT),
@@ -343,55 +406,126 @@ def test_rotation_ledger_is_consistent():
         assert (name in w) == expected_in_window(name), name
 
 
-def test_r13_rotation_swaps_balance():
-    """r13 swaps the 11 r12-staged entries + 34 staleness re-gates in for
-    45 recently-certified entries; the three BPE/substring entries whose
-    semantics the r13 tokenizer rewrite changed stay to re-certify;
+def test_r14_rotation_swaps_balance():
+    """r14 swaps the 15 r13-staged entries + 19 staleness-due re-gates +
+    14 round-7-vintage pre-gates in for the 48 non-essential r13 members
+    (all freshly green in CORRECTNESS_r13); the two graph essentials stay;
     window stays CHECK_WINDOW."""
-    assert len(R13_NEW_ENTRIES) == len(R13_ROTATED_OUT) == 45
+    assert len(R14_NEW_ENTRIES) == len(R14_ROTATED_OUT) == 48
     w = set(window_names())
-    assert set(R13_NEW_ENTRIES) <= w
-    assert not set(R13_ROTATED_OUT) & w
-    # BPE-semantics-changed r12 entries stay to re-certify
-    assert {"text_bpe_encode", "dedup_exact_substring", "pipe_pack_bpe"} <= w
+    assert set(R14_NEW_ENTRIES) <= w
+    assert not set(R14_ROTATED_OUT) & w
+    assert {"g_bfs_levels", "g_dfs_leaves"} <= w
 
 
 # The registry-wide rotation cadence guarantee (r12 verdict #8; documented
 # in COVERAGE.md §rotation-cadence): after each round's gate runs, every
 # registry entry has a green driver row within the last MAX_GATE_STALENESS
-# rounds. Enforced ex ante: any entry whose most recent green row would be
-# older than the bound after the NEXT gate run must be IN the current
-# window. Never-gated entries are covered by the staged-entry guard
+# rounds. Never-gated entries are covered by the staged-entry guard
 # (test_staged_entries_gate_within_two_rounds).
+#
+# r14 restructure (r13 verdict "What's wrong #1"): the guard asserts the
+# committed window against registry.GATE_ROUND — the round this window was
+# rotated FOR — not against max(CORRECTNESS_r*)+1. The old form went
+# structurally red the instant the round's own driver row landed (it
+# started demanding the NEXT round's rotation), training everyone to ignore
+# a red suite. Now: staleness is computed over driver rows from rounds
+# BEFORE GATE_ROUND, so the assertion is stable whether or not this round's
+# CORRECTNESS file exists; the forward obligation (rotate before the next
+# gate) is enforced by test_gate_round_is_current, which only trips when a
+# NEW round's driver row lands without a rotation commit.
 MAX_GATE_STALENESS = 8
 
 
-def test_registry_wide_staleness_bound():
+def _last_green_before(round_limit):
+    """name -> most recent green driver round, over CORRECTNESS files from
+    rounds strictly before `round_limit`."""
     import glob
     import json
     import re
 
     last: dict[str, int] = {}
-    rounds = [0]
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json$", path).group(1))
-        rounds.append(rnd)
+        if rnd >= round_limit:
+            continue
         with open(path) as f:
             for name, row in json.load(f).items():
                 if row.get("hash_match") or row.get("err") == "no_oracle":
                     last[name] = max(last.get(name, 0), rnd)
-    next_round = max(rounds) + 1
+    return last
+
+
+def _correctness_rounds():
+    import glob
+    import re
+
+    return [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+
+
+def test_registry_wide_staleness_bound():
+    """Every entry whose last green row (before this window's round) is
+    MAX_GATE_STALENESS or more rounds old by GATE_ROUND must be IN the
+    committed window. Stable at every instant of the round."""
+    last = _last_green_before(registry.GATE_ROUND)
     w = set(window_names())
     must_gate = {
         name
         for name in registry.queries()
-        if name in last and last[name] <= next_round - MAX_GATE_STALENESS
+        if name in last
+        and last[name] <= registry.GATE_ROUND - MAX_GATE_STALENESS
     }
     missing = must_gate - w
     assert not missing, (
-        f"entries whose staleness would exceed {MAX_GATE_STALENESS} rounds "
-        f"after round {next_round}'s gate, yet absent from the window: "
+        f"entries whose staleness exceeds {MAX_GATE_STALENESS} rounds at "
+        f"round {registry.GATE_ROUND}'s gate, yet absent from the window: "
         f"{sorted(missing)}"
+    )
+
+
+def test_gate_round_is_current():
+    """The rotation-forcing tripwire, restructured to trip only on actual
+    dereliction: the committed window must be for the round currently in
+    flight — either awaiting its gate (max CORRECTNESS round ==
+    GATE_ROUND - 1) or just gated (== GATE_ROUND). A NEWER driver row with
+    no rotation commit means a round started without rotating the window;
+    that, and only that, goes red."""
+    latest = max(_correctness_rounds(), default=0)
+    assert registry.GATE_ROUND in (latest, latest + 1), (
+        f"GATE_ROUND={registry.GATE_ROUND} but latest CORRECTNESS round is "
+        f"{latest}: rotate _WINDOW_ORDER and bump GATE_ROUND for round "
+        f"{latest + 1}"
+    )
+
+
+def test_next_rotation_obligation_is_satisfiable():
+    """Forward-looking budget check for the NEXT rotation: the entries due
+    at round GATE_ROUND+1 (staleness-due given this window gates green,
+    plus R15_MUST_INCLUDE carried deliberately, plus currently-staged
+    entries) must fit the window alongside the 2 essentials."""
+    last = _last_green_before(registry.GATE_ROUND)
+    w = set(window_names())
+    due_next = {
+        name
+        for name in registry.queries()
+        if name in last
+        and last[name] <= registry.GATE_ROUND + 1 - MAX_GATE_STALENESS
+        and name not in w  # gated this round -> fresh row
+    }
+    assert set(R15_MUST_INCLUDE) <= due_next, (
+        "the deliberately-carried round-7-vintage pair must actually be "
+        f"due next round: {sorted(set(R15_MUST_INCLUDE) - due_next)}"
+    )
+    demand = len(due_next | set(R15_MUST_INCLUDE)) + len(
+        registry.STAGED_DECLARED_ROUND
+    ) + 2
+    assert demand <= registry.CHECK_WINDOW, (
+        f"round {registry.GATE_ROUND + 1} rotation is over-committed: "
+        f"{demand} obligatory slots > {registry.CHECK_WINDOW}"
     )
 
 
@@ -464,7 +598,7 @@ def test_window_entries_without_history_are_this_rounds_rotation():
     pre-verification step the rotation playbook requires."""
     green = _green_history()
     awaiting = set(window_names()) - green
-    allowed = set(R13_NEW_ENTRIES)
+    allowed = set(R14_NEW_ENTRIES)
     assert awaiting <= allowed, (
         f"window entries with no driver history outside this round's "
         f"rotation: {sorted(awaiting - allowed)}"
@@ -491,12 +625,12 @@ def test_capped_link_prediction_is_non_vacuous_at_gate_sf(spark):
 
 def test_every_window_entry_has_oracle_or_documented_rows_only():
     oracles = registry.oracle_sql()
-    # r08-r12: the window was fully oracle-backed. r13: the staleness
-    # re-gates bring back rel_approx_distinct — the registry's ONE
-    # rows-only-by-design entry (raw HLL estimate; envelope-pinned in
-    # tests, value-certified via its rel_approx_distinct_checked sibling).
+    # r14: fully oracle-backed again (the registry's one rows-only-by-design
+    # entry, rel_approx_distinct — raw HLL estimate, envelope-pinned, value-
+    # certified via its _checked sibling — earned its fresh row in r13 and
+    # sits in the tail).
     rows_only = {n for n in window_names() if n not in oracles}
-    assert rows_only <= {"rel_approx_distinct"}
+    assert not rows_only
 
 
 def test_canary_smoke_representative_window_queries():
