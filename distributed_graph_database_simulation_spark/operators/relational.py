@@ -2134,7 +2134,9 @@ GROUP BY l.l_returnflag
 RELATIONAL_QUERIES["rel_mad"] = (mad_per_flag, REL_MAD_SQL)
 
 
-def sliding_distinct_users_df(ev: DataFrame, days_back: int = 6) -> DataFrame:
+def sliding_distinct_users_df(
+    ev: DataFrame, days_back: int = 6, pairs_out: list | None = None
+) -> DataFrame:
     """Exact trailing-(days_back+1)-day distinct users per active day —
     the DAU/WAU engagement pair every analytics stack reports, and the
     textbook op a window function CANNOT express
@@ -2159,6 +2161,13 @@ def sliding_distinct_users_df(ev: DataFrame, days_back: int = 6) -> DataFrame:
     distinct user counts (windows that run past the last active day are
     not emitted; leading days keep their partial-history semantics, as
     in every production WAU definition).
+
+    ``pairs_out``: optional list the persisted (day, user) pairs handle is
+    appended to, so a caller that MATERIALIZES the result itself (e.g. the
+    streaming WAU entry, which localCheckpoints it) can unpersist exactly
+    this operator's cache instead of clearing the whole session catalog
+    (cache-ownership policy, tests/test_cache_ownership.py). Left unset,
+    the harness owns the release as for every lazy-plan operator.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -2171,6 +2180,8 @@ def sliding_distinct_users_df(ev: DataFrame, days_back: int = 6) -> DataFrame:
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if pairs_out is not None:
+        pairs_out.append(pairs)
     days = pairs.select("d").distinct()
     w_user = W.partitionBy("user_id").orderBy("d")
     gaps = pairs.select("d", F.lag("d").over(w_user).alias("prev_d"))

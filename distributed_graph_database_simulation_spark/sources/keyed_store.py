@@ -300,8 +300,21 @@ class KeyedParquetStore:
             F.col(delete_keys.columns[0]).alias(self.key_col)
         ).distinct()
         if not self._table_exists():
-            self.write_full(updates.join(key_df, self.key_col, "left_anti"))
-            return {"buckets_touched": self.n_buckets, "initial_load": True}
+            kept = updates.join(key_df, self.key_col, "left_anti").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            try:
+                n = kept.count()
+                self.write_full(kept)
+            finally:
+                kept.unpersist()
+            # Same keys on both branches (r13 ADVICE): callers keying on
+            # rows_written or initial_load must not KeyError by branch.
+            return {
+                "buckets_touched": self.n_buckets,
+                "rows_written": n,
+                "initial_load": True,
+            }
         # Both sides are consumed by the bucket collect AND the merge plan
         # (and key_df by the survivor anti-join too) — without the scoped
         # persists the delta's upstream (often a full digest scan) executes
@@ -349,4 +362,8 @@ class KeyedParquetStore:
         for b in buckets:
             if b not in written:
                 self._remove_partition_dir(b)
-        return {"buckets_touched": len(buckets), "rows_written": n}
+        return {
+            "buckets_touched": len(buckets),
+            "rows_written": n,
+            "initial_load": False,
+        }

@@ -926,7 +926,9 @@ def stream_crawl_diff_ingest_entry(spark: SparkSession, sf_dir: str) -> DataFram
     """Driver entry for continuous crawl maintenance: backfill the v1
     documents corpus through the streaming MERGE sink, apply the
     deterministic next-crawl delta (``pipeline._snapshot_v2`` semantics:
-    %13 ids changed, %19 ids re-keyed +10M as added, %17 ids deleted),
+    %13 ids changed, %19 ids re-keyed as the negative mirror ``-doc_id-1``
+    as added — collision-free against real ids at any corpus size, where
+    a fixed +10M offset would alias — %17 ids deleted),
     then RE-APPLY the same delta as the crash-replay stress — value-wise
     MERGE and idempotent delete must leave the store unchanged — and
     report the final per-source (n_docs, chars_total, content_sum).
@@ -1079,8 +1081,16 @@ def stream_wau_ingest_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs_as_events = spark.read.parquet(store).select(
         F.col("d").alias("ts"), "user_id"
     )
-    out = sliding_distinct_users_df(pairs_as_events).localCheckpoint(eager=True)
-    spark.catalog.clearCache()  # the operator's pairs persist, harness-owned
+    handles: list = []
+    out = sliding_distinct_users_df(
+        pairs_as_events, pairs_out=handles
+    ).localCheckpoint(eager=True)
+    # Release exactly this operator's pairs persist — the result is already
+    # materialized by the eager checkpoint. A clearCache() here would evict
+    # EVERY session cache, violating the harness-owned release policy
+    # (tests/test_cache_ownership.py; r13 ADVICE).
+    for h in handles:
+        h.unpersist()
     shutil.rmtree(base, ignore_errors=True)
     return out
 

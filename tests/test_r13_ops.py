@@ -195,7 +195,8 @@ def test_snapshot_diff_hand_worked(spark):
 
 def test_snapshot_v2_synthesis_invariants(spark):
     """The deterministic 'next crawl': %17 ids dropped, %13 ids carry the
-    rev suffix, %19 ids reappear re-keyed +10M with identical text."""
+    rev suffix, %19 ids reappear re-keyed as the negative mirror
+    -doc_id-1 with identical text."""
     from distributed_graph_database_simulation_spark.operators.pipeline import _snapshot_v2
 
     docs = (
