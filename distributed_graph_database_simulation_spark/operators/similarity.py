@@ -117,7 +117,12 @@ LSH_PLANE_MOD = 200_003        # prime; weight = md5 % mod - (mod - 1) / 2
 LSH_PLANE_CENTER = 100_001
 
 
-def _signatures(df: DataFrame, tables: int = LSH_TABLES, bits: int = LSH_BITS) -> DataFrame:
+def _signatures(
+    df: DataFrame,
+    tables: int = LSH_TABLES,
+    bits: int = LSH_BITS,
+    dim: int | None = None,
+) -> DataFrame:
     """vec_id -> (table_id, bucket) LSH signatures, one row per table.
 
     Hyperplane t-bit signatures: plane (t, b) component i is a deterministic
@@ -158,8 +163,12 @@ def _signatures(df: DataFrame, tables: int = LSH_TABLES, bits: int = LSH_BITS) -
     import numpy as np
     import pandas as pd
 
-    first = df.select(F.size("e").alias("d")).first()
-    dim = int(first["d"]) if first is not None else 0
+    # Dim sniffing runs first() over the WHOLE upstream plan — callers
+    # whose input is a derived frame (e.g. the banded-augmentation DAG in
+    # mips_topk_lsh_df) pass `dim` explicitly to avoid re-executing it.
+    if dim is None:
+        first = df.select(F.size("e").alias("d")).first()
+        dim = int(first["d"]) if first is not None else 0
     qcols = [
         F.round(F.col("e")[i] * LSH_QUANT_SCALE).cast("bigint").alias(f"q{i}")
         for i in range(dim)
@@ -1887,6 +1896,14 @@ LEFT JOIN hits h ON h.query_id = q.query_id
 SIMILARITY_QUERIES["sim_recall_ivf"] = (sim_recall_ivf, SIM_RECALL_IVF_SQL)
 
 
+# Multi-probe depth for the banded-MIPS LSH route: 1 = probe each query's
+# own bucket plus every Hamming-1 neighbor bucket per table (bits extra
+# probes from one signature). Chosen by the r14 1M-vector grid probe
+# (SCALE.md §mips-grid): 0 tops out at recall@10 ~0.51; 1 clears the 0.8
+# bar at ~(1 + bits)x candidate volume, query-side-only plan change.
+MIPS_LSH_PROBES = 1
+
+
 def _augment_corpus_select(max_col: str) -> F.Column:
     """The correctness-critical augmentation arithmetic, ONE copy for
     every MIPS route: append ``sqrt(max^2 - ||e||^2)`` (clamped at 0 for
@@ -1929,6 +1946,7 @@ def mips_topk_lsh_df(
     tables: int = LSH_TABLES,
     bits: int = LSH_BITS,
     n_bands: int = 16,
+    probes: int = MIPS_LSH_PROBES,
 ) -> DataFrame:
     """Approximate MIPS top-k served by the random-hyperplane LSH stack
     over NORM-BANDED augmented vectors — the 100 TB route: the bucket
@@ -1948,6 +1966,24 @@ def mips_topk_lsh_df(
     product (band-local cosine is not comparable across bands, raw dot
     is), making the result exact over the candidate set.
 
+    ``probes`` is the recall/cost dial (multi-probe LSH, Lv et al., VLDB
+    2007): ``probes = 1`` additionally probes, per (query, table), every
+    bucket at Hamming distance 1 from the query's own — ``bits`` extra
+    buckets from ONE signature, no extra tables to sign. Candidate volume
+    grows ~(1 + bits)x, recall jumps accordingly (the per-table hit
+    probability gains the sum of all one-bit-miss terms). The expansion
+    is query-side only — a handful of literal XOR masks exploded over the
+    broadcast-sized query signature list — so the corpus-side plan is
+    byte-identical to probes = 0. The r14 grid probe at 1M vectors
+    (SCALE.md) picked the shipped default: recall@10 0.51 (probes=0) ->
+    >= 0.8 (probes=1 at the default width).
+
+    Band assignment uses double log2; Spark and the DuckDB oracle could
+    in principle disagree by one ulp at a band boundary, but a flip needs
+    frac(4*log2(m/norm)) within ~1e-15 of 0 — probability ~1e-11 over a
+    10k-vector gate sf, and pre-verification at three sfs would catch it.
+    Everything downstream of banding is exact integer arithmetic.
+
     Returns (query_id, rank, neighbor_id, dot)."""
     c = _with_norm(corpus).where(F.col("norm") > 0.0)
     m = c.agg(F.max("norm").alias("m"))
@@ -1963,8 +1999,25 @@ def mips_topk_lsh_df(
         "vec_id", _augment_corpus_select("mb")
     )
     aug_q = _augment_queries(queries)
-    csig = _signatures(_with_norm(aug_c), tables=tables, bits=bits)
-    qsig = _signatures(_with_norm(aug_q), tables=tables, bits=bits)
+    # Sniff dim ONCE from the raw corpus (a limit-1 scan), not from the
+    # banded-augmentation DAGs — each first() there re-ran the norm/band
+    # aggregations and joins (measured ~40% of the tiny-sf wall).
+    first = corpus.select(F.size("e").alias("d")).first()
+    aug_dim = (int(first["d"]) if first is not None else 0) + 1
+    csig = _signatures(_with_norm(aug_c), tables=tables, bits=bits, dim=aug_dim)
+    qsig = _signatures(_with_norm(aug_q), tables=tables, bits=bits, dim=aug_dim)
+    if probes >= 1:
+        masks = [0] + [1 << j for j in range(bits)]
+        qsig = qsig.select(
+            "vec_id",
+            "table_id",
+            F.explode(F.array(*[F.lit(x).cast("long") for x in masks])).alias(
+                "mask"
+            ),
+            F.col("bucket").alias("b0"),
+        ).select(
+            "vec_id", "table_id", F.expr("b0 ^ mask").alias("bucket")
+        )
     cand_ids = (
         F.broadcast(qsig.alias("q"))
         .join(
@@ -2080,3 +2133,181 @@ WHERE rank <= {TOP_K}
 
 
 SIMILARITY_QUERIES["sim_topk_mips"] = (sim_topk_mips, SIM_TOPK_MIPS_SQL)
+
+
+EMB_DIM = 64  # embeddings-table dimensionality (TESTDATA.md); +1 augmented
+
+
+def sim_recall_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the banded multi-probe LSH MIPS route
+    (:func:`mips_topk_lsh_df`, shipped defaults) against the exact
+    brute-force MIPS top-k — certifying the approximate inner-product
+    path exactly as ``sim_recall_ivf`` certifies IVF (r13 verdict #3: an
+    ANN deployment certifies EVERY approximate route it serves). The
+    oracle replays BOTH legs — norm bands, band-local augmentation,
+    integer plane signatures, Hamming-1 probe expansion, raw-dot re-rank
+    — so a drifted band boundary, a wrong probe mask, or a broken
+    augmentation all shift a per-query hit count and hash-mismatch.
+    Evaluation cost is k * |queries|, independent of corpus size."""
+    corpus = _emb(spark, sf_dir)
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES)
+    ann = mips_topk_lsh_df(corpus, queries).select("query_id", "neighbor_id")
+    bf = mips_topk_df(corpus, queries).select("query_id", "neighbor_id")
+    hits = (
+        bf.join(ann, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        bf.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.expr(
+                f"(1000000 * coalesce(n_hits, 0)) div {TOP_K}"
+            ).alias("recall_micro"),
+        )
+    )
+
+
+def _mips_lsh_leg_sql(
+    tables: int, bits: int, probes: int, n_bands: int, dim: int
+) -> str:
+    """DuckDB replay of :func:`mips_topk_lsh_df` with the same constants:
+    band = least(n_bands-1, floor(log2(m/norm)*4)), band-local max
+    augmentation, md5-derived integer planes over dim+1 coordinates,
+    Hamming-``probes`` query-bucket expansion, raw-dot re-rank."""
+    masks = [0] + ([1 << j for j in range(bits)] if probes >= 1 else [])
+    return f"""
+v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+nv AS (
+  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS norm
+  FROM v
+),
+c0 AS (SELECT * FROM nv WHERE norm > 0.0),
+gm AS (SELECT MAX(norm) AS m FROM c0),
+banded AS (
+  SELECT vec_id, e, norm,
+         LEAST({n_bands - 1},
+               CAST(FLOOR(LOG2(gm.m / norm) * 4) AS INT)) AS band
+  FROM c0, gm
+),
+mb AS (SELECT band, MAX(norm) AS mb FROM banded GROUP BY band),
+aug_c AS (
+  SELECT b.vec_id,
+         list_append(b.e, sqrt(GREATEST(
+           mb.mb * mb.mb - list_sum(list_transform(b.e, x -> x * x)),
+           0.0))) AS e
+  FROM banded b JOIN mb ON mb.band = b.band
+),
+aug_q AS (
+  SELECT vec_id, list_append(e, 0.0) AS e FROM v WHERE vec_id < {N_QUERIES}
+),
+qc AS (
+  SELECT vec_id,
+         list_transform(e, x -> CAST(round(x * {LSH_QUANT_SCALE}) AS BIGINT))
+           AS q
+  FROM aug_c
+),
+qq AS (
+  SELECT vec_id,
+         list_transform(e, x -> CAST(round(x * {LSH_QUANT_SCALE}) AS BIGINT))
+           AS q
+  FROM aug_q
+),
+planes AS (
+  SELECT t.t, b.b, i.i,
+         CAST('0x' || substr(md5(CAST(t.t AS VARCHAR) || '|' ||
+                                 CAST(b.b AS VARCHAR) || '|' ||
+                                 CAST(i.i AS VARCHAR)), 1, 8) AS BIGINT)
+           % {LSH_PLANE_MOD} - {LSH_PLANE_CENTER} AS w
+  FROM (SELECT UNNEST(range({tables})) AS t) t,
+       (SELECT UNNEST(range({bits})) AS b) b,
+       (SELECT UNNEST(range({dim + 1})) AS i) i
+),
+cproj AS (
+  SELECT qc.vec_id, p.t, p.b, SUM(qc.q[p.i + 1] * p.w) AS s
+  FROM qc CROSS JOIN planes p GROUP BY 1, 2, 3
+),
+csig AS (
+  SELECT vec_id, t,
+         SUM(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END)
+           AS bucket
+  FROM cproj GROUP BY 1, 2
+),
+qproj AS (
+  SELECT qq.vec_id, p.t, p.b, SUM(qq.q[p.i + 1] * p.w) AS s
+  FROM qq CROSS JOIN planes p GROUP BY 1, 2, 3
+),
+qsig AS (
+  SELECT vec_id, t,
+         SUM(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END)
+           AS bucket
+  FROM qproj GROUP BY 1, 2
+),
+probe AS (
+  SELECT vec_id, t, xor(bucket, mask.mask) AS bucket
+  FROM qsig, (SELECT UNNEST([{", ".join(str(m) for m in masks)}]) AS mask)
+         mask
+),
+cand AS (
+  SELECT DISTINCT p.vec_id AS query_id, cs.vec_id AS neighbor_id
+  FROM probe p JOIN csig cs ON p.t = cs.t AND p.bucket = cs.bucket
+  WHERE p.vec_id <> cs.vec_id
+),
+mips_scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_sum(list_transform(range(1, len(q.e) + 1),
+                                 i -> q.e[i] * w.e[i])) AS dot
+  FROM cand c JOIN v q ON q.vec_id = c.query_id
+              JOIN v w ON w.vec_id = c.neighbor_id
+),
+ann_leg AS (
+  SELECT query_id, neighbor_id
+  FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY dot DESC, neighbor_id ASC) AS rank
+    FROM mips_scored
+  )
+  WHERE rank <= {TOP_K}
+)"""
+
+
+SIM_RECALL_MIPS_SQL = f"""
+WITH {_mips_lsh_leg_sql(LSH_TABLES, LSH_BITS, 1, 16, EMB_DIM)},
+bf_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, len(q.e) + 1),
+                                 i -> q.e[i] * c.e[i])) AS dot
+  FROM v q JOIN v c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+),
+bf_leg AS (
+  SELECT query_id, neighbor_id
+  FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY dot DESC, neighbor_id ASC) AS rank
+    FROM bf_scored
+  )
+  WHERE rank <= {TOP_K}
+),
+hits AS (
+  SELECT b.query_id, COUNT(*) AS n_hits
+  FROM bf_leg b JOIN ann_leg a
+    ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+  GROUP BY b.query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       (1000000 * COALESCE(h.n_hits, 0)) // {TOP_K} AS recall_micro
+FROM (SELECT DISTINCT query_id FROM bf_leg) q
+LEFT JOIN hits h ON h.query_id = q.query_id
+"""
+
+
+SIMILARITY_QUERIES["sim_recall_mips"] = (sim_recall_mips, SIM_RECALL_MIPS_SQL)

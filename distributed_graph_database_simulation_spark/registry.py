@@ -180,6 +180,11 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # (The fifteen r13-staged entries rotated into the r14 gate window —
     # see _WINDOW_ORDER. New-this-round operators are declared here as they
     # are built and pre-verified, queued for the r15 rotation.)
+    # r14 wave — each pre-verified hash-exact at sf0.001 AND sf0.01:
+    # recall certification of the banded multi-probe LSH MIPS route
+    # against exact brute-force MIPS (r13 verdict #3); the oracle replays
+    # bands, augmentation, integer signatures, and probe masks
+    "sim_recall_mips": 14,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

@@ -219,8 +219,9 @@ def test_snapshot_v2_synthesis_invariants(spark):
 def test_mips_rides_the_lsh_stack_with_recall(spark):
     """The reduction's 100 TB claim: norm-augmented vectors flow through
     the UNCHANGED cosine-LSH route and recover most of the exact MIPS
-    top-k (recall@10 >= 0.5 averaged over the query set, the same bar
-    sim_recall_lsh pins for cosine)."""
+    top-k. r14 raises the pin from 0.5 to 0.8: the multi-probe default
+    (MIPS_LSH_PROBES = 1, Hamming-1 buckets per table) clears recall@10
+    >= 0.8 at the 1M-vector grid probe and 1.0 at this sf."""
     from distributed_graph_database_simulation_spark.operators.similarity import (
         N_QUERIES,
         TOP_K,
@@ -240,7 +241,7 @@ def test_mips_rides_the_lsh_stack_with_recall(spark):
         for r in mips_topk_lsh_df(emb, queries).collect()
     }
     recall = len(exact & ann) / (N_QUERIES * TOP_K)
-    assert recall >= 0.5, recall
+    assert recall >= 0.8, recall
 
 
 def test_crawl_store_delta_idempotent_and_deletes(spark, tmp_path):

@@ -1563,10 +1563,12 @@ def probe_mips(spark, n_vectors: int = 1_000_000, dim: int = 64) -> dict:
     vecs.count()
     queries = vecs.where(F.col("vec_id") < 8)
     t0 = _t.perf_counter()
-    # 10-bit buckets at 1M: quarter-octave banding caps the augmentation's
-    # per-bit collision loss; fan-out still bounds the candidate scan.
+    # r14 grid-probed 1M config (SCALE.md §mips-grid): 16 tables x 12-bit
+    # buckets with the Hamming-1 multi-probe default — recall@10 0.887,
+    # FASTER than the old 8x10 exact-probe (smaller buckets shrink the
+    # candidate re-rank more than the probe fan-out grows it).
     ann = {(r.query_id, r.neighbor_id)
-           for r in mips_topk_lsh_df(vecs, queries, bits=10).collect()}
+           for r in mips_topk_lsh_df(vecs, queries, tables=16, bits=12).collect()}
     ann_sec = round(_t.perf_counter() - t0, 2)
     t1 = _t.perf_counter()
     exact = {(r.query_id, r.neighbor_id)
@@ -1579,7 +1581,7 @@ def probe_mips(spark, n_vectors: int = 1_000_000, dim: int = 64) -> dict:
     # exact_sec_8q — derived, not run).
     big_q = vecs.where(F.col("vec_id") < 512)
     t2 = _t.perf_counter()
-    mips_topk_lsh_df(vecs, big_q, bits=10).count()
+    mips_topk_lsh_df(vecs, big_q, tables=16, bits=12).count()
     ann_512_sec = round(_t.perf_counter() - t2, 2)
     vecs.unpersist()
     return {"probe": "mips", "vectors": n_vectors, "dim": dim,
