@@ -2060,6 +2060,57 @@ def boilerplate_sentences_df(docs: DataFrame, min_docs: int = BOILER_MIN_DOCS) -
     )
 
 
+def boilerplate_scrub_text_df(
+    docs: DataFrame, min_docs: int = BOILER_MIN_DOCS
+) -> DataFrame:
+    """The TEXT-producing sibling of :func:`boilerplate_sentences_df` for
+    pipeline composition: every input doc comes back as
+    ``(doc_id, lang, text)`` with its cross-document boilerplate sentences
+    removed — kept sentences in original order joined by a newline, the
+    exact reconstruction the digest entry certifies (a fully-boilerplate
+    or empty doc keeps ``''``, preserving corpus cardinality for the next
+    stage). Same plan shape: sentence posexplode, partial-aggregated
+    distinct-doc count, anti-join, per-doc positional regroup."""
+    sents = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", r"[.!?]+")).alias("pos", "raw"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.trim("raw").alias("s"),
+        F.regexp_replace(F.trim(F.lower(F.col("raw"))), r"\s+", " ").alias("norm"),
+    ).where(F.col("s") != "")
+    from pyspark.storagelevel import StorageLevel
+
+    sents = sents.persist(StorageLevel.MEMORY_AND_DISK)
+    boiler = (
+        sents.select("norm", "doc_id")
+        .distinct()
+        .groupBy("norm")
+        .agg(F.count("*").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("norm")
+    )
+    kept_text = (
+        sents.join(boiler, "norm", "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "s"))),
+                    lambda x: x["s"],
+                ),
+                "\n",
+            ).alias("kept_text")
+        )
+    )
+    return docs.join(kept_text, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        F.coalesce("kept_text", F.lit("")).alias("text"),
+    )
+
+
 def dedup_boilerplate_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver entry: cross-document boilerplate-sentence removal over the
     documents corpus (:func:`boilerplate_sentences_df`)."""

@@ -2788,13 +2788,15 @@ def pipe_interleave_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interleave_pack_segments_df(_docs(spark, sf_dir), INTERLEAVE_WEIGHTS)
 
 
-def _interleave_pack_sql() -> str:
-    from ..functions.bpe import SEP, bpe_enc_ctes
+def _interleave_pack_tail_sql() -> str:
+    """The interleave -> pack -> segments CTE chain downstream of the BPE
+    ``enc`` CTE (tok..seg + final SELECT), shared verbatim by the
+    standalone oracle and the composed corpus-clean pipeline oracle —
+    one copy of the WFQ/virtual-time/segment algebra."""
+    from ..functions.bpe import SEP
 
     vals = ", ".join(f"('{g}', {wt})" for g, wt in sorted(INTERLEAVE_WEIGHTS.items()))
-    return f"""
-WITH {bpe_enc_ctes(cols="lang")},
-tok AS (
+    return f"""tok AS (
   SELECT doc_id, lang,
          CAST(CASE WHEN norm = '' THEN 0
               ELSE length(s) - length(replace(s, '{SEP}', '')) END AS INT)
@@ -2837,6 +2839,14 @@ SELECT seq_id, doc_id, lang, vt_micro,
        CAST(seg_end AS INT) AS seg_end
 FROM seg
 """
+
+
+def _interleave_pack_sql(table: str = "documents") -> str:
+    from ..functions.bpe import bpe_enc_ctes
+
+    return f"""
+WITH {bpe_enc_ctes(cols="lang", table=table)},
+{_interleave_pack_tail_sql()}"""
 
 
 PIPE_INTERLEAVE_PACK_SQL = _interleave_pack_sql()
@@ -3064,6 +3074,286 @@ PIPELINE_QUERIES.update(
         "pipe_incremental_quality": (
             pipe_incremental_quality,
             PIPE_INCREMENTAL_QUALITY_SQL,
+        ),
+    }
+)
+
+
+def corpus_clean_pack_df(
+    spark: SparkSession,
+    docs: DataFrame,
+    weights: dict[str, int],
+    seq_len: int = SEQ_LEN,
+) -> DataFrame:
+    """The full C4-style corpus pipeline in ONE DAG (r13 verdict #4) —
+    what a real training-data job runs end to end, each stage consuming
+    the PREVIOUS stage's output, never the raw corpus:
+
+        1. cross-doc boilerplate-sentence removal
+           (:func:`dedup.boilerplate_scrub_text_df`)
+        2. exact-substring scrub of >= 50-token cross-doc runs over the
+           DE-BOILERPLATED text (:func:`dedup.scrub_dup_spans_df`)
+        3. near-dup clustering of the SCRUBBED corpus, keeping the
+           quality-argmax representative per cluster plus every
+           unclustered doc (the production survivor rule of
+           :func:`dedup.dedup_cluster_representatives_df`, quality
+           measured on the stage-2 text)
+        4. WFQ interleave -> BPE-pack -> segment table
+           (:func:`interleave_pack_segments_df`) over the survivors
+
+    Composition IS the contract: boilerplate removal changes which
+    50-grams repeat, scrubbing changes shingles and quality, survivor
+    choice changes the interleave ranks, and every BPE token count
+    shifts every downstream segment boundary — so the oracle replaying
+    all four stages certifies the stage WIRING, not just each stage.
+
+    Scale shape is the sum of its certified parts: sentence-key and
+    gram-key partial aggregates (map-side combined), candidate-
+    proportional span semi-join, banded-LSH pairs + checkpointed
+    min-label loop over paired docs only, one quality argmax aggregate
+    per cluster, vt-bucketed cumsum pack — nothing quadratic, nothing
+    corpus-sized through a single task.
+
+    Returns ``(seq_id, doc_id, lang, vt_micro, seg_start, seg_end)``."""
+    from pyspark.storagelevel import StorageLevel
+
+    from .dedup import (
+        EXACT_SUBSTR_TOKENS,
+        boilerplate_scrub_text_df,
+        dedup_clusters_df,
+        scrub_dup_spans_df,
+    )
+    from .text_analysis import quality_score_df
+
+    stage1 = boilerplate_scrub_text_df(docs)
+    scrubbed = scrub_dup_spans_df(
+        stage1, k=EXACT_SUBSTR_TOKENS, min_occurrences=2, cross_doc=True
+    )
+    # Stage-2 output feeds FOUR consumers (cluster pair-finder, quality,
+    # survivor anti-join/semi-join, the BPE pack) — persist the narrow
+    # (doc_id, lang, text) projection so stages 1-2 run once.
+    docs2 = (
+        scrubbed.select("doc_id", "text")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    clusters = dedup_clusters_df(spark, docs2).select("doc_id", "cluster_id")
+    # Score ONLY cluster members: a fully-scrubbed doc has empty text
+    # (n_chars = 0 -> ANSI divide-by-zero in the quality formula) but can
+    # never be a cluster member (pairs need >= 3 shared words), so the
+    # semi-join both avoids the division and shrinks the scoring input to
+    # the paired docs.
+    members = quality_score_df(
+        docs2.join(clusters, "doc_id", "left_semi")
+    ).select("doc_id", "quality").join(clusters, "doc_id")
+    reps = (
+        members.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(F.col("quality"), (-F.col("doc_id")).alias("neg_id"))
+            ).alias("b")
+        )
+        .select((-F.col("b.neg_id")).cast("bigint").alias("doc_id"))
+    )
+    survivors = docs2.join(clusters, "doc_id", "left_anti").unionByName(
+        docs2.join(reps, "doc_id", "left_semi")
+    )
+    return interleave_pack_segments_df(survivors, weights, seq_len)
+
+
+def pipe_corpus_clean_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: the boilerplate -> substring-scrub -> near-dup-
+    representative -> interleave/pack composition over documents
+    (:func:`corpus_clean_pack_df`)."""
+    return corpus_clean_pack_df(spark, _docs(spark, sf_dir), INTERLEAVE_WEIGHTS)
+
+
+def _corpus_clean_pack_sql() -> str:
+    """One oracle replaying all four stages: the boilerplate sentence
+    reconstruction (dedup.DEDUP_BOILERPLATE_SQL semantics), the >= 50-token
+    cross-doc scrub (dedup.DEDUP_SCRUB_SUBSTRING_SQL semantics), the
+    exact-Jaccard cluster walk + quality argmax
+    (dedup.DEDUP_CLUSTER_REPRESENTATIVES_SQL semantics), and the shared
+    interleave-pack tail (:func:`_interleave_pack_tail_sql`, verbatim the
+    standalone entry's algebra) over a ``stage3`` CTE instead of the raw
+    table."""
+    from ..functions.bpe import bpe_enc_ctes
+    from .dedup import BOILER_MIN_DOCS, EXACT_SUBSTR_TOKENS
+    from .text_analysis import QUALITY_SCORE_EXPR_SQL
+
+    k = EXACT_SUBSTR_TOKENS
+    return f"""
+WITH RECURSIVE bp_raw AS (
+  SELECT doc_id, lang,
+         list_transform(regexp_split_to_array(text, '[.!?]+'),
+                        x -> trim(x)) AS parts
+  FROM documents
+),
+bp_idx AS (
+  SELECT doc_id, lang,
+         list_filter(list_transform(range(1, len(parts) + 1),
+                     i -> struct_pack(pos := i, s := parts[i])),
+                     x -> x.s <> '') AS sents
+  FROM bp_raw
+),
+bp_flat AS (
+  SELECT doc_id, u.pos AS pos, u.s AS s,
+         regexp_replace(trim(lower(u.s)), '\\s+', ' ', 'g') AS norm
+  FROM bp_idx, UNNEST(sents) AS t(u)
+),
+bp_boiler AS (
+  SELECT norm FROM (SELECT DISTINCT norm, doc_id FROM bp_flat)
+  GROUP BY norm HAVING COUNT(*) >= {BOILER_MIN_DOCS}
+),
+bp_kept AS (
+  SELECT f.doc_id, string_agg(f.s, chr(10) ORDER BY f.pos) AS t1
+  FROM bp_flat f ANTI JOIN bp_boiler b ON f.norm = b.norm
+  GROUP BY f.doc_id
+),
+stage1 AS MATERIALIZED (
+  SELECT r.doc_id, r.lang, COALESCE(k.t1, '') AS text
+  FROM bp_raw r LEFT JOIN bp_kept k USING (doc_id)
+),
+sc_docs AS (
+  SELECT doc_id, lang,
+         regexp_replace(trim(text), '\\s+', ' ', 'g') AS t,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
+  FROM stage1
+),
+sc_grams AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         array_to_string(list_slice(w, i, i + {k - 1}), ' ') AS gram
+  FROM sc_docs, LATERAL (SELECT unnest(range(1, len(w) - {k - 2})) AS i)
+  WHERE len(w) >= {k}
+),
+sc_dup AS (
+  SELECT gram FROM sc_grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+),
+sc_dp AS (
+  SELECT g.doc_id, g.pos, g.pos + {k - 1} AS e
+  FROM sc_grams g JOIN sc_dup USING (gram)
+),
+sc_pm AS (
+  SELECT doc_id, pos, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM sc_dp
+),
+sc_isl AS (
+  SELECT doc_id, pos, e,
+         sum(CASE WHEN prev_max IS NULL OR pos > prev_max + 1
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM sc_pm
+),
+sc_spans AS (
+  SELECT doc_id, min(pos) AS a, max(e) AS b
+  FROM sc_isl GROUP BY doc_id, island
+),
+sc_sp AS (
+  SELECT doc_id, list(struct_pack(a := a, b := b)) AS spans
+  FROM sc_spans GROUP BY doc_id
+),
+stage2 AS MATERIALIZED (
+  SELECT d.doc_id, d.lang,
+         CASE WHEN s.spans IS NULL THEN d.t
+              ELSE COALESCE(array_to_string(
+                     list_filter(d.w, (x, i) ->
+                       len(list_filter(s.spans,
+                           v -> (i - 1) >= v.a AND (i - 1) <= v.b)) = 0),
+                     ' '), '')
+         END AS text
+  FROM sc_docs d LEFT JOIN sc_sp s USING (doc_id)
+),
+cl_docs AS MATERIALIZED (
+  SELECT doc_id, lang, text,
+         regexp_replace(trim(text), '\\s+', ' ', 'g') AS t,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
+  FROM stage2
+),
+cl_sh AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM cl_docs
+  WHERE len(w) >= 3
+),
+cl_pre AS MATERIALIZED (
+  SELECT doc_id, len(s) AS n_sh,
+         unnest(list_sort(s)[1 : len(s) - CAST(ceil(len(s) * 0.5) AS BIGINT) + 1]) AS h
+  FROM cl_sh
+),
+cl_cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM cl_pre a JOIN cl_pre b
+    ON a.h = b.h AND a.doc_id < b.doc_id
+   AND b.n_sh >= a.n_sh * 0.5 AND a.n_sh >= b.n_sh * 0.5
+),
+cl_pairs AS MATERIALIZED (
+  SELECT c.doc_a, c.doc_b
+  FROM cl_cand c JOIN cl_sh a ON a.doc_id = c.doc_a
+                 JOIN cl_sh b ON b.doc_id = c.doc_b
+  WHERE CAST(len(a.s) + len(b.s)
+             - len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
+),
+cl_edges AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM cl_pairs
+  UNION
+  SELECT doc_b, doc_a FROM cl_pairs
+),
+cl_walk(doc_id, lbl) AS (
+  SELECT src, src FROM cl_edges
+  UNION
+  SELECT e.dst, w.lbl FROM cl_walk w JOIN cl_edges e ON e.src = w.doc_id
+),
+cl_clusters AS MATERIALIZED (
+  SELECT doc_id, MIN(lbl) AS cluster_id FROM cl_walk GROUP BY doc_id
+),
+cl_m AS (
+  SELECT doc_id,
+         CAST(len(w) AS DOUBLE) AS n_words,
+         CAST(len(list_filter(w, x -> x IN
+              ('the','a','of','is','and','to','in'))) AS DOUBLE) AS n_stop,
+         CAST(length(t) AS DOUBLE) AS n_chars,
+         CAST(length(t) - length(regexp_replace(t, '[a-z]', '', 'g'))
+              AS DOUBLE) AS n_alpha
+  FROM cl_docs
+),
+cl_quality AS (
+  SELECT doc_id, {QUALITY_SCORE_EXPR_SQL} AS quality
+  FROM cl_m
+),
+cl_reps AS (
+  SELECT doc_id FROM (
+    SELECT c.doc_id,
+           row_number() OVER (PARTITION BY c.cluster_id
+                              ORDER BY q.quality DESC, c.doc_id ASC) AS rn
+    FROM cl_clusters c JOIN cl_quality q USING (doc_id)
+  ) WHERE rn = 1
+),
+stage3 AS MATERIALIZED (
+  SELECT doc_id, lang, text FROM cl_docs
+  WHERE doc_id NOT IN (SELECT doc_id FROM cl_clusters)
+  UNION ALL
+  SELECT d.doc_id, d.lang, d.text
+  FROM cl_docs d JOIN cl_reps r USING (doc_id)
+),
+{bpe_enc_ctes(cols="lang", table="stage3")},
+{_interleave_pack_tail_sql()}"""
+
+
+PIPE_CORPUS_CLEAN_PACK_SQL = _corpus_clean_pack_sql()
+
+
+PIPELINE_QUERIES.update(
+    {
+        # r14 (staged r15): the full C4-style corpus pipeline — four
+        # certified stages wired output-to-input, one oracle
+        "pipe_corpus_clean_pack": (
+            pipe_corpus_clean_pack,
+            PIPE_CORPUS_CLEAN_PACK_SQL,
         ),
     }
 )

@@ -185,6 +185,15 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # against exact brute-force MIPS (r13 verdict #3); the oracle replays
     # bands, augmentation, integer signatures, and probe masks
     "sim_recall_mips": 14,
+    # the full C4-style corpus pipeline: boilerplate removal -> exact-
+    # substring scrub -> near-dup quality-argmax representatives ->
+    # interleave/pack, every stage consuming the previous stage's output,
+    # one oracle replaying all four (r13 verdict #4)
+    "pipe_corpus_clean_pack": 14,
+    # OPTIMIZE-under-ingest: keyed-store compaction mid-stream, hard-
+    # failing file census, content preservation through the oracle
+    # (r13 verdict #5)
+    "stream_compact_ingest": 14,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

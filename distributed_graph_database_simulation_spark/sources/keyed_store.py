@@ -106,10 +106,20 @@ class KeyedParquetStore:
         ).select(self.key_col, *value_cols)  # restore original column order
 
     # -- operations -----------------------------------------------------
-    def write_full(self, df: DataFrame) -> None:
+    def write_full(self, df: DataFrame, write_partitions: int | None = None) -> None:
         """Initial (or replacement) load: latest-wins collapse, bucket,
-        write all partitions."""
+        write all partitions.
+
+        ``write_partitions`` pins the write stage's task count
+        (repartition by key): a bucket directory gets one file PER TASK
+        holding rows for it, so this is the production file-size dial —
+        and what lets the compact() certification entry create the
+        multi-file census deterministically (AQE coalesces tiny inputs to
+        one task, which would make the small-file problem vacuous at gate
+        sfs)."""
         out = self._latest_wins(df).withColumn("key_bucket", self._bucket())
+        if write_partitions is not None:
+            out = out.repartition(write_partitions, self.key_col)
         (
             out.write.mode("overwrite")
             .partitionBy("key_bucket")
@@ -126,7 +136,12 @@ class KeyedParquetStore:
         )
         return sorted(r["b"] for r in rows)
 
-    def upsert(self, updates: DataFrame, only_if_newer: bool = False) -> dict:
+    def upsert(
+        self,
+        updates: DataFrame,
+        only_if_newer: bool = False,
+        write_partitions: int | None = None,
+    ) -> dict:
         """MERGE: replace existing rows for the updated keys, insert new
         keys, leave every other bucket's files untouched. Returns a small
         stats dict (buckets touched / initial-load flag).
@@ -135,9 +150,12 @@ class KeyedParquetStore:
         version wins across stored ∪ batch, not batch-always-wins) — the
         mode a streaming foreachBatch ingester needs: replaying ANY
         micro-batch, old or new, then converges to the same state instead
-        of letting a replayed stale batch clobber newer rows."""
+        of letting a replayed stale batch clobber newer rows.
+
+        ``write_partitions``: see :meth:`write_full` — pins the write
+        stage's task count (files per rewritten bucket)."""
         if not self._table_exists():
-            self.write_full(updates)
+            self.write_full(updates, write_partitions=write_partitions)
             return {
                 "buckets_touched": self.n_buckets,
                 "initial_load": True,
@@ -155,6 +173,8 @@ class KeyedParquetStore:
             )
             merged = survivors.unionByName(batch)
         merged = merged.withColumn("key_bucket", self._bucket())
+        if write_partitions is not None:
+            merged = merged.repartition(write_partitions, self.key_col)
         # No pre-write count: it would re-read and re-merge the affected
         # buckets a second time purely for a stats number (the delete path
         # must pre-materialize, this path must not).

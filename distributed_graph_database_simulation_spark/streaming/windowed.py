@@ -549,6 +549,7 @@ STREAMING_QUERIES: dict[str, tuple] = {
 from ..operators.dedup import _NGRAM_ORACLE_CORE  # noqa: E402
 from .ingest import (  # noqa: E402
     STREAM_CMS_INGEST_SQL,
+    STREAM_COMPACT_INGEST_SQL,
     STREAM_CRAWL_DIFF_INGEST_SQL,
     STREAM_WAU_INGEST_SQL,
     STREAM_TOKEN_COUNT_INGEST_SQL,
@@ -556,6 +557,7 @@ from .ingest import (  # noqa: E402
     STREAM_SKETCH_INGEST_SQL,
     STREAM_USER_STATE_INGEST_SQL,
     stream_cms_ingest_entry,
+    stream_compact_ingest_entry,
     stream_crawl_diff_ingest_entry,
     stream_wau_ingest_entry,
     stream_dedup_ingest_entry,
@@ -609,4 +611,10 @@ STREAMING_QUERIES["stream_crawl_diff_ingest"] = (
 STREAMING_QUERIES["stream_wau_ingest"] = (
     stream_wau_ingest_entry,
     STREAM_WAU_INGEST_SQL,
+)
+# staged r15 (r14 build): OPTIMIZE-under-ingest — mid-stream keyed-store
+# compaction with hard-failing file census and content-preservation oracle.
+STREAMING_QUERIES["stream_compact_ingest"] = (
+    stream_compact_ingest_entry,
+    STREAM_COMPACT_INGEST_SQL,
 )

@@ -1687,6 +1687,127 @@ def probe_boilerplate(spark, n_docs: int = 500_000, banner_every: int = 3) -> di
             "boiler_sentences_removed": int(total_boiler), "sec": sec}
 
 
+def probe_corpus_clean_pack(spark, n_docs: int = 500_000) -> dict:
+    """The full C4-style composition at 500k docs (r13 verdict #4):
+    boilerplate -> exact-substring scrub -> near-dup representatives ->
+    interleave/pack in one DAG. Planted structure, each triggering a
+    different stage:
+
+    - every 3rd doc carries a shared cookie-banner sentence (stage 1);
+    - id%1000 in {2,3}: the pair shares a 55-word appended run — a
+      >= 50-token cross-doc duplicate the scrub must excise (stage 2);
+    - id%1000 in {0,1}: the pair's 60-word bodies differ at exactly two
+      positions (17, 49) — longest common run 31 < 50 so the scrub
+      leaves them, shingle Jaccard > 0.5 so clustering pairs them, and
+      exactly one survives (stage 3).
+
+    Invariant: the packed segment table contains exactly
+    n_docs - n_docs/1000 distinct docs (one loser per near-dup pair,
+    nothing else dropped)."""
+    import time as _t
+
+    from distributed_graph_database_simulation_spark.operators.pipeline import (
+        INTERLEAVE_WEIGHTS,
+        corpus_clean_pack_df,
+    )
+
+    vocab = [
+        "scan", "column", "window", "order", "sort", "part", "agg", "value",
+        "line", "key", "join", "merge", "query", "group", "a", "vector",
+        "hash", "slow", "stream", "filter", "fast", "the", "spark", "batch",
+        "table", "small", "data", "big", "customer", "row", "dup",
+    ]
+    v = len(vocab)
+    varr = F.array(*[F.lit(w) for w in vocab])
+    langs = sorted(INTERLEAVE_WEIGHTS)
+    larr = F.array(*[F.lit(la) for la in langs])
+    role = F.col("id") % 1000
+    grp = F.expr("id div 1000")
+    # body word i: group-seeded for near-dup pairs (B flips positions
+    # 17/49), id-seeded otherwise. A vocab-modulo stream ALIASES (ids
+    # congruent mod |vocab| share bodies — the first probe run scrubbed
+    # the whole corpus to empty), so every 10th position injects a
+    # synthetic unique token — per GROUP for the near-dup pair (shared
+    # within the pair), per DOC otherwise — capping any unplanted
+    # cross-doc run at 9 words.
+    def body_word(i):
+        # xxhash64 picks, NOT an affine stride: a constant-stride modulo
+        # stream draws every 3-gram from the same |vocab| possibilities,
+        # which made ALL docs near-dups of each other (one giant cluster,
+        # quadratic verify). Hashed picks give ~|vocab|^3 possible
+        # shingles, so unplanted Jaccard is ~0.
+        near_seed = F.pmod(F.xxhash64(grp, F.lit(i)), F.lit(v))
+        flip = ((role == 1) & ((i == 17) | (i == 49))).cast("int")
+        near = F.element_at(varr, ((near_seed + flip) % v + 1).cast("int"))
+        uniq = F.element_at(
+            varr,
+            (F.pmod(F.xxhash64(F.col("id"), F.lit(i), F.lit(3)), F.lit(v)) + 1).cast(
+                "int"
+            ),
+        )
+        word = F.when(role <= 1, near).otherwise(uniq)
+        if i % 10 == 0:
+            gtok = F.concat(F.lit("g"), grp.cast("string"))
+            utok = F.concat(F.lit("u"), F.col("id").cast("string"))
+            return F.when(role <= 1, gtok).otherwise(utok)
+        return word
+
+    body = F.array_join(
+        F.array(*[body_word(i) for i in range(60)]), " "
+    )
+    # one corpus-wide 55-word run (constant across groups): every role-2/3
+    # doc carries it, the scrub must excise exactly it from all of them
+    run = F.array_join(
+        F.array(
+            *[
+                F.lit(vocab[(7 + i * librarian_prime()) % v])
+                for i in range(55)
+            ]
+        ),
+        " ",
+    )
+    text = F.concat(
+        F.when(F.col("id") % 3 == 0, F.lit("Accept all cookies. ")).otherwise(
+            F.lit("")
+        ),
+        body,
+        F.when((role == 2) | (role == 3), F.concat(F.lit(" "), run)).otherwise(
+            F.lit("")
+        ),
+    )
+    docs = spark.range(0, n_docs, 1, 32).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(larr, (F.col("id") % len(langs) + 1).cast("int")).alias(
+            "lang"
+        ),
+        text.alias("text"),
+    )
+    t0 = _t.perf_counter()
+    segs = corpus_clean_pack_df(spark, docs, INTERLEAVE_WEIGHTS)
+    got = segs.agg(
+        F.countDistinct("doc_id").alias("docs"),
+        F.sum(F.col("seg_end") - F.col("seg_start") + 1).alias("mass"),
+        F.max("seq_id").alias("max_seq"),
+    ).first()
+    sec = round(_t.perf_counter() - t0, 2)
+    spark.catalog.clearCache()  # lazy-plan persists, harness-owned
+    want = n_docs - n_docs // 1000
+    if got["docs"] != want:
+        raise AssertionError(
+            f"survivor docs {got['docs']}, want {want} "
+            f"(one loser per near-dup pair)"
+        )
+    return {"probe": "corpus_clean_pack", "docs": n_docs,
+            "survivors": int(got["docs"]), "packed_tokens": int(got["mass"]),
+            "sequences": int(got["max_seq"]) + 1, "sec": sec}
+
+
+def librarian_prime() -> int:
+    """Distinct stride for the planted duplicate run so it never aligns
+    with a body's word stream."""
+    return 2003
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--edges", type=float, default=5e6)
@@ -1750,6 +1871,7 @@ def main() -> int:
         ("mips", lambda: probe_mips(spark)),
         ("crawl_delta", lambda: probe_crawl_delta(spark)),
         ("boilerplate", lambda: probe_boilerplate(spark)),
+        ("corpus_clean_pack", lambda: probe_corpus_clean_pack(spark)),
     )
     for name, probe in probes:
         if args.only is not None and not any(s in name for s in args.only):
