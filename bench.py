@@ -435,11 +435,19 @@ def main() -> int:
                 if line.lower().startswith("model name"):
                     cpu_model = line.split(":", 1)[1].strip()
                     break
+        load = round(os.getloadavg()[0], 2)
         host = {
-            "loadavg_1m": round(os.getloadavg()[0], 2),
+            "loadavg_1m": load,
             "uptime_sec": int(float(open("/proc/uptime").read().split()[0])),
             "cpus": os.cpu_count(),
             "cpu_model": cpu_model,
+            # r13 verdict #7: round-over-round comparisons are only honest
+            # between quiet-host captures; this bit makes the eligibility
+            # machine-readable so comparison tooling can refuse loaded
+            # artifacts instead of a human remembering to. Threshold 2.0:
+            # the documented confounds appeared at loadavg 3.2-7.7, clean
+            # captures at <= ~1.
+            "host_quiet": load <= 2.0,
         }
     except OSError:
         host = {}
