@@ -194,6 +194,10 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # failing file census, content preservation through the oracle
     # (r13 verdict #5)
     "stream_compact_ingest": 14,
+    # vendored baseline JPEG codec round trip — 4:4:4/4:2:0, quality-
+    # cycled, spec decoder with stream-defined tables; closes the
+    # r10-carried lossy-image gap (r13 verdict #8, option A)
+    "mm_jpeg_decode": 14,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)
