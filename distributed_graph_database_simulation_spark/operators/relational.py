@@ -2367,3 +2367,99 @@ RELATIONAL_QUERIES["rel_attribution_last_touch"] = (
     rel_attribution_last_touch,
     ATTRIBUTION_LAST_TOUCH_SQL,
 )
+
+
+ANALYZE_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+ANALYZE_BUCKETS = 8
+
+
+def analyze_stats_df(df: DataFrame, cols=ANALYZE_COLS, n_buckets: int = ANALYZE_BUCKETS) -> DataFrame:
+    """Optimizer-grade column statistics — the ANALYZE TABLE pass a
+    cost-based planner (and a data-quality monitor) runs before anything
+    else: per column, row count, exact NDV, min/max, and an equi-width
+    histogram. The CBO stats-collection shape at 100 TB: one melt to
+    (col_name, value) rows, then two map-side-combinable hash aggregates
+    (column summaries; bucket counts) — no window, no sort, nothing
+    driver-side but the |cols|-row summary broadcast.
+
+    Exactness discipline: values are scaled to integer CENTS
+    (``round(v * 100)`` — the data dictionary pins <= 2 decimals for the
+    measured columns) so bucket boundaries are INTEGER division —
+    ``width = (max - min) div n_buckets + 1`` — and the histogram is
+    bit-identical across engines; an equi-width histogram on raw doubles
+    flips boundary rows on a one-ulp division difference.
+
+    Returns one row per (col_name, bucket):
+    ``(col_name, bucket, n_rows, col_count, col_ndv, min_cents,
+    max_cents)`` — column-level stats repeated per bucket row keeps the
+    output a single flat frame."""
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.round(F.col(c) * 100).cast("bigint").alias("vc"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("m")
+    ).select("m.col_name", "m.vc")
+    summary = melted.groupBy("col_name").agg(
+        F.count("*").cast("bigint").alias("col_count"),
+        F.countDistinct("vc").cast("bigint").alias("col_ndv"),
+        F.min("vc").alias("min_cents"),
+        F.max("vc").alias("max_cents"),
+    )
+    hist = (
+        melted.join(F.broadcast(summary), "col_name")
+        .withColumn(
+            "bucket",
+            F.expr(
+                f"(vc - min_cents) div "
+                f"((max_cents - min_cents) div {n_buckets} + 1)"
+            ).cast("int"),
+        )
+        .groupBy("col_name", "bucket")
+        .agg(F.count("*").cast("bigint").alias("n_rows"))
+    )
+    return hist.join(F.broadcast(summary), "col_name").select(
+        "col_name", "bucket", "n_rows", "col_count", "col_ndv",
+        "min_cents", "max_cents",
+    )
+
+
+def rel_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style stats over lineitem's three measure columns
+    (:func:`analyze_stats_df`)."""
+    return analyze_stats_df(_t(spark, sf_dir, "lineitem"))
+
+
+_ANALYZE_COLS_SQL = " UNION ALL ".join(
+    f"SELECT '{c}' AS col_name, CAST(round({c} * 100) AS BIGINT) AS vc FROM lineitem"
+    for c in ANALYZE_COLS
+)
+
+REL_ANALYZE_STATS_SQL = f"""
+WITH melted AS ({_ANALYZE_COLS_SQL}),
+summary AS (
+  SELECT col_name,
+         CAST(COUNT(*) AS BIGINT) AS col_count,
+         CAST(COUNT(DISTINCT vc) AS BIGINT) AS col_ndv,
+         MIN(vc) AS min_cents,
+         MAX(vc) AS max_cents
+  FROM melted GROUP BY col_name
+)
+SELECT m.col_name,
+       CAST((m.vc - s.min_cents)
+            // ((s.max_cents - s.min_cents) // {ANALYZE_BUCKETS} + 1) AS INT)
+         AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       s.col_count, s.col_ndv, s.min_cents, s.max_cents
+FROM melted m JOIN summary s USING (col_name)
+GROUP BY 1, 2, s.col_count, s.col_ndv, s.min_cents, s.max_cents
+"""
+
+
+RELATIONAL_QUERIES["rel_analyze_stats"] = (rel_analyze_stats, REL_ANALYZE_STATS_SQL)

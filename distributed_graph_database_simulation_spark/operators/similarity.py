@@ -2311,3 +2311,132 @@ LEFT JOIN hits h ON h.query_id = q.query_id
 
 
 SIMILARITY_QUERIES["sim_recall_mips"] = (sim_recall_mips, SIM_RECALL_MIPS_SQL)
+
+
+KNN_K = 5
+KNN_SUBSET_MOD = 4  # entry corpus = vec_id % 4 == 0 (bounds the SQL replay)
+
+
+def knn_graph_df(
+    corpus: DataFrame,
+    k: int = KNN_K,
+    tables: int = LSH_TABLES,
+    bits: int = LSH_BITS,
+) -> DataFrame:
+    """Approximate k-NN GRAPH over the whole corpus — every vector gets
+    its top-``k`` cosine neighbors — via the LSH signature SELF-join.
+    This is the building block semantic dedup (SemDeDup), graph-based
+    clustering, and diversity sampling all stand on, and the one ANN
+    shape the query-centric entries don't cover: there is no broadcast
+    query side; BOTH sides of the candidate join are the bucket-keyed
+    signature table, so the shuffle moves (vec_id, bucket) id pairs and
+    the re-rank joins vectors back by id — candidate-proportional at any
+    corpus size (bits scale with log2(n) exactly as the `_signatures`
+    contract prescribes).
+
+    Deterministic end to end (integer-plane buckets, double cosine,
+    id tie-break), so the DuckDB oracle replays candidates AND ranking
+    exactly. Recall vs brute force is pinned in unit tests, same
+    division of labor as sim_topk_lsh.
+
+    Returns ``(src_id, rank, neighbor_id, cosine)``."""
+    c = _with_norm(corpus)
+    sig = _signatures(c, tables=tables, bits=bits)
+    pairs = (
+        sig.alias("a")
+        .join(
+            sig.alias("b"),
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("src_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+        )
+        .dropDuplicates(["src_id", "neighbor_id"])
+    )
+    svec = c.select(
+        F.col("vec_id").alias("src_id"),
+        F.col("e").alias("se"),
+        F.col("norm").alias("snorm"),
+    )
+    nvec = c.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ne"),
+        F.col("norm").alias("nnorm"),
+    )
+    cos = _dot(F.col("se"), F.col("ne")) / (F.col("snorm") * F.col("nnorm"))
+    w = W.partitionBy("src_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.join(svec, "src_id")
+        .join(nvec, "neighbor_id")
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the k-NN graph over the ``vec_id % 4 == 0`` subset
+    of the embeddings corpus (subset bounds the oracle's plane fan-out;
+    the Spark plan is identical at any corpus size)."""
+    corpus = _emb(spark, sf_dir).where(F.col("vec_id") % KNN_SUBSET_MOD == 0)
+    return knn_graph_df(corpus.where(F.size("e") > 0), KNN_K)
+
+
+SIM_KNN_GRAPH_SQL = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE vec_id % {KNN_SUBSET_MOD} = 0 AND len(embedding) > 0
+),
+n AS (
+  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS norm,
+         list_transform(e, x -> CAST(round(x * {LSH_QUANT_SCALE}) AS BIGINT)) AS q
+  FROM v
+),
+planes AS (
+  SELECT t.t, b.b, i.i,
+         CAST('0x' || substr(md5(CAST(t.t AS VARCHAR) || '|' ||
+                                 CAST(b.b AS VARCHAR) || '|' ||
+                                 CAST(i.i AS VARCHAR)), 1, 8) AS BIGINT)
+           % {LSH_PLANE_MOD} - {LSH_PLANE_CENTER} AS w
+  FROM (SELECT UNNEST(range({LSH_TABLES})) AS t) t,
+       (SELECT UNNEST(range({LSH_BITS})) AS b) b,
+       (SELECT UNNEST(range(64)) AS i) i
+),
+proj AS (
+  SELECT n.vec_id, p.t, p.b, SUM(n.q[p.i + 1] * p.w) AS s
+  FROM n CROSS JOIN planes p
+  GROUP BY 1, 2, 3
+),
+sig AS (
+  SELECT vec_id, t,
+         SUM(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS bucket
+  FROM proj GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS neighbor_id
+  FROM sig a JOIN sig b ON a.t = b.t AND a.bucket = b.bucket
+  WHERE a.vec_id <> b.vec_id
+),
+scored AS (
+  SELECT c.src_id, c.neighbor_id,
+         list_sum(list_transform(range(1, len(s.e) + 1), i -> s.e[i] * w.e[i]))
+           / (s.norm * w.norm) AS cosine
+  FROM cand c JOIN n s ON s.vec_id = c.src_id
+              JOIN n w ON w.vec_id = c.neighbor_id
+)
+SELECT src_id, rank, neighbor_id, cosine
+FROM (
+  SELECT src_id, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY src_id
+                                 ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+WHERE rank <= {KNN_K}
+"""
+
+
+SIMILARITY_QUERIES["sim_knn_graph"] = (sim_knn_graph, SIM_KNN_GRAPH_SQL)

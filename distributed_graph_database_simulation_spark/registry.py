@@ -198,6 +198,12 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # cycled, spec decoder with stream-defined tables; closes the
     # r10-carried lossy-image gap (r13 verdict #8, option A)
     "mm_jpeg_decode": 14,
+    # all-vectors k-NN graph via the LSH signature SELF-join (no broadcast
+    # query side) — the SemDeDup / graph-clustering building block
+    "sim_knn_graph": 14,
+    # ANALYZE TABLE-style per-column stats (count / exact NDV / min-max /
+    # integer-exact equi-width histogram) — the CBO stats-collection pass
+    "rel_analyze_stats": 14,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)
