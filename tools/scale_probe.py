@@ -1687,6 +1687,80 @@ def probe_boilerplate(spark, n_docs: int = 500_000, banner_every: int = 3) -> di
             "boiler_sentences_removed": int(total_boiler), "sec": sec}
 
 
+def probe_knn_graph(spark, n_vectors: int = 1_000_000, dim: int = 64) -> dict:
+    """k-NN graph at 1M vectors: the LSH SELF-join shape's scale claim is
+    that candidate volume follows n^2 * tables / 2^bits, so ``bits``
+    sized to ~2*log2(n) keeps the pair shuffle candidate-proportional
+    (here 24 bits -> expected ~0.5 candidates/vector/table from hash
+    collisions + the true near-dup mass). Clustered corpus (same
+    generator as probe_mips) so real neighbor structure exists. Recall
+    is spot-checked on 8 probe vectors against brute force."""
+    import time as _t
+
+    from distributed_graph_database_simulation_spark.operators.similarity import (
+        KNN_K,
+        knn_graph_df,
+        sim_topk_bruteforce,  # noqa: F401  (same cosine convention)
+        _with_norm,
+        _dot,
+    )
+
+    n_clusters = 256
+    cluster = F.pmod(F.xxhash64("id"), F.lit(n_clusters))
+    scale = 0.5 + F.pmod(cluster, F.lit(8)).cast("double") / 4.0
+    vecs = spark.range(n_vectors).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: scale
+            * (
+                (F.pmod(F.xxhash64(cluster, i), F.lit(2001)) - 1000) / 1000.0
+                + 0.3
+                * (F.pmod(F.xxhash64(F.col("id"), i, F.lit(3)), F.lit(2001)) - 1000)
+                / 1000.0
+            ),
+        ).alias("e"),
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    vecs = vecs.persist(StorageLevel.MEMORY_AND_DISK)
+    vecs.count()
+    t0 = _t.perf_counter()
+    knn = knn_graph_df(vecs, k=KNN_K, tables=8, bits=24)
+    knn = knn.persist(StorageLevel.MEMORY_AND_DISK)
+    n_edges = knn.count()
+    sec = round(_t.perf_counter() - t0, 2)
+    # spot recall: 8 probe vectors vs brute force over the full corpus
+    probes = vecs.where(F.col("vec_id") < 8)
+    c = _with_norm(vecs).alias("c")
+    q = _with_norm(probes).alias("q")
+    cos = _dot(F.col("q.e"), F.col("c.e")) / (F.col("q.norm") * F.col("c.norm"))
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("src_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    bf = (
+        F.broadcast(q)
+        .join(c, F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("src_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+    )
+    exact = {(r.src_id, r.neighbor_id) for r in bf.collect()}
+    got = {
+        (r.src_id, r.neighbor_id)
+        for r in knn.where(F.col("src_id") < 8).collect()
+    }
+    knn.unpersist()
+    vecs.unpersist()
+    return {"probe": "knn_graph", "vectors": n_vectors, "k": KNN_K,
+            "edges": int(n_edges), "sec": sec,
+            "spot_recall_at_k": round(len(exact & got) / max(len(exact), 1), 3)}
+
+
 def probe_corpus_clean_pack(spark, n_docs: int = 500_000) -> dict:
     """The full C4-style composition at 500k docs (r13 verdict #4):
     boilerplate -> exact-substring scrub -> near-dup representatives ->
@@ -1872,6 +1946,7 @@ def main() -> int:
         ("crawl_delta", lambda: probe_crawl_delta(spark)),
         ("boilerplate", lambda: probe_boilerplate(spark)),
         ("corpus_clean_pack", lambda: probe_corpus_clean_pack(spark)),
+        ("knn_graph", lambda: probe_knn_graph(spark)),
     )
     for name, probe in probes:
         if args.only is not None and not any(s in name for s in args.only):
