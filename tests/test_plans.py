@@ -764,3 +764,59 @@ def test_snapshot_diff_ships_digests_not_text(spark, sf_dir):
         assert "text" not in m.group(0), m.group(0)
     # deletions/additions filters reach the v2 scans
     assert re.search(r"PushedFilters:.*IsNotNull\(doc_id\)", plan)
+
+
+def test_knn_graph_bucket_self_join_no_cartesian(spark, sf_dir):
+    """k-NN graph: the candidate join is a HASH join on (table_id, bucket)
+    between two signature streams — never a cartesian/broadcast-nested-
+    loop over vectors — and the re-rank is a per-src window with the
+    group-limit prune, so the only corpus-sized structures are the
+    bucket-keyed id shuffles."""
+    from distributed_graph_database_simulation_spark.operators import similarity
+
+    plan = _formatted_plan(similarity.sim_knn_graph(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan
+    # the subset filter reaches the scan (partition-prunable at scale)
+    assert "vec_id" in plan
+
+
+def test_analyze_stats_pruned_scan_and_partial_aggs(spark, sf_dir):
+    """ANALYZE stats: the lineitem scan reads ONLY the three measured
+    columns, and both aggregates (summary + histogram) partial-aggregate
+    before their exchanges — no window, no sort."""
+    import re as _re
+
+    plan = _formatted_plan(relational.rel_analyze_stats(spark, sf_dir))
+    m = _re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m is not None
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_quantity", "l_extendedprice", "l_discount"}
+    assert "partial_count" in plan
+    assert "Window" not in plan.replace("WindowGroupLimit", "")
+    assert "Sort " not in plan
+
+
+def test_mips_multiprobe_expansion_is_query_side_only(spark, sf_dir):
+    """probes=1 must not change the corpus-side plan: the Hamming-1 mask
+    explode sits on the (broadcast) query signature stream. Pin: exactly
+    one Generate (explode) node, feeding the broadcast side, and the
+    corpus scan count is identical between probes=0 and probes=1."""
+    from pyspark.sql import functions as F
+
+    from distributed_graph_database_simulation_spark.operators.similarity import (
+        _emb,
+        mips_topk_lsh_df,
+    )
+
+    corpus = _emb(spark, sf_dir)
+    queries = corpus.filter(F.col("vec_id") < 8)
+    p0 = _formatted_plan(mips_topk_lsh_df(corpus, queries, probes=0))
+    p1 = _formatted_plan(mips_topk_lsh_df(corpus, queries, probes=1))
+    # the explode exists only in the probes=1 plan (formatted explain
+    # mentions the Generate node in both the tree and the details block,
+    # so compare presence, not an exact +1)
+    assert p0.count("Generate") == 0 and p1.count("Generate") > 0
+    # corpus scans: same number of parquet scans either way
+    assert p0.count("Scan parquet") == p1.count("Scan parquet")
