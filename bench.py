@@ -178,6 +178,13 @@ HEADLINE = [
     "dedup_boilerplate_sentences",
     "mm_audio_downsample",
     "rel_attribution_last_touch",
+    # r14-built (staged r15)
+    "sim_recall_mips",
+    "pipe_corpus_clean_pack",
+    "stream_compact_ingest",
+    "mm_jpeg_decode",
+    "sim_knn_graph",
+    "rel_analyze_stats",
 ]
 
 

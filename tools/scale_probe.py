@@ -1805,19 +1805,29 @@ def probe_corpus_clean_pack(spark, n_docs: int = 500_000) -> dict:
     # within the pair), per DOC otherwise — capping any unplanted
     # cross-doc run at 9 words.
     def body_word(i):
-        # xxhash64 picks, NOT an affine stride: a constant-stride modulo
-        # stream draws every 3-gram from the same |vocab| possibilities,
-        # which made ALL docs near-dups of each other (one giant cluster,
-        # quadratic verify). Hashed picks give ~|vocab|^3 possible
-        # shingles, so unplanted Jaccard is ~0.
-        near_seed = F.pmod(F.xxhash64(grp, F.lit(i)), F.lit(v))
+        # Two generator lessons, both measured: (a) a constant-stride
+        # modulo stream draws every 3-gram from the same |vocab|
+        # possibilities, making ALL docs near-dups of each other (one
+        # giant cluster, quadratic verify); (b) even xxhash64 picks from
+        # a BARE 31-word vocab leave background Jaccard ~ (w^2/31^3)/2w
+        # ~ 0.002, and at 500k docs the 64-band birthday over 1.25e11
+        # pairs turns J^2 = 4e-6 into ~millions of phantom candidates —
+        # the verify join, correctly candidate-proportional, then
+        # dominated the probe (~900 s that looked like operator cost).
+        # A 2-digit hashed suffix widens the effective vocab to ~3k
+        # (shingle space ~2.7e10), putting unplanted J back at ~0 — the
+        # regime a real (boilerplate-stripped) corpus is actually in.
+        near_h = F.xxhash64(grp, F.lit(i))
+        near_seed = F.pmod(near_h, F.lit(v))
         flip = ((role == 1) & ((i == 17) | (i == 49))).cast("int")
-        near = F.element_at(varr, ((near_seed + flip) % v + 1).cast("int"))
-        uniq = F.element_at(
-            varr,
-            (F.pmod(F.xxhash64(F.col("id"), F.lit(i), F.lit(3)), F.lit(v)) + 1).cast(
-                "int"
-            ),
+        near = F.concat(
+            F.element_at(varr, ((near_seed + flip) % v + 1).cast("int")),
+            F.pmod(near_h, F.lit(97)).cast("string"),
+        )
+        uniq_h = F.xxhash64(F.col("id"), F.lit(i), F.lit(3))
+        uniq = F.concat(
+            F.element_at(varr, (F.pmod(uniq_h, F.lit(v)) + 1).cast("int")),
+            F.pmod(uniq_h, F.lit(97)).cast("string"),
         )
         word = F.when(role <= 1, near).otherwise(uniq)
         if i % 10 == 0:
