@@ -2322,6 +2322,7 @@ def knn_graph_df(
     k: int = KNN_K,
     tables: int = LSH_TABLES,
     bits: int = LSH_BITS,
+    probes: int = 0,
 ) -> DataFrame:
     """Approximate k-NN GRAPH over the whole corpus — every vector gets
     its top-``k`` cosine neighbors — via the LSH signature SELF-join.
@@ -2339,11 +2340,30 @@ def knn_graph_df(
     exactly. Recall vs brute force is pinned in unit tests, same
     division of labor as sim_topk_lsh.
 
+    ``probes`` (multi-probe, as in :func:`mips_topk_lsh_df`): at scale
+    the high-cosine neighbors the k-NN graph wants collide per band with
+    only p_bit^bits, and wide buckets (bits ~ 2*log2 n) push that low;
+    ``probes=1`` expands ONE side of the self-join with every Hamming-1
+    bucket, multiplying the per-table hit rate by ~(1 + bits*(1-p)/p)
+    at (1 + bits)x the hash-collision candidates. The 1M probe measured
+    spot recall 0.30 -> 0.78 for (8,24,0) -> (16,24,1).
+
     Returns ``(src_id, rank, neighbor_id, cosine)``."""
     c = _with_norm(corpus)
     sig = _signatures(c, tables=tables, bits=bits)
+    probe_sig = sig
+    if probes >= 1:
+        masks = [0] + [1 << j for j in range(bits)]
+        probe_sig = sig.select(
+            "vec_id",
+            "table_id",
+            F.explode(
+                F.array(*[F.lit(x).cast("long") for x in masks])
+            ).alias("mask"),
+            F.col("bucket").alias("b0"),
+        ).select("vec_id", "table_id", F.expr("b0 ^ mask").alias("bucket"))
     pairs = (
-        sig.alias("a")
+        probe_sig.alias("a")
         .join(
             sig.alias("b"),
             (F.col("a.table_id") == F.col("b.table_id"))

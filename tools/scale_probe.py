@@ -1692,9 +1692,15 @@ def probe_knn_graph(spark, n_vectors: int = 1_000_000, dim: int = 64) -> dict:
     that candidate volume follows n^2 * tables / 2^bits, so ``bits``
     sized to ~2*log2(n) keeps the pair shuffle candidate-proportional
     (here 24 bits -> expected ~0.5 candidates/vector/table from hash
-    collisions + the true near-dup mass). Clustered corpus (same
-    generator as probe_mips) so real neighbor structure exists. Recall
-    is spot-checked on 8 probe vectors against brute force."""
+    collisions + the true near-dup mass). Corpus STRUCTURE matters more
+    than size: the first attempt reused probe_mips's 256-cluster corpus
+    and OOM'd the driver — 3,900 correlated vectors per cluster make
+    the k-NN graph 256 quasi-cliques (~2e9 true candidate pairs; no
+    algorithm avoids materializing what is genuinely there). The k-NN
+    regime is many SMALL neighborhoods: n/10 clusters of ~10 vectors,
+    so true-candidate mass is ~10/vector and the probe measures the
+    operator, not a degenerate corpus. Recall is spot-checked on 8
+    probe vectors against brute force."""
     import time as _t
 
     from distributed_graph_database_simulation_spark.operators.similarity import (
@@ -1705,7 +1711,7 @@ def probe_knn_graph(spark, n_vectors: int = 1_000_000, dim: int = 64) -> dict:
         _dot,
     )
 
-    n_clusters = 256
+    n_clusters = max(256, n_vectors // 10)
     cluster = F.pmod(F.xxhash64("id"), F.lit(n_clusters))
     scale = 0.5 + F.pmod(cluster, F.lit(8)).cast("double") / 4.0
     vecs = spark.range(n_vectors).select(
@@ -1726,7 +1732,7 @@ def probe_knn_graph(spark, n_vectors: int = 1_000_000, dim: int = 64) -> dict:
     vecs = vecs.persist(StorageLevel.MEMORY_AND_DISK)
     vecs.count()
     t0 = _t.perf_counter()
-    knn = knn_graph_df(vecs, k=KNN_K, tables=8, bits=24)
+    knn = knn_graph_df(vecs, k=KNN_K, tables=16, bits=24, probes=1)
     knn = knn.persist(StorageLevel.MEMORY_AND_DISK)
     n_edges = knn.count()
     sec = round(_t.perf_counter() - t0, 2)
