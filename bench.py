@@ -280,6 +280,14 @@ EXTRA_BENCH = {
 
 
 def main() -> int:
+    # FOREIGN load, sampled before the session spins up: the bench's own
+    # local[32] executor threads legitimately drive loadavg to 5-30 by
+    # run end, so an end-of-run sample can never be "quiet" (the r14
+    # FULLBENCH capture proved it). host_quiet is based on THIS number.
+    try:
+        loadavg_start = round(os.getloadavg()[0], 2)
+    except OSError:
+        loadavg_start = None
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # --full: bench EVERY registry entry — HEADLINE names at the usual reps,
     # the certified tail at reps=1 (r11 verdict #7: 105 entries were
@@ -445,16 +453,19 @@ def main() -> int:
         load = round(os.getloadavg()[0], 2)
         host = {
             "loadavg_1m": load,
+            "loadavg_start": loadavg_start,
             "uptime_sec": int(float(open("/proc/uptime").read().split()[0])),
             "cpus": os.cpu_count(),
             "cpu_model": cpu_model,
             # r13 verdict #7: round-over-round comparisons are only honest
             # between quiet-host captures; this bit makes the eligibility
             # machine-readable so comparison tooling can refuse loaded
-            # artifacts instead of a human remembering to. Threshold 2.0:
-            # the documented confounds appeared at loadavg 3.2-7.7, clean
-            # captures at <= ~1.
-            "host_quiet": load <= 2.0,
+            # artifacts instead of a human remembering to. Judged on the
+            # PRE-SESSION sample (foreign load): the end-of-run loadavg is
+            # dominated by the bench's own executor threads. Threshold
+            # 2.0: the documented confounds appeared at foreign loadavg
+            # 3.2-7.7, clean captures at <= ~1.
+            "host_quiet": loadavg_start is not None and loadavg_start <= 2.0,
         }
     except OSError:
         host = {}

@@ -31,10 +31,10 @@ def _quiet(payload: dict, path: str) -> tuple[bool, str]:
     host = payload.get("host") or {}
     if "host_quiet" in host:
         return bool(host["host_quiet"]), f"host_quiet={host['host_quiet']}"
-    load = host.get("loadavg_1m")
+    load = host.get("loadavg_start", host.get("loadavg_1m"))
     if load is None:
         return False, "no host fingerprint"
-    return load <= 2.0, f"loadavg_1m={load} (pre-host_quiet artifact)"
+    return load <= 2.0, f"loadavg={load} (pre-host_quiet artifact)"
 
 
 def main() -> int:
