@@ -46,77 +46,76 @@ CHECK_WINDOW = 50
 # lands (the r13 guard derived the round from max(CORRECTNESS_r*) + 1 and
 # went structurally red the instant the driver row arrived — r13 verdict
 # "What's wrong #1").
-GATE_ROUND = 14
+GATE_ROUND = 15
 
-# r14 rotation (r13 verdict #1):
+# r15 rotation (r14 verdict #1):
 #
-# THE FIFTEEN r13-STAGED ENTRIES rotate in for their FIRST driver rows
-# (staging bound: a green row within 2 rounds of declaration).
+# THE SIX r14-STAGED ENTRIES rotate in for their FIRST driver rows
+# (staging bound: a green row within 2 rounds of declaration, due r16).
 #
-# THE NINETEEN STALENESS-DUE ENTRIES (last green row round 6; the
-# MAX_GATE_STALENESS=8 bound makes them due in the r14 window) re-enter —
-# exactly the set the r13 guard named.
+# THE TWO CARRIED MUST-INCLUDES (text_pmi, text_tfidf — round-7 vintage,
+# deliberately left due at r15 by the r14 rotation) take their re-gate rows.
 #
-# FOURTEEN PRE-GATES from the sixteen round-7-vintage entries (due in the
-# r15 window) smooth the rotation budget: gating them one round early
-# leaves r15 only 2 carried re-gates + the r14 staged wave. The two left
-# for r15 (text_pmi, text_tfidf) keep that round's must-include list
-# non-empty and testable.
+# TWENTY-THREE r8-VINTAGE PRE-GATES (due r16) and SEVENTEEN r9-VINTAGE
+# PRE-GATES (due r17) fill the remaining 40 slots exactly — clearing BOTH
+# upcoming staleness waves one-to-two rounds early, so r16 and r17 carry
+# zero due re-gates and the windows are free for newly staged operators.
 _WINDOW_ORDER = [
     # -- graph essentials (reference ops 3-4, gate every round) -------------
     "g_bfs_levels",
     "g_dfs_leaves",
-    # -- r13-staged entries, first driver rows (15) --------------------------
-    "pipe_interleave_pack",
-    "dedup_cluster_representatives",
-    "text_bpe_compression",
-    "sim_topk_mips",
-    "rel_sliding_distinct_users",
-    "pipe_snapshot_diff",
-    "stream_crawl_diff_ingest",
-    "stream_wau_ingest",
-    "mm_frame_deltas",
-    "text_keywords",
-    "pipe_incremental_quality",
-    "rel_mode",
-    "dedup_boilerplate_sentences",
-    "mm_audio_downsample",
-    "rel_attribution_last_touch",
-    # -- staleness-due re-gates: round-6 vintage (19) ------------------------
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "dedup_simhash",
-    "g_adamic_adar_capped_scale",
-    "g_bfs_scale",
-    "g_common_neighbors_capped_scale",
-    "g_common_neighbors_scale",
-    "mm_audio_features",
-    "mm_frame_sample",
-    "rel_events_hourly",
-    "rel_salted_heavy_hitters",
-    "rel_udaf_weighted_discount",
-    "rel_udtf_heavy_tokens",
-    "stream_events_hourly",
-    "text_chunk_windows",
-    "text_contamination",
-    "text_pii_scrub",
-    "text_quality_score",
-    "text_sample_stratified",
-    # -- pre-gates: round-7 vintage, due r15, gated one round early (14) -----
-    "dedup_containment",
-    "dedup_dup_spans",
-    "g_core_numbers",
-    "g_landmark_distances_scale",
-    "g_modularity_scale",
-    "g_temporal_reach_scale",
-    "mm_png_decode",
-    "pipe_winsorize",
-    "rel_funnel",
-    "rel_rolling_zscore",
-    "rel_scd2",
-    "sim_topk_bruteforce",
-    "stream_stateful_user_totals",
-    "stream_stream_click_purchase",
+    # -- r14-staged entries, first driver rows (6) ---------------------------
+    "sim_recall_mips",
+    "pipe_corpus_clean_pack",
+    "stream_compact_ingest",
+    "mm_jpeg_decode",
+    "sim_knn_graph",
+    "rel_analyze_stats",
+    # -- carried must-includes: round-7 vintage, due r15 (2) -----------------
+    "text_pmi",
+    "text_tfidf",
+    # -- pre-gates: round-8 vintage, due r16, gated one round early (23) -----
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "g_clustering_coefficient_scale",
+    "g_connected_components_scale",
+    "g_diameter_double_sweep_scale",
+    "g_eccentricity",
+    "g_edge_diff_scale",
+    "g_edge_jaccard",
+    "g_graph_summary",
+    "g_harmonic_sampled_scale",
+    "g_keyed_store_upsert",
+    "g_pagerank_weighted_scale",
+    "g_scc_scale",
+    "g_triangles_scale",
+    "g_wl_fingerprint",
+    "g_wl_labels",
+    "mm_image_features",
+    "mm_wav_decode",
+    "rel_asof_join",
+    "rel_event_sessions",
+    "rel_scalar_events",
+    "stream_dedup_events",
+    "text_language_id",
+    # -- pre-gates: round-9 vintage, due r17, gated two rounds early (17) ----
+    "g_bfs_levels_kernel",
+    "g_connected_components",
+    "g_degrees",
+    "g_degrees_scale",
+    "g_label_propagation",
+    "g_mis",
+    "g_pagerank",
+    "g_reachable",
+    "rel_outer_join",
+    "rel_pivot_returnflag",
+    "rel_pricing_summary",
+    "rel_quantiles",
+    "rel_rollup_shipping",
+    "rel_topk_orders",
+    "text_fingerprint",
+    "text_repetition",
+    "text_token_count",
 ]
 
 _SUITES = (
@@ -177,33 +176,9 @@ ALL_QUERIES.update({name: spec for name, spec in _POOL.items() if name not in AL
 # passed — staging is for entries awaiting a FUTURE rotation, and the r09
 # window still had its rotation pending.
 STAGED_DECLARED_ROUND: dict[str, int] = {
-    # (The fifteen r13-staged entries rotated into the r14 gate window —
-    # see _WINDOW_ORDER. New-this-round operators are declared here as they
-    # are built and pre-verified, queued for the r15 rotation.)
-    # r14 wave — each pre-verified hash-exact at sf0.001 AND sf0.01:
-    # recall certification of the banded multi-probe LSH MIPS route
-    # against exact brute-force MIPS (r13 verdict #3); the oracle replays
-    # bands, augmentation, integer signatures, and probe masks
-    "sim_recall_mips": 14,
-    # the full C4-style corpus pipeline: boilerplate removal -> exact-
-    # substring scrub -> near-dup quality-argmax representatives ->
-    # interleave/pack, every stage consuming the previous stage's output,
-    # one oracle replaying all four (r13 verdict #4)
-    "pipe_corpus_clean_pack": 14,
-    # OPTIMIZE-under-ingest: keyed-store compaction mid-stream, hard-
-    # failing file census, content preservation through the oracle
-    # (r13 verdict #5)
-    "stream_compact_ingest": 14,
-    # vendored baseline JPEG codec round trip — 4:4:4/4:2:0, quality-
-    # cycled, spec decoder with stream-defined tables; closes the
-    # r10-carried lossy-image gap (r13 verdict #8, option A)
-    "mm_jpeg_decode": 14,
-    # all-vectors k-NN graph via the LSH signature SELF-join (no broadcast
-    # query side) — the SemDeDup / graph-clustering building block
-    "sim_knn_graph": 14,
-    # ANALYZE TABLE-style per-column stats (count / exact NDV / min-max /
-    # integer-exact equi-width histogram) — the CBO stats-collection pass
-    "rel_analyze_stats": 14,
+    # (The six r14-staged entries rotated into the r15 gate window — see
+    # _WINDOW_ORDER. New-this-round operators are declared here as they
+    # are built and pre-verified, queued for the r16 rotation.)
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

@@ -356,17 +356,76 @@ R14_ROTATED_OUT = (
     "g_store_roundtrip", "g_text_scan", "dedup_ngram_jaccard",
 )
 
-# The two round-7-vintage entries deliberately LEFT for the r15 window —
-# the next rotation's must-include list (alongside whatever
-# STAGED_DECLARED_ROUND accumulates this round). Checked by
+# r15 rotation (r14 verdict #1): the six r14-staged entries rotate in for
+# their first driver rows, the two deliberately-carried must-includes
+# (text_pmi, text_tfidf — due r15) take their re-gate rows, and ALL
+# remaining upcoming staleness debt pre-gates early: the 23 round-8-vintage
+# entries (due r16) plus the 17 round-9-vintage entries (due r17) fill the
+# window to exactly 50. Out: the 48 non-essential r14 members, all freshly
+# green in CORRECTNESS_r14.
+R15_NEW_ENTRIES = (
+    # r14-staged, first driver rows (6)
+    "sim_recall_mips", "pipe_corpus_clean_pack", "stream_compact_ingest",
+    "mm_jpeg_decode", "sim_knn_graph", "rel_analyze_stats",
+    # carried must-includes: round-7 vintage, due r15 (2)
+    "text_pmi", "text_tfidf",
+    # pre-gates: round-8 vintage, due r16 (23)
+    "dedup_exact", "dedup_minhash_lsh", "g_clustering_coefficient_scale",
+    "g_connected_components_scale", "g_diameter_double_sweep_scale",
+    "g_eccentricity", "g_edge_diff_scale", "g_edge_jaccard",
+    "g_graph_summary", "g_harmonic_sampled_scale", "g_keyed_store_upsert",
+    "g_pagerank_weighted_scale", "g_scc_scale", "g_triangles_scale",
+    "g_wl_fingerprint", "g_wl_labels", "mm_image_features", "mm_wav_decode",
+    "rel_asof_join", "rel_event_sessions", "rel_scalar_events",
+    "stream_dedup_events", "text_language_id",
+    # pre-gates: round-9 vintage, due r17 (17)
+    "g_bfs_levels_kernel", "g_connected_components", "g_degrees",
+    "g_degrees_scale", "g_label_propagation", "g_mis", "g_pagerank",
+    "g_reachable", "rel_outer_join", "rel_pivot_returnflag",
+    "rel_pricing_summary", "rel_quantiles", "rel_rollup_shipping",
+    "rel_topk_orders", "text_fingerprint", "text_repetition",
+    "text_token_count",
+)
+
+R15_ROTATED_OUT = (
+    # the fifteen r13-staged first-timers, green rows in r14
+    "pipe_interleave_pack", "dedup_cluster_representatives",
+    "text_bpe_compression", "sim_topk_mips", "rel_sliding_distinct_users",
+    "pipe_snapshot_diff", "stream_crawl_diff_ingest", "stream_wau_ingest",
+    "mm_frame_deltas", "text_keywords", "pipe_incremental_quality",
+    "rel_mode", "dedup_boilerplate_sentences", "mm_audio_downsample",
+    "rel_attribution_last_touch",
+    # the nineteen round-6-vintage re-gates, freshly green in r14
+    "dedup_clusters", "dedup_embedding_cosine", "dedup_simhash",
+    "g_adamic_adar_capped_scale", "g_bfs_scale",
+    "g_common_neighbors_capped_scale", "g_common_neighbors_scale",
+    "mm_audio_features", "mm_frame_sample", "rel_events_hourly",
+    "rel_salted_heavy_hitters", "rel_udaf_weighted_discount",
+    "rel_udtf_heavy_tokens", "stream_events_hourly", "text_chunk_windows",
+    "text_contamination", "text_pii_scrub", "text_quality_score",
+    "text_sample_stratified",
+    # the fourteen round-7-vintage pre-gates, freshly green in r14
+    "dedup_containment", "dedup_dup_spans", "g_core_numbers",
+    "g_landmark_distances_scale", "g_modularity_scale",
+    "g_temporal_reach_scale", "mm_png_decode", "pipe_winsorize",
+    "rel_funnel", "rel_rolling_zscore", "rel_scd2", "sim_topk_bruteforce",
+    "stream_stateful_user_totals", "stream_stream_click_purchase",
+)
+
+# Entries deliberately carried for the NEXT rotation's must-include list
+# (alongside whatever STAGED_DECLARED_ROUND accumulates this round). The
+# r15 rotation pre-gated both upcoming staleness waves (r8 + r9 vintage),
+# so nothing is carried due for r16 — the r16 window owes only the
+# entries staged this round. Checked by
 # test_next_rotation_obligation_is_satisfiable.
-R15_MUST_INCLUDE = ("text_pmi", "text_tfidf")
+NEXT_MUST_INCLUDE = ()
 
 # Rotation ledger, newest first: (round, rotated-in, rotated-out). Window
 # membership for any name touched by a rotation is decided by the LATEST
 # rotation that mentions it — replaying this ledger replaces the
 # conditional chains the per-round tests used to carry.
 ROTATIONS = (
+    (15, R15_NEW_ENTRIES, R15_ROTATED_OUT),
     (14, R14_NEW_ENTRIES, R14_ROTATED_OUT),
     (13, R13_NEW_ENTRIES, R13_ROTATED_OUT),
     (12, R12_NEW_ENTRIES, R12_ROTATED_OUT),
@@ -406,15 +465,15 @@ def test_rotation_ledger_is_consistent():
         assert (name in w) == expected_in_window(name), name
 
 
-def test_r14_rotation_swaps_balance():
-    """r14 swaps the 15 r13-staged entries + 19 staleness-due re-gates +
-    14 round-7-vintage pre-gates in for the 48 non-essential r13 members
-    (all freshly green in CORRECTNESS_r13); the two graph essentials stay;
-    window stays CHECK_WINDOW."""
-    assert len(R14_NEW_ENTRIES) == len(R14_ROTATED_OUT) == 48
+def test_r15_rotation_swaps_balance():
+    """r15 swaps the 6 r14-staged entries + 2 carried must-includes +
+    23 r8-vintage pre-gates + 17 r9-vintage pre-gates in for the 48
+    non-essential r14 members (all freshly green in CORRECTNESS_r14); the
+    two graph essentials stay; window stays CHECK_WINDOW."""
+    assert len(R15_NEW_ENTRIES) == len(R15_ROTATED_OUT) == 48
     w = set(window_names())
-    assert set(R14_NEW_ENTRIES) <= w
-    assert not set(R14_ROTATED_OUT) & w
+    assert set(R15_NEW_ENTRIES) <= w
+    assert not set(R15_ROTATED_OUT) & w
     assert {"g_bfs_levels", "g_dfs_leaves"} <= w
 
 
@@ -505,7 +564,7 @@ def test_gate_round_is_current():
 def test_next_rotation_obligation_is_satisfiable():
     """Forward-looking budget check for the NEXT rotation: the entries due
     at round GATE_ROUND+1 (staleness-due given this window gates green,
-    plus R15_MUST_INCLUDE carried deliberately, plus currently-staged
+    plus NEXT_MUST_INCLUDE carried deliberately, plus currently-staged
     entries) must fit the window alongside the 2 essentials."""
     last = _last_green_before(registry.GATE_ROUND)
     w = set(window_names())
@@ -516,11 +575,15 @@ def test_next_rotation_obligation_is_satisfiable():
         and last[name] <= registry.GATE_ROUND + 1 - MAX_GATE_STALENESS
         and name not in w  # gated this round -> fresh row
     }
-    assert set(R15_MUST_INCLUDE) <= due_next, (
-        "the deliberately-carried round-7-vintage pair must actually be "
-        f"due next round: {sorted(set(R15_MUST_INCLUDE) - due_next)}"
+    assert set(NEXT_MUST_INCLUDE) <= due_next, (
+        "deliberately-carried entries must actually be "
+        f"due next round: {sorted(set(NEXT_MUST_INCLUDE) - due_next)}"
     )
-    demand = len(due_next | set(R15_MUST_INCLUDE)) + len(
+    assert due_next <= set(NEXT_MUST_INCLUDE), (
+        "entries due next round that are neither in this window nor "
+        f"deliberately carried: {sorted(due_next - set(NEXT_MUST_INCLUDE))}"
+    )
+    demand = len(due_next | set(NEXT_MUST_INCLUDE)) + len(
         registry.STAGED_DECLARED_ROUND
     ) + 2
     assert demand <= registry.CHECK_WINDOW, (
@@ -598,7 +661,7 @@ def test_window_entries_without_history_are_this_rounds_rotation():
     pre-verification step the rotation playbook requires."""
     green = _green_history()
     awaiting = set(window_names()) - green
-    allowed = set(R14_NEW_ENTRIES)
+    allowed = set(R15_NEW_ENTRIES)
     assert awaiting <= allowed, (
         f"window entries with no driver history outside this round's "
         f"rotation: {sorted(awaiting - allowed)}"
@@ -669,7 +732,7 @@ def test_canary_window_flag_selects_gate_prefix():
     # tail-only name under --window selects nothing (exit fast, no Spark job
     # beyond session startup is fine to pay once here). Pick the probe from
     # the CURRENT rotated-out set so it is tail-only by construction.
-    tail_name = R10_ROTATED_OUT[0]
+    tail_name = R15_ROTATED_OUT[0]
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "check_oracles.py"),
          "--window", tail_name],
