@@ -458,12 +458,35 @@ def dedup_against_frames(
     )
     candidates = cand_cross.union(cand_new).distinct()
     all_sh = sh_old.unionByName(sh_new)
-    sh_a = all_sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sh_b = all_sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    # Exact verification with ONE pass over the shingle corpus (r14 verdict
+    # #5 — the previous two-sided join scanned `all_sh` twice, and the
+    # history shingle store is the heaviest table the ingest path touches):
+    # melt each candidate pair to two (doc_a, doc_b, doc_id) rows, join the
+    # shingle table once on doc_id (candidate-proportional probe against
+    # the doc_id-bucketed store — one-sided exchange), then fold the two
+    # rows back into (sh_a, sh_b) with a conditional-max aggregate.
+    melted = candidates.select(
+        "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    )
+    folded = (
+        melted.join(all_sh, "doc_id")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max(
+                F.when(F.col("doc_id") == F.col("doc_a"), F.col("shingles"))
+            ).alias("sh_a"),
+            F.max(
+                F.when(F.col("doc_id") == F.col("doc_b"), F.col("shingles"))
+            ).alias("sh_b"),
+        )
+        # a candidate whose doc is absent from the shingle table has no
+        # verifiable pair (inner-join semantics of the old two-sided form)
+        .where(F.col("sh_a").isNotNull() & F.col("sh_b").isNotNull())
+    )
     union_size = F.size(F.array_union("sh_a", "sh_b"))
     inter_size = F.size("sh_a") + F.size("sh_b") - union_size
     return (
-        candidates.join(sh_a, "doc_a").join(sh_b, "doc_b")
+        folded
         .withColumn("jaccard", inter_size.cast("double") / union_size.cast("double"))
         .filter(F.col("jaccard") >= JACCARD_T)
         .select("doc_a", "doc_b", "jaccard")

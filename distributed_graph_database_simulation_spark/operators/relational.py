@@ -18,6 +18,8 @@ Determinism rules for oracle hash parity:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -2463,3 +2465,114 @@ GROUP BY 1, 2, s.col_count, s.col_ndv, s.min_cents, s.max_cents
 
 
 RELATIONAL_QUERIES["rel_analyze_stats"] = (rel_analyze_stats, REL_ANALYZE_STATS_SQL)
+
+
+# --- CBO: collected stats driving the physical plan ----------------------
+
+def _cbo_register_and_analyze(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Register orders/lineitem as external catalog tables over the
+    testdata parquet (zero-copy) and run ANALYZE TABLE ... COMPUTE
+    STATISTICS FOR COLUMNS — the step that turns :func:`analyze_stats_df`'s
+    stats-collection pass into planner inputs. Only catalog tables carry
+    stats, which is why this path reads via ``spark.table`` rather than
+    ``spark.read.parquet``.
+
+    NOT analyzed: any TIMESTAMP_NTZ column — Spark's FilterEstimation
+    pattern-matches value types and raises MatchError on TimestampNTZType
+    (observed on 4.1; the filter below therefore predicates on bigint
+    o_custkey, which estimates via min/max range arithmetic).
+    """
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    orders_tbl, li_tbl = f"dgds_cbo_orders_{tag}", f"dgds_cbo_lineitem_{tag}"
+    for name, src, cols in (
+        (orders_tbl, "orders", "o_custkey, o_orderkey, o_orderpriority"),
+        (li_tbl, "lineitem", "l_orderkey, l_extendedprice"),
+    ):
+        if not spark.catalog.tableExists(name):
+            spark.sql(
+                f"CREATE TABLE {name} USING PARQUET "
+                f"LOCATION '{sf_dir}/{src}.parquet'"
+            )
+            spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS {cols}")
+    return orders_tbl, li_tbl
+
+
+# Broadcast threshold for the CBO demonstration: below every
+# column-pruned no-stats size estimate of the join legs (projection
+# scaling alone takes sf0.001 lineitem's single-column leg to ~16 KB —
+# size-based estimation shrinks with column pruning even without CBO),
+# but above the stats-estimated size of the filtered orders subplan
+# (~150 rows x row-width ~ 5 KB). Without column stats the planner must
+# sort-merge; with stats the same query broadcast-hash-joins — pinned in
+# tests/test_plans.py.
+CBO_BROADCAST_THRESHOLD = 8 * 1024
+# o_custkey spans 0..~150*sf_scale (sf0.001 tops out at 149), so the
+# segment predicate must sit well inside the smallest range to have
+# real selectivity at every shipped sf: < 15 is ~10% of sf0.001 orders,
+# ~1% at sf0.01, ~0.1% at sf0.1.
+CBO_CUSTKEY_LIMIT = 15
+
+
+def rel_cbo_stats_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based-optimizer wiring (r14 verdict #2): revenue by order
+    priority for a small customer segment, planned WITH catalog column
+    stats + ``spark.sql.cbo.enabled``. The result is plan-invariant (the
+    exact oracle certifies values); what the stats change is the PHYSICAL
+    plan — the filtered orders side's estimated size drops from
+    file-bytes to stats-rows x row-width, flipping the big join from
+    sort-merge to broadcast-hash (the decision a 100 TB user runs ANALYZE
+    for). Confs are scoped: the query is materialized eagerly under CBO
+    and the session is restored before returning.
+    """
+    orders_tbl, li_tbl = _cbo_register_and_analyze(spark, sf_dir)
+    prev = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.cbo.enabled",
+            "spark.sql.cbo.joinReorder.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    spark.conf.set(
+        "spark.sql.autoBroadcastJoinThreshold", str(CBO_BROADCAST_THRESHOLD)
+    )
+    try:
+        seg = spark.table(orders_tbl).where(
+            F.col("o_custkey") < CBO_CUSTKEY_LIMIT
+        )
+        out = (
+            spark.table(li_tbl)
+            .join(seg, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").cast("bigint").alias("n_lineitems"),
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("revenue_cents"),
+            )
+        )
+        # materialize under the CBO confs — the driver collects AFTER this
+        # function returns and the confs are restored, so a lazy plan
+        # would silently be re-planned without stats
+        return out.localCheckpoint(eager=True)
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
+REL_CBO_STATS_JOIN_SQL = f"""
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_custkey < {CBO_CUSTKEY_LIMIT}
+GROUP BY o.o_orderpriority
+"""
+
+
+RELATIONAL_QUERIES["rel_cbo_stats_join"] = (rel_cbo_stats_join, REL_CBO_STATS_JOIN_SQL)

@@ -179,6 +179,11 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # (The six r14-staged entries rotated into the r15 gate window — see
     # _WINDOW_ORDER. New-this-round operators are declared here as they
     # are built and pre-verified, queued for the r16 rotation.)
+    # r15 wave — each pre-verified hash-exact at sf0.001 AND sf0.01:
+    # ANALYZE-collected catalog stats driving a CBO broadcast flip — the
+    # result is plan-invariant (exact oracle); the stats-vs-no-stats plan
+    # change is pinned in tests/test_plans.py (r14 verdict #2)
+    "rel_cbo_stats_join": 15,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

@@ -42,16 +42,114 @@ def _write_partition(df: DataFrame, batch_id: int, path: str) -> None:
     )
 
 
+# Bucket count for the dedup store's band/shingle tables. 32 matches the
+# local shuffle-partition count; at 100 TB the same layout runs with
+# thousands of buckets — the contract (one-sided exchange per micro-batch)
+# is bucket-count-independent.
+DEDUP_STORE_BUCKETS = 32
+
+
+def _store_tag(store_path: str) -> str:
+    import hashlib
+
+    return hashlib.md5(os.path.abspath(store_path).encode()).hexdigest()[:10]
+
+
+def _ensure_store_tables(
+    spark: SparkSession, store_path: str, n_buckets: int
+) -> tuple[str, str]:
+    """Register (or recover) the bucketed band/shingle store tables.
+
+    The store is laid out as BUCKETED datasource tables (r14 verdict #4):
+    bands clustered by the candidate-join key (band_id, band_hash) and
+    shingles by doc_id, both partitioned by batch_id for idempotent
+    replay. Bucketing is what stops the per-micro-batch candidate join
+    from re-shuffling the ever-growing history side: the bucketed scan
+    reports its hash partitioning to Catalyst, so EnsureRequirements
+    shuffles ONLY the new batch (pinned in tests/test_plans.py). Data
+    lives at ``{store_path}/bands`` / ``{store_path}/shingles`` as plain
+    parquet — path readers (tests, compaction census) keep working; a
+    fresh session re-registers the table on the existing files and
+    recovers partitions.
+    """
+    tag = _store_tag(store_path)
+    bands_tbl, sh_tbl = f"dgds_bands_{tag}", f"dgds_shingles_{tag}"
+    specs = (
+        (
+            bands_tbl,
+            f"{store_path}/bands",
+            "doc_id BIGINT, band_id INT, band_hash BIGINT",
+            "band_id, band_hash",
+        ),
+        (
+            sh_tbl,
+            f"{store_path}/shingles",
+            "doc_id BIGINT, shingles ARRAY<STRING>",
+            "doc_id",
+        ),
+    )
+    for name, loc, cols, cluster in specs:
+        existed = os.path.isdir(loc)
+        if not spark.catalog.tableExists(name):
+            # CLUSTERED BY only — no SORTED BY: with one file per bucket per
+            # batch partition, a multi-batch bucket is multi-file and Spark
+            # re-sorts for SMJ regardless, so the write-side sort would be
+            # pure cost.
+            spark.sql(
+                f"CREATE TABLE {name} ({cols}, batch_id INT) USING PARQUET "
+                f"PARTITIONED BY (batch_id) "
+                f"CLUSTERED BY ({cluster}) "
+                f"INTO {n_buckets} BUCKETS "
+                f"LOCATION '{loc}'"
+            )
+            if existed:  # fresh session over a pre-existing store
+                spark.sql(f"MSCK REPAIR TABLE {name}")
+    return bands_tbl, sh_tbl
+
+
+def _insert_partition(
+    df: DataFrame, batch_id: int, table: str, bucket_cols: list[str], n_buckets: int
+) -> None:
+    """Idempotent bucketed write: dynamic-overwrite exactly this batch's
+    partition of a bucketed store table (insertInto is positional — the
+    caller's column order must match the table, partition column last).
+
+    The pre-repartition on the bucket key aligns writer tasks with bucket
+    ids (repartition's HashPartitioning and the bucket-id function are the
+    same pmod(murmur3) — each task holds exactly one bucket), so the write
+    emits n_buckets files per batch instead of tasks x buckets.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.repartition(n_buckets, *bucket_cols)
+            .withColumn("batch_id", F.lit(int(batch_id)).cast("int"))
+            .write.mode("overwrite")
+            .insertInto(table)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def dedup_ingest_batch(
-    spark: SparkSession, batch: DataFrame, batch_id: int, store_path: str, pairs_path: str
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    store_path: str,
+    pairs_path: str,
+    n_buckets: int = DEDUP_STORE_BUCKETS,
 ) -> None:
     """Process one micro-batch: emit pairs, then extend the store.
 
     Pure function of (batch, batch_id, store state) — called by the
     foreachBatch sink below and directly unit-testable without a stream.
+    The store history sides are read through their bucketed tables, so
+    the candidate join and the shingle-verification join shuffle only
+    batch-proportional data regardless of how much history the store
+    holds (r14 verdict #4; SCALE.md incremental probe).
     """
-    import os
-
     from pyspark.storagelevel import StorageLevel
 
     from ..operators.dedup import (
@@ -61,6 +159,7 @@ def dedup_ingest_batch(
         dedup_against_frames,
     )
 
+    bands_tbl, sh_tbl = _ensure_store_tables(spark, store_path, n_buckets)
     # One scan→split→ngram pass per batch: the shingle table feeds the
     # pair-finder AND both store writes (r10 — previously the pipeline ran
     # twice per ingest call). MEMORY_AND_DISK: spill, never recompute.
@@ -70,29 +169,21 @@ def dedup_ingest_batch(
     # single most expensive stage — persisting sh alone still re-ran that
     # aggregate per consumer (r13 profile: ~1.7-3.8 s per extra pass).
     bands = _bands(_minhash_sigs(sh)).persist(StorageLevel.MEMORY_AND_DISK)
-    store_exists = os.path.isdir(f"{store_path}/bands")
-    if store_exists:
-        # Exclude this batch's OWN partition from the store side: on a
-        # replayed micro-batch the store already holds the batch's bands,
-        # and reading them back would emit self-pairs and duplicate the
-        # batch-internal pairs — replay must reproduce the original output.
-        bands_old = (
-            spark.read.parquet(f"{store_path}/bands")
-            .where(F.col("batch_id") != int(batch_id))
-            .select("doc_id", "band_id", "band_hash")
-        )
-        sh_old = (
-            spark.read.parquet(f"{store_path}/shingles")
-            .where(F.col("batch_id") != int(batch_id))
-            .select("doc_id", "shingles")
-        )
-    else:
-        # cold start: empty store frames make dedup_against_frames reduce
-        # to exactly the within-batch pair set (minhash_lsh_df semantics)
-        bands_old = spark.createDataFrame(
-            [], "doc_id long, band_id int, band_hash long"
-        )
-        sh_old = spark.createDataFrame([], "doc_id long, shingles array<string>")
+    # Exclude this batch's OWN partition from the store side: on a
+    # replayed micro-batch the store already holds the batch's bands,
+    # and reading them back would emit self-pairs and duplicate the
+    # batch-internal pairs — replay must reproduce the original output.
+    # (Partition pruning keeps the exclusion filter metadata-only.)
+    bands_old = (
+        spark.table(bands_tbl)
+        .where(F.col("batch_id") != int(batch_id))
+        .select("doc_id", "band_id", "band_hash")
+    )
+    sh_old = (
+        spark.table(sh_tbl)
+        .where(F.col("batch_id") != int(batch_id))
+        .select("doc_id", "shingles")
+    )
     pairs = dedup_against_frames(batch, bands_old, sh_old, sh_new=sh, bands_new=bands)
     # Pairs first, store second: if the job dies between the two writes the
     # replay overwrites the same pair partition and re-extends the store —
@@ -100,8 +191,11 @@ def dedup_ingest_batch(
     # pairs-first means a reader never sees store state whose pairs are
     # missing once the batch commits.)
     _write_partition(pairs, batch_id, pairs_path)
-    _write_partition(bands, batch_id, f"{store_path}/bands")
-    _write_partition(sh, batch_id, f"{store_path}/shingles")
+    _insert_partition(
+        bands.select("doc_id", "band_id", "band_hash"),
+        batch_id, bands_tbl, ["band_id", "band_hash"], n_buckets,
+    )
+    _insert_partition(sh.select("doc_id", "shingles"), batch_id, sh_tbl, ["doc_id"], n_buckets)
     bands.unpersist()
     sh.unpersist()
 
@@ -368,6 +462,9 @@ def stream_dedup_ingest_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     shutil.rmtree(base, ignore_errors=True)
+    tag = _store_tag(store)
+    spark.sql(f"DROP TABLE IF EXISTS dgds_bands_{tag}")
+    spark.sql(f"DROP TABLE IF EXISTS dgds_shingles_{tag}")
     return out
 
 

@@ -820,3 +820,122 @@ def test_mips_multiprobe_expansion_is_query_side_only(spark, sf_dir):
     assert p0.count("Generate") == 0 and p1.count("Generate") > 0
     # corpus scans: same number of parquet scans either way
     assert p0.count("Scan parquet") == p1.count("Scan parquet")
+
+
+def test_dedup_store_candidate_join_is_one_sided_exchange(spark, sf_dir, tmp_path):
+    """r14 verdict #4: the streaming dedup store's band history is a
+    BUCKETED table clustered on the candidate-join key, so the per-batch
+    candidate join must NOT re-shuffle the history side — Catalyst keeps
+    the bucketed scan ("Bucketed: true"; the DisableUnnecessaryBucketedScan
+    rule would flip it to 'disabled by query planner' if the partitioning
+    were not consumed downstream, i.e. if an Exchange sat above the scan).
+    Only the new batch side shuffles — batch-proportional, not
+    history-proportional."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from distributed_graph_database_simulation_spark.operators import dedup
+    from distributed_graph_database_simulation_spark.streaming import ingest
+
+    docs = dedup._docs(spark, sf_dir)
+    store = str(tmp_path / "bucketed_store")
+    pairs = str(tmp_path / "pairs")
+    ingest.dedup_ingest_batch(spark, docs.where(F.col("doc_id") < 100), 0, store, pairs)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bands_tbl, sh_tbl = ingest._ensure_store_tables(
+            spark, store, ingest.DEDUP_STORE_BUCKETS
+        )
+        batch = docs.where(F.col("doc_id") >= 100)
+        bands_old = (
+            spark.table(bands_tbl)
+            .where(F.col("batch_id") != 1)
+            .select("doc_id", "band_id", "band_hash")
+        )
+        sh_old = (
+            spark.table(sh_tbl)
+            .where(F.col("batch_id") != 1)
+            .select("doc_id", "shingles")
+        )
+        plan = _formatted_plan(dedup.dedup_against_frames(batch, bands_old, sh_old))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    m = re.search(
+        r"Scan parquet spark_catalog\.default\.dgds_bands\w+\n(?:[^\n(]*\n)*?"
+        r"Bucketed: (\S+)",
+        plan,
+    )
+    assert m, "bands store scan not found in plan"
+    assert m.group(1) == "true", plan[m.start(): m.end() + 120]
+    # and the join stayed keyed, never quadratic
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for t in (bands_tbl, sh_tbl):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_cbo_stats_flip_join_strategy(spark, sf_dir):
+    """r14 verdict #2: collected column stats must demonstrably change the
+    physical plan. Same query, same confs, same data — the only variable
+    is ANALYZE TABLE: without stats the filtered orders side is estimated
+    at file size (above the broadcast threshold -> SortMergeJoin); with
+    column stats the estimate collapses to filtered-rows x row-width
+    (below it -> BroadcastHashJoin)."""
+    from pyspark.sql import functions as F
+
+    from distributed_graph_database_simulation_spark.operators import relational
+
+    prev = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.cbo.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set(
+        "spark.sql.autoBroadcastJoinThreshold",
+        str(relational.CBO_BROADCAST_THRESHOLD),
+    )
+    names = ("cbo_pin_orders", "cbo_pin_lineitem")
+    try:
+        for name, src in zip(names, ("orders", "lineitem")):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            spark.sql(
+                f"CREATE TABLE {name} USING PARQUET "
+                f"LOCATION '{sf_dir}/{src}.parquet'"
+            )
+
+        def build():
+            seg = spark.table("cbo_pin_orders").where(
+                F.col("o_custkey") < relational.CBO_CUSTKEY_LIMIT
+            )
+            return (
+                spark.table("cbo_pin_lineitem")
+                .join(seg, F.col("l_orderkey") == F.col("o_orderkey"))
+                .groupBy("o_orderpriority")
+                .agg(F.count("*").alias("n"))
+            )
+
+        without_stats = _formatted_plan(build())
+        assert "SortMergeJoin" in without_stats, without_stats
+        assert "BroadcastHashJoin" not in without_stats
+
+        spark.sql(
+            "ANALYZE TABLE cbo_pin_orders COMPUTE STATISTICS "
+            "FOR COLUMNS o_custkey, o_orderkey, o_orderpriority"
+        )
+        spark.sql(
+            "ANALYZE TABLE cbo_pin_lineitem COMPUTE STATISTICS "
+            "FOR COLUMNS l_orderkey"
+        )
+        with_stats = _formatted_plan(build())
+        assert "BroadcastHashJoin" in with_stats, with_stats
+        assert "SortMergeJoin" not in with_stats
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+        for name in names:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
