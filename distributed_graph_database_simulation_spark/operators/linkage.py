@@ -1,0 +1,170 @@
+"""Record linkage / entity resolution: blocking-key candidate generation
+plus edit-distance verification.
+
+The shape the rest of the dedup suite doesn't cover (r14 verdict #8): the
+near-dup operators compare token SETS (Jaccard over shingles); entity
+resolution compares SEQUENCES — two records are the same entity when
+their identifying string is within a small edit distance, which catches
+typos, dropped characters, and truncations that leave token sets almost
+disjoint (a deleted char shifts every downstream token).
+
+Scale posture (100 TB): classic all-pairs linkage is O(n²) in
+comparisons; this implementation is the standard blocking design —
+
+1. every record emits its distinct q-grams (content-based, so an edit
+   only invalidates the ≤ q grams overlapping it),
+2. grams whose document frequency exceeds ``max_df`` are dropped
+   (stop-gram cap — the hub-block guard: without it one ubiquitous gram
+   makes a single O(n²) block; with it per-gram candidate volume is
+   ≤ C(max_df, 2) and total work is candidate-proportional, the same
+   bound discipline as the MinHash band join in dedup.py),
+3. candidates are the distinct record pairs sharing a surviving gram
+   (a hash-keyed self-join — never cartesian),
+4. verification is exact ``levenshtein`` on the candidate pairs only —
+   JVM-side (pyspark.sql.functions.levenshtein), no Python in the loop.
+
+Determinism end to end (gram extraction, integer df cap, exact edit
+distance) is what makes the exact DuckDB oracle possible: the oracle
+replays the same blocking and the same verification, so the driver gate
+certifies recall-by-construction, not a fuzzy score.
+
+Reference scope note: the reference system (secondary_server.c:117-248)
+has no linkage operator; this family belongs to the mandated
+training-data-pipeline extension surface (SURVEY.md §2c).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+LINK_Q = 4          # gram width: an edit invalidates <= q grams
+LINK_MAX_DF = 100   # stop-gram cap (hub-block guard)
+LINK_MAX_DIST = 1   # verification threshold
+LINK_DIRTY_OFFSET = 10_000_000  # rec_id offset for the perturbed copies
+
+
+def record_linkage_df(
+    records: DataFrame,
+    q: int = LINK_Q,
+    max_df: int = LINK_MAX_DF,
+    max_dist: int = LINK_MAX_DIST,
+) -> DataFrame:
+    """Linked pairs ``(rec_a, rec_b, edit_dist)`` over ``(rec_id, text)``
+    records: pairs sharing at least one sub-``max_df`` q-gram whose exact
+    Levenshtein distance is ≤ ``max_dist``. ``rec_a < rec_b``.
+
+    Recall contract: a pair at edit distance d shares every gram not
+    overlapping one of the d edit sites, so it is blocked together unless
+    ALL of its ≤ (len - q + 1) grams are either edit-damaged or
+    df-capped — the deliberate trade of blocking, replayed exactly by the
+    oracle (both sides miss the same pairs; nothing is silently fuzzy).
+    """
+    base = records.where(F.length("text") >= q).select(
+        F.col("rec_id").cast("bigint").alias("rec_id"), "text"
+    )
+    grams = base.select(
+        "rec_id",
+        "text",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform("
+                f"sequence(1, length(text) - {q} + 1), "
+                f"i -> substring(text, i, {q})))"
+            )
+        ).alias("gram"),
+    )
+    kept = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("gram")
+    )
+    blocked = grams.join(kept, "gram")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.rec_id") < F.col("b.rec_id")),
+        )
+        .select(
+            F.col("a.rec_id").alias("rec_a"),
+            F.col("b.rec_id").alias("rec_b"),
+            F.col("a.text").alias("ta"),
+            F.col("b.text").alias("tb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("edit_dist", F.levenshtein("ta", "tb").cast("int"))
+        .where(F.col("edit_dist") <= max_dist)
+        .select("rec_a", "rec_b", "edit_dist")
+    )
+
+
+def _dirty_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The linkage corpus: every customer name plus a 'dirty' copy with
+    one character deleted at position ``c_custkey % 8`` (inside the
+    constant name prefix, so the record's DISTINCTIVE digit-tail grams
+    survive the edit and blocking can find the pair — a tail edit would
+    be the documented blocking miss)."""
+    cust = load_table(spark, sf_dir, "customer")
+    clean = cust.select(
+        F.col("c_custkey").cast("bigint").alias("rec_id"),
+        F.col("c_name").alias("text"),
+    )
+    dirty = cust.select(
+        (F.col("c_custkey") + F.lit(LINK_DIRTY_OFFSET)).cast("bigint").alias("rec_id"),
+        F.expr(
+            "concat(substring(c_name, 1, CAST(c_custkey % 8 AS INT)), "
+            "substring(c_name, CAST(c_custkey % 8 AS INT) + 2, 1000))"
+        ).alias("text"),
+    )
+    return clean.unionByName(dirty)
+
+
+def link_customer_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: link the customer table against a deterministic
+    dirty copy of itself (one-char deletions). Expected links are the
+    planted clean↔dirty pairs (edit distance exactly 1) plus any genuine
+    distance-≤1 neighbors that share an uncapped gram — all replayed
+    exactly by the oracle."""
+    return record_linkage_df(_dirty_customers(spark, sf_dir))
+
+
+LINK_CUSTOMER_DIRTY_SQL = f"""
+WITH recs AS (
+  SELECT CAST(c_custkey AS BIGINT) AS rec_id, c_name AS text FROM customer
+  UNION ALL
+  SELECT CAST(c_custkey + {LINK_DIRTY_OFFSET} AS BIGINT) AS rec_id,
+         substr(c_name, 1, CAST(c_custkey % 8 AS INT))
+           || substr(c_name, CAST(c_custkey % 8 AS INT) + 2) AS text
+  FROM customer
+),
+grams AS (
+  SELECT DISTINCT r.rec_id, r.text, substr(r.text, CAST(t.i AS INT), {LINK_Q}) AS gram
+  FROM recs r, LATERAL UNNEST(range(1, length(r.text) - {LINK_Q} + 2)) AS t(i)
+  WHERE length(r.text) >= {LINK_Q}
+),
+kept AS (
+  SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) <= {LINK_MAX_DF}
+),
+cand AS (
+  SELECT DISTINCT a.rec_id AS rec_a, b.rec_id AS rec_b,
+                  a.text AS ta, b.text AS tb
+  FROM grams a
+  JOIN kept k ON a.gram = k.gram
+  JOIN grams b ON b.gram = a.gram AND a.rec_id < b.rec_id
+)
+SELECT rec_a, rec_b, CAST(levenshtein(ta, tb) AS INT) AS edit_dist
+FROM cand
+WHERE levenshtein(ta, tb) <= {LINK_MAX_DIST}
+"""
+
+
+LINKAGE_QUERIES = {
+    "link_customer_dirty": (link_customer_dirty, LINK_CUSTOMER_DIRTY_SQL),
+}

@@ -2316,12 +2316,29 @@ SIMILARITY_QUERIES["sim_recall_mips"] = (sim_recall_mips, SIM_RECALL_MIPS_SQL)
 KNN_K = 5
 KNN_SUBSET_MOD = 4  # entry corpus = vec_id % 4 == 0 (bounds the SQL replay)
 
+# Production default for the k-NN graph, chosen by the r15 1M-vector grid
+# (SCALE.md): band-OR amplification — MORE tables at the same bucket
+# width — dominates Hamming-1 multi-probing on the recall/cost frontier:
+#   (8, 24, probes=0)  recall 0.30 @  66 s   (old default)
+#   (16, 24, probes=1) recall 0.90 @ 843 s   (r14 high-recall point)
+#   (40, 24, probes=0) recall 0.90 @ 148 s
+#   (48, 24, probes=0) recall 0.90 @ 124 s   <- shipped default (6.8x
+#                                              cheaper than probing at
+#                                              equal recall)
+#   (64, 24, probes=0) recall 0.95 @ 163 s
+# Width stays at 24 bits: narrower buckets (bits=20) blew candidate
+# volume up (quantized integer planes give random pairs a per-bit
+# collision probability well above 1/2, so halving bits multiplies hash
+# collisions far more than 2^4) — the r15 grid's bits=20 leg OOM'd.
+KNN_TABLES = 48
+KNN_BITS = 24
+
 
 def knn_graph_df(
     corpus: DataFrame,
     k: int = KNN_K,
-    tables: int = LSH_TABLES,
-    bits: int = LSH_BITS,
+    tables: int = KNN_TABLES,
+    bits: int = KNN_BITS,
     probes: int = 0,
 ) -> DataFrame:
     """Approximate k-NN GRAPH over the whole corpus — every vector gets
@@ -2340,13 +2357,14 @@ def knn_graph_df(
     exactly. Recall vs brute force is pinned in unit tests, same
     division of labor as sim_topk_lsh.
 
-    ``probes`` (multi-probe, as in :func:`mips_topk_lsh_df`): at scale
-    the high-cosine neighbors the k-NN graph wants collide per band with
-    only p_bit^bits, and wide buckets (bits ~ 2*log2 n) push that low;
-    ``probes=1`` expands ONE side of the self-join with every Hamming-1
-    bucket, multiplying the per-table hit rate by ~(1 + bits*(1-p)/p)
-    at (1 + bits)x the hash-collision candidates. The 1M probe measured
-    spot recall 0.30 -> 0.78 for (8,24,0) -> (16,24,1).
+    Recall/cost dial: amplification is TABLES-first (band-OR — each extra
+    table is an independent chance to collide, recall = 1 - (1-x)^tables
+    for per-table hit rate x), at linearly growing signature cost and
+    hash-collision candidates. ``probes=1`` (Hamming-1 multi-probe, kept
+    for parity with :func:`mips_topk_lsh_df`) expands one join side
+    (1 + bits)x and measured 6.8x MORE expensive than reaching the same
+    recall with more tables on the r15 1M-vector grid (see KNN_TABLES) —
+    prefer tables, keep probes=0.
 
     Returns ``(src_id, rank, neighbor_id, cosine)``."""
     c = _with_norm(corpus)
@@ -2401,9 +2419,15 @@ def knn_graph_df(
 def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: the k-NN graph over the ``vec_id % 4 == 0`` subset
     of the embeddings corpus (subset bounds the oracle's plane fan-out;
-    the Spark plan is identical at any corpus size)."""
+    the Spark plan is identical at any corpus size). The gate runs the
+    SMALL table/bit config so the DuckDB replay stays tractable — the
+    production default (KNN_TABLES band-OR amplification) is certified by
+    the same oracle machinery parameter-for-parameter and measured on the
+    1M grid (SCALE.md)."""
     corpus = _emb(spark, sf_dir).where(F.col("vec_id") % KNN_SUBSET_MOD == 0)
-    return knn_graph_df(corpus.where(F.size("e") > 0), KNN_K)
+    return knn_graph_df(
+        corpus.where(F.size("e") > 0), KNN_K, tables=LSH_TABLES, bits=LSH_BITS
+    )
 
 
 SIM_KNN_GRAPH_SQL = f"""

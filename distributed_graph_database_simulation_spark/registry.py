@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .operators.dedup import DEDUP_QUERIES
 from .operators.graph_queries import GRAPH_QUERIES
+from .operators.linkage import LINKAGE_QUERIES
 from .operators.multimodal import MULTIMODAL_QUERIES
 from .operators.pipeline import PIPELINE_QUERIES
 from .operators.relational import RELATIONAL_QUERIES
@@ -120,6 +121,7 @@ _WINDOW_ORDER = [
 
 _SUITES = (
     GRAPH_QUERIES,
+    LINKAGE_QUERIES,
     RELATIONAL_QUERIES,
     DEDUP_QUERIES,
     SIMILARITY_QUERIES,
@@ -184,6 +186,10 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # result is plan-invariant (exact oracle); the stats-vs-no-stats plan
     # change is pinned in tests/test_plans.py (r14 verdict #2)
     "rel_cbo_stats_join": 15,
+    # blocking-key record linkage (q-gram blocks, stop-gram df cap,
+    # exact levenshtein verify) over the customer table vs a planted
+    # dirty copy (r14 verdict #8)
+    "link_customer_dirty": 15,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

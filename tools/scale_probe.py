@@ -1732,7 +1732,8 @@ def probe_knn_graph(spark, n_vectors: int = 1_000_000, dim: int = 64) -> dict:
     vecs = vecs.persist(StorageLevel.MEMORY_AND_DISK)
     vecs.count()
     t0 = _t.perf_counter()
-    knn = knn_graph_df(vecs, k=KNN_K, tables=16, bits=24, probes=1)
+    # shipped default (KNN_TABLES band-OR config, r15 grid winner)
+    knn = knn_graph_df(vecs, k=KNN_K)
     knn = knn.persist(StorageLevel.MEMORY_AND_DISK)
     n_edges = knn.count()
     sec = round(_t.perf_counter() - t0, 2)
