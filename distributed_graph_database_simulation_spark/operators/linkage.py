@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import barrier_t, checkpoint_dir
 from ..sources.tables import load_table
 
 LINK_Q = 4          # gram width: an edit invalidates <= q grams
@@ -165,6 +166,89 @@ WHERE levenshtein(ta, tb) <= {LINK_MAX_DIST}
 """
 
 
+def entity_clusters_df(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+    """Entity resolution's MERGE step: transitive closure of linked pairs.
+
+    Linkage emits pairwise matches; an entity is the connected component
+    of the match graph (A↔B and B↔C put all three in one entity even when
+    A↔C misses the distance threshold). Min-label propagation — the same
+    superstep pattern as ``dedup.dedup_clusters_df`` / the CC operators —
+    over ONLY the records that appear in some pair, so loop state is
+    match-proportional, not corpus-proportional, at any scale. The
+    canonical record (``is_canonical``) is the min rec_id of its entity.
+    """
+    ck = checkpoint_dir(spark)
+    edges = (
+        pairs.select(F.col("rec_a").alias("src"), F.col("rec_b").alias("dst"))
+        .union(pairs.select(F.col("rec_b").alias("src"), F.col("rec_a").alias("dst")))
+        .distinct()
+        .transform(barrier_t(eager=True, ckdir=ck))
+    )
+    labels = (
+        edges.select(F.col("src").alias("rec_id"))
+        .distinct()
+        .withColumn("entity_id", F.col("rec_id"))
+        .transform(barrier_t(eager=True, ckdir=ck))
+    )
+    for _ in range(50):
+        lbl, e = labels.alias("lbl"), edges.alias("e")
+        msgs = lbl.join(e, F.col("lbl.rec_id") == F.col("e.src")).select(
+            F.col("e.dst").alias("rec_id"),
+            F.col("lbl.entity_id").alias("entity_id"),
+            F.lit(None).cast("long").alias("old_entity"),
+        )
+        new_labels = (
+            labels.withColumn("old_entity", F.col("entity_id"))
+            .unionByName(msgs)
+            .groupBy("rec_id")
+            .agg(
+                F.min("entity_id").alias("entity_id"),
+                F.max("old_entity").alias("old_entity"),
+            )
+            .transform(barrier_t(eager=False, ckdir=ck))
+        )
+        n_changed = new_labels.filter(
+            F.col("entity_id") < F.col("old_entity")
+        ).count()
+        labels = new_labels.drop("old_entity")
+        if n_changed == 0:
+            break
+    return labels.select(
+        "rec_id",
+        "entity_id",
+        (F.col("rec_id") == F.col("entity_id")).alias("is_canonical"),
+    )
+
+
+def link_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: entities over the clean↔dirty customer linkage —
+    blocking + verify (:func:`link_customer_dirty`) composed with the
+    transitive-closure merge, one oracle replaying both stages."""
+    return entity_clusters_df(
+        spark, record_linkage_df(_dirty_customers(spark, sf_dir))
+    )
+
+
+LINK_ENTITY_CLUSTERS_SQL = f"""
+WITH RECURSIVE base_pairs AS MATERIALIZED (
+{LINK_CUSTOMER_DIRTY_SQL.strip()}
+),
+edges AS MATERIALIZED (
+  SELECT rec_a AS src, rec_b AS dst FROM base_pairs
+  UNION
+  SELECT rec_b, rec_a FROM base_pairs
+),
+walk(rec_id, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.rec_id
+)
+SELECT rec_id, MIN(lbl) AS entity_id, rec_id = MIN(lbl) AS is_canonical
+FROM walk GROUP BY rec_id
+"""
+
+
 LINKAGE_QUERIES = {
     "link_customer_dirty": (link_customer_dirty, LINK_CUSTOMER_DIRTY_SQL),
+    "link_entity_clusters": (link_entity_clusters, LINK_ENTITY_CLUSTERS_SQL),
 }

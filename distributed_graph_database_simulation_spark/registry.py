@@ -190,6 +190,10 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # exact levenshtein verify) over the customer table vs a planted
     # dirty copy (r14 verdict #8)
     "link_customer_dirty": 15,
+    # entity-resolution merge: transitive closure of the linkage pairs
+    # (min-label superstep CC), one oracle replaying blocking + verify +
+    # closure
+    "link_entity_clusters": 15,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

@@ -131,3 +131,19 @@ def test_record_linkage_plan_is_keyed_never_quadratic(spark, sf_dir):
     plan = jdf.queryExecution().explainString(mode)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_entity_clusters_merge_planted_pairs(spark, sf_dir):
+    """The ER merge step: every clean↔dirty linked pair lands in one
+    entity whose canonical record is the min rec_id (the clean one for
+    planted pairs), and entity labels are transitively consistent."""
+    pairs = linkage.record_linkage_df(linkage._dirty_customers(spark, sf_dir))
+    ent = {r.rec_id: r.entity_id for r in
+           linkage.entity_clusters_df(spark, pairs).collect()}
+    linked = [(r.rec_a, r.rec_b) for r in pairs.collect()]
+    assert linked
+    for a, b in linked:
+        assert ent[a] == ent[b], (a, b)
+    for rec, label in ent.items():
+        assert label <= rec
+        assert ent[label] == label  # canonical record labels itself
