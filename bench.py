@@ -185,6 +185,11 @@ HEADLINE = [
     "mm_jpeg_decode",
     "sim_knn_graph",
     "rel_analyze_stats",
+    # r15-built (staged r16): CBO stats-driven join, record linkage +
+    # entity-resolution merge
+    "rel_cbo_stats_join",
+    "link_customer_dirty",
+    "link_entity_clusters",
 ]
 
 

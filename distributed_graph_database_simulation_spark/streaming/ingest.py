@@ -108,7 +108,12 @@ def _ensure_store_tables(
 
 
 def _insert_partition(
-    df: DataFrame, batch_id: int, table: str, bucket_cols: list[str], n_buckets: int
+    df: DataFrame,
+    batch_id: int,
+    table: str,
+    loc: str,
+    bucket_cols: list[str],
+    n_buckets: int,
 ) -> None:
     """Idempotent bucketed write: dynamic-overwrite exactly this batch's
     partition of a bucketed store table (insertInto is positional — the
@@ -118,17 +123,25 @@ def _insert_partition(
     ids (repartition's HashPartitioning and the bucket-id function are the
     same pmod(murmur3) — each task holds exactly one bucket), so the write
     emits n_buckets files per batch instead of tasks x buckets.
+
+    First write of a batch takes the plain-append path; only an actual
+    REPLAY (the batch's partition directory already exists) pays the
+    dynamic-overwrite staging machinery — same idempotence contract,
+    no per-batch overwrite tax on the common path.
     """
     spark = df.sparkSession
+    out = (
+        df.repartition(n_buckets, *bucket_cols)
+        .withColumn("batch_id", F.lit(int(batch_id)).cast("int"))
+    )
+    part_dir = f"{loc}/batch_id={int(batch_id)}"
+    if not os.path.isdir(part_dir):
+        out.write.mode("append").insertInto(table)
+        return
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        (
-            df.repartition(n_buckets, *bucket_cols)
-            .withColumn("batch_id", F.lit(int(batch_id)).cast("int"))
-            .write.mode("overwrite")
-            .insertInto(table)
-        )
+        out.write.mode("overwrite").insertInto(table)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
@@ -193,9 +206,13 @@ def dedup_ingest_batch(
     _write_partition(pairs, batch_id, pairs_path)
     _insert_partition(
         bands.select("doc_id", "band_id", "band_hash"),
-        batch_id, bands_tbl, ["band_id", "band_hash"], n_buckets,
+        batch_id, bands_tbl, f"{store_path}/bands",
+        ["band_id", "band_hash"], n_buckets,
     )
-    _insert_partition(sh.select("doc_id", "shingles"), batch_id, sh_tbl, ["doc_id"], n_buckets)
+    _insert_partition(
+        sh.select("doc_id", "shingles"),
+        batch_id, sh_tbl, f"{store_path}/shingles", ["doc_id"], n_buckets,
+    )
     bands.unpersist()
     sh.unpersist()
 

@@ -1768,6 +1768,54 @@ def probe_knn_graph(spark, n_vectors: int = 1_000_000, dim: int = 64) -> dict:
             "spot_recall_at_k": round(len(exact & got) / max(len(exact), 1), 3)}
 
 
+def probe_linkage(spark, n_records: int = 1_000_000) -> dict:
+    """Record linkage at 1M records: the scale claim is that blocking
+    keeps comparisons candidate-proportional — q-gram blocks with the
+    stop-gram df cap generate ~planted + hash-accident candidates, never
+    the C(n,2) ~ 5e11 all-pairs set. Corpus: n/2 distinct base strings
+    (12 hex chars from a wide id space — background gram collisions df-
+    bounded), each with ONE planted dirty copy (a char deleted mid-
+    string), so expected links = n/2 planted pairs exactly; any
+    accidental pair must still be a true distance-<=1 pair by the verify
+    step. Recall here is 100% by construction (the deletion damages <= q
+    interior grams of 9, and hex-gram df stays under the cap)."""
+    import time as _t
+
+    from distributed_graph_database_simulation_spark.operators.linkage import (
+        record_linkage_df,
+    )
+
+    n_base = n_records // 2
+    base = spark.range(0, n_base, 1, 32).select(
+        F.col("id").alias("rec_id"),
+        F.concat(
+            F.lit("id-"),
+            F.lpad(F.hex(F.xxhash64("id").bitwiseAND(F.lit(0xFFFFFFFFFFFF))), 12, "0"),
+        ).alias("text"),
+    )
+    dirty = base.select(
+        (F.col("rec_id") + n_base).alias("rec_id"),
+        # delete one mid-string char at a hash-derived position (4..10)
+        F.expr(
+            "concat(substring(text, 1, CAST(4 + pmod(xxhash64(rec_id), 7) AS INT)), "
+            "substring(text, CAST(4 + pmod(xxhash64(rec_id), 7) AS INT) + 2, 100))"
+        ).alias("text"),
+    )
+    records = base.unionByName(dirty)
+    t0 = _t.perf_counter()
+    out = record_linkage_df(records, q=4, max_df=200, max_dist=1)
+    n_links = out.count()
+    sec = round(_t.perf_counter() - t0, 2)
+    planted = out.where(F.col("rec_b") == F.col("rec_a") + n_base).count()
+    if planted < n_base * 0.99:
+        raise AssertionError(
+            f"planted-pair recall collapsed: {planted} / {n_base}"
+        )
+    return {"probe": "linkage", "records": n_records, "links": int(n_links),
+            "planted_recalled": int(planted), "planted_total": n_base,
+            "sec": sec}
+
+
 def probe_corpus_clean_pack(spark, n_docs: int = 500_000) -> dict:
     """The full C4-style composition at 500k docs (r13 verdict #4):
     boilerplate -> exact-substring scrub -> near-dup representatives ->
@@ -1964,6 +2012,7 @@ def main() -> int:
         ("boilerplate", lambda: probe_boilerplate(spark)),
         ("corpus_clean_pack", lambda: probe_corpus_clean_pack(spark)),
         ("knn_graph", lambda: probe_knn_graph(spark)),
+        ("linkage", lambda: probe_linkage(spark)),
     )
     for name, probe in probes:
         if args.only is not None and not any(s in name for s in args.only):
