@@ -190,6 +190,7 @@ HEADLINE = [
     "rel_cbo_stats_join",
     "link_customer_dirty",
     "link_entity_clusters",
+    "stream_linkage_ingest",
 ]
 
 

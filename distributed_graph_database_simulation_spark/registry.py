@@ -194,6 +194,9 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # (min-label superstep CC), one oracle replaying blocking + verify +
     # closure
     "link_entity_clusters": 15,
+    # continuous record linkage: gram/record stores bucketed on their
+    # join keys, cumulative stop-gram df cap, batch replay stress
+    "stream_linkage_ingest": 15,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

@@ -55,6 +55,30 @@ def _store_tag(store_path: str) -> str:
     return hashlib.md5(os.path.abspath(store_path).encode()).hexdigest()[:10]
 
 
+def _ensure_bucketed_tables(
+    spark: SparkSession, specs: tuple[tuple[str, str, str, str], ...], n_buckets: int
+) -> None:
+    """Register (or recover) bucketed datasource tables over external
+    parquet locations. ``specs``: (table_name, location, column_ddl,
+    cluster_cols). Shared by the dedup and linkage ingest stores."""
+    for name, loc, cols, cluster in specs:
+        existed = os.path.isdir(loc)
+        if not spark.catalog.tableExists(name):
+            # CLUSTERED BY only — no SORTED BY: with one file per bucket
+            # per batch partition, a multi-batch bucket is multi-file and
+            # Spark re-sorts for SMJ regardless, so the write-side sort
+            # would be pure cost.
+            spark.sql(
+                f"CREATE TABLE {name} ({cols}, batch_id INT) USING PARQUET "
+                f"PARTITIONED BY (batch_id) "
+                f"CLUSTERED BY ({cluster}) "
+                f"INTO {n_buckets} BUCKETS "
+                f"LOCATION '{loc}'"
+            )
+            if existed:  # fresh session over a pre-existing store
+                spark.sql(f"MSCK REPAIR TABLE {name}")
+
+
 def _ensure_store_tables(
     spark: SparkSession, store_path: str, n_buckets: int
 ) -> tuple[str, str]:
@@ -88,22 +112,7 @@ def _ensure_store_tables(
             "doc_id",
         ),
     )
-    for name, loc, cols, cluster in specs:
-        existed = os.path.isdir(loc)
-        if not spark.catalog.tableExists(name):
-            # CLUSTERED BY only — no SORTED BY: with one file per bucket per
-            # batch partition, a multi-batch bucket is multi-file and Spark
-            # re-sorts for SMJ regardless, so the write-side sort would be
-            # pure cost.
-            spark.sql(
-                f"CREATE TABLE {name} ({cols}, batch_id INT) USING PARQUET "
-                f"PARTITIONED BY (batch_id) "
-                f"CLUSTERED BY ({cluster}) "
-                f"INTO {n_buckets} BUCKETS "
-                f"LOCATION '{loc}'"
-            )
-            if existed:  # fresh session over a pre-existing store
-                spark.sql(f"MSCK REPAIR TABLE {name}")
+    _ensure_bucketed_tables(spark, specs, n_buckets)
     return bands_tbl, sh_tbl
 
 
@@ -1316,3 +1325,246 @@ SELECT source,
                 % {CRAWL_CSUM_MOD}) AS BIGINT) AS content_sum
 FROM documents GROUP BY source
 """
+
+
+# --- continuous record linkage (entity resolution under ingest) ----------
+
+def linkage_ingest_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    store_path: str,
+    pairs_path: str,
+    n_buckets: int = DEDUP_STORE_BUCKETS,
+) -> None:
+    """Process one micro-batch of ``(rec_id, text)`` records: emit linked
+    pairs touching the batch (vs the store AND within the batch), then
+    extend the record store — the streaming shape of
+    :func:`operators.linkage.record_linkage_df` (r14 verdict #8 family).
+
+    Store layout mirrors the dedup ingest store: a gram posting table
+    bucketed by ``gram`` (the candidate-join key — history side never
+    re-shuffles) and a records table bucketed by ``rec_id`` (the
+    verification key), both partitioned by batch_id for idempotent
+    replay. The stop-gram df cap is CUMULATIVE — a gram blocks iff its
+    document frequency over (store ∪ batch) is ≤ the cap, so a gram
+    that goes ubiquitous as the corpus grows stops generating candidates
+    (pairs already emitted under an earlier, smaller df stay emitted —
+    the pairs log is append-only, exactly how crawl-time linkage
+    behaves). Old↔old pairs are never re-derived: they were reported
+    when their batch arrived.
+    """
+    from ..operators.linkage import LINK_MAX_DF, LINK_MAX_DIST, LINK_Q
+
+    from pyspark.storagelevel import StorageLevel
+
+    tag = _store_tag(store_path)
+    grams_tbl, recs_tbl = f"dgds_linkgrams_{tag}", f"dgds_linkrecs_{tag}"
+    _ensure_bucketed_tables(
+        spark,
+        (
+            (grams_tbl, f"{store_path}/grams", "rec_id BIGINT, gram STRING", "gram"),
+            (recs_tbl, f"{store_path}/records", "rec_id BIGINT, text STRING", "rec_id"),
+        ),
+        n_buckets,
+    )
+    base = (
+        batch.where(F.length("text") >= LINK_Q)
+        .select(F.col("rec_id").cast("bigint").alias("rec_id"), "text")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    g_new = base.select(
+        "rec_id",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform("
+                f"sequence(1, length(text) - {LINK_Q} + 1), "
+                f"i -> substring(text, i, {LINK_Q})))"
+            )
+        ).alias("gram"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Exclude this batch's OWN partition on replay (same contract as the
+    # dedup store) — both from candidates and from the cumulative df.
+    g_old = (
+        spark.table(grams_tbl)
+        .where(F.col("batch_id") != int(batch_id))
+        .select("rec_id", "gram")
+    )
+    kept = (
+        g_new.select("gram")
+        .unionByName(g_old.select("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= LINK_MAX_DF)
+        .select("gram")
+    )
+    gk_new = g_new.join(kept, "gram")
+    gk_old = g_old.join(kept, "gram")
+    a, b = gk_new.alias("a"), gk_old.alias("b")
+    cand_cross = a.join(b, F.col("a.gram") == F.col("b.gram")).select(
+        F.least(F.col("a.rec_id"), F.col("b.rec_id")).alias("rec_a"),
+        F.greatest(F.col("a.rec_id"), F.col("b.rec_id")).alias("rec_b"),
+    )
+    n1, n2 = gk_new.alias("a"), gk_new.alias("b")
+    cand_new = n1.join(
+        n2,
+        (F.col("a.gram") == F.col("b.gram"))
+        & (F.col("a.rec_id") < F.col("b.rec_id")),
+    ).select(F.col("a.rec_id").alias("rec_a"), F.col("b.rec_id").alias("rec_b"))
+    candidates = cand_cross.union(cand_new).distinct()
+    # Single pass over the record texts (store ∪ batch) — same
+    # melt→join→fold shape as dedup verification.
+    texts = (
+        spark.table(recs_tbl)
+        .where(F.col("batch_id") != int(batch_id))
+        .select("rec_id", "text")
+        .unionByName(base)
+    )
+    melted = candidates.select(
+        "rec_a", "rec_b", F.explode(F.array("rec_a", "rec_b")).alias("rec_id")
+    )
+    folded = (
+        melted.join(texts, "rec_id")
+        .groupBy("rec_a", "rec_b")
+        .agg(
+            F.max(F.when(F.col("rec_id") == F.col("rec_a"), F.col("text"))).alias("ta"),
+            F.max(F.when(F.col("rec_id") == F.col("rec_b"), F.col("text"))).alias("tb"),
+        )
+        .where(F.col("ta").isNotNull() & F.col("tb").isNotNull())
+    )
+    pairs = (
+        folded.withColumn("edit_dist", F.levenshtein("ta", "tb").cast("int"))
+        .where(F.col("edit_dist") <= LINK_MAX_DIST)
+        .select("rec_a", "rec_b", "edit_dist")
+    )
+    _write_partition(pairs, batch_id, pairs_path)
+    _insert_partition(
+        g_new, batch_id, grams_tbl, f"{store_path}/grams", ["gram"], n_buckets
+    )
+    _insert_partition(
+        base, batch_id, recs_tbl, f"{store_path}/records", ["rec_id"], n_buckets
+    )
+    g_new.unpersist()
+    base.unpersist()
+
+
+def stream_linkage_ingest(
+    spark: SparkSession,
+    stream: DataFrame,
+    store_path: str,
+    pairs_path: str,
+    checkpoint_path: str,
+):
+    """Attach the continuous-linkage sink to a streaming (rec_id, text)
+    frame; availableNow triggers make it a catch-up batch ingester."""
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        linkage_ingest_batch(spark, batch, batch_id, store_path, pairs_path)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_linkage_ingest_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: batch 0 = clean customer names (cold store), batch 1
+    = the planted dirty copies against the store, then batch 1 REPLAYED
+    (must overwrite its own partitions). The pair-partition union is
+    exactly: within-batch-0 links under batch-0's cumulative df cap, plus
+    links touching batch 1 under the grown (batch0 ∪ batch1) df cap —
+    replayed stage-for-stage by the oracle, so a replay bug (duplicated
+    pairs) or a df-cap bug (wrong block set) hash-mismatches.
+    """
+    import shutil
+    import tempfile
+
+    from ..operators.linkage import LINK_DIRTY_OFFSET, _dirty_customers
+
+    recs = _dirty_customers(spark, sf_dir)
+    b0 = recs.where(F.col("rec_id") < LINK_DIRTY_OFFSET)
+    b1 = recs.where(F.col("rec_id") >= LINK_DIRTY_OFFSET)
+    base = tempfile.mkdtemp(prefix="dgds_link_ingest_")
+    store, pairs_path = f"{base}/store", f"{base}/pairs"
+    linkage_ingest_batch(spark, b0, 0, store, pairs_path)
+    linkage_ingest_batch(spark, b1, 1, store, pairs_path)
+    linkage_ingest_batch(spark, b1, 1, store, pairs_path)  # replay
+    out = (
+        spark.read.parquet(pairs_path)
+        .select("rec_a", "rec_b", "edit_dist")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    tag = _store_tag(store)
+    spark.sql(f"DROP TABLE IF EXISTS dgds_linkgrams_{tag}")
+    spark.sql(f"DROP TABLE IF EXISTS dgds_linkrecs_{tag}")
+    return out
+
+
+def _linkage_ingest_sql() -> str:
+    from ..operators.linkage import (
+        LINK_DIRTY_OFFSET,
+        LINK_MAX_DF,
+        LINK_MAX_DIST,
+        LINK_Q,
+    )
+
+    return f"""
+WITH recs0 AS (
+  SELECT CAST(c_custkey AS BIGINT) AS rec_id, c_name AS text FROM customer
+),
+recs1 AS (
+  SELECT CAST(c_custkey + {LINK_DIRTY_OFFSET} AS BIGINT) AS rec_id,
+         substr(c_name, 1, CAST(c_custkey % 8 AS INT))
+           || substr(c_name, CAST(c_custkey % 8 AS INT) + 2) AS text
+  FROM customer
+),
+g0 AS MATERIALIZED (
+  SELECT DISTINCT r.rec_id, r.text, substr(r.text, CAST(t.i AS INT), {LINK_Q}) AS gram
+  FROM recs0 r, LATERAL UNNEST(range(1, length(r.text) - {LINK_Q} + 2)) AS t(i)
+  WHERE length(r.text) >= {LINK_Q}
+),
+g1 AS MATERIALIZED (
+  SELECT DISTINCT r.rec_id, r.text, substr(r.text, CAST(t.i AS INT), {LINK_Q}) AS gram
+  FROM recs1 r, LATERAL UNNEST(range(1, length(r.text) - {LINK_Q} + 2)) AS t(i)
+  WHERE length(r.text) >= {LINK_Q}
+),
+kept0 AS (
+  SELECT gram FROM g0 GROUP BY gram HAVING COUNT(*) <= {LINK_MAX_DF}
+),
+cand0 AS (
+  SELECT DISTINCT a.rec_id AS rec_a, b.rec_id AS rec_b,
+                  a.text AS ta, b.text AS tb
+  FROM g0 a JOIN kept0 k ON a.gram = k.gram
+  JOIN g0 b ON b.gram = a.gram AND a.rec_id < b.rec_id
+),
+pairs0 AS (
+  SELECT rec_a, rec_b, CAST(levenshtein(ta, tb) AS INT) AS edit_dist
+  FROM cand0 WHERE levenshtein(ta, tb) <= {LINK_MAX_DIST}
+),
+gall AS MATERIALIZED (
+  SELECT * FROM g0 UNION ALL SELECT * FROM g1
+),
+kept1 AS (
+  SELECT gram FROM gall GROUP BY gram HAVING COUNT(*) <= {LINK_MAX_DF}
+),
+cand1 AS (
+  SELECT DISTINCT a.rec_id AS rec_a, b.rec_id AS rec_b,
+                  a.text AS ta, b.text AS tb
+  FROM gall a JOIN kept1 k ON a.gram = k.gram
+  JOIN gall b ON b.gram = a.gram AND a.rec_id < b.rec_id
+  WHERE a.rec_id >= {LINK_DIRTY_OFFSET} OR b.rec_id >= {LINK_DIRTY_OFFSET}
+),
+pairs1 AS (
+  SELECT rec_a, rec_b, CAST(levenshtein(ta, tb) AS INT) AS edit_dist
+  FROM cand1 WHERE levenshtein(ta, tb) <= {LINK_MAX_DIST}
+)
+SELECT rec_a, rec_b, edit_dist FROM pairs0
+UNION ALL
+SELECT rec_a, rec_b, edit_dist FROM pairs1
+"""
+
+
+STREAM_LINKAGE_INGEST_SQL = _linkage_ingest_sql()

@@ -551,6 +551,7 @@ from .ingest import (  # noqa: E402
     STREAM_CMS_INGEST_SQL,
     STREAM_COMPACT_INGEST_SQL,
     STREAM_CRAWL_DIFF_INGEST_SQL,
+    STREAM_LINKAGE_INGEST_SQL,
     STREAM_WAU_INGEST_SQL,
     STREAM_TOKEN_COUNT_INGEST_SQL,
     STREAM_SCD2_INGEST_SQL,
@@ -561,6 +562,7 @@ from .ingest import (  # noqa: E402
     stream_crawl_diff_ingest_entry,
     stream_wau_ingest_entry,
     stream_dedup_ingest_entry,
+    stream_linkage_ingest_entry,
     stream_scd2_ingest_entry,
     stream_sketch_ingest_entry,
     stream_token_count_ingest_entry,
@@ -617,4 +619,11 @@ STREAMING_QUERIES["stream_wau_ingest"] = (
 STREAMING_QUERIES["stream_compact_ingest"] = (
     stream_compact_ingest_entry,
     STREAM_COMPACT_INGEST_SQL,
+)
+# staged r16 (r15 build): continuous record linkage — gram/record stores
+# bucketed on their join keys, cumulative stop-gram df cap, batch-1 replay
+# stress; oracle replays both batches' block sets stage-for-stage.
+STREAMING_QUERIES["stream_linkage_ingest"] = (
+    stream_linkage_ingest_entry,
+    STREAM_LINKAGE_INGEST_SQL,
 )

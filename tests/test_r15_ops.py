@@ -147,3 +147,57 @@ def test_entity_clusters_merge_planted_pairs(spark, sf_dir):
     for rec, label in ent.items():
         assert label <= rec
         assert ent[label] == label  # canonical record labels itself
+
+
+def test_stream_linkage_ingest_replay_idempotent(spark, sf_dir, tmp_path):
+    """Continuous linkage through a real availableNow stream: the union
+    of pair partitions covers every planted clean↔dirty pair the one-shot
+    operator finds, and replaying a batch (same batch_id) leaves pairs
+    AND both store tables unchanged."""
+    from distributed_graph_database_simulation_spark.streaming.ingest import (
+        _store_tag,
+        linkage_ingest_batch,
+        stream_linkage_ingest,
+    )
+
+    recs = linkage._dirty_customers(spark, sf_dir)
+    feed = str(tmp_path / "feed")
+    recs.where(F.col("rec_id") < linkage.LINK_DIRTY_OFFSET).coalesce(1).write.parquet(
+        f"{feed}/b0"
+    )
+    recs.where(F.col("rec_id") >= linkage.LINK_DIRTY_OFFSET).coalesce(1).write.parquet(
+        f"{feed}/b1"
+    )
+    stream = (
+        spark.readStream.schema("rec_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{feed}/*")
+    )
+    store = str(tmp_path / "store")
+    pairs_path = str(tmp_path / "pairs")
+    q = stream_linkage_ingest(spark, stream, store, pairs_path, str(tmp_path / "ck"))
+    q.awaitTermination(300)
+
+    got = {(r.rec_a, r.rec_b) for r in spark.read.parquet(pairs_path).collect()}
+    planted_one_shot = {
+        (r.rec_a, r.rec_b)
+        for r in linkage.link_customer_dirty(spark, sf_dir).collect()
+        if r.rec_b == r.rec_a + linkage.LINK_DIRTY_OFFSET
+    }
+    assert planted_one_shot, "one-shot linkage found no planted pairs"
+    # every planted pair the one-shot finds, the stream finds (the stream
+    # may legitimately emit MORE within-batch-0 links: its batch-0 df cap
+    # is over half the corpus)
+    assert planted_one_shot <= got
+
+    n_grams = spark.read.parquet(f"{store}/grams").count()
+    n_recs = spark.read.parquet(f"{store}/records").count()
+    replay = spark.read.parquet(f"{feed}/b1")
+    linkage_ingest_batch(spark, replay, 1, store, pairs_path)
+    got_after = {(r.rec_a, r.rec_b) for r in spark.read.parquet(pairs_path).collect()}
+    assert got_after == got
+    assert spark.read.parquet(f"{store}/grams").count() == n_grams
+    assert spark.read.parquet(f"{store}/records").count() == n_recs
+    tag = _store_tag(store)
+    for t in (f"dgds_linkgrams_{tag}", f"dgds_linkrecs_{tag}"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
