@@ -191,6 +191,7 @@ HEADLINE = [
     "link_customer_dirty",
     "link_entity_clusters",
     "stream_linkage_ingest",
+    "link_sorted_neighborhood",
 ]
 
 

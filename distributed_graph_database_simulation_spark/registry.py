@@ -197,6 +197,10 @@ STAGED_DECLARED_ROUND: dict[str, int] = {
     # continuous record linkage: gram/record stores bucketed on their
     # join keys, cumulative stop-gram df cap, batch replay stress
     "stream_linkage_ingest": 15,
+    # sorted-neighborhood linkage (Hernandez-Stolfo SNM): distributed
+    # two-pass global rank + bucket-keyed window candidates + exact
+    # levenshtein verify
+    "link_sorted_neighborhood": 15,
 }
 
 STAGED_NEXT_ROTATION: frozenset[str] = frozenset(STAGED_DECLARED_ROUND)

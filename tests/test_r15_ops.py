@@ -201,3 +201,70 @@ def test_stream_linkage_ingest_replay_idempotent(spark, sf_dir, tmp_path):
     tag = _store_tag(store)
     for t in (f"dgds_linkgrams_{tag}", f"dgds_linkrecs_{tag}"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_global_rank_matches_single_window(spark):
+    """The two-pass distributed rank (range-repartition + per-partition
+    offsets) must equal the single-partition ROW_NUMBER it replaces."""
+    from pyspark.sql.window import Window as W
+
+    records = spark.createDataFrame(
+        [(i, f"t-{(i * 37) % 101:03d}") for i in range(300)],
+        "rec_id long, text string",
+    )
+    got = {
+        (r.rec_id, r.rank)
+        for r in linkage._global_rank(records, F.expr("right(text, 3)")).collect()
+    }
+    expected = {
+        (r.rec_id, r.rank)
+        for r in records.withColumn(
+            "rank",
+            F.row_number()
+            .over(W.orderBy(F.expr("right(text, 3)"), "rec_id"))
+            .cast("bigint"),
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_sorted_neighborhood_matches_python_reference(spark):
+    """SNM candidates = pairs within `window` ranks of the (key, rec_id)
+    sort; verify = exact edit distance. Independent python replay."""
+    records = [(i, f"user-{(i * 53) % 97:04d}") for i in range(80)]
+    records += [(1000 + i, f"user-{(i * 53) % 97:04d}x"[:9]) for i in range(0, 80, 7)]
+    window, key_len, max_dist = 4, 6, 1
+    texts = dict(records)
+    srt = sorted(
+        [(rid, t) for rid, t in records if len(t) >= key_len],
+        key=lambda r: (r[1][-key_len:], r[0]),
+    )
+    expected = set()
+    for i, (rid_a, ta) in enumerate(srt):
+        for j in range(i + 1, min(i + 1 + window, len(srt))):
+            rid_b, tb = srt[j]
+            d = _py_levenshtein(ta, tb)
+            if d <= max_dist:
+                expected.add((min(rid_a, rid_b), max(rid_a, rid_b), d))
+    df = spark.createDataFrame(records, "rec_id long, text string")
+    got = {
+        (r.rec_a, r.rec_b, r.edit_dist)
+        for r in linkage.sorted_neighborhood_df(
+            df, window=window, key_len=key_len, max_dist=max_dist
+        ).collect()
+    }
+    assert got == expected
+    assert expected, "reference found no pairs — test corpus degenerate"
+
+
+def test_link_sorted_neighborhood_planted_recall(spark, sf_dir):
+    """The digit-tail sort key survives the planted prefix deletion, so
+    every clean↔dirty pair sorts adjacently and must be recalled."""
+    out = linkage.link_sorted_neighborhood(spark, sf_dir).collect()
+    planted = {
+        (r.rec_a, r.rec_b)
+        for r in out
+        if r.rec_b == r.rec_a + linkage.LINK_DIRTY_OFFSET
+    }
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert len(planted) == n_cust, (len(planted), n_cust)
