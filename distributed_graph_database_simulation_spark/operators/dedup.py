@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import barrier_t, checkpoint_dir
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread_small_scan
 
 JACCARD_T = 0.5
 COSINE_T = 0.42
@@ -43,7 +43,10 @@ SIMHASH_BANDS = 4     # pigeonhole: hamming <= SIMHASH_BANDS-1 guaranteed caught
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # spread: one-file corpus -> one scan partition; the shingle explode +
+    # 128-permutation minhash partial aggregate before the first exchange
+    # would run single-task (guide §2.5). No-op at scale.
+    return spread_small_scan(load_table(spark, sf_dir, "documents"))
 
 
 def _norm_text() -> F.Column:

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import barrier_t, checkpoint_dir
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread_small_scan
 
 LINK_Q = 4          # gram width: an edit invalidates <= q grams
 LINK_MAX_DF = 100   # stop-gram cap (hub-block guard)
@@ -112,7 +112,9 @@ def _dirty_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant name prefix, so the record's DISTINCTIVE digit-tail grams
     survive the edit and blocking can find the pair — a tail edit would
     be the documented blocking miss)."""
-    cust = load_table(spark, sf_dir, "customer")
+    # spread: one-file scan -> one partition; the q-gram explode and the
+    # dirty-copy substring projection would run single-task (guide §2.5).
+    cust = spread_small_scan(load_table(spark, sf_dir, "customer"))
     clean = cust.select(
         F.col("c_custkey").cast("bigint").alias("rec_id"),
         F.col("c_name").alias("text"),

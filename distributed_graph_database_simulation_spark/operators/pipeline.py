@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread_small_scan
 
 CHUNK = 64  # tokens per chunk
 STRIDE = 48  # tokens between chunk starts (CHUNK - STRIDE = 16 overlap)
@@ -49,7 +49,9 @@ SAMPLE_PPM: dict[str, int] = {
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # spread: one-file corpus -> one scan partition; BPE/shingle passes
+    # before the first exchange would run single-task (guide §2.5).
+    return spread_small_scan(load_table(spark, sf_dir, "documents"))
 
 
 def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:

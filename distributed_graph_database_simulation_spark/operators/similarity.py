@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread_small_scan
 
 TOP_K = 10
 N_QUERIES = 8         # query set = vec_id < 8
@@ -40,6 +40,17 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
+
+
+def _emb_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`_emb` with the one-file scan spread to cluster parallelism
+    (guide §2.5) — for the NARROW-KERNEL consumers (signature hashing,
+    per-row dot products, Arrow matmuls), whose pre-exchange work would
+    otherwise run single-task. The k-means-training paths (IVF/PQ) keep
+    the unspread scan on purpose: their per-iteration aggregates over the
+    small corpus pay more in 32x task overhead than the map side saves
+    (A/B-measured: ivf_index_append 4.3 s -> 7.1 s WITH spread)."""
+    return spread_small_scan(_emb(spark, sf_dir))
 
 
 def _dot(a: F.Column, b: F.Column) -> F.Column:
@@ -60,7 +71,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over k * |queries| rows. Self-matches excluded; ties broken by
     neighbor id for determinism.
     """
-    corpus = _with_norm(_emb(spark, sf_dir))
+    corpus = _with_norm(_emb_spread(spark, sf_dir))
     queries = _with_norm(_emb(spark, sf_dir).filter(F.col("vec_id") < N_QUERIES))
     q = queries.alias("q")
     c = corpus.alias("c")
@@ -305,7 +316,7 @@ def topk_lsh_df(
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: :func:`topk_lsh_df` over the embeddings table with
     the fixed query set (vec_id < N_QUERIES)."""
-    corpus = _with_norm(_emb(spark, sf_dir))
+    corpus = _with_norm(_emb_spread(spark, sf_dir))
     return topk_lsh_df(corpus, corpus.filter(F.col("vec_id") < N_QUERIES))
 
 
@@ -1698,7 +1709,7 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver entry: radius search at tau=0.25 for the first N_QUERIES
     vectors (same query subset as the top-k family)."""
     return range_search_df(
-        _emb(spark, sf_dir), query_filter=F.col("vec_id") < N_QUERIES
+        _emb_spread(spark, sf_dir), query_filter=F.col("vec_id") < N_QUERIES
     )
 
 
@@ -2104,7 +2115,7 @@ def sim_topk_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact MIPS top-10 for each query vector (vec_id < N_QUERIES) over
     the embeddings corpus, served through the norm-augmentation reduction
     (see :func:`mips_topk_df`)."""
-    corpus = _emb(spark, sf_dir)
+    corpus = _emb_spread(spark, sf_dir)
     queries = _emb(spark, sf_dir).filter(F.col("vec_id") < N_QUERIES)
     return mips_topk_df(corpus, queries, TOP_K)
 
@@ -2149,7 +2160,7 @@ def sim_recall_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
     — so a drifted band boundary, a wrong probe mask, or a broken
     augmentation all shift a per-query hit count and hash-mismatch.
     Evaluation cost is k * |queries|, independent of corpus size."""
-    corpus = _emb(spark, sf_dir)
+    corpus = _emb_spread(spark, sf_dir)
     queries = corpus.filter(F.col("vec_id") < N_QUERIES)
     ann = mips_topk_lsh_df(corpus, queries).select("query_id", "neighbor_id")
     bf = mips_topk_df(corpus, queries).select("query_id", "neighbor_id")
@@ -2424,7 +2435,7 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     production default (KNN_TABLES band-OR amplification) is certified by
     the same oracle machinery parameter-for-parameter and measured on the
     1M grid (SCALE.md)."""
-    corpus = _emb(spark, sf_dir).where(F.col("vec_id") % KNN_SUBSET_MOD == 0)
+    corpus = _emb_spread(spark, sf_dir).where(F.col("vec_id") % KNN_SUBSET_MOD == 0)
     return knn_graph_df(
         corpus.where(F.size("e") > 0), KNN_K, tables=LSH_TABLES, bits=LSH_BITS
     )

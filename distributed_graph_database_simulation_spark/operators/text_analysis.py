@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread_small_scan
 
 # Public-knowledge stopword markers per language (ISO codes sorted for the
 # deterministic tie-break order).
@@ -45,7 +45,9 @@ _TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # spread: one-file corpus -> one scan partition; tokenize/regex passes
+    # before the first exchange would run single-task (guide §2.5).
+    return spread_small_scan(load_table(spark, sf_dir, "documents"))
 
 
 def _norm_text() -> Column:

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf, udtf
 from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread_small_scan
 
 # DataType instances, not DDL strings: string returnTypes are parsed through
 # the active SparkContext at decoration time, which breaks the registry's
@@ -105,7 +105,9 @@ class _HeavyTokens:
 
 def udtf_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.udtf.register("heavy_tokens", _HeavyTokens)
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: the UDTF's per-row eval runs before any exchange; a one-file
+    # scan would serialize it into a single Python task (guide §2.5).
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     return spark.sql(
         "SELECT d.doc_id, t.token, t.n FROM {documents} d, LATERAL heavy_tokens(d.text) t",
         documents=docs,

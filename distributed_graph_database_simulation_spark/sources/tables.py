@@ -86,6 +86,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_small_scan(df: DataFrame, multiplier: int = 1) -> DataFrame:
+    """Raise a narrow scan's parallelism to the cluster's when the input
+    arrives in fewer partitions than there are cores.
+
+    A small corpus is one parquet file -> ONE scan partition -> every
+    narrow operation before the first exchange (shingling, per-row codecs
+    inside mapInPandas, partial aggregation) runs in a single task on a
+    single core (optimization guide §2.5, "input skew: one huge
+    unsplittable file"). Parquet cannot split below row-group granularity,
+    so ``spark.sql.files.minPartitionNum`` cannot fix this — only an
+    explicit round-robin repartition can.
+
+    Scale-adaptive by construction: at production scale the scan already
+    has >= cores partitions and this is a NO-OP (no added exchange, no
+    payload reshuffle — the degenerate single-file layout is the only case
+    that pays the tiny repartition). ``defaultParallelism`` follows the
+    master's core count, so the driver's lower-core bench runs spread to
+    exactly their own width.
+
+    Row-identity is preserved (round-robin repartition reorders rows but
+    never changes them); callers must not depend on partition layout —
+    audited for the operators that use this (no monotonically_increasing_id
+    / spark_partition_id / input_file_name downstream).
+    """
+    if os.environ.get("SPARK_GRAFT_SPREAD", "1") == "0":  # A/B + escape hatch
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism * multiplier
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for ``spark.sql`` use."""
     for name in TABLES:
