@@ -120,6 +120,8 @@ class KeyedParquetStore:
         out = self._latest_wins(df).withColumn("key_bucket", self._bucket())
         if write_partitions is not None:
             out = out.repartition(write_partitions, self.key_col)
+        else:
+            out = self._align_write(out, self.n_buckets)
         (
             out.write.mode("overwrite")
             .partitionBy("key_bucket")
@@ -129,12 +131,25 @@ class KeyedParquetStore:
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path).drop("key_bucket")
 
-    def _affected_buckets(self, updates: DataFrame) -> list[int]:
+    def _affected_buckets(self, *updates: DataFrame) -> list[int]:
         # Bounded collect: at most n_buckets ints, never data-proportional.
-        rows = (
-            updates.select(self._bucket().alias("b")).distinct().collect()
-        )
-        return sorted(r["b"] for r in rows)
+        # Varargs union so a MERGE's upsert+delete sides cost ONE job, not
+        # one per side (r15: merge_delta ran two bucket collects per batch).
+        dfs = [u.select(self._bucket().alias("b")) for u in updates]
+        acc = dfs[0]
+        for d in dfs[1:]:
+            acc = acc.unionByName(d)
+        return sorted(r["b"] for r in acc.distinct().collect())
+
+    def _align_write(self, df: DataFrame, n_targets: int) -> DataFrame:
+        """Align writer tasks with bucket directories before a
+        partitionBy("key_bucket") write: without this every task emits one
+        file per bucket it holds (tasks x buckets tiny files per write —
+        guide §6 small-files); keyed on key_bucket the write emits exactly
+        one file per touched bucket. ``n_targets`` bounds the task count to
+        the touched-bucket count so a few-bucket MERGE doesn't schedule
+        n_buckets mostly-empty tasks."""
+        return df.repartition(max(1, n_targets), F.col("key_bucket"))
 
     def upsert(
         self,
@@ -175,6 +190,8 @@ class KeyedParquetStore:
         merged = merged.withColumn("key_bucket", self._bucket())
         if write_partitions is not None:
             merged = merged.repartition(write_partitions, self.key_col)
+        else:
+            merged = self._align_write(merged, len(buckets))
         # No pre-write count: it would re-read and re-merge the affected
         # buckets a second time purely for a stats number (the delete path
         # must pre-materialize, this path must not).
@@ -200,19 +217,20 @@ class KeyedParquetStore:
         survivors = existing.join(key_df, self.key_col, "left_anti").withColumn(
             "key_bucket", self._bucket()
         )
+        survivors = self._align_write(survivors, len(buckets))
         # Persist, then materialize BEFORE the overwrite: the write replaces
         # the very files this lineage reads, so any post-persist recompute
         # (or post-write action) would hit FILE_NOT_EXIST — and without the
-        # persist, the bucket-collect, count, and write would each re-read
+        # persist, the bucket-census collect and the write would each re-read
         # the affected buckets. MEMORY_AND_DISK spills rather than evicts,
         # so the write path never falls back to the deleted source files.
         survivors = survivors.persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            written = {
-                r["key_bucket"]
-                for r in survivors.select("key_bucket").distinct().collect()
-            }
-            n = survivors.count()
+            # ONE census job for written-buckets AND row count (was a
+            # distinct collect plus a separate count — r15 job fusion).
+            census = survivors.groupBy("key_bucket").count().collect()
+            written = {r["key_bucket"] for r in census}
+            n = sum(r["count"] for r in census)
             if n > 0:
                 (
                     survivors.write.mode("overwrite")
@@ -345,9 +363,7 @@ class KeyedParquetStore:
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         key_df = key_df.persist(StorageLevel.MEMORY_AND_DISK)
-        buckets = sorted(
-            set(self._affected_buckets(batch)) | set(self._affected_buckets(key_df))
-        )
+        buckets = self._affected_buckets(batch, key_df)  # one job, both sides
         existing = (
             self.spark.read.parquet(self.path)
             .where(F.col("key_bucket").isin(buckets))
@@ -361,13 +377,14 @@ class KeyedParquetStore:
         merged = survivors.unionByName(batch).withColumn(
             "key_bucket", self._bucket()
         )
-        merged = merged.persist(StorageLevel.MEMORY_AND_DISK)
+        merged = self._align_write(merged, len(buckets)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         try:
-            written = {
-                r["key_bucket"]
-                for r in merged.select("key_bucket").distinct().collect()
-            }
-            n = merged.count()
+            # ONE census job for written-buckets AND row count (r15 fusion).
+            census = merged.groupBy("key_bucket").count().collect()
+            written = {r["key_bucket"] for r in census}
+            n = sum(r["count"] for r in census)
             if n > 0:
                 (
                     merged.write.mode("overwrite")

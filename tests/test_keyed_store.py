@@ -371,9 +371,13 @@ def test_compact_preserves_content_and_reduces_files(spark, tmp_path):
     s = KeyedParquetStore(spark, str(tmp_path / "c"), "k", n_buckets=4)
     s.write_full(spark.createDataFrame([(i, i) for i in range(40)], "k long, v long"))
     for wave in range(1, 4):  # three more waves touching every bucket
+        # write_partitions pins tasks on the KEY (not the bucket), so every
+        # touched bucket collects multiple files — the small-file census
+        # compact() exists for. (Default writes are bucket-aligned since
+        # r15: one file per touched bucket, which would make this vacuous.)
         s.upsert(spark.createDataFrame(
             [(i, i + wave * 100) for i in range(0, 40, 2)], "k long, v long"
-        ))
+        ), write_partitions=3)
     before_rows = {tuple(r) for r in s.read().collect()}
     before_files = _part_files(str(tmp_path / "c"))
     assert any(len(v) > 1 for v in before_files.values())
