@@ -1440,6 +1440,7 @@ def hyperball(
     # ball membership exactly can certify the whole trajectory without
     # touching the float estimate; the r10 g_hyperball_scale entry).
     nf = [(int(r["graph_id"]), 0, float(r["nf_est"]), int(r["checksum"])) for r in rows]
+    prev_checksums = {int(r["graph_id"]): int(r["checksum"]) for r in rows}
     delta = state
     for t in range(1, max_t + 1):
         d, e = delta.alias("d"), edges.alias("e")
@@ -1467,11 +1468,20 @@ def hyperball(
             .select(*keys, F.col("c.rho").alias("rho"))
         )
         improved = barrier(improved, eager=False, ckdir=ck)
-        if improved.count() == 0:
-            break  # no register grew: every ball closed at t-1
         state = state.join(improved, on=keys, how="left_anti").unionByName(improved)
         state = barrier(state, eager=(t % checkpoint_every == 0), ckdir=ck)
+        # ONE job per superstep (r15 fusion): the estimates collect
+        # materializes the new state — improved included, through its lazy
+        # barrier — and its exact register checksum doubles as the
+        # convergence test. rho values only ever increase and rows are only
+        # ever added, so "every graph's checksum unchanged" holds iff NO
+        # register improved — exactly the retired improved.count() == 0
+        # (which cost a second job per superstep).
         rows = _hb_estimates(state, log2m)
+        checksums = {int(r["graph_id"]): int(r["checksum"]) for r in rows}
+        if checksums == prev_checksums:
+            break  # no register grew: every ball closed at t-1 (no t row)
+        prev_checksums = checksums
         nf.extend(
             (int(r["graph_id"]), t, float(r["nf_est"]), int(r["checksum"]))
             for r in rows

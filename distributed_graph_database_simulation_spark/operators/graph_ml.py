@@ -68,7 +68,7 @@ def random_walks(
     walks_per_vertex: int = 1,
     walk_length: int = 8,
     seed: int = 1,
-    checkpoint_every: int = 4,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """DeepWalk-style uniform random walks from every vertex.
 
@@ -78,6 +78,11 @@ def random_walks(
     Neighbor choice at step t is the ``H mod outdeg``-th out-neighbor in
     ascending-dst order — uniform per step, deterministic in
     (graph_id, start, walk_no, step, seed).
+
+    ``checkpoint_every=2`` keeps each lazily-checkpointed segment's plan
+    at most two chained step-joins deep: deeper plans multiply whole-stage
+    codegen compile time on the first run (r15 A/B: cadence 8 doubled the
+    cold wall vs cadence 2; barrier placement never changes results).
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -244,7 +249,7 @@ def node2vec_walks(
     walks_per_vertex: int = 1,
     walk_length: int = 8,
     seed: int = 2,
-    checkpoint_every: int = 4,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """node2vec biased second-order random walks from every vertex.
 

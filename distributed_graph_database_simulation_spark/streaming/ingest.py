@@ -42,11 +42,13 @@ def _write_partition(df: DataFrame, batch_id: int, path: str) -> None:
     )
 
 
-# Bucket count for the dedup store's band/shingle tables. 32 matches the
-# local shuffle-partition count; at 100 TB the same layout runs with
-# thousands of buckets — the contract (one-sided exchange per micro-batch)
-# is bucket-count-independent.
-DEDUP_STORE_BUCKETS = 32
+# Bucket count for the dedup store's band/shingle tables. Env-overridable
+# (SPARK_GRAFT_STORE_BUCKETS) because it is a scale dial: at 100 TB the
+# same layout runs with thousands of buckets — the contract (one-sided
+# exchange per micro-batch) is bucket-count-independent. Local default 32
+# (r15 interleaved A/B at sf0.1: 8 vs 16 vs 32 indistinguishable within
+# host noise, so the long-standing default stands).
+DEDUP_STORE_BUCKETS = int(os.environ.get("SPARK_GRAFT_STORE_BUCKETS", "32"))
 
 
 def _store_tag(store_path: str) -> str:
