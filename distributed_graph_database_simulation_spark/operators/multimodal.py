@@ -337,7 +337,7 @@ def parse_png(payload: bytes):
     return meta, out.tobytes()
 
 
-def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def media_table(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
     """documents -> multimodal table (payload binary + typed metadata).
 
     spread: the corpus arrives as one file -> ONE scan partition, which
@@ -345,8 +345,18 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     round trips) in a single task on a single core — measured 13.2 s ->
     1.4 s warm on mm_jpeg_decode at sf0.1/local[32] (guide §2.5). No-op
     at scale, where the scan is already split.
+
+    ``spread=False`` (r16, r15 verdict #1/#6): consumers whose kernel is
+    TINY (per-row byte stats / <=8x8-px patch grids, microseconds per row)
+    opt out — for them the round-robin exchange plus 32-task fan-out costs
+    more than the single-task kernel, and the wider first rep exposed
+    mm_image_patches to an 8 s cold sample in the driver's bench
+    (1.10 -> 8.08 s r14->r15). Heavy codec kernels (jpeg/png/bmp/wav
+    decode, resize) keep the spread and its measured 9x win.
     """
-    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
+    if spread:
+        docs = spread_small_scan(docs)
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "UTF-8").alias("payload"),
@@ -1238,7 +1248,7 @@ def mm_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`_patch_batches`): one row per P x P patch with exact byte-sum
     and position-weighted checksum; DuckDB replays the patch index
     arithmetic over the same text-derived pixel stream."""
-    return media_table(spark, sf_dir).mapInPandas(
+    return media_table(spark, sf_dir, spread=False).mapInPandas(
         _patch_batches, schema=_PATCHES_SCHEMA
     )
 
@@ -1436,7 +1446,7 @@ def mm_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     one 3-row aggregate with map-side combine — at 100 TB of images the
     shuffle carries 3 longs per task. Mean is integer micro-units
     (value_sum * 1e6 div n — order-independent, engine-exact)."""
-    per = media_table(spark, sf_dir).mapInPandas(
+    per = media_table(spark, sf_dir, spread=False).mapInPandas(
         _channel_sums_batches, schema=_CHANNEL_SUMS_SCHEMA
     )
     stacked = per.selectExpr(
@@ -1544,7 +1554,7 @@ def mm_audio_level_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the real WAV codec and emits exact int64 sample sums; reduce side is
     one |rates|-row aggregate with map-side combine. Mean and energy are
     integer micro-units (sum * 1e6 div n — order-independent)."""
-    per = media_table(spark, sf_dir).mapInPandas(
+    per = media_table(spark, sf_dir, spread=False).mapInPandas(
         _audio_level_sums_batches, schema=_AUDIO_LEVEL_SUMS_SCHEMA
     )
     return (
@@ -1674,7 +1684,7 @@ def mm_frame_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     at all. The oracle replays the same integer arithmetic from the
     payload's source text, so a wrong frame stride, a missed transition,
     or an off-by-one slice all shift a sum."""
-    return media_table(spark, sf_dir).mapInPandas(
+    return media_table(spark, sf_dir, spread=False).mapInPandas(
         _frame_delta_batches, schema=_FRAME_DELTA_SCHEMA
     )
 

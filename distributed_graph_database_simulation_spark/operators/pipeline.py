@@ -48,10 +48,15 @@ SAMPLE_PPM: dict[str, int] = {
 }
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
     # spread: one-file corpus -> one scan partition; BPE/shingle passes
     # before the first exchange would run single-task (guide §2.5).
-    return spread_small_scan(load_table(spark, sf_dir, "documents"))
+    # spread=False (r16, r15 verdict #6): entries whose pre-exchange work is
+    # a trivial projection (interleave/pack/diff — the heavy lifting happens
+    # after their first hash exchange anyway) opt out; for them the added
+    # round-robin exchange was a pure ~0.2 s tax in the driver's r15 bench.
+    docs = load_table(spark, sf_dir, "documents")
+    return spread_small_scan(docs) if spread else docs
 
 
 def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2521,7 +2526,7 @@ def pipe_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the recomposed within-group rank as a plain per-group
     window over the same (scramble, doc_id) order — certifying the
     sub-bucket offset algebra — and the virtual-time integer division."""
-    return interleave_sources_df(_docs(spark, sf_dir), INTERLEAVE_WEIGHTS)
+    return interleave_sources_df(_docs(spark, sf_dir, spread=False), INTERLEAVE_WEIGHTS)
 
 
 def _interleave_sql() -> str:
@@ -2608,7 +2613,7 @@ def pipe_pack_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`pack_segments_df` on :func:`pipe_pack_sequences`'s output).
     The oracle replays the packing CTE and derives the same overlap
     algebra with a range() explode — every boundary integer certifies."""
-    return pack_segments_df(pack_sequences_df(chunk_windows_df(_docs(spark, sf_dir))))
+    return pack_segments_df(pack_sequences_df(chunk_windows_df(_docs(spark, sf_dir, spread=False))))
 
 
 PIPE_PACK_SEGMENTS_SQL = f"""
@@ -2960,7 +2965,7 @@ SNAPSHOT_V2_SQL = """
 def pipe_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff between the documents corpus and its deterministic
     'next crawl' (:func:`snapshot_diff_df` over :func:`_snapshot_v2`)."""
-    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    docs = _docs(spark, sf_dir, spread=False).select("doc_id", "source", "text")
     return snapshot_diff_df(docs, _snapshot_v2(docs))
 
 

@@ -109,13 +109,67 @@ def spread_small_scan(df: DataFrame, multiplier: int = 1) -> DataFrame:
     never changes them); callers must not depend on partition layout —
     audited for the operators that use this (no monotonically_increasing_id
     / spark_partition_id / input_file_name downstream).
+
+    r16 (ADVICE): the split estimate reads the scan's file list + on-disk
+    sizes instead of ``df.rdd.getNumPartitions()`` (which forced an RDD
+    conversion / extra physical-planning pass per call, ~50-100 ms even on
+    the no-op path), and the spread is additionally gated on TOTAL input
+    size (``SPARK_GRAFT_SPREAD_MAX_MB``, default 256): a mid-size table
+    with fewer splits than cores is already decently parallel, and
+    round-robining its full payload on every query would cost more than
+    the narrow-stage win. Non-local schemes fall back to the RDD probe
+    with no size gate (sizes unknown; production scans there arrive
+    already split, making this the degenerate-layout path only).
     """
     if os.environ.get("SPARK_GRAFT_SPREAD", "1") == "0":  # A/B + escape hatch
         return df
     target = df.sparkSession.sparkContext.defaultParallelism * multiplier
-    if df.rdd.getNumPartitions() >= target:
+    est = _scan_split_estimate(df)
+    if est is None:  # non-file scheme / no file index: old probe, no gate
+        if df.rdd.getNumPartitions() >= target:
+            return df
+        return df.repartition(target)
+    splits, total_bytes = est
+    if splits >= target:
+        return df
+    max_mb = float(os.environ.get("SPARK_GRAFT_SPREAD_MAX_MB", "256"))
+    if total_bytes > max_mb * 1024 * 1024:
         return df
     return df.repartition(target)
+
+
+def _scan_split_estimate(df: DataFrame) -> tuple[int, int] | None:
+    """(estimated scan splits, total bytes) from the scan's file list, or
+    None when any input is not a local file (sizes unknown). The split
+    estimate is ceil(size / maxPartitionBytes) per file — exact for the
+    single-file layout this helper exists for, an upper bound when Spark
+    packs many small files into one split (conservative: an overestimate
+    can only skip the spread, never shuffle an already-wide scan)."""
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    conf = df.sparkSession.conf.get(
+        "spark.sql.files.maxPartitionBytes", "134217728b"
+    ).lower().rstrip("b")
+    max_pb = int(conf) if conf.isdigit() else 128 * 1024 * 1024
+    splits = 0
+    total = 0
+    for uri in files:
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("file", ""):
+            return None
+        try:
+            size = os.path.getsize(unquote(parsed.path))
+        except OSError:
+            return None
+        total += size
+        splits += max(1, -(-size // max_pb))
+    return splits, total
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
