@@ -265,33 +265,96 @@ DEDUP_NGRAM_JACCARD_SQL = _NGRAM_ORACLE_CORE
 
 # --- MinHash + LSH -------------------------------------------------------
 
+def _sig_batches(batches):
+    """Arrow batches of (doc_id, bases: array<bigint>) -> (doc_id, sig).
+
+    Bit-exact numpy replay of Spark's ``xxhash64(lit(i) INT, base BIGINT)``
+    (catalyst XXH64.java): the two-child fold is
+    ``hashLong(base, seed=hashInt(i, 42))``. uint64 arithmetic wraps in
+    numpy exactly like Java longs; the per-permutation MIN is taken over
+    the SIGNED int64 view (Spark's ``min`` over BIGINT). Equality with the
+    JVM expression is pinned in tests/test_r16_opt.py, so the signatures —
+    and every downstream band hash and candidate set — are unchanged.
+
+    Vectorization shape: ``k1`` (the input mix) is permutation-independent
+    and computed once per base; each permutation is then ~6 vectorized
+    uint64 ops over the batch's flattened bases plus one
+    ``minimum.reduceat`` per doc segment. One pass of 128 permutations over
+    a 10k-doc batch is milliseconds — the JVM codegen'd 128-min aggregate
+    this replaces measured ~2.2 s steady plus ~3 s one-time codegen compile
+    of the >128-field stage (guide §4.2: hand whole batches to vectorized
+    native code).
+    """
+    import numpy as np
+    import pandas as pd
+
+    P1 = np.uint64(0x9E3779B185EBCA87)
+    P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    P3 = np.uint64(0x165667B19E3779F9)
+    P4 = np.uint64(0x85EBCA77C2B2AE63)
+    P5 = np.uint64(0x27D4EB2F165667C5)
+    u = np.uint64
+    # hashInt(i, 42) for each permutation i (4-byte child), then the
+    # hashLong seed preamble (seed + P5 + 8) folded in once.
+    i = np.arange(N_PERM, dtype=np.uint64)
+    h = u(42) + P5 + u(4)
+    h = h ^ (i * P1)
+    h = ((h << u(23)) | (h >> u(41))) * P2 + P3
+    h ^= h >> u(33); h *= P2; h ^= h >> u(29); h *= P3; h ^= h >> u(32)
+    seed_base = h + P5 + u(8)
+
+    for pdf in batches:
+        n = len(pdf)
+        if n == 0:
+            continue
+        lists = pdf["bases"]
+        lens = np.fromiter((len(x) for x in lists), dtype=np.int64, count=n)
+        flat = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in lists]
+        ).view(np.uint64)
+        offsets = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        k1 = flat * P2
+        k1 = ((k1 << u(31)) | (k1 >> u(33))) * P1
+        sig = np.empty((n, N_PERM), dtype=np.int64)
+        for p in range(N_PERM):
+            hh = seed_base[p] ^ k1
+            hh = ((hh << u(27)) | (hh >> u(37))) * P1 + P4
+            hh ^= hh >> u(33); hh *= P2
+            hh ^= hh >> u(29); hh *= P3
+            hh ^= hh >> u(32)
+            sig[:, p] = np.minimum.reduceat(hh.view(np.int64), offsets)
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "sig": list(sig)}
+        )
+
+
 def _minhash_sigs(sh: DataFrame) -> DataFrame:
     """doc_id -> array<bigint> of N_PERM minhash values.
 
     Permutation i = min over shingles of xxhash64(i, base) where base is the
-    shingle's 64-bit hash, computed ONCE. Structuring this as explode ->
-    hash-aggregate keeps every permutation inside whole-stage-codegen'd
-    partial aggregation (map-side combine shrinks the shuffle to one row per
-    doc); per-permutation hashing works on fixed-width ints, not strings.
+    shingle's 64-bit hash, computed ONCE (JVM-side — string hashing stays in
+    codegen). The 128 per-permutation mixes + mins run in a numpy
+    ``mapInPandas`` kernel (:func:`_sig_batches`) that replays Spark's
+    XXH64 bit-exactly — same hash family, same signatures, no wide
+    aggregate, no exchange (each doc's shingles sit in one row, so the
+    signature is row-local; r16, guide §4).
 
     Two rejected designs, for the record: (a) per-permutation *string*
     hashing -- 128 murmur passes over every shingle, ~6x slower; (b) a
     multiply-and-mask affine mix of the base hash -- under ANSI mode there is
     no wrapping multiply, and without wraparound the mix is monotone, which
     degenerates every permutation to the same argmin shingle and breaks the
-    LSH == exact-Jaccard guarantee.
+    LSH == exact-Jaccard guarantee. The r15-vintage explode -> 128-min
+    hash-aggregate design (map-side combine, one row per doc) was replaced
+    in r16 by the row-local kernel above: same values, no 128-field codegen
+    stage, no shuffle.
     """
-    posting = sh.select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    ).select("doc_id", F.xxhash64("shingle").alias("base"))
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("base"))).alias(f"m{i}")
-        for i in range(N_PERM)
-    ]
-    sigs = posting.groupBy("doc_id").agg(*aggs)
-    return sigs.select(
-        "doc_id", F.array(*[f"m{i}" for i in range(N_PERM)]).alias("sig")
+    bases = sh.where(F.size("shingles") > 0).select(
+        "doc_id",
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("bases"),
     )
+    return bases.mapInPandas(_sig_batches, schema="doc_id long, sig array<bigint>")
 
 
 def _bands(sigs: DataFrame) -> DataFrame:
@@ -336,7 +399,12 @@ def minhash_lsh_df(docs: DataFrame) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     sh = _shingled(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    bands = _bands(_minhash_sigs(sh))
+    # Persist the band table: BOTH sides of the candidate self-join consume
+    # it, and with the r16 row-local sig kernel there is no exchange in the
+    # sig subtree for Spark's ReusedExchange to dedup the two sides with
+    # (the r15 JVM aggregate's doc_id exchange provided that for free) —
+    # unpersisted, the scan→shingle→sig pipeline would run once per side.
+    bands = _bands(_minhash_sigs(sh)).persist(StorageLevel.MEMORY_AND_DISK)
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (
@@ -435,7 +503,15 @@ def dedup_against_frames(
     if sh_new is None:
         sh_new = _shingled(new_docs)
     if bands_new is None:
-        bands_new = _bands(_minhash_sigs(sh_new))
+        # Persisted for the same reason as minhash_lsh_df's band table: the
+        # candidate joins consume bands_new three times (cross side + both
+        # self-join sides), and the r16 row-local sig kernel has no exchange
+        # for ReusedExchange to dedup those subtrees with.
+        from pyspark.storagelevel import StorageLevel
+
+        bands_new = _bands(_minhash_sigs(sh_new)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
 
     a, b = bands_new.alias("a"), bands_old.alias("b")
     cand_cross = (
@@ -1049,6 +1125,8 @@ def dedup_clusters_df(spark: SparkSession, docs: DataFrame) -> DataFrame:
     """df-level :func:`dedup_clusters` (same pattern as minhash_lsh_df), so
     pipeline compositions can cluster an already-filtered corpus instead of
     the raw table."""
+    from .graph_analytics import fused_min_label_loop
+
     ck = checkpoint_dir(spark)
     pairs = minhash_lsh_df(docs).select("doc_a", "doc_b")
     edges = (
@@ -1063,32 +1141,11 @@ def dedup_clusters_df(spark: SparkSession, docs: DataFrame) -> DataFrame:
         .withColumn("cluster_id", F.col("doc_id"))
         .transform(barrier_t(eager=True, ckdir=ck))
     )
-    for _ in range(50):
-        lbl, e = labels.alias("lbl"), edges.alias("e")
-        msgs = lbl.join(e, F.col("lbl.doc_id") == F.col("e.src")).select(
-            F.col("e.dst").alias("doc_id"),
-            F.col("lbl.cluster_id").alias("cluster_id"),
-            F.lit(None).cast("long").alias("old_cluster"),
-        )
-        # Same one-job-per-superstep trick as connected_components: thread
-        # the previous label through the aggregate so the convergence count
-        # rides the label-update shuffle.
-        new_labels = (
-            labels.withColumn("old_cluster", F.col("cluster_id"))
-            .unionByName(msgs)
-            .groupBy("doc_id")
-            .agg(
-                F.min("cluster_id").alias("cluster_id"),
-                F.max("old_cluster").alias("old_cluster"),
-            )
-            .transform(barrier_t(eager=False, ckdir=ck))
-        )
-        n_changed = new_labels.filter(
-            F.col("cluster_id") < F.col("old_cluster")
-        ).count()
-        labels = new_labels.drop("old_cluster")
-        if n_changed == 0:
-            break
+    # Shared min-label loop (fuse=1 — see the batch-of-K A/B note in
+    # graph_analytics.fused_min_label_loop: fusing measured no win).
+    labels = fused_min_label_loop(
+        labels, edges, ["doc_id"], "cluster_id", ck, max_iterations=50
+    )
     return labels.select(
         "doc_id",
         "cluster_id",

@@ -55,6 +55,91 @@ def undirected(edges: DataFrame) -> DataFrame:
     ).distinct()
 
 
+# r16 note (guide §1 "measure first"): a batch-of-K-supersteps variant of
+# the min-label loops (K lazy update steps per driver job, convergence
+# checked on the block's last step — sound by monotonicity) was built and
+# A/B'd at K in {1, 2, 4} on g_connected_components_scale (warm 1.5 / 1.5 /
+# 2.3 s) and link_entity_clusters (19 rounds; warm 10.6 / — / 11.1 s): NO
+# win even on the high-diameter loop, because the per-round floor is paid
+# per SHUFFLE STAGE (AQE materializes each exchange as its own query
+# stage), not per driver action — fusing K steps into one action leaves the
+# stage count unchanged and adds up to K-1 no-op supersteps past the
+# fixpoint. The helper below is kept (used by the loops; fuse=1 == the
+# classic loop) so the block shape stays testable, with fuse=1 the default.
+SUPERSTEP_FUSE = 1
+
+
+def fused_min_label_loop(
+    labels: DataFrame,
+    edges: DataFrame,
+    keys: list[str],
+    label_col: str,
+    ck,
+    max_iterations: int = 50,
+    fuse: int | None = None,
+) -> DataFrame:
+    """Min-label propagation to the fixpoint, ``fuse`` supersteps per job.
+
+    ``labels``: one row per vertex, columns ``keys + [label_col]`` (the last
+    key is the vertex id; any preceding keys are grouping columns such as
+    ``graph_id``). ``edges``: ``keys[:-1] + [src, dst]``, message direction
+    src -> dst. Returns the converged labels (same schema as ``labels``).
+
+    Semantics are EXACTLY the classic one-step-per-job loop's: the update
+    (label := min over self and in-neighbors) is monotone non-increasing and
+    idempotent at the fixpoint, so (a) steps applied past convergence are
+    identities, and (b) "the block's LAST step changed no label" holds iff
+    the fixpoint was reached at or before that step. At fuse=1 (the default
+    — see the A/B note above) every block is one classic superstep with the
+    convergence count riding the update shuffle.
+    """
+    if fuse is None:
+        fuse = SUPERSTEP_FUSE
+    vcol = keys[-1]
+    group = list(keys[:-1])
+    old_t = dict(labels.dtypes)[label_col]
+    steps = 0
+    while steps < max_iterations:
+        k = min(fuse, max_iterations - steps)
+        cur = labels
+        for j in range(k):
+            lbl, e = cur.alias("lbl"), edges.alias("e")
+            cond = F.col(f"lbl.{vcol}") == F.col("e.src")
+            for g in group:
+                cond = cond & (F.col(f"lbl.{g}") == F.col(f"e.{g}"))
+            msgs = lbl.join(e, on=cond).select(
+                *[F.col(f"e.{g}").alias(g) for g in group],
+                F.col("e.dst").alias(vcol),
+                F.col(f"lbl.{label_col}").alias(label_col),
+            )
+            if j == k - 1:
+                # Last step of the block: thread the pre-step label through
+                # the aggregate (max over {old, NULL…} = the one old label)
+                # so the convergence count rides the same shuffle.
+                cur = (
+                    cur.withColumn("_old", F.col(label_col))
+                    .unionByName(msgs.withColumn("_old", F.lit(None).cast(old_t)))
+                    .groupBy(*keys)
+                    .agg(
+                        F.min(label_col).alias(label_col),
+                        F.max("_old").alias("_old"),
+                    )
+                )
+            else:
+                cur = (
+                    cur.unionByName(msgs)
+                    .groupBy(*keys)
+                    .agg(F.min(label_col).alias(label_col))
+                )
+        cur = barrier(cur, eager=False, ckdir=ck)
+        n_changed = cur.filter(F.col(label_col) < F.col("_old")).count()
+        labels = cur.drop("_old")
+        steps += k
+        if n_changed == 0:  # the block's last step was an identity -> fixpoint
+            break
+    return labels
+
+
 def connected_components(
     spark: SparkSession,
     graphs: DataFrame,
@@ -64,46 +149,19 @@ def connected_components(
 ) -> DataFrame:
     """Min-label propagation over the undirected closure (Pregel pattern,
     per Pregelix — PAPERS.md). Converges in O(diameter) supersteps; each
-    superstep is one shuffle on (graph_id, vertex). Returns
-    (graph_id, vertex, component) with component = min vertex id reachable.
+    superstep is one shuffle on (graph_id, vertex), run through the shared
+    :func:`fused_min_label_loop` (fuse=1 — see its batch-of-K A/B note).
+    Returns (graph_id, vertex, component), component = min reachable id.
     """
     ck = checkpoint_dir(spark)
     ue = barrier(undirected(edges), eager=True, ckdir=ck)
     labels = barrier(
         vertices(graphs).withColumn("component", F.col("vertex")), eager=True, ckdir=ck
     )
-    for it in range(1, max_iterations + 1):
-        lbl, e = labels.alias("lbl"), ue.alias("e")
-        msgs = (
-            lbl.join(e, on=(F.col("lbl.graph_id") == F.col("e.graph_id"))
-                         & (F.col("lbl.vertex") == F.col("e.src")))
-            .select(F.col("e.graph_id").alias("graph_id"),
-                    F.col("e.dst").alias("vertex"),
-                    F.col("lbl.component").alias("component"),
-                    F.lit(None).cast("int").alias("old_component"))
-        )
-        # Each vertex has exactly ONE label row, so threading the previous
-        # label through the min-aggregate (max over {old, NULL...}) lets the
-        # convergence test ride the SAME shuffle as the label update: one
-        # job per superstep (materialize-checkpoint + changed-count), where
-        # a separate new-vs-old join would be a second job with two scans.
-        new_labels = (
-            labels.withColumn("old_component", F.col("component"))
-            .unionByName(msgs)
-            .groupBy("graph_id", "vertex")
-            .agg(
-                F.min("component").alias("component"),
-                F.max("old_component").alias("old_component"),
-            )
-            .transform(barrier_t(eager=False, ckdir=ck))
-        )
-        n_changed = new_labels.filter(
-            F.col("component") < F.col("old_component")
-        ).count()
-        labels = new_labels.drop("old_component")
-        if n_changed == 0:  # no label decreased -> done
-            break
-    return labels
+    return fused_min_label_loop(
+        labels, ue, ["graph_id", "vertex"], "component", ck,
+        max_iterations=max_iterations,
+    )
 
 
 def label_propagation(

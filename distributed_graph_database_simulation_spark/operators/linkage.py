@@ -179,6 +179,8 @@ def entity_clusters_df(spark: SparkSession, pairs: DataFrame) -> DataFrame:
     match-proportional, not corpus-proportional, at any scale. The
     canonical record (``is_canonical``) is the min rec_id of its entity.
     """
+    from .graph_analytics import fused_min_label_loop
+
     ck = checkpoint_dir(spark)
     edges = (
         pairs.select(F.col("rec_a").alias("src"), F.col("rec_b").alias("dst"))
@@ -192,29 +194,11 @@ def entity_clusters_df(spark: SparkSession, pairs: DataFrame) -> DataFrame:
         .withColumn("entity_id", F.col("rec_id"))
         .transform(barrier_t(eager=True, ckdir=ck))
     )
-    for _ in range(50):
-        lbl, e = labels.alias("lbl"), edges.alias("e")
-        msgs = lbl.join(e, F.col("lbl.rec_id") == F.col("e.src")).select(
-            F.col("e.dst").alias("rec_id"),
-            F.col("lbl.entity_id").alias("entity_id"),
-            F.lit(None).cast("long").alias("old_entity"),
-        )
-        new_labels = (
-            labels.withColumn("old_entity", F.col("entity_id"))
-            .unionByName(msgs)
-            .groupBy("rec_id")
-            .agg(
-                F.min("entity_id").alias("entity_id"),
-                F.max("old_entity").alias("old_entity"),
-            )
-            .transform(barrier_t(eager=False, ckdir=ck))
-        )
-        n_changed = new_labels.filter(
-            F.col("entity_id") < F.col("old_entity")
-        ).count()
-        labels = new_labels.drop("old_entity")
-        if n_changed == 0:
-            break
+    # Shared min-label loop (fuse=1 — see the batch-of-K A/B note in
+    # graph_analytics.fused_min_label_loop: fusing measured no win).
+    labels = fused_min_label_loop(
+        labels, edges, ["rec_id"], "entity_id", ck, max_iterations=50
+    )
     return labels.select(
         "rec_id",
         "entity_id",
