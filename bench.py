@@ -509,6 +509,18 @@ def main() -> int:
             json.dump(payload, f, indent=1, sort_keys=True)
     except OSError:
         pass  # a read-only checkout must not fail the bench
+    # Per-query contract line (r15 verdict #8 / PERF extraction): the big
+    # line above is clipped by the driver's stdout capture window, which
+    # left PERF_r15's per_query/scaling blocks empty. This dedicated
+    # one-line JSON carries ONLY the per-query map so the driver can diff
+    # rounds without tail-parsing the composite line. Printed BEFORE the
+    # final headline line so the short total line stays last (its parser
+    # reads the last parseable line).
+    print(
+        json.dumps(
+            {"metric": "per_query", "unit": "sec", "queries": times, "sf": sf_dir}
+        )
+    )
     # Truncation-proof summary (r10 verdict #8 / r11 verdict #1): the
     # driver's stdout capture window clips the big line above from both
     # ends, so BENCH_r10/r11 lost their headline totals ("parsed": null).

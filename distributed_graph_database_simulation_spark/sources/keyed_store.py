@@ -77,6 +77,56 @@ class KeyedParquetStore:
         fs, hpath = self._fs_and_path(self.path)
         return bool(fs.exists(hpath))
 
+    # -- layout metadata (r16, ADVICE): the bucket count is baked into the
+    # on-disk key_bucket= layout, so a caller constructing the store with a
+    # DIFFERENT n_buckets (e.g. a changed SPARK_GRAFT_STORE_BUCKETS env)
+    # would prune the wrong buckets — stale rows survive in their old
+    # directories and updates land in new ones, silently duplicating keys.
+    # The count is persisted in an underscore-prefixed sidecar (invisible
+    # to parquet readers, like _SUCCESS) and validated before any bucket
+    # surgery; a mismatch fails fast instead of corrupting the store.
+    def _meta_hpath(self):
+        return self._fs_and_path(f"{self.path}/_dgds_store_meta.json")
+
+    def _write_meta(self) -> None:
+        import json
+
+        fs, hpath = self._meta_hpath()
+        out = fs.create(hpath, True)
+        try:
+            out.write(
+                json.dumps(
+                    {"n_buckets": self.n_buckets, "key_col": self.key_col}
+                ).encode("utf-8")
+            )
+        finally:
+            out.close()
+
+    def _validate_meta(self) -> None:
+        """Check the persisted bucket count against this instance's (adopting
+        legacy stores that predate the sidecar by writing it)."""
+        import json
+
+        fs, hpath = self._meta_hpath()
+        if not fs.exists(hpath):
+            self._write_meta()
+            return
+        stream = fs.open(hpath)
+        try:
+            raw = self.spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        meta = json.loads(raw)
+        if int(meta.get("n_buckets", self.n_buckets)) != self.n_buckets:
+            raise ValueError(
+                f"KeyedParquetStore at {self.path} was written with "
+                f"n_buckets={meta['n_buckets']}, constructed with "
+                f"n_buckets={self.n_buckets}: bucket surgery would corrupt "
+                f"the store (stale keys left in old bucket directories)"
+            )
+
     def _remove_partition_dir(self, bucket: int) -> None:
         fs, hpath = self._fs_and_path(f"{self.path}/key_bucket={bucket}")
         if fs.exists(hpath):
@@ -127,6 +177,7 @@ class KeyedParquetStore:
             .partitionBy("key_bucket")
             .parquet(self.path)
         )
+        self._write_meta()  # after: mode=overwrite replaces the directory
 
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path).drop("key_bucket")
@@ -175,6 +226,7 @@ class KeyedParquetStore:
                 "buckets_touched": self.n_buckets,
                 "initial_load": True,
             }
+        self._validate_meta()
         batch = self._latest_wins(updates)
         buckets = self._affected_buckets(batch)
         existing = self.spark.read.parquet(self.path).where(
@@ -210,6 +262,7 @@ class KeyedParquetStore:
         """Row-level delete by key — same bucket surgery, minus the union.
         ``keys``: a one-column DataFrame of key values."""
         key_df = keys.select(F.col(keys.columns[0]).alias(self.key_col)).distinct()
+        self._validate_meta()
         buckets = self._affected_buckets(key_df)
         existing = self.spark.read.parquet(self.path).where(
             F.col("key_bucket").isin(buckets)
@@ -357,6 +410,7 @@ class KeyedParquetStore:
         # (and key_df by the survivor anti-join too) — without the scoped
         # persists the delta's upstream (often a full digest scan) executes
         # once per consumer. Bounded by the delta size, never the table.
+        self._validate_meta()
         batch = (
             self._latest_wins(updates)
             .join(key_df, self.key_col, "left_anti")
