@@ -486,8 +486,8 @@ def dedup_against_store(
 
 def dedup_against_frames(
     new_docs: DataFrame,
-    bands_old: DataFrame,
-    sh_old: DataFrame,
+    bands_old: DataFrame | None,
+    sh_old: DataFrame | None,
     sh_new: DataFrame | None = None,
     bands_new: DataFrame | None = None,
 ) -> DataFrame:
@@ -499,6 +499,11 @@ def dedup_against_frames(
     shingle and band frames when the caller ALSO writes them to the store
     — the ingest path otherwise re-runs the scan→split→ngram→signature
     pipeline once for pair-finding and once for the store write.
+
+    ``bands_old=None`` / ``sh_old=None`` (r16): the store side is KNOWN
+    empty (first batch, batch-0 replay) — the cross joins and the history
+    union are omitted outright, so the cold first micro-batch compiles and
+    runs only the within-batch plan (same result as joining empty frames).
     """
     if sh_new is None:
         sh_new = _shingled(new_docs)
@@ -513,18 +518,6 @@ def dedup_against_frames(
             StorageLevel.MEMORY_AND_DISK
         )
 
-    a, b = bands_new.alias("a"), bands_old.alias("b")
-    cand_cross = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash")),
-        )
-        .select(
-            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
-            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
-        )
-    )
     n1, n2 = bands_new.alias("a"), bands_new.alias("b")
     cand_new = (
         n1.join(
@@ -535,8 +528,23 @@ def dedup_against_frames(
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
-    candidates = cand_cross.union(cand_new).distinct()
-    all_sh = sh_old.unionByName(sh_new)
+    if bands_old is not None:
+        a, b = bands_new.alias("a"), bands_old.alias("b")
+        cand_cross = (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_hash") == F.col("b.band_hash")),
+            )
+            .select(
+                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+                F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+            )
+        )
+        candidates = cand_cross.union(cand_new).distinct()
+    else:
+        candidates = cand_new.distinct()
+    all_sh = sh_old.unionByName(sh_new) if sh_old is not None else sh_new
     # Exact verification with ONE pass over the shingle corpus (r14 verdict
     # #5 — the previous two-sided join scanned `all_sh` twice, and the
     # history shingle store is the heaviest table the ingest path touches):

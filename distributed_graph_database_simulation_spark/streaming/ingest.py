@@ -118,6 +118,15 @@ def _ensure_store_tables(
     return bands_tbl, sh_tbl
 
 
+# Serializes the session-conf dance of replay-path bucketed writes: the
+# dynamic-overwrite mode is a SESSION conf read at write planning time
+# (insertInto ignores the per-write writer option — verified on 4.1), so
+# two concurrent replay writes must not interleave set/write/restore.
+import threading
+
+_REPLAY_WRITE_LOCK = threading.Lock()
+
+
 def _insert_partition(
     df: DataFrame,
     batch_id: int,
@@ -149,12 +158,48 @@ def _insert_partition(
     if not os.path.isdir(part_dir):
         out.write.mode("append").insertInto(table)
         return
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        out.write.mode("overwrite").insertInto(table)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    with _REPLAY_WRITE_LOCK:
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            out.write.mode("overwrite").insertInto(table)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def _run_overlapped(*writes) -> None:
+    """Run independent store writes concurrently (guide §2.6: actions are
+    only sequential because the driver calls them sequentially). The two
+    per-batch store inserts touch DIFFERENT tables and read already-
+    persisted frames, so overlapping them back-fills the executor slots
+    one write's task tail leaves idle and halves the per-batch write
+    floor. Failures propagate (the batch fails like the sequential code)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+        futures = [pool.submit(w) for w in writes]
+        for f in futures:
+            f.result()
+
+
+def _has_other_batches(spark: SparkSession, loc: str, batch_id: int) -> bool:
+    """True iff the store location holds any batch partition OTHER than this
+    batch's own (scheme-aware — the keyed-store lesson: os.path checks are
+    driver-local-FS only). False means the store side of a micro-batch is
+    EMPTY by construction (first batch, or a batch-0 replay), so the
+    ingester can skip the store-side joins outright — the plans it compiles
+    and runs on the cold first batch shrink to the within-batch shapes."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(loc)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return False
+    own = f"batch_id={int(batch_id)}"
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if name.startswith("batch_id=") and name != own:
+            return True
+    return False
 
 
 def dedup_ingest_batch(
@@ -198,31 +243,43 @@ def dedup_ingest_batch(
     # and reading them back would emit self-pairs and duplicate the
     # batch-internal pairs — replay must reproduce the original output.
     # (Partition pruning keeps the exclusion filter metadata-only.)
-    bands_old = (
-        spark.table(bands_tbl)
-        .where(F.col("batch_id") != int(batch_id))
-        .select("doc_id", "band_id", "band_hash")
-    )
-    sh_old = (
-        spark.table(sh_tbl)
-        .where(F.col("batch_id") != int(batch_id))
-        .select("doc_id", "shingles")
-    )
+    # Empty-store fast path (r16): when no OTHER batch partition exists
+    # (first batch / batch-0 replay) the store side is empty by
+    # construction — skip its scans and joins outright instead of joining
+    # empty frames (identical result, and the COLD first batch compiles
+    # only the within-batch plan).
+    if _has_other_batches(spark, f"{store_path}/bands", batch_id):
+        bands_old = (
+            spark.table(bands_tbl)
+            .where(F.col("batch_id") != int(batch_id))
+            .select("doc_id", "band_id", "band_hash")
+        )
+        sh_old = (
+            spark.table(sh_tbl)
+            .where(F.col("batch_id") != int(batch_id))
+            .select("doc_id", "shingles")
+        )
+    else:
+        bands_old, sh_old = None, None
     pairs = dedup_against_frames(batch, bands_old, sh_old, sh_new=sh, bands_new=bands)
     # Pairs first, store second: if the job dies between the two writes the
     # replay overwrites the same pair partition and re-extends the store —
     # both idempotent per batch_id. (Store-first would also be safe, but
     # pairs-first means a reader never sees store state whose pairs are
-    # missing once the batch commits.)
+    # missing once the batch commits.) The two store inserts are mutually
+    # independent (different tables, both reading frames the pairs write
+    # already materialized into the persist) and run overlapped (§2.6).
     _write_partition(pairs, batch_id, pairs_path)
-    _insert_partition(
-        bands.select("doc_id", "band_id", "band_hash"),
-        batch_id, bands_tbl, f"{store_path}/bands",
-        ["band_id", "band_hash"], n_buckets,
-    )
-    _insert_partition(
-        sh.select("doc_id", "shingles"),
-        batch_id, sh_tbl, f"{store_path}/shingles", ["doc_id"], n_buckets,
+    _run_overlapped(
+        lambda: _insert_partition(
+            bands.select("doc_id", "band_id", "band_hash"),
+            batch_id, bands_tbl, f"{store_path}/bands",
+            ["band_id", "band_hash"], n_buckets,
+        ),
+        lambda: _insert_partition(
+            sh.select("doc_id", "shingles"),
+            batch_id, sh_tbl, f"{store_path}/shingles", ["doc_id"], n_buckets,
+        ),
     )
     bands.unpersist()
     sh.unpersist()
@@ -1387,41 +1444,55 @@ def linkage_ingest_batch(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     # Exclude this batch's OWN partition on replay (same contract as the
     # dedup store) — both from candidates and from the cumulative df.
-    g_old = (
-        spark.table(grams_tbl)
-        .where(F.col("batch_id") != int(batch_id))
-        .select("rec_id", "gram")
-    )
+    # Empty-store fast path (r16, as in dedup_ingest_batch): when no other
+    # batch partition exists, the store side is empty by construction —
+    # the cold first batch compiles and runs only the within-batch plan.
+    store_has_history = _has_other_batches(spark, f"{store_path}/grams", batch_id)
+    if store_has_history:
+        g_old = (
+            spark.table(grams_tbl)
+            .where(F.col("batch_id") != int(batch_id))
+            .select("rec_id", "gram")
+        )
+        all_grams = g_new.select("gram").unionByName(g_old.select("gram"))
+    else:
+        g_old = None
+        all_grams = g_new.select("gram")
     kept = (
-        g_new.select("gram")
-        .unionByName(g_old.select("gram"))
+        all_grams
         .groupBy("gram")
         .agg(F.count("*").alias("df"))
         .where(F.col("df") <= LINK_MAX_DF)
         .select("gram")
     )
     gk_new = g_new.join(kept, "gram")
-    gk_old = g_old.join(kept, "gram")
-    a, b = gk_new.alias("a"), gk_old.alias("b")
-    cand_cross = a.join(b, F.col("a.gram") == F.col("b.gram")).select(
-        F.least(F.col("a.rec_id"), F.col("b.rec_id")).alias("rec_a"),
-        F.greatest(F.col("a.rec_id"), F.col("b.rec_id")).alias("rec_b"),
-    )
     n1, n2 = gk_new.alias("a"), gk_new.alias("b")
     cand_new = n1.join(
         n2,
         (F.col("a.gram") == F.col("b.gram"))
         & (F.col("a.rec_id") < F.col("b.rec_id")),
     ).select(F.col("a.rec_id").alias("rec_a"), F.col("b.rec_id").alias("rec_b"))
-    candidates = cand_cross.union(cand_new).distinct()
+    if store_has_history:
+        gk_old = g_old.join(kept, "gram")
+        a, b = gk_new.alias("a"), gk_old.alias("b")
+        cand_cross = a.join(b, F.col("a.gram") == F.col("b.gram")).select(
+            F.least(F.col("a.rec_id"), F.col("b.rec_id")).alias("rec_a"),
+            F.greatest(F.col("a.rec_id"), F.col("b.rec_id")).alias("rec_b"),
+        )
+        candidates = cand_cross.union(cand_new).distinct()
+    else:
+        candidates = cand_new.distinct()
     # Single pass over the record texts (store ∪ batch) — same
     # melt→join→fold shape as dedup verification.
-    texts = (
-        spark.table(recs_tbl)
-        .where(F.col("batch_id") != int(batch_id))
-        .select("rec_id", "text")
-        .unionByName(base)
-    )
+    if store_has_history:
+        texts = (
+            spark.table(recs_tbl)
+            .where(F.col("batch_id") != int(batch_id))
+            .select("rec_id", "text")
+            .unionByName(base)
+        )
+    else:
+        texts = base
     melted = candidates.select(
         "rec_a", "rec_b", F.explode(F.array("rec_a", "rec_b")).alias("rec_id")
     )
@@ -1439,12 +1510,16 @@ def linkage_ingest_batch(
         .where(F.col("edit_dist") <= LINK_MAX_DIST)
         .select("rec_a", "rec_b", "edit_dist")
     )
+    # Pairs first (crash-ordering contract), then the two independent store
+    # inserts overlapped (§2.6 — different tables, both persisted above).
     _write_partition(pairs, batch_id, pairs_path)
-    _insert_partition(
-        g_new, batch_id, grams_tbl, f"{store_path}/grams", ["gram"], n_buckets
-    )
-    _insert_partition(
-        base, batch_id, recs_tbl, f"{store_path}/records", ["rec_id"], n_buckets
+    _run_overlapped(
+        lambda: _insert_partition(
+            g_new, batch_id, grams_tbl, f"{store_path}/grams", ["gram"], n_buckets
+        ),
+        lambda: _insert_partition(
+            base, batch_id, recs_tbl, f"{store_path}/records", ["rec_id"], n_buckets
+        ),
     )
     g_new.unpersist()
     base.unpersist()
