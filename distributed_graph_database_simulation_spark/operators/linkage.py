@@ -248,10 +248,19 @@ def _global_rank(records: DataFrame, key: F.Column) -> DataFrame:
     distributed; the only driver-side data is one row per partition.
     """
     from pyspark.sql.window import Window as W
+    from pyspark.storagelevel import StorageLevel
 
     keyed = records.withColumn("_snm_key", key)
     parted = keyed.repartitionByRange(F.col("_snm_key"), F.col("rec_id"))
-    with_pid = parted.withColumn("_pid", F.spark_partition_id())
+    # Persist the range-partitioned input: the per-partition census below is
+    # its own job, and WITHOUT the persist the final query re-runs the whole
+    # scan -> range exchange (including the range partitioner's sampling
+    # pass) a second time — shuffle files are not reused across actions
+    # (r16, guide §1 job-count / §2.4). MEMORY_AND_DISK: spills, never
+    # recomputes through the replaced exchange.
+    with_pid = parted.withColumn("_pid", F.spark_partition_id()).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     counts = with_pid.groupBy("_pid").count().collect()  # one row/partition
     offsets = {}
     acc = 0
@@ -290,10 +299,16 @@ def sorted_neighborhood_df(
     then filters to the exact rank distance. Shuffle volume is 2 rows
     per record.
     """
+    from pyspark.storagelevel import StorageLevel
+
     ranked = _global_rank(
         records.where(F.length("text") >= key_len),
         F.expr(f"right(text, {key_len})"),
     )
+    # Persist the bucketed rows: BOTH sides of the neighborhood self-join
+    # consume them, and the subtree above (range exchange + window + rank
+    # join) would otherwise execute once per side (r16 — same shared-
+    # subtree discipline as minhash_lsh_df's band table).
     buckets = ranked.select(
         "rec_id",
         "text",
@@ -304,7 +319,7 @@ def sorted_neighborhood_df(
                 (F.col("rank") / window).cast("long") + 1,
             )
         ).alias("bucket"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(

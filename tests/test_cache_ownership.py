@@ -37,6 +37,9 @@ PERSISTING_QUERIES = [
     "rel_sliding_distinct_users",  # relational.py (day,user) pairs persist
     "pipe_incremental_quality",    # pipeline.py digest-routed join persist
     "dedup_boilerplate_sentences",  # dedup.py sentence-table persist
+    # r16 shared-subtree persists (lazy-plan class, harness-owned)
+    "link_sorted_neighborhood",     # linkage.py range-partition + bucket persists
+    "link_customer_dirty",          # (unchanged control: no persist, must stay 0)
 ]
 
 
