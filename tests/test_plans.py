@@ -29,15 +29,34 @@ def _n_data_exchanges(plan: str) -> int:
     at scale, where scans arrive already split. The shuffle-free posture
     these tests pin is about DATA exchanges (hash/range partitioning, i.e.
     work proportional to keys), so the spread's roundrobin node is excluded.
+
+    r16 (ADVICE): the exclusion is BOUNDED — only REPARTITION_BY_NUM
+    round-robins are exempt (the spread's ``df.repartition(n)`` origin;
+    REBALANCE or keyed repartitions still count), and at most one per
+    parquet/InMemory base-relation scan in the plan (each spread sits
+    directly on a scan). A future stray round-robin beyond the scan count
+    fails the shuffle-free pins instead of hiding behind the exemption.
     """
     n = 0
+    n_rr_exempt = 0
     # formatted mode: each node's detail block starts "(k) Exchange" with
     # the partitioning on its "Arguments:" line a couple of lines below
     for m in re.finditer(r"\(\d+\) (BroadcastExchange|Exchange)\n((?:[^\n]*\n){0,3})", plan):
+        detail = m.group(2).lower()
         if m.group(1) == "BroadcastExchange":
             n += 1
-        elif "roundrobinpartitioning" not in m.group(2).lower():
+        elif (
+            "roundrobinpartitioning" in detail
+            and "repartition_by_num" in detail
+        ):
+            n_rr_exempt += 1
+        else:
             n += 1
+    n_scans = len(re.findall(r"\(\d+\) (?:Scan parquet|InMemoryTableScan|Scan ExistingRDD)", plan))
+    assert n_rr_exempt <= max(1, n_scans), (
+        f"{n_rr_exempt} round-robin exchanges exempted but only {n_scans} "
+        f"base scans in the plan — a non-spread round-robin slipped in"
+    )
     return n
 
 
