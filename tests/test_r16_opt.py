@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import re
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -131,3 +132,34 @@ def test_spread_gates_on_split_count_and_size(spark, sf_dir, tmp_path, monkeypat
     # estimator agrees with the on-disk layout
     est = T._scan_split_estimate(df)
     assert est is not None and est[0] >= 1 and est[1] > 0
+
+
+def test_keyed_store_bucket_count_mismatch_fails_fast(spark, tmp_path):
+    from distributed_graph_database_simulation_spark.sources.keyed_store import (
+        KeyedParquetStore,
+    )
+
+    path = str(tmp_path / "store")
+    base = spark.createDataFrame(
+        [(i, f"v{i}", 1) for i in range(50)], "k long, val string, ver int"
+    )
+    KeyedParquetStore(spark, path, "k", n_buckets=4, version_col="ver").write_full(base)
+
+    upd = spark.createDataFrame([(1, "x", 2)], "k long, val string, ver int")
+    wrong = KeyedParquetStore(spark, path, "k", n_buckets=8, version_col="ver")
+    with pytest.raises(ValueError, match="n_buckets=4"):
+        wrong.upsert(upd)
+    with pytest.raises(ValueError, match="n_buckets=4"):
+        wrong.delete(upd.select("k"))
+
+    # the matching count still works; a legacy store (no sidecar) is adopted
+    right = KeyedParquetStore(spark, path, "k", n_buckets=4, version_col="ver")
+    right.upsert(upd)
+    meta = tmp_path / "store" / "_dgds_store_meta.json"
+    assert meta.exists()
+    meta.unlink()
+    legacy = KeyedParquetStore(spark, path, "k", n_buckets=4, version_col="ver")
+    legacy.upsert(spark.createDataFrame([(2, "y", 2)], "k long, val string, ver int"))
+    assert meta.exists()  # adopted: sidecar rewritten on first surgery
+    rows = {(r["k"], r["val"]) for r in legacy.read().collect() if r["k"] in (1, 2)}
+    assert rows == {(1, "x"), (2, "y")}
