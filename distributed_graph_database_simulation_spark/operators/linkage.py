@@ -100,8 +100,16 @@ def record_linkage_df(
         .distinct()
     )
     return (
-        cand.withColumn("edit_dist", F.levenshtein("ta", "tb").cast("int"))
-        .where(F.col("edit_dist") <= max_dist)
+        # Bounded levenshtein (3-arg form, Spark >= 3.5): the DP early-
+        # terminates once the distance provably exceeds max_dist — O(k*len)
+        # per pair instead of O(len^2), and with k=1 the verification stage
+        # drops ~25x in cell work. Returns the EXACT distance when
+        # <= max_dist (else -1), so emitted rows are bit-identical to the
+        # unbounded form (r16, guide §1.2 per-task work).
+        cand.withColumn(
+            "edit_dist", F.levenshtein("ta", "tb", max_dist).cast("int")
+        )
+        .where(F.col("edit_dist") >= 0)
         .select("rec_a", "rec_b", "edit_dist")
     )
 
@@ -337,8 +345,11 @@ def sorted_neighborhood_df(
         .distinct()
     )
     return (
-        cand.withColumn("edit_dist", F.levenshtein("ta", "tb").cast("int"))
-        .where(F.col("edit_dist") <= max_dist)
+        # Bounded levenshtein — same exactness argument as record_linkage_df.
+        cand.withColumn(
+            "edit_dist", F.levenshtein("ta", "tb", max_dist).cast("int")
+        )
+        .where(F.col("edit_dist") >= 0)
         .select("rec_a", "rec_b", "edit_dist")
     )
 

@@ -1506,8 +1506,12 @@ def linkage_ingest_batch(
         .where(F.col("ta").isNotNull() & F.col("tb").isNotNull())
     )
     pairs = (
-        folded.withColumn("edit_dist", F.levenshtein("ta", "tb").cast("int"))
-        .where(F.col("edit_dist") <= LINK_MAX_DIST)
+        # Bounded levenshtein (exact for distances <= LINK_MAX_DIST, -1
+        # beyond) — same identity as operators.linkage.record_linkage_df.
+        folded.withColumn(
+            "edit_dist", F.levenshtein("ta", "tb", LINK_MAX_DIST).cast("int")
+        )
+        .where(F.col("edit_dist") >= 0)
         .select("rec_a", "rec_b", "edit_dist")
     )
     # Pairs first (crash-ordering contract), then the two independent store
