@@ -15,6 +15,7 @@ latency). Timing includes full materialization (count of the result).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -433,6 +434,19 @@ def main() -> int:
             # without this a full headline run accumulates every query's
             # blocks in one shared session.
             spark.catalog.clearCache()
+            # Also drop the Python references to this rep's plan and force a
+            # driver GC (r16 measurement hygiene, documented in
+            # OPTIMIZATION_r16.md): localCheckpoint barriers register
+            # block-manager RDDs that clearCache does NOT release — they are
+            # freed only when the py4j proxies are collected and the
+            # ContextCleaner runs. Without this, a 137-query run accumulates
+            # every loop query's checkpoint blocks in executor memory and
+            # the tail of the run measures GC pressure from earlier queries,
+            # not the operator (isolated vs in-bench cold reps differed up
+            # to 1.7x on the last headline entries). Timing methodology is
+            # unchanged: this runs strictly OUTSIDE the timed region.
+            del df
+            gc.collect()
             if samples[0] > rep_skip:
                 break
         samples.sort()

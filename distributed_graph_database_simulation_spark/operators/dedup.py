@@ -983,8 +983,17 @@ def dedup_embedding_cosine_prefiltered(
         n = emb.count()
         bits = min(24, max(8, math.ceil(math.log2(max(n, 2)))))
     normed = _with_norm(emb)  # vec_id, e, norm
-    sig = _signatures(normed, tables=tables, bits=bits).select(
-        "vec_id", "table_id", "bucket"
+    # Persist the signature table: BOTH sides of the banding self-join
+    # consume it, and the signature kernel (mapInPandas int64 matmul) has
+    # no exchange below the join for ReusedExchange to dedup the two sides
+    # with — unpersisted, the quantize+project kernel runs once per side
+    # (r16; same shared-subtree discipline as minhash_lsh_df's band table).
+    from pyspark.storagelevel import StorageLevel
+
+    sig = (
+        _signatures(normed, tables=tables, bits=bits)
+        .select("vec_id", "table_id", "bucket")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cand = (
         sig.alias("a")

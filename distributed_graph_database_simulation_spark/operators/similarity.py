@@ -1411,8 +1411,18 @@ def sim_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (query_id, neighbor_id) equi-join and a per-query count — evaluation
     cost scales with k * |queries|, not corpus size.
     """
+    from pyspark.storagelevel import StorageLevel
+
     lsh = sim_topk_lsh(spark, sf_dir).select("query_id", "neighbor_id")
-    bf = sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    # Persist the brute-force leg: it feeds BOTH the hits join and the
+    # query-universe distinct, and unpersisted the full broadcast-NL scan
+    # + per-query window executes once per consumer (r16; lazy-plan class,
+    # harness-owned release).
+    bf = (
+        sim_topk_bruteforce(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     hits = (
         bf.join(lsh, ["query_id", "neighbor_id"])
         .groupBy("query_id")
@@ -1866,8 +1876,15 @@ def sim_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     legs are this module's own operators, joined on
     (query_id, neighbor_id) and counted per query — evaluation cost is
     k * |queries|, independent of corpus size."""
+    from pyspark.storagelevel import StorageLevel
+
     ivf = sim_topk_ivf(spark, sf_dir).select("query_id", "neighbor_id")
-    bf = sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    # Persist the brute-force leg (double-consumed — see sim_recall_lsh).
+    bf = (
+        sim_topk_bruteforce(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     hits = (
         bf.join(ivf, ["query_id", "neighbor_id"])
         .groupBy("query_id")
@@ -2162,8 +2179,17 @@ def sim_recall_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
     Evaluation cost is k * |queries|, independent of corpus size."""
     corpus = _emb_spread(spark, sf_dir)
     queries = corpus.filter(F.col("vec_id") < N_QUERIES)
+    from pyspark.storagelevel import StorageLevel
+
     ann = mips_topk_lsh_df(corpus, queries).select("query_id", "neighbor_id")
-    bf = mips_topk_df(corpus, queries).select("query_id", "neighbor_id")
+    # Persist the brute-force leg (double-consumed — see sim_recall_lsh);
+    # this one is the heaviest of the three: a broadcast-NL dot over the
+    # whole corpus per consumer.
+    bf = (
+        mips_topk_df(corpus, queries)
+        .select("query_id", "neighbor_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     hits = (
         bf.join(ann, ["query_id", "neighbor_id"])
         .groupBy("query_id")
@@ -2378,8 +2404,17 @@ def knn_graph_df(
     prefer tables, keep probes=0.
 
     Returns ``(src_id, rank, neighbor_id, cosine)``."""
+    from pyspark.storagelevel import StorageLevel
+
     c = _with_norm(corpus)
-    sig = _signatures(c, tables=tables, bits=bits)
+    # Persist the signature table: BOTH sides of the bucket self-join
+    # consume it, and the kernel's output has no exchange for
+    # ReusedExchange to dedup — unpersisted, the quantize+project
+    # mapInPandas kernel runs once per side (r16; lazy-plan class,
+    # harness-owned release).
+    sig = _signatures(c, tables=tables, bits=bits).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     probe_sig = sig
     if probes >= 1:
         masks = [0] + [1 << j for j in range(bits)]
