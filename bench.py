@@ -449,6 +449,12 @@ def main() -> int:
             gc.collect()
             if samples[0] > rep_skip:
                 break
+        # One JVM GC per query (not per rep — a full collection costs
+        # ~0.1-0.5 s): SparkContext.persistentRdds holds the checkpoint
+        # RDDs via WEAK values, so the async ContextCleaner frees their
+        # blocks only after a JVM GC clears the refs — without this the
+        # release lands inside the NEXT query's timed window.
+        spark.sparkContext._jvm.System.gc()
         samples.sort()
         times[name] = round(samples[len(samples) // 2], 3)
         spreads[name] = [round(samples[0], 3), round(samples[-1], 3), len(samples)]

@@ -1949,11 +1949,13 @@ def pipe_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     surv = docs.join(losers, "doc_id", "left_anti")
-    from pyspark.storagelevel import StorageLevel
-
     # Three consumers (budget totals collect, admission filter, evidence
-    # join) — persist so the dedup-anti-join + quality-quantile subtree
-    # runs once, not per consumer (r13 double-execute audit).
+    # join) — materialize so the dedup-anti-join + quality-quantile subtree
+    # runs once, not per consumer (r13 double-execute audit). Eager
+    # localCheckpoint rather than persist (r16): the barrier also truncates
+    # the logical plan, so the consumers stop re-analyzing the stacked
+    # dedup+quantile tree per use (interleaved A/B at sf0.1/c32: persist
+    # 15.4 s cold / 5.9 s warm vs checkpoint 7.3 / 5.3, identical rows).
     kept = select_top_quality_df(
         spark, surv.select("doc_id", "lang", "text"), keep_fraction=0.5
     ).select(
@@ -1961,7 +1963,7 @@ def pipe_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "text",
         F.round(F.col("quality") * 1e6).cast("bigint").alias("quality_micro"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=True)
     admitted = sample_token_budget_df(kept, TOKEN_BUDGETS)
     return admitted.join(kept.select("doc_id", "quality_micro"), "doc_id").select(
         "doc_id",

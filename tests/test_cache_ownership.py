@@ -47,9 +47,33 @@ def _n_persisted(spark) -> int:
     return spark.sparkContext._jsc.getPersistentRDDs().size()
 
 
+def _drain_stray_checkpoints(spark, timeout: float = 15.0) -> None:
+    """Release localCheckpoint RDDs left behind by EARLIER tests in the
+    shared session: clearCache cannot remove them (they are block-manager
+    RDDs, not catalog cache entries) — they are freed only when the py4j
+    proxies are collected and the async ContextCleaner runs. Force the
+    driver GC and wait for the persistent-RDD census to drain so the
+    assertions below measure THIS test's operators, not session refuse
+    (same hygiene bench.py applies between queries, r16)."""
+    import gc
+    import time
+
+    deadline = time.time() + timeout
+    gc.collect()
+    while _n_persisted(spark) and time.time() < deadline:
+        gc.collect()
+        # The driver-side Python GC alone is not enough: the JVM keeps the
+        # checkpoint RDDs in SparkContext.persistentRdds (weak VALUES), so
+        # the ContextCleaner unpersists them only after a JVM GC clears the
+        # weak refs. Ask for one explicitly while draining.
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.2)
+
+
 def test_harness_cache_release_leaves_no_persisted_blocks(spark, sf_dir):
     q = registry.queries()
     spark.catalog.clearCache()  # isolate from earlier tests in the session
+    _drain_stray_checkpoints(spark)
     for name in PERSISTING_QUERIES:
         q[name](spark, sf_dir).count()
         spark.catalog.clearCache()
@@ -78,6 +102,7 @@ def test_iterative_graph_ops_release_their_own_caches(spark, sf_dir, tmp_path):
 
     q = registry.queries()
     spark.catalog.clearCache()
+    _drain_stray_checkpoints(spark)
     spark.conf.set(CHECKPOINT_DIR_CONF, str(tmp_path / "ck"))
     try:
         for name in ("g_pagerank_weighted_scale", "g_cc_contraction_scale"):
