@@ -1153,9 +1153,21 @@ def stream_crawl_diff_ingest_entry(spark: SparkSession, sf_dir: str) -> DataFram
         | (F.col("doc_id") < 0)  # negative mirror ids = added docs
     )
     deletes = docs.where(F.col("doc_id") % 17 == 0).select("doc_id")
-    crawl_apply_delta(spark, upserts, deletes, store)
+    # The SAME delta feeds both applies (the second is the crash-replay
+    # stress), so digest it ONCE and hand both calls the materialized rows
+    # — re-deriving the snapshot transform + md5 digest per call re-ran the
+    # whole upstream twice for identical bytes. The store-side RMW still
+    # runs twice, which is exactly what the replay certifies (merge_delta
+    # idempotence is also unit-tested on its own in test_r13_ops.py).
+    # Digest frames are KB-scale (doc_id, source, len, csum).
+    from ..sources.keyed_store import KeyedParquetStore
+
+    up_digest = _doc_digest(upserts).localCheckpoint(eager=True)
+    del_ids = deletes.localCheckpoint(eager=True)
+    kstore = KeyedParquetStore(spark, store, "doc_id", n_buckets=64)
+    kstore.merge_delta(up_digest, del_ids)
     # Crash-replay stress: the same delta again must be a no-op.
-    crawl_apply_delta(spark, upserts, deletes, store)
+    kstore.merge_delta(up_digest, del_ids)
 
     out = (
         spark.read.parquet(store)
