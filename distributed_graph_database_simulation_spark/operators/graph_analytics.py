@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import barrier, barrier_t, checkpoint_dir
+from ..session import barrier, barrier_observed, barrier_t, checkpoint_dir
 
 
 def vertices(graphs: DataFrame) -> DataFrame:
@@ -131,8 +131,15 @@ def fused_min_label_loop(
                     .groupBy(*keys)
                     .agg(F.min(label_col).alias(label_col))
                 )
-        cur = barrier(cur, eager=False, ckdir=ck)
-        n_changed = cur.filter(F.col(label_col) < F.col("_old")).count()
+        # Convergence stat rides the checkpoint materialization as an
+        # observation — one action per superstep instead of checkpoint +
+        # count (r16, guide §1; see session.barrier_observed).
+        cur, m = barrier_observed(
+            cur,
+            [F.count_if(F.col(label_col) < F.col("_old")).alias("n_changed")],
+            ckdir=ck,
+        )
+        n_changed = int(m["n_changed"])
         labels = cur.drop("_old")
         steps += k
         if n_changed == 0:  # the block's last step was an identity -> fixpoint
@@ -248,12 +255,12 @@ def kcore(
             .groupBy("graph_id", F.col("src").alias("vertex"))
             .agg(F.count("*").alias("deg"))
         )
-        survivors = (
-            deg.filter(F.col("deg") >= k)
-            .select("graph_id", "vertex")
-            .transform(barrier_t(eager=False, ckdir=ck))
+        survivors, m = barrier_observed(
+            deg.filter(F.col("deg") >= k).select("graph_id", "vertex"),
+            [F.count(F.lit(1)).alias("n")],
+            ckdir=ck,
         )
-        n_now = survivors.count()
+        n_now = int(m["n"])
         if n_now == n_prev:
             break
         n_prev = n_now
@@ -379,11 +386,14 @@ def sssp(
                 | (F.col("distance") < F.col("old_distance"))
             )
             .select("vertex", "distance")
-            # lazy checkpoint + count: barrier and termination test in ONE
-            # job per superstep (count materializes the checkpoint)
-            .transform(barrier_t(eager=False, ckdir=ck))
         )
-        if improved.count() == 0:
+        # Termination stat rides the checkpoint materialization as an
+        # observation — one action per superstep (r16, guide §1; see
+        # session.barrier_observed).
+        improved, m = barrier_observed(
+            improved, [F.count(F.lit(1)).alias("n")], ckdir=ck
+        )
+        if int(m["n"]) == 0:
             break
         dists = dists.join(improved, "vertex", "left_anti").unionByName(improved)
         if it % checkpoint_every == 0:
@@ -547,8 +557,10 @@ def multi_source_bfs(
                 .join(visited, ["graph_id", "source", "vertex"], "left_anti")
                 .withColumn("level", F.lit(level).cast("int"))
             )
-            next_frontier = barrier(next_frontier, eager=False, ckdir=ck)
-            if next_frontier.count() == 0:
+            next_frontier, m = barrier_observed(
+                next_frontier, [F.count(F.lit(1)).alias("n")], ckdir=ck
+            )
+            if int(m["n"]) == 0:
                 break
             visited = visited.union(next_frontier)
             if level % checkpoint_every == 0:
@@ -903,14 +915,19 @@ def _scc_rounds(spark, edges, remaining, max_rounds, ck) -> list[DataFrame]:
         )
         e_r = barrier(e_r, eager=True, ckdir=ck)
         # --- 1. trim to fixpoint -------------------------------------------
+        n_rem = remaining.count()
         while True:
             has_out = e_r.select("graph_id", F.col("src").alias("vertex")).distinct()
             has_in = e_r.select("graph_id", F.col("dst").alias("vertex")).distinct()
             core = remaining.join(has_out, ["graph_id", "vertex"], "left_semi").join(
                 has_in, ["graph_id", "vertex"], "left_semi"
             )
-            core = barrier(core, eager=False, ckdir=ck)
-            n_core, n_rem = core.count(), remaining.count()
+            # n_core rides the checkpoint action (r16, guide §1); n_rem is
+            # carried forward in the driver (remaining == last round's core).
+            core, m = barrier_observed(
+                core, [F.count(F.lit(1)).alias("n")], ckdir=ck
+            )
+            n_core = int(m["n"])
             if n_core == n_rem:
                 break
             trimmed = remaining.join(core, ["graph_id", "vertex"], "left_anti").select(
@@ -918,6 +935,7 @@ def _scc_rounds(spark, edges, remaining, max_rounds, ck) -> list[DataFrame]:
             )
             labeled_parts.append(barrier(trimmed, eager=True, ckdir=ck))
             remaining = core
+            n_rem = n_core
             if n_core == 0:
                 break
             e_r = barrier(
@@ -926,7 +944,7 @@ def _scc_rounds(spark, edges, remaining, max_rounds, ck) -> list[DataFrame]:
                 eager=True,
                 ckdir=ck,
             )
-        if remaining.isEmpty():
+        if n_rem == 0:  # trim emptied the round (count carried from the loop)
             break
         # --- 2. forward max coloring ---------------------------------------
         colors = barrier(
@@ -952,11 +970,15 @@ def _scc_rounds(spark, edges, remaining, max_rounds, ck) -> list[DataFrame]:
                     F.max("color").alias("color"),
                     F.max("old_color").alias("old_color"),
                 )
-                .transform(barrier_t(eager=False, ckdir=ck))
             )
-            n_changed = new_colors.filter(F.col("color") > F.col("old_color")).count()
+            # Convergence stat rides the checkpoint action (r16, guide §1).
+            new_colors, m = barrier_observed(
+                new_colors,
+                [F.count_if(F.col("color") > F.col("old_color")).alias("n")],
+                ckdir=ck,
+            )
             colors = new_colors.drop("old_color")
-            if n_changed == 0:
+            if int(m["n"]) == 0:
                 break
         colors = barrier(colors, eager=True, ckdir=ck)
         # --- 3. backward sweep from the roots ------------------------------
@@ -1071,8 +1093,10 @@ def betweenness_sampled(
                 .withColumn("level", F.lit(level).cast("int"))
                 .select("graph_id", "source", "vertex", "level", "sigma")
             )
-            nxt = barrier(nxt, eager=False, ckdir=ck)
-            if nxt.count() == 0:
+            nxt, m = barrier_observed(
+                nxt, [F.count(F.lit(1)).alias("n")], ckdir=ck
+            )
+            if int(m["n"]) == 0:
                 break
             visited = visited.unionByName(nxt)
             levels.append(nxt)
@@ -1208,9 +1232,12 @@ def sssp_with_predecessors(
                 | (F.col("distance") < F.col("old_distance"))
             )
             .select("vertex", "distance")
-            .transform(barrier_t(eager=False, ckdir=ck))
         )
-        if improved.count() == 0:
+        # Termination stat rides the checkpoint action (r16, guide §1).
+        improved, m = barrier_observed(
+            improved, [F.count(F.lit(1)).alias("n")], ckdir=ck
+        )
+        if int(m["n"]) == 0:
             break
         dists = dists.join(improved, "vertex", "left_anti").unionByName(improved)
         if it % checkpoint_every == 0:
@@ -1672,10 +1699,11 @@ def ktruss(
     for it in range(1, max_iterations + 1):
         with_support = _edge_support(canon)
         kept = with_support.where(F.col("support") >= k - 2)
-        kept = barrier(
-            kept, eager=(it % checkpoint_every == 0), ckdir=ck
+        # Fixpoint stat rides the checkpoint action (r16, guide §1).
+        kept, m = barrier_observed(
+            kept, [F.count(F.lit(1)).alias("n")], ckdir=ck
         )
-        n_kept = kept.count()
+        n_kept = int(m["n"])
         canon = kept.select("graph_id", "src", "dst")
         if n_kept == n_edges:
             return kept  # fixpoint: every surviving edge is supported
@@ -1736,10 +1764,15 @@ def maximal_independent_set(
         .where(F.col("src") != F.col("dst"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    active = barrier(vertices(graphs), eager=True, ckdir=ck)
+    # Active-set size rides each barrier action as an observation (r16,
+    # guide §1 job count) — the loop-top count() jobs are gone.
+    active, m = barrier_observed(
+        vertices(graphs), [F.count(F.lit(1)).alias("n")], ckdir=ck
+    )
+    n_active = int(m["n"])
     chosen = None
     for rnd in range(1, max_rounds + 1):
-        if active.count() == 0:
+        if n_active == 0:
             break
         pri = active.select(
             "graph_id", "vertex", _mis_priority(rnd).alias("p")
@@ -1792,9 +1825,10 @@ def maximal_independent_set(
         )
         dead = winners.select("graph_id", "vertex").unionByName(w_nbrs)
         active = active.join(dead, ["graph_id", "vertex"], "left_anti")
-        active = barrier(
-            active, eager=(rnd % checkpoint_every == 0), ckdir=ck
+        active, m = barrier_observed(
+            active, [F.count(F.lit(1)).alias("n")], ckdir=ck
         )
+        n_active = int(m["n"])
     ue.unpersist()
     if chosen is None:
         return spark.createDataFrame([], "graph_id int, vertex int, round int")
@@ -1852,18 +1886,21 @@ def maximal_matching(
     from pyspark.storagelevel import StorageLevel
 
     ck = checkpoint_dir(spark)
-    active = barrier(
+    # Active-set size rides each barrier action as an observation (r16,
+    # guide §1 job count) — the loop-top count() jobs are gone.
+    active, m = barrier_observed(
         undirected(edges)
         .where(F.col("src") < F.col("dst"))
         .select("graph_id", "src", "dst")
         .distinct(),
-        eager=True,
+        [F.count(F.lit(1)).alias("n")],
         ckdir=ck,
     )
+    n_active = int(m["n"])
     _ = graphs  # vertex universe not needed: isolated vertices never match
     chosen = None
     for rnd in range(1, max_rounds + 1):
-        if active.count() == 0:
+        if n_active == 0:
             break
         pri = active.select(
             "graph_id",
@@ -1913,7 +1950,10 @@ def maximal_matching(
                 "left_anti",
             )
         )
-        active = barrier(active, eager=(rnd % checkpoint_every == 0), ckdir=ck)
+        active, m = barrier_observed(
+            active, [F.count(F.lit(1)).alias("n")], ckdir=ck
+        )
+        n_active = int(m["n"])
     if chosen is None:
         return spark.createDataFrame([], "graph_id int, src int, dst int, round int")
     return chosen.select("graph_id", "src", "dst", "round")
@@ -2094,11 +2134,18 @@ def temporal_reachability(
             .unionByName(msgs)
             .groupBy(*keys)
             .agg(F.min("earliest").alias("earliest"), F.max("old").alias("old"))
-            .transform(barrier_t(eager=False, ckdir=ck))
         )
-        n_changed = new_arr.filter(
-            F.col("old").isNull() | (F.col("earliest") < F.col("old"))
-        ).count()
+        # Convergence stat rides the checkpoint action (r16, guide §1).
+        new_arr, m = barrier_observed(
+            new_arr,
+            [
+                F.count_if(
+                    F.col("old").isNull() | (F.col("earliest") < F.col("old"))
+                ).alias("n")
+            ],
+            ckdir=ck,
+        )
+        n_changed = int(m["n"])
         arr = new_arr.drop("old")
         if it % checkpoint_every == 0:
             arr = barrier(arr, eager=True, ckdir=ck)
@@ -2139,10 +2186,13 @@ def greedy_coloring(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     try:
-        remaining_v = barrier(vertices(graphs), eager=True, ckdir=ck)
+        remaining_v, m = barrier_observed(
+            vertices(graphs), [F.count(F.lit(1)).alias("n")], ckdir=ck
+        )
+        n_remaining = int(m["n"])
         colored = None
         for color in range(max_colors):
-            if remaining_v.count() == 0:
+            if n_remaining == 0:
                 break
             # induced subgraph on the still-uncolored vertex set
             sub_edges = (
@@ -2171,7 +2221,10 @@ def greedy_coloring(
             remaining_v = remaining_v.join(
                 batch.select("graph_id", "vertex"), ["graph_id", "vertex"], "left_anti"
             )
-            remaining_v = barrier(remaining_v, eager=True, ckdir=ck)
+            remaining_v, m = barrier_observed(
+                remaining_v, [F.count(F.lit(1)).alias("n")], ckdir=ck
+            )
+            n_remaining = int(m["n"])
         else:
             raise RuntimeError(f"coloring exceeded {max_colors} colors")
     finally:
@@ -2188,11 +2241,17 @@ def _mis_over_vertices(spark, vertex_set: DataFrame, ue: DataFrame, ck) -> DataF
     :func:`maximal_independent_set` with the universe passed in).
     Returns (graph_id, vertex)."""
     active = vertex_set.select("graph_id", "vertex")
+    # vertex_set is always freshly checkpointed by the caller with a known
+    # count; still, the first round re-counts via the priority barrier below
+    # rather than a standalone count (r16, guide §1 job count).
+    n_active = None
     chosen = None
     rnd = 0
     while True:
         rnd += 1
-        if active.count() == 0:
+        if n_active == 0:
+            break
+        if n_active is None and vertex_set.isEmpty():
             break
         pri = barrier(
             active.select("graph_id", "vertex", _mis_priority(rnd).alias("p")),
@@ -2235,11 +2294,12 @@ def _mis_over_vertices(spark, vertex_set: DataFrame, ue: DataFrame, ck) -> DataF
             .select(F.col("e.graph_id").alias("graph_id"), F.col("e.dst").alias("vertex"))
         )
         dead = winners.unionByName(w_nbrs)
-        active = barrier(
+        active, m = barrier_observed(
             active.join(dead, ["graph_id", "vertex"], "left_anti"),
-            eager=True,
+            [F.count(F.lit(1)).alias("n")],
             ckdir=ck,
         )
+        n_active = int(m["n"])
     if chosen is None:
         return spark.createDataFrame([], "graph_id int, vertex int")
     return chosen
@@ -2601,11 +2661,14 @@ def core_numbers(
     ue = barrier(
         undirected(edges).where(F.col("src") != F.col("dst")), eager=True, ckdir=ck
     )
-    survivors = barrier(vertices(graphs), eager=True, ckdir=ck)
+    survivors, m = barrier_observed(
+        vertices(graphs), [F.count(F.lit(1)).alias("n")], ckdir=ck
+    )
+    n_survivors = int(m["n"])
     out = []
     k = 1
     for _ in range(max_rounds):
-        if survivors.count() == 0:
+        if n_survivors == 0:
             break
         deg = (
             ue.join(
@@ -2626,19 +2689,22 @@ def core_numbers(
             "graph_id", "vertex", F.coalesce("deg", F.lit(0)).alias("deg")
         )
         dropped = with_deg.where(F.col("deg") < k).select("graph_id", "vertex")
-        dropped = barrier(dropped, eager=True, ckdir=ck)
-        n_dropped = dropped.count()
+        dropped, m = barrier_observed(
+            dropped, [F.count(F.lit(1)).alias("n")], ckdir=ck
+        )
+        n_dropped = int(m["n"])
         if n_dropped == 0:
             k += 1
             continue
         out.append(
             dropped.withColumn("coreness", F.lit(k - 1).cast("int"))
         )
-        survivors = barrier(
+        survivors, m = barrier_observed(
             survivors.join(dropped, ["graph_id", "vertex"], "left_anti"),
-            eager=True,
+            [F.count(F.lit(1)).alias("n")],
             ckdir=ck,
         )
+        n_survivors = int(m["n"])
     else:
         raise RuntimeError(f"core decomposition did not finish in {max_rounds} rounds")
     if not out:

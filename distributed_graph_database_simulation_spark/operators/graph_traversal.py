@@ -38,7 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import barrier, checkpoint_dir
+from ..session import barrier, barrier_observed, checkpoint_dir
 
 DEFAULT_KERNEL_MAX_NODES = 100_000
 
@@ -90,12 +90,14 @@ def bfs_levels(
             .withColumn("level", F.lit(level).cast("int"))
         )
         # Materialize the (small) frontier once per superstep; reuse for the
-        # emptiness check, the union, and the next join. The lazy checkpoint
-        # + count() folds the barrier and the emptiness check into ONE job
-        # per superstep (count is the action that materializes the
-        # checkpoint). Checkpoint = the reference's level barrier.
-        next_frontier = barrier(next_frontier, eager=False, ckdir=ck)
-        if next_frontier.count() == 0:
+        # emptiness check, the union, and the next join. The emptiness stat
+        # rides the checkpoint action as an observation (r16, guide §1 —
+        # the former lazy-checkpoint + count() idiom still paid the count
+        # query's own jobs). Checkpoint = the reference's level barrier.
+        next_frontier, m = barrier_observed(
+            next_frontier, [F.count(F.lit(1)).alias("n")], ckdir=ck
+        )
+        if int(m["n"]) == 0:
             break
         visited = visited.union(next_frontier)
         if level % checkpoint_every == 0:

@@ -109,3 +109,30 @@ def barrier(df: DataFrame, eager: bool = True, ckdir=_UNSET) -> DataFrame:
 def barrier_t(eager: bool = True, ckdir=_UNSET):
     """:func:`barrier` curried for fluent chains: ``df.transform(barrier_t())``."""
     return lambda df: barrier(df, eager=eager, ckdir=ckdir)
+
+
+def barrier_observed(df: DataFrame, metrics: list, ckdir=_UNSET):
+    """Eager :func:`barrier` that also evaluates aggregate ``metrics`` over
+    the SAME materialization pass (r16, guide §1 job count).
+
+    The superstep loops' termination tests used the lazy-checkpoint+count
+    idiom: ``barrier(df, eager=False)`` followed by ``df.count()``. That
+    still costs the count's own query on top of the checkpoint
+    materialization — with AQE, two extra jobs per superstep (the count's
+    partial-agg stage and its single-partition final). Riding the metrics
+    on the checkpoint action as a ``CollectMetrics`` observation removes
+    those jobs outright: one action per superstep computes the new state
+    AND its convergence statistic. Observation values are exact (computed
+    once per successfully committed task, the accumulator contract
+    ``observe`` is documented under), and both barrier tiers —
+    ``localCheckpoint`` and the reliable ``checkpoint`` under
+    ``spark.graft.checkpointDir`` — run the observed plan as one action.
+
+    ``metrics``: aliased aggregate Columns (e.g. ``F.count_if(...)
+    .alias("n_changed")``). Returns ``(checkpointed df, metrics dict)``.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    out = barrier(df.observe(obs, *metrics), eager=True, ckdir=ckdir)
+    return out, obs.get
